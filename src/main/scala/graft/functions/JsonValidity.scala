@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.schema.JsonShape
+
+/** `json_is_valid(str)` — true iff the string is exactly one parseable
+  * JSON value.
+  *
+  * Native Catalyst expression (with codegen, so it stays inside the
+  * whole-stage-codegen span of the scan that feeds it) re-expressing the
+  * reference's validation predicate `checkJSONValid`
+  * (`HiveSchemaGenerator.scala:77-95`). Divergence (SURVEY.md §2 op #3):
+  * the reference's org.json tokener accepts trailing garbage after the
+  * first JSON value; we require EOF.
+  */
+case class JsonIsValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "json_is_valid"
+  override protected def nullSafeEval(s: Any): Any =
+    JsonShape.isValidUTF8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.schema.JsonShape.isValidUTF8($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonIsValid =
+    copy(child = newChild)
+}
+
+/** `json_is_object(str)` — true iff valid JSON whose top level is an
+  * object; the admission contract for table-schema inference. Routes
+  * top-level arrays/scalars to the invalid side instead of the reference's
+  * silent `ERROR` DDL path (`CreateHQL.scala:91`, SURVEY.md §1.2). */
+case class JsonIsObject(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "json_is_object"
+  override protected def nullSafeEval(s: Any): Any =
+    JsonShape.isValidObjectUTF8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.schema.JsonShape.isValidObjectUTF8($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonIsObject =
+    copy(child = newChild)
+}
+
+/** Column-API and SQL registration for graft's native functions. */
+object Fns {
+  def json_is_valid(c: Column): Column = Column(JsonIsValid(expression(c)))
+  def json_is_object(c: Column): Column = Column(JsonIsObject(expression(c)))
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "json_is_valid", es => JsonIsValid(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_is_object", es => JsonIsObject(es.head), "built-in")
+  }
+}

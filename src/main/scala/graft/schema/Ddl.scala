@@ -1,0 +1,94 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Hive DDL rendering — the reference's output surface
+  * (`CreateHQL.scala:68-99`): `DROP TABLE` + `CREATE EXTERNAL TABLE` with
+  * tab-indented backticked columns, JsonSerDe row format and an HDFS
+  * location, with `[.-] → _` identifier sanitization (`CreateHQL.scala:97`).
+  *
+  * Differences from the reference (SURVEY.md §7.4):
+  *  - column order is deterministic first-seen order (reference is Scala
+  *    hash-map order, `CreateHQL.scala:58`);
+  *  - sanitization is applied to field ''names'' recursively, not via a
+  *    regex over the whole rendered block (same result on the reference's
+  *    grammar — type keywords contain no `.` or `-` — but robust);
+  *  - `dropIfExists=true` renders `DROP TABLE IF EXISTS` (the reference's
+  *    unguarded `DROP TABLE` fails on a fresh metastore,
+  *    `CreateHQL.scala:95`); pass false for byte-parity.
+  */
+object Ddl {
+
+  val JsonSerDe = "org.apache.hive.hcatalog.data.JsonSerDe"
+
+  /** Reference `CreateHQL.scala:97`: dots/dashes in JSON keys (e.g. NiFi
+    * attribute names like `server.timezone`) are illegal in Hive
+    * identifiers. */
+  def sanitizeName(name: String): String = name.replaceAll("[.-]", "_")
+
+  def sanitize(dt: DataType): DataType = dt match {
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(name = sanitizeName(f.name), dataType = sanitize(f.dataType))))
+    case ArrayType(e, n) => ArrayType(sanitize(e), n)
+    case MapType(k, v, n) => MapType(sanitize(k), sanitize(v), n)
+    case other => other
+  }
+
+  /** Hive type name for a leaf (typed lattice renders real Hive
+    * primitives; the STRING-only lattice never produces them). */
+  private def leaf(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+    case DoubleType | FloatType => "DOUBLE"
+    case BooleanType            => "BOOLEAN"
+    case _                      => "STRING"
+  }
+
+  /** Recursive pretty-printer, reference `CreateHQL.scala:68-83`:
+    * tab-indented, `ARRAY<...>` / `STRUCT<`k`: ...>` / leaf. */
+  def render(dt: DataType, indent: Int = 0, key: Option[String] = None): String = {
+    val pad = "\t" * indent
+    pad + key.fold("")(_ + " ") + (dt match {
+      case ArrayType(e, _) =>
+        Seq("ARRAY<", render(e, indent + 1), s"$pad>").mkString("\n")
+      case StructType(fs) =>
+        "STRUCT<\n" + fs.map { f =>
+          render(f.dataType, indent + 1, Some("`" + f.name + "`:"))
+        }.mkString(",\n") + "\n" + pad + ">"
+      case other => leaf(other)
+    })
+  }
+
+  /** Column block of a CREATE TABLE — reference `definition`,
+    * `CreateHQL.scala:85-92`. */
+  def columns(schema: StructType, indent: Int = 1): String =
+    schema.fields.map { f =>
+      render(f.dataType, indent, Some("`" + f.name + "`"))
+    }.mkString(",\n")
+
+  /** Full statement — reference `table`, `CreateHQL.scala:94-99`. */
+  def createExternalTable(
+      schema: StructType,
+      name: String,
+      location: String,
+      dropIfExists: Boolean = true,
+      serde: String = JsonSerDe): String = {
+    val drop = if (dropIfExists) s"DROP TABLE IF EXISTS $name;" else s"DROP TABLE $name;"
+    Seq(
+      drop,
+      s"CREATE EXTERNAL TABLE $name (",
+      columns(sanitize(schema).asInstanceOf[StructType]),
+      s") ROW FORMAT SERDE '$serde'",
+      s"location '$location';").mkString("\n")
+  }
+
+  /** Spark-executable equivalent (`USING JSON`): Spark's non-Hive catalogs
+    * reject `ROW FORMAT SERDE` but this registers the same external JSON
+    * table against the session catalog (SURVEY.md §2 op #9). */
+  def createTableSparkSql(schema: StructType, name: String, location: String): Seq[String] = {
+    val cols = sanitize(schema).asInstanceOf[StructType].fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    Seq(
+      s"DROP TABLE IF EXISTS $name",
+      s"CREATE TABLE $name ($cols) USING JSON LOCATION '$location'")
+  }
+}
