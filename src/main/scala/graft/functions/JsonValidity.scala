@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.schema.JsonShape
@@ -19,9 +19,11 @@ import graft.schema.JsonShape
   * the reference's org.json tokener accepts trailing garbage after the
   * first JSON value; we require EOF.
   */
-case class JsonIsValid(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+case class JsonIsValid(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "json_is_valid"
   override protected def nullSafeEval(s: Any): Any =
@@ -36,9 +38,11 @@ case class JsonIsValid(child: Expression)
   * object; the admission contract for table-schema inference. Routes
   * top-level arrays/scalars to the invalid side instead of the reference's
   * silent `ERROR` DDL path (`CreateHQL.scala:91`, SURVEY.md §1.2). */
-case class JsonIsObject(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+case class JsonIsObject(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "json_is_object"
   override protected def nullSafeEval(s: Any): Any =
@@ -51,17 +55,13 @@ case class JsonIsObject(child: Expression)
 
 /** Column-API and SQL registration for graft's native functions. */
 object Fns {
-  def json_is_valid(c: Column): Column = Column(JsonIsValid(expression(c)))
-  def json_is_object(c: Column): Column = Column(JsonIsObject(expression(c)))
-
-  private def expression(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  def json_is_valid(c: Column): Column =
+    GraftBridge.column(JsonIsValid(GraftBridge.expression(c)))
+  def json_is_object(c: Column): Column =
+    GraftBridge.column(JsonIsObject(GraftBridge.expression(c)))
 
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "json_is_valid", es => JsonIsValid(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "json_is_object", es => JsonIsObject(es.head), "built-in")
+    GraftBridge.registerFunction(spark, "json_is_valid", es => JsonIsValid(es.head))
+    GraftBridge.registerFunction(spark, "json_is_object", es => JsonIsObject(es.head))
   }
 }
