@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Parity, Q, Relational}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Every declared query, in catalog order. */
+  def catalog: Seq[Q] = Relational.all ++ Parity.all
+
+  /** Flagship: the reference's whole pipeline (route + infer + DDL) over
+    * events.props at sf0.001, folded into one summary row (rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val counts = Parity.all.head.run(spark, dir).collect()(0)
+    val ddl = graft.sources.JsonIngest
+      .inferColumnSchema(graft.queries.Tables.events(spark, dir), "props")
+      .map(graft.schema.Ddl.createExternalTable(_, "events_props", "/tmp/events_props"))
+      .getOrElse("!INVALID")
+    import spark.implicits._
+    Seq((counts.getLong(0), counts.getLong(1), ddl))
+      .toDF("n_valid", "n_invalid", "ddl")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One declared query: a Spark plan plus (when SQL-expressible) the exact
+  * DuckDB oracle the driver hash-compares against.
+  *
+  * Cross-engine determinism rules (every query here obeys them):
+  *  - double aggregation is order-dependent → aggregate in DECIMAL
+  *    (exact), cast the final value to DOUBLE;
+  *  - DuckDB `SUM(BIGINT)` is HUGEINT, `year()`/`length()`/`ntile()` are
+  *    BIGINT while Spark's are INT → cast both sides to BIGINT;
+  *  - every result carries a total ORDER BY with a unique tie-break;
+  *  - aggregate/computed columns are aliased identically on both sides
+  *    (the driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table access for the driver-generated testdata (TESTDATA.md). */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column made usable: Spark 4 only
+    * reads it with `nanosAsLong`, so `ts` arrives as LONG nanoseconds and
+    * is converted to a microsecond timestamp here (DuckDB reads the same
+    * column as a µs TIMESTAMP, so the two engines agree). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

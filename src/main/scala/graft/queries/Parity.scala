@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.schema.Ddl
+import graft.sources.JsonIngest
+import Tables.events
+
+/** Reference-parity queries: the NiFi processor's whole capability
+  * (validate → route → infer → DDL, `HiveSchemaGenerator.scala:60-114`,
+  * `CreateHQL.scala:6-99`) surfaced as driver-checkable queries over the
+  * `events.props` JSON column.
+  */
+object Parity {
+
+  /** Independent hand-written expectation for the inferred DDL over
+    * `events.props` (every record is `{"k": <int>}`; Hive lattice
+    * collapses the int to STRING, typed mode keeps BIGINT). */
+  private def expectedDdl(hiveType: String): String =
+    "DROP TABLE IF EXISTS events_props;\n" +
+      "CREATE EXTERNAL TABLE events_props (\n" +
+      "\t`k` " + hiveType + "\n" +
+      ") ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n" +
+      "location '/tmp/events_props';"
+
+  private def constOracle(value: String, colName: String): String =
+    "SELECT '" + value.replace("'", "''") + "' AS " + colName
+
+  val all: Seq[Q] = Seq(
+
+    Q("p01_route_counts",
+      "Valid/invalid routing counts over events.props in ONE pass " +
+        "(conditional aggregate over the codegen'd json_is_object predicate — " +
+        "no double scan, unlike the reference's read-twice onTrigger).",
+      (s, dir) => events(s, dir).agg(
+        sum(when(Fns.json_is_object(col("props")), 1L).otherwise(0L))
+          .cast("long").as("n_valid"),
+        sum(when(Fns.json_is_object(col("props")), 0L).otherwise(1L))
+          .cast("long").as("n_invalid")),
+      Some("""SELECT
+        | CAST(count(*) FILTER (WHERE json_valid(props) AND json_type(props) = 'OBJECT') AS BIGINT) AS n_valid,
+        | CAST(count(*) FILTER (WHERE NOT (json_valid(props) AND json_type(props) = 'OBJECT')) AS BIGINT) AS n_invalid
+        |FROM events""".stripMargin)),
+
+    Q("p02_infer_ddl",
+      "End-to-end reference pipeline: distributed schema inference over " +
+        "events.props (STRING-only Hive lattice) rendered as the CREATE " +
+        "EXTERNAL TABLE artifact.",
+      (s, dir) => {
+        val ddl = JsonIngest
+          .inferColumnSchema(events(s, dir), "props")
+          .map(Ddl.createExternalTable(_, "events_props", "/tmp/events_props"))
+          .getOrElse("!INVALID")
+        import s.implicits._
+        Seq(ddl).toDF("ddl")
+      },
+      Some(constOracle(expectedDdl("STRING"), "ddl"))),
+
+    Q("p03_infer_ddl_typed",
+      "Same pipeline on the typed lattice: integers stay BIGINT.",
+      (s, dir) => {
+        val ddl = JsonIngest
+          .inferColumnSchema(events(s, dir), "props", typed = true)
+          .map(Ddl.createExternalTable(_, "events_props", "/tmp/events_props"))
+          .getOrElse("!INVALID")
+        import s.implicits._
+        Seq(ddl).toDF("ddl")
+      },
+      Some(constOracle(expectedDdl("BIGINT"), "ddl")))
+  )
+}

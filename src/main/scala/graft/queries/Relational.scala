@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables.{events, t}
+
+/** Declared relational query surface (SURVEY.md §2.2 / M3): one green
+  * query per category, each with a DuckDB oracle.
+  *
+  * Scale notes (the 100 TB contract, local[32] is only the test rig):
+  * dimension joins (`part`, `nation`, `region`) are explicit
+  * `broadcast()`; fact-fact joins shuffle on their keys and rely on AQE;
+  * every aggregate is partial+final (plain `groupBy.agg`); filters and
+  * projections sit directly on the parquet scan so Catalyst pushes them
+  * down. Global-window queries (q20) note their single-partition caveat.
+  */
+object Relational {
+
+  private val D2 = DecimalType(18, 2)
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(D2)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q01_pricing_summary",
+      "TPC-H Q1-style scan + filter + hash aggregate (partial+final).",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q02_brand_revenue",
+      "Fact-to-dim broadcast hash join (part is small at every SF that matters per-executor).",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    Q("q03_region_order_stats",
+      "3-way join chain: shuffle join on the fact side, broadcast dims.",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("q04_segment_big_spenders",
+      "Left-semi join (EXISTS): customers with at least one 300k+ order.",
+      (s, dir) => t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q05_inactive_customers",
+      "Left-anti join (NOT EXISTS): customers with no orders at all.",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_inactive")),
+      Some("""SELECT COUNT(*) AS n_inactive FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin)),
+
+    Q("q06_top_order_per_cust",
+      "Window ranking: row_number over (partition by customer), deterministic tie-break.",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+        .limit(200),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey LIMIT 200""".stripMargin)),
+
+    Q("q07_order_gaps",
+      "Window lag + date arithmetic, folded to one exact-integer row.",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("prev", lag("o_orderdate", 1).over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+        .filter(col("prev").isNotNull)
+        .select(datediff(col("o_orderdate"), col("prev")).cast("long").as("gap"))
+        .agg(
+          sum("gap").cast("long").as("total_gap_days"),
+          count(lit(1)).as("n_gaps")),
+      Some("""SELECT CAST(SUM(gap) AS BIGINT) AS total_gap_days, COUNT(*) AS n_gaps
+        |FROM (SELECT date_diff('day',
+        |        lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |        o_orderdate) AS gap
+        |      FROM orders)
+        |WHERE gap IS NOT NULL""".stripMargin)),
+
+    Q("q08_topk_orders",
+      "Global top-k: Spark plans TakeOrderedAndProject (no full sort at scale).",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q09_nation_setops",
+      "Set operations: INTERSECT and EXCEPT over nation keys, tagged and unioned.",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("k")).distinct()
+        val p = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("k")).distinct()
+        c.intersect(p).withColumn("op", lit("both"))
+          .unionByName(c.except(p).withColumn("op", lit("cust_only")))
+          .select("op", "k")
+          .orderBy("op", "k")
+      },
+      Some("""SELECT 'both' AS op, k FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |  INTERSECT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS op, k FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+        |  EXCEPT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY op, k""".stripMargin)),
+
+    Q("q10_string_fns",
+      "Scalar string battery: case, length, substring, concat, regex, split, pad.",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 8).as("prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          lpad(col("p_brand"), 12, "_").as("padded"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_name, 1, 8) AS prefix,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        | string_split(p_name, ' ')[1] AS first_word,
+        | lpad(p_brand, 12, '_') AS padded
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin)),
+
+    Q("q11_monthly_orders",
+      "Date/time battery: year/month grouping, min/max dates.",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_price"),
+          min(col("o_orderdate")).cast("date").as("first_day"),
+          max(col("o_orderdate")).cast("date").as("last_day"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | CAST(MIN(o_orderdate) AS DATE) AS first_day,
+        | CAST(MAX(o_orderdate) AS DATE) AS last_day
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
+
+    Q("q12_math_fns",
+      "Scalar math battery over a keyed slice (IEEE-deterministic ops only).",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 60)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("line_no"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+          floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+          (col("l_orderkey") % 7).as("mod7"),
+          abs(col("l_quantity") - 25.0).as("absdev"))
+        .orderBy("l_orderkey", "line_no"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        | round(sqrt(l_quantity), 6) AS sqrt_qty,
+        | l_quantity * l_quantity AS qty_sq,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        | CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+        | l_orderkey % 7 AS mod7,
+        | abs(l_quantity - 25.0) AS absdev
+        |FROM lineitem WHERE l_orderkey <= 60 ORDER BY l_orderkey, line_no""".stripMargin)),
+
+    Q("q13_doc_array_fns",
+      "Array battery over tokenized documents: size/distinct/contains/sort/intersect.",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_unique"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(array_sort(toks), 1).as("first_token"),
+          size(array_intersect(toks, array(lit("spark"), lit("data"), lit("query"))))
+            .cast("long").as("n_kw"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+        | list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        | list_sort(string_split(text, ' '))[1] AS first_token,
+        | CAST(len(list_intersect(string_split(text, ' '), ['spark','data','query'])) AS BIGINT) AS n_kw
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q14_json_group",
+      "JSON scalar extraction (get_json_object) feeding an exact aggregate.",
+      (s, dir) => events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).cast("long").as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q15_rollup_pricing",
+      "ROLLUP grouping sets with NULL subtotal rows.",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("q16_distinct_parts",
+      "Distinct aggregation (expand + two-phase) per group.",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q17_loyal_customers",
+      "Aggregate + HAVING re-aggregated to one exact row.",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 15)
+        .agg(
+          count(lit(1)).as("n_loyal"),
+          max("cnt").cast("long").as("max_orders"),
+          sum("cnt").cast("long").as("their_orders")),
+      Some("""SELECT COUNT(*) AS n_loyal, CAST(MAX(cnt) AS BIGINT) AS max_orders,
+        | CAST(SUM(cnt) AS BIGINT) AS their_orders
+        |FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |      GROUP BY o_custkey HAVING COUNT(*) >= 15)""".stripMargin)),
+
+    Q("q18_cube_events",
+      "CUBE over event type × month with exact decimal totals.",
+      (s, dir) => events(s, dir)
+        .cube(col("event_type"), month(col("ts")).cast("long").as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("m").asc_nulls_first),
+      Some("""SELECT event_type, CAST(month(ts) AS BIGINT) AS m, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY CUBE(event_type, month(ts))
+        |ORDER BY event_type NULLS FIRST, m NULLS FIRST""".stripMargin)),
+
+    Q("q19_moving_sum",
+      "Window frame (ROWS BETWEEN 2 PRECEDING): exact decimal moving sum.",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+              .rowsBetween(-2, 0))
+            .cast("double").as("moving_sum"))
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+        |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q20_price_quartiles",
+      "ntile quartiles (global window — single-partition sort; test-scale only, " +
+        "a 100 TB variant would approx with percentile_approx + range partitioning).",
+      (s, dir) => t(s, dir, "orders")
+        .select(
+          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("bucket"),
+      Some("""SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price
+        |FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
+        |             o_totalprice FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("w01_daily_events",
+      "Tumbling event-time window (batch form of the streaming window op).",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(
+          col("window.start").cast("date").as("day"),
+          col("n"), col("total_value"))
+        .orderBy("day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+  )
+}

@@ -63,6 +63,10 @@ object Smoke {
     val (ddl2, routed) = JsonIngest.inferDdl(spark, tmp.toString, "t_nd", "/tmp/t_nd")
     println(s"[smoke] ndjson valid=${routed.valid.count()} invalid=${routed.invalid.count()}")
     println(s"[smoke] ndjson DDL:\n${ddl2.getOrElse("NONE")}")
+
+    // The driver's t1 smoke path.
+    println("[smoke] SparkEntry.entry:")
+    graft.SparkEntry.entry(spark).show(false)
     spark.stop()
   }
 }
