@@ -3,26 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Parity, Q, Relational}
+import graft.queries.{Extended, LlmOps, Parity, Q, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every declared query, in catalog order. */
-  def catalog: Seq[Q] = Relational.all ++ Parity.all
+  def catalog: Seq[Q] = Relational.all ++ Parity.all ++ LlmOps.all ++ Extended.all
 
-  /** Flagship: the reference's whole pipeline (route + infer + DDL) over
-    * events.props at sf0.001, folded into one summary row (rows > 0). */
+  /** Flagship: the reference's whole pipeline (validate + route + infer +
+    * DDL) over events.props at sf0.001 — ONE scan, one parse per line via
+    * [[graft.schema.RouteAgg]] — folded into one summary row (rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val counts = Parity.all.head.run(spark, dir).collect()(0)
-    val ddl = graft.sources.JsonIngest
-      .inferColumnSchema(graft.queries.Tables.events(spark, dir), "props")
+    val stats = graft.sources.JsonIngest
+      .inferRoutedStats(graft.queries.Tables.events(spark, dir), "props")
+    val ddl = stats.schema
       .map(graft.schema.Ddl.createExternalTable(_, "events_props", "/tmp/events_props"))
       .getOrElse("!INVALID")
     import spark.implicits._
-    Seq((counts.getLong(0), counts.getLong(1), ddl))
-      .toDF("n_valid", "n_invalid", "ddl")
+    Seq((stats.nValid, stats.nInvalid, ddl)).toDF("n_valid", "n_invalid", "ddl")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

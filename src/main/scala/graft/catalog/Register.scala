@@ -30,8 +30,7 @@ object Register {
     val hiveDdl = Ddl.createExternalTable(schema, name, location)
     if (hiveMode) {
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      // Split the two-statement artifact and run the CREATE as-is.
-      spark.sql(hiveDdl.linesIterator.drop(1).mkString("\n").stripSuffix(";"))
+      spark.sql(Ddl.createStatement(schema, name, location))
     } else {
       Ddl.createTableSparkSql(schema, name, location).foreach(spark.sql(_))
     }

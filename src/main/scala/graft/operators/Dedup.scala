@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: exact dedup is a hash shuffle on the dedup key (never a
+  * sort); near-dup is MinHash + banded LSH — candidate pairs come from a
+  * shuffle join on (band, signature) bucket keys, so cost is
+  * O(docs × perms) + O(pairs within buckets), never the all-pairs cross
+  * join. SimHash and n-gram Jaccard are per-row expressions + bucketed
+  * joins with the same property.
+  *
+  * Hashing uses md5 (engine-portable, deterministic); permutation `j` is
+  * simulated by salting the hash input with `j` and taking the
+  * lexicographic min — equivalent to a random permutation family for LSH
+  * purposes and exactly reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per key set. Plain hash shuffle. */
+  def exact(df: DataFrame, cols: String*): DataFrame = df.dropDuplicates(cols)
+
+  /** Word n-gram shingles of a token array (n=3). The token array is
+    * let-bound so it is computed once per row (see [[ExprLet]]). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    ExprLet.let(toks) { ts =>
+      transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*))
+    }
+
+  /** MinHash signature value for permutation `j`: min md5 over salted
+    * shingles (lexicographic min of hex strings). */
+  def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"${j}_"), x))))
+
+  /** All `perms` MinHash signatures as one array — the shingle array is
+    * let-bound and computed once per row. */
+  def minhashSigArray(textCol: Column, perms: Int = 4): Column =
+    ExprLet.let(shingles(TextAnalysis.tokens(textCol))) { sh =>
+      array((0 until perms).map(j => minhash(sh, j)): _*)
+    }
+
+  /** Universal-hash family modulus/coefficients for the integer MinHash
+    * (portable exact arithmetic — reproducible in the SQL oracle). */
+  val HashP = 1000003L
+  val HashA = Vector(911L, 3571L, 181081L, 777767L)
+  val HashB = Vector(17L, 271L, 5261L, 99991L)
+
+  /** Integer MinHash signatures: each shingle is md5'd ONCE into a 60-bit
+    * int, then each permutation is a cheap `(a_j*h + b_j) mod P` — 4×
+    * less hashing than the salted-md5 variant; the hot path of banded
+    * LSH at corpus scale. */
+  def minhashIntSigs(textCol: Column, perms: Int = 4): Column =
+    ExprLet.let(
+      transform(shingles(TextAnalysis.tokens(textCol)),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP)) { hs =>
+      array((0 until perms).map(j =>
+        array_min(transform(hs, h => (h * HashA(j) + HashB(j)) % HashP))): _*)
+    }
+
+  /** Long-format (doc, band) keys for banded LSH: one row per permutation
+    * with its signature; docs sharing any (j, sig) are candidates. Uses
+    * the native [[graft.functions.MinHashSigs]] expression (identical
+    * arithmetic to [[minhashIntSigs]], ~100× faster); docs with no
+    * shingles yield a null array and generate no band rows. */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   perms: Int = 4): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(graft.functions.MinHashSigs(col(textCol), perms))
+          .as(Seq("pos", "sig")))
+      .select(col(idCol), col("pos").as("j"), col("sig"))  // posexplode is 0-based
+
+  /** Distinct candidate near-dup pairs from band buckets: group by the
+    * band key, emit in-bucket pairs from the sorted id list — signatures
+    * are computed ONCE (a self-join would re-evaluate the whole MinHash
+    * pipeline on both sides) and cost stays O(Σ bucket²), never
+    * all-pairs. At real corpus scale, giant buckets (degenerate shingles)
+    * would be capped/salted before the pair expansion. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy("j", "sig")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(ExprLet.let(array_sort(col("ids"))) { a =>
+        flatten(transform(a, (x, i) =>
+          transform(slice(a, i + 2, size(a)), y =>
+            struct(x.as("d1"), y.as("d2")))))
+      }).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .distinct()
+
+  /** 16-bit SimHash over whitespace tokens: per-bit majority vote of the
+    * first 4 md5 hex nibbles of each token. Engine-portable integer
+    * arithmetic only; the md5 array is let-bound so each token is hashed
+    * once, not once per bit. */
+  def simhash16(toks: Column): Column =
+    ExprLet.let(transform(toks, t => md5(t))) { hs =>
+      def nibble(h: Column, p: Int): Column =
+        conv(substring(h, p, 1), 16, 10).cast("long")
+      def bit(h: Column, b: Int): Column =
+        shiftright(nibble(h, b / 4 + 1), b % 4) % 2
+      (0 until 16).map { b =>
+        when(aggregate(hs, lit(0L), (acc, h) => acc + bit(h, b)) * 2
+               > size(hs).cast("long"),
+             lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** Jaccard similarity of the distinct-token sets of two documents. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

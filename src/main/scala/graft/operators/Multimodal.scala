@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through
+  * the pipeline as opaque `binary` columns with typed metadata; decode /
+  * feature-extract runs per partition so a real codec would amortize its
+  * init across a batch of rows.
+  *
+  * The decode itself is a clearly-marked STUB (this container has no
+  * image/audio libraries): it derives deterministic fake dimensions from
+  * the payload bytes. Everything Spark-side — the binary column, the
+  * typed `Dataset` boundary, `mapPartitions` batching, the output
+  * schema — is real and is what matters at 100 TB.
+  */
+final case class Blob(doc_id: Long, payload: Array[Byte])
+final case class Decoded(
+    doc_id: Long, n_bytes: Long, width: Long, height: Long, content_md5: String)
+
+object Multimodal {
+
+  /** Attach a binary payload column (here: utf8 bytes of `textCol`; in a
+    * real corpus this is the stored media blob). */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): Dataset[Blob] =
+    df.select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).cast("binary").as("payload"))
+      .as(Encoders.product[Blob])
+
+  /** STUB decoder — a real implementation would hand `it` to an image
+    * codec per batch. Deterministic: dims derive from byte length, the
+    * content hash is md5 (portable to the SQL oracle). */
+  def decode(blobs: Dataset[Blob]): Dataset[Decoded] =
+    blobs.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { b =>
+        val n = b.payload.length.toLong
+        val md5hex = digest.digest(b.payload)
+          .map(x => f"${x & 0xff}%02x").mkString
+        digest.reset()
+        Decoded(b.doc_id, n, 320 + n % 320, 240 + n % 240, md5hex)
+      }
+    }(Encoders.product[Decoded])
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, stopword stats, quality scoring, language guess,
+  * content fingerprinting. All are pure column expressions (codegen'd,
+  * shuffle-free, embarrassingly parallel over document rows) — the shape
+  * that survives a 100 TB corpus unchanged.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Small fixed English stopword list (public, deterministic). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** Mean token length via an exact integer fold, then one double division. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      .cast("double") / size(toks)
+
+  /** Deterministic quality score in [0,1]: length saturation × stopword
+    * penalty. Same arithmetic is expressible in ANSI SQL for the oracle. */
+  def qualityScore(toks: Column): Column =
+    least(size(toks).cast("double") / 50.0, lit(1.0)) *
+      (lit(1.0) - stopwordCount(toks).cast("double") / size(toks))
+
+  /** Cheap language guess: marker-stopword heuristic ('the' → en). A real
+    * n-gram profile model plugs in behind the same column contract. */
+  def langGuess(toks: Column): Column =
+    when(array_contains(toks, "the"), "en").otherwise("unknown")
+
+  /** Stable content fingerprint (md5 hex — identical in any engine). */
+  def fingerprint(text: Column): Column = md5(text)
+}

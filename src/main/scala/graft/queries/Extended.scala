@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType, DecimalType}
+
+import graft.operators.AsOf
+import Tables.{events, t}
+
+/** Remaining SURVEY §2.2 categories: map functions, user-defined function
+  * surface, range (theta) join, as-of join, approximate distinct. */
+object Extended {
+
+  private val D2 = DecimalType(18, 2)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q21_map_fns",
+      "JSON → MapType column; map_keys / element_at feeding exact aggregates.",
+      (s, dir) => events(s, dir)
+        .select(
+          col("event_type"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        .select(
+          col("event_type"),
+          element_at(col("m"), "k").as("kv"),
+          size(map_keys(col("m"))).cast("long").as("nk"))
+        .groupBy("event_type")
+        .agg(
+          sum("kv").cast("long").as("sum_k"),
+          max("nk").cast("long").as("max_keys"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_keys,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q22_udf_slugify",
+      "Scala UDF surface (registered + applied); regex semantics portable.",
+      (s, dir) => {
+        val slug = udf((x: String) =>
+          if (x == null) null else x.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+        t(s, dir, "part")
+          .filter(col("p_partkey") <= 50)
+          .select(col("p_partkey"), slug(col("p_name")).as("slug"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS slug
+        |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin)),
+
+    Q("q23_range_join",
+      "Range (theta) join against literal buckets — broadcast nested loop.",
+      (s, dir) => {
+        import s.implicits._
+        val buckets = Seq((1, 10, "s01_10"), (11, 20, "s11_20"), (21, 30, "s21_30"),
+          (31, 40, "s31_40"), (41, 50, "s41_50"))
+          .toDF("lo", "hi", "bucket")
+        t(s, dir, "part")
+          .join(broadcast(buckets), col("p_size").between(col("lo"), col("hi")))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum(col("p_retailprice").cast(D2)).cast("double").as("total_price"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part JOIN (VALUES (1, 10, 's01_10'), (11, 20, 's11_20'), (21, 30, 's21_30'),
+        |                (31, 40, 's31_40'), (41, 50, 's41_50')) AS b(lo, hi, bucket)
+        |  ON p_size BETWEEN lo AND hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("q24_asof_join",
+      "As-of join (custom operator: union + window, one shuffle, no " +
+        "blow-up): latest order at-or-before each event per user.",
+      (s, dir) => AsOf.join(
+          events(s, dir).filter(col("event_id") < 1000)
+            .select("event_id", "user_id", "ts"),
+          t(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVal = "o_orderkey")
+        .select("event_id", "user_id", "asof_o_orderkey")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        | (SELECT max(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+        | ) AS asof_o_orderkey
+        |FROM events e WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
+
+    Q("q25_approx_distinct",
+      "HLL approximate distinct next to the exact count (no SQL oracle — " +
+        "sketch internals are engine-specific; driver records rows-only).",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None)
+  )
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import Tables.t
+
+/** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), similarity search (brute-force + LSH-pruned
+  * cosine), text analysis, and multimodal plumbing — each as a
+  * driver-checkable query over `documents` / `embeddings`.
+  */
+object LlmOps {
+
+  private val stopSql = TA.Stopwords.mkString("['", "','", "']")
+
+  val all: Seq[Q] = Seq(
+
+    Q("d01_dedup_exact",
+      "Exact dedup (hash shuffle on the text key), per-language stats.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val uniq = Dedup.exact(d, "text")
+          .groupBy("lang").agg(count(lit(1)).as("n_unique_texts"))
+        d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(uniq, "lang")
+          .withColumn("n_dups", col("n_docs") - col("n_unique_texts"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT text) AS n_unique_texts,
+        | COUNT(*) - COUNT(DISTINCT text) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d02_token_stats",
+      "Token counting over the corpus, exact integer aggregates per language.",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TA.tokenCount(TA.tokens(col("text"))).as("n"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n").cast("long").as("total_tokens"),
+          min("n").cast("long").as("min_tokens"),
+          max("n").cast("long").as("max_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        | CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d03_quality_score",
+      "Per-document quality features: token/stopword counts, exact-ratio score.",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(
+            col("doc_id"),
+            TA.tokenCount(toks).as("n_tokens"),
+            TA.stopwordCount(toks).as("n_stop"),
+            TA.qualityScore(toks).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopSql, t))) AS BIGINT) AS n_stop,
+        | least(len(string_split(text, ' ')) / 50.0, 1.0) *
+        |   (1.0 - len(list_filter(string_split(text, ' '), t -> list_contains($stopSql, t))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    Q("d04_lang_id",
+      "Marker-stopword language guess vs the labeled lang column.",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(col("lang"), TA.langGuess(toks).as("guess"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("guess") === "en", 1L).otherwise(0L)).cast("long").as("n_en_guess"),
+            sum(when(col("guess") === col("lang"), 1L).otherwise(0L)).cast("long").as("n_correct"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        | CAST(count(*) FILTER (WHERE list_contains(string_split(text, ' '), 'the')) AS BIGINT) AS n_en_guess,
+        | CAST(count(*) FILTER (WHERE (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en' ELSE 'unknown' END) = lang) AS BIGINT) AS n_correct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d05_fingerprint",
+      "md5 document fingerprints, distinct-count per source.",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), TA.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(countDistinct("fp").as("n_unique"), count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(DISTINCT md5(text)) AS n_unique, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("d06_minhash_sig",
+      "MinHash signatures (4 salted-md5 permutations over 3-word shingles).",
+      (s, dir) => {
+        val sh = Dedup.shingles(TA.tokens(col("text")))
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(
+            (col("doc_id") +: (0 until 4).map(j => Dedup.minhash(sh, j).as(s"sig_$j"))): _*)
+          .orderBy("doc_id")
+      },
+      Some(("""WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]) AS sh
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, """ +
+        (0 until 4).map(j =>
+          s"list_aggregate(list_transform(sh, x -> md5('${j}_' || x)), 'min') AS sig_$j")
+          .mkString(", ") +
+        """ FROM s ORDER BY doc_id""").stripMargin)),
+
+    Q("d07_neardup_pairs",
+      "Banded-LSH candidate pairs: bucketed self-join on (perm, signature) " +
+        "— never the all-pairs cross join.",
+      (s, dir) => {
+        val bands = Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text")
+        Dedup.candidatePairs(bands, "doc_id")
+          .agg(count(lit(1)).as("n_candidate_pairs"))
+      },
+      Some {
+        val perms = (0 until 4).map { j =>
+          val (a, b) = (Dedup.HashA(j), Dedup.HashB(j))
+          s"SELECT doc_id, $j AS j, list_aggregate(list_transform(hs, h -> (h * $a + $b) % ${Dedup.HashP}), 'min') AS m FROM s"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+           |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+           |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashP}) AS hs
+           |  FROM documents),
+           |sig AS (
+           |  $perms)
+           |SELECT COUNT(*) AS n_candidate_pairs FROM (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM sig a JOIN sig b ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
+           |  WHERE a.m IS NOT NULL)""".stripMargin
+      }),
+
+    Q("d08_simhash",
+      "16-bit SimHash (per-bit majority of md5 nibbles) per document.",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), Dedup.simhash16(TA.tokens(col("text"))).as("simhash16"))
+        .orderBy("doc_id"),
+      Some {
+        val bits = (0 until 16).map { b =>
+          val p = b / 4 + 1
+          val j = b % 4
+          s"(CASE WHEN 2 * list_sum(list_transform(w, t -> (('0x' || substr(md5(t), $p, 1))::BIGINT >> $j) % 2)) > len(w) THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100) " +
+          "ORDER BY doc_id"
+      }),
+
+    Q("d09_ngram_jaccard",
+      "Pairwise distinct-token Jaccard over a keyed slice (exact set ops).",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") < 25)
+          .select(col("doc_id"), array_distinct(TA.tokens(col("text"))).as("s"))
+        val a = d.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+        val b = d.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+                  Dedup.jaccard(col("sa"), col("sb")).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("s01_cosine_topk",
+      "Brute-force cosine top-k vs vec 0 (broadcast query, one corpus scan, " +
+        "TakeOrdered — the ANN correctness baseline).",
+      (s, dir) => Similarity.cosineTopK(
+        s, t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS cosine
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("s02_lsh_bucket_topk",
+      "LSH-pruned cosine top-k: only the query's sign-bit bucket is scanned " +
+        "(corpus/2^bits candidates — the 100 TB path).",
+      (s, dir) => Similarity.bucketTopK(
+        s, t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 5),
+      Some(("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    """ + (1 to 8).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ") +
+        """ AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.bucket,
+        |  list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS cosine
+        |FROM e, q WHERE e.bucket = q.qbucket AND vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 5""").stripMargin)),
+
+    Q("d10_rolling_fingerprint",
+      "Rolling-hash document fingerprint: left fold of token hashes " +
+        "(exact modular arithmetic, engine-portable).",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          aggregate(
+            transform(TA.tokens(col("text")),
+              tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % Dedup.HashP),
+            lit(0L),
+            (acc, h) => (acc * 31 + h) % Dedup.HashP).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % ${Dedup.HashP})),
+        |   (acc, h) -> (acc * 31 + h) % ${Dedup.HashP}) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    Q("d11_embedding_neardup",
+      "Embedding-cosine near-dup: sign-bucket LSH candidates, exact cosine " +
+        "filter — bucketed join, never all-pairs over the corpus.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("v"),
+          graft.operators.Similarity.signBucket(col("embedding"), 6).as("bucket"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket").as("bucket_b"))
+        a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.operators.Similarity.cosine(col("va"), col("vb")).as("cosine"))
+          .filter(col("cosine") > 0.2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    """ + (1 to 6).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ") +
+        """ AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x,y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x,y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x,y) -> x + y))) AS cosine
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x,y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x,y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x * x), (x,y) -> x + y))) > 0.2
+        |ORDER BY id_a, id_b""").stripMargin)),
+
+    Q("s03_ivf_topk",
+      "IVF-style ANN: per-label centroids (exact scaled-integer sums → " +
+        "deterministic), probe the 2 best cells, exact cosine inside — " +
+        "the coarse-quantization scale path next to s01's brute force.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          Sim.asDouble(col("embedding")).as("v"))
+        // Centroids: per-dim sums of round(x*1e6) longs — exact, order-free.
+        val dims = e.select(col("label"),
+          posexplode(transform(col("v"), x => round(x * 1e6).cast("long")))
+            .as(Seq("i", "x")))
+        val cents = dims.groupBy("label", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("sx"), col("n")))),
+            t3 => t3.getField("sx").cast("double") /
+              (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val top2 = cents.crossJoin(broadcast(q))
+          .select(col("label"), Sim.cosine(col("cv"), col("qv")).as("cscore"))
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("cscore").desc, col("label").asc)))
+          .filter(col("r") <= 2)
+          .select("label")
+        e.join(broadcast(top2), "label")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), Sim.cosine(col("v"), col("qv")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
+        |             unnest(list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+        |      FROM e),
+        |c AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+        |        SELECT label, i, CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0) AS cval
+        |        FROM d GROUP BY label, i)
+        |      GROUP BY label),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |top2 AS (
+        |  SELECT label FROM (
+        |    SELECT label,
+        |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
+        |    FROM c, q)
+        |  ORDER BY cscore DESC, label LIMIT 2)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]), (x,y) -> x + y) /
+        |  (sqrt(list_reduce(list_transform(v, x -> x * x), (x,y) -> x + y)) *
+        |   sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cosine
+        |FROM e JOIN top2 USING (label), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("m01_multimodal_decode",
+      "Multimodal plumbing: binary payload column → mapPartitions decode " +
+        "(STUB codec, real schema/batching) → typed metadata.",
+      (s, dir) => Multimodal.decode(
+        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("doc_id")
+        .limit(200),
+      Some("""SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | CAST(320 + octet_length(CAST(text AS BLOB)) % 320 AS BIGINT) AS width,
+        | CAST(240 + octet_length(CAST(text AS BLOB)) % 240 AS BIGINT) AS height,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin))
+  )
+}

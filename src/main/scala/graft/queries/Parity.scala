@@ -68,5 +68,22 @@ object Parity {
         Seq(ddl).toDF("ddl")
       },
       Some(constOracle(expectedDdl("BIGINT"), "ddl")))
+    ,
+    Q("p04_route_infer_single_pass",
+      "Validate + route-count + infer + DDL in ONE aggregation pass " +
+        "(RouteAgg): the scalable form of the reference's read-twice loop.",
+      (s, dir) => {
+        val stats = JsonIngest.inferRoutedStats(events(s, dir), "props")
+        val ddl = stats.schema
+          .map(Ddl.createExternalTable(_, "events_props", "/tmp/events_props"))
+          .getOrElse("!INVALID")
+        import s.implicits._
+        Seq((stats.nValid, stats.nInvalid, ddl)).toDF("n_valid", "n_invalid", "ddl")
+      },
+      Some(("""SELECT
+        | CAST(count(*) FILTER (WHERE json_valid(props) AND json_type(props) = 'OBJECT') AS BIGINT) AS n_valid,
+        | CAST(count(*) FILTER (WHERE NOT (json_valid(props) AND json_type(props) = 'OBJECT')) AS BIGINT) AS n_invalid,
+        | '""" + expectedDdl("STRING").replace("'", "''") + """' AS ddl
+        |FROM events""").stripMargin))
   )
 }

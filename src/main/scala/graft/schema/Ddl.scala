@@ -65,7 +65,20 @@ object Ddl {
       render(f.dataType, indent, Some("`" + f.name + "`"))
     }.mkString(",\n")
 
-  /** Full statement — reference `table`, `CreateHQL.scala:94-99`. */
+  /** The CREATE statement alone (no DROP prefix, no trailing `;`) —
+    * executable as a single `spark.sql` call in Hive mode. */
+  def createStatement(
+      schema: StructType,
+      name: String,
+      location: String,
+      serde: String = JsonSerDe): String =
+    Seq(
+      s"CREATE EXTERNAL TABLE $name (",
+      columns(sanitize(schema).asInstanceOf[StructType]),
+      s") ROW FORMAT SERDE '$serde'",
+      s"location '$location'").mkString("\n")
+
+  /** Full artifact — reference `table`, `CreateHQL.scala:94-99`. */
   def createExternalTable(
       schema: StructType,
       name: String,
@@ -73,12 +86,7 @@ object Ddl {
       dropIfExists: Boolean = true,
       serde: String = JsonSerDe): String = {
     val drop = if (dropIfExists) s"DROP TABLE IF EXISTS $name;" else s"DROP TABLE $name;"
-    Seq(
-      drop,
-      s"CREATE EXTERNAL TABLE $name (",
-      columns(sanitize(schema).asInstanceOf[StructType]),
-      s") ROW FORMAT SERDE '$serde'",
-      s"location '$location';").mkString("\n")
+    drop + "\n" + createStatement(schema, name, location, serde) + ";"
   }
 
   /** Spark-executable equivalent (`USING JSON`): Spark's non-Hive catalogs

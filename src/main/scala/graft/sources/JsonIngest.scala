@@ -72,4 +72,26 @@ object JsonIngest {
       .as(Encoders.STRING).head()
     SchemaInference.schemaFromJson(json)
   }
+
+  /** The whole reference pipeline — validate, route-count, infer — in ONE
+    * scan and ONE parse per line (the reference reads twice,
+    * `HiveSchemaGenerator.scala:75,98`; SURVEY.md §4 flags it). */
+  def inferRoutedStats(
+      df: DataFrame, col: String, typed: Boolean = false): graft.schema.RouteStats =
+    df.select(graft.schema.RouteAgg.route_infer_agg(df(col), typed).as("r"))
+      .select("r.*")
+      .as(Encoders.product[graft.schema.RouteStats])
+      .head()
+
+  /** One-scan routing to two materialized sinks: rows are written under
+    * `_graft_valid=true|false` partitions of `outPath`; the validity
+    * predicate is evaluated once per row inside the scan's codegen span
+    * (the lazy two-DataFrame [[route]] re-scans if both sides are
+    * consumed — use this for bulk routing at scale). */
+  def routeWrite(lines: DataFrame, outPath: String, col: String = "value"): Unit =
+    lines
+      .withColumn("_graft_valid", Fns.json_is_object(lines(col)))
+      .write.mode("overwrite")
+      .partitionBy("_graft_valid")
+      .parquet(outPath)
 }

@@ -67,6 +67,22 @@ object Smoke {
     // The driver's t1 smoke path.
     println("[smoke] SparkEntry.entry:")
     graft.SparkEntry.entry(spark).show(false)
+
+    // Streaming: evolving-schema NDJSON stream through the public API.
+    val sIn = java.nio.file.Files.createTempDirectory("graft-smoke-stream")
+    val sCp = java.nio.file.Files.createTempDirectory("graft-smoke-cp")
+    java.nio.file.Files.writeString(sIn.resolve("b1.ndjson"),
+      "{\"a\": 1}\n{\"a\": 2, \"b\": \"x\"}\nnot-json\n")
+    val evo = new graft.streaming.InferStream.SchemaEvolution()
+    graft.streaming.InferStream.run(
+      spark, sIn.toString, sCp.toString, "t_stream", "/loc",
+      ddl => println(s"[smoke] stream DDL:\n$ddl"),
+      state = Some(evo)).awaitTermination()
+    java.nio.file.Files.writeString(sIn.resolve("b2.ndjson"), "{\"c\": [true]}\n")
+    graft.streaming.InferStream.run(
+      spark, sIn.toString, sCp.toString, "t_stream", "/loc",
+      ddl => println(s"[smoke] stream DDL evolved:\n$ddl"),
+      state = Some(evo)).awaitTermination()
     spark.stop()
   }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class OperatorsSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),    // near dup of 0
+    (3L, "completely different content about spark engines"))
+    .toDF("doc_id", "text")
+
+  describe("Dedup.exact") {
+    it("drops exact duplicate texts") {
+      assert(Dedup.exact(docs, "text").count() == 3)
+    }
+  }
+
+  describe("Dedup.shingles / minhash") {
+    it("builds 3-word shingles") {
+      val sh = docs.filter($"doc_id" === 3)
+        .select(Dedup.shingles(TextAnalysis.tokens($"text")).as("sh"))
+        .as[Seq[String]].head()
+      assert(sh == Seq(
+        "completely different content", "different content about",
+        "content about spark", "about spark engines"))
+    }
+    it("identical docs get identical signatures; different docs differ") {
+      val sigs = docs.select($"doc_id",
+        Dedup.minhash(Dedup.shingles(TextAnalysis.tokens($"text")), 0).as("m"))
+        .as[(Long, String)].collect().toMap
+      assert(sigs(0L) == sigs(1L))
+      assert(sigs(0L) != sigs(3L))
+    }
+  }
+
+  describe("MinHashSigs native expression") {
+    it("matches the declarative HOF pipeline exactly") {
+      val both = docs.select(
+        graft.functions.MinHashSigs($"text", 4).as("native"),
+        Dedup.minhashIntSigs($"text", 4).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (n, h) => assert(n == h) }
+    }
+    it("returns null for docs with fewer than 3 tokens") {
+      val r = Seq("one two").toDF("text")
+        .select(graft.functions.MinHashSigs($"text", 4).as("s"))
+        .collect()(0)
+      assert(r.isNullAt(0))
+    }
+  }
+
+  describe("Dedup.candidatePairs (banded LSH)") {
+    it("finds the exact-dup pair via bucketed join, never all-pairs") {
+      val pairs = Dedup.candidatePairs(
+        Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 1L)))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+  }
+
+  describe("Dedup.simhash16") {
+    it("is deterministic, bounded, and identical for identical text") {
+      val hs = docs.select($"doc_id",
+        Dedup.simhash16(TextAnalysis.tokens($"text")).as("h"))
+        .as[(Long, Long)].collect().toMap
+      assert(hs(0L) == hs(1L))
+      assert(hs.values.forall(h => h >= 0 && h < 65536))
+      // near-dup should be closer in hamming distance than unrelated doc
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(ham(hs(0L), hs(2L)) <= ham(hs(0L), hs(3L)))
+    }
+  }
+
+  describe("Dedup.jaccard") {
+    it("is 1.0 for identical sets and 0.0 for disjoint sets") {
+      val j = docs.as("a").join(docs.as("b"),
+          $"a.doc_id" === 0 && $"b.doc_id" === 1)
+        .select(Dedup.jaccard(
+          array_distinct(TextAnalysis.tokens($"a.text")),
+          array_distinct(TextAnalysis.tokens($"b.text"))).as("j"))
+        .as[Double].head()
+      assert(j == 1.0)
+    }
+  }
+
+  describe("Similarity") {
+    it("cosine of a vector with itself is ~1, orthogonal is 0") {
+      val df = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f)),
+        (1L, Array(1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)),
+        (3L, Array(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+      val top = Similarity.cosineTopK(spark, df, "vec_id", "embedding", 0L, 3)
+        .as[(Long, Double)].collect()
+      assert(top.head == ((1L, 1.0)))
+      assert(top.map(_._1).toSeq == Seq(1L, 3L, 2L))
+      assert(math.abs(top(1)._2 - 0.6) < 1e-6)  // 0.6f/0.8f are inexact in binary
+      assert(top(2)._2 == 0.0)
+    }
+    it("sign buckets prune to the query's bucket") {
+      val df = Seq(
+        (0L, Array.fill(8)(1.0f)),
+        (1L, Array.fill(8)(0.5f)),
+        (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+      val hits = Similarity.bucketTopK(spark, df, "vec_id", "embedding", 0L, 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(hits == Set(1L))
+    }
+  }
+
+  describe("TextAnalysis") {
+    it("counts tokens and stopwords exactly") {
+      val r = docs.filter($"doc_id" === 0).select(
+        TextAnalysis.tokenCount(TextAnalysis.tokens($"text")).as("n"),
+        TextAnalysis.stopwordCount(TextAnalysis.tokens($"text")).as("s"),
+        TextAnalysis.langGuess(TextAnalysis.tokens($"text")).as("g"))
+        .as[(Long, Long, String)].head()
+      assert(r == ((9L, 2L, "en")))   // "the" twice
+    }
+  }
+
+  describe("Multimodal") {
+    it("carries binary payloads and decodes deterministic metadata") {
+      val out = Multimodal.decode(
+        Multimodal.withPayload(docs, "doc_id", "text"))
+        .collect().map(d => d.doc_id -> d).toMap
+      val text0 = "the quick brown fox jumps over the lazy dog"
+      assert(out(0L).n_bytes == text0.getBytes("UTF-8").length)
+      assert(out(0L).width == 320 + text0.length % 320)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = md.digest(text0.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      assert(out(0L).content_md5 == expected)
+      assert(out(0L).content_md5 == out(1L).content_md5)
+    }
+  }
+
+  describe("AsOf.join") {
+    it("attaches the latest right row at-or-before each left time, " +
+       "max value on time ties, null when none") {
+      val left = Seq(
+        (1L, "k1", 100L), (2L, "k1", 250L), (3L, "k1", 50L), (4L, "k2", 500L))
+        .toDF("event_id", "key", "t")
+      val right = Seq(
+        ("k1", 100L, 10L), ("k1", 100L, 11L),  // tie at t=100 → max v=11
+        ("k1", 200L, 20L), ("k9", 1L, 99L))
+        .toDF("key", "t", "v")
+      val out = AsOf.join(left, right, "key", "key", "t", "t", "v")
+        .select("event_id", "asof_v")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(out == Map(
+        1L -> Some(11L),   // same-instant right row visible, tie → 11
+        2L -> Some(20L),   // most recent earlier row
+        3L -> None,        // nothing at-or-before t=50
+        4L -> None))       // no right rows for k2
+    }
+  }
+
+  describe("SparkEntry contract") {
+    it("has unique names and every oracle key is a declared query") {
+      val names = graft.SparkEntry.catalog.map(_.name)
+      assert(names.distinct.size == names.size)
+      assert(graft.SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funspec.AnyFunSpec
+
+class DdlSpec extends AnyFunSpec {
+
+  private val nested = StructType(Seq(
+    StructField("event.id", StringType),
+    StructField("attrs", StructType(Seq(
+      StructField("server-zone", StringType),
+      StructField("tags", ArrayType(StringType))))),
+    StructField("counts", ArrayType(LongType))))
+
+  describe("Ddl.createExternalTable") {
+    it("renders the reference DDL grammar with sanitized identifiers " +
+       "(CreateHQL.scala:94-99, sanitize :97)") {
+      val ddl = Ddl.createExternalTable(nested, "t", "/loc")
+      assert(ddl ==
+        "DROP TABLE IF EXISTS t;\n" +
+        "CREATE EXTERNAL TABLE t (\n" +
+        "\t`event_id` STRING,\n" +
+        "\t`attrs` STRUCT<\n" +
+        "\t\t`server_zone`: STRING,\n" +
+        "\t\t`tags`: ARRAY<\n" +
+        "\t\t\tSTRING\n" +
+        "\t\t>\n" +
+        "\t>,\n" +
+        "\t`counts` ARRAY<\n" +
+        "\t\tBIGINT\n" +
+        "\t>\n" +
+        ") ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n" +
+        "location '/loc';")
+    }
+    it("renders unguarded DROP for byte-parity mode (CreateHQL.scala:95)") {
+      val ddl = Ddl.createExternalTable(nested, "t", "/loc", dropIfExists = false)
+      assert(ddl.startsWith("DROP TABLE t;\n"))
+    }
+  }
+
+  describe("catalog registration (op #9)") {
+    it("executes the Spark-SQL equivalent and the table is queryable") {
+      val spark = graft.TestSpark.spark
+      val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/d.json"), """{"a": "x", "n": 1}""" + "\n")
+      val schema = StructType(Seq(
+        StructField("a", StringType), StructField("n", LongType)))
+      val hiveDdl = graft.catalog.Register
+        .externalJsonTable(spark, schema, "graft_ddl_spec", dir)
+      assert(hiveDdl.contains("CREATE EXTERNAL TABLE graft_ddl_spec"))
+      val rows = spark.table("graft_ddl_spec").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 1L)))
+      spark.sql("DROP TABLE graft_ddl_spec")
+    }
+  }
+}

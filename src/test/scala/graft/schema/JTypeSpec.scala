@@ -1,0 +1,94 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Arbitrary, Gen, Prop, Test => SCTest}
+import org.scalatest.funspec.AnyFunSpec
+
+/** Lattice-rule unit tests + ScalaCheck laws for the merge
+  * (reference semantics: `CreateHQL.scala:50-66`). */
+class JTypeSpec extends AnyFunSpec {
+
+  private def m(a: JType, b: JType, typed: Boolean = false) = JType.merge(a, b, typed)
+
+  describe("merge lattice rules") {
+    it("has JNull as identity (CreateHQL.scala:53-54)") {
+      val xs = Seq(JStr, JLong, JArr(JStr), JStruct(Vector("a" -> JStr)), JTop)
+      xs.foreach { x =>
+        assert(m(JNull, x) == x)
+        assert(m(x, JNull) == x)
+      }
+    }
+    it("widens any conflict to STRING (CreateHQL.scala:63-64)") {
+      assert(m(JStr, JArr(JStr)) == JStr)
+      assert(m(JStruct(Vector()), JArr(JStr)) == JStr)
+      assert(m(JLong, JBool, typed = true) == JStr)
+    }
+    it("LONG joins DOUBLE to DOUBLE in typed mode, STRING in hive mode") {
+      assert(m(JLong, JDouble, typed = true) == JDouble)
+      // hive mode never produces JLong/JDouble from parsing, but the rule
+      // still collapses the pair to the lattice top:
+      assert(m(JLong, JDouble) == JStr)
+    }
+    it("JTop poisons everything") {
+      assert(m(JTop, JStruct(Vector("a" -> JStr))) == JTop)
+      assert(m(JArr(JStr), JTop) == JTop)
+    }
+    it("unions struct fields in first-seen order (vs reference hash order)") {
+      val a = JStruct(Vector("a" -> JStr, "b" -> JLong))
+      val b = JStruct(Vector("b" -> JLong, "c" -> JBool))
+      assert(m(a, b, typed = true) ==
+        JStruct(Vector("a" -> JStr, "b" -> JLong, "c" -> JBool)))
+    }
+    it("merges array element types (all elements, SURVEY.md §1.2 divergence)") {
+      assert(m(JArr(JStruct(Vector("a" -> JStr))), JArr(JStruct(Vector("b" -> JStr)))) ==
+        JArr(JStruct(Vector("a" -> JStr, "b" -> JStr))))
+    }
+  }
+
+  describe("toDataType") {
+    it("renders JNull leaves as STRING (empty-array behavior, CreateHQL.scala:42,81)") {
+      assert(JType.toDataType(JArr(JNull)) == ArrayType(StringType))
+    }
+    it("round-trips through fromDataType") {
+      val t: JType = JStruct(Vector(
+        "a" -> JLong, "b" -> JArr(JStruct(Vector("c" -> JBool))), "d" -> JDouble))
+      assert(JType.fromDataType(JType.toDataType(t)) == t)
+    }
+  }
+
+  // --- ScalaCheck laws -----------------------------------------------
+  private val leafGen: Gen[JType] =
+    Gen.oneOf(JNull, JStr, JLong, JDouble, JBool)
+  private def typeGen(depth: Int): Gen[JType] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      4 -> leafGen,
+      2 -> Gen.lzy(typeGen(depth - 1).map(JArr(_))),
+      2 -> Gen.lzy(Gen.listOfN(3,
+        Gen.zip(Gen.oneOf("a", "b", "c", "d"), typeGen(depth - 1)))
+        .map(fs => JStruct(fs.distinctBy(_._1).toVector))))
+  private implicit val arbJ: Arbitrary[JType] = Arbitrary(typeGen(3))
+
+  private def law(name: String)(p: Prop): Unit = it(name) {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  describe("merge laws (distributability of the aggregation)") {
+    law("associative")(Prop.forAll { (a: JType, b: JType, c: JType) =>
+      m(a, m(b, c)) == m(m(a, b), c)
+    })
+    law("associative (typed)")(Prop.forAll { (a: JType, b: JType, c: JType) =>
+      m(a, m(b, c, true), true) == m(m(a, b, true), c, true)
+    })
+    law("idempotent")(Prop.forAll { (a: JType) => m(a, a) == a })
+    law("commutative up to struct field order")(Prop.forAll { (a: JType, b: JType) =>
+      def canon(t: JType): JType = t match {
+        case JStruct(fs) => JStruct(fs.map { case (k, v) => k -> canon(v) }.sortBy(_._1))
+        case JArr(e)     => JArr(canon(e))
+        case other       => other
+      }
+      canon(m(a, b)) == canon(m(b, a))
+    })
+  }
+}
