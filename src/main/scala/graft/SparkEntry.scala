@@ -3,13 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Extended, LlmOps, Parity, Q, Relational}
+import graft.queries.{Extended, LlmOps, Parity, Q, Relational, StreamingQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every declared query, in catalog order. */
-  def catalog: Seq[Q] = Relational.all ++ Parity.all ++ LlmOps.all ++ Extended.all
+  def catalog: Seq[Q] =
+    Relational.all ++ Parity.all ++ LlmOps.all ++ Extended.all ++ StreamingQ.all
 
   /** Flagship: the reference's whole pipeline (validate + route + infer +
     * DDL) over events.props at sf0.001 — ONE scan, one parse per line via

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation: salted two-stage aggregation.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer. Salting splits each key into `salts` sub-keys for the first
+  * (partial) aggregation, then merges the sub-aggregates in a second,
+  * tiny aggregation — the hot key's work spreads over `salts` reducers
+  * and only `salts` pre-aggregated rows hit the final one. Results are
+  * exactly those of the unsalted aggregate for any commutative monoid
+  * (sum/count/min/max). For skewed JOINs, Spark 4's AQE skew-join
+  * handles it at runtime (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default); this helper covers the aggregation side.
+  */
+object Skew {
+
+  /** One salted aggregate: `name` in the output, `partial` computed per
+    * (key, salt) group, `merge` combining the partials per key. */
+  final case class SaltedCol(name: String, partial: Column, merge: Column => Column)
+
+  def saltedAgg(df: DataFrame, key: Column, aggs: Seq[SaltedCol],
+                salts: Int = 16): DataFrame = {
+    // Any spread works — the merge is exact — so use a cheap
+    // deterministic row number rather than rand().
+    val salted = df.withColumn(
+      "_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val partials = aggs.map(a => a.partial.as("_p_" + a.name))
+    val merges = aggs.map(a => a.merge(col("_p_" + a.name)).as(a.name))
+    salted
+      .groupBy(key.as("_k"), col("_salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("_k"))
+      .agg(merges.head, merges.tail: _*)
+  }
+
+  /** Salted exact count per key (the common hot-key case). */
+  def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
+    saltedAgg(df, key,
+      Seq(SaltedCol("n", count(lit(1)), c => sum(c).cast("long"))), salts)
+}

@@ -334,6 +334,32 @@ object LlmOps {
         |WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("d12_wordcount",
+      "Generator (explode) → map-side partial agg → top-k: corpus term counts.",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    Q("d13_salted_wordcount",
+      "Same counts through the salted two-stage aggregation (hot-key skew " +
+        "mitigation) — identical results, verified by the same oracle.",
+      (s, dir) => graft.operators.Skew.saltedCount(
+          t(s, dir, "documents")
+            .select(explode(TA.tokens(col("text"))).as("token")),
+          col("token"))
+        .withColumnRenamed("_k", "token")
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     Q("m01_multimodal_decode",
       "Multimodal plumbing: binary payload column → mapPartitions decode " +
         "(STUB codec, real schema/batching) → typed metadata.",

@@ -357,6 +357,22 @@ object Relational {
         |             o_totalprice FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    Q("q26_percentiles",
+      "Exact interpolated percentiles per group (rounded: the two engines' " +
+        "interpolation expressions differ in FP shape).",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("w01_daily_events",
       "Tumbling event-time window (batch form of the streaming window op).",
       (s, dir) => events(s, dir)

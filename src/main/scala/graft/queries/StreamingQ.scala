@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.InferStream
+import Tables.events
+
+/** Structured Streaming inside the correctness gate: the windowed
+  * aggregation runs as a REAL streaming query (file source → watermarked
+  * tumbling window → memory sink, AvailableNow trigger) and its result
+  * table is hash-compared against the batch DuckDB oracle.
+  */
+object StreamingQ {
+
+  private val runId = new AtomicInteger(0)
+
+  val all: Seq[Q] = Seq(
+    Q("w02_streaming_daily",
+      "Event-time tumbling window computed by Structured Streaming " +
+        "(complete mode, AvailableNow) — counts must equal the batch oracle.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w02").toString
+        // Millisecond truncation in to_json cannot move an event across a
+        // (ms-aligned) midnight boundary, so day-window counts are exact.
+        events(s, dir).select(
+          to_json(struct(col("ts"), col("event_type"))).as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val stream = s.readStream
+          .schema("ts TIMESTAMP, event_type STRING")
+          .json(s"$tmp/in")
+        val qname = s"graft_w02_${runId.incrementAndGet()}"
+        val q = InferStream.windowedCounts(stream, "ts", "1 day", "1 hour")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(
+            col("window_start").cast("date").as("day"),
+            col("event_type"), col("n"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    Q("w03_session_window",
+      "Session windows (1h inactivity gap) per user — Spark's " +
+        "session_window vs a gaps-and-islands oracle.",
+      (s, dir) => events(s, dir)
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max("n_events").cast("long").as("max_session_events"),
+          sum("n_events").cast("long").as("n_events_total"))
+        .orderBy("user_id"),
+      Some("""WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |z AS (SELECT user_id, sid, COUNT(*) AS n_events FROM y GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -23,6 +23,12 @@ object Smoke {
     spark.sparkContext.setLogLevel("WARN")
     Fns.register(spark)
     SchemaInference.register(spark)
+    graft.GraftExtensions.install(spark)
+    println("[smoke] GraftExtensions SQL surface:")
+    spark.sql(
+      """SELECT minhash_sigs('the quick brown fox jumps', 4) AS sigs,
+        |       minhash_sigs('x', 4) AS too_short,
+        |       json_is_valid('{"a":1}') AS jv""".stripMargin).show(false)
 
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     events.createOrReplaceTempView("events")

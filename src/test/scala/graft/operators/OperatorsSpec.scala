@@ -166,6 +166,19 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("GraftExtensions") {
+    it("installs the native functions for SQL use") {
+      graft.GraftExtensions.install(spark)
+      val r = spark.sql(
+        """SELECT json_is_valid('{"a":1}') AS v, json_is_object('[1]') AS o,
+          |       size(minhash_sigs('a b c d e', 4)) AS m,
+          |       size(minhash_sigs('a b c d e')) AS m_default
+          |""".stripMargin).collect()(0)
+      assert(r.getBoolean(0) && !r.getBoolean(1))
+      assert(r.getInt(2) == 4 && r.getInt(3) == 4)
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
