@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{JsonIsObject, JsonIsValid, MinHashSigs}
+import graft.functions.{ExplodeShingles, JsonIsObject, JsonIsValid, MinHashSigs}
 
 /** Session-extension packaging of graft's native functions, so a user
   * can enable the whole surface with
@@ -37,6 +37,13 @@ object GraftExtensions {
         case Some(Literal(v: Int, _)) => v
         case Some(other) => other.eval().asInstanceOf[Number].intValue()
         case None => 4
+      })),
+    ("explode_shingles",
+      info("explode_shingles", "explode_shingles(text[, n]) - one row per n-word shingle (default 3)"),
+      es => ExplodeShingles(es.head, es.lift(1) match {
+        case Some(Literal(v: Int, _)) => v
+        case Some(other) => other.eval().asInstanceOf[Number].intValue()
+        case None => 3
       })))
 
   /** Register the same functions on an already-running session. */

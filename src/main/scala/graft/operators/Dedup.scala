@@ -19,8 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep one row per key set. Plain hash shuffle. */
+  /** Exact dedup: keep one row per key set. Plain hash shuffle; which
+    * row survives is arbitrary (fine for counts/sets). */
   def exact(df: DataFrame, cols: String*): DataFrame = df.dropDuplicates(cols)
+
+  /** Exact dedup with a deterministic keep rule: for each key, keep the
+    * row minimizing `order` (e.g. smallest doc_id — "first seen" in a
+    * corpus with monotonic ids). One hash aggregation via min_by, no
+    * window sort. */
+  def exactKeepMin(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(key.as("_k"))
+      .agg(min_by(struct(cols.map(col): _*), order).as("_row"))
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
+  }
 
   /** Word n-gram shingles of a token array (n=3). The token array is
     * let-bound so it is computed once per row (see [[ExprLet]]). */

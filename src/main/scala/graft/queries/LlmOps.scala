@@ -360,6 +360,19 @@ object LlmOps {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    Q("d14_shingle_stats",
+      "Native Generator (UDTF surface): explode_shingles streams one row " +
+        "per shingle straight into a partial aggregate — no per-doc array.",
+      (s, dir) => t(s, dir, "documents")
+        .select(graft.functions.ExplodeShingles(col("text"), 3).as("shingle"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          countDistinct("shingle").as("n_distinct")),
+      Some("""SELECT COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_distinct
+        |FROM (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |      FROM (SELECT string_split(text, ' ') AS w FROM documents))""".stripMargin)),
+
     Q("m01_multimodal_decode",
       "Multimodal plumbing: binary payload column → mapPartitions decode " +
         "(STUB codec, real schema/batching) → typed metadata.",

@@ -85,5 +85,30 @@ object Parity {
         | CAST(count(*) FILTER (WHERE NOT (json_valid(props) AND json_type(props) = 'OBJECT')) AS BIGINT) AS n_invalid,
         | '""" + expectedDdl("STRING").replace("'", "''") + """' AS ddl
         |FROM events""").stripMargin))
+    ,
+    Q("p05_catalog_roundtrip",
+      "Op #9 end-to-end: dump the JSON column as NDJSON, infer its " +
+        "schema, register the external table in the session catalog, and " +
+        "query it back through the catalog by name.",
+      (s, dir) => {
+        val props = events(s, dir).select(col("props"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-p05").toString
+        props.write.mode("overwrite").text(s"$tmp/data")
+        val schema = JsonIngest
+          .inferColumnSchema(props, "props")
+          .getOrElse(sys.error("no schema inferred"))
+        val table = s"graft_p05_${CatalogRun.n.incrementAndGet()}"
+        graft.catalog.Register.externalJsonTable(s, schema, table, s"$tmp/data")
+        s.table(table).agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).cast("long").as("sum_k"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events""".stripMargin))
   )
+
+  private object CatalogRun {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
 }

@@ -70,6 +70,17 @@ object Smoke {
     println(s"[smoke] ndjson valid=${routed.valid.count()} invalid=${routed.invalid.count()}")
     println(s"[smoke] ndjson DDL:\n${ddl2.getOrElse("NONE")}")
 
+    // Per-record parameter evaluation (reference op #12) + deterministic dedup.
+    println("[smoke] Params: " + graft.catalog.Params.resolve(
+      "/warehouse/${destination.schema}/${destination.table.name}",
+      Map("destination.schema" -> "example", "destination.table.name" -> "t1"))
+      + " | missing->'" + graft.catalog.Params.resolve("${nope}", Map()) + "'")
+    import spark.implicits._
+    val dd = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("id", "txt")
+    println("[smoke] exactKeepMin kept ids: " +
+      graft.operators.Dedup.exactKeepMin(dd, col("txt"), col("id"))
+        .select("id").as[Long].collect().sorted.mkString(","))
+
     // The driver's t1 smoke path.
     println("[smoke] SparkEntry.entry:")
     graft.SparkEntry.entry(spark).show(false)

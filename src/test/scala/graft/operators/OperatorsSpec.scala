@@ -166,6 +166,39 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Dedup.exactKeepMin") {
+    it("keeps the row with the smallest order value per key") {
+      val kept = Dedup.exactKeepMin(docs, $"text", $"doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 2L, 3L))  // doc 1 (dup of 0) dropped, 0 kept
+    }
+  }
+
+  describe("Params (per-record parameter evaluation, reference op #12)") {
+    it("resolves ${attr} placeholders against an attribute map") {
+      val attrs = Map("destination.schema" -> "example", "table" -> "t1")
+      assert(graft.catalog.Params.resolve(
+        "/warehouse/${destination.schema}/${table}", attrs) == "/warehouse/example/t1")
+      assert(graft.catalog.Params.resolve("${missing}", Map()) == "")
+      assertThrows[IllegalArgumentException](
+        graft.catalog.Params.requireNonEmpty("Table Name", ""))
+    }
+  }
+
+  describe("sinks (json/csv round-trip)") {
+    it("writes and re-reads json and csv sinks faithfully") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+      val df = Seq((1L, "a,b", 1.5), (2L, "c", 2.5)).toDF("id", "s", "v")
+      df.write.mode("overwrite").json(s"$dir/j")
+      df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+      val j = spark.read.json(s"$dir/j")
+      val c = spark.read.option("header", "true")
+        .schema("id LONG, s STRING, v DOUBLE").csv(s"$dir/c")
+      assert(j.count() == 2 && c.count() == 2)
+      assert(c.filter($"id" === 1).select("s").as[String].head() == "a,b")
+    }
+  }
+
   describe("GraftExtensions") {
     it("installs the native functions for SQL use") {
       graft.GraftExtensions.install(spark)
@@ -176,6 +209,18 @@ class OperatorsSpec extends AnyFunSpec {
           |""".stripMargin).collect()(0)
       assert(r.getBoolean(0) && !r.getBoolean(1))
       assert(r.getInt(2) == 4 && r.getInt(3) == 4)
+    }
+    it("explode_shingles generates one row per shingle (SQL + Column API)") {
+      graft.GraftExtensions.install(spark)
+      val sql = spark.sql("SELECT explode_shingles('a b c d') AS s")
+        .as[String].collect().toSeq
+      assert(sql == Seq("a b c", "b c d"))
+      val api = Seq("a b c d e").toDF("text")
+        .select(graft.functions.ExplodeShingles($"text", 2).as("s"))
+        .as[String].collect().toSeq
+      assert(api == Seq("a b", "b c", "c d", "d e"))
+      assert(Seq("a b").toDF("t")
+        .select(graft.functions.ExplodeShingles($"t", 3).as("s")).count() == 0)
     }
   }
 

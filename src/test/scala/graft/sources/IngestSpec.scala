@@ -101,6 +101,34 @@ class IngestSpec extends AnyFunSpec {
     }
   }
 
+  describe("reference fixture (read from /root/reference at runtime)") {
+    it("infers the reference's provenance-event shape with sanitized keys") {
+      val fixture = java.nio.file.Paths.get(
+        "/root/reference/nifi-hive-schema-generator-processors/src/test/resources/flowfile.json")
+      assume(java.nio.file.Files.exists(fixture), "reference fixture not present")
+      val (ddl, routed) = JsonIngest.inferDdl(
+        spark, fixture.getParent.toString + "/flowfile.json", "myDataTable", "/test")
+      // All 6 provenance records are valid JSON objects.
+      assert(routed.valid.count() == 6)
+      assert(routed.invalid.count() == 0)
+      val d = ddl.get
+      // Lattice proof on real nested data: nested attribute maps become
+      // STRUCTs, dotted/dashed NiFi keys are sanitized, arrays render
+      // ARRAY<...>, and every primitive collapses to STRING.
+      assert(d.contains("`updatedAttributes` STRUCT<"))
+      assert(d.contains("`server_timezone`: STRING"))
+      assert(d.contains("`childIds` ARRAY"))          // array in all 6 records
+      assert(d.contains("`eventOrdinal` STRING"))     // array in 2, scalar in 4
+                                                      // → conflict widens to STRING
+      assert(d.contains("`timestampMillis` STRING"))
+      assert(!d.contains("BIGINT"))  // hive lattice: STRING-only primitives
+      // every rendered identifier is sanitized ([.-] -> _)
+      val idents = "`([^`]*)`".r.findAllMatchIn(d).map(_.group(1)).toSeq
+      assert(idents.nonEmpty)
+      assert(idents.forall(i => !i.contains(".") && !i.contains("-")))
+    }
+  }
+
   describe("SchemaInference.infer (whole-dataset fold)") {
     it("matches reference lattice on mixed records") {
       import spark.implicits._
