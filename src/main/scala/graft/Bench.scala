@@ -41,23 +41,30 @@ object Bench {
     // Best-of-2 per query: this host shows multi-second noisy-neighbor
     // spikes (observed 0.9s → 35s on an untouched query between runs);
     // the min of two runs is a far better estimate of actual plan cost.
+    // A failed query reports -1, never a bogus near-zero timing.
     val results = headline.filter(queries.contains).map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Locale-free formatting: the f-interpolator uses the default locale
+    // and would emit comma decimals (invalid JSON) on e.g. de_DE JVMs.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,6 +9,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.schema.JsonShape
 
+/** Shared STRING-argument contract for graft's unary native expressions. */
+trait RequiresStringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+}
+
 /** `json_is_valid(str)` — true iff the string is exactly one parseable
   * JSON value.
   *
@@ -19,11 +27,8 @@ import graft.schema.JsonShape
   * the reference's org.json tokener accepts trailing garbage after the
   * first JSON value; we require EOF.
   */
-case class JsonIsValid(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+case class JsonIsValid(child: Expression)
+    extends UnaryExpression with RequiresStringInput {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "json_is_valid"
   override protected def nullSafeEval(s: Any): Any =
@@ -38,11 +43,8 @@ case class JsonIsValid(child: Expression) extends UnaryExpression {
   * object; the admission contract for table-schema inference. Routes
   * top-level arrays/scalars to the invalid side instead of the reference's
   * silent `ERROR` DDL path (`CreateHQL.scala:91`, SURVEY.md §1.2). */
-case class JsonIsObject(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+case class JsonIsObject(child: Expression)
+    extends UnaryExpression with RequiresStringInput {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "json_is_object"
   override protected def nullSafeEval(s: Any): Any =

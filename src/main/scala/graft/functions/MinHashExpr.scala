@@ -2,11 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Dedup
@@ -23,13 +22,11 @@ import graft.operators.Dedup
   * near-dup at corpus scale. Null/short docs (< 3 tokens) → null.
   */
 case class MinHashSigs(child: Expression, perms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RequiresStringInput with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // A non-null short doc (< 3 tokens) still evaluates to null.
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override def nullSafeEval(input: Any): Any = {

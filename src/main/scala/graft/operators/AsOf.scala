@@ -32,25 +32,32 @@ object AsOf {
       rightVal: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val asofCol = s"asof_$rightVal"
+    val vType = right.schema(rightVal).dataType
 
+    // The attached value rides inside a struct: struct(null) is itself
+    // non-null, so a right row whose VALUE is null still counts as "the
+    // most recent right row" (last+ignoreNulls skips only the absent
+    // marker of left rows, never a real right row).
     val l = left.select(
       (col(leftKey).as("_k") +: col(leftTime).as("_t") +:
-        lit(1).as("_side") +: lit(null).cast(right.schema(rightVal).dataType).as("_v") +:
+        lit(1).as("_side") +: lit(null).cast(vType).as("_v") +:
+        lit(null).cast(s"struct<_v:${vType.sql}>").as("_vs") +:
         leftCols.map(c => left(c))): _*)
     val r = right.select(
       (col(rightKey).as("_k") +: col(rightTime).as("_t") +:
         lit(0).as("_side") +: col(rightVal).as("_v") +:
+        struct(col(rightVal).as("_v")).as("_vs") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     // Right rows sort before left rows at equal time (side 0 < 1), so a
     // same-instant right row is visible to the left row; among equal-time
-    // right rows the greatest _v wins (ordered last).
+    // right rows the greatest _v wins (ordered last, nulls first).
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc, col("_v").asc)
+      .orderBy(col("_t").asc, col("_side").asc, col("_v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
-      .withColumn(asofCol, last("_v", ignoreNulls = true).over(w))
+      .withColumn(asofCol, last("_vs", ignoreNulls = true).over(w).getField("_v"))
       .filter(col("_side") === 1)
       .select((leftCols.map(col) :+ col(asofCol)): _*)
   }

@@ -34,26 +34,23 @@ object Dedup {
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
-  /** Word n-gram shingles of a token array (n=3). The token array is
+  /** Word n-gram shingles of a token array (n=3); empty array when the
+    * doc has fewer than n tokens (sequence() would otherwise count DOWN
+    * for a negative span and crash element_at). The token array is
     * let-bound so it is computed once per row (see [[ExprLet]]). */
   def shingles(toks: Column, n: Int = 3): Column =
     ExprLet.let(toks) { ts =>
-      transform(
-        sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*))
+      when(size(ts) >= n,
+        transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k + 1)): _*)))
+        .otherwise(array())
     }
 
   /** MinHash signature value for permutation `j`: min md5 over salted
     * shingles (lexicographic min of hex strings). */
   def minhash(sh: Column, j: Int): Column =
     array_min(transform(sh, x => md5(concat(lit(s"${j}_"), x))))
-
-  /** All `perms` MinHash signatures as one array — the shingle array is
-    * let-bound and computed once per row. */
-  def minhashSigArray(textCol: Column, perms: Int = 4): Column =
-    ExprLet.let(shingles(TextAnalysis.tokens(textCol))) { sh =>
-      array((0 until perms).map(j => minhash(sh, j)): _*)
-    }
 
   /** Universal-hash family modulus/coefficients for the integer MinHash
     * (portable exact arithmetic — reproducible in the SQL oracle). */
@@ -69,8 +66,12 @@ object Dedup {
     ExprLet.let(
       transform(shingles(TextAnalysis.tokens(textCol)),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP)) { hs =>
-      array((0 until perms).map(j =>
-        array_min(transform(hs, h => (h * HashA(j) + HashB(j)) % HashP))): _*)
+      // null (not an array of nulls) for shingle-less docs — same
+      // contract as the native MinHashSigs expression.
+      when(size(hs) > 0,
+        array((0 until perms).map(j =>
+          array_min(transform(hs, h => (h * HashA(j) + HashB(j)) % HashP))): _*))
+        .otherwise(lit(null))
     }
 
   /** Long-format (doc, band) keys for banded LSH: one row per permutation

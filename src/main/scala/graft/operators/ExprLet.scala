@@ -18,7 +18,4 @@ import org.apache.spark.sql.functions._
 object ExprLet {
   def let(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), x => body(x)), 1)
-
-  def let2(c1: Column, c2: Column)(body: (Column, Column) => Column): Column =
-    let(c1)(x1 => let(c2)(x2 => body(x1, x2)))
 }

@@ -23,16 +23,23 @@ object TextAnalysis {
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
-  /** Mean token length via an exact integer fold, then one double division. */
+  /** Mean token length via an exact integer fold, then one double
+    * division. The token array is let-bound — computed once, not once
+    * per reference (see [[ExprLet]]). */
   def avgTokenLen(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-      .cast("double") / size(toks)
+    ExprLet.let(toks) { ts =>
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(ts)
+    }
 
   /** Deterministic quality score in [0,1]: length saturation × stopword
-    * penalty. Same arithmetic is expressible in ANSI SQL for the oracle. */
+    * penalty. Same arithmetic is expressible in ANSI SQL for the oracle;
+    * the token array is let-bound (one tokenization per row). */
   def qualityScore(toks: Column): Column =
-    least(size(toks).cast("double") / 50.0, lit(1.0)) *
-      (lit(1.0) - stopwordCount(toks).cast("double") / size(toks))
+    ExprLet.let(toks) { ts =>
+      least(size(ts).cast("double") / 50.0, lit(1.0)) *
+        (lit(1.0) - stopwordCount(ts).cast("double") / size(ts))
+    }
 
   /** Cheap language guess: marker-stopword heuristic ('the' → en). A real
     * n-gram profile model plugs in behind the same column contract. */

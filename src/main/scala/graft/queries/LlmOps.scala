@@ -59,12 +59,15 @@ object LlmOps {
             col("doc_id"),
             TA.tokenCount(toks).as("n_tokens"),
             TA.stopwordCount(toks).as("n_stop"),
+            TA.avgTokenLen(toks).as("avg_token_len"),
             TA.qualityScore(toks).as("score"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_filter(string_split(text, ' '), t -> list_contains($stopSql, t))) AS BIGINT) AS n_stop,
+        | CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS avg_token_len,
         | least(len(string_split(text, ' ')) / 50.0, 1.0) *
         |   (1.0 - len(list_filter(string_split(text, ' '), t -> list_contains($stopSql, t))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),

@@ -69,16 +69,31 @@ object InferStream {
       .start()
   }
 
+  /** In-stream exact dedup on `idCols` bounded by the watermark —
+    * state holds only ids newer than the watermark, so memory is
+    * O(ids per watermark horizon), not O(stream). The streaming form of
+    * [[graft.operators.Dedup.exact]]. */
+  def dedupStream(
+      events: DataFrame,
+      tsCol: String,
+      idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Event-time tumbling window aggregation with a watermark — works on
     * both a streaming and a batch DataFrame (same plan either way). */
   def windowedCounts(
       events: DataFrame,
       tsCol: String,
       windowDur: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      groupCols: Seq[String] = Seq("event_type")): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .groupBy(window(col(tsCol), windowDur) +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .select(col("window.start").as("window_start") +:
+        (groupCols.map(col) :+ col("n")): _*)
 }

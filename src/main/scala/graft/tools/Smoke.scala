@@ -70,6 +70,14 @@ object Smoke {
     println(s"[smoke] ndjson valid=${routed.valid.count()} invalid=${routed.invalid.count()}")
     println(s"[smoke] ndjson DDL:\n${ddl2.getOrElse("NONE")}")
 
+    // Nullability probe: minhash_sigs over a NON-nullable computed column
+    // yielding a short doc must stay filterable (nullable=true override;
+    // without it the optimizer folds the IS NOT NULL away).
+    val kept = spark.range(1).toDF("id")
+      .selectExpr("minhash_sigs(concat('a ', id)) AS s")
+      .filter("s IS NOT NULL").count()
+    println(s"[smoke] short-doc sigs surviving IS NOT NULL filter: $kept (want 0)")
+
     // Per-record parameter evaluation (reference op #12) + deterministic dedup.
     println("[smoke] Params: " + graft.catalog.Params.resolve(
       "/warehouse/${destination.schema}/${destination.table.name}",

@@ -55,6 +55,14 @@ class OperatorsSpec extends AnyFunSpec {
         .collect()(0)
       assert(r.isNullAt(0))
     }
+    it("declarative path agrees on short docs: empty shingles, null sigs") {
+      val r = Seq("one two").toDF("text").select(
+        Dedup.shingles(TextAnalysis.tokens($"text")).as("sh"),
+        Dedup.minhashIntSigs($"text", 4).as("sigs"))
+        .collect()(0)
+      assert(r.getSeq[String](0).isEmpty)
+      assert(r.isNullAt(1))
+    }
   }
 
   describe("Dedup.candidatePairs (banded LSH)") {
@@ -163,6 +171,15 @@ class OperatorsSpec extends AnyFunSpec {
         2L -> Some(20L),   // most recent earlier row
         3L -> None,        // nothing at-or-before t=50
         4L -> None))       // no right rows for k2
+    }
+    it("attaches a null VALUE when the most recent right row carries null") {
+      val left = Seq((1L, "k", 250L)).toDF("event_id", "key", "t")
+      val right = Seq(("k", 100L, Some(10L)), ("k", 200L, None))
+        .toDF("key", "t", "v")
+      val r = AsOf.join(left, right, "key", "key", "t", "t", "v").collect()(0)
+      // The t=200 row IS the as-of match; its null value must win over
+      // the older non-null t=100 value.
+      assert(r.isNullAt(r.fieldIndex("asof_v")))
     }
   }
 

@@ -77,6 +77,57 @@ class StreamingSpec extends AnyFunSpec {
     }
   }
 
+  describe("InferStream.dedupStream (watermark-bounded exact dedup)") {
+    it("drops duplicate ids within the watermark horizon") {
+      val in = Files.createTempDirectory("graft-dedup-in").toString
+      Files.writeString(java.nio.file.Paths.get(s"$in/e.json"),
+        Seq(
+          """{"ts": "2024-01-01T00:10:00Z", "id": 1}""",
+          """{"ts": "2024-01-01T00:11:00Z", "id": 1}""",   // dup
+          """{"ts": "2024-01-01T00:12:00Z", "id": 2}""",
+          """{"ts": "2024-01-01T00:13:00Z", "id": 2}""",   // dup
+          """{"ts": "2024-01-01T00:14:00Z", "id": 3}""")
+          .mkString("", "\n", "\n"))
+      val stream = spark.readStream.schema("ts TIMESTAMP, id LONG").json(in)
+      val q = InferStream.dedupStream(stream, "ts", Seq("id"), "10 minutes")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ids = spark.table("dedup_out").select($"id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  describe("Compact (small-file compaction)") {
+    it("rewrites many small files into the planned number of outputs") {
+      import graft.operators.Compact
+      val in = Files.createTempDirectory("graft-compact-in").toString
+      val out = Files.createTempDirectory("graft-compact-out").toString
+      // 20 tiny files
+      spark.range(0, 2000).repartition(20)
+        .write.mode("overwrite").parquet(in)
+      val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nIn == 20)
+      val bytes = Compact.sizeOf(spark, in)
+      assert(bytes > 0)
+      assert(Compact.planPartitions(100, 50) == 2)
+      assert(Compact.planPartitions(101, 50) == 3)
+      assert(Compact.planPartitions(1, 1000) == 1)
+      // Target = whole input in one file.
+      val (reported, planned) = Compact.parquet(spark, in, out, targetBytes = bytes)
+      assert(reported == bytes && planned == 1)
+      val nOut = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nOut == 1)
+      assert(spark.read.parquet(out).count() == 2000)
+      // Sorted variant keeps data + ordering within files.
+      val out2 = Files.createTempDirectory("graft-compact-out2").toString
+      Compact.parquetSorted(spark, in, out2, Seq("id"), targetBytes = bytes)
+      assert(spark.read.parquet(out2).count() == 2000)
+    }
+  }
+
   describe("PerKeySchema.evolve (flatMapGroupsWithState)") {
     it("tracks one evolving schema per key (batch mode)") {
       val pairs = Seq(
