@@ -41,4 +41,32 @@ object Multimodal {
         Decoded(b.doc_id, n, 320 + n % 320, 240 + n % 240, md5hex)
       }
     }(Encoders.product[Decoded])
+
+  /** Frame sampling over a video-like payload: `k` evenly-spaced fixed
+    * length byte slices per blob (STUB for codec-level keyframe
+    * extraction — the partitioning/explode shape is the real part).
+    * Blobs shorter than one frame yield no frames. */
+  def sampleFrames(blobs: Dataset[Blob], k: Int, frameLen: Int): Dataset[Frame] =
+    blobs.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { b =>
+        val n = b.payload.length
+        if (n < frameLen) Iterator.empty
+        else {
+          val stride = math.max(1, (n - frameLen) / math.max(1, k - 1))
+          (0 until k).iterator
+            .map(i => i * stride)
+            .takeWhile(_ + frameLen <= n)
+            .map { off =>
+              val hex = digest
+                .digest(java.util.Arrays.copyOfRange(b.payload, off, off + frameLen))
+                .map(x => f"${x & 0xff}%02x").mkString
+              digest.reset()
+              Frame(b.doc_id, off.toLong, hex)
+            }
+        }
+      }
+    }(Encoders.product[Frame])
 }
+
+final case class Frame(doc_id: Long, offset: Long, frame_md5: String)

@@ -390,5 +390,24 @@ object LlmOps {
         | CAST(240 + octet_length(CAST(text AS BLOB)) % 240 AS BIGINT) AS height,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin))
+    ,
+    Q("m02_frame_sample",
+      "Multimodal frame sampling: k evenly-spaced byte-slice 'frames' per " +
+        "payload via mapPartitions (stub for keyframe extraction; blobs " +
+        "shorter than one frame yield none).",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.withPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
+          k = 3, frameLen = 64)
+        .toDF()
+        .orderBy("doc_id", "offset"),
+      Some("""SELECT doc_id, CAST(i * stride AS BIGINT) AS "offset",
+        |  md5(substring(text, CAST(i * stride + 1 AS INT), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n,
+        |        greatest(1, (octet_length(CAST(text AS BLOB)) - 64) // 2) AS stride
+        |      FROM documents WHERE doc_id < 100),
+        |     generate_series(0, 2) g(i)
+        |WHERE i * stride + 64 <= n
+        |ORDER BY doc_id, "offset"""".stripMargin))
   )
 }

@@ -86,6 +86,18 @@ object Parity {
         | '""" + expectedDdl("STRING").replace("'", "''") + """' AS ddl
         |FROM events""").stripMargin))
     ,
+    Q("p06_group_schemas",
+      "Per-key schema inference: the UDAF inside groupBy — one inferred " +
+        "schema per event_type, only O(groups × schema) leaves the agg.",
+      (s, dir) => events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.schema.SchemaInference
+          .infer_schema_agg(col("props")).as("schema_json"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | '{"type":"struct","fields":[{"name":"k","type":"string","nullable":true,"metadata":{}}]}' AS schema_json
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("p05_catalog_roundtrip",
       "Op #9 end-to-end: dump the JSON column as NDJSON, infer its " +
         "schema, register the external table in the session catalog, and " +

@@ -152,6 +152,22 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Multimodal.sampleFrames") {
+    it("emits k evenly-spaced frames, none for short blobs") {
+      val varied = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+      val blobs = Seq((0L, varied), (1L, "short")).toDF("doc_id", "text")
+      val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(blobs, "doc_id", "text"), k = 3, frameLen = 64)
+        .collect()
+      // doc 0: n=100, stride=max(1,(100-64)/2)=18 → offsets 0,18,36
+      assert(frames.map(f => (f.doc_id, f.offset)).toSeq ==
+        Seq((0L, 0L), (0L, 18L), (0L, 36L)))
+      assert(frames.map(_.frame_md5).distinct.length == 3)
+      // doc 1 (5 bytes < 64) contributes nothing
+      assert(!frames.exists(_.doc_id == 1L))
+    }
+  }
+
   describe("AsOf.join") {
     it("attaches the latest right row at-or-before each left time, " +
        "max value on time ties, null when none") {
