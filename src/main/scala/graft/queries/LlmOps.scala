@@ -376,6 +376,68 @@ object LlmOps {
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
         |      FROM (SELECT string_split(text, ' ') AS w FROM documents))""".stripMargin)),
 
+    Q("d15_pii_scrub",
+      "PII/noise scrubbing: inject synthetic emails+URLs, scrub them, " +
+        "count contamination before/after (regexes are Java/RE2-common).",
+      (s, dir) => {
+        val TC = graft.operators.TextClean
+        val dirty = concat(
+          col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com http://ex.com/"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), dirty.as("dirty"))
+          .select(
+            TC.hasEmail(col("dirty")).as("pii_before"),
+            TC.hasEmail(TC.scrub(col("dirty"))).as("email_after"),
+            TC.hasUrl(TC.scrub(col("dirty"))).as("url_after"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("pii_before"), 1L).otherwise(0L)).cast("long").as("n_pii_before"),
+            sum(when(col("email_after") || col("url_after"), 1L).otherwise(0L))
+              .cast("long").as("n_pii_after"))
+      },
+      Some {
+        // DuckDB single-quoted literals pass backslashes through verbatim.
+        val em = graft.operators.TextClean.EmailRe
+        val url = graft.operators.TextClean.UrlRe
+        s"""SELECT COUNT(*) AS n_docs,
+           | CAST(count(*) FILTER (WHERE regexp_matches(dirty, '$em')) AS BIGINT) AS n_pii_before,
+           | CAST(count(*) FILTER (WHERE regexp_matches(cleaned, '$em')
+           |                          OR regexp_matches(cleaned, '$url')) AS BIGINT) AS n_pii_after
+           |FROM (SELECT dirty,
+           |        regexp_replace(regexp_replace(dirty, '$em', '', 'g'), '$url', '', 'g') AS cleaned
+           |      FROM (SELECT text || ' contact: user' || doc_id || '@example.com http://ex.com/' || doc_id AS dirty
+           |            FROM documents))""".stripMargin
+      }),
+
+    Q("d16_repetition",
+      "Repetition quality filter: max repeated-shingle share per doc " +
+        "(native generator → two-level aggregation).",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.functions.ExplodeShingles(col("text"), 3).as("sh"))
+        .groupBy("doc_id", "sh")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          max("c").cast("long").as("max_rep"),
+          sum("c").cast("long").as("n_shingles"))
+        .withColumn("rep_ratio",
+          col("max_rep").cast("double") / col("n_shingles"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 100)),
+        |c AS (SELECT doc_id, sh, COUNT(*) AS c FROM s GROUP BY doc_id, sh)
+        |SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_rep,
+        |  CAST(SUM(c) AS BIGINT) AS n_shingles,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("m01_multimodal_decode",
       "Multimodal plumbing: binary payload column → mapPartitions decode " +
         "(STUB codec, real schema/batching) → typed metadata.",
