@@ -16,9 +16,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_brand_revenue", "q03_region_order_stats",
     "q06_top_order_per_cust", "q08_topk_orders", "w01_daily_events",
-    "q14_json_group", "p04_route_infer_single_pass", "d05_fingerprint",
-    "d07_neardup_pairs", "d08_simhash", "s01_cosine_topk",
-    "m01_multimodal_decode")
+    "w03_session_window", "q14_json_group", "p04_route_infer_single_pass",
+    "d05_fingerprint", "d07_neardup_pairs", "d08_simhash", "d16_repetition",
+    "s01_cosine_topk", "s03_ivf_topk", "m01_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,12 +9,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.schema.JsonShape
 
-/** Shared STRING-argument contract for graft's unary native expressions. */
+/** Shared STRING-argument contract for graft's unary native expressions.
+  * Also marks them foldable over foldable input so Catalyst constant-folds
+  * literal calls at plan time. */
 trait RequiresStringInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+  override def foldable: Boolean = child.foldable
 }
 
 /** `json_is_valid(str)` — true iff the string is exactly one parseable

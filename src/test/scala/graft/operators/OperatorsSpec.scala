@@ -218,17 +218,29 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
-  describe("sinks (json/csv round-trip)") {
-    it("writes and re-reads json and csv sinks faithfully") {
+  describe("sinks (json/csv/orc round-trip)") {
+    it("writes and re-reads json, csv and orc sinks faithfully") {
       val dir = java.nio.file.Files.createTempDirectory("graft-sinks").toString
       val df = Seq((1L, "a,b", 1.5), (2L, "c", 2.5)).toDF("id", "s", "v")
       df.write.mode("overwrite").json(s"$dir/j")
       df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+      df.write.mode("overwrite").orc(s"$dir/o")
       val j = spark.read.json(s"$dir/j")
       val c = spark.read.option("header", "true")
         .schema("id LONG, s STRING, v DOUBLE").csv(s"$dir/c")
-      assert(j.count() == 2 && c.count() == 2)
+      val o = spark.read.orc(s"$dir/o")
+      assert(j.count() == 2 && c.count() == 2 && o.count() == 2)
       assert(c.filter($"id" === 1).select("s").as[String].head() == "a,b")
+      assert(o.filter($"id" === 2).select("v").as[Double].head() == 2.5)
+    }
+  }
+
+  describe("native expressions are foldable over literals") {
+    it("constant-folds json_is_valid of a literal at plan time") {
+      graft.GraftExtensions.install(spark)
+      val plan = spark.sql("SELECT json_is_valid('{\"a\":1}') AS v")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("[true AS v"), s"expected folded literal in: $plan")
     }
   }
 
