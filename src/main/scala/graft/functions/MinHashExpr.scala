@@ -24,6 +24,14 @@ import graft.operators.Dedup
 case class MinHashSigs(child: Expression, perms: Int)
     extends UnaryExpression with RequiresStringInput with CodegenFallback {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (perms >= 1 && perms <= Dedup.HashA.length) base
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: perms must be in [1, ${Dedup.HashA.length}], got $perms")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // A non-null short doc (< 3 tokens) still evaluates to null.
   override def nullable: Boolean = true

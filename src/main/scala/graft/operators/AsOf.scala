@@ -31,6 +31,9 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightVal: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Set("_k", "_t", "_v", "_vs", "_side")
+    require(leftCols.forall(!reserved.contains(_)),
+      s"AsOf.join: left columns may not use the reserved names $reserved")
     val asofCol = s"asof_$rightVal"
     val vType = right.schema(rightVal).dataType
 

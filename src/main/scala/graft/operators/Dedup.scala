@@ -88,21 +88,23 @@ object Dedup {
       .select(col(idCol), col("pos").as("j"), col("sig"))  // posexplode is 0-based
 
   /** Distinct candidate near-dup pairs from band buckets: group by the
-    * band key, emit in-bucket pairs from the sorted id list — signatures
-    * are computed ONCE (a self-join would re-evaluate the whole MinHash
-    * pipeline on both sides) and cost stays O(Σ bucket²), never
-    * all-pairs. At real corpus scale, giant buckets (degenerate shingles)
-    * would be capped/salted before the pair expansion. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    * band key, emit in-bucket pairs — signatures are computed ONCE (a
+    * self-join would re-evaluate the whole MinHash pipeline on both
+    * sides) and cost stays O(Σ bucket²), never all-pairs.
+    *
+    * Degenerate buckets larger than `maxBucket` are DROPPED: a bucket
+    * that large means a near-constant signature (boilerplate shingles),
+    * its O(bucket²) pairs are garbage candidates, and materializing them
+    * would OOM an executor. The two-step explode keeps per-row state at
+    * O(bucket), never O(bucket²). */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Int = 10000): DataFrame =
     bands.groupBy("j", "sig")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(ExprLet.let(array_sort(col("ids"))) { a =>
-        flatten(transform(a, (x, i) =>
-          transform(slice(a, i + 2, size(a)), y =>
-            struct(x.as("d1"), y.as("d2")))))
-      }).as("p"))
-      .select(col("p.d1"), col("p.d2"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(col("ids"), explode(col("ids")).as("d1"))
+      .select(col("d1"),
+        explode(filter(col("ids"), y => y > col("d1"))).as("d2"))
       .distinct()
 
   /** 16-bit SimHash over whitespace tokens: per-bit majority vote of the

@@ -17,16 +17,17 @@ object LlmOps {
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
-      "Exact dedup (hash shuffle on the text key), per-language stats.",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val uniq = Dedup.exact(d, "text")
-          .groupBy("lang").agg(count(lit(1)).as("n_unique_texts"))
-        d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-          .join(uniq, "lang")
-          .withColumn("n_dups", col("n_docs") - col("n_unique_texts"))
-          .orderBy("lang")
-      },
+      "Exact dedup stats per language: distinct-text counts computed " +
+        "WITHIN each group (a global dropDuplicates first would assign a " +
+        "text appearing under two langs to an arbitrary one — " +
+        "nondeterministic; sf0.1 has 7 such texts).",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("text").as("n_unique_texts"))
+        .withColumn("n_dups", col("n_docs") - col("n_unique_texts"))
+        .orderBy("lang"),
       Some("""SELECT lang, COUNT(*) AS n_docs,
         | COUNT(DISTINCT text) AS n_unique_texts,
         | COUNT(*) - COUNT(DISTINCT text) AS n_dups
@@ -457,9 +458,14 @@ object LlmOps {
       "Multimodal frame sampling: k evenly-spaced byte-slice 'frames' per " +
         "payload via mapPartitions (stub for keyframe extraction; blobs " +
         "shorter than one frame yield none).",
+      // The operator slices BYTES; DuckDB 1.0 has no blob substring/md5,
+      // so the gate query restricts to docs where bytes ≡ chars (pure
+      // ascii) — there the char-based oracle is exact by construction.
       (s, dir) => Multimodal.sampleFrames(
           Multimodal.withPayload(
-            t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text"),
+            t(s, dir, "documents").filter(col("doc_id") < 100 &&
+              octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"),
           k = 3, frameLen = 64)
         .toDF()
         .orderBy("doc_id", "offset"),
@@ -467,7 +473,9 @@ object LlmOps {
         |  md5(substring(text, CAST(i * stride + 1 AS INT), 64)) AS frame_md5
         |FROM (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n,
         |        greatest(1, (octet_length(CAST(text AS BLOB)) - 64) // 2) AS stride
-        |      FROM documents WHERE doc_id < 100),
+        |      FROM documents
+        |      WHERE doc_id < 100
+        |        AND octet_length(CAST(text AS BLOB)) = length(text)),
         |     generate_series(0, 2) g(i)
         |WHERE i * stride + 64 <= n
         |ORDER BY doc_id, "offset"""".stripMargin))

@@ -46,9 +46,11 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     Q("q02_brand_revenue",
-      "Fact-to-dim broadcast hash join (part is small at every SF that matters per-executor).",
+      "Fact-to-dim join: part scales with SF, so join strategy is left to " +
+        "the size threshold + AQE (broadcast at test scale, SMJ at 100 TB) — " +
+        "a hard broadcast() hint here would OOM at scale.",
       (s, dir) => t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
           sum(dec2(col("l_extendedprice")) * (dec2(lit(1)) - dec2(col("l_discount"))))
@@ -358,20 +360,35 @@ object Relational {
         |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("q26_percentiles",
-      "Exact interpolated percentiles per group (rounded: the two engines' " +
-        "interpolation expressions differ in FP shape).",
-      (s, dir) => t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n"))
-        .orderBy("o_orderpriority"),
+      "Discrete rank-based percentiles per group (value at ceil(p*n) in a " +
+        "fully tie-broken order) — exact data values, bit-identical across " +
+        "engines; interpolated percentile formulas differ in FP shape.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        t(s, dir, "orders")
+          .select(
+            col("o_orderpriority"), col("o_totalprice"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("n"))
+          .groupBy("o_orderpriority")
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
+              .as("p50"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("o_totalprice")))
+              .as("p90"),
+            max("n").cast("long").as("n"))
+          .orderBy("o_orderpriority")
+      },
       Some("""SELECT o_orderpriority,
-        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-        | COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+        | CAST(MAX(n) AS BIGINT) AS n
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     Q("w01_daily_events",
       "Tumbling event-time window (batch form of the streaming window op).",

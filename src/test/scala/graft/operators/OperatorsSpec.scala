@@ -255,6 +255,15 @@ class OperatorsSpec extends AnyFunSpec {
       assert(r.getBoolean(0) && !r.getBoolean(1))
       assert(r.getInt(2) == 4 && r.getInt(3) == 4)
     }
+    it("rejects out-of-range perms at analysis time") {
+      graft.GraftExtensions.install(spark)
+      val e = intercept[Exception](
+        spark.sql("SELECT minhash_sigs('a b c d', 9)").collect())
+      assert(e.getMessage.contains("perms must be in [1, 4]"))
+      val e2 = intercept[Exception](
+        spark.sql("SELECT minhash_sigs('a b c d', 0)").collect())
+      assert(e2.getMessage.contains("perms must be in [1, 4]"))
+    }
     it("explode_shingles generates one row per shingle (SQL + Column API)") {
       graft.GraftExtensions.install(spark)
       val sql = spark.sql("SELECT explode_shingles('a b c d') AS s")

@@ -17,8 +17,11 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-declared = sorted(d for d in os.listdir(outdir)
-                  if os.path.isdir(os.path.join(outdir, d)))
+present = {d for d in os.listdir(outdir)
+           if os.path.isdir(os.path.join(outdir, d))}
+# A query that threw in Verify writes no dir — that's a FAIL, not an
+# omission; conversely a stale dir with no oracle key is reported.
+declared = sorted(present | set(oracle.keys()))
 
 def norm(df):
     df = df[sorted(df.columns)].copy()
@@ -30,6 +33,8 @@ def norm(df):
 n_pass = n_fail = 0
 for name in declared:
     tag = lambda s: print(f"{name:28s} {s}")
+    if name not in present:
+        tag("MISSING spark output (query failed in Verify)"); n_fail += 1; continue
     try:
         sdf = pq.read_table(os.path.join(outdir, name)).to_pandas()
     except Exception as e:
