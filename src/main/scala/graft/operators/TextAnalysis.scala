@@ -48,4 +48,17 @@ object TextAnalysis {
 
   /** Stable content fingerprint (md5 hex — identical in any engine). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Deterministic hash bucket in [0, buckets) — the standard stateless
+    * way to sample or split a corpus reproducibly: the assignment
+    * depends only on content, so it is stable across runs, partitions,
+    * cluster sizes, and engines. */
+  def hashBucket(text: Column, buckets: Int): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Train/val/test assignment from the content hash (80/10/10). */
+  def trainValTestSplit(text: Column): Column = {
+    val b = hashBucket(text, 100)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
 }

@@ -439,6 +439,21 @@ object LlmOps {
         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("d17_hash_split",
+      "Deterministic train/val/test split from the content hash — " +
+        "stable across runs/partitions/engines, no state, no RNG.",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TA.trainValTestSplit(col("text")).as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang"),
+      Some("""SELECT
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        | lang, COUNT(*) AS n
+        |FROM (SELECT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
     Q("m01_multimodal_decode",
       "Multimodal plumbing: binary payload column → mapPartitions decode " +
         "(STUB codec, real schema/batching) → typed metadata.",
