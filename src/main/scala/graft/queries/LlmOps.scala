@@ -281,7 +281,6 @@ object LlmOps {
         "deterministic), probe the 2 best cells, exact cosine inside — " +
         "the coarse-quantization scale path next to s01's brute force.",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val Sim = graft.operators.Similarity
         val e = t(s, dir, "embeddings").select(
           col("vec_id"), col("label").cast("long").as("label"),
@@ -298,11 +297,13 @@ object LlmOps {
             t3 => t3.getField("sx").cast("double") /
               (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
         val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        // Top-2 cells via orderBy+limit → TakeOrderedAndProject (a
+        // per-partition heap + driver merge of 2 rows), not a global
+        // window that would drag every centroid into one partition.
         val top2 = cents.crossJoin(broadcast(q))
           .select(col("label"), Sim.cosine(col("cv"), col("qv")).as("cscore"))
-          .withColumn("r", row_number().over(
-            Window.orderBy(col("cscore").desc, col("label").asc)))
-          .filter(col("r") <= 2)
+          .orderBy(col("cscore").desc, col("label").asc)
+          .limit(2)
           .select("label")
         e.join(broadcast(top2), "label")
           .filter(col("vec_id") =!= 0)

@@ -340,13 +340,14 @@ object Relational {
         |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     Q("q20_price_quartiles",
-      "ntile quartiles (global window — single-partition sort; test-scale only, " +
-        "a 100 TB variant would approx with percentile_approx + range partitioning).",
-      (s, dir) => t(s, dir, "orders")
-        .select(
-          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
-            .cast("long").as("bucket"),
-          col("o_totalprice"))
+      "Exact ntile quartiles via graft.operators.RankOps.globalNtile — " +
+        "two-phase range-rank (range repartition + local rank + broadcast " +
+        "offsets), NOT Spark's single-partition global window; scales to " +
+        "any row count.",
+      (s, dir) => graft.operators.RankOps.globalNtile(
+          t(s, dir, "orders").select("o_totalprice", "o_orderkey"),
+          Seq(col("o_totalprice"), col("o_orderkey")), 4, "bucket")
+        .select(col("bucket"), col("o_totalprice"))
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n"),
