@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,9 +20,14 @@ import graft.operators.Dedup
   * expression tree is interpreted per element (~4 ms/doc measured at
   * sf0.1); this tight loop is ~100× cheaper and is the hot path of
   * near-dup at corpus scale. Null/short docs (< 3 tokens) → null.
+  *
+  * Fully codegen'd: `doGenCode` emits a call to the static
+  * [[MinHashSigs.compute]] helper (shared with the interpreted path),
+  * so projections containing it stay inside WholeStageCodegen instead
+  * of falling back to per-row interpretation.
   */
 case class MinHashSigs(child: Expression, perms: Int)
-    extends UnaryExpression with RequiresStringInput with CodegenFallback {
+    extends UnaryExpression with RequiresStringInput {
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -37,12 +42,36 @@ case class MinHashSigs(child: Expression, perms: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.compute(input.asInstanceOf[UTF8String], perms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSigs.compute($c, $perms);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  def apply(c: Column, perms: Int): Column =
+    GraftBridge.column(MinHashSigs(GraftBridge.expression(c), perms))
+
+  // One digest per thread, reset between rows — MessageDigest.getInstance
+  // per row was the dominant constant cost of the interpreted version.
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared eval/codegen kernel (called from generated Java via the
+    * static forwarder). Returns null for docs with < 3 tokens. */
+  def compute(input: UTF8String, perms: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     if (toks.length < 3) return null
     val P = Dedup.HashP
     val mins = Array.fill(perms)(Long.MaxValue)
-    val digest = java.security.MessageDigest.getInstance("MD5")
+    val digest = md5.get()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= toks.length - 3) {
@@ -66,12 +95,4 @@ case class MinHashSigs(child: Expression, perms: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
-    copy(child = newChild)
-}
-
-object MinHashSigs {
-  def apply(c: Column, perms: Int): Column =
-    GraftBridge.column(MinHashSigs(GraftBridge.expression(c), perms))
 }

@@ -15,14 +15,23 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Surface Janino errors instead of silently interpreting — keeps
+      // "the plan compiled" an auditable fact, not an assumption.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else graft.Bench.headline
     val queries = graft.SparkEntry.queries
     names.filter(queries.contains).foreach { name =>
       println(s"\n========== $name ==========")
-      try println(queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      try {
+        val df = queries(name)(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        // Execute too: codegen compilation only happens at run time.
+        df.write.format("noop").mode("overwrite").save()
+        println(s"[explain] $name executed ok (codegen.fallback=false)")
+      }
       catch { case e: Throwable => println(s"EXPLAIN FAILED: $e") }
     }
     spark.stop()

@@ -278,6 +278,49 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("whole-stage codegen coverage of native expressions") {
+    // AQE off so executedPlan shows final codegen placement directly;
+    // codegen.fallback=false turns a Janino compile error into a test
+    // failure instead of a silent interpreted fallback.
+    it("keeps Generate(explode_shingles) inside a WholeStageCodegen span") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val df = docs
+          .select(graft.functions.ExplodeShingles($"text", 3).as("sh"))
+          .groupBy("sh").count()
+        assert(df.count() > 0)
+        val lines = df.queryExecution.executedPlan.toString.linesIterator
+        val gen = lines.find(_.contains("Generate")).get
+        assert(gen.trim.matches("""[+\-:\s]*\*\(\d+\).*"""),
+          s"Generate not codegen'd (no star marker): $gen")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    it("compiles minhash_sigs inside codegen (no fallback)") {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        // spark.range (not a LocalRelation, which the optimizer would
+        // fold eagerly on the interpreted path) so a real codegen'd
+        // Project carries the expression.
+        val df = spark.range(4)
+          .select(concat(lit("a b c d "), $"id".cast("string")).as("text"))
+          .select(graft.functions.MinHashSigs($"text", 4).as("m"))
+        assert(df.collect().length == 4)
+        val proj = df.queryExecution.executedPlan.toString.linesIterator
+          .find(_.contains("Project"))
+        assert(proj.exists(_.contains("*")),
+          s"minhash_sigs projection not codegen'd: ${proj}")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
