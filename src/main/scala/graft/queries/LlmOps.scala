@@ -494,6 +494,50 @@ object LlmOps {
         |        AND octet_length(CAST(text AS BLOB)) = length(text)),
         |     generate_series(0, 2) g(i)
         |WHERE i * stride + 64 <= n
-        |ORDER BY doc_id, "offset"""".stripMargin))
+        |ORDER BY doc_id, "offset"""".stripMargin)),
+
+    Q("d18_trigram_lang_id",
+      "Trained language ID (graft.operators.LangId): per-language " +
+        "character-trigram profiles from the labeled corpus, classified " +
+        "by Cavnar-Trenkle out-of-place rank distance — all-integer " +
+        "scoring, broadcast-joined profiles; output is the confusion " +
+        "matrix of true vs predicted language.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prof = graft.operators.LangId.profiles(docs, "text", "lang")
+        graft.operators.LangId.classify(docs, "doc_id", "text", "lang", prof)
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |        unnest(list_transform(generate_series(1, len(t)-2),
+        |                              i -> substring(t, i, 3))) AS g
+        |      FROM d WHERE len(t) >= 3),
+        |lp AS (SELECT lang, g,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY count(*) DESC, g ASC) AS r
+        |       FROM g GROUP BY lang, g
+        |       QUALIFY r <= ${graft.operators.LangId.ProfileSize}),
+        |dg AS (SELECT doc_id, lang, g, count(*) AS c
+        |       FROM g GROUP BY doc_id, lang, g),
+        |dr AS (SELECT doc_id, lang, g,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, g ASC) AS dr
+        |       FROM dg QUALIFY dr <= ${graft.operators.LangId.DocTop}),
+        |langs AS (SELECT DISTINCT lang AS cand FROM d),
+        |scored AS (SELECT dr.doc_id, dr.lang, l.cand,
+        |             CAST(SUM(abs(dr.dr - COALESCE(lp.r,
+        |               ${graft.operators.LangId.ProfileSize + 1}))) AS BIGINT) AS dist
+        |           FROM dr CROSS JOIN langs l
+        |           LEFT JOIN lp ON lp.lang = l.cand AND lp.g = dr.g
+        |           GROUP BY dr.doc_id, dr.lang, l.cand),
+        |pred AS (SELECT doc_id, lang, cand AS pred,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY dist ASC, cand ASC) AS pr
+        |         FROM scored QUALIFY pr = 1)
+        |SELECT lang, pred, COUNT(*) AS n
+        |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin))
   )
 }

@@ -136,6 +136,38 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("LangId (trigram profile classifier)") {
+    def corpus = Seq(
+      (0L, "aaab aaac aaad aaab aaac", "aa"),
+      (1L, "aaab aaad aaab aaac aaae", "aa"),
+      (2L, "zzzy zzzx zzzw zzzy zzzx", "zz"),
+      (3L, "zzzy zzzw zzzy zzzx zzzv", "zz"))
+      .toDF("doc_id", "text", "lang")
+
+    it("charTrigrams slides over the lowercased text; short text is empty") {
+      val r = Seq("AbCd", "ab").toDF("t")
+        .select(LangId.charTrigrams($"t").as("g"))
+        .as[Seq[String]].collect()
+      assert(r(0) == Seq("abc", "bcd"))
+      assert(r(1) == Seq.empty)
+    }
+    it("self-classifies a separable corpus perfectly") {
+      val prof = LangId.profiles(corpus, "text", "lang")
+      val pred = LangId.classify(corpus, "doc_id", "text", "lang", prof)
+        .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+      assert(pred.forall { case (_, truth, p) => truth == p },
+        s"misclassified: $pred")
+    }
+    it("profiles are capped and ranked deterministically") {
+      val prof = LangId.profiles(corpus, "text", "lang")
+        .as[(String, String, Int)].collect()
+      assert(prof.groupBy(_._1).values.forall(_.length <= LangId.ProfileSize))
+      // rank 1 of 'aa' is the most frequent trigram with lexicographic
+      // tie-break: "aaa" appears in every token
+      assert(prof.filter(p => p._1 == "aa" && p._3 == 1).head._2 == "aaa")
+    }
+  }
+
   describe("Multimodal") {
     it("carries binary payloads and decodes deterministic metadata") {
       val out = Multimodal.decode(
