@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExplodeShingles
+
+/** Benchmark-contamination detection — the standard n-gram-overlap
+  * check every serious training corpus runs before a model ships
+  * (flag training documents sharing word n-grams with an evaluation
+  * set, à la the GPT-3/Llama decontamination appendices).
+  *
+  * Scale shape: the benchmark side is DISTINCT n-grams of the eval
+  * suite — thousands of documents at most, so the set broadcasts; the
+  * corpus side streams through the codegen'd [[ExplodeShingles]]
+  * generator (rows ≈ tokens, no per-doc arrays) into a broadcast left
+  * join + one hash aggregation per doc. Nothing in the plan grows
+  * with corpus size except the embarrassingly-parallel scan. If the
+  * benchmark set ever outgrows broadcast, drop `broadcast()` and the
+  * same plan becomes a shuffle join; [[bloomFlag]] is the
+  * constant-memory probabilistic variant.
+  */
+object Contamination {
+
+  /** Distinct word n-grams of the benchmark set. */
+  def shingleSet(bench: DataFrame, textCol: String, n: Int = 5): DataFrame =
+    bench.select(ExplodeShingles(col(textCol), n).as("shingle")).distinct()
+
+  /** Per-document overlap stats against `benchShingles` (output of
+    * [[shingleSet]]): keyCols + n_shingles (total n-gram occurrences)
+    * + n_hits (occurrences that appear in the benchmark set). Docs
+    * with fewer than n tokens produce no row. */
+  def stats(corpus: DataFrame, keyCols: Seq[String], textCol: String,
+            benchShingles: DataFrame, n: Int = 5): DataFrame =
+    corpus
+      .select(keyCols.map(col) :+ ExplodeShingles(col(textCol), n).as("shingle"): _*)
+      .join(broadcast(benchShingles.withColumn("_hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
+
+  /** Probabilistic scale path: flag contaminated docs with a Bloom
+    * filter built over the benchmark n-grams (`fpp` false-positive
+    * rate, zero false negatives — safe direction for decontamination:
+    * you only ever over-drop). Constant executor memory regardless of
+    * benchmark size. */
+  def bloomFlag(corpus: DataFrame, idCol: String, textCol: String,
+                bench: DataFrame, benchTextCol: String,
+                n: Int = 5, expectedItems: Long = 1000000L,
+                fpp: Double = 0.01): DataFrame = {
+    val bf = shingleSet(bench, benchTextCol, n)
+      .stat.bloomFilter("shingle", expectedItems, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((s: String) => bcast.value.mightContainString(s))
+    corpus
+      .select(col(idCol), ExplodeShingles(col(textCol), n).as("shingle"))
+      .groupBy(col(idCol))
+      .agg(max(when(hit(col("shingle")), 1).otherwise(0)).as("_c"))
+      .select(col(idCol), (col("_c") === 1).as("contaminated"))
+  }
+}

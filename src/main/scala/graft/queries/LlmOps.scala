@@ -538,6 +538,50 @@ object LlmOps {
         |             ORDER BY dist ASC, cand ASC) AS pr
         |         FROM scored QUALIFY pr = 1)
         |SELECT lang, pred, COUNT(*) AS n
-        |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin))
+        |FROM pred GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    Q("d19_contamination",
+      "Benchmark-contamination check (graft.operators.Contamination): " +
+        "the held-out 'test' split's distinct word 5-grams are the " +
+        "benchmark set (broadcast); train docs are flagged by n-gram " +
+        "overlap via the codegen'd explode_shingles generator + " +
+        "broadcast join. Per-language: train docs, contaminated docs, " +
+        "total overlapping 5-gram occurrences.",
+      (s, dir) => {
+        val C = graft.operators.Contamination
+        val d = t(s, dir, "documents")
+          .withColumn("split", TA.trainValTestSplit(col("text")))
+        val bench = C.shingleSet(d.filter(col("split") === "test"), "text", 5)
+        C.stats(d.filter(col("split") === "train"),
+            Seq("doc_id", "lang"), "text", bench, 5)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_train_docs"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_contaminated"),
+            sum("n_hits").cast("long").as("total_hits"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, text,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS b
+        |       FROM documents),
+        |bs AS (SELECT DISTINCT
+        |         unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 4),
+        |           i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS shingle
+        |       FROM s WHERE b >= 90),
+        |tg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 4),
+        |           i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS shingle
+        |       FROM s WHERE b < 80),
+        |ds AS (SELECT tg.doc_id, tg.lang, COUNT(*) AS n_sh,
+        |         COUNT(*) FILTER (WHERE bs.shingle IS NOT NULL) AS n_hits
+        |       FROM tg LEFT JOIN bs ON tg.shingle = bs.shingle
+        |       GROUP BY tg.doc_id, tg.lang)
+        |SELECT lang, COUNT(*) AS n_train_docs,
+        |  CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -168,6 +168,30 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Contamination (benchmark n-gram overlap)") {
+    def train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),       // contains bench 5-gram
+      (1L, "one two three four five six seven"),          // clean
+      (2L, "alpha beta gamma delta epsilon other words")) // contaminated prefix
+      .toDF("doc_id", "text")
+    def bench = Seq((100L, "xx alpha beta gamma delta epsilon yy"))
+      .toDF("doc_id", "text")
+
+    it("flags exactly the docs sharing a word 5-gram with the benchmark") {
+      val bs = Contamination.shingleSet(bench, "text", 5)
+      val stats = Contamination.stats(train, Seq("doc_id"), "text", bs, 5)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, _, hits) => id -> hits }.toMap
+      assert(stats(0L) > 0 && stats(2L) > 0 && stats(1L) == 0)
+    }
+    it("bloom variant agrees on this corpus (no false negatives)") {
+      val flags = Contamination
+        .bloomFlag(train, "doc_id", "text", bench, "text", 5, 1000L, 0.001)
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags(0L) && flags(2L) && !flags(1L))
+    }
+  }
+
   describe("Multimodal") {
     it("carries binary payloads and decodes deterministic metadata") {
       val out = Multimodal.decode(
