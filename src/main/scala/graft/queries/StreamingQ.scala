@@ -74,6 +74,41 @@ object StreamingQ {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events_total
-        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("w04_stream_static_enrich",
+      "Stream-static enrichment (InferStream.enrich): the event stream " +
+        "is broadcast-joined per micro-batch to the customer→nation " +
+        "dimension (stream side never shuffles for the join), then " +
+        "aggregated per nation — counts must equal the batch join oracle.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w04").toString
+        events(s, dir).select(
+          to_json(struct(col("event_id"), col("user_id"))).as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val stream = s.readStream
+          .schema("event_id LONG, user_id LONG")
+          .json(s"$tmp/in")
+        val dim = Tables.t(s, dir, "customer")
+          .join(Tables.t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val qname = s"graft_w04_${runId.incrementAndGet()}"
+        val q = graft.streaming.InferStream
+          .enrich(stream, dim, col("user_id") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }

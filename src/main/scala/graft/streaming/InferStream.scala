@@ -82,6 +82,17 @@ object InferStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined against the (bounded) dimension table, broadcast so the
+    * stream side never shuffles — the standard shape for decorating a
+    * 100 TB/day event stream with reference data. The static side is
+    * re-planned per batch, so a dimension backed by a table picks up
+    * slowly-changing updates between batches. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinExpr: org.apache.spark.sql.Column,
+             joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   /** Event-time tumbling window aggregation with a watermark — works on
     * both a streaming and a batch DataFrame (same plan either way). */
   def windowedCounts(

@@ -100,6 +100,31 @@ class StreamingSpec extends AnyFunSpec {
     }
   }
 
+  describe("InferStream.enrich (stream-static broadcast join)") {
+    it("joins each micro-batch against the static dimension") {
+      val in = Files.createTempDirectory("graft-enrich-in").toString
+      Files.writeString(java.nio.file.Paths.get(s"$in/e.json"),
+        Seq(
+          """{"uid": 1, "v": 10}""",
+          """{"uid": 2, "v": 20}""",
+          """{"uid": 1, "v": 30}""",
+          """{"uid": 9, "v": 99}""")   // no dimension row → dropped (inner)
+          .mkString("", "\n", "\n"))
+      val stream = spark.readStream.schema("uid LONG, v LONG").json(in)
+      val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid2", "tier")
+      val q = InferStream.enrich(stream, dim, $"uid" === $"uid2")
+        .groupBy($"tier").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+        .writeStream.format("memory").queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("enrich_out")
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("gold", 40L), ("silver", 20L)))
+    }
+  }
+
   describe("Compact (small-file compaction)") {
     it("rewrites many small files into the planned number of outputs") {
       import graft.operators.Compact
