@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType, DecimalType}
 
-import graft.operators.AsOf
+import graft.operators.{AsOf, Compact}
 import Tables.{events, t}
 
 /** Remaining SURVEY §2.2 categories: map functions, user-defined function
@@ -100,6 +100,48 @@ object Extended {
           approx_count_distinct("l_partkey").as("approx_parts"),
           countDistinct("l_partkey").as("exact_parts"))
         .orderBy("l_returnflag"),
-      None)
+      None),
+
+    Q("q27_zorder_cluster",
+      "Z-order (Morton) clustering key over (l_partkey, l_suppkey): " +
+        "equal-width integer buckets bit-interleaved; per-cell stats show " +
+        "multi-column locality. Write path: Compact.parquetZOrder.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // Stats pass: 4 longs to the driver (z-ordering always needs one).
+        val r = li.agg(
+          min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head
+        val z = Compact.zValue(Seq(
+          Compact.uniformBucket(col("l_partkey"),
+            lit(r.getLong(0)), lit(r.getLong(1)), 16),
+          Compact.uniformBucket(col("l_suppkey"),
+            lit(r.getLong(2)), lit(r.getLong(3)), 16)), 4)
+        li.select(col("l_partkey"), z)
+          .groupBy("z")
+          .agg(
+            count(lit(1)).as("n"),
+            min("l_partkey").as("min_pk"),
+            max("l_partkey").as("max_pk"))
+          .orderBy("z")
+      },
+      Some("""WITH mm AS (
+        | SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |        min(l_suppkey) AS skmin, max(l_suppkey) AS skmax
+        | FROM lineitem),
+        |b AS (
+        | SELECT l_partkey,
+        |  ((l_partkey - pkmin) * 16) // (pkmax - pkmin + 1) AS bp,
+        |  ((l_suppkey - skmin) * 16) // (skmax - skmin + 1) AS bs
+        | FROM lineitem, mm)
+        |SELECT
+        |  (((bp >> 0) & 1) << 1) | (((bp >> 1) & 1) << 3)
+        |  | (((bp >> 2) & 1) << 5) | (((bp >> 3) & 1) << 7)
+        |  | (((bs >> 0) & 1) << 0) | (((bs >> 1) & 1) << 2)
+        |  | (((bs >> 2) & 1) << 4) | (((bs >> 3) & 1) << 6) AS z,
+        | COUNT(*) AS n,
+        | CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+        | CAST(MAX(l_partkey) AS BIGINT) AS max_pk
+        |FROM b GROUP BY z ORDER BY z""".stripMargin))
   )
 }

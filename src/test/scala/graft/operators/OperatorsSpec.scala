@@ -377,6 +377,77 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Compact z-order clustering") {
+    // Scala reference for the Morton interleave (col 0 owns the MSB).
+    def morton(bits: Int, ids: Seq[Long]): Long = {
+      val k = ids.size
+      (for {
+        i <- 0 until bits
+        (b, j) <- ids.zipWithIndex
+      } yield ((b >> i) & 1L) << (i * k + (k - 1 - j))).sum
+    }
+
+    it("zValue matches the bit-twiddling reference over the full domain") {
+      val pairs = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+      val got = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          Compact.zValue(Seq(col("a"), col("b")), 4))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (a, b, z) => assert(z == morton(4, Seq(a, b))) }
+      // z is a bijection on the 8-bit domain
+      assert(got.map(_._3).distinct.length == 256)
+    }
+
+    it("uniformBucket is exact integer math with ids in [0, n)") {
+      val ids = spark.range(1, 1001)
+        .select(Compact.uniformBucket(col("id"), lit(1L), lit(1000L), 16).as("b"))
+        .as[Long].collect()
+      assert(ids.min == 0 && ids.max == 15)
+      // matches BigInt math (no floating-point drift)
+      assert(ids.toSeq == (1L to 1000L).map(v => (v - 1) * 16 / 1000))
+    }
+
+    it("boundaryBucket counts boundaries <= x") {
+      val b = Seq(10.0, 20.0, 30.0)
+      val got = Seq(5L, 10L, 15L, 25L, 35L).toDF("x")
+        .select(Compact.boundaryBucket(col("x"), b).as("b")).as[Long].collect()
+      assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 3L))
+    }
+
+    it("parquetZOrder writes disjoint z-ranges across files") {
+      val in = java.nio.file.Files.createTempDirectory("graft-z-in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-z-out").toString
+      // two independent uniform columns -> z-order must cluster both
+      spark.range(0, 4096)
+        .select(col("id"),
+          (col("id") % 64).as("x"),
+          pmod(hash(col("id")), lit(64)).cast("long").as("y"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(in)
+      val bytes = Compact.sizeOf(spark, in)
+      val res = Compact.parquetZOrder(spark, in, out,
+        Seq("x", "y"), bits = 4, targetBytes = (bytes / 4).max(1))
+      assert(res.files >= 2)
+      assert(spark.read.parquet(out).count() == 4096)
+      // Per-file z ranges must be disjoint (repartitionByRange on z):
+      // recompute z per output file with the SAME boundaries the writer
+      // used and compare [min,max] intervals.
+      val boundsByFile = spark.read.parquet(out)
+        .select(input_file_name().as("f"),
+          Compact.zValue(Seq(
+            Compact.boundaryBucket(col("x"), res.boundaries(0)),
+            Compact.boundaryBucket(col("y"), res.boundaries(1))), 4))
+        .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+        .as[(String, Long, Long)].collect()
+        .map { case (_, lo, hi) => (lo, hi) }.sortBy(_._1)
+      assert(boundsByFile.length >= 2)
+      boundsByFile.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
