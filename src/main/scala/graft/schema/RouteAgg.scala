@@ -41,7 +41,7 @@ final class RouteAgg(typed: Boolean)
   }
 
   override def bufferEncoder: Encoder[(JType, Long, Long)] =
-    Encoders.tuple(Encoders.kryo[JType], Encoders.scalaLong, Encoders.scalaLong)
+    Encoders.tuple(JTypeCodec.encoder, Encoders.scalaLong, Encoders.scalaLong)
   override def outputEncoder: Encoder[RouteStats] = Encoders.product[RouteStats]
 }
 

@@ -34,7 +34,7 @@ final class SchemaAgg(typed: Boolean) extends Aggregator[String, JType, String] 
     case s: StructType => s.json
     case _             => SchemaInference.InvalidSchema
   }
-  override def bufferEncoder: Encoder[JType] = Encoders.kryo[JType]
+  override def bufferEncoder: Encoder[JType] = JTypeCodec.encoder
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 

@@ -91,4 +91,24 @@ class JTypeSpec extends AnyFunSpec {
       canon(m(a, b)) == canon(m(b, a))
     })
   }
+
+  describe("JTypeCodec (aggregation-buffer binary codec)") {
+    law("round-trips every lattice value")(Prop.forAll { (a: JType) =>
+      val c = new JTypeCodec
+      c.decode(c.encode(a)) == a
+    })
+    it("handles JTop, empty structs, and unicode field names") {
+      val c = new JTypeCodec
+      val cases = Seq[JType](JTop, JStruct(Vector.empty),
+        JStruct(Vector("naïve.key-中文" -> JArr(JStruct(Vector("x" -> JLong))))))
+      cases.foreach(t => assert(c.decode(c.encode(t)) == t))
+    }
+    it("is several times smaller than kryo for a typical schema") {
+      val t: JType = JStruct(Vector(
+        "id" -> JLong, "name" -> JStr,
+        "tags" -> JArr(JStr),
+        "meta" -> JStruct(Vector("a" -> JBool, "b" -> JDouble))))
+      assert(new JTypeCodec().encode(t).length < 60)
+    }
+  }
 }
