@@ -14,6 +14,29 @@ object LlmOps {
 
   private val stopSql = TA.Stopwords.mkString("['", "','", "']")
 
+  /** DuckDB CTE chain replicating minhashBands → candidatePairs over
+    * `documents` (shared by d07 and d20): shingle-hash lists, the 4
+    * affine-permutation signatures, and the distinct in-bucket pairs. */
+  private def neardupPairsCtes: String = {
+    val perms = (0 until 4).map { j =>
+      val (a, b) = (Dedup.HashA(j), Dedup.HashB(j))
+      s"SELECT doc_id, $j AS j, list_aggregate(list_transform(hs, h -> (h * $a + $b) % ${Dedup.HashP}), 'min') AS m FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""s AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashP}) AS hs
+       |  FROM documents),
+       |sig AS (
+       |  $perms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
+       |  WHERE a.m IS NOT NULL)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d01_dedup_exact",
@@ -130,25 +153,8 @@ object LlmOps {
         Dedup.candidatePairs(bands, "doc_id")
           .agg(count(lit(1)).as("n_candidate_pairs"))
       },
-      Some {
-        val perms = (0 until 4).map { j =>
-          val (a, b) = (Dedup.HashA(j), Dedup.HashB(j))
-          s"SELECT doc_id, $j AS j, list_aggregate(list_transform(hs, h -> (h * $a + $b) % ${Dedup.HashP}), 'min') AS m FROM s"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH s AS (
-           |  SELECT doc_id,
-           |    list_transform(
-           |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-           |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
-           |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashP}) AS hs
-           |  FROM documents),
-           |sig AS (
-           |  $perms)
-           |SELECT COUNT(*) AS n_candidate_pairs FROM (
-           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM sig a JOIN sig b ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
-           |  WHERE a.m IS NOT NULL)""".stripMargin
-      }),
+      Some(s"WITH $neardupPairsCtes\n" +
+        "SELECT COUNT(*) AS n_candidate_pairs FROM pairs")),
 
     Q("d08_simhash",
       "16-bit SimHash (per-bit majority of md5 nibbles) per document.",
@@ -582,6 +588,29 @@ object LlmOps {
         |SELECT lang, COUNT(*) AS n_train_docs,
         |  CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_contaminated,
         |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
-        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d20_neardup_clusters",
+      "Transitive near-dup clusters: banded-LSH candidate pairs → " +
+        "hash-min label propagation (Dedup.connectedComponents, one " +
+        "shuffle per round, O(diameter) rounds); every clustered doc " +
+        "maps to its min-id representative. Oracle: recursive CTE.",
+      (s, dir) => {
+        val bands = Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text")
+        val pairs = Dedup.candidatePairs(bands, "doc_id")
+        Dedup.connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $neardupPairsCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id,
+        |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
   )
 }

@@ -377,6 +377,25 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Dedup.connectedComponents") {
+    it("labels a chain and separate components correctly") {
+      // chain 7-5-3-1 (forces multiple propagation rounds: min label 1
+      // must travel 3 hops) + pair (10,11) + reversed-order edge (20,19)
+      val edges = Seq((7L, 5L), (5L, 3L), (3L, 1L), (10L, 11L), (20L, 19L))
+        .toDF("d1", "d2")
+      val got = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L,
+        10L -> 10L, 11L -> 10L, 19L -> 19L, 20L -> 19L))
+    }
+    it("returns each node once and is idempotent under symmetric input") {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+      assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(got.forall(_._2 == 1L))
+    }
+  }
+
   describe("Compact z-order clustering") {
     // Scala reference for the Morton interleave (col 0 owns the MSB).
     def morton(bits: Int, ids: Seq[Long]): Long = {
