@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text scrubbing for training corpora: remove emails/URLs (the common
@@ -19,4 +19,46 @@ object TextClean {
 
   def hasEmail(c: Column): Column = c.rlike(EmailRe)
   def hasUrl(c: Column): Column = c.rlike(UrlRe)
+
+  // --- Corpus-level boilerplate (repeated-segment) detection ----------
+  //
+  // CCNet-style paragraph dedup: a segment that recurs across documents
+  // (headers, footers, nav text, license blurbs) is boilerplate and
+  // should not be trained on. With no natural paragraph breaks we
+  // segment into non-overlapping `k`-token chunks; the document
+  // frequency of each distinct segment is ONE corpus-wide hash
+  // aggregation (shuffle on the segment key — never all-pairs), and
+  // flagging joins the tiny high-frequency remainder back to segments.
+
+  /** Non-overlapping `k`-token segments of a token array (last partial
+    * chunk dropped); empty array below `k` tokens. */
+  def segments(toks: Column, k: Int): Column =
+    graft.operators.ExprLet.let(toks) { ts =>
+      when(size(ts) >= k,
+        transform(
+          sequence(lit(0), call_function("div", size(ts), lit(k)).cast("int") - 1),
+          i => concat_ws(" ", slice(ts, i * k + 1, lit(k)))))
+        .otherwise(array())
+    }
+
+  /** Explode `df` into (idCol, seg) rows of `k`-token segments. */
+  def explodeSegments(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame =
+    df.select(col(idCol),
+      explode(segments(split(col(textCol), " "), k)).as("seg"))
+
+  /** Per-document boilerplate stats: segments whose document frequency
+    * across the whole corpus is >= `minDf` count as boilerplate.
+    * Returns (idCol, n_segs, n_boiler). */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minDf: Int = 2): DataFrame = {
+    val segs = explodeSegments(df, idCol, textCol, k)
+    val freq = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("df"))
+    segs.join(freq, "seg")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA, TextClean}
 import Tables.t
 
 /** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
@@ -611,6 +611,30 @@ object LlmOps {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id,
         |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
+    Q("d21_boilerplate_segments",
+      "CCNet-style repeated-segment (boilerplate) detection: corpus-wide " +
+        "document frequency of non-overlapping 8-token segments (one hash " +
+        "aggregation on the segment key), joined back per document. " +
+        "Output limited to doc_id < 100; the frequency table is global.",
+      (s, dir) => TextClean
+        .boilerplateStats(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, len(w) // 8 - 1),
+        |      i -> array_to_string(w[i*8+1:i*8+8], ' '))) AS seg
+        |  FROM toks),
+        |freq AS (
+        |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |SELECT s.doc_id, COUNT(*) AS n_segs,
+        |  CAST(COUNT(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_boiler
+        |FROM segs s JOIN freq f USING (seg)
+        |WHERE s.doc_id < 100
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
   )
 }

@@ -109,6 +109,53 @@ object StreamingQ {
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("w05_stream_stream_join",
+      "Stream-stream interval join: the click stream joins the purchase " +
+        "stream on user within [click, click+1h] — watermarks on BOTH " +
+        "sides + the event-time range bound the join state (Spark drops " +
+        "a buffered row once the other side's watermark passes its " +
+        "range), so state is O(window), not O(stream). Pair counts must " +
+        "equal the batch self-join oracle.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w05").toString
+        val ev = events(s, dir)
+        // to_json truncates ts to milliseconds; the oracle compares at
+        // ms precision too (epoch_us // 1000), so the engines agree.
+        Seq("click", "purchase").foreach { et =>
+          ev.filter(col("event_type") === et)
+            .select(to_json(struct(col("user_id"), col("ts"))).as("value"))
+            .write.mode("overwrite").text(s"$tmp/$et")
+        }
+        def side(et: String, u: String, t: String) = s.readStream
+          .schema("user_id LONG, ts TIMESTAMP")
+          .json(s"$tmp/$et")
+          .select(col("user_id").as(u), col("ts").as(t))
+          .withWatermark(t, "2 hours")
+        val clicks = side("click", "cu", "cts")
+        val purchases = side("purchase", "pu", "pts")
+        val qname = s"graft_w05_${runId.incrementAndGet()}"
+        val q = clicks.join(purchases,
+            col("cu") === col("pu") &&
+              col("pts") >= col("cts") &&
+              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .groupBy(col("cu").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id, COUNT(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) // 1000 BETWEEN epoch_us(c.ts) // 1000
+        |                            AND epoch_us(c.ts) // 1000 + 3600000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }

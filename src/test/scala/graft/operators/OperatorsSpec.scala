@@ -377,6 +377,21 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("TextClean.boilerplateStats") {
+    it("flags segments repeated across documents, not within one") {
+      val df = Seq(
+        (1L, "a b c d e f g h i j k l m n o p"),   // segs: [a..h], [i..p]
+        (2L, "a b c d e f g h z z z z z z z z"),   // shares [a..h]
+        (3L, "q r s t u v w x q r s t u v w x"),   // same seg twice, ONE doc
+        (4L, "short text"))                        // < 8 tokens: no segs
+        .toDF("doc_id", "text")
+      val got = TextClean.boilerplateStats(df, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // doc 3's repeated segment has df=1 (distinct docs) -> not boiler
+      assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    }
+  }
+
   describe("Dedup.connectedComponents") {
     it("labels a chain and separate components correctly") {
       // chain 7-5-3-1 (forces multiple propagation rounds: min label 1
