@@ -70,3 +70,27 @@ object Multimodal {
 }
 
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
+
+final case class Resized(
+    doc_id: Long, width: Long, height: Long,
+    out_w: Long, out_h: Long, out_bytes: Long)
+
+object MultimodalResize {
+
+  /** Resize planning (STUB for the pixel op): fit (width, height) into a
+    * `maxDim` square preserving aspect ratio — never upscale. Integer
+    * math only (floor division), so the SQL oracle reproduces it
+    * exactly; `out_bytes` budgets the decoded RGB buffer the real
+    * resizer would allocate (out_w × out_h × 3). Runs per partition like
+    * [[Multimodal.decode]] so a real codec amortizes init per batch. */
+  def plan(decoded: Dataset[Decoded], maxDim: Int): Dataset[Resized] =
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val m = math.max(d.width, d.height)
+        val (ow, oh) =
+          if (m <= maxDim) (d.width, d.height)
+          else (d.width * maxDim / m, d.height * maxDim / m)
+        Resized(d.doc_id, d.width, d.height, ow, oh, ow * oh * 3)
+      }
+    }(Encoders.product[Resized])
+}

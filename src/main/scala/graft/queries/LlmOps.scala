@@ -476,6 +476,35 @@ object LlmOps {
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin))
     ,
+    Q("m03_resize_plan",
+      "Multimodal resize planning: decode metadata → aspect-preserving " +
+        "fit into a 224-box (never upscale), integer math only; " +
+        "out_bytes budgets the RGB buffer of the real resizer.",
+      (s, dir) => graft.operators.MultimodalResize.plan(
+        Multimodal.decode(
+          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")),
+        maxDim = 224)
+        .toDF()
+        .orderBy("doc_id")
+        .limit(200),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
+        |    240 + octet_length(CAST(text AS BLOB)) % 240 AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, width, height,
+        |    CASE WHEN greatest(width, height) <= 224 THEN width
+        |         ELSE width * 224 // greatest(width, height) END AS out_w,
+        |    CASE WHEN greatest(width, height) <= 224 THEN height
+        |         ELSE height * 224 // greatest(width, height) END AS out_h
+        |  FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+        |  CAST(out_w * out_h * 3 AS BIGINT) AS out_bytes
+        |FROM r ORDER BY doc_id LIMIT 200""".stripMargin)),
+
     Q("m02_frame_sample",
       "Multimodal frame sampling: k evenly-spaced byte-slice 'frames' per " +
         "payload via mapPartitions (stub for keyframe extraction; blobs " +

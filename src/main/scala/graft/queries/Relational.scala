@@ -404,6 +404,33 @@ object Relational {
         .orderBy("day"),
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    Q("q28_grouping_sets",
+      "Explicit GROUPING SETS (the general form rollup/cube specialize): " +
+        "(status, priority) + (status) + grand total in one aggregation " +
+        "pass (Spark expands then hash-aggregates — no re-scan per set).",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(
+            Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin))
   )
 }
