@@ -10,14 +10,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative slice of the surface: scan+agg, broadcast join,
-    * multi-join, window, top-k, event-time window, JSON extraction,
-    * single-pass inference, fingerprint/near-dup/simhash dedup, cosine
-    * top-k, multimodal decode. */
+    * multi-join, window, top-k, grouping sets, event-time window, JSON
+    * extraction, single-pass inference, fingerprint/near-dup/simhash
+    * dedup, boilerplate detection, z-order clustering key, cosine top-k,
+    * multimodal decode. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_brand_revenue", "q03_region_order_stats",
-    "q06_top_order_per_cust", "q08_topk_orders", "w01_daily_events",
+    "q06_top_order_per_cust", "q08_topk_orders", "q27_zorder_cluster",
+    "q28_grouping_sets", "w01_daily_events",
     "w03_session_window", "q14_json_group", "p04_route_infer_single_pass",
     "d05_fingerprint", "d07_neardup_pairs", "d08_simhash", "d16_repetition",
+    "d21_boilerplate_segments",
     "s01_cosine_topk", "s03_ivf_topk", "m01_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
