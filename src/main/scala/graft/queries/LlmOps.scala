@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA, TextClean}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA, TextClean}
 import Tables.t
 
 /** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
@@ -13,6 +13,11 @@ import Tables.t
 object LlmOps {
 
   private val stopSql = TA.Stopwords.mkString("['", "','", "']")
+
+  /** Per-source mixture rates (permille) for d22 — one formula feeds
+    * both the Spark broadcast table and the oracle VALUES list. */
+  private val mixRates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", 100 + 47 * i % 900))
 
   /** DuckDB CTE chain replicating minhashBands → candidatePairs over
     * `documents` (shared by d07 and d20): shingle-hash lists, the 4
@@ -664,6 +669,52 @@ object LlmOps {
         |  CAST(COUNT(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_boiler
         |FROM segs s JOIN freq f USING (seg)
         |WHERE s.doc_id < 100
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    Q("d22_mixture_sample",
+      "Corpus mixture construction: per-source sampling rates applied " +
+        "via content-hash permille (no RNG — stable across runs, " +
+        "partitionings, engines). Broadcast rate join + filter; the " +
+        "corpus never shuffles.",
+      (s, dir) => Sampling
+        .mixtureSample(t(s, dir, "documents"), "source", "text", mixRates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source"),
+      Some {
+        val values = mixRates
+          .map { case (src, pm) => s"('$src', $pm)" }.mkString(", ")
+        s"""WITH rates(source, permille) AS (VALUES $values)
+           |SELECT d.source, COUNT(*) AS n_kept
+           |FROM documents d JOIN rates r ON d.source = r.source
+           |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000 < r.permille
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
+      }),
+
+    Q("d23_sequence_packing",
+      "Token-budget sequence packing (greedy by position): docs land in " +
+        "sequence floor(start_offset / 2048) within 100-doc id buckets — " +
+        "the prefix-sum window is partitioned (bounded state, parallel " +
+        "buckets), never a global single-partition sort.",
+      (s, dir) => Sampling
+        .packSequences(t(s, dir, "documents"), "doc_id",
+          size(split(col("text"), " ")), budget = 2048, bucketSize = 100)
+        .groupBy("bucket", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"))
+        .orderBy("bucket", "seq_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |         len(string_split(text, ' ')) AS nt
+        |  FROM documents),
+        |p AS (
+        |  SELECT bucket, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM d)
+        |SELECT bucket, CAST(st // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin))
   )
 }

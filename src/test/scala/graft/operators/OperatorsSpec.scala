@@ -377,6 +377,34 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Sampling") {
+    it("mixtureSample keeps nothing at rate 0 and everything at 1000") {
+      val df = Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"))
+        .toDF("doc_id", "source", "text")
+      val kept = Sampling.mixtureSample(df, "source", "text",
+        Seq("a" -> 1000, "b" -> 0))
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 2L))
+      // unlisted groups are dropped
+      val none = Sampling.mixtureSample(df, "source", "text", Seq("z" -> 1000))
+      assert(none.count() == 0)
+    }
+    it("packSequences assigns seq ids by start offset within buckets") {
+      val df = Seq((0L, 10L), (1L, 2040L), (2L, 5L), (3L, 2050L), (100L, 7L))
+        .toDF("doc_id", "nt")
+      val got = Sampling
+        .packSequences(df, "doc_id", col("nt"), budget = 2048, bucketSize = 100)
+        .select("doc_id", "bucket", "start_tok", "seq_id")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      // starts: 0, 10, 2050, 2055 -> seqs 0, 0, 1, 1; doc 100 starts a
+      // fresh bucket at offset 0
+      assert(got.toSeq == Seq(
+        (0L, 0L, 0L, 0L), (1L, 0L, 10L, 0L),
+        (2L, 0L, 2050L, 1L), (3L, 0L, 2055L, 1L),
+        (100L, 1L, 0L, 0L)))
+    }
+  }
+
   describe("TextClean.boilerplateStats") {
     it("flags segments repeated across documents, not within one") {
       val df = Seq(
