@@ -671,6 +671,48 @@ object LlmOps {
         |WHERE s.doc_id < 100
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
+    Q("d24_cluster_keep_best",
+      "Near-dup end-state: one survivor per transitive cluster — the doc " +
+        "with the most tokens, min doc_id on ties (integer argmax, so " +
+        "both engines agree exactly; float quality scores would make " +
+        "tie-breaks engine-dependent).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.candidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+        val withNt = Dedup.connectedComponents(pairs)
+          .join(docs.select(col("doc_id").as("node"),
+            size(split(col("text"), " ")).cast("long").as("nt")), "node")
+        val mx = withNt.groupBy("rep")
+          .agg(count(lit(1)).as("n_docs"), max("nt").as("best_tokens"))
+        withNt.join(mx, "rep")
+          .filter(col("nt") === col("best_tokens"))
+          .groupBy("rep", "n_docs", "best_tokens")
+          .agg(min("node").as("best_doc"))
+          .select(col("rep").as("cluster_rep"), col("n_docs"),
+            col("best_doc"), col("best_tokens"))
+          .orderBy("cluster_rep")
+      },
+      Some(s"""WITH RECURSIVE $neardupPairsCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS rep
+        |         FROM reach GROUP BY src),
+        |nt AS (SELECT c.node, c.rep, len(string_split(d.text, ' ')) AS nt
+        |       FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |mx AS (SELECT rep, COUNT(*) AS n_docs, MAX(nt) AS best_tokens
+        |       FROM nt GROUP BY rep)
+        |SELECT CAST(m.rep AS BIGINT) AS cluster_rep, m.n_docs,
+        |  CAST(MIN(n.node) AS BIGINT) AS best_doc,
+        |  CAST(m.best_tokens AS BIGINT) AS best_tokens
+        |FROM mx m JOIN nt n ON n.rep = m.rep AND n.nt = m.best_tokens
+        |GROUP BY m.rep, m.n_docs, m.best_tokens
+        |ORDER BY cluster_rep""".stripMargin)),
+
     Q("d22_mixture_sample",
       "Corpus mixture construction: per-source sampling rates applied " +
         "via content-hash permille (no RNG — stable across runs, " +
