@@ -431,6 +431,32 @@ object Relational {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        |ORDER BY status, priority""".stripMargin))
+        |ORDER BY status, priority""".stripMargin)),
+
+    Q("q29_pivot",
+      "PIVOT: event counts per user segment × event type, one wide row " +
+        "per nation — pivot is an Expand+aggregate in Spark (single " +
+        "pass); the oracle spells it as portable CASE aggregation.",
+      (s, dir) => events(s, dir)
+        .join(t(s, dir, "customer"), col("user_id") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("event_type", Seq("click", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("n_name"),
+          col("click").as("n_click"),
+          col("purchase").as("n_purchase"),
+          col("error").as("n_error"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }
