@@ -476,6 +476,38 @@ class OperatorsSpec extends AnyFunSpec {
       assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 3L))
     }
 
+    it("z-ordered layout prunes row groups for predicates on BOTH columns") {
+      val base = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+      val data = spark.range(0, 1 << 14)
+        .select(col("id"),
+          (col("id") % 64).as("x"),
+          pmod(hash(col("id")), lit(64)).cast("long").as("y"))
+      data.repartition(16).write.parquet(s"$base/rr")          // round-robin
+      data.repartition(16).write.parquet(s"$base/zin")
+      Compact.parquetZOrder(spark, s"$base/zin", s"$base/zord",
+        Seq("x", "y"), bits = 4,
+        targetBytes = (Compact.sizeOf(spark, s"$base/zin") / 16).max(1))
+      // Same selective predicate on both clustered columns; parquet
+      // min/max stats can only skip where the layout gives each file a
+      // narrow (x, y) region — i.e. after z-ordering.
+      def rowsScanned(path: String): Long = {
+        val df = spark.read.parquet(path)
+          .filter(col("x") === 3 && col("y") === 5)
+        // collect() executes THIS queryExecution, so its scan metrics
+        // are populated (count() would plan and run a separate query).
+        assert(df.collect().nonEmpty) // predicate actually selects rows
+        df.queryExecution.executedPlan.collectLeaves()
+          .head.metrics("numOutputRows").value
+      }
+      val rr = rowsScanned(s"$base/rr")
+      val zo = rowsScanned(s"$base/zord")
+      // Round-robin smears every (x, y) across all files (stats ranges
+      // cover the whole domain -> nothing skips); z-order confines the
+      // predicate to a few files/row groups.
+      assert(zo < rr, s"z-ordered scan read $zo rows vs round-robin $rr")
+      assert(zo <= rr / 4, s"expected >=4x row-group pruning, got $zo vs $rr")
+    }
+
     it("parquetZOrder writes disjoint z-ranges across files") {
       val in = java.nio.file.Files.createTempDirectory("graft-z-in").toString
       val out = java.nio.file.Files.createTempDirectory("graft-z-out").toString

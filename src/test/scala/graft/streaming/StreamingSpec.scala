@@ -77,6 +77,46 @@ class StreamingSpec extends AnyFunSpec {
     }
   }
 
+  describe("InferStream.windowedCounts (late data past the watermark)") {
+    it("drops a late event instead of re-opening its closed window") {
+      val in = Files.createTempDirectory("graft-late-in").toString
+      val cp = Files.createTempDirectory("graft-late-cp").toString
+      val out = Files.createTempDirectory("graft-late-out").toString
+      val schema = "ts TIMESTAMP, event_type STRING"
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(in)
+        val q = InferStream.windowedCounts(stream, "ts", "1 hour", "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // Run 1: one on-time click + a 03:00 event that advances the
+      // watermark to 02:50, sealing the [00:00, 01:00) window.
+      Files.writeString(java.nio.file.Paths.get(s"$in/a.json"),
+        """{"ts": "2024-01-01T00:10:00Z", "event_type": "click"}""" + "\n" +
+          """{"ts": "2024-01-01T03:00:00Z", "event_type": "click"}""" + "\n")
+      run()
+      // Run 2 (same checkpoint, so the watermark survives): a LATE
+      // 00:20 event behind the 02:50 watermark plus a 06:00 event that
+      // closes the 03:00 window too.
+      Files.writeString(java.nio.file.Paths.get(s"$in/b.json"),
+        """{"ts": "2024-01-01T00:20:00Z", "event_type": "click"}""" + "\n" +
+          """{"ts": "2024-01-01T06:00:00Z", "event_type": "click"}""" + "\n")
+      run()
+      val got = spark.read.parquet(out)
+        .select($"window_start".cast("string"), $"n")
+        .as[(String, Long)].collect().toSet
+      // The 00:00 window emits n=1 — the late 00:20 click was dropped,
+      // not merged (n=2 would mean the watermark failed).
+      assert(got == Set(
+        ("2024-01-01 00:00:00", 1L), ("2024-01-01 03:00:00", 1L)))
+    }
+  }
+
   describe("InferStream.dedupStream (watermark-bounded exact dedup)") {
     it("drops duplicate ids within the watermark horizon") {
       val in = Files.createTempDirectory("graft-dedup-in").toString
