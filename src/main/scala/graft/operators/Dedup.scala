@@ -166,16 +166,18 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val merged = sym.join(labels, col("dst") === col("node"))
+      // One union-of-three per round, ONE materialization:
+      //   (a) my current rep, (b) each neighbor's rep, (c) pointer jump
+      //   rep <- rep(rep) against the previous round's labels (the jump
+      //   being one round stale does not break monotone min-convergence,
+      //   and folding it here avoids a second checkpoint per round).
+      val viaEdges = sym.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("rep"))
-        .union(labels)
+      val viaJump = labels
+        .join(labels.toDF("rn", "rrep"), col("rep") === col("rn"))
+        .select(col("node"), col("rrep").as("rep"))
+      val next = labels.union(viaEdges).union(viaJump)
         .groupBy("node").agg(min("rep").as("rep"))
-        .localCheckpoint() // reused on both sides of the jump self-join
-      // Pointer jump: rep <- rep(rep). Every rep is itself a node, so
-      // the inner join is total; least() guards mid-round asymmetry.
-      val next = merged
-        .join(merged.toDF("rn", "rrep"), col("rep") === col("rn"))
-        .select(col("node"), least(col("rep"), col("rrep")).as("rep"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
