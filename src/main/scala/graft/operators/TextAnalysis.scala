@@ -23,6 +23,16 @@ object TextAnalysis {
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs,
+    * each with an optional leading space — the GPT-2 pretokenizer shape
+    * minus lookaheads, restricted to syntax Java regex and RE2 share so
+    * the SQL oracle counts identically. */
+  val BpeishRe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token count under [[BpeishRe]] (codegen'd regexp_count — no UDF). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishRe)).cast("long")
+
   /** Mean token length via an exact integer fold, then one double
     * division. The token array is let-bound — computed once, not once
     * per reference (see [[ExprLet]]). */

@@ -78,6 +78,25 @@ object LlmOps {
         | CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("d25_bpeish_tokens",
+      "BPE-ish regex token counting (GPT-2 pretokenizer shape, " +
+        "RE2-portable) next to the whitespace count — the standard " +
+        "'how many tokens will this cost' estimate before real BPE.",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"),
+          TA.tokenCount(TA.tokens(col("text"))).as("n_ws"),
+          TA.bpeishTokenCount(col("text")).as("n_bpe"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_ws").cast("long").as("ws_tokens"),
+          sum("n_bpe").cast("long").as("bpe_tokens"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(SUM(len(regexp_extract_all(text, '${TA.BpeishRe}'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("d03_quality_score",
       "Per-document quality features: token/stopword counts, exact-ratio score.",
       (s, dir) => {
