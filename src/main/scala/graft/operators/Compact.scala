@@ -85,13 +85,18 @@ object Compact {
   }
 
   /** Equal-width bucket id in [0, n) for an integral column given its
-    * global min/max. Exact integer arithmetic (IntegralDivide, not
-    * Column./ which is floating-point), so any engine computes the
-    * identical id. */
+    * global min/max: `(c - min) div ceil(span / n)`. Exact integer
+    * arithmetic (IntegralDivide, not Column./ which is floating-point)
+    * and NO multiplication — `(c - min) * n` would overflow a long for
+    * hash-derived id ranges (~2^60), silently wrapping in Spark while
+    * DuckDB raises. Width-based division never exceeds the input's own
+    * magnitude, so any engine computes the identical id at any range. */
   def uniformBucket(c: Column, min: Column, max: Column, n: Int): Column = {
-    val num = (c.cast("long") - min.cast("long")) * n
-    val den = max.cast("long") - min.cast("long") + 1L
-    call_function("div", num, den) // IntegralDivide: exact, codegen'd
+    val off = c.cast("long") - min.cast("long")
+    val span = max.cast("long") - min.cast("long") + 1L
+    // ceil(span/n) as (span-1) div n + 1 — overflow-free for any span >= 1
+    val width = call_function("div", span - 1L, lit(n.toLong)) + 1L
+    call_function("div", off, width) // IntegralDivide: exact, codegen'd
   }
 
   /** Rank-based bucket id in [0, boundaries.size] — robust to skew where
@@ -112,11 +117,11 @@ object Compact {
     * populations near-even without a full sort. */
   def zBoundaries(df: DataFrame, zCols: Seq[String], bits: Int): Seq[Seq[Double]] = {
     val nb = 1 << bits
-    zCols.map { c =>
-      df.stat.approxQuantile(
-        c, (1 until nb).map(_.toDouble / nb).toArray, 0.25 / nb)
-        .toSeq.distinct.sorted
-    }
+    // Multi-column overload: ONE stats pass over the input for all
+    // z-columns (per-column calls would scan the table k times).
+    df.stat.approxQuantile(
+        zCols.toArray, (1 until nb).map(_.toDouble / nb).toArray, 0.25 / nb)
+      .map(_.toSeq.distinct.sorted).toSeq
   }
 
   /** Rewrite `inPath` (parquet) z-order-clustered on `zCols` with

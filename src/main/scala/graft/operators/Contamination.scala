@@ -45,7 +45,10 @@ object Contamination {
     * filter built over the benchmark n-grams (`fpp` false-positive
     * rate, zero false negatives — safe direction for decontamination:
     * you only ever over-drop). Constant executor memory regardless of
-    * benchmark size. */
+    * benchmark size. The broadcast Bloom filter lives until the
+    * SparkContext ends — callers doing many sweeps in one long-lived
+    * session should reuse one flagged plan rather than calling this
+    * per sweep (each call ships and pins a fresh filter). */
   def bloomFlag(corpus: DataFrame, idCol: String, textCol: String,
                 bench: DataFrame, benchTextCol: String,
                 n: Int = 5, expectedItems: Long = 1000000L,

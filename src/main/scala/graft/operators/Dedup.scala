@@ -161,7 +161,10 @@ object Dedup {
       .select(col("node"), col("node").as("rep"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("rep").cast("long"))).head().getLong(0)
+      // coalesce: sum over ZERO rows is NULL (empty edge list — e.g. a
+      // clean corpus with no candidate pairs — must yield an empty
+      // result, not an NPE).
+      df.agg(coalesce(sum(col("rep").cast("long")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * The ranked output is deterministic as long as `sortCols` is a total
   * order (unique tie-break column), regardless of where the sampled
-  * range boundaries land. The branch re-reading the ranged data for
-  * counts reuses the same shuffle exchange (AQE/ReuseExchange) rather
-  * than re-scanning the source.
+  * range boundaries land. The ranged data is localCheckpoint'ed so the
+  * counts branch and the rank branch read the SAME materialization —
+  * correctness never depends on ReuseExchange firing (two separate
+  * executions could in principle sample different range boundaries).
   */
 object RankOps {
 
@@ -33,7 +34,10 @@ object RankOps {
 
   /** `df` + column `out` = 1-based global row number in `sortCols`
     * order. `sortCols` must be a total order (include a unique
-    * tie-break). `numPartitions` bounds per-partition sort size. */
+    * tie-break). `numPartitions` bounds per-partition sort size; a
+    * partition exceeding 2^33 rows (the `monotonically_increasing_id`
+    * per-partition counter width) fails loudly instead of silently
+    * corrupting ranks. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
                       numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
@@ -45,11 +49,22 @@ object RankOps {
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       .withColumn("_lrn", (col("_mid").bitwiseAND(LocalMask)) + 1)
       .drop("_mid")
+      .localCheckpoint()
     // Cumulative start offset per partition id. `counts` is at most
     // `numPartitions` rows, so the running sum is a tiny broadcast
-    // theta-join (b._pid < a._pid) — no global window, no warning, and
-    // the underlying range shuffle is shared via ReuseExchange.
+    // theta-join (b._pid < a._pid) — no global window, no warning. The
+    // assert_true guard rides the same job: a >2^33-row partition would
+    // overflow _lrn into the partition-id bits, so it must abort.
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      // Fold the guard INTO _cnt (assert_true is NULL on success, so
+      // coalesce leaves the count unchanged) — a separate dropped
+      // column would be pruned away by the optimizer.
+      .select(col("_pid"),
+        (col("_cnt") + coalesce(
+          assert_true(col("_cnt") <= lit(LocalMask),
+            lit("RankOps: a range partition exceeds 2^33 rows; " +
+              "raise numPartitions")).cast("long"),
+          lit(0L))).as("_cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col("b._pid") < col("a._pid"), "left")
       .groupBy(col("a._pid").as("_pid"))
@@ -67,16 +82,18 @@ object RankOps {
     val ranked = globalRowNumber(df, sortCols, "_grn", numPartitions)
     val total = ranked.groupBy().agg(count(lit(1)).as("_tot"))
     // q = floor(total/buckets), r = total % buckets; the first r
-    // buckets hold q+1 rows. All integer arithmetic — exact.
+    // buckets hold q+1 rows. IntegralDivide throughout — Column./ is
+    // double division, which loses exactness past 2^53 rows.
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     ranked.crossJoin(broadcast(total))
-      .withColumn("_q", col("_tot") divide lit(buckets) cast "long")
+      .withColumn("_q", idiv(col("_tot"), lit(buckets.toLong)))
       .withColumn("_r", col("_tot") % lit(buckets))
       .withColumn(out,
         when(col("_grn") <= col("_r") * (col("_q") + 1),
-          (col("_grn") - 1) / (col("_q") + 1) cast "long")
+          idiv(col("_grn") - 1, col("_q") + 1))
           .otherwise(col("_r") +
-            ((col("_grn") - col("_r") * (col("_q") + 1) - 1) /
-              greatest(col("_q"), lit(1L)) cast "long")) + 1)
+            idiv(col("_grn") - col("_r") * (col("_q") + 1) - 1,
+              greatest(col("_q"), lit(1L)))) + 1)
       .drop("_grn", "_tot", "_q", "_r")
   }
 }

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Permille bucket [0,1000) of a value's md5 — the same
-    * content-hash-bucket trick as TextAnalysis.trainValTestSplit. */
-  def hashPermille(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % 1000
+  /** Permille bucket [0,1000) of a value's md5 — delegates to the one
+    * canonical hash-bucket recipe (three oracle SQL strings mirror it;
+    * a drifted copy would silently break hash-matching). */
+  def hashPermille(c: Column): Column = TextAnalysis.hashBucket(c, 1000)
 
   /** Mixture sampling: keep a row iff its content-hash permille falls
     * under its group's rate. `rates` (group → permille) is tiny and

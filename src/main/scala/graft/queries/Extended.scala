@@ -131,8 +131,8 @@ object Extended {
         | FROM lineitem),
         |b AS (
         | SELECT l_partkey,
-        |  ((l_partkey - pkmin) * 16) // (pkmax - pkmin + 1) AS bp,
-        |  ((l_suppkey - skmin) * 16) // (skmax - skmin + 1) AS bs
+        |  (l_partkey - pkmin) // ((pkmax - pkmin) // 16 + 1) AS bp,
+        |  (l_suppkey - skmin) // ((skmax - skmin) // 16 + 1) AS bs
         | FROM lineitem, mm)
         |SELECT
         |  (((bp >> 0) & 1) << 1) | (((bp >> 1) & 1) << 3)

@@ -18,7 +18,11 @@ import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, Codec, Expressi
   * — via Spark 4's public `TransformingEncoder`/`Codec` extension point.
   *
   * Format: tag byte (one per node); `JArr` = tag + element;
-  * `JStruct` = tag + field count + (modified-UTF-8 name + node) per field.
+  * `JStruct` = tag + field count + (length-prefixed UTF-8 name + node)
+  * per field. Names are int-length-prefixed raw UTF-8 — NOT
+  * `writeUTF`, whose 64 KB modified-UTF-8 cap would make a dirty
+  * record with a pathological object key kill the task (kryo had no
+  * such limit, and JsonShape stores keys unbounded).
   */
 final class JTypeCodec extends Codec[JType, Array[Byte]] {
 
@@ -35,7 +39,11 @@ final class JTypeCodec extends Codec[JType, Array[Byte]] {
       case JArr(e)      => out.writeByte(6); go(e)
       case JStruct(fs)  =>
         out.writeByte(7); out.writeInt(fs.size)
-        fs.foreach { case (k, v) => out.writeUTF(k); go(v) }
+        fs.foreach { case (k, v) =>
+          val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(kb.length); out.write(kb)
+          go(v)
+        }
     }
     go(t)
     out.flush()
@@ -44,6 +52,11 @@ final class JTypeCodec extends Codec[JType, Array[Byte]] {
 
   override def decode(bytes: Array[Byte]): JType = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    def readName(): String = {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+    }
     def go(): JType = in.readByte() match {
       case 0 => JNull
       case 1 => JStr
@@ -54,7 +67,7 @@ final class JTypeCodec extends Codec[JType, Array[Byte]] {
       case 6 => JArr(go())
       case 7 =>
         val n = in.readInt()
-        JStruct(Vector.fill(n)(in.readUTF() -> go()))
+        JStruct(Vector.fill(n)(readName() -> go()))
       case t => throw new IllegalStateException(s"bad JType tag $t")
     }
     go()

@@ -465,8 +465,8 @@ class OperatorsSpec extends AnyFunSpec {
         .select(Compact.uniformBucket(col("id"), lit(1L), lit(1000L), 16).as("b"))
         .as[Long].collect()
       assert(ids.min == 0 && ids.max == 15)
-      // matches BigInt math (no floating-point drift)
-      assert(ids.toSeq == (1L to 1000L).map(v => (v - 1) * 16 / 1000))
+      // matches the width-based reference: bucket = (v - min) / ceil(span/n)
+      assert(ids.toSeq == (1L to 1000L).map(v => (v - 1) / (999 / 16 + 1)))
     }
 
     it("boundaryBucket counts boundaries <= x") {

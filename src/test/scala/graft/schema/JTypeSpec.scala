@@ -103,6 +103,11 @@ class JTypeSpec extends AnyFunSpec {
         JStruct(Vector("naïve.key-中文" -> JArr(JStruct(Vector("x" -> JLong))))))
       cases.foreach(t => assert(c.decode(c.encode(t)) == t))
     }
+    it("handles field names beyond writeUTF's 64 KB limit") {
+      val c = new JTypeCodec
+      val t: JType = JStruct(Vector(("k" * 70000) -> JStr))
+      assert(c.decode(c.encode(t)) == t)
+    }
     it("is several times smaller than kryo for a typical schema") {
       val t: JType = JStruct(Vector(
         "id" -> JLong, "name" -> JStr,
