@@ -377,6 +377,29 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("RankOps (distributed global ranking)") {
+    it("globalRowNumber assigns 1..N in sort order across partitions") {
+      val df = spark.range(0, 1000)
+        .select((col("id") * 7919 % 1000).as("k"))   // shuffled distinct keys
+        .repartition(8)
+      val got = RankOps.globalRowNumber(df, Seq(col("k")), "rn",
+          numPartitions = 5)
+        .select("k", "rn").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.map(_._2).toSeq == (1L to 1000L))   // rank == k+1 order
+      assert(got.zipWithIndex.forall { case ((k, rn), i) => k == i && rn == i + 1 })
+    }
+    it("globalNtile matches SQL NTILE semantics (larger buckets first)") {
+      val df = spark.range(0, 103).select(col("id").as("k")).repartition(7)
+      val got = RankOps.globalNtile(df, Seq(col("k")), 4, "q",
+          numPartitions = 3)
+        .select("k", "q").as[(Long, Long)].collect().sortBy(_._1)
+      // 103 rows / 4 buckets: sizes 26, 26, 26, 25
+      val expected = Seq.fill(26)(1L) ++ Seq.fill(26)(2L) ++
+        Seq.fill(26)(3L) ++ Seq.fill(25)(4L)
+      assert(got.map(_._2).toSeq == expected)
+    }
+  }
+
   describe("Sampling") {
     it("mixtureSample keeps nothing at rate 0 and everything at 1000") {
       val df = Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"))
