@@ -40,4 +40,23 @@ object Skew {
   def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
     saltedAgg(df, key,
       Seq(SaltedCol("n", count(lit(1)), c => sum(c).cast("long"))), salts)
+
+  /** Salted equi-join for a skewed FACT side: each fact row gets a
+    * deterministic salt in [0, salts); the (smaller) right side is
+    * replicated `salts` times so `(key, salt)` still matches every
+    * fact row exactly once — a hot key's rows now land on `salts`
+    * reducers instead of one. Result set is identical to the unsalted
+    * join. Prefer AQE's runtime skew-join when it fires; this is the
+    * explicit variant for when it can't (e.g. the skewed side feeds
+    * from an exchange AQE won't split, or a deterministic plan is
+    * required). Replication costs `salts ×` the right side — keep the
+    * right side the small one. */
+  def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn(
+      "_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = right.withColumn(
+      "_salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
 }

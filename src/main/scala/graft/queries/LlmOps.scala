@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA, TextClean}
-import Tables.t
+import Tables.{events, t}
 
 /** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
   * SimHash / n-gram Jaccard), similarity search (brute-force + LSH-pruned
@@ -731,6 +731,25 @@ object LlmOps {
         |FROM mx m JOIN nt n ON n.rep = m.rep AND n.nt = m.best_tokens
         |GROUP BY m.rep, m.n_docs, m.best_tokens
         |ORDER BY cluster_rep""".stripMargin)),
+
+    Q("d26_salted_join",
+      "Explicit skew-join salting: the fact side gets a deterministic " +
+        "salt, the dim side replicates per salt, join on (key, salt) — " +
+        "a hot key spreads over `salts` reducers; result set identical " +
+        "to the plain join (which is the oracle).",
+      (s, dir) => {
+        val fact = events(s, dir)
+          .select(col("user_id").as("ckey"), col("event_type"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("ckey"), col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(fact, dim, "ckey", salts = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
     Q("d22_mixture_sample",
       "Corpus mixture construction: per-source sampling rates applied " +

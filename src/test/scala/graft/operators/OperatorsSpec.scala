@@ -377,6 +377,19 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Skew.saltedJoin") {
+    it("returns exactly the plain join result under a hot key") {
+      val fact = Seq.tabulate(300)(i =>
+        (if (i < 250) 1L else i.toLong % 10, s"e$i")).toDF("k", "ev") // 1 is hot
+      val dim = (0L to 10L).map(k => (k, s"d$k")).toDF("k", "attr")
+      val salted = Skew.saltedJoin(fact, dim, "k", salts = 4)
+        .select("k", "ev", "attr").as[(Long, String, String)].collect().toSet
+      val plain = fact.join(dim, "k")
+        .select("k", "ev", "attr").as[(Long, String, String)].collect().toSet
+      assert(salted == plain && plain.size == 300)
+    }
+  }
+
   describe("RankOps (distributed global ranking)") {
     it("globalRowNumber assigns 1..N in sort order across partitions") {
       val df = spark.range(0, 1000)
