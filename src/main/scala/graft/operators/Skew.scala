@@ -50,9 +50,17 @@ object Skew {
     * explicit variant for when it can't (e.g. the skewed side feeds
     * from an exchange AQE won't split, or a deterministic plan is
     * required). Replication costs `salts ×` the right side — keep the
-    * right side the small one. */
+    * right side the small one.
+    *
+    * Only inner and left joins are supported: under right/full outer,
+    * an unmatched replicated right row would be null-extended once PER
+    * SALT (`salts` spurious rows), silently breaking the identity. */
   def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType' — " +
+        "right/full outer would emit unmatched right rows once per salt")
     val saltedFact = fact.withColumn(
       "_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = right.withColumn(

@@ -52,7 +52,10 @@ object TextClean {
     * Returns (idCol, n_segs, n_boiler). */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, minDf: Int = 2): DataFrame = {
-    val segs = explodeSegments(df, idCol, textCol, k)
+    // Materialize once: segs feeds BOTH the frequency aggregation and
+    // the join probe side — left lazy, the scan+split+explode of the
+    // whole corpus would run twice.
+    val segs = explodeSegments(df, idCol, textCol, k).localCheckpoint()
     val freq = segs.groupBy("seg")
       .agg(countDistinct(col(idCol)).as("df"))
     segs.join(freq, "seg")

@@ -585,7 +585,7 @@ object LlmOps {
         |         row_number() OVER (PARTITION BY doc_id
         |           ORDER BY c DESC, g ASC) AS dr
         |       FROM dg QUALIFY dr <= ${graft.operators.LangId.DocTop}),
-        |langs AS (SELECT DISTINCT lang AS cand FROM d),
+        |langs AS (SELECT DISTINCT lang AS cand FROM lp),
         |scored AS (SELECT dr.doc_id, dr.lang, l.cand,
         |             CAST(SUM(abs(dr.dr - COALESCE(lp.r,
         |               ${graft.operators.LangId.ProfileSize + 1}))) AS BIGINT) AS dist
