@@ -156,6 +156,41 @@ object StreamingQ {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) // 1000 BETWEEN epoch_us(c.ts) // 1000
         |                            AND epoch_us(c.ts) // 1000 + 3600000
-        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    Q("w06_streaming_perkey_schema",
+      "Custom stateful streaming operator in the gate: per-key evolving " +
+        "schema via flatMapGroupsWithState (PerKeySchema.evolve, " +
+        "O(schema) state per key, an output row only on change) — the " +
+        "streamed result must equal the batch per-key inference (p06).",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w06").toString
+        events(s, dir)
+          .select(to_json(struct(col("event_type"), col("props"))).as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val stream = s.readStream
+          .schema("event_type STRING, props STRING")
+          .json(s"$tmp/in")
+        import s.implicits._
+        val pairs = stream
+          .select(col("event_type"), col("props")).as[(String, String)]
+        val qname = s"graft_w06_${runId.incrementAndGet()}"
+        val q = graft.streaming.PerKeySchema.evolve(pairs)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // evolve emits only on change, so each key's LAST update is its
+        // final schema; max() collapses re-emissions deterministically
+        // (all updates for a stable schema are the identical string).
+        s.table(qname)
+          .groupBy(col("key").as("event_type"))
+          .agg(max("schemaJson").as("schema_json"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        | '{"type":"struct","fields":[{"name":"k","type":"string","nullable":true,"metadata":{}}]}' AS schema_json
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -78,6 +78,30 @@ object Ddl {
       s") ROW FORMAT SERDE '$serde'",
       s"location '$location'").mkString("\n")
 
+  /** Hive-partitioned variant: `partitions` (name → Hive type) render
+    * as `PARTITIONED BY` and are EXCLUDED from the column block (Hive
+    * stores partition values in the directory layout, not the files).
+    * At 100 TB a dt/source partition scheme is what makes
+    * partition-pruned scans and `DROP PARTITION` retention possible —
+    * the reference has no analog (single-table DDL only). */
+  def createPartitionedStatement(
+      schema: StructType,
+      partitions: Seq[(String, String)],
+      name: String,
+      location: String,
+      serde: String = JsonSerDe): String = {
+    val pnames = partitions.map(_._1).toSet
+    val dataCols = StructType(schema.fields.filterNot(f => pnames.contains(f.name)))
+    val pclause = partitions
+      .map { case (p, t) => s"`${sanitizeName(p)}` $t" }.mkString(", ")
+    Seq(
+      s"CREATE EXTERNAL TABLE $name (",
+      columns(sanitize(dataCols).asInstanceOf[StructType]),
+      s") PARTITIONED BY ($pclause)",
+      s"ROW FORMAT SERDE '$serde'",
+      s"location '$location'").mkString("\n")
+  }
+
   /** Full artifact — reference `table`, `CreateHQL.scala:94-99`. */
   def createExternalTable(
       schema: StructType,

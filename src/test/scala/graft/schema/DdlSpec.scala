@@ -38,6 +38,23 @@ class DdlSpec extends AnyFunSpec {
     }
   }
 
+  describe("partitioned external table DDL") {
+    it("excludes partition columns from the column block and sanitizes them") {
+      val schema = StructType(Seq(
+        StructField("a", StringType),
+        StructField("dt", StringType),        // also a partition column
+        StructField("n", LongType)))
+      val ddl = Ddl.createPartitionedStatement(
+        schema, Seq("dt" -> "STRING", "src.region" -> "STRING"),
+        "t", "/loc")
+      assert(ddl.contains("PARTITIONED BY (`dt` STRING, `src_region` STRING)"))
+      assert(!ddl.linesIterator.exists(l =>
+        l.trim.startsWith("`dt`") && !l.contains("PARTITIONED")))
+      assert(ddl.contains("`a`") && ddl.contains("`n`"))
+      assert(ddl.contains("ROW FORMAT SERDE"))
+    }
+  }
+
   describe("catalog registration (op #9)") {
     it("executes the Spark-SQL equivalent and the table is queryable") {
       val spark = graft.TestSpark.spark
