@@ -457,6 +457,26 @@ object Relational {
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin))
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("q30_udtf_lateral",
+      "Custom Generator (UDTF) through the SQL surface: LATERAL VIEW " +
+        "explode_shingles (codegen'd, registered via GraftExtensions) — " +
+        "repeated-shingle frequencies over a doc slice.",
+      (s, dir) => {
+        graft.GraftExtensions.install(s)
+        t(s, dir, "documents").filter(col("doc_id") < 20)
+          .createOrReplaceTempView("q30_docs")
+        s.sql("""SELECT shingle, COUNT(*) AS n
+          FROM q30_docs LATERAL VIEW explode_shingles(text, 3) sh AS shingle
+          GROUP BY shingle HAVING COUNT(*) >= 2
+          ORDER BY shingle""")
+      },
+      Some("""SELECT sh AS shingle, COUNT(*) AS n
+        |FROM (SELECT unnest(list_transform(
+        |        generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |      FROM documents WHERE doc_id < 20)
+        |GROUP BY sh HAVING COUNT(*) >= 2 ORDER BY shingle""".stripMargin))
   )
 }
