@@ -339,6 +339,34 @@ object Relational {
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
         |FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    Q("q31_range_frame",
+      "RANGE window frame (vs q19's ROWS): per customer, orders placed " +
+        "in the 30 days strictly before each order — a value-based frame " +
+        "over an integer day ordinal, identical semantics both engines.",
+      (s, dir) => {
+        val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(
+              Window.partitionBy("o_custkey").orderBy(day)
+                .rangeBetween(-30, -1)).as("prior_30d_orders"),
+            sum(dec2(col("o_totalprice"))).over(
+              Window.partitionBy("o_custkey").orderBy(day)
+                .rangeBetween(-30, -1))
+              .cast("double").as("prior_30d_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        | COUNT(*) OVER w AS prior_30d_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prior_30d_spend
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("q20_price_quartiles",
       "Exact ntile quartiles via graft.operators.RankOps.globalNtile — " +
         "two-phase range-rank (range repartition + local rank + broadcast " +
