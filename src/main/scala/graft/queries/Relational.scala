@@ -367,6 +367,61 @@ object Relational {
         |  RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    Q("q32_full_outer",
+      "FULL OUTER join with null-side handling: per-customer order " +
+        "counts joined back to the customer dim — customers with no " +
+        "orders surface with n_orders = 0 via coalesce.",
+      (s, dir) => {
+        val perCust = t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+        t(s, dir, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("n_ord"), lit(0L)).as("n_orders"),
+            col("c_mktsegment").isNull.cast("boolean").as("unknown_customer"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        | COALESCE(n_ord, 0) AS n_orders,
+        | c_mktsegment IS NULL AS unknown_customer
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_ord
+        |                 FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin)),
+
+    Q("q33_exists_subquery",
+      "Correlated EXISTS / NOT EXISTS through the SQL surface — " +
+        "Catalyst decorrelates both into semi/anti joins (no per-row " +
+        "subquery execution).",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q33_customer")
+        t(s, dir, "orders").createOrReplaceTempView("q33_orders")
+        s.sql("""SELECT c_mktsegment,
+            COUNT(*) AS n_customers,
+            CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM q33_orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+            CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM q33_orders o WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+          FROM q33_customer c
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+        | COUNT(*) AS n_customers,
+        | CAST(SUM(CASE WHEN EXISTS (
+        |   SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+        | CAST(SUM(CASE WHEN NOT EXISTS (
+        |   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+        |FROM customer c
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("q20_price_quartiles",
       "Exact ntile quartiles via graft.operators.RankOps.globalNtile — " +
         "two-phase range-rank (range repartition + local rank + broadcast " +
