@@ -475,6 +475,50 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Dedup.connectedComponents vs union-find reference") {
+    it("matches brute-force union-find on a seeded random graph") {
+      val rnd = new scala.util.Random(42)
+      val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find with min-label roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
+  describe("Sampling.packSequences vs prefix-sum reference") {
+    it("matches per-bucket running offsets on seeded random token counts") {
+      val rnd = new scala.util.Random(7)
+      val docs = (0L until 250L).map(i => (i, 1L + rnd.nextInt(900)))
+      val got = Sampling
+        .packSequences(docs.toDF("doc_id", "nt"), "doc_id", col("nt"),
+          budget = 1024, bucketSize = 64)
+        .select("doc_id", "start_tok", "seq_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val expected = docs.groupBy(_._1 / 64).flatMap { case (b, ds) =>
+        ds.sortBy(_._1).scanLeft((-1L, 0L, 0L)) {
+          case ((_, acc, _), (id, nt)) => (id, acc + nt, acc / 1024)
+        }.drop(1).map { case (id, accAfter, _) =>
+          val start = accAfter - docs.find(_._1 == id).get._2
+          (id, start, start / 1024)
+        }
+      }.toSeq.sortBy(_._1)
+      assert(got.toSeq == expected)
+    }
+  }
+
   describe("Compact z-order clustering") {
     // Scala reference for the Morton interleave (col 0 owns the MSB).
     def morton(bits: Int, ids: Seq[Long]): Long = {
