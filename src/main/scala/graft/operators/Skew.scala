@@ -58,7 +58,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "leftouter")
-        .contains(joinType.toLowerCase.replace("_", "")),
+        .contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedJoin supports inner/left joins only, got '$joinType' — " +
         "right/full outer would emit unmatched right rows once per salt")
     val saltedFact = fact.withColumn(

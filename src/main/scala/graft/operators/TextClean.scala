@@ -52,10 +52,11 @@ object TextClean {
     * Returns (idCol, n_segs, n_boiler). */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, minDf: Int = 2): DataFrame = {
-    // Materialize once: segs feeds BOTH the frequency aggregation and
-    // the join probe side — left lazy, the scan+split+explode of the
-    // whole corpus would run twice.
-    val segs = explodeSegments(df, idCol, textCol, k).localCheckpoint()
+    // Compute once: segs feeds BOTH the frequency aggregation and the
+    // join probe side — left unmarked, the scan+split+explode of the
+    // whole corpus would run twice. persist() (not localCheckpoint)
+    // keeps lineage for recompute-on-executor-loss and stays lazy.
+    val segs = explodeSegments(df, idCol, textCol, k).persist()
     val freq = segs.groupBy("seg")
       .agg(countDistinct(col(idCol)).as("df"))
     segs.join(freq, "seg")

@@ -2,44 +2,68 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.streaming.InferStream
 import Tables.events
 
-/** Structured Streaming inside the correctness gate: the windowed
-  * aggregation runs as a REAL streaming query (file source → watermarked
-  * tumbling window → memory sink, AvailableNow trigger) and its result
-  * table is hash-compared against the batch DuckDB oracle.
+/** Structured Streaming inside the correctness gate: each w-query runs
+  * as a REAL streaming query (file source → transform → memory sink,
+  * AvailableNow trigger) and its result table is hash-compared against
+  * the batch DuckDB oracle.
   */
 object StreamingQ {
 
   private val runId = new AtomicInteger(0)
+
+  /** Dump a one-column `value` NDJSON projection of a batch frame under
+    * a fresh temp dir and open it as a streaming source. Returns the
+    * stream plus a cleanup thunk — call it AFTER the streaming query
+    * terminated (AvailableNow has read everything by then; without
+    * cleanup every Verify run leaks a full copy of the input). */
+  private def jsonStream(s: SparkSession, ndjson: DataFrame,
+                         schema: String): (DataFrame, () => Unit) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wq").toString
+    ndjson.write.mode("overwrite").text(s"$tmp/in")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    (s.readStream.schema(schema).json(s"$tmp/in"),
+      () => rm(new java.io.File(tmp)))
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the result table. */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+                          mode: String): DataFrame = {
+    val qname = s"graft_wq_${runId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(qname)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
 
   val all: Seq[Q] = Seq(
     Q("w02_streaming_daily",
       "Event-time tumbling window computed by Structured Streaming " +
         "(complete mode, AvailableNow) — counts must equal the batch oracle.",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w02").toString
         // Millisecond truncation in to_json cannot move an event across a
         // (ms-aligned) midnight boundary, so day-window counts are exact.
-        events(s, dir).select(
-          to_json(struct(col("ts"), col("event_type"))).as("value"))
-          .write.mode("overwrite").text(s"$tmp/in")
-        val stream = s.readStream
-          .schema("ts TIMESTAMP, event_type STRING")
-          .json(s"$tmp/in")
-        val qname = s"graft_w02_${runId.incrementAndGet()}"
-        val q = InferStream.windowedCounts(stream, "ts", "1 day", "1 hour")
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
-          .select(
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("ts"), col("event_type"))).as("value")),
+          "ts TIMESTAMP, event_type STRING")
+        val out = runToMemory(s,
+          InferStream.windowedCounts(stream, "ts", "1 day", "1 hour"),
+          "complete")
+        cleanup()
+        out.select(
             col("window_start").cast("date").as("day"),
             col("event_type"), col("n"))
           .orderBy("day", "event_type")
@@ -82,28 +106,21 @@ object StreamingQ {
         "dimension (stream side never shuffles for the join), then " +
         "aggregated per nation — counts must equal the batch join oracle.",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w04").toString
-        events(s, dir).select(
-          to_json(struct(col("event_id"), col("user_id"))).as("value"))
-          .write.mode("overwrite").text(s"$tmp/in")
-        val stream = s.readStream
-          .schema("event_id LONG, user_id LONG")
-          .json(s"$tmp/in")
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("event_id"), col("user_id"))).as("value")),
+          "event_id LONG, user_id LONG")
         val dim = Tables.t(s, dir, "customer")
           .join(Tables.t(s, dir, "nation"),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
-        val qname = s"graft_w04_${runId.incrementAndGet()}"
-        val q = graft.streaming.InferStream
-          .enrich(stream, dim, col("user_id") === col("c_custkey"))
-          .groupBy("n_name")
-          .agg(count(lit(1)).as("n"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname).orderBy("n_name")
+        val out = runToMemory(s,
+          InferStream.enrich(stream, dim, col("user_id") === col("c_custkey"))
+            .groupBy("n_name")
+            .agg(count(lit(1)).as("n")),
+          "complete")
+        cleanup()
+        out.orderBy("n_name")
       },
       Some("""SELECT n_name, COUNT(*) AS n
         |FROM events e
@@ -119,34 +136,27 @@ object StreamingQ {
         "range), so state is O(window), not O(stream). Pair counts must " +
         "equal the batch self-join oracle.",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w05").toString
         val ev = events(s, dir)
         // to_json truncates ts to milliseconds; the oracle compares at
         // ms precision too (epoch_us // 1000), so the engines agree.
-        Seq("click", "purchase").foreach { et =>
-          ev.filter(col("event_type") === et)
-            .select(to_json(struct(col("user_id"), col("ts"))).as("value"))
-            .write.mode("overwrite").text(s"$tmp/$et")
+        def side(et: String, u: String, t: String) = {
+          val (stream, cleanup) = jsonStream(s,
+            ev.filter(col("event_type") === et)
+              .select(to_json(struct(col("user_id"), col("ts"))).as("value")),
+            "user_id LONG, ts TIMESTAMP")
+          (stream.select(col("user_id").as(u), col("ts").as(t))
+            .withWatermark(t, "2 hours"), cleanup)
         }
-        def side(et: String, u: String, t: String) = s.readStream
-          .schema("user_id LONG, ts TIMESTAMP")
-          .json(s"$tmp/$et")
-          .select(col("user_id").as(u), col("ts").as(t))
-          .withWatermark(t, "2 hours")
-        val clicks = side("click", "cu", "cts")
-        val purchases = side("purchase", "pu", "pts")
-        val qname = s"graft_w05_${runId.incrementAndGet()}"
-        val q = clicks.join(purchases,
+        val (clicks, c1) = side("click", "cu", "cts")
+        val (purchases, c2) = side("purchase", "pu", "pts")
+        val out = runToMemory(s,
+          clicks.join(purchases,
             col("cu") === col("pu") &&
               col("pts") >= col("cts") &&
-              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
-          .groupBy(col("cu").as("user_id"))
+              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR")),
+          "append")
+        c1(); c2()
+        out.groupBy(col("cu").as("user_id"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("user_id")
       },
@@ -164,29 +174,33 @@ object StreamingQ {
         "O(schema) state per key, an output row only on change) — the " +
         "streamed result must equal the batch per-key inference (p06).",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w06").toString
-        events(s, dir)
-          .select(to_json(struct(col("event_type"), col("props"))).as("value"))
-          .write.mode("overwrite").text(s"$tmp/in")
-        val stream = s.readStream
-          .schema("event_type STRING, props STRING")
-          .json(s"$tmp/in")
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("event_type"), col("props"))).as("value")),
+          "event_type STRING, props STRING")
         import s.implicits._
         val pairs = stream
           .select(col("event_type"), col("props")).as[(String, String)]
-        val qname = s"graft_w06_${runId.incrementAndGet()}"
-        val q = graft.streaming.PerKeySchema.evolve(pairs)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // evolve emits only on change, so each key's LAST update is its
-        // final schema; max() collapses re-emissions deterministically
-        // (all updates for a stable schema are the identical string).
-        s.table(qname)
-          .groupBy(col("key").as("event_type"))
-          .agg(max("schemaJson").as("schema_json"))
+        val out = runToMemory(s,
+          graft.streaming.PerKeySchema.evolve(pairs).toDF(), "update")
+        cleanup()
+        // evolve may emit several updates per key (one per schema
+        // change across micro-batches). The final schema is the MERGE
+        // of all of them — schema evolution is monotone in the JType
+        // lattice — so fold them; max()/last() would pick an arbitrary
+        // string, not the widest schema.
+        val mergeSchemas = udf { (xs: Seq[String]) =>
+          val merged = xs
+            .map(j => graft.schema.JType.fromDataType(DataType.fromJson(j)))
+            .foldLeft(graft.schema.JNull: graft.schema.JType)(
+              graft.schema.JType.merge(_, _, false))
+          graft.schema.JType.toDataType(merged) match {
+            case st: StructType => st.json
+            case _              => graft.schema.SchemaInference.InvalidSchema
+          }
+        }
+        out.groupBy(col("key").as("event_type"))
+          .agg(mergeSchemas(collect_list("schemaJson")).as("schema_json"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,

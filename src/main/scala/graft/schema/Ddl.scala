@@ -90,8 +90,14 @@ object Ddl {
       name: String,
       location: String,
       serde: String = JsonSerDe): String = {
-    val pnames = partitions.map(_._1).toSet
-    val dataCols = StructType(schema.fields.filterNot(f => pnames.contains(f.name)))
+    // Compare SANITIZED, case-folded names: Hive identifiers are
+    // case-insensitive and this module's whole point is [.-]→_
+    // sanitization — matching raw names would let "server.timezone"
+    // slip past a "server_timezone" partition spec and render the same
+    // column in both the column block and PARTITIONED BY (invalid DDL).
+    def norm(n: String) = sanitizeName(n).toLowerCase(java.util.Locale.ROOT)
+    val pnames = partitions.map(p => norm(p._1)).toSet
+    val dataCols = StructType(schema.fields.filterNot(f => pnames.contains(norm(f.name))))
     val pclause = partitions
       .map { case (p, t) => s"`${sanitizeName(p)}` $t" }.mkString(", ")
     Seq(

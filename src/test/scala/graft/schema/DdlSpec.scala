@@ -42,14 +42,22 @@ class DdlSpec extends AnyFunSpec {
     it("excludes partition columns from the column block and sanitizes them") {
       val schema = StructType(Seq(
         StructField("a", StringType),
-        StructField("dt", StringType),        // also a partition column
+        StructField("dt", StringType),              // also a partition column
+        StructField("server.timezone", StringType), // sanitizes to a partition
         StructField("n", LongType)))
       val ddl = Ddl.createPartitionedStatement(
-        schema, Seq("dt" -> "STRING", "src.region" -> "STRING"),
+        schema,
+        Seq("DT" -> "STRING", "server_timezone" -> "STRING",
+          "src.region" -> "STRING"),
         "t", "/loc")
-      assert(ddl.contains("PARTITIONED BY (`dt` STRING, `src_region` STRING)"))
+      assert(ddl.contains(
+        "PARTITIONED BY (`DT` STRING, `server_timezone` STRING, `src_region` STRING)"))
+      // exclusion matches on sanitized, case-folded names: neither `dt`
+      // (case) nor `server_timezone` (dot-sanitized) may appear as a
+      // data column
       assert(!ddl.linesIterator.exists(l =>
-        l.trim.startsWith("`dt`") && !l.contains("PARTITIONED")))
+        (l.trim.startsWith("`dt`") || l.trim.startsWith("`server_timezone`"))
+          && !l.contains("PARTITIONED")))
       assert(ddl.contains("`a`") && ddl.contains("`n`"))
       assert(ddl.contains("ROW FORMAT SERDE"))
     }
