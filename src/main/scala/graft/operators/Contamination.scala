@@ -57,10 +57,16 @@ object Contamination {
       .stat.bloomFilter("shingle", expectedItems, fpp)
     val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
     val hit = udf((s: String) => bcast.value.mightContainString(s))
-    corpus
+    val flagged = corpus
       .select(col(idCol), ExplodeShingles(col(textCol), n).as("shingle"))
       .groupBy(col(idCol))
       .agg(max(when(hit(col("shingle")), 1).otherwise(0)).as("_c"))
-      .select(col(idCol), (col("_c") === 1).as("contaminated"))
+    // Docs shorter than n tokens emit no shingles and would vanish from
+    // the grouped result; left-join back to the full id set so every
+    // corpus doc gets a verdict (short doc => contaminated = false).
+    corpus.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_c") === 1, lit(false)).as("contaminated"))
   }
 }

@@ -188,6 +188,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exhausted maxIter=$maxIter without reaching " +
+          "a fixpoint; labels may not be fully transitive (raise maxIter " +
+          "for graphs with diameter > ~2^maxIter)")
     labels
   }
 }

@@ -49,20 +49,25 @@ object TextClean {
 
   /** Per-document boilerplate stats: segments whose document frequency
     * across the whole corpus is >= `minDf` count as boilerplate.
-    * Returns (idCol, n_segs, n_boiler). */
+    * Returns (idCol, n_segs, n_boiler).
+    *
+    * Single pass, no cache: pre-aggregate occurrences per (seg, doc),
+    * read the document frequency off a window partitioned by seg (one
+    * row per (seg, doc) after the pre-agg, so plain count == distinct
+    * docs), then re-aggregate per doc. Three shuffles on shrinking
+    * data, and — unlike a persist + self-join — no pinned cache entry
+    * leaking into whatever else runs in the session. */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 8, minDf: Int = 2): DataFrame = {
-    // Compute once: segs feeds BOTH the frequency aggregation and the
-    // join probe side — left unmarked, the scan+split+explode of the
-    // whole corpus would run twice. persist() (not localCheckpoint)
-    // keeps lineage for recompute-on-executor-loss and stays lazy.
-    val segs = explodeSegments(df, idCol, textCol, k).persist()
-    val freq = segs.groupBy("seg")
-      .agg(countDistinct(col(idCol)).as("df"))
-    segs.join(freq, "seg")
+    val perDocSeg = explodeSegments(df, idCol, textCol, k)
+      .groupBy(col("seg"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    val docFreq = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    perDocSeg
+      .withColumn("df", count(lit(1)).over(docFreq))
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+        sum("occ").as("n_segs"),
+        sum(when(col("df") >= minDf, col("occ")).otherwise(0L)).as("n_boiler"))
   }
 }

@@ -14,6 +14,27 @@ object LlmOps {
 
   private val stopSql = TA.Stopwords.mkString("['", "','", "']")
 
+  /** Near-dup component labels over `documents`, memoized per
+    * (session, data dir): d20 and d24 both need the SAME iterative
+    * connected-components run, and its result is a localCheckpoint'ed
+    * (materialized) frame — rerunning the multi-round label propagation
+    * for each query would double the most expensive part of a Verify
+    * sweep for zero benefit. Holding the reference also keeps the
+    * checkpoint blocks alive for the second use. */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def neardupLabels(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    ccMemo.computeIfAbsent((s, dir), { key =>
+      val (sess, d) = key
+      val pairs = Dedup.candidatePairs(
+        Dedup.minhashBands(t(sess, d, "documents"), "doc_id", "text"),
+        "doc_id")
+      Dedup.connectedComponents(pairs)
+    })
+
   /** Per-source mixture rates (permille) for d22 — one formula feeds
     * both the Spark broadcast table and the oracle VALUES list. */
   private val mixRates: Seq[(String, Int)] =
@@ -648,13 +669,9 @@ object LlmOps {
         "hash-min label propagation (Dedup.connectedComponents, one " +
         "shuffle per round, O(diameter) rounds); every clustered doc " +
         "maps to its min-id representative. Oracle: recursive CTE.",
-      (s, dir) => {
-        val bands = Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text")
-        val pairs = Dedup.candidatePairs(bands, "doc_id")
-        Dedup.connectedComponents(pairs)
-          .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => neardupLabels(s, dir)
+        .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+        .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $neardupPairsCtes,
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
         |          UNION SELECT d2, d1 FROM pairs),
@@ -697,9 +714,7 @@ object LlmOps {
         "tie-breaks engine-dependent).",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.candidatePairs(
-          Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
-        val withNt = Dedup.connectedComponents(pairs)
+        val withNt = neardupLabels(s, dir)
           .join(docs.select(col("doc_id").as("node"),
             size(split(col("text"), " ")).cast("long").as("nt")), "node")
         val mx = withNt.groupBy("rep")

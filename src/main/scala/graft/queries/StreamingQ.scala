@@ -189,13 +189,18 @@ object StreamingQ {
         // of all of them — schema evolution is monotone in the JType
         // lattice — so fold them; max()/last() would pick an arbitrary
         // string, not the widest schema.
+        // Top-level fields are emitted SORTED BY NAME: collect_list order
+        // is nondeterministic across micro-batch interleavings, so
+        // first-seen order is not reproducible here (unlike batch p06),
+        // and the SQL oracle below derives the same sorted key set from
+        // the data itself.
         val mergeSchemas = udf { (xs: Seq[String]) =>
           val merged = xs
             .map(j => graft.schema.JType.fromDataType(DataType.fromJson(j)))
             .foldLeft(graft.schema.JNull: graft.schema.JType)(
               graft.schema.JType.merge(_, _, false))
           graft.schema.JType.toDataType(merged) match {
-            case st: StructType => st.json
+            case st: StructType => StructType(st.fields.sortBy(_.name)).json
             case _              => graft.schema.SchemaInference.InvalidSchema
           }
         }
@@ -203,8 +208,23 @@ object StreamingQ {
           .agg(mergeSchemas(collect_list("schemaJson")).as("schema_json"))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type,
-        | '{"type":"struct","fields":[{"name":"k","type":"string","nullable":true,"metadata":{}}]}' AS schema_json
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+      // Oracle derived from the data (not a hardcoded schema constant):
+      // the per-key schema on the STRING lattice is exactly the sorted
+      // union of JSON object keys seen under that event_type, each typed
+      // "string". Pinned generator invariant: props values are SCALARS
+      // (a nested object/array value would widen the field type and
+      // break this derivation loudly via hash mismatch).
+      Some("""WITH ks AS (
+        |  SELECT DISTINCT event_type, k FROM (
+        |    SELECT event_type, unnest(json_keys(props)) AS k
+        |    FROM events
+        |    WHERE json_valid(props) AND json_type(props) = 'OBJECT'))
+        |SELECT event_type,
+        |  '{"type":"struct","fields":[' ||
+        |  string_agg('{"name":"' || k ||
+        |             '","type":"string","nullable":true,"metadata":{}}',
+        |             ',' ORDER BY k) ||
+        |  ']}' AS schema_json
+        |FROM ks GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

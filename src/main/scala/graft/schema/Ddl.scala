@@ -98,6 +98,12 @@ object Ddl {
     def norm(n: String) = sanitizeName(n).toLowerCase(java.util.Locale.ROOT)
     val pnames = partitions.map(p => norm(p._1)).toSet
     val dataCols = StructType(schema.fields.filterNot(f => pnames.contains(norm(f.name))))
+    // Hive rejects a CREATE TABLE with an empty column block; catching it
+    // here turns "every schema field was claimed as a partition" into a
+    // clear error instead of invalid DDL shipped to the metastore.
+    require(dataCols.nonEmpty,
+      s"partition spec ${partitions.map(_._1).mkString("[", ",", "]")} covers " +
+        "every schema field; at least one non-partition column is required")
     val pclause = partitions
       .map { case (p, t) => s"`${sanitizeName(p)}` $t" }.mkString(", ")
     Seq(

@@ -190,6 +190,13 @@ class OperatorsSpec extends AnyFunSpec {
         .as[(Long, Boolean)].collect().toMap
       assert(flags(0L) && flags(2L) && !flags(1L))
     }
+    it("bloom variant reports short docs as clean instead of dropping them") {
+      val withShort = train.union(Seq((3L, "too short")).toDF("doc_id", "text"))
+      val flags = Contamination
+        .bloomFlag(withShort, "doc_id", "text", bench, "text", 5, 1000L, 0.001)
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags.keySet == Set(0L, 1L, 2L, 3L) && !flags(3L))
+    }
   }
 
   describe("Multimodal") {

@@ -61,6 +61,15 @@ class DdlSpec extends AnyFunSpec {
       assert(ddl.contains("`a`") && ddl.contains("`n`"))
       assert(ddl.contains("ROW FORMAT SERDE"))
     }
+    it("rejects a partition spec that claims every schema field") {
+      val schema = StructType(Seq(
+        StructField("dt", StringType), StructField("src", StringType)))
+      val e = intercept[IllegalArgumentException] {
+        Ddl.createPartitionedStatement(
+          schema, Seq("dt" -> "STRING", "src" -> "STRING"), "t", "/loc")
+      }
+      assert(e.getMessage.contains("non-partition column"))
+    }
   }
 
   describe("catalog registration (op #9)") {
