@@ -20,8 +20,8 @@ object Bench {
     "q28_grouping_sets", "w01_daily_events",
     "w03_session_window", "q14_json_group", "p04_route_infer_single_pass",
     "d05_fingerprint", "d07_neardup_pairs", "d08_simhash", "d16_repetition",
-    "d21_boilerplate_segments",
-    "s01_cosine_topk", "s03_ivf_topk", "m01_multimodal_decode")
+    "d21_boilerplate_segments", "d27_quality_classifier", "d29_tfidf_topterms",
+    "s01_cosine_topk", "s03_ivf_topk", "s04_pq_topk", "m01_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

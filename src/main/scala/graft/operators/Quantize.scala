@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest-neighbor search —
+  * the memory-bound billion-vector scale path (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+  * vector into `m` subvectors, quantize each against a tiny per-slot
+  * codebook, and search with asymmetric distance computation (ADC) —
+  * per-vector cost drops from O(dim) float ops to `m` table lookups and
+  * storage from dim floats to `m` byte codes (32× for 64-dim → 8 codes).
+  *
+  * Scale shape: the codebook is O(m·k·d) — kilobytes — and broadcasts
+  * as literals into a pure per-row encode expression (shuffle-free);
+  * the ADC table for a query is computed ONCE on the driver (m·k
+  * doubles); search is a scan + TakeOrdered. Codebooks here are the
+  * first-k subvectors (a deterministic stand-in — a real pipeline
+  * k-means-trains them offline; the encode/search plumbing is
+  * identical).
+  *
+  * Determinism: all distances are sequential left folds in DOUBLE
+  * (float→double widening is exact), matching the SQL oracle's
+  * list_reduce fold; argmin ties break to the LOWEST centroid index via
+  * first-position-of-min.
+  */
+object Quantize {
+
+  /** `m`-th (0-based) `d`-dim subvector of a 1-based array column. */
+  def subvec(v: Column, m: Int, d: Int): Column = slice(v, m * d + 1, d)
+
+  /** Squared L2 distance as a sequential left fold (see class doc). */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Codebook from the first `k` vectors: cb(m)(j) = subvector `m` of
+    * vector `j`, widened to double (exact). One tiny collect — any PQ
+    * index build materializes its codebook on the driver. */
+  def codebookFromFirst(emb: DataFrame, idCol: String, embCol: String,
+                        m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(rows.length == k, s"codebook needs vectors 0..${k - 1}")
+    val vecs = rows.map(_.getSeq[Float](1).map(_.toDouble).toVector)
+    val d = vecs.head.length / m
+    (0 until m).map(mi => vecs.toSeq.map(v => v.slice(mi * d, mi * d + d): Seq[Double]))
+  }
+
+  /** PQ codes (array of `m` 0-based centroid indices) for a DOUBLE
+    * vector column. Ties take the lowest index (first position of the
+    * minimum distance). */
+  def encode(v: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val d = cb.head.head.size
+    array(cb.indices.map { mi =>
+      ExprLet.let(subvec(v, mi, d)) { sv =>
+        ExprLet.let(array(cb(mi).map(c => dist2(sv, typedlit(c))): _*)) { ds =>
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        }
+      }
+    }: _*)
+  }
+
+  /** ADC table for a query vector: adc(m)(j) = ‖q_sub_m − cb(m)(j)‖².
+    * Driver-side, same left-fold order as [[dist2]]. */
+  def adcTable(q: Seq[Double], cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val d = cb.head.head.size
+    cb.indices.map { mi =>
+      val qs = q.slice(mi * d, mi * d + d)
+      cb(mi).map(c =>
+        qs.zip(c).foldLeft(0.0)((acc, p) =>
+          acc + (p._1 - p._2) * (p._1 - p._2)))
+    }
+  }
+
+  /** Approximate distance of an encoded vector to the query: `m` table
+    * lookups summed left-to-right. */
+  def adcDistance(codes: Column, adc: Seq[Seq[Double]]): Column =
+    adc.indices.map(mi =>
+        element_at(typedlit(adc(mi)), element_at(codes, mi + 1) + 1))
+      .reduce(_ + _)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis => TA, TextClean}
+import graft.operators.{Classifier, Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis => TA, TextClean, Tfidf}
 import Tables.{events, t}
 
 /** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
@@ -39,6 +39,29 @@ object LlmOps {
     * both the Spark broadcast table and the oracle VALUES list. */
   private val mixRates: Seq[(String, Int)] =
     (0 until 20).map(i => (s"src$i", 100 + 47 * i % 900))
+
+  /** Classifier weights: d27's fixed scoring model and d28's GD start
+    * point (shared between the Spark plan and the rendered oracle SQL). */
+  private val ScoreW = Seq(-1.5, 2.0, -3.0, 0.5)
+  private val StepW = Seq(0.1, -0.2, 0.3, -0.1)
+
+  /** DuckDB projection of [[graft.operators.Classifier.features]]'s raw
+    * integer counts (n tokens, stopwords, summed token length) + label. */
+  private val featureSql: String =
+    s"""
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stopSql, t))) AS DOUBLE) AS st,
+       |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+       |      t -> len(t)), 'sum') AS DOUBLE) AS sl,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents""".stripMargin
+
+  /** w·f in the same left-to-right association as Classifier.dotW. */
+  private def zSql(w: Seq[Double]): String =
+    s"${w(0)} * 1.0 + ${w(1)} * least(n / 50.0, 1.0) + " +
+      s"${w(2)} * (st / n) + ${w(3)} * ((sl / n) / 10.0)"
 
   /** DuckDB CTE chain replicating minhashBands → candidatePairs over
     * `documents` (shared by d07 and d20): shingle-hash lists, the 4
@@ -810,6 +833,145 @@ object LlmOps {
         |  FROM d)
         |SELECT bucket, CAST(st // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin))
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin)),
+
+    Q("d27_quality_classifier",
+      "Model-based quality gate (the fastText/LR-style filter of the " +
+        "CCNet / GPT-3 data recipes): fixed-weight logistic scorer over " +
+        "deterministic text features — a pure codegen'd column " +
+        "expression, shuffle-free over the corpus.",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(Classifier.score(ScoreW, col("text")), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS ($featureSql
+        |  WHERE doc_id < 200),
+        |z AS (SELECT doc_id, ${zSql(ScoreW)} AS z FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin)),
+
+    Q("d28_gd_step",
+      "In-engine classifier TRAINING: one exact batch gradient-descent " +
+        "step (label: lang = 'en') — per-row gradient contributions " +
+        "rounded to 9 decimals and summed as DECIMAL(28,9), so Spark's " +
+        "partial/final aggregation tree and the oracle's scan order " +
+        "produce the IDENTICAL update; 5 numbers reach the driver.",
+      (s, dir) => {
+        val next = Classifier.step(t(s, dir, "documents"), "text",
+          col("lang") === "en", StepW, lr = 0.5)
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((r6(next(0)), r6(next(1)), r6(next(2)), r6(next(3))))
+          .toDF("nw0", "nw1", "nw2", "nw3")
+      },
+      Some(s"""WITH f AS ($featureSql),
+        |p AS (SELECT y, 1.0 AS f0, least(n / 50.0, 1.0) AS f1,
+        |        (st / n) AS f2, ((sl / n) / 10.0) AS f3,
+        |        1.0 / (1.0 + exp(-(${zSql(StepW)}))) AS p
+        |      FROM f),
+        |g AS (SELECT COUNT(*) AS nn,
+        |        SUM(CAST(round((p - y) * f0, 9) AS DECIMAL(28,9))) AS g0,
+        |        SUM(CAST(round((p - y) * f1, 9) AS DECIMAL(28,9))) AS g1,
+        |        SUM(CAST(round((p - y) * f2, 9) AS DECIMAL(28,9))) AS g2,
+        |        SUM(CAST(round((p - y) * f3, 9) AS DECIMAL(28,9))) AS g3
+        |      FROM p)
+        |SELECT round(${StepW(0)} - 0.5 * (CAST(g0 AS DOUBLE) / nn), 6) AS nw0,
+        |       round(${StepW(1)} - 0.5 * (CAST(g1 AS DOUBLE) / nn), 6) AS nw1,
+        |       round(${StepW(2)} - 0.5 * (CAST(g2 AS DOUBLE) / nn), 6) AS nw2,
+        |       round(${StepW(3)} - 0.5 * (CAST(g3 AS DOUBLE) / nn), 6) AS nw3
+        |FROM g""".stripMargin)),
+
+    Q("d29_tfidf_topterms",
+      "TF-IDF salient terms (graft.operators.Tfidf): tf = one (doc,term) " +
+        "hash agg over exploded tokens; df = a second agg over the " +
+        "already-distinct pairs (plain count, no countDistinct pass); " +
+        "score join shuffles on the Zipf-skewed term key; top-3 per doc " +
+        "is a bounded window — never a global sort. Scores rounded to 6 " +
+        "decimals so the ranking key is engine-portable.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Tfidf.topTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 3)
+          .filter(col("doc_id") < 50)
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tfc AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         round(tf * ln(nd / df), 6) AS tfidf
+        |       FROM tfc JOIN dfc USING (term), nn),
+        |rk AS (SELECT doc_id, term, tf, df, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+        |       FROM sc)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM rk
+        |WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk""".stripMargin)),
+
+    Q("s04_pq_topk",
+      "Product-quantization ANN (Jégou et al. 2011): 8 subquantizers × " +
+        "16 centroids (codebook = the first 16 vectors, a deterministic " +
+        "stand-in for k-means-trained codebooks), so vectors compress " +
+        "64 floats → 8 codes (32× memory) and search is ADC table " +
+        "lookups — the RAM-bound billion-vector path next to s01's " +
+        "brute force and s03's IVF. Codes and distances re-derived " +
+        "exactly in the SQL oracle (same left-fold arithmetic, argmin " +
+        "ties to the lowest centroid index).",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Quantize.codebookFromFirst(emb, "vec_id", "embedding",
+          m = 8, k = 16)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val adc = Quantize.adcTable(qv, cb)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(Quantize.adcDistance(
+              Quantize.encode(Similarity.asDouble(col("embedding")), cb),
+              adc), 6).as("adist"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
+        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
+        |dists AS (
+        |  SELECT e.vec_id, ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, ms, cb
+        |  WHERE e.vec_id <> 0),
+        |mind AS (SELECT vec_id, m, MIN(d2) AS md
+        |         FROM dists GROUP BY vec_id, m),
+        |codes AS (
+        |  SELECT d.vec_id, d.m, MIN(d.j) AS code
+        |  FROM dists d JOIN mind USING (vec_id, m)
+        |  WHERE d.d2 = mind.md
+        |  GROUP BY d.vec_id, d.m),
+        |adc AS (
+        |  SELECT ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM (SELECT v FROM e WHERE vec_id = 0) q, ms, cb),
+        |approx AS (
+        |  SELECT c.vec_id,
+        |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
+        |  FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, round(adist, 6) AS adist FROM approx
+        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin))
   )
 }

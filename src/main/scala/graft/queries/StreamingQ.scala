@@ -225,6 +225,29 @@ object StreamingQ {
         |             '","type":"string","nullable":true,"metadata":{}}',
         |             ',' ORDER BY k) ||
         |  ']}' AS schema_json
-        |FROM ks GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM ks GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w07_streaming_dedup",
+      "Streaming exact dedup: dropDuplicates on (user_id, event_type) " +
+        "inside a real streaming query — state is ONE entry per distinct " +
+        "key (O(distinct), not O(stream)); per-type distinct-user counts " +
+        "must equal the batch DISTINCT oracle. The bounded-state " +
+        "production variant is dropDuplicatesWithinWatermark (same plan " +
+        "with state eviction); only the unwindowed form is exactly " +
+        "batch-equivalent, hence oracled here.",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("user_id"), col("event_type"))).as("value")),
+          "user_id LONG, event_type STRING")
+        val out = runToMemory(s,
+          stream.dropDuplicates("user_id", "event_type"), "append")
+        cleanup()
+        out.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

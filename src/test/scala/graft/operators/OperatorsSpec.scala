@@ -463,6 +463,92 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Classifier (logistic quality gate)") {
+    it("features are [bias, length saturation, stopword ratio, len/10]") {
+      val f = Seq(("the fox runs", 0))
+        .toDF("text", "ignore")
+        .select(Classifier.features($"text").as("f"))
+        .as[Seq[Double]].head()
+      // 3 tokens, 1 stopword ("the"), 10 chars of tokens (3+3+4)
+      assert(f == Seq(1.0, 3.0 / 50.0, 1.0 / 3.0, (10.0 / 3.0) / 10.0))
+    }
+    it("score is monotone in the weights' direction") {
+      val w = Seq(0.0, 5.0, 0.0, 0.0) // reward length only
+      val short = Seq(("one two", 0)).toDF("text", "i")
+        .select(Classifier.score(w, $"text")).as[Double].head()
+      val long = Seq(((1 to 40).map(_ => "word").mkString(" "), 0))
+        .toDF("text", "i")
+        .select(Classifier.score(w, $"text")).as[Double].head()
+      assert(long > short && short > 0.5) // both positive-weight scores
+    }
+    it("gradient descent separates a linearly separable corpus") {
+      // long docs labeled 1, short docs labeled 0 — feature f1 separates
+      val corpus = ((0 until 20).map(i =>
+        ((1 to 45 + i % 5).map(_ => "data").mkString(" "), 1.0)) ++
+        (0 until 20).map(i =>
+          ((1 to 3 + i % 3).map(_ => "data").mkString(" "), 0.0)))
+        .toDF("text", "y")
+      val w = Classifier.train(corpus, "text", $"y",
+        init = Seq(0.0, 0.0, 0.0, 0.0), lr = 2.0, iters = 30)
+      val acc = corpus
+        .select($"y", (Classifier.score(w, $"text") >= 0.5).cast("double").as("p"))
+        .filter($"y" === $"p").count()
+      assert(acc == 40L, s"weights $w misclassified ${40 - acc} docs")
+    }
+  }
+
+  describe("Tfidf.topTerms") {
+    it("ranks corpus-rare terms above ubiquitous ones") {
+      val corpus = Seq(
+        (0L, "apple apple banana common"),
+        (1L, "banana cherry common common"),
+        (2L, "durian common")).toDF("doc_id", "text")
+      val top = Tfidf.topTerms(corpus, "doc_id", "text", nDocs = 3, k = 2)
+        .as[(Long, Long, String, Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      // "common" appears in every doc => idf = ln(1) = 0, never top
+      assert(top(0L) == Seq("apple", "banana"))  // tf=2 rare beats tf=1
+      assert(top(1L) == Seq("cherry", "banana")) // df=1 beats df=2
+      assert(top(2L) == Seq("durian", "common"))
+    }
+  }
+
+  describe("Quantize (product quantization)") {
+    // 4-dim vectors, m=2 subquantizers of d=2, codebook = first 2 vectors
+    def vecs = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(5f, 5f, 0f, 0f)),
+      (2L, Seq(0.4f, 0.1f, 0.2f, 0.3f)),  // near cb0 sub0, near cb1 sub1
+      (3L, Seq(4.8f, 5.1f, 9.7f, 10.2f))) // near cb1 sub0, near cb0 sub1
+      .toDF("vec_id", "embedding")
+    def cb = Quantize.codebookFromFirst(vecs, "vec_id", "embedding", 2, 2)
+
+    it("collects the codebook as exact double subvectors") {
+      assert(cb == Seq(
+        Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)),
+        Seq(Seq(10.0, 10.0), Seq(0.0, 0.0))))
+    }
+    it("encodes each subvector to its nearest centroid (ties to lowest)") {
+      val codes = vecs.select($"vec_id",
+        Quantize.encode(Similarity.asDouble($"embedding"), cb).as("c"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+      assert(codes(2L) == Seq(0, 1) && codes(3L) == Seq(1, 0))
+    }
+    it("ADC distance equals the exact distance to the reconstruction") {
+      val q = Seq(1.0, 1.0, 8.0, 8.0)
+      val adc = Quantize.adcTable(q, cb)
+      val d = vecs.filter($"vec_id" === 3)
+        .select(Quantize.adcDistance(
+          Quantize.encode(Similarity.asDouble($"embedding"), cb), adc))
+        .as[Double].head()
+      // vec 3 encodes to (cb0=[5,5], cb1=[10,10]); exact distance from q:
+      val expected = (1.0 - 5.0) * (1.0 - 5.0) + (1.0 - 5.0) * (1.0 - 5.0) +
+        (8.0 - 10.0) * (8.0 - 10.0) + (8.0 - 10.0) * (8.0 - 10.0)
+      assert(d == expected)
+    }
+  }
+
   describe("Dedup.connectedComponents") {
     it("labels a chain and separate components correctly") {
       // chain 7-5-3-1 (forces multiple propagation rounds: min label 1
