@@ -49,18 +49,34 @@ object Quantize {
     (0 until m).map(mi => vecs.toSeq.map(v => v.slice(mi * d, mi * d + d): Seq[Double]))
   }
 
-  /** PQ codes (array of `m` 0-based centroid indices) for a DOUBLE
-    * vector column. Ties take the lowest index (first position of the
-    * minimum distance). */
+  /** PQ codes (array of `m` 0-based centroid indices) for a float or
+    * double vector column. Ties take the lowest index (first position
+    * of the minimum distance).
+    *
+    * Each distance is a flat `(x₁−c₁)² + … + (x_d−c_d)²` arithmetic
+    * tree over direct per-element casts of the raw array (same value
+    * as a sequential fold: identical left-to-right association, and
+    * the fold's 0.0 seed adds exactly to a non-negative first term) —
+    * no per-centroid zip_with/aggregate HOFs. The per-slot distance
+    * array feeds BOTH argmin legs, so it is let-bound ([[ExprLet]]):
+    * an expression this size falls out of whole-stage codegen, and
+    * interpreted eval re-evaluates unshared subtrees per reference. */
   def encode(v: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val d = cb.head.head.size
-    array(cb.indices.map { mi =>
-      ExprLet.let(subvec(v, mi, d)) { sv =>
-        ExprLet.let(array(cb(mi).map(c => dist2(sv, typedlit(c))): _*)) { ds =>
-          (array_position(ds, array_min(ds)) - 1).cast("int")
+    ExprLet.let(transform(v, x => x.cast("double"))) { vd =>
+      array(cb.indices.map { mi =>
+        ExprLet.let(subvec(vd, mi, d)) { sv =>
+          val dists = array(cb(mi).map { c =>
+            c.indices.map { i =>
+              (element_at(sv, i + 1) - lit(c(i))) *
+                (element_at(sv, i + 1) - lit(c(i)))
+            }.reduce(_ + _)
+          }: _*)
+          ExprLet.let(dists)(ds =>
+            (array_position(ds, array_min(ds)) - 1).cast("int"))
         }
-      }
-    }: _*)
+      }: _*)
+    }
   }
 
   /** ADC table for a query vector: adc(m)(j) = ‖q_sub_m − cb(m)(j)‖².
@@ -76,9 +92,13 @@ object Quantize {
   }
 
   /** Approximate distance of an encoded vector to the query: `m` table
-    * lookups summed left-to-right. */
+    * lookups summed left-to-right. `codes` is referenced once per slot,
+    * so it is let-bound — passing the whole [[encode]] tree unbound
+    * would re-run the encode `m` times per row. */
   def adcDistance(codes: Column, adc: Seq[Seq[Double]]): Column =
-    adc.indices.map(mi =>
-        element_at(typedlit(adc(mi)), element_at(codes, mi + 1) + 1))
-      .reduce(_ + _)
+    ExprLet.let(codes) { cs =>
+      adc.indices.map(mi =>
+          element_at(typedlit(adc(mi)), element_at(cs, mi + 1) + 1))
+        .reduce(_ + _)
+    }
 }

@@ -934,7 +934,7 @@ object LlmOps {
         emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(Quantize.adcDistance(
-              Quantize.encode(Similarity.asDouble(col("embedding")), cb),
+              Quantize.encode(col("embedding"), cb),
               adc), 6).as("adist"))
           .orderBy(col("adist").asc, col("vec_id").asc)
           .limit(10)
@@ -972,6 +972,46 @@ object LlmOps {
         |  FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
         |  GROUP BY c.vec_id)
         |SELECT vec_id, round(adist, 6) AS adist FROM approx
-        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin))
+        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
+
+    Q("d30_unigram_logprob",
+      "Corpus-LM quality scoring (the CCNet-style perplexity filter, " +
+        "with the corpus's own unigram model standing in for the " +
+        "external LM): per-token ln p(term) from one vocabulary " +
+        "aggregation, mean log-prob per doc via a term-key join — " +
+        "rare-token-heavy docs score very negative. Per-term log-probs " +
+        "are rounded to 9 decimals and summed as DECIMAL so every " +
+        "aggregation order produces the identical mean.",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+        val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+        // One scalar to the driver: the corpus token count (any LM
+        // normalization needs it).
+        val total = freq.agg(sum("tf")).head().getLong(0)
+        val lp = freq.select(col("term"),
+          round(log(col("tf").cast("double") / lit(total.toDouble)), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("lnp"))
+        toks.join(lp, "term")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(sum("lnp").cast("double") / count(lit(1)), 6).as("mean_lp"))
+          .filter(col("doc_id") < 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freq),
+        |lp AS (SELECT term,
+        |         CAST(round(ln(tf / total), 9) AS DECIMAL(28,9)) AS lnp
+        |       FROM freq, tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS mean_lp
+        |FROM toks JOIN lp USING (term)
+        |WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

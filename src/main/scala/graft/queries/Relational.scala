@@ -627,6 +627,56 @@ object Relational {
         |   (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_not_a_nation
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q36_bucketed_join",
+      "Bucketed co-located join: both sides written bucketBy(8, key) + " +
+        "sortBy into the session catalog, then joined — Spark plans a " +
+        "sort-merge join with ZERO shuffle exchanges (bucket-local " +
+        "sorts; BucketingSpec asserts the Exchange-free plan). The " +
+        "storage-layout answer to repeated fact-fact joins at 100 TB: " +
+        "pay the shuffle once at write time, never per query. Result " +
+        "must equal the plain-join oracle.",
+      (s, dir) => {
+        // A previous SESSION's warehouse directory outlives the
+        // in-memory catalog, and saveAsTable refuses to claim a stale
+        // location — drop the catalog entry AND the leftover directory.
+        def reset(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val whPath =
+            if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh)).getPath
+            else wh
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(whPath, table))
+        }
+        reset("q36_orders_b")
+        reset("q36_customer_b")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("q36_orders_b")
+        t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("q36_customer_b")
+        s.table("q36_orders_b")
+          .join(s.table("q36_customer_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -530,7 +530,7 @@ class OperatorsSpec extends AnyFunSpec {
     }
     it("encodes each subvector to its nearest centroid (ties to lowest)") {
       val codes = vecs.select($"vec_id",
-        Quantize.encode(Similarity.asDouble($"embedding"), cb).as("c"))
+        Quantize.encode($"embedding", cb).as("c"))
         .as[(Long, Seq[Int])].collect().toMap
       assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
       assert(codes(2L) == Seq(0, 1) && codes(3L) == Seq(1, 0))
@@ -540,7 +540,7 @@ class OperatorsSpec extends AnyFunSpec {
       val adc = Quantize.adcTable(q, cb)
       val d = vecs.filter($"vec_id" === 3)
         .select(Quantize.adcDistance(
-          Quantize.encode(Similarity.asDouble($"embedding"), cb), adc))
+          Quantize.encode($"embedding", cb), adc))
         .as[Double].head()
       // vec 3 encodes to (cb0=[5,5], cb1=[10,10]); exact distance from q:
       val expected = (1.0 - 5.0) * (1.0 - 5.0) + (1.0 - 5.0) * (1.0 - 5.0) +
