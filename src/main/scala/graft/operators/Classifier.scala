@@ -77,7 +77,10 @@ object Classifier {
       count(lit(1)).as("n")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(weights.size).toDouble
-    weights.indices.map(j =>
+    // Empty corpus: the decimal sums are NULL and there is no gradient —
+    // return the weights unchanged instead of NPEing on getDecimal.
+    if (n == 0) weights
+    else weights.indices.map(j =>
       weights(j) - lr * (row.getDecimal(j).doubleValue() / n))
   }
 

@@ -79,6 +79,13 @@ object Quantize {
     }
   }
 
+  /** Native-kernel variant of [[encode]] over a raw ARRAY&lt;FLOAT&gt;
+    * column — identical codes (asserted by spec), one tight loop per
+    * row instead of a ~3500-node interpreted tree; the form an index
+    * build over billions of vectors runs. */
+  def encodeFast(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqEncode(v, cb)
+
   /** ADC table for a query vector: adc(m)(j) = ‖q_sub_m − cb(m)(j)‖².
     * Driver-side, same left-fold order as [[dist2]]. */
   def adcTable(q: Seq[Double], cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {

@@ -934,7 +934,7 @@ object LlmOps {
         emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"),
             round(Quantize.adcDistance(
-              Quantize.encode(col("embedding"), cb),
+              Quantize.encodeFast(col("embedding"), cb),
               adc), 6).as("adist"))
           .orderBy(col("adist").asc, col("vec_id").asc)
           .limit(10)
@@ -987,8 +987,9 @@ object LlmOps {
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
         val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
         // One scalar to the driver: the corpus token count (any LM
-        // normalization needs it).
-        val total = freq.agg(sum("tf")).head().getLong(0)
+        // normalization needs it). coalesce: SUM over zero rows is NULL
+        // (empty corpus — output is empty anyway, but getLong would NPE).
+        val total = freq.agg(coalesce(sum("tf"), lit(1L))).head().getLong(0)
         val lp = freq.select(col("term"),
           round(log(col("tf").cast("double") / lit(total.toDouble)), 9)
             .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("lnp"))

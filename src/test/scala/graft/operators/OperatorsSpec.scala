@@ -535,6 +535,23 @@ class OperatorsSpec extends AnyFunSpec {
       assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
       assert(codes(2L) == Seq(0, 1) && codes(3L) == Seq(1, 0))
     }
+    it("native pq_encode matches the declarative encode exactly") {
+      // 64-dim vectors (the real embedding shape), seeded random floats
+      val rnd = new scala.util.Random(7)
+      val sample = (0L until 40L).map(i =>
+        (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      val cb8 = Quantize.codebookFromFirst(sample, "vec_id", "embedding", 8, 16)
+      val both = sample.select(
+        Quantize.encode($"embedding", cb8).as("a"),
+        Quantize.encodeFast($"embedding", cb8).as("b"))
+        .as[(Seq[Int], Seq[Int])].collect()
+      assert(both.forall { case (a, b) => a == b })
+    }
+    it("native pq_encode returns null for short vectors") {
+      val short = Seq((0L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+      val r = short.select(Quantize.encodeFast($"embedding", cb)).collect()
+      assert(r.head.isNullAt(0))
+    }
     it("ADC distance equals the exact distance to the reconstruction") {
       val q = Seq(1.0, 1.0, 8.0, 8.0)
       val adc = Quantize.adcTable(q, cb)
