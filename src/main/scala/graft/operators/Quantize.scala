@@ -86,6 +86,42 @@ object Quantize {
   def encodeFast(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     graft.functions.PqEncode(v, cb)
 
+  /** Lloyd's k-means per subquantizer slot — the real codebook trainer
+    * that the first-k stand-in replaces. Deterministic end-to-end:
+    * init = the first k vectors' subvectors; assignment = the exact
+    * [[encodeFast]] argmin (ties to the lowest index); update = per-dim
+    * means via scaled-integer sums (`round(x·10⁶)` longs — order-free,
+    * so the trained codebook is identical across partitionings and
+    * cluster sizes). Cells that lose all members keep their previous
+    * centroid. Per iteration: one encode projection + ONE (slot, code,
+    * dim) aggregation; only m·k·d numbers reach the driver. */
+  def trainCodebook(emb: DataFrame, idCol: String, embCol: String,
+                    m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    var cb = codebookFromFirst(emb, idCol, embCol, m, k)
+    val d = cb.head.head.size
+    for (_ <- 1 to iters) {
+      val stats = emb
+        .select(col(embCol).as("v"), encodeFast(col(embCol), cb).as("codes"))
+        .where(col("codes").isNotNull)
+        .select(col("v"), posexplode(col("codes")).as(Seq("slot", "code")))
+        .select(col("slot"), col("code"),
+          posexplode(slice(col("v"), col("slot") * d + 1, lit(d)))
+            .as(Seq("i", "x")))
+        .groupBy("slot", "code", "i")
+        .agg(
+          sum(round(col("x").cast("double") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, k, d)((mi, j, i) => cb(mi)(j)(i))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)
+      }
+      cb = next.map(_.map(_.toSeq).toSeq).toSeq
+    }
+    cb
+  }
+
   /** ADC table for a query vector: adc(m)(j) = ‖q_sub_m − cb(m)(j)‖².
     * Driver-side, same left-fold order as [[dist2]]. */
   def adcTable(q: Seq[Double], cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {

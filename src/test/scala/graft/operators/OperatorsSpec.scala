@@ -552,6 +552,27 @@ class OperatorsSpec extends AnyFunSpec {
       val r = short.select(Quantize.encodeFast($"embedding", cb)).collect()
       assert(r.head.isNullAt(0))
     }
+    it("k-means training moves centroids to the per-slot cluster means") {
+      // Two tight blobs per slot; first 2 vectors (the init) sit inside
+      // one blob each, so 2 iterations converge to the blob means.
+      val blobA = Seq(0.0f, 0.0f)   // slot-0 blob around (0,0)
+      val blobB = Seq(10f, 10f)     // slot-0 blob around (10,10)
+      val data = (0 until 20).map { i =>
+        val jitter = (i % 5) * 0.1f
+        val s0 = if (i % 2 == 0) blobA.map(_ + jitter) else blobB.map(_ + jitter)
+        val s1 = if (i % 2 == 0) blobB.map(_ - jitter) else blobA.map(_ - jitter)
+        (i.toLong, s0 ++ s1)
+      }.toDF("vec_id", "embedding")
+      val trained = Quantize.trainCodebook(data, "vec_id", "embedding",
+        m = 2, k = 2, iters = 3)
+      // per blob: mean jitter = (0+.1+.2+.3+.4)/5 = 0.2
+      def close(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+      assert(close(trained(0)(0), Seq(0.2, 0.2)))
+      assert(close(trained(0)(1), Seq(10.2, 10.2)))
+      assert(close(trained(1)(0), Seq(9.8, 9.8)))
+      assert(close(trained(1)(1), Seq(-0.2, -0.2)))
+    }
     it("ADC distance equals the exact distance to the reconstruction") {
       val q = Seq(1.0, 1.0, 8.0, 8.0)
       val adc = Quantize.adcTable(q, cb)
