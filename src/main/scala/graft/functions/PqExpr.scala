@@ -36,7 +36,11 @@ case class PqEncode(child: Expression, codebook: Seq[Double],
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT>, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // containsNull: a slot whose dims include a NULL element yields a
+  // NULL code (same as the declarative encode, where every distance in
+  // that slot is NULL, array_min is NULL, and array_position of NULL
+  // is NULL).
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode"
 
@@ -67,29 +71,38 @@ object PqEncode {
 
   /** Shared eval/codegen kernel. Same arithmetic order as the
     * declarative encode: per centroid, dims ascending, `s += diff²`
-    * from 0.0; strict `<` keeps the first (lowest-index) minimum. */
+    * from 0.0; strict `<` keeps the first (lowest-index) minimum; a
+    * slot touching a NULL element encodes to NULL (see dataType note). */
   def compute(input: ArrayData, cb: Array[Double],
               m: Int, k: Int, d: Int): ArrayData = {
     if (input.numElements() < m * d) return null
-    val codes = new Array[Int](m)
+    val codes = new Array[Any](m)
     var mi = 0
     while (mi < m) {
-      var best = Double.PositiveInfinity
-      var bestJ = 0
-      var j = 0
-      while (j < k) {
-        val base = (mi * k + j) * d
-        var s = 0.0
-        var i = 0
-        while (i < d) {
-          val diff = input.getFloat(mi * d + i).toDouble - cb(base + i)
-          s += diff * diff
-          i += 1
-        }
-        if (s < best) { best = s; bestJ = j }
-        j += 1
+      var slotHasNull = false
+      var i = 0
+      while (i < d && !slotHasNull) {
+        slotHasNull = input.isNullAt(mi * d + i); i += 1
       }
-      codes(mi) = bestJ
+      if (slotHasNull) codes(mi) = null
+      else {
+        var best = Double.PositiveInfinity
+        var bestJ = 0
+        var j = 0
+        while (j < k) {
+          val base = (mi * k + j) * d
+          var s = 0.0
+          var i2 = 0
+          while (i2 < d) {
+            val diff = input.getFloat(mi * d + i2).toDouble - cb(base + i2)
+            s += diff * diff
+            i2 += 1
+          }
+          if (s < best) { best = s; bestJ = j }
+          j += 1
+        }
+        codes(mi) = bestJ
+      }
       mi += 1
     }
     new GenericArrayData(codes)

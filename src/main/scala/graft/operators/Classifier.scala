@@ -70,22 +70,39 @@ object Classifier {
   /** One batch gradient-descent step: w_j ← w_j − lr·(Σ terms_j)/N.
     * One aggregation job; only features+1 numbers reach the driver. */
   def step(df: DataFrame, textCol: String, label: Column,
-           weights: Seq[Double], lr: Double): Seq[Double] = {
-    val f = features(col(textCol))
-    val terms = gradientTerms(weights, f, label.cast("double"))
+           weights: Seq[Double], lr: Double): Seq[Double] =
+    stepOnFeatures(
+      df.select(features(col(textCol)).as("f"),
+        label.cast("double").as("y")),
+      weights, lr)
+
+  /** [[step]] over a pre-projected (f: array&lt;double&gt;, y: double)
+    * frame — the loop-invariant featurization is what [[train]] caches. */
+  def stepOnFeatures(fdf: DataFrame, weights: Seq[Double],
+                     lr: Double): Seq[Double] = {
+    val terms = gradientTerms(weights, col("f"), col("y"))
     val aggs = terms.zipWithIndex.map { case (c, j) => sum(c).as(s"g$j") } :+
       count(lit(1)).as("n")
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = fdf.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(weights.size).toDouble
-    // Empty corpus: the decimal sums are NULL and there is no gradient —
-    // return the weights unchanged instead of NPEing on getDecimal.
-    if (n == 0) weights
-    else weights.indices.map(j =>
-      weights(j) - lr * (row.getDecimal(j).doubleValue() / n))
+    weights.indices.map { j =>
+      // A NULL sum means no usable gradient rows (empty corpus, or all
+      // labels/features NULL) — leave that weight unchanged rather than
+      // NPE; n == 0 also lands here since the sums are then NULL too.
+      Option(row.getDecimal(j))
+        .fold(weights(j))(g => weights(j) - lr * (g.doubleValue() / n))
+    }
   }
 
-  /** Full-batch GD from `init` for `iters` steps. */
+  /** Full-batch GD from `init` for `iters` steps. Features don't depend
+    * on the weights, so the (f, y) projection is computed and cached
+    * ONCE — without this, every iteration would re-tokenize the whole
+    * corpus. */
   def train(df: DataFrame, textCol: String, label: Column,
-            init: Seq[Double], lr: Double, iters: Int): Seq[Double] =
-    (1 to iters).foldLeft(init)((w, _) => step(df, textCol, label, w, lr))
+            init: Seq[Double], lr: Double, iters: Int): Seq[Double] = {
+    val fdf = df.select(features(col(textCol)).as("f"),
+      label.cast("double").as("y")).persist()
+    try (1 to iters).foldLeft(init)((w, _) => stepOnFeatures(fdf, w, lr))
+    finally { fdf.unpersist(); () }
+  }
 }

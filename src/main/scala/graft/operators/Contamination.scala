@@ -62,9 +62,10 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(max(when(hit(col("shingle")), 1).otherwise(0)).as("_c"))
     // Docs shorter than n tokens emit no shingles and would vanish from
-    // the grouped result; left-join back to the full id set so every
-    // corpus doc gets a verdict (short doc => contaminated = false).
-    corpus.select(col(idCol))
+    // the grouped result; left-join back to the id set so every corpus
+    // doc gets a verdict (short doc => contaminated = false). distinct:
+    // keep the one-row-per-id contract even if idCol is not unique.
+    corpus.select(col(idCol)).distinct()
       .join(flagged, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_c") === 1, lit(false)).as("contaminated"))

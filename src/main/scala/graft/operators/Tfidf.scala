@@ -36,11 +36,17 @@ object Tfidf {
 
   /** Top-`k` terms per document by (tfidf DESC, term ASC). `nDocs` is
     * the corpus size — any TF-IDF needs this one scalar; pass it in
-    * (e.g. from a previous count) rather than forcing a count here. */
+    * (e.g. from a previous count) rather than forcing a count here.
+    *
+    * Document frequency comes from a window over the (doc, term)
+    * pre-aggregation (one row per pair, so a plain count IS df) — a
+    * `tf.join(docFreq(tf))` would re-derive the whole corpus explode
+    * lineage on both join inputs. */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
                nDocs: Long, k: Int): DataFrame = {
     val tf = termFreq(df, idCol, textCol)
-    val scored = tf.join(docFreq(tf), "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("tfidf", tfidfScore(col("tf"), col("df"), nDocs))
     val w = Window.partitionBy(idCol)
       .orderBy(col("tfidf").desc, col("term").asc)

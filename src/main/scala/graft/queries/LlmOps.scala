@@ -26,14 +26,21 @@ object LlmOps {
       (org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
   private def neardupLabels(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
-    ccMemo.computeIfAbsent((s, dir), { key =>
-      val (sess, d) = key
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    // get + putIfAbsent, NOT computeIfAbsent: the multi-round CC Spark
+    // job must not run while holding the map's bin lock (a racing first
+    // caller recomputes harmlessly; Verify/Bench are single-threaded).
+    // Entries live for the JVM's life — acceptable for the one or two
+    // (session, dir) pairs a gate run touches.
+    val key = (s, dir)
+    Option(ccMemo.get(key)).getOrElse {
       val pairs = Dedup.candidatePairs(
-        Dedup.minhashBands(t(sess, d, "documents"), "doc_id", "text"),
+        Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text"),
         "doc_id")
-      Dedup.connectedComponents(pairs)
-    })
+      val labels = Dedup.connectedComponents(pairs)
+      Option(ccMemo.putIfAbsent(key, labels)).getOrElse(labels)
+    }
+  }
 
   /** Per-source mixture rates (permille) for d22 — one formula feeds
     * both the Spark broadcast table and the oracle VALUES list. */
@@ -860,8 +867,11 @@ object LlmOps {
         "partial/final aggregation tree and the oracle's scan order " +
         "produce the IDENTICAL update; 5 numbers reach the driver.",
       (s, dir) => {
+        // when/otherwise (not a bare === cast): a NULL lang must be
+        // y = 0.0 to match the oracle's CASE, not a NULL label that
+        // silently drops the row from the gradient sums.
         val next = Classifier.step(t(s, dir, "documents"), "text",
-          col("lang") === "en", StepW, lr = 0.5)
+          when(col("lang") === "en", 1.0).otherwise(0.0), StepW, lr = 0.5)
         def r6(x: Double) =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         import s.implicits._
@@ -936,6 +946,10 @@ object LlmOps {
             round(Quantize.adcDistance(
               Quantize.encodeFast(col("embedding"), cb),
               adc), 6).as("adist"))
+          // A short/null-element vector has NULL adist; asc ordering
+          // would rank it FIRST while the oracle drops it — filter to
+          // agree (and a real index would reject such vectors at build).
+          .where(col("adist").isNotNull)
           .orderBy(col("adist").asc, col("vec_id").asc)
           .limit(10)
       },
@@ -983,21 +997,36 @@ object LlmOps {
         "are rounded to 9 decimals and summed as DECIMAL so every " +
         "aggregation order produces the identical mean.",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        // ONE (doc, term) pre-aggregation feeds everything: corpus term
+        // frequency is a window over it (not a join that would re-derive
+        // the explode lineage on both sides), and the per-doc sum weights
+        // each term's decimal log-prob by its in-doc count — exactly
+        // equal to summing per token occurrence (decimal × int is exact).
+        val pairs = t(s, dir, "documents")
           .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
-        val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
         // One scalar to the driver: the corpus token count (any LM
         // normalization needs it). coalesce: SUM over zero rows is NULL
         // (empty corpus — output is empty anyway, but getLong would NPE).
-        val total = freq.agg(coalesce(sum("tf"), lit(1L))).head().getLong(0)
-        val lp = freq.select(col("term"),
-          round(log(col("tf").cast("double") / lit(total.toDouble)), 9)
-            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("lnp"))
-        toks.join(lp, "term")
+        val total = pairs.agg(coalesce(sum("c"), lit(1L))).head().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        // lnp is DECIMAL(18,9) and c DECIMAL(10,0) so the product type
+        // is DECIMAL(29,9) — still exact. A wider lnp (28,9) would push
+        // the product past precision 38 and Spark would silently REDUCE
+        // THE SCALE, rounding the products and breaking the oracle
+        // match in the 6th decimal.
+        pairs
+          .withColumn("tf", sum("c").over(w))
+          .withColumn("lnp",
+            round(log(col("tf").cast("double") / lit(total.toDouble)), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
           .groupBy("doc_id")
           .agg(
-            count(lit(1)).as("n_tokens"),
-            round(sum("lnp").cast("double") / count(lit(1)), 6).as("mean_lp"))
+            sum("c").cast("long").as("n_tokens"),
+            round(sum(col("lnp") *
+                col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+              .cast("double") / sum("c"), 6)
+              .as("mean_lp"))
           .filter(col("doc_id") < 100)
           .orderBy("doc_id")
       },

@@ -603,9 +603,15 @@ object Relational {
         t(s, dir, "customer").createOrReplaceTempView("q35_customer")
         t(s, dir, "nation").createOrReplaceTempView("q35_nation")
         t(s, dir, "supplier").createOrReplaceTempView("q35_supplier")
+        // The scalar threshold is SUM(DECIMAL)/COUNT — NOT AVG: Spark's
+        // AVG(DECIMAL) is exact decimal while DuckDB's is an FP-summed
+        // DOUBLE, and an unrounded cross-engine threshold could flip
+        // rows at the boundary. Decimal sum → double → divide is
+        // bit-identical in both engines.
         s.sql("""SELECT c_mktsegment, COUNT(*) AS n_orders,
             CAST(SUM(CASE WHEN o_totalprice >
-              (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM q35_orders)
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) FROM q35_orders)
               THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
             CAST(SUM(CASE WHEN c_nationkey IN
               (SELECT s_nationkey FROM q35_supplier) THEN 1 ELSE 0 END) AS BIGINT)
@@ -618,7 +624,8 @@ object Relational {
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
         | CAST(SUM(CASE WHEN o_totalprice >
-        |   (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+        |   (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) FROM orders)
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
         | CAST(SUM(CASE WHEN c_nationkey IN
         |   (SELECT s_nationkey FROM supplier) THEN 1 ELSE 0 END) AS BIGINT)

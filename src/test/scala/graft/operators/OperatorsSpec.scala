@@ -552,6 +552,19 @@ class OperatorsSpec extends AnyFunSpec {
       val r = short.select(Quantize.encodeFast($"embedding", cb)).collect()
       assert(r.head.isNullAt(0))
     }
+    it("native pq_encode mirrors declarative NULL propagation per slot") {
+      val withNull = spark.sql(
+        """SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT),
+          |             CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS embedding
+          |""".stripMargin)
+      val row = withNull.select(
+        Quantize.encode($"embedding", cb).as("a"),
+        Quantize.encodeFast($"embedding", cb).as("b")).head()
+      // slot 0 touches the NULL dim -> NULL code; slot 1 = (3,4) is
+      // nearer centroid (0,0) (index 1) than (10,10)
+      assert(row.getSeq[Any](0) == Seq(null, 1))
+      assert(row.getSeq[Any](0) == row.getSeq[Any](1))
+    }
     it("k-means training moves centroids to the per-slot cluster means") {
       // Two tight blobs per slot; first 2 vectors (the init) sit inside
       // one blob each, so 2 iterations converge to the blob means.
