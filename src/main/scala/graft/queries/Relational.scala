@@ -684,6 +684,38 @@ object Relational {
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q37_format_roundtrip",
+      "Source/sink format breadth: the same projection written to CSV " +
+        "(header, explicit read schema — no sampling inference) and ORC, " +
+        "read back and joined — every value must survive both roundtrips " +
+        "exactly (Java double toString/parse is lossless, ORC is binary), " +
+        "proven against an oracle over the ORIGINAL parquet.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q37").toString
+        val proj = t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        proj.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+        proj.write.mode("overwrite").orc(s"$tmp/orc")
+        val csv = s.read
+          .schema("p_partkey LONG, p_name STRING, p_retailprice DOUBLE, p_size INT")
+          .option("header", "true").csv(s"$tmp/csv")
+        val orc = s.read.orc(s"$tmp/orc")
+        csv.select("p_partkey", "p_name", "p_retailprice")
+          .join(orc.select(col("p_partkey").as("k2"), col("p_size")),
+            col("p_partkey") === col("k2"))
+          .groupBy(col("p_size").cast("long").as("p_size"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"),
+            max(length(col("p_name"))).cast("long").as("max_name_len"))
+          .orderBy("p_size")
+      },
+      Some("""SELECT CAST(p_size AS BIGINT) AS p_size, COUNT(*) AS n,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(MAX(len(p_name)) AS BIGINT) AS max_name_len
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin))
   )
 }

@@ -248,6 +248,36 @@ object StreamingQ {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w08_stateful_running_max",
+      "Custom stateful operator #2: per-user running (count, max) via " +
+        "mapGroupsWithState (graft.streaming.RunningStats) — two numbers " +
+        "of state per key, an updated snapshot per key per micro-batch. " +
+        "Count and max are monotone, so folding the update stream with " +
+        "max() recovers the final state, which must equal the batch " +
+        "aggregate. (to_json/JSON double serialization is lossless — " +
+        "Java shortest-roundtrip formatting.)",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("user_id"), col("value"))).as("value")),
+          "user_id LONG, value DOUBLE")
+        import s.implicits._
+        val pairs = stream.select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val out = runToMemory(s,
+          graft.streaming.RunningStats.perKey(pairs)
+            .toDF("user_id", "n_events", "max_value"),
+          "update")
+        cleanup()
+        out.groupBy("user_id")
+          .agg(
+            max("n_events").cast("long").as("n_events"),
+            max("max_value").as("max_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
