@@ -988,6 +988,85 @@ object LlmOps {
         |SELECT vec_id, round(adist, 6) AS adist FROM approx
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
 
+    Q("s05_pq_trained_topk",
+      "PQ ANN with a TRAINED codebook: one Lloyd iteration of per-slot " +
+        "k-means (Quantize.trainCodebook — assignment via the native " +
+        "argmin, centroid update via order-free scaled-integer means) on " +
+        "top of the first-16 init, then the same encode + ADC search as " +
+        "s04. The ENTIRE training step is replicated in the SQL oracle " +
+        "(same argmin, same integer mean arithmetic, empty cells keep " +
+        "the init centroid), so the gate checks the trained ANN pipeline " +
+        "end-to-end, not just the search.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Quantize.trainCodebook(emb, "vec_id", "embedding",
+          m = 8, k = 16, iters = 1)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val adc = Quantize.adcTable(qv, cb)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(Quantize.adcDistance(
+              Quantize.encodeFast(col("embedding"), cb), adc), 6).as("adist"))
+          .where(col("adist").isNotNull)
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cb0 AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
+        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
+        |d0 AS (
+        |  SELECT e.vec_id, ms.m, cb0.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.v[ms.m * 8 + i] - cb0.v[ms.m * 8 + i])
+        |         * (e.v[ms.m * 8 + i] - cb0.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, ms, cb0),
+        |m0 AS (SELECT vec_id, m, MIN(d2) AS md FROM d0 GROUP BY vec_id, m),
+        |c0 AS (SELECT d.vec_id, d.m, MIN(d.j) AS code
+        |       FROM d0 d JOIN m0 USING (vec_id, m)
+        |       WHERE d.d2 = m0.md GROUP BY d.vec_id, d.m),
+        |upd AS (
+        |  SELECT c0.m, c0.code AS j, dim.i,
+        |    CAST(SUM(CAST(round(e.v[c0.m * 8 + dim.i] * 1000000) AS BIGINT))
+        |         AS DOUBLE) / (COUNT(*) * 1000000.0) AS cv
+        |  FROM c0 JOIN e USING (vec_id), generate_series(1, 8) AS dim(i)
+        |  GROUP BY c0.m, c0.code, dim.i),
+        |cb1 AS (
+        |  SELECT dom.m, dom.j, dom.i, COALESCE(u.cv, dom.base) AS cv
+        |  FROM (
+        |    SELECT ms.m, cb0.j, dim.i, cb0.v[ms.m * 8 + dim.i] AS base
+        |    FROM ms, cb0, generate_series(1, 8) AS dim(i)) dom
+        |  LEFT JOIN upd u ON u.m = dom.m AND u.j = dom.j AND u.i = dom.i),
+        |cbl AS (SELECT m, j, list(cv ORDER BY i) AS cvec FROM cb1 GROUP BY m, j),
+        |d1 AS (
+        |  SELECT e.vec_id, cbl.m, cbl.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.v[cbl.m * 8 + i] - cbl.cvec[i])
+        |         * (e.v[cbl.m * 8 + i] - cbl.cvec[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, cbl WHERE e.vec_id <> 0),
+        |m1 AS (SELECT vec_id, m, MIN(d2) AS md FROM d1 GROUP BY vec_id, m),
+        |c1 AS (SELECT d.vec_id, d.m, MIN(d.j) AS code
+        |       FROM d1 d JOIN m1 USING (vec_id, m)
+        |       WHERE d.d2 = m1.md GROUP BY d.vec_id, d.m),
+        |adc AS (
+        |  SELECT cbl.m, cbl.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.v[cbl.m * 8 + i] - cbl.cvec[i])
+        |         * (q.v[cbl.m * 8 + i] - cbl.cvec[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM (SELECT v FROM e WHERE vec_id = 0) q, cbl),
+        |approx AS (
+        |  SELECT c1.vec_id,
+        |    list_reduce(list(a.d2 ORDER BY c1.m), (x, y) -> x + y) AS adist
+        |  FROM c1 JOIN adc a ON a.m = c1.m AND a.j = c1.code
+        |  GROUP BY c1.vec_id)
+        |SELECT vec_id, round(adist, 6) AS adist FROM approx
+        |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
+
     Q("d30_unigram_logprob",
       "Corpus-LM quality scoring (the CCNet-style perplexity filter, " +
         "with the corpus's own unigram model standing in for the " +
