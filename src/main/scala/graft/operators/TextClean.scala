@@ -41,6 +41,20 @@ object TextClean {
         .otherwise(array())
     }
 
+  /** Strided (overlapping) `k`-token chunks — the RAG/pretraining
+    * chunking shape: chunk `c` covers tokens `[c·stride+1, c·stride+k]`
+    * (the final chunk truncates at the end of the doc); every token
+    * lands in at least one chunk since `stride <= k`. */
+  def chunks(toks: Column, k: Int, stride: Int): Column = {
+    require(stride >= 1 && stride <= k, s"need 1 <= stride <= k, got $stride/$k")
+    graft.operators.ExprLet.let(toks) { ts =>
+      transform(
+        sequence(lit(0),
+          call_function("div", size(ts) + (stride - 1), lit(stride)).cast("int") - 1),
+        c => concat_ws(" ", slice(ts, c * stride + 1, lit(k))))
+    }
+  }
+
   /** Explode `df` into (idCol, seg) rows of `k`-token segments. */
   def explodeSegments(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame =

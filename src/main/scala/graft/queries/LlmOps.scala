@@ -988,6 +988,34 @@ object LlmOps {
         |SELECT vec_id, round(adist, 6) AS adist FROM approx
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
 
+    Q("d31_rag_chunks",
+      "Strided document chunking (TextClean.chunks) — the RAG/context-" +
+        "window preparation step: overlapping 32-token windows at stride " +
+        "24, one row per chunk with a content fingerprint. Pure per-row " +
+        "transform+explode (rows ≈ tokens/stride), shuffle-free until " +
+        "the gate's ORDER BY.",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextClean.chunks(TA.tokens(col("text")), 32, 24))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 50),
+        |ch AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, (len(w) + 23) // 24 - 1)) AS c
+        |  FROM toks)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+        |  CAST(len(array_to_string(w[c*24+1 : c*24+32], ' ')) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(array_to_string(w[c*24+1 : c*24+32], ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     Q("s05_pq_trained_topk",
       "PQ ANN with a TRAINED codebook: one Lloyd iteration of per-slot " +
         "k-means (Quantize.trainCodebook — assignment via the native " +

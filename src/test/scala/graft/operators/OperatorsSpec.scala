@@ -600,6 +600,17 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("TextClean.chunks (strided RAG windows)") {
+    it("overlaps by k-stride and truncates the final chunk") {
+      val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = df.select(TextClean.chunks(TextAnalysis.tokens($"text"), 4, 3))
+        .as[Seq[String]].head()
+      assert(got == Seq(
+        "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    }
+  }
+
   describe("Dedup.connectedComponents") {
     it("labels a chain and separate components correctly") {
       // chain 7-5-3-1 (forces multiple propagation rounds: min label 1
