@@ -48,10 +48,14 @@ object TextClean {
   def chunks(toks: Column, k: Int, stride: Int): Column = {
     require(stride >= 1 && stride <= k, s"need 1 <= stride <= k, got $stride/$k")
     graft.operators.ExprLet.let(toks) { ts =>
-      transform(
-        sequence(lit(0),
-          call_function("div", size(ts) + (stride - 1), lit(stride)).cast("int") - 1),
-        c => concat_ws(" ", slice(ts, c * stride + 1, lit(k))))
+      // Empty-array guard (same as segments): sequence(0, -1) would
+      // count DOWN to [0, -1], emitting phantom chunks.
+      when(size(ts) >= 1,
+        transform(
+          sequence(lit(0),
+            call_function("div", size(ts) + (stride - 1), lit(stride)).cast("int") - 1),
+          c => concat_ws(" ", slice(ts, c * stride + 1, lit(k)))))
+        .otherwise(array())
     }
   }
 

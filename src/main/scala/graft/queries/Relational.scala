@@ -677,8 +677,7 @@ object Relational {
           .groupBy("c_mktsegment")
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
-              .as("total_price"))
+            sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
@@ -693,7 +692,12 @@ object Relational {
         "exactly (Java double toString/parse is lossless, ORC is binary), " +
         "proven against an oracle over the ORIGINAL parquet.",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q37").toString
+        // FIXED temp location, overwritten per run: the lambda returns a
+        // lazy frame, so a per-run random dir could never be deleted
+        // safely before execution — a stable path bounds the leak to one
+        // copy instead of one per Verify sweep.
+        val tmp = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-q37").getPath
         val proj = t(s, dir, "part")
           .select("p_partkey", "p_name", "p_retailprice", "p_size")
         proj.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -708,8 +712,7 @@ object Relational {
           .groupBy(col("p_size").cast("long").as("p_size"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("p_retailprice").cast(DecimalType(18, 2))).cast("double")
-              .as("sum_price"),
+            sum(dec2(col("p_retailprice"))).cast("double").as("sum_price"),
             max(length(col("p_name"))).cast("long").as("max_name_len"))
           .orderBy("p_size")
       },

@@ -20,7 +20,12 @@ object RunningStats {
         (uid: Long, rows: Iterator[(Long, Double)],
          state: GroupState[(Long, Double)]) =>
           var (c, m) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
-          rows.foreach { r => c += 1; if (r._2 > m) m = r._2 }
+          // Double.compare, not `>`: SQL MAX treats NaN as greater than
+          // every value, and a bare `NaN > m` is false (NaN would be
+          // silently dropped, diverging from the batch oracle).
+          rows.foreach { r =>
+            c += 1; if (java.lang.Double.compare(r._2, m) > 0) m = r._2
+          }
           state.update((c, m))
           (uid, c, m)
       }

@@ -609,6 +609,12 @@ class OperatorsSpec extends AnyFunSpec {
       assert(got == Seq(
         "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
     }
+    it("yields no chunks for an empty token array") {
+      val got = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS toks")
+        .select(TextClean.chunks($"toks", 4, 3))
+        .as[Seq[String]].head()
+      assert(got == Seq.empty)
+    }
   }
 
   describe("Dedup.connectedComponents") {
