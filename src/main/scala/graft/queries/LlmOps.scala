@@ -988,6 +988,34 @@ object LlmOps {
         |SELECT vec_id, round(adist, 6) AS adist FROM approx
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
 
+    Q("d32_quality_audit",
+      "Single-pass data-quality audit (graft.operators.Quality, the " +
+        "Deequ-style publish gate): null / uniqueness / range / regex " +
+        "constraints over orders compiled into ONE aggregation scan; " +
+        "output is one row of violation counts.",
+      (s, dir) => {
+        val Qy = graft.operators.Quality
+        Qy.audit(t(s, dir, "orders"), Seq(
+          Qy.NotNull("o_custkey"),
+          Qy.Unique("o_orderkey"),
+          Qy.Unique("o_custkey"),
+          Qy.InRange("o_totalprice", 0.0, 500000.0),
+          Qy.Matches("o_orderpriority", "^[1-5]-")))
+      },
+      Some("""SELECT
+        | CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+        |   AS notnull_o_custkey,
+        | CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |   AS unique_o_orderkey,
+        | CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT)
+        |   AS unique_o_custkey,
+        | CAST(COUNT(*) FILTER (WHERE o_totalprice < 0.0 OR o_totalprice > 500000.0) AS BIGINT)
+        |   AS inrange_o_totalprice,
+        | CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+        |   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+        |   AS matches_o_orderpriority
+        |FROM orders""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +

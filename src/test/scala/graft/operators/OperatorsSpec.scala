@@ -600,6 +600,26 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Quality.audit (single-pass constraint checks)") {
+    it("counts null, duplicate, out-of-range, and regex violations") {
+      val df = Seq(
+        (Some(1L), "A-ok", 10.0),
+        (Some(1L), "B-bad", 20.0),   // dup id, regex violation
+        (None, "A-ok", -5.0),        // null id, below range
+        (Some(2L), "A-ok", 999.0))   // above range
+        .toDF("id", "tag", "v")
+      val row = Quality.audit(df, Seq(
+        Quality.NotNull("id"),
+        Quality.Unique("id"),
+        Quality.InRange("v", 0.0, 100.0),
+        Quality.Matches("tag", "^A-"))).head()
+      assert(row.getLong(0) == 1L) // one null id
+      assert(row.getLong(1) == 1L) // one duplicate among non-nulls
+      assert(row.getLong(2) == 2L) // -5 and 999
+      assert(row.getLong(3) == 1L) // "B-bad"
+    }
+  }
+
   describe("TextClean.chunks (strided RAG windows)") {
     it("overlaps by k-stride and truncates the final chunk") {
       val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
