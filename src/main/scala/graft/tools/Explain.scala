@@ -20,7 +20,10 @@ object Explain {
       .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else graft.Bench.headline
+    val names =
+      if (args.sameElements(Array("--all"))) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else graft.Bench.headline
     val queries = graft.SparkEntry.queries
     names.filter(queries.contains).foreach { name =>
       println(s"\n========== $name ==========")
