@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType, DecimalType}
 
@@ -142,6 +143,102 @@ object Extended {
         | COUNT(*) AS n,
         | CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
         | CAST(MAX(l_partkey) AS BIGINT) AS max_pk
-        |FROM b GROUP BY z ORDER BY z""".stripMargin))
+        |FROM b GROUP BY z ORDER BY z""".stripMargin)),
+
+    Q("q38_file_pruning",
+      "File-skipping proof for the z-order layout: model each output " +
+        "file as a contiguous z-range (exactly what Compact.parquetZOrder's " +
+        "repartitionByRange(z) produces — 64 files = z >> 2 cells) vs a " +
+        "linear l_partkey-range layout with the same file count, compute " +
+        "each file's (min,max) column stats — the numbers parquet footers " +
+        "store — and count the files a 2-D box predicate must scan. " +
+        "Z-order prunes on BOTH columns; the linear sort only on its own. " +
+        "rows_matched is layout-invariant (sanity anchor). One scan and " +
+        "one O(files) aggregation per layout; the stats pass ships 4 longs " +
+        "to the driver.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val r = li.agg(
+          min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head
+        val (pkmin, pkmax) = (r.getLong(0), r.getLong(1))
+        val (skmin, skmax) = (r.getLong(2), r.getLong(3))
+        // Query box: the middle eighth of each key range (driver-side
+        // exact integer arithmetic, replicated verbatim in the oracle).
+        val plo = pkmin + (pkmax - pkmin) * 7 / 16
+        val phi = pkmin + (pkmax - pkmin) * 9 / 16
+        val slo = skmin + (skmax - skmin) * 7 / 16
+        val shi = skmin + (skmax - skmin) * 9 / 16
+        val hit = col("pk").between(plo, phi) && col("sk").between(slo, shi)
+        val overlap = col("minpk") <= phi && col("maxpk") >= plo &&
+          col("minsk") <= shi && col("maxsk") >= slo
+        val zFile = shiftright(Compact.zValue(Seq(
+          Compact.uniformBucket(col("l_partkey"), lit(pkmin), lit(pkmax), 16),
+          Compact.uniformBucket(col("l_suppkey"), lit(skmin), lit(skmax), 16)),
+          4), 2)
+        val linFile =
+          Compact.uniformBucket(col("l_partkey"), lit(pkmin), lit(pkmax), 64)
+        def layout(name: String, fileId: Column) = li
+          .select(fileId.as("f"),
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("n"),
+            min("pk").as("minpk"), max("pk").as("maxpk"),
+            min("sk").as("minsk"), max("sk").as("maxsk"),
+            sum(when(hit, 1L).otherwise(0L)).as("hits"))
+          .agg(
+            count(lit(1)).cast("long").as("files_total"),
+            sum(when(overlap, 1L).otherwise(0L)).cast("long")
+              .as("files_scanned"),
+            sum(when(overlap, col("n")).otherwise(0L)).cast("long")
+              .as("rows_scanned"),
+            sum("hits").cast("long").as("rows_matched"))
+          .select(lit(name).as("layout"), col("files_total"),
+            col("files_scanned"), col("rows_scanned"), col("rows_matched"))
+        layout("linear_pk", linFile).union(layout("zorder", zFile))
+          .orderBy("layout")
+      },
+      Some("""WITH mm AS (
+        | SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |        min(l_suppkey) AS skmin, max(l_suppkey) AS skmax
+        | FROM lineitem),
+        |box AS (
+        | SELECT pkmin + (pkmax - pkmin) * 7 // 16 AS plo,
+        |        pkmin + (pkmax - pkmin) * 9 // 16 AS phi,
+        |        skmin + (skmax - skmin) * 7 // 16 AS slo,
+        |        skmin + (skmax - skmin) * 9 // 16 AS shi
+        | FROM mm),
+        |b AS (
+        | SELECT l_partkey AS pk, l_suppkey AS sk,
+        |  (l_partkey - pkmin) // ((pkmax - pkmin) // 16 + 1) AS bp,
+        |  (l_suppkey - skmin) // ((skmax - skmin) // 16 + 1) AS bs,
+        |  (l_partkey - pkmin) // ((pkmax - pkmin) // 64 + 1) AS fl
+        | FROM lineitem, mm),
+        |files AS (
+        | SELECT 'zorder' AS layout,
+        |  ((((bp >> 0) & 1) << 1) | (((bp >> 1) & 1) << 3)
+        |   | (((bp >> 2) & 1) << 5) | (((bp >> 3) & 1) << 7)
+        |   | (((bs >> 0) & 1) << 0) | (((bs >> 1) & 1) << 2)
+        |   | (((bs >> 2) & 1) << 4) | (((bs >> 3) & 1) << 6)) >> 2 AS f,
+        |  pk, sk FROM b
+        | UNION ALL
+        | SELECT 'linear_pk', fl, pk, sk FROM b),
+        |per AS (
+        | SELECT layout, f, COUNT(*) AS n,
+        |  MIN(pk) AS minpk, MAX(pk) AS maxpk,
+        |  MIN(sk) AS minsk, MAX(sk) AS maxsk,
+        |  SUM(CASE WHEN pk BETWEEN plo AND phi AND sk BETWEEN slo AND shi
+        |      THEN 1 ELSE 0 END) AS hits
+        | FROM files, box GROUP BY layout, f)
+        |SELECT layout,
+        | CAST(COUNT(*) AS BIGINT) AS files_total,
+        | CAST(SUM(CASE WHEN minpk <= phi AND maxpk >= plo
+        |   AND minsk <= shi AND maxsk >= slo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS files_scanned,
+        | CAST(SUM(CASE WHEN minpk <= phi AND maxpk >= plo
+        |   AND minsk <= shi AND maxsk >= slo THEN n ELSE 0 END) AS BIGINT)
+        |   AS rows_scanned,
+        | CAST(SUM(hits) AS BIGINT) AS rows_matched
+        |FROM per, box GROUP BY layout ORDER BY layout""".stripMargin))
   )
 }

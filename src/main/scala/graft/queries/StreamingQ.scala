@@ -278,6 +278,50 @@ object StreamingQ {
           .orderBy("user_id")
       },
       Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("w09_fmgws_sessions",
+      "Custom stateful operator #3: per-user sessionization (1h gap) " +
+        "via flatMapGroupsWithState (graft.streaming.Sessionize) — one " +
+        "row per SESSION, not per aggregate, emitted as a recomputed " +
+        "list per micro-batch; the rows at each key's final state " +
+        "revision are its complete session list, checked against the " +
+        "batch gaps-and-islands oracle. Event times ride the stream as " +
+        "epoch-micro longs (to_json would truncate timestamps to ms).",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(to_json(struct(
+            col("user_id"), unix_micros(col("ts")).as("ts_us"))).as("value")),
+          "user_id LONG, ts_us LONG")
+        import s.implicits._
+        val pairs = stream.select(col("user_id"), col("ts_us"))
+          .as[(Long, Long)]
+        val out = runToMemory(s,
+          graft.streaming.Sessionize.sessions(pairs, 3600L * 1000000L)
+            .toDF("user_id", "start_us", "end_us", "n_events", "rev"),
+          "update")
+        cleanup()
+        // Keep each key's final (= highest-revision) emission: rev is the
+        // events-folded count, monotone across that key's micro-batches.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        out.withColumn("_maxrev", max("rev").over(w))
+          .where(col("rev") === col("_maxrev"))
+          .select(col("user_id"), col("start_us"), col("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+        |  epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
   )
 }

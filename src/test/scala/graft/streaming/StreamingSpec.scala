@@ -206,4 +206,39 @@ class StreamingSpec extends AnyFunSpec {
       assert(out("k2").contains("\"x\""))
     }
   }
+
+  describe("Sessionize.sessions (stateful sessionization across batches)") {
+    it("retroactively merges sessions when late gap-filling rows arrive") {
+      val in = Files.createTempDirectory("graft-sess-in").toString
+      val cp = Files.createTempDirectory("graft-sess-cp").toString
+      // foreachBatch collector (memory sink cannot recover a checkpoint).
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      def run(): Unit = {
+        val pairs = spark.readStream.schema("k LONG, ts LONG").json(in)
+          .select($"k", $"ts").as[(Long, Long)]
+        val q = Sessionize.sessions(pairs, gapUs = 100L)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)],
+             _: Long) => seen.synchronized { seen ++= b.collect() }; ()
+          }
+          .outputMode("update").option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // Batch 1: two events 200 apart (>= gap 100) → two singleton sessions.
+      Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+        """{"k":1,"ts":0}""" + "\n" + """{"k":1,"ts":200}""" + "\n")
+      run()
+      assert(seen.toSet == Set((1L, 0L, 0L, 1L, 2L), (1L, 200L, 200L, 1L, 2L)))
+      // Batch 2 (same checkpoint → same state): late events at 60 and 140
+      // bridge the gap — all four events collapse into ONE session.
+      seen.clear()
+      Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+        """{"k":1,"ts":60}""" + "\n" + """{"k":1,"ts":140}""" + "\n")
+      run()
+      assert(seen.filter(_._5 == 4L).toSet == Set((1L, 0L, 200L, 4L, 4L)))
+    }
+  }
 }
