@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -59,5 +60,54 @@ object Similarity {
       .select(col(idCol), col("bucket"), cosine(col("v"), col("qv")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Graph ANN — one NN-descent refinement round (Dong et al., WWW'11)
+    * over an LSH-seeded k-NN graph:
+    *
+    *  1. seed graph: each vector's top-k neighbors WITHIN its sign
+    *     bucket (a bucket-equi-join — V²/2^bits candidate pairs, never
+    *     all-pairs);
+    *  2. refine: candidates ∪= neighbors-of-neighbors (the graph edge
+    *     list self-joined on nbr=src — O(V·k²) rows regardless of V²);
+    *  3. exact cosine rerank of the candidate set, top-k per probe.
+    *
+    * Every shuffle is bounded by the graph size (V·k edges), not the
+    * corpus squared — at 100 TB you raise `bits` to hold the bucket
+    * population constant and run round 2 by feeding the output back as
+    * the seed graph. Ranking uses the 6-decimal-rounded cosine (with id
+    * as tiebreak) so the cut is engine-portable; the raw fold is already
+    * bit-identical (left-fold in DOUBLE, see class doc).
+    */
+  def nnDescentTopK(emb: DataFrame, idCol: String, embCol: String,
+                    k: Int = 5, bits: Int = 6, probeMax: Long = 20L): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"),
+      signBucket(col(embCol), bits).as("bucket"))
+    val a = e.select(col("id").as("src"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("id").as("nbr"), col("v").as("vb"),
+      col("bucket").as("bucket_b"))
+    val byRank = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("nbr").asc)
+    val g0 = a
+      .join(b, col("bucket") === col("bucket_b") && col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .withColumn("rn", row_number().over(byRank)).where(col("rn") <= k)
+      .select("src", "nbr")
+    val non = g0.as("g1").join(g0.as("g2"), col("g1.nbr") === col("g2.src"))
+      .select(col("g1.src").as("src"), col("g2.nbr").as("nbr"))
+      .where(col("src") =!= col("nbr"))
+    val cand = g0.union(non).distinct()
+    val sv = e.select(col("id").as("src"), col("v").as("sv"))
+    val nv = e.select(col("id").as("nbr"), col("v").as("nv"))
+    cand.where(col("src") < probeMax)
+      .join(nv, "nbr")
+      .join(broadcast(sv.where(col("src") < probeMax)), "src")
+      .select(col("src"), col("nbr"),
+        round(cosine(col("sv"), col("nv")), 6).as("cos"))
+      .withColumn("rk", row_number().over(byRank)).where(col("rk") <= k)
+      .select(col("src"), col("rk").cast("long").as("rk"), col("nbr"),
+        col("cos"))
+      .orderBy("src", "rk")
   }
 }

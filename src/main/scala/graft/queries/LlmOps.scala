@@ -305,6 +305,56 @@ object LlmOps {
         |FROM e, q WHERE e.bucket = q.qbucket AND vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 5""").stripMargin)),
 
+    Q("s06_nndescent_topk",
+      "Graph ANN: one NN-descent round over an LSH-seeded k-NN graph — " +
+        "seed top-5 within sign buckets, expand neighbors-of-neighbors " +
+        "(edge-list self-join, O(V*k^2)), exact-cosine rerank of the " +
+        "candidate set for probes vec_id < 20. No shuffle exceeds the " +
+        "graph size; rank key is the 6-decimal-rounded cosine.",
+      (s, dir) => Similarity.nnDescentTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, bits = 6, probeMax = 20L),
+      Some {
+        val bucket = (1 to 6).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        def cos(x: String, y: String) =
+          s"""round(
+            |  list_reduce(list_transform(generate_series(1, len($x)),
+            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))), 6)"""
+            .stripMargin
+        s"""WITH e AS (
+          |  SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    $bucket AS bucket
+          |  FROM embeddings),
+          |p AS (
+          |  SELECT a.id AS src, b.id AS nbr, ${cos("a.v", "b.v")} AS cos
+          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.id <> b.id),
+          |g0 AS (
+          |  SELECT src, nbr FROM (
+          |    SELECT src, nbr,
+          |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rn
+          |    FROM p) WHERE rn <= 5),
+          |cand AS (
+          |  SELECT src, nbr FROM g0
+          |  UNION
+          |  SELECT g1.src, g2.nbr FROM g0 g1
+          |  JOIN g0 g2 ON g1.nbr = g2.src AND g1.src <> g2.nbr),
+          |r AS (
+          |  SELECT c.src, c.nbr, ${cos("es.v", "en.v")} AS cos
+          |  FROM cand c
+          |  JOIN e es ON es.id = c.src
+          |  JOIN e en ON en.id = c.nbr
+          |  WHERE c.src < 20)
+          |SELECT src, rk, nbr, cos FROM (
+          |  SELECT src, nbr, cos,
+          |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rk
+          |  FROM r) WHERE rk <= 5 ORDER BY src, rk""".stripMargin
+      }),
+
     Q("d10_rolling_fingerprint",
       "Rolling-hash document fingerprint: left fold of token hashes " +
         "(exact modular arithmetic, engine-portable).",

@@ -123,6 +123,23 @@ class OperatorsSpec extends AnyFunSpec {
         .select("vec_id").as[Long].collect().toSet
       assert(hits == Set(1L))
     }
+    it("nnDescentTopK reranks the expanded candidate set exactly") {
+      // All five share a sign bucket; probe 0's true order by cosine is
+      // 1 (colinear), 3, 2, 4 — the NoN expansion + rerank must surface
+      // it capped at k with ranks 1..k.
+      val df = Seq(
+        (0L, Array(1.0f, 0.1f, 0.0f)),
+        (1L, Array(2.0f, 0.2f, 0.0f)),
+        (2L, Array(1.0f, 1.0f, 0.0f)),
+        (3L, Array(1.0f, 0.5f, 0.0f)),
+        (4L, Array(0.1f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+      val out = Similarity
+        .nnDescentTopK(df, "vec_id", "embedding", k = 2, bits = 2, probeMax = 1L)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+        Seq((0L, 1L, 1L), (0L, 2L, 3L)))
+      assert(out.head._4 == 1.0)
+    }
   }
 
   describe("TextAnalysis") {
