@@ -93,15 +93,25 @@ object Extended {
         |FROM events e WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
 
     Q("q25_approx_distinct",
-      "HLL approximate distinct next to the exact count (no SQL oracle — " +
-        "sketch internals are engine-specific; driver records rows-only).",
+      "HLL approximate distinct checked AGAINST the exact count: the " +
+        "sketch estimate itself is engine-specific (un-oracle-able), but " +
+        "its error bound is not — the oracled columns are the exact count " +
+        "and the assertion that the in-engine HLL (rsd 0.01) landed " +
+        "within 5% of it. HLL is deterministic for fixed data, so the " +
+        "boolean is stable across runs.",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_partkey", 0.01).as("approx"),
           countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | true AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q("q27_zorder_cluster",
       "Z-order (Morton) clustering key over (l_partkey, l_suppkey): " +

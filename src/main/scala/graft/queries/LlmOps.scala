@@ -1066,6 +1066,22 @@ object LlmOps {
         |   AS matches_o_orderpriority
         |FROM orders""".stripMargin)),
 
+    Q("d33_heavy_hitters",
+      "Exact top-20 tokens via bounded-memory two-phase heavy hitters " +
+        "(graft.operators.HeavyHitters): per-partition Misra-Gries " +
+        "sketch (capacity 1024) generates candidates, a broadcast " +
+        "semi-join recounts them exactly — same answer as d12's full " +
+        "groupBy (same oracle) without shuffling the full distinct-key " +
+        "table. Guarantee holds when the k-th frequency > N/1024; this " +
+        "corpus has ~30x margin.",
+      (s, dir) => graft.operators.HeavyHitters.topK(
+        t(s, dir, "documents")
+          .select(explode(TA.tokens(col("text"))).as("token")),
+        "token", k = 20, m = 1024),
+      Some("""SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +

@@ -142,6 +142,19 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("HeavyHitters (Misra-Gries candidates + exact recount)") {
+    it("returns the exact top-k under heavy sketch eviction") {
+      // 10 distinct keys through a capacity-3 sketch: "a" (20 of 29
+      // rows, > N/m ≈ 9.7) must survive the decrement passes in every
+      // partitioning; the recount makes its count exact.
+      val keys = (Seq.fill(20)("a") ++ ('b' to 'j').map(_.toString))
+      val df = keys.toDF("k").repartition(2)
+      val top = HeavyHitters.topK(df, "k", k = 1, m = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(top == Seq(("a", 20L)))
+    }
+  }
+
   describe("TextAnalysis") {
     it("counts tokens and stopwords exactly") {
       val r = docs.filter($"doc_id" === 0).select(
