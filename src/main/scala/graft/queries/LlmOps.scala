@@ -1082,6 +1082,39 @@ object LlmOps {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    Q("d34_incremental_dedup",
+      "Incremental ingest near-dup gate: NEW documents (doc_id % 4 = 0) " +
+        "are rejected when any MinHash band bucket collides with the " +
+        "EXISTING corpus (the rest) — the nightly-ingest shape, where " +
+        "the old side's distinct (band, sig) bucket table is the " +
+        "persisted artifact of prior runs and the join is bucket-equi, " +
+        "never new×old all-pairs. Shingle-less docs have no bands and " +
+        "are admitted (coalesce false), like the bloomFlag contract.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isNew = col("doc_id") % 4 === 0
+        val oldBuckets = Dedup
+          .minhashBands(docs.filter(!isNew), "doc_id", "text")
+          .select(col("j"), col("sig")).distinct()
+        val hit = Dedup.minhashBands(docs.filter(isNew), "doc_id", "text")
+          .join(oldBuckets, Seq("j", "sig"))
+          .select(col("doc_id")).distinct()
+        docs.filter(isNew).select(col("doc_id"))
+          .join(hit.withColumn("_h", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_h") === 1, lit(false)).as("rejected"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $neardupPairsCtes,\n" +
+        """hit AS (
+          |  SELECT DISTINCT a.doc_id
+          |  FROM sig a JOIN sig b ON a.j = b.j AND a.m = b.m
+          |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+          |    AND a.m IS NOT NULL)
+          |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
+          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +
