@@ -88,12 +88,18 @@ object Similarity {
       col("bucket").as("bucket_b"))
     val byRank = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("nbr").asc)
+    // Materialize the seed graph once (localCheckpoint, as the CC loop
+    // does): it is referenced three times below (both self-join sides +
+    // the candidate union) and would otherwise re-run the bucket join
+    // per reference — 3 extra corpus scans at 100 TB. Graph refinement
+    // is iterative by nature; each round would re-checkpoint.
     val g0 = a
       .join(b, col("bucket") === col("bucket_b") && col("src") =!= col("nbr"))
       .select(col("src"), col("nbr"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .withColumn("rn", row_number().over(byRank)).where(col("rn") <= k)
       .select("src", "nbr")
+      .localCheckpoint()
     val non = g0.as("g1").join(g0.as("g2"), col("g1.nbr") === col("g2.src"))
       .select(col("g1.src").as("src"), col("g2.nbr").as("nbr"))
       .where(col("src") =!= col("nbr"))
