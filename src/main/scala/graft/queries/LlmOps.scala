@@ -73,7 +73,7 @@ object LlmOps {
   /** DuckDB CTE chain replicating minhashBands → candidatePairs over
     * `documents` (shared by d07 and d20): shingle-hash lists, the 4
     * affine-permutation signatures, and the distinct in-bucket pairs. */
-  private def neardupPairsCtes: String = {
+  private[queries] def neardupPairsCtes: String = {
     val perms = (0 until 4).map { j =>
       val (a, b) = (Dedup.HashA(j), Dedup.HashB(j))
       s"SELECT doc_id, $j AS j, list_aggregate(list_transform(hs, h -> (h * $a + $b) % ${Dedup.HashP}), 'min') AS m FROM s"

@@ -322,6 +322,49 @@ object StreamingQ {
         |      FROM x)
         |SELECT user_id, epoch_us(MIN(ts)) AS start_us,
         |  epoch_us(MAX(ts)) AS end_us, COUNT(*) AS n_events
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)),
+
+    Q("w10_streaming_ingest_gate",
+      "d34's production shape: NEW documents arrive AS A STREAM and are " +
+        "gated in-flight — per micro-batch their MinHash bands " +
+        "(codegen'd MinHashSigs on the stream side) broadcast-join the " +
+        "STATIC old-corpus bucket table, a streaming per-doc aggregation " +
+        "(update mode) flags collisions, and shingle-less docs are " +
+        "restored by the batch-side left join (admitted). Same oracle " +
+        "as d34. Stream-side text survives the NDJSON hop because " +
+        "to_json escapes newlines.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val isNew = col("doc_id") % 4 === 0
+        val oldBuckets = graft.operators.Dedup
+          .minhashBands(docs.filter(!isNew), "doc_id", "text")
+          .select(col("j"), col("sig")).distinct()
+          .withColumn("_h", lit(1))
+        val (stream, cleanup) = jsonStream(s,
+          docs.filter(isNew).select(
+            to_json(struct(col("doc_id"), col("text"))).as("value")),
+          "doc_id LONG, text STRING")
+        val flags = graft.operators.Dedup
+          .minhashBands(stream, "doc_id", "text")
+          .join(oldBuckets, Seq("j", "sig"), "left_outer")
+          .groupBy("doc_id")
+          .agg(max(col("_h")).as("_hit"))
+        val out = runToMemory(s, flags, "update")
+        cleanup()
+        docs.filter(isNew).select(col("doc_id"))
+          .join(out, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_hit") === 1, lit(false)).as("rejected"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${LlmOps.neardupPairsCtes},\n" +
+        """hit AS (
+          |  SELECT DISTINCT a.doc_id
+          |  FROM sig a JOIN sig b ON a.j = b.j AND a.m = b.m
+          |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+          |    AND a.m IS NOT NULL)
+          |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
+          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin))
   )
 }
