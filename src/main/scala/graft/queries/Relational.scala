@@ -719,6 +719,114 @@ object Relational {
       Some("""SELECT CAST(p_size AS BIGINT) AS p_size, COUNT(*) AS n,
         | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(MAX(len(p_name)) AS BIGINT) AS max_name_len
-        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin))
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin)),
+
+    Q("q39_stats_moments",
+      "Statistical aggregates (corr, sample stddev) made engine-portable " +
+        "by computing them FROM EXACT DECIMAL MOMENT SUMS (n, Σx, Σy, " +
+        "Σx², Σy², Σxy — order-free, both engines bit-identical) cast to " +
+        "double only at the final formula, q25-style: Spark's built-in " +
+        "single-pass corr/stddev_samp are asserted within 1e-6 of the " +
+        "exact values. One aggregation pass computes all six moments AND " +
+        "both built-ins.",
+      (s, dir) => {
+        val q = dec2(col("l_quantity"))
+        val p = dec2(col("l_extendedprice"))
+        def d(n: String) = col(n).cast("double")
+        val nd = d("n_rows")
+        val corrE = (nd * d("_sqp") - d("_sq") * d("_sp")) /
+          (sqrt(nd * d("_sqq") - d("_sq") * d("_sq")) *
+            sqrt(nd * d("_spp") - d("_sp") * d("_sp")))
+        val stdE = sqrt((nd * d("_spp") - d("_sp") * d("_sp")) /
+          (nd * (nd - lit(1.0))))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(q).as("_sq"), sum(p).as("_sp"),
+            sum(q * q).as("_sqq"), sum(p * p).as("_spp"),
+            sum(q * p).as("_sqp"),
+            corr(col("l_quantity"), col("l_extendedprice")).as("_bcorr"),
+            stddev_samp(col("l_extendedprice")).as("_bstd"))
+          .select(col("l_returnflag"), col("n_rows"),
+            corrE.as("corr_qty_price"), stdE.as("stddev_price"),
+            (abs(col("_bcorr") - corrE) < 1e-6).as("corr_builtin_ok"),
+            (abs(col("_bstd") - stdE) / stdE < 1e-6).as("stddev_builtin_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+        | SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        | (n_rows*sqp - sq*sp)
+        |   / (sqrt(n_rows*sqq - sq*sq) * sqrt(n_rows*spp - sp*sp))
+        |   AS corr_qty_price,
+        | sqrt((n_rows*spp - sp*sp) / (n_rows*(n_rows - 1.0)))
+        |   AS stddev_price,
+        | true AS corr_builtin_ok,
+        | true AS stddev_builtin_ok
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q40_merge_upsert",
+      "MERGE INTO semantics without a table format — the CDC upsert " +
+        "shape: target (customer) FULL OUTER JOIN source (per-customer " +
+        "order totals + synthetic new keys), three-branch action " +
+        "classification (update / insert / keep) and merged balance in " +
+        "one projection. On a real lakehouse sink the same plan feeds a " +
+        "partition-overwrite write; the join shuffles on the key both " +
+        "sides — broadcast if the changeset is small. Exact decimal " +
+        "balances; per-action counts and totals.",
+      (s, dir) => {
+        // Changeset restricted to 2/3 of keys so all three MERGE
+        // branches are live (every customer has orders in this data —
+        // an unfiltered source would leave 'keep' unexercised).
+        val g = t(s, dir, "orders")
+          .filter(col("o_custkey") % 3 =!= 1)
+          .groupBy("o_custkey")
+          .agg(sum(dec2(col("o_totalprice"))).as("delta"))
+        val src = g.select(col("o_custkey").as("k"), col("delta"))
+          .union(g.filter(col("o_custkey") < 50)
+            .select((col("o_custkey") + 10000000L).as("k"), col("delta")))
+        val bal = dec2(col("c_acctbal"))
+        t(s, dir, "customer")
+          .join(src, col("c_custkey") === col("k"), "full_outer")
+          .select(
+            when(col("c_custkey").isNotNull && col("k").isNotNull, "update")
+              .when(col("c_custkey").isNull, "insert")
+              .otherwise("keep").as("action"),
+            when(col("k").isNull, bal)
+              .when(col("c_custkey").isNull, col("delta"))
+              .otherwise(bal + col("delta")).as("bal"))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n"),
+            sum(col("bal")).cast("double").as("total_bal"))
+          .orderBy("action")
+      },
+      Some("""WITH g AS (
+        | SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        | FROM orders WHERE o_custkey % 3 <> 1 GROUP BY o_custkey),
+        |s AS (
+        | SELECT o_custkey AS k, delta FROM g
+        | UNION ALL
+        | SELECT o_custkey + 10000000, delta FROM g WHERE o_custkey < 50),
+        |m AS (
+        | SELECT
+        |  CASE WHEN c.c_custkey IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+        |       WHEN c.c_custkey IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  CASE WHEN s.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+        |       WHEN c.c_custkey IS NULL THEN s.delta
+        |       ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) + s.delta END AS bal
+        | FROM customer c FULL JOIN s ON c.c_custkey = s.k)
+        |SELECT action, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal
+        |FROM m GROUP BY action ORDER BY action""".stripMargin))
   )
 }
