@@ -827,6 +827,118 @@ object Relational {
         |       ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) + s.delta END AS bal
         | FROM customer c FULL JOIN s ON c.c_custkey = s.k)
         |SELECT action, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal
-        |FROM m GROUP BY action ORDER BY action""".stripMargin))
+        |FROM m GROUP BY action ORDER BY action""".stripMargin)),
+
+    Q("q41_recursive_cte",
+      "WITH RECURSIVE through Spark's native UnionLoop (4.x): walk each " +
+        "customer's order chain in o_orderdate order accumulating an " +
+        "exact-decimal running spend; emit the chain tail (depth + total). " +
+        "Each iteration is one join of the frontier (one row per customer) " +
+        "against the rank-indexed orders — the loop does O(max-chain) " +
+        "bounded joins, not one join per row; the frontier never exceeds " +
+        "|customers|. Recursion depth = max orders per customer (~25 at " +
+        "sf0.01), far under the configured limit.",
+      (s, dir) => {
+        s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+        t(s, dir, "orders").filter(col("o_custkey") <= 300)
+          .createOrReplaceTempView("q41_orders")
+        s.sql("""
+          WITH RECURSIVE ranked AS (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rk
+            FROM q41_orders
+          ),
+          chain (o_custkey, rk, cum) AS (
+            SELECT o_custkey, rk, CAST(o_totalprice AS DECIMAL(28,2))
+            FROM ranked WHERE rk = 1
+            UNION ALL
+            SELECT r.o_custkey, r.rk,
+                   CAST(c.cum + CAST(r.o_totalprice AS DECIMAL(28,2))
+                        AS DECIMAL(28,2))
+            FROM chain c JOIN ranked r
+              ON r.o_custkey = c.o_custkey AND r.rk = c.rk + 1
+          )
+          SELECT o_custkey, CAST(MAX(rk) AS BIGINT) AS chain_len,
+                 CAST(MAX_BY(cum, rk) AS DOUBLE) AS total_spend
+          FROM chain GROUP BY o_custkey ORDER BY o_custkey""")
+      },
+      Some("""WITH RECURSIVE ranked AS (
+        |  SELECT o_custkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rk
+        |  FROM orders WHERE o_custkey <= 300
+        |),
+        |chain (o_custkey, rk, cum) AS (
+        |  SELECT o_custkey, rk, CAST(o_totalprice AS DECIMAL(28,2))
+        |  FROM ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.o_custkey, r.rk,
+        |         CAST(c.cum + CAST(r.o_totalprice AS DECIMAL(28,2))
+        |              AS DECIMAL(28,2))
+        |  FROM chain c JOIN ranked r
+        |    ON r.o_custkey = c.o_custkey AND r.rk = c.rk + 1
+        |)
+        |SELECT o_custkey, CAST(MAX(rk) AS BIGINT) AS chain_len,
+        |       CAST(MAX_BY(cum, rk) AS DOUBLE) AS total_spend
+        |FROM chain GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    Q("q42_unpivot",
+      "Wide→long UNPIVOT (melt): per-returnflag exact-decimal aggregates " +
+        "unpivoted into (flag, metric, value) rows via Dataset.unpivot — " +
+        "planned as a single Expand over the aggregated (tiny) frame, " +
+        "never touching the fact table again. Oracle is the portable " +
+        "UNION ALL spelling of the same melt.",
+      (s, dir) => {
+        val wide = t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+            count(lit(1)).cast("double").as("n_items"))
+        wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""WITH w AS (
+        | SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_items
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_items', n_items FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    Q("q43_lateral_topn",
+      "LATERAL correlated subquery with ORDER BY + LIMIT: per-nation " +
+        "top-2 customers by balance. Spark decorrelates the lateral into " +
+        "a ranked window join (one shuffle on the correlation key) — not " +
+        "a per-outer-row re-execution.",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("q43_nation")
+        t(s, dir, "customer").createOrReplaceTempView("q43_customer")
+        s.sql("""
+          SELECT n.n_name, c.c_custkey,
+                 CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+          FROM q43_nation n,
+          LATERAL (SELECT c_custkey, c_acctbal FROM q43_customer
+                   WHERE c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          ORDER BY n.n_name, bal DESC, c.c_custkey""")
+      },
+      Some("""SELECT n.n_name, c.c_custkey,
+        | CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, bal DESC, c.c_custkey""".stripMargin))
   )
 }
