@@ -124,6 +124,24 @@ object Dedup {
       }.reduce(_ + _)
     }
 
+  /** Distinct `(id, gram-hash)` rows for word n-grams of length `n` —
+    * the long-substring dedup primitive (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22, at n-gram
+    * granularity): two docs sharing ANY length-n token window are
+    * substring duplicates. The gram is hashed to a 60-bit int before
+    * the shuffle (8-byte key instead of ~n words — the shuffle volume
+    * is what matters at corpus scale); both engines hash identically
+    * (md5 prefix), so the ~1e-9 collision odds are portable, never a
+    * cross-engine mismatch. Docs with fewer than n tokens contribute
+    * no rows ([[shingles]] yields an empty array). */
+  def longGramHashes(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 12): DataFrame =
+    df.select(col(idCol),
+        explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
+      .select(col(idCol),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .distinct()
+
   /** Jaccard similarity of the distinct-token sets of two documents. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -1276,6 +1276,207 @@ object LlmOps {
         |  round(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS mean_lp
         |FROM toks JOIN lp USING (term)
         |WHERE doc_id < 100
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("d35_substring_dedup",
+      "Long-substring dedup at 12-token-gram granularity (Lee et al., " +
+        "ACL'22): a doc is a substring-dup if ANY of its 12-gram hashes " +
+        "is owned (min doc_id) by an earlier doc. One explode → distinct " +
+        "(doc, gram-hash) → gram-owner aggregation → re-join; the " +
+        "shuffle key is the 8-byte gram hash, never the gram text, and " +
+        "cost is O(total grams), never doc-pairs. Short docs (<12 " +
+        "tokens) have no grams and are reported with zero counts, not " +
+        "dropped.",
+      (s, dir) => {
+        val g = Dedup.longGramHashes(t(s, dir, "documents"), "doc_id", "text", 12)
+        val owners = g.groupBy("gh").agg(min("doc_id").as("own"))
+        val perDoc = g.join(owners, "gh")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("own") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_grams"),
+            bool_or(col("own") < col("doc_id")).as("is_dup"))
+        t(s, dir, "documents").select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ('0x' || substr(md5(array_to_string(toks[i:i+11], ' ')), 1, 15))::BIGINT AS gh
+        |      FROM tk, LATERAL unnest(generate_series(1, len(toks) - 11)) t(i)),
+        |o AS (SELECT gh, MIN(doc_id) AS own FROM g GROUP BY gh),
+        |p AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+        |        CAST(SUM(CASE WHEN o.own < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |        bool_or(o.own < g.doc_id) AS is_dup
+        |      FROM g JOIN o USING (gh) GROUP BY g.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+        |       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+        |       COALESCE(p.is_dup, false) AS is_dup
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("d36_semdedup",
+      "SemDeDup (Abbas et al., 2023): embedding-space near-dup removal — " +
+        "bucket the corpus (4-bit sign LSH standing in for the k-means " +
+        "cell assignment), compare pairs ONLY within a cell, drop every " +
+        "vector with an earlier cell-mate at cosine >= 0.35. Reported " +
+        "per cell: population and drops. Pair work is O(sum cell^2), " +
+        "never corpus^2; at 100 TB you raise the cell count to hold " +
+        "cell population constant.",
+      (s, dir) => {
+        val Sim = Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"),
+          Sim.asDouble(col("embedding")).as("v"),
+          Sim.signBucket(col("embedding"), 4).as("bucket"))
+        val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("bucket"))
+        val b = e.select(col("vec_id").as("ib"), col("v").as("vb"),
+          col("bucket").as("bucket_b"))
+        val drops = a
+          .join(b, col("bucket") === col("bucket_b") && col("ia") < col("ib"))
+          .filter(Sim.cosine(col("va"), col("vb")) >= 0.35)
+          .select(col("ib").as("vec_id")).distinct()
+          .withColumn("dropped", lit(true))
+        e.join(drops, Seq("vec_id"), "left")
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("bucket")
+      },
+      Some {
+        val bucket = (1 to 4).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        def cos(x: String, y: String) =
+          s"""(list_reduce(list_transform(generate_series(1, len($x)),
+            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
+            .stripMargin
+        s"""WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    $bucket AS bucket
+          |  FROM embeddings),
+          |drops AS (
+          |  SELECT DISTINCT b.vec_id
+          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |  WHERE ${cos("a.v", "b.v")} >= 0.35)
+          |SELECT e.bucket, COUNT(*) AS n_vecs,
+          |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          |FROM e LEFT JOIN drops d USING (vec_id)
+          |GROUP BY e.bucket ORDER BY e.bucket""".stripMargin
+      }),
+
+    Q("s07_ann_recall",
+      "ANN quality evaluation: recall@10 of the IVF probe-2 search (s03) " +
+        "against exact brute-force, per query vec_id < 10. Both arms " +
+        "rank by (cosine DESC, vec_id) per query through a bounded " +
+        "window; the brute arm is the evaluation baseline (score-all is " +
+        "the point of a recall measurement, not the serving path). " +
+        "Centroids are the exact scaled-integer means, so the whole " +
+        "measurement is engine-portable.",
+      (s, dir) => {
+        val Sim = Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          Sim.asDouble(col("embedding")).as("v"))
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val byCos = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        val brute = e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Sim.cosine(col("v"), col("qv")).as("cosine"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+        // Exact integer-sum centroids (same construction as s03).
+        val dims = e.select(col("label"),
+          posexplode(transform(col("v"), x => round(x * 1e6).cast("long")))
+            .as(Seq("i", "x")))
+        val cents = dims.groupBy("label", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("sx"), col("n")))),
+            t3 => t3.getField("sx").cast("double") /
+              (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
+        val byCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cscore").desc, col("label").asc)
+        val cells = cents.crossJoin(broadcast(qs))
+          .select(col("qid"), col("label"),
+            Sim.cosine(col("cv"), col("qv")).as("cscore"))
+          .withColumn("rn", row_number().over(byCell))
+          .filter(col("rn") <= 2).select("qid", "label")
+        val ivf = e
+          .join(broadcast(cells.join(qs, "qid")), "label")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            Sim.cosine(col("v"), col("qv")).as("cosine"))
+          .withColumn("rn", row_number().over(byCos))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+        val hits = brute.join(ivf, Seq("qid", "vec_id"))
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        qs.select("qid").join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0).as("recall"))
+          .orderBy("qid")
+      },
+      Some {
+        def cos(x: String, y: String) =
+          s"""(list_reduce(list_transform(generate_series(1, len($x)),
+            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
+            .stripMargin
+        s"""WITH e AS (
+          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          |brute AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT q.qid, e.vec_id,
+          |      ROW_NUMBER() OVER (PARTITION BY q.qid
+          |        ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+          |    FROM e, q WHERE e.vec_id <> q.qid)
+          |  WHERE rn <= 10),
+          |d AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
+          |             unnest(list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+          |      FROM e),
+          |c AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+          |        SELECT label, i, CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0) AS cval
+          |        FROM d GROUP BY label, i)
+          |      GROUP BY label),
+          |cells AS (
+          |  SELECT qid, label FROM (
+          |    SELECT q.qid, c.label,
+          |      ROW_NUMBER() OVER (PARTITION BY q.qid
+          |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.label) AS rn
+          |    FROM c, q)
+          |  WHERE rn <= 2),
+          |ivf AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT q.qid, e.vec_id,
+          |      ROW_NUMBER() OVER (PARTITION BY q.qid
+          |        ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+          |    FROM e JOIN cells ON e.label = cells.label
+          |         JOIN q ON q.qid = cells.qid
+          |    WHERE e.vec_id <> q.qid)
+          |  WHERE rn <= 10),
+          |h AS (SELECT b.qid, COUNT(*) AS n_hit
+          |      FROM brute b JOIN ivf USING (qid, vec_id) GROUP BY b.qid)
+          |SELECT q.qid, COALESCE(h.n_hit, 0) AS n_hit,
+          |       COALESCE(h.n_hit, 0) / 10.0 AS recall
+          |FROM q LEFT JOIN h USING (qid)
+          |ORDER BY q.qid""".stripMargin
+      })
   )
 }
