@@ -67,9 +67,40 @@ object Multimodal {
         }
       }
     }(Encoders.product[Frame])
+  /** Audio-style frame analysis over a payload treated as 8-bit PCM:
+    * OVERLAPPING windows of `frameLen` bytes every `hop` bytes, per-frame
+    * energy = Σ sample² (exact integer — portable), folded per blob to
+    * (frame count, max energy, 1-based offset of the loudest frame,
+    * first on ties). The windowing + per-partition imperative fold is
+    * the real part (a codec/FFT would slot into the inner loop and
+    * amortize its init across the partition); blobs shorter than one
+    * frame yield no row. */
+  def audioFrameStats(blobs: Dataset[Blob], frameLen: Int,
+                      hop: Int): Dataset[AudioStats] =
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val n = b.payload.length
+        if (n < frameLen) Iterator.empty
+        else {
+          var off = 0; var best = -1L; var bestOff = 0L; var count = 0L
+          while (off + frameLen <= n) {
+            var e = 0L; var i = 0
+            while (i < frameLen) {
+              val v = (b.payload(off + i) & 0xff).toLong; e += v * v; i += 1
+            }
+            if (e > best) { best = e; bestOff = off + 1L }
+            count += 1L; off += hop
+          }
+          Iterator.single(AudioStats(b.doc_id, count, best, bestOff))
+        }
+      }
+    }(Encoders.product[AudioStats])
 }
 
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
+
+final case class AudioStats(
+    doc_id: Long, n_frames: Long, max_energy: Long, argmax_off: Long)
 
 final case class Resized(
     doc_id: Long, width: Long, height: Long,

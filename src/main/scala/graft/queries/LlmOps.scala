@@ -656,6 +656,40 @@ object LlmOps {
         |WHERE i * stride + 64 <= n
         |ORDER BY doc_id, "offset"""".stripMargin)),
 
+    Q("m04_audio_frames",
+      "Audio-style windowed analysis: payload as 8-bit PCM, OVERLAPPING " +
+        "256-byte frames every 128 bytes (50% hop), per-frame integer " +
+        "energy Σ sample², folded per blob to (n_frames, max energy, " +
+        "loudest offset) in one mapPartitions pass — the shape a real " +
+        "FFT/VAD pass drops into. Ascii-only guard makes the char-based " +
+        "oracle byte-exact, as m02.",
+      (s, dir) => Multimodal.audioFrameStats(
+          Multimodal.withPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 200 &&
+              octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"),
+          frameLen = 256, hop = 128)
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+        |  SELECT doc_id, o, list_reduce(
+        |      list_transform(generate_series(o, o + 255),
+        |        p -> unicode(substr(text, CAST(p AS INT), 1))
+        |             * unicode(substr(text, CAST(p AS INT), 1))),
+        |      (a, b) -> a + b) AS energy
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, len(text) - 255, 128)) t(o)
+        |  WHERE doc_id < 200 AND octet_length(CAST(text AS BLOB)) = len(text)
+        |    AND len(text) >= 256),
+        |j AS (SELECT doc_id, COUNT(*) AS n_frames,
+        |        CAST(MAX(energy) AS BIGINT) AS max_energy
+        |      FROM f GROUP BY doc_id)
+        |SELECT j.doc_id, j.n_frames, j.max_energy,
+        |       CAST(MIN(f.o) AS BIGINT) AS argmax_off
+        |FROM j JOIN f ON f.doc_id = j.doc_id AND f.energy = j.max_energy
+        |GROUP BY j.doc_id, j.n_frames, j.max_energy
+        |ORDER BY j.doc_id""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +

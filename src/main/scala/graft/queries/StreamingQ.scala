@@ -365,6 +365,76 @@ object StreamingQ {
           |    AND a.m IS NOT NULL)
           |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin))
+          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin)),
+
+    Q("w11_sliding_window",
+      "OVERLAPPING (sliding) event-time windows — 2h size, 1h slide: " +
+        "every event lands in exactly two windows, which Spark plans as " +
+        "one Expand (window-per-row generate) before the stateful " +
+        "aggregation, not a re-scan per offset. Complete mode keeps the " +
+        "tail window comparable to the batch oracle (append mode would " +
+        "withhold windows the final watermark hasn't closed).",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("ts"), col("event_type"))).as("value")),
+          "ts TIMESTAMP, event_type STRING")
+        val agg = stream
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"))
+        val out = runToMemory(s, agg, "complete")
+        cleanup()
+        out.orderBy("window_start", "event_type")
+      },
+      Some("""SELECT window_start, event_type, COUNT(*) AS n
+        |FROM (SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
+        |             event_type
+        |      FROM events, LATERAL unnest([0, 1]) t(o))
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("w12_streaming_file_sink",
+      "Streaming PARQUET FILE SINK with a checkpoint: stateless filter + " +
+        "project streams to an append-mode parquet directory (the " +
+        "exactly-once lakehouse landing pattern — file-sink manifest + " +
+        "checkpoint make replays idempotent), then the landed files are " +
+        "read back in batch and aggregated. The double `value` is " +
+        "rounded into an exact DECIMAL before the sink so the final sum " +
+        "is file-layout- and order-independent.",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("ts"), col("event_type"), col("value"))).as("value")),
+          "ts TIMESTAMP, event_type STRING, value DOUBLE")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w12").toString
+        val q = stream.filter(col("value") > 50.0)
+          .select(col("event_type"),
+            round(col("value"), 3)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 3)).as("v"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val res = s.read.parquet(s"$tmp/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sum_v"))
+          .orderBy("event_type")
+          .localCheckpoint()
+        cleanup()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(tmp))
+        res
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
+        |FROM events WHERE value > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
