@@ -1511,6 +1511,116 @@ object LlmOps {
           |       COALESCE(h.n_hit, 0) / 10.0 AS recall
           |FROM q LEFT JOIN h USING (qid)
           |ORDER BY q.qid""".stripMargin
-      })
+      }),
+
+    Q("d37_gopher_rules",
+      "Gopher quality-filter rules (Rae et al. 2021, Appendix A), the " +
+        "integer-exact subset: word count in [50, 1e5]; mean word length " +
+        "in [3, 10]; symbol-to-word ratio < 0.1; >80% of words contain a " +
+        "letter; >=2 distinct stop words present. Every ratio is an " +
+        "integer cross-multiplication (10*n_sym < n_words), so the " +
+        "booleans are bit-exact on any engine — and the whole filter is " +
+        "one shuffle-free codegen'd projection over the corpus scan " +
+        "(repeated token-split subexpressions are eliminated inside the " +
+        "generated code).",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        val nW = size(toks).cast("long")
+        val chars = aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x)
+        val nSym = size(filter(toks,
+          t => t.contains("#") || t.contains("..."))).cast("long")
+        val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+        val nStop = size(array_intersect(toks,
+          lit(TA.Stopwords.toArray))).cast("long")
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"), nW.as("n_words"),
+            (nW >= 50 && nW <= 100000).as("wc_ok"),
+            (chars >= nW * 3 && chars <= nW * 10).as("mwl_ok"),
+            (nSym * 10 < nW).as("sym_ok"),
+            (nAlpha * 5 > nW * 4).as("alpha_ok"),
+            (nStop >= 2).as("stop_ok"))
+          .withColumn("pass",
+            col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+              col("alpha_ok") && col("stop_ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH k AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(toks,
+        |      t -> contains(t, '#') OR contains(t, '...'))) AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_distinct(list_intersect(toks, $stopSql))) AS BIGINT) AS n_stop
+        |  FROM k)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS wc_ok,
+        |  chars >= n_words * 3 AND chars <= n_words * 10 AS mwl_ok,
+        |  n_sym * 10 < n_words AS sym_ok,
+        |  n_alpha * 5 > n_words * 4 AS alpha_ok,
+        |  n_stop >= 2 AS stop_ok,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (chars >= n_words * 3 AND chars <= n_words * 10)
+        |    AND (n_sym * 10 < n_words) AND (n_alpha * 5 > n_words * 4)
+        |    AND (n_stop >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("d38_ccnet_buckets",
+      "CCNet-style per-language quality bucketing (Wenzek et al. 2020): " +
+        "score each doc with the corpus unigram LM (d30's exact-decimal " +
+        "mean log-prob), then split each LANGUAGE into head/middle/tail " +
+        "terciles by score (ntile over a lang-partitioned window — " +
+        "shuffles on lang, never a global sort). The per-lang cut is the " +
+        "point: head-of-English and head-of-German survive independently " +
+        "instead of one global threshold drowning low-resource langs.",
+      (s, dir) => {
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TA.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("c"))
+        val total = pairs.agg(coalesce(sum("c"), lit(1L))).head().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val scored = pairs
+          .withColumn("tf", sum("c").over(w))
+          .withColumn("lnp",
+            round(log(col("tf").cast("double") / lit(total.toDouble)), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("lnp") *
+              col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+            .cast("double") / sum("c"), 6).as("mean_lp"))
+        scored
+          .withColumn("bucket", ntile(3).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")
+              .orderBy(col("mean_lp").desc, col("doc_id").asc)).cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("mean_lp").as("min_lp"), max("mean_lp").as("max_lp"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freq),
+        |lp AS (SELECT term,
+        |         CAST(round(ln(tf / total), 9) AS DECIMAL(28,9)) AS lnp
+        |       FROM freq, tot),
+        |doc AS (SELECT doc_id, lang,
+        |          round(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS mean_lp
+        |        FROM toks JOIN lp USING (term)
+        |        GROUP BY doc_id, lang),
+        |b AS (SELECT lang, mean_lp,
+        |        CAST(ntile(3) OVER (PARTITION BY lang
+        |          ORDER BY mean_lp DESC, doc_id) AS BIGINT) AS bucket
+        |      FROM doc)
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  MIN(mean_lp) AS min_lp, MAX(mean_lp) AS max_lp
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
   )
 }
