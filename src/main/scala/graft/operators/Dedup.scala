@@ -140,7 +140,13 @@ object Dedup {
         explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
       .select(col(idCol),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
-      .distinct()
+      // ONE shuffle on gh serves both the dedup aggregation (gh alone
+      // already co-locates every (gh, id) group) and any downstream
+      // per-gram window/aggregation — a plain .distinct() would hash on
+      // (gh, id) and force the gram-owner step to re-shuffle the whole
+      // gram table a second time.
+      .repartition(col("gh"))
+      .dropDuplicates("gh", idCol)
 
   /** Jaccard similarity of the distinct-token sets of two documents. */
   def jaccard(a: Column, b: Column): Column =

@@ -1323,8 +1323,12 @@ object LlmOps {
         "dropped.",
       (s, dir) => {
         val g = Dedup.longGramHashes(t(s, dir, "documents"), "doc_id", "text", 12)
-        val owners = g.groupBy("gh").agg(min("doc_id").as("own"))
-        val perDoc = g.join(owners, "gh")
+        // Gram owner via a WINDOW over the one (doc, gram) pre-aggregation
+        // — an owners-table self-join would re-derive the whole explode
+        // lineage on both join inputs (two corpus scans at 100 TB).
+        val perDoc = g
+          .withColumn("own", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("gh")))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_grams"),
