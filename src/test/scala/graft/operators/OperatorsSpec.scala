@@ -833,6 +833,44 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Dedup.longGramHashes") {
+    it("flags docs sharing a full n-token window, at distinct (id, hash) grain") {
+      // docs 0 and 1 are identical 9-token texts → every 9-gram collides;
+      // doc 2 differs in the last token → no shared 9-gram at n=9.
+      val g = Dedup.longGramHashes(docs, "doc_id", "text", 9)
+      val owners = g.groupBy("gh").agg(min("doc_id").as("own"))
+      val dup = g.join(owners, "gh")
+        .filter($"own" < $"doc_id").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(dup == Set(1L))
+    }
+    it("yields no rows for docs shorter than n tokens") {
+      val g = Dedup.longGramHashes(docs, "doc_id", "text", 50)
+      assert(g.count() == 0)
+    }
+  }
+
+  describe("Multimodal.audioFrameStats") {
+    it("computes overlapping frame count and exact loudest-frame offset") {
+      // 10-byte payload, frame 4, hop 2 → offsets 0,2,4,6 (4 frames).
+      // Bytes ramp up, so the LAST frame is loudest → 1-based offset 7.
+      val blobs = Seq(graft.operators.Blob(7L, Array[Byte](1, 1, 1, 1, 2, 2, 3, 3, 9, 9)))
+        .toDS()
+      val st = Multimodal.audioFrameStats(blobs, frameLen = 4, hop = 2).head()
+      assert(st.n_frames == 4L)
+      assert(st.max_energy == (3 * 3 + 3 * 3 + 9 * 9 + 9 * 9).toLong)
+      assert(st.argmax_off == 7L)
+    }
+    it("treats bytes as unsigned 8-bit samples and skips short blobs") {
+      val blobs = Seq(
+        graft.operators.Blob(1L, Array[Byte](-1, -1)),   // 255² × 2
+        graft.operators.Blob(2L, Array[Byte](1))).toDS()
+      val out = Multimodal.audioFrameStats(blobs, frameLen = 2, hop = 2).collect()
+      assert(out.map(_.doc_id).toSet == Set(1L))
+      assert(out.head.max_energy == 2L * 255 * 255)
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
