@@ -1625,6 +1625,69 @@ object LlmOps {
         |      FROM doc)
         |SELECT lang, bucket, COUNT(*) AS n_docs,
         |  MIN(mean_lp) AS min_lp, MAX(mean_lp) AS max_lp
-        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin)),
+
+    Q("d39_minhash_accuracy",
+      "Estimator-quality audit for the MinHash dedup path (s07's role, " +
+        "for LSH): signature-agreement Jaccard estimate (matches/4) vs " +
+        "the EXACT Jaccard of the hashed-shingle sets — the quantity " +
+        "MinHash is an unbiased estimator of — for all pairs in a 50-doc " +
+        "slice, summarized per estimate level (pair count, mean true " +
+        "Jaccard, worst absolute error). Per-pair values are rounded " +
+        "then DECIMAL-summed so the means are aggregation-order-free.",
+      (s, dir) => {
+        val hsCol = array_distinct(transform(
+          Dedup.shingles(TA.tokens(col("text"))),
+          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % Dedup.HashP))
+        val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            graft.functions.MinHashSigs(col("text"), 4).as("sig"),
+            hsCol.as("hs"))
+          .filter(col("sig").isNotNull)
+        val a = d.select(col("doc_id").as("da"), col("sig").as("siga"), col("hs").as("hsa"))
+        val b = d.select(col("doc_id").as("db"), col("sig").as("sigb"), col("hs").as("hsb"))
+        a.join(b, col("da") < col("db"))
+          .select(
+            (size(filter(zip_with(col("siga"), col("sigb"),
+              (x, y) => x === y), p => p)).cast("double") / 4.0).as("est"),
+            round(Dedup.jaccard(col("hsa"), col("hsb")), 6).as("exact"))
+          .select(col("est"),
+            col("exact").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("exd"),
+            round(abs(col("est") - col("exact")), 6).as("err"))
+          .groupBy("est")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sum("exd").cast("double") / count(lit(1)), 6).as("mean_exact"),
+            max("err").as("max_abs_err"))
+          .orderBy("est")
+      },
+      Some {
+        val mins = (0 until 4).map { j =>
+          s"list_aggregate(list_transform(hs, h -> (h * ${Dedup.HashA(j)} + ${Dedup.HashB(j)}) % ${Dedup.HashP}), 'min') AS m$j"
+        }.mkString(",\n        ")
+        val matches = (0 until 4)
+          .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH s AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+          |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+          |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashP}) AS hs
+          |  FROM documents WHERE doc_id < 50),
+          |sg AS (
+          |  SELECT doc_id, list_distinct(hs) AS hsd,
+          |        $mins
+          |  FROM s WHERE len(hs) > 0),
+          |p AS (
+          |  SELECT ($matches) / 4.0 AS est,
+          |    round(CAST(len(list_intersect(a.hsd, b.hsd)) AS DOUBLE) /
+          |      CAST(len(list_distinct(list_concat(a.hsd, b.hsd))) AS DOUBLE), 6) AS exact
+          |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+          |SELECT est, COUNT(*) AS n_pairs,
+          |  round(CAST(SUM(CAST(exact AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
+          |  MAX(round(abs(est - exact), 6)) AS max_abs_err
+          |FROM p GROUP BY est ORDER BY est""".stripMargin
+      })
   )
 }

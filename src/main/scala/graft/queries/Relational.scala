@@ -939,6 +939,35 @@ object Relational {
         |LATERAL (SELECT c_custkey, c_acctbal FROM customer
         |         WHERE c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
-        |ORDER BY n.n_name, bal DESC, c.c_custkey""".stripMargin))
+        |ORDER BY n.n_name, bal DESC, c.c_custkey""".stripMargin)),
+
+    Q("q44_agg_filter",
+      "FILTER-clause aggregates: unconditional, conditionally-filtered, " +
+        "and filtered-DISTINCT aggregates over different predicates, all " +
+        "in ONE scan + one aggregation pass (each FILTER compiles to a " +
+        "conditional partial-agg update — never a scan per predicate; " +
+        "the DISTINCT column adds the standard two-phase expand).",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q44_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                 CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_f,
+                 COUNT(DISTINCT o_custkey)
+                   FILTER (WHERE o_totalprice > 200000) AS n_cust_big
+          FROM q44_orders
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+        | COUNT(*) AS n,
+        | COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        | CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_f,
+        | COUNT(DISTINCT o_custkey)
+        |   FILTER (WHERE o_totalprice > 200000) AS n_cust_big
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
