@@ -117,7 +117,73 @@ object Parity {
       },
       Some("""SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    Q("p07_schema_migration",
+      "Schema EVOLUTION — the capability the reference's CREATE-only DDL " +
+        "stops short of: re-infer on a NEW data cohort and emit the Hive " +
+        "migration plan. The new cohort simulates a producer rollout via " +
+        "a regex rewrite of the real payloads (k re-emitted as a quoted " +
+        "string = retype; a fresh v2 field = addition). Cost is one " +
+        "O(schema)-to-the-driver inference aggregation per cohort; the " +
+        "migration DDL is ADD COLUMNS + CHANGE COLUMN (removals stay — " +
+        "Hive can't drop a column without rewriting the data).",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val oldS = JsonIngest.inferColumnSchema(
+          ev.filter(col("event_id") % 5 =!= 0), "props", typed = true)
+        val newS = JsonIngest.inferColumnSchema(
+          ev.filter(col("event_id") % 5 === 0)
+            .withColumn("props", regexp_replace(col("props"),
+              "\\{\"k\": (\\d+)\\}", "{\"k\": \"$1\", \"v2\": \"beta\"}")),
+          "props", typed = true)
+        val drift = (oldS, newS) match {
+          case (Some(o), Some(n)) => Ddl.diffSchemas(o, n)
+          case _                  => Ddl.SchemaDrift(Nil, Nil, Nil)
+        }
+        val ddl = Ddl.alterStatements("events_props", drift).mkString(";\n")
+        import s.implicits._
+        Seq((drift.added.size.toLong, drift.removed.size.toLong,
+          drift.retyped.size.toLong, ddl))
+          .toDF("n_added", "n_removed", "n_retyped", "migration_ddl")
+      },
+      // The oracle re-derives the drift from the DATA (json_keys +
+      // json_type per cohort, same regex rewrite) — not a pasted string.
+      Some("""WITH o AS (
+        |  SELECT k,
+        |    CASE WHEN bool_and(json_type(props, '$.' || k) IN ('UBIGINT','BIGINT','INTEGER'))
+        |         THEN 'BIGINT' ELSE 'STRING' END AS t
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k
+        |        FROM events WHERE event_id % 5 <> 0)
+        |  GROUP BY k),
+        |n AS (
+        |  SELECT k,
+        |    CASE WHEN bool_and(json_type(props, '$.' || k) IN ('UBIGINT','BIGINT','INTEGER'))
+        |         THEN 'BIGINT' ELSE 'STRING' END AS t
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM (
+        |          SELECT regexp_replace(props,
+        |            '\{"k": (\d+)\}', '{"k": "\1", "v2": "beta"}') AS props
+        |          FROM events WHERE event_id % 5 = 0))
+        |  GROUP BY k),
+        |added AS (SELECT k, t FROM n WHERE k NOT IN (SELECT k FROM o)),
+        |removed AS (SELECT k FROM o WHERE k NOT IN (SELECT k FROM n)),
+        |retyped AS (SELECT o.k, n.t AS nt FROM o JOIN n USING (k) WHERE o.t <> n.t),
+        |stmts AS (
+        |  SELECT * FROM (
+        |    SELECT 0 AS ord, '' AS k,
+        |      'ALTER TABLE events_props ADD COLUMNS (' ||
+        |      string_agg('`' || k || '` ' || t, ', ' ORDER BY k) || ')' AS stmt
+        |    FROM added HAVING COUNT(*) > 0
+        |    UNION ALL
+        |    SELECT 1, k,
+        |      'ALTER TABLE events_props CHANGE COLUMN `' || k || '` `' || k || '` ' || nt
+        |    FROM retyped))
+        |SELECT
+        |  (SELECT COUNT(*) FROM added) AS n_added,
+        |  (SELECT COUNT(*) FROM removed) AS n_removed,
+        |  (SELECT COUNT(*) FROM retyped) AS n_retyped,
+        |  (SELECT string_agg(stmt, ';' || chr(10) ORDER BY ord, k) FROM stmts)
+        |    AS migration_ddl""".stripMargin))
   )
 
   private object CatalogRun {

@@ -968,6 +968,83 @@ object Relational {
         | COUNT(DISTINCT o_custkey)
         |   FILTER (WHERE o_totalprice > 200000) AS n_cust_big
         |FROM orders
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q45_window_breadth",
+      "Remaining analytic window functions — dense_rank, percent_rank, " +
+        "cume_dist, first_value, nth_value — all over ONE fully " +
+        "tie-broken window spec, so the plan is a single hash-partition " +
+        "exchange + one sort per partition feeding every function. The " +
+        "rank ratios are exact-integer divisions, identical on any " +
+        "engine.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders").filter(col("o_custkey") < 100)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            dense_rank().over(w).cast("long").as("dr"),
+            round(percent_rank().over(w), 9).as("pr"),
+            round(cume_dist().over(w), 9).as("cd"),
+            first(col("o_orderkey")).over(w).as("top_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        | CAST(dense_rank() OVER w AS BIGINT) AS dr,
+        | round(percent_rank() OVER w, 9) AS pr,
+        | round(cume_dist() OVER w, 9) AS cd,
+        | first_value(o_orderkey) OVER w AS top_key,
+        | nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    Q("q46_approx_percentile_bound",
+      "Mergeable-sketch quantiles with a verified contract (q25's trick " +
+        "for percentile_approx): per group, the in-engine KLL-style " +
+        "sketch's median must land within the documented rank error " +
+        "(n/accuracy, +1 for ties). The oracled columns are the EXACT " +
+        "discrete median and the bound assertion — the sketch value " +
+        "itself is engine-specific, its error contract is not. At 100 TB " +
+        "this sketch (partial-mergeable, O(accuracy) state) replaces " +
+        "q26's full per-group sort.",
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        val ap = od.groupBy("o_orderstatus")
+          .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("apx"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice", "o_orderkey")
+        val exact = od
+          .select(col("o_orderstatus"), col("o_totalprice"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy("o_orderstatus")).as("n"))
+          .groupBy("o_orderstatus")
+          .agg(
+            max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
+              .as("exact_p50"),
+            max("n").cast("long").as("n"))
+        val rk = od.join(broadcast(ap), "o_orderstatus")
+          .groupBy("o_orderstatus")
+          .agg(sum(when(col("o_totalprice") <= col("apx"), 1L).otherwise(0L))
+            .as("apx_rank"))
+        exact.join(rk, "o_orderstatus")
+          .select(col("o_orderstatus"), col("n"), col("exact_p50"),
+            (abs(col("apx_rank") - col("n") * 0.5) <=
+              col("n") / 1000.0 + 1.0).as("within_bound"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+        | MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END)
+        |   AS exact_p50,
+        | true AS within_bound
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY o_totalprice, o_orderkey) AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |      FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -125,6 +125,51 @@ object Ddl {
     drop + "\n" + createStatement(schema, name, location, serde) + ";"
   }
 
+  /** Field-level drift between an old inferred schema and a re-inference
+    * on a newer cohort — the migration-planning step when a producer
+    * rollout changes the payload shape. Names compare after
+    * sanitization + case-fold (Hive identifier semantics); types
+    * compare on the rendered Hive type, so INT vs LONG (same BIGINT
+    * leaf) is NOT a retype while BIGINT→STRING widening is. */
+  final case class SchemaDrift(
+      added: Seq[StructField],
+      removed: Seq[String],
+      retyped: Seq[(String, String, String)])
+
+  def diffSchemas(oldS: StructType, newS: StructType): SchemaDrift = {
+    def norm(n: String) = sanitizeName(n).toLowerCase(java.util.Locale.ROOT)
+    def hive(dt: DataType) = render(sanitize(dt))
+    val o = oldS.fields.map(f => norm(f.name) -> f).toMap
+    val n = newS.fields.map(f => norm(f.name) -> f).toMap
+    SchemaDrift(
+      added = newS.fields.filterNot(f => o.contains(norm(f.name))).toVector,
+      removed = oldS.fields.map(_.name).filterNot(x => n.contains(norm(x))).toVector,
+      retyped = oldS.fields.flatMap { f =>
+        n.get(norm(f.name)).collect {
+          case g if hive(g.dataType) != hive(f.dataType) =>
+            (f.name, hive(f.dataType), hive(g.dataType))
+        }
+      }.toVector)
+  }
+
+  /** Hive migration script for a drift: one ADD COLUMNS for the new
+    * fields plus a CHANGE COLUMN per retype, both name-sorted for
+    * determinism. Removed fields are deliberately NOT dropped — Hive
+    * cannot drop a column without rewriting the data; they simply read
+    * NULL for new files and stay queryable for old ones. */
+  def alterStatements(table: String, drift: SchemaDrift): Seq[String] = {
+    val adds =
+      if (drift.added.isEmpty) Seq.empty[String]
+      else Seq(s"ALTER TABLE $table ADD COLUMNS (" +
+        drift.added.sortBy(_.name).map(f =>
+          s"`${sanitizeName(f.name)}` ${render(sanitize(f.dataType))}")
+          .mkString(", ") + ")")
+    val changes = drift.retyped.sortBy(_._1).map { case (c, _, nt) =>
+      s"ALTER TABLE $table CHANGE COLUMN `${sanitizeName(c)}` `${sanitizeName(c)}` $nt"
+    }
+    adds ++ changes
+  }
+
   /** Spark-executable equivalent (`USING JSON`): Spark's non-Hive catalogs
     * reject `ROW FORMAT SERDE` but this registers the same external JSON
     * table against the session catalog (SURVEY.md §2 op #9). */
