@@ -1045,6 +1045,65 @@ object Relational {
         |                           ORDER BY o_totalprice, o_orderkey) AS rn,
         |        COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
         |      FROM orders)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("q47_merge_schema",
+      "Parquet schema evolution on read: two file generations with " +
+        "different columns (v1: partkey+name, v2: partkey+retailprice — " +
+        "the add-a-column rollout) unioned by mergeSchema=true into the " +
+        "superset schema, absent columns NULL. The footer-merge cost is " +
+        "why it's off by default at 100 TB — production pins the merged " +
+        "schema explicitly; per-generation counts prove the NULL-fill " +
+        "semantics either way.",
+      (s, dir) => {
+        val tmp = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-q47").getPath
+        val p = t(s, dir, "part")
+        p.filter(col("p_partkey") % 2 === 0)
+          .select("p_partkey", "p_name")
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        p.filter(col("p_partkey") % 2 === 1)
+          .select("p_partkey", "p_retailprice")
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("p_name")).as("n_with_name"),
+            count(col("p_retailprice")).as("n_with_price"),
+            sum(dec2(col("p_retailprice"))).cast("double").as("sum_price"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | COUNT(*) FILTER (WHERE p_partkey % 2 = 0) AS n_with_name,
+        | COUNT(*) FILTER (WHERE p_partkey % 2 = 1) AS n_with_price,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |   FILTER (WHERE p_partkey % 2 = 1) AS DOUBLE) AS sum_price
+        |FROM part""".stripMargin)),
+
+    Q("q48_partitioned_pruning",
+      "Hive-style partitioned parquet layout (write partitionBy, read " +
+        "with a partition predicate): the filter prunes DIRECTORIES at " +
+        "planning time (plan shows PartitionFilters, zero data files of " +
+        "other event types opened) — the coarse-grained complement to " +
+        "q38's in-file stats skipping, and the layout that makes " +
+        "dt/source retention DROPs possible at 100 TB. Proof columns: " +
+        "per-type counts + exactly one distinct partition value read.",
+      (s, dir) => {
+        val tmp = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-q48").getPath
+        events(s, dir)
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("event_type")).as("n_types_read"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(1 AS BIGINT) AS n_types_read,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin))
   )
 }

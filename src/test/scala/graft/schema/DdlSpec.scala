@@ -72,6 +72,38 @@ class DdlSpec extends AnyFunSpec {
     }
   }
 
+  describe("schema drift + migration DDL") {
+    it("classifies added / removed / retyped fields on sanitized names") {
+      val oldS = StructType(Seq(
+        StructField("k", LongType), StructField("gone", StringType),
+        StructField("server.zone", StringType)))
+      val newS = StructType(Seq(
+        StructField("k", StringType),           // BIGINT -> STRING retype
+        StructField("server_zone", StringType), // same after sanitization
+        StructField("v2", StringType)))         // added
+      val d = Ddl.diffSchemas(oldS, newS)
+      assert(d.added.map(_.name) == Seq("v2"))
+      assert(d.removed == Seq("gone"))
+      assert(d.retyped == Seq(("k", "BIGINT", "STRING")))
+    }
+    it("does not flag INT vs LONG (same Hive leaf) as a retype") {
+      val d = Ddl.diffSchemas(
+        StructType(Seq(StructField("k", IntegerType))),
+        StructType(Seq(StructField("k", LongType))))
+      assert(d.retyped.isEmpty && d.added.isEmpty && d.removed.isEmpty)
+    }
+    it("renders name-sorted ADD COLUMNS + CHANGE COLUMN and skips drops") {
+      val drift = Ddl.SchemaDrift(
+        added = Seq(StructField("zb", StringType), StructField("aa", LongType)),
+        removed = Seq("gone"),
+        retyped = Seq(("k", "BIGINT", "STRING")))
+      val stmts = Ddl.alterStatements("t", drift)
+      assert(stmts == Seq(
+        "ALTER TABLE t ADD COLUMNS (`aa` BIGINT, `zb` STRING)",
+        "ALTER TABLE t CHANGE COLUMN `k` `k` STRING"))
+    }
+  }
+
   describe("catalog registration (op #9)") {
     it("executes the Spark-SQL equivalent and the table is queryable") {
       val spark = graft.TestSpark.spark
