@@ -58,6 +58,13 @@ object Dedup {
   val HashA = Vector(911L, 3571L, 181081L, 777767L)
   val HashB = Vector(17L, 271L, 5261L, 99991L)
 
+  /** The engine-portable 60-bit string hash every text-hashing operator
+    * builds on: first 15 md5 hex chars as an integer. ONE definition —
+    * the SQL oracles mirror it as `('0x' || substr(md5(x),1,15))::BIGINT`,
+    * so a width/prefix change must happen here and there together. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Integer MinHash signatures: each shingle is md5'd ONCE into a 60-bit
     * int, then each permutation is a cheap `(a_j*h + b_j) mod P` — 4×
     * less hashing than the salted-md5 variant; the hot path of banded
@@ -65,7 +72,7 @@ object Dedup {
   def minhashIntSigs(textCol: Column, perms: Int = 4): Column =
     ExprLet.let(
       transform(shingles(TextAnalysis.tokens(textCol)),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % HashP)) { hs =>
+        s => hash60(s) % HashP)) { hs =>
       // null (not an array of nulls) for shingle-less docs — same
       // contract as the native MinHashSigs expression.
       when(size(hs) > 0,
@@ -138,8 +145,7 @@ object Dedup {
                      n: Int = 12): DataFrame =
     df.select(col(idCol),
         explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("gram"))
-      .select(col(idCol),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gh"))
+      .select(col(idCol), hash60(col("gram")).as("gh"))
       // ONE shuffle on gh serves both the dedup aggregation (gh alone
       // already co-locates every (gh, id) group) and any downstream
       // per-gram window/aggregation — a plain .distinct() would hash on

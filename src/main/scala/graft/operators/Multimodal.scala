@@ -76,7 +76,10 @@ object Multimodal {
     * amortize its init across the partition); blobs shorter than one
     * frame yield no row. */
   def audioFrameStats(blobs: Dataset[Blob], frameLen: Int,
-                      hop: Int): Dataset[AudioStats] =
+                      hop: Int): Dataset[AudioStats] = {
+    require(frameLen > 0 && hop > 0,
+      s"frameLen ($frameLen) and hop ($hop) must be positive — " +
+        "hop <= 0 would never advance the frame loop")
     blobs.mapPartitions { it =>
       it.flatMap { b =>
         val n = b.payload.length
@@ -95,6 +98,7 @@ object Multimodal {
         }
       }
     }(Encoders.product[AudioStats])
+  }
 }
 
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)

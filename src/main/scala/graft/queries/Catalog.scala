@@ -21,6 +21,18 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Recursive delete for the per-run temp dirs some queries write
+  * (roundtrip sinks, streaming sources) — called only after the result
+  * is materialized. */
+object Rm {
+  def rf(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go)); f.delete(): Unit
+    }
+    go(new java.io.File(path))
+  }
+}
+
 /** Table access for the driver-generated testdata (TESTDATA.md). */
 object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -14,6 +14,17 @@ object LlmOps {
 
   private val stopSql = TA.Stopwords.mkString("['", "','", "']")
 
+  /** DuckDB cosine-similarity SQL between two list expressions — the
+    * exact mirror of [[graft.operators.Similarity.cosine]]'s left
+    * folds. ONE definition (d36/s07 share it); s06 uses its own
+    * 6-decimal-ROUNDED variant for its rank key. */
+  private def cosSql(x: String, y: String): String =
+    s"""(list_reduce(list_transform(generate_series(1, len($x)),
+      |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+      |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+      |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
+      .stripMargin
+
   /** Near-dup component labels over `documents`, memoized per
     * (session, data dir): d20 and d24 both need the SAME iterative
     * connected-components run, and its result is a localCheckpoint'ed
@@ -363,7 +374,7 @@ object LlmOps {
         .select(col("doc_id"),
           aggregate(
             transform(TA.tokens(col("text")),
-              tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % Dedup.HashP),
+              tk => Dedup.hash60(tk) % Dedup.HashP),
             lit(0L),
             (acc, h) => (acc * 31 + h) % Dedup.HashP).as("fp"))
         .orderBy("doc_id"),
@@ -1392,12 +1403,6 @@ object LlmOps {
         val bucket = (1 to 4).map(i =>
           s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
-        def cos(x: String, y: String) =
-          s"""(list_reduce(list_transform(generate_series(1, len($x)),
-            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
-            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
-            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
-            .stripMargin
         s"""WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
           |    $bucket AS bucket
@@ -1405,7 +1410,7 @@ object LlmOps {
           |drops AS (
           |  SELECT DISTINCT b.vec_id
           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          |  WHERE ${cos("a.v", "b.v")} >= 0.35)
+          |  WHERE ${cosSql("a.v", "b.v")} >= 0.35)
           |SELECT e.bucket, COUNT(*) AS n_vecs,
           |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
           |FROM e LEFT JOIN drops d USING (vec_id)
@@ -1469,12 +1474,6 @@ object LlmOps {
           .orderBy("qid")
       },
       Some {
-        def cos(x: String, y: String) =
-          s"""(list_reduce(list_transform(generate_series(1, len($x)),
-            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
-            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
-            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
-            .stripMargin
         s"""WITH e AS (
           |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |  FROM embeddings),
@@ -1483,7 +1482,7 @@ object LlmOps {
           |  SELECT qid, vec_id FROM (
           |    SELECT q.qid, e.vec_id,
           |      ROW_NUMBER() OVER (PARTITION BY q.qid
-          |        ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+          |        ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rn
           |    FROM e, q WHERE e.vec_id <> q.qid)
           |  WHERE rn <= 10),
           |d AS (SELECT label, unnest(generate_series(1, len(v))) AS i,
@@ -1497,14 +1496,14 @@ object LlmOps {
           |  SELECT qid, label FROM (
           |    SELECT q.qid, c.label,
           |      ROW_NUMBER() OVER (PARTITION BY q.qid
-          |        ORDER BY ${cos("c.cv", "q.qv")} DESC, c.label) AS rn
+          |        ORDER BY ${cosSql("c.cv", "q.qv")} DESC, c.label) AS rn
           |    FROM c, q)
           |  WHERE rn <= 2),
           |ivf AS (
           |  SELECT qid, vec_id FROM (
           |    SELECT q.qid, e.vec_id,
           |      ROW_NUMBER() OVER (PARTITION BY q.qid
-          |        ORDER BY ${cos("e.v", "q.qv")} DESC, e.vec_id) AS rn
+          |        ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rn
           |    FROM e JOIN cells ON e.label = cells.label
           |         JOIN q ON q.qid = cells.qid
           |    WHERE e.vec_id <> q.qid)
@@ -1638,7 +1637,7 @@ object LlmOps {
       (s, dir) => {
         val hsCol = array_distinct(transform(
           Dedup.shingles(TA.tokens(col("text"))),
-          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % Dedup.HashP))
+          sh => Dedup.hash60(sh) % Dedup.HashP))
         val d = t(s, dir, "documents").filter(col("doc_id") < 50)
           .select(col("doc_id"),
             graft.functions.MinHashSigs(col("text"), 4).as("sig"),

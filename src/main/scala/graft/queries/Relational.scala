@@ -1026,14 +1026,23 @@ object Relational {
             max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice")))
               .as("exact_p50"),
             max("n").cast("long").as("n"))
+        // Tie-aware rank interval: the sketch contract bounds SOME rank
+        // of the returned element, so with k-way ties at the sketch
+        // value the element's rank RANGE [count(<)+1, count(<=)] must
+        // intersect the allowed band — a single count(<=) rank would
+        // spuriously fail the gate on tied data.
         val rk = od.join(broadcast(ap), "o_orderstatus")
           .groupBy("o_orderstatus")
-          .agg(sum(when(col("o_totalprice") <= col("apx"), 1L).otherwise(0L))
-            .as("apx_rank"))
+          .agg(
+            sum(when(col("o_totalprice") < col("apx"), 1L).otherwise(0L))
+              .as("rank_lo"),
+            sum(when(col("o_totalprice") <= col("apx"), 1L).otherwise(0L))
+              .as("rank_hi"))
         exact.join(rk, "o_orderstatus")
           .select(col("o_orderstatus"), col("n"), col("exact_p50"),
-            (abs(col("apx_rank") - col("n") * 0.5) <=
-              col("n") / 1000.0 + 1.0).as("within_bound"))
+            (col("rank_lo") + 1.0 <= col("n") * 0.5 + col("n") / 1000.0 &&
+              col("rank_hi") >= col("n") * 0.5 - col("n") / 1000.0)
+              .as("within_bound"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
@@ -1056,8 +1065,10 @@ object Relational {
         "schema explicitly; per-generation counts prove the NULL-fill " +
         "semantics either way.",
       (s, dir) => {
-        val tmp = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-q47").getPath
+        // Per-run temp dir, removed after the (eager) localCheckpoint
+        // materializes the one-row result — no leak, no cross-run
+        // interference on a shared fixed path.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q47").toString
         val p = t(s, dir, "part")
         p.filter(col("p_partkey") % 2 === 0)
           .select("p_partkey", "p_name")
@@ -1065,13 +1076,16 @@ object Relational {
         p.filter(col("p_partkey") % 2 === 1)
           .select("p_partkey", "p_retailprice")
           .write.mode("overwrite").parquet(s"$tmp/gen=2")
-        s.read.option("mergeSchema", "true")
+        val res = s.read.option("mergeSchema", "true")
           .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
           .agg(
             count(lit(1)).as("n"),
             count(col("p_name")).as("n_with_name"),
             count(col("p_retailprice")).as("n_with_price"),
             sum(dec2(col("p_retailprice"))).cast("double").as("sum_price"))
+          .localCheckpoint()
+        Rm.rf(tmp)
+        res
       },
       Some("""SELECT COUNT(*) AS n,
         | COUNT(*) FILTER (WHERE p_partkey % 2 = 0) AS n_with_name,
@@ -1089,17 +1103,19 @@ object Relational {
         "dt/source retention DROPs possible at 100 TB. Proof columns: " +
         "per-type counts + exactly one distinct partition value read.",
       (s, dir) => {
-        val tmp = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-q48").getPath
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q48").toString
         events(s, dir)
           .select("event_id", "event_type", "value")
           .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        s.read.parquet(tmp)
+        val res = s.read.parquet(tmp)
           .filter(col("event_type") === "purchase")
           .agg(
             count(lit(1)).as("n"),
             countDistinct(col("event_type")).as("n_types_read"),
             sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .localCheckpoint()
+        Rm.rf(tmp)
+        res
       },
       Some("""SELECT COUNT(*) AS n,
         | CAST(1 AS BIGINT) AS n_types_read,

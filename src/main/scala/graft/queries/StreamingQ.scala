@@ -28,11 +28,7 @@ object StreamingQ {
                          schema: String): (DataFrame, () => Unit) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-wq").toString
     ndjson.write.mode("overwrite").text(s"$tmp/in")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-    }
-    (s.readStream.schema(schema).json(s"$tmp/in"),
-      () => rm(new java.io.File(tmp)))
+    (s.readStream.schema(schema).json(s"$tmp/in"), () => Rm.rf(tmp))
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
@@ -426,10 +422,7 @@ object StreamingQ {
           .orderBy("event_type")
           .localCheckpoint()
         cleanup()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(tmp))
+        Rm.rf(tmp)
         res
       },
       Some("""SELECT event_type, COUNT(*) AS n,

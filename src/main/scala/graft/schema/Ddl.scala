@@ -139,6 +139,17 @@ object Ddl {
   def diffSchemas(oldS: StructType, newS: StructType): SchemaDrift = {
     def norm(n: String) = sanitizeName(n).toLowerCase(java.util.Locale.ROOT)
     def hive(dt: DataType) = render(sanitize(dt))
+    // Distinct JSON keys can collide after sanitize+case-fold
+    // ("server.zone" vs "server_zone"): a Map would silently keep one
+    // and the drift report would lose the other — and the rendered DDL
+    // for such a schema is invalid anyway (duplicate Hive columns).
+    // Fail fast with the colliding names instead of misreporting.
+    for (fields <- Seq(oldS.fields, newS.fields)) {
+      val dup = fields.groupBy(f => norm(f.name)).filter(_._2.length > 1)
+      require(dup.isEmpty,
+        "schema fields collide after sanitization (duplicate Hive " +
+          s"columns): ${dup.values.flatten.map(_.name).mkString(", ")}")
+    }
     val o = oldS.fields.map(f => norm(f.name) -> f).toMap
     val n = newS.fields.map(f => norm(f.name) -> f).toMap
     SchemaDrift(
