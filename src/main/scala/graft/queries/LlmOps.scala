@@ -1687,6 +1687,78 @@ object LlmOps {
           |  round(CAST(SUM(CAST(exact AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_exact,
           |  MAX(round(abs(est - exact), 6)) AS max_abs_err
           |FROM p GROUP BY est ORDER BY est""".stripMargin
-      })
+      }),
+
+    Q("d40_dsir_weights",
+      "DSIR-style importance weighting (Xie et al. 2023, with unigram " +
+        "LMs standing in for the hashed-ngram features): per-token " +
+        "weight = ln(p_target / p_corpus) with the English slice as the " +
+        "target (add-1 smoothed — unseen-in-target terms get a finite " +
+        "negative weight), per-doc importance = count-weighted mean. " +
+        "BOTH language models come from ONE (doc,term) pre-aggregation " +
+        "via two windows over the SAME term partitioning (one shuffle, " +
+        "no second explode lineage); 3 scalars reach the driver. " +
+        "Reported per language — English must rank top, which is the " +
+        "estimator sanity check.",
+      (s, dir) => {
+        val D9 = org.apache.spark.sql.types.DecimalType(18, 9)
+        val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TA.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("c"))
+        val sc = pairs.agg(
+          coalesce(sum("c"), lit(1L)),
+          coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)),
+          countDistinct("term")).head()
+        val (totalC, totalT, vocab) =
+          (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val scored = pairs
+          .withColumn("tfc", sum("c").over(w))
+          .withColumn("tft",
+            coalesce(sum(when(col("lang") === "en", col("c"))).over(w), lit(0L)))
+          .withColumn("lw",
+            round(log(
+              ((col("tft") + 1.0) / lit((totalT + vocab).toDouble)) /
+                (col("tfc").cast("double") / lit(totalC.toDouble))), 9)
+              .cast(D9))
+          .groupBy("doc_id", "lang")
+          .agg(round(sum(col("lw") *
+              col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+            .cast("double") / sum("c"), 6).as("importance"))
+        scored.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("importance").cast(D6)).cast("double") /
+              count(lit(1)), 6).as("mean_importance"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, lang, term, COUNT(*) AS c
+        |          FROM toks GROUP BY doc_id, lang, term),
+        |sc AS (SELECT CAST(SUM(c) AS BIGINT) AS total_c,
+        |         CAST(COALESCE(SUM(c) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS total_t,
+        |         COUNT(DISTINCT term) AS vocab
+        |       FROM pairs),
+        |tf AS (SELECT doc_id, lang, term, c,
+        |         SUM(c) OVER (PARTITION BY term) AS tfc,
+        |         COALESCE(SUM(CASE WHEN lang = 'en' THEN c END)
+        |           OVER (PARTITION BY term), 0) AS tft
+        |       FROM pairs),
+        |lw AS (SELECT doc_id, lang, c,
+        |         CAST(round(ln(((tft + 1.0) / (total_t + vocab)) /
+        |                       (CAST(tfc AS DOUBLE) / total_c)), 9)
+        |           AS DECIMAL(18,9)) AS lw
+        |       FROM tf, sc),
+        |doc AS (SELECT doc_id, lang,
+        |          round(CAST(SUM(lw * CAST(c AS DECIMAL(10,0))) AS DOUBLE)
+        |                / SUM(c), 6) AS importance
+        |        FROM lw GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(CAST(importance AS DECIMAL(18,6))) AS DOUBLE)
+        |        / COUNT(*), 6) AS mean_importance
+        |FROM doc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
