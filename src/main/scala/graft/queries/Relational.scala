@@ -1120,6 +1120,46 @@ object Relational {
       Some("""SELECT COUNT(*) AS n,
         | CAST(1 AS BIGINT) AS n_types_read,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events WHERE event_type = 'purchase'""".stripMargin))
+        |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q("q49_compaction",
+      "Small-file compaction (graft.operators.Compact.parquet) — the " +
+        "lakehouse maintenance op that keeps scan task counts sane: the " +
+        "input is deliberately fragmented into 64 tiny files, then " +
+        "rewritten targeting bytes/4 per file -> exactly 4 output files " +
+        "(planPartitions = ceil(in/target)), with row count and an " +
+        "exact-decimal value sum proving nothing was lost or doubled. " +
+        "At 100 TB the same call sizes files to 128 MB and runs per " +
+        "partition directory.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q49").toString
+        events(s, dir).select("event_id", "event_type", "value")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$tmp/frag")
+        val before = s.read.parquet(s"$tmp/frag")
+          .select(input_file_name()).distinct().count()
+        val bytes = graft.operators.Compact.sizeOf(s, s"$tmp/frag")
+        val (_, nOut) = graft.operators.Compact.parquet(
+          s, s"$tmp/frag", s"$tmp/out",
+          targetBytes = math.max(1L, (bytes + 3) / 4))
+        val compacted = s.read.parquet(s"$tmp/out")
+        val after = compacted.select(input_file_name()).distinct().count()
+        val res = compacted
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .select(lit(before).as("n_files_before"),
+            lit(after).as("n_files_after"),
+            lit(nOut.toLong).as("n_files_planned"),
+            col("n_rows"), col("sum_value"))
+          .localCheckpoint()
+        Rm.rf(tmp)
+        res
+      },
+      Some("""SELECT CAST(64 AS BIGINT) AS n_files_before,
+        | CAST(4 AS BIGINT) AS n_files_after,
+        | CAST(4 AS BIGINT) AS n_files_planned,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin))
   )
 }
