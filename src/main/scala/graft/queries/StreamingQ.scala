@@ -363,6 +363,41 @@ object StreamingQ {
           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
           |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin)),
 
+    Q("w13_append_watermark",
+      "APPEND-mode windowed aggregation — the production shape for file " +
+        "sinks (complete mode re-emits the whole result; append emits " +
+        "each window ONCE, when the watermark passes its end). No-data " +
+        "micro-batches advance the final watermark to max event time, " +
+        "so every hour window except the live tail one is emitted; the " +
+        "oracle applies the identical window_end <= max(ts) cutoff. " +
+        "State is O(open windows), and emitted windows are immutable — " +
+        "what makes exactly-once parquet/Kafka sinks possible.",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("ts"), col("event_type"))).as("value")),
+          "ts TIMESTAMP, event_type STRING")
+        val agg = stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("n"))
+        val out = runToMemory(s, agg, "append")
+        cleanup()
+        out.orderBy("window_start", "event_type")
+      },
+      // Cutoff note: the stream's ts is ms-truncated by to_json while
+      // the oracle's max(ts) keeps microseconds; the difference could
+      // only matter if max(ts) fell within 1ms AFTER an hour boundary
+      // (window ends are hour-aligned) — not the case in this data by
+      // a >2-minute margin.
+      Some("""SELECT window_start, event_type, COUNT(*) AS n
+        |FROM (SELECT date_trunc('hour', ts) AS window_start, event_type, ts
+        |      FROM events)
+        |GROUP BY window_start, event_type
+        |HAVING window_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        |ORDER BY window_start, event_type""".stripMargin)),
+
     Q("w11_sliding_window",
       "OVERLAPPING (sliding) event-time windows — 2h size, 1h slide: " +
         "every event lands in exactly two windows, which Spark plans as " +
