@@ -1759,6 +1759,32 @@ object LlmOps {
         |SELECT lang, COUNT(*) AS n_docs,
         |  round(CAST(SUM(CAST(importance AS DECIMAL(18,6))) AS DOUBLE)
         |        / COUNT(*), 6) AS mean_importance
-        |FROM doc GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("d41_edit_distance_pairs",
+      "Fuzzy matching via EXACT Levenshtein edit distance on a " +
+        "fixed-width prefix (the record-linkage primitive exact/minhash " +
+        "dedup can't express: near-misses with char-level edits). " +
+        "All-pairs over a 30-doc slice — at corpus scale the pair set " +
+        "comes from a blocking key (d07's band buckets or d35's gram " +
+        "owners) and this distance is the verify step on candidates " +
+        "only. Integer DP distance: bit-identical on any engine.",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+        val a = d.select(col("doc_id").as("da"), col("p").as("pa"))
+        val b = d.select(col("doc_id").as("db"), col("p").as("pb"))
+        a.join(b, col("da") < col("db"))
+          .select(col("da"), col("db"),
+            levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS p
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin))
   )
 }

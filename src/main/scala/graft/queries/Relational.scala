@@ -1160,6 +1160,43 @@ object Relational {
         | CAST(4 AS BIGINT) AS n_files_planned,
         | COUNT(*) AS n_rows,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    Q("q50_dynamic_partition_pruning",
+      "DYNAMIC partition pruning: the partition predicate is not a " +
+        "literal (q48) but comes from a filtered dimension at RUNTIME — " +
+        "Catalyst plans a dynamicpruning subquery on the fact scan's " +
+        "PartitionFilters, so only the dimension-selected directories " +
+        "are read. At 100 TB this is the date-dim x fact pattern: the " +
+        "dim filter prunes years of partitions without a literal in the " +
+        "query text.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q50").toString
+        events(s, dir)
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(s"$tmp/fact")
+        import s.implicits._
+        // The dim must be a SCANNED relation with a comparison filter:
+        // a pre-filtered LocalRelation constant-folds the Filter away and
+        // a bare-boolean predicate fails isLikelySelective — either way
+        // the PartitionPruning rule declines and the scan degrades to
+        // static isnotnull-only PartitionFilters (verified both ways).
+        Seq(("purchase", "keep"), ("click", "drop"), ("view", "drop"))
+          .toDF("et", "grp").write.mode("overwrite").parquet(s"$tmp/dim")
+        val dim = s.read.parquet(s"$tmp/dim")
+        val res = s.read.parquet(s"$tmp/fact")
+          .join(dim.filter(col("grp") === "keep"), col("event_type") === col("et"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("event_type")).as("n_types_read"),
+            sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .localCheckpoint()
+        Rm.rf(tmp)
+        res
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(1 AS BIGINT) AS n_types_read,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin))
   )
 }
