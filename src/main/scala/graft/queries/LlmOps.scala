@@ -1785,6 +1785,61 @@ object LlmOps {
         |SELECT a.doc_id AS da, b.doc_id AS db,
         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |ORDER BY da, db""".stripMargin))
+        |ORDER BY da, db""".stripMargin)),
+
+    Q("d42_lsh_eval",
+      "Dedup-pipeline quality audit, completing the estimator trilogy " +
+        "(d39 = estimator accuracy, s07 = ANN recall): the PRODUCTION " +
+        "banded-LSH candidate pairs (d07's path, maxBucket guard and " +
+        "all) scored against exact ground truth — hashed-shingle " +
+        "Jaccard >= 0.5, computed all-pairs on the evaluation sample " +
+        "(evaluation-only brute force, same role as s01/s07's exact " +
+        "arm). Precision and recall are integer-ratio divisions, " +
+        "bit-identical cross-engine. The corpus has 25 true near-dup " +
+        "pairs with a clean bimodal margin (max J .99, next tier .03).",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val hsCol = array_distinct(transform(
+          Dedup.shingles(TA.tokens(col("text"))),
+          sh => Dedup.hash60(sh) % Dedup.HashP))
+        val d = docs.select(col("doc_id"), hsCol.as("hs"))
+          .filter(size(col("hs")) > 0)
+        val a = d.select(col("doc_id").as("da"), col("hs").as("ha"))
+        val b = d.select(col("doc_id").as("db"), col("hs").as("hb"))
+        val truth = a.join(b, col("da") < col("db"))
+          .filter(Dedup.jaccard(col("ha"), col("hb")) >= 0.5)
+          .select(col("da"), col("db"), lit(1L).as("t"))
+        val pred = Dedup
+          .candidatePairs(Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+          .select(col("d1").as("da"), col("d2").as("db"), lit(1L).as("p"))
+        truth.join(pred, Seq("da", "db"), "full_outer")
+          .agg(
+            count(col("t")).as("n_truth"),
+            count(col("p")).as("n_pred"),
+            sum(when(col("t").isNotNull && col("p").isNotNull, 1L)
+              .otherwise(0L)).as("n_hit"))
+          .select(col("n_truth"), col("n_pred"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_pred"), 6).as("precision"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      },
+      Some(s"""WITH $neardupPairsCtes,
+        |hsd AS (SELECT doc_id, list_distinct(hs) AS h FROM s WHERE len(hs) > 0),
+        |truth AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM hsd a JOIN hsd b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.h, b.h))) AS DOUBLE) >= 0.5),
+        |m AS (
+        |  SELECT t.da AS tda, p.d1 AS pda,
+        |    CASE WHEN t.da IS NOT NULL AND p.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM truth t FULL JOIN pairs p ON t.da = p.d1 AND t.db = p.d2),
+        |c AS (SELECT CAST(COUNT(tda) AS BIGINT) AS n_truth,
+        |        CAST(COUNT(pda) AS BIGINT) AS n_pred,
+        |        CAST(SUM(hit) AS BIGINT) AS n_hit
+        |      FROM m)
+        |SELECT n_truth, n_pred, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / n_pred, 6) AS precision,
+        |  round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+        |FROM c""".stripMargin))
   )
 }
