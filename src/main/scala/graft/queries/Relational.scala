@@ -839,10 +839,16 @@ object Relational {
         "|customers|. Recursion depth = max orders per customer (~25 at " +
         "sf0.01), far under the configured limit.",
       (s, dir) => {
-        s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
-        t(s, dir, "orders").filter(col("o_custkey") <= 300)
-          .createOrReplaceTempView("q41_orders")
-        s.sql("""
+        // Raise the recursion limit only for this query's execution and
+        // restore the previous session value (no cross-query conf leak);
+        // localCheckpoint forces the loop to run while the limit is up.
+        val limitKey = "spark.sql.cteRecursionLevelLimit"
+        val prevLimit = s.conf.getOption(limitKey)
+        s.conf.set(limitKey, "500")
+        try {
+          t(s, dir, "orders").filter(col("o_custkey") <= 300)
+            .createOrReplaceTempView("q41_orders")
+          s.sql("""
           WITH RECURSIVE ranked AS (
             SELECT o_custkey, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -861,7 +867,11 @@ object Relational {
           )
           SELECT o_custkey, CAST(MAX(rk) AS BIGINT) AS chain_len,
                  CAST(MAX_BY(cum, rk) AS DOUBLE) AS total_spend
-          FROM chain GROUP BY o_custkey ORDER BY o_custkey""")
+          FROM chain GROUP BY o_custkey ORDER BY o_custkey""").localCheckpoint()
+        } finally prevLimit match {
+          case Some(v) => s.conf.set(limitKey, v)
+          case None    => s.conf.unset(limitKey)
+        }
       },
       Some("""WITH RECURSIVE ranked AS (
         |  SELECT o_custkey, o_totalprice,
@@ -1100,25 +1110,33 @@ object Relational {
         "planning time (plan shows PartitionFilters, zero data files of " +
         "other event types opened) — the coarse-grained complement to " +
         "q38's in-file stats skipping, and the layout that makes " +
-        "dt/source retention DROPs possible at 100 TB. Proof columns: " +
-        "per-type counts + exactly one distinct partition value read.",
+        "dt/source retention DROPs possible at 100 TB. Pruning evidence " +
+        "comes from the PHYSICAL PLAN (the scan's PartitionFilters must " +
+        "carry the literal predicate) — any row-level check such as " +
+        "distinct event_type would be 1 by the filter alone, plan or no " +
+        "plan.",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q48").toString
         events(s, dir)
           .select("event_id", "event_type", "value")
           .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        val res = s.read.parquet(tmp)
+        val agg = s.read.parquet(tmp)
           .filter(col("event_type") === "purchase")
           .agg(
             count(lit(1)).as("n"),
-            countDistinct(col("event_type")).as("n_types_read"),
             sum(dec2(col("value"))).cast("double").as("sum_value"))
+        val planned = raw"PartitionFilters: \[[^\]]*=\s*purchase"
+          .r.findFirstIn(agg.queryExecution.executedPlan.toString).isDefined
+        val res = agg
+          .select(col("n"),
+            lit(if (planned) 1L else 0L).as("pruning_planned"),
+            col("sum_value"))
           .localCheckpoint()
         Rm.rf(tmp)
         res
       },
       Some("""SELECT COUNT(*) AS n,
-        | CAST(1 AS BIGINT) AS n_types_read,
+        | CAST(1 AS BIGINT) AS pruning_planned,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin)),
 
@@ -1144,6 +1162,15 @@ object Relational {
           targetBytes = math.max(1L, (bytes + 3) / 4))
         val compacted = s.read.parquet(s"$tmp/out")
         val after = compacted.select(input_file_name()).distinct().count()
+        // The oracle pins 64 -> 4 files; fail HERE with a readable message
+        // (not a downstream hash mismatch) if data volume or write sizing
+        // ever drifts from that assumption.
+        require(before == 64L,
+          s"q49 expects 64 fragment files (one per non-empty repartition " +
+            s"slice), got $before — events row count or file sizing changed")
+        require(nOut == 4 && after == 4L,
+          s"q49 expects 4 compacted files (planned=$nOut, written=$after) " +
+            "— Compact.parquet sizing or partition emptiness changed")
         val res = compacted
           .agg(count(lit(1)).as("n_rows"),
             sum(dec2(col("value"))).cast("double").as("sum_value"))
@@ -1184,18 +1211,25 @@ object Relational {
         Seq(("purchase", "keep"), ("click", "drop"), ("view", "drop"))
           .toDF("et", "grp").write.mode("overwrite").parquet(s"$tmp/dim")
         val dim = s.read.parquet(s"$tmp/dim")
-        val res = s.read.parquet(s"$tmp/fact")
+        val agg = s.read.parquet(s"$tmp/fact")
           .join(dim.filter(col("grp") === "keep"), col("event_type") === col("et"))
           .agg(
             count(lit(1)).as("n"),
-            countDistinct(col("event_type")).as("n_types_read"),
             sum(dec2(col("value"))).cast("double").as("sum_value"))
+        // Same plan-not-rows evidence rule as q48: the fact scan's
+        // PartitionFilters must carry the runtime dynamicpruning subquery.
+        val planned = agg.queryExecution.executedPlan.toString
+          .toLowerCase(java.util.Locale.ROOT).contains("dynamicpruning")
+        val res = agg
+          .select(col("n"),
+            lit(if (planned) 1L else 0L).as("dpp_planned"),
+            col("sum_value"))
           .localCheckpoint()
         Rm.rf(tmp)
         res
       },
       Some("""SELECT COUNT(*) AS n,
-        | CAST(1 AS BIGINT) AS n_types_read,
+        | CAST(1 AS BIGINT) AS dpp_planned,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'purchase'""".stripMargin))
   )

@@ -373,6 +373,14 @@ object StreamingQ {
         "State is O(open windows), and emitted windows are immutable — " +
         "what makes exactly-once parquet/Kafka sinks possible.",
       (s, dir) => {
+        // The oracle's window_end <= max(ts) cutoff matches Spark's
+        // strict emission boundary + to_json ms truncation only while
+        // max(ts) is NOT on (or within 1ms after) an hour boundary —
+        // guard that assumption instead of trusting the data generator.
+        val maxTs = events(s, dir).agg(max(col("ts"))).head.getTimestamp(0)
+        require(maxTs.getTime % 3600000L > 1L,
+          s"w13 assumes max(ts) is >1ms past an hour boundary; got $maxTs " +
+            "— the strict-vs-inclusive emission edge would diverge")
         val (stream, cleanup) = jsonStream(s,
           events(s, dir).select(
             to_json(struct(col("ts"), col("event_type"))).as("value")),
@@ -386,11 +394,6 @@ object StreamingQ {
         cleanup()
         out.orderBy("window_start", "event_type")
       },
-      // Cutoff note: the stream's ts is ms-truncated by to_json while
-      // the oracle's max(ts) keeps microseconds; the difference could
-      // only matter if max(ts) fell within 1ms AFTER an hour boundary
-      // (window ends are hour-aligned) — not the case in this data by
-      // a >2-minute margin.
       Some("""SELECT window_start, event_type, COUNT(*) AS n
         |FROM (SELECT date_trunc('hour', ts) AS window_start, event_type, ts
         |      FROM events)
