@@ -12,6 +12,7 @@ import Tables.{events, t}
 object Extended {
 
   private val D2 = DecimalType(18, 2)
+  private def dec2(c: Column) = c.cast(D2)
 
   val all: Seq[Q] = Seq(
 
@@ -254,6 +255,198 @@ object Extended {
         |   AND minsk <= shi AND maxsk >= slo THEN n ELSE 0 END) AS BIGINT)
         |   AS rows_scanned,
         | CAST(SUM(hits) AS BIGINT) AS rows_matched
-        |FROM per, box GROUP BY layout ORDER BY layout""".stripMargin))
+        |FROM per, box GROUP BY layout ORDER BY layout""".stripMargin)),
+
+    Q("q51_listagg",
+      "SQL:2023 ordered string aggregation (LISTAGG ... WITHIN GROUP), " +
+        "new in Spark 4.0 — the deterministic ORDER BY inside the " +
+        "aggregate is what makes the result oracle-able at all (an " +
+        "unordered collect would be partition-order noise).",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("q51_nation")
+        t(s, dir, "region").createOrReplaceTempView("q51_region")
+        s.sql("""
+          SELECT r_name,
+                 LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+                 CAST(COUNT(*) AS BIGINT) AS n_nations
+          FROM q51_region JOIN q51_nation ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name""")
+      },
+      Some("""SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("q52_regression_aggs",
+      "Linear-regression aggregates: the oracled values are slope / " +
+        "intercept / r2 derived from EXACT decimal moment sums (count, " +
+        "Σx, Σy, Σxy, Σx², Σy² — associative, partial+final, the way a " +
+        "100 TB regression should be computed) cast to double at the " +
+        "end; the engine's streaming regr_slope/regr_intercept/regr_r2 " +
+        "are gated against them within 1e-6 relative. Decimal→double " +
+        "casts are correctly rounded in both engines, and the final " +
+        "double expressions are written in identical op order, so the " +
+        "derived values match bit-exactly.",
+      (s, dir) => {
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_extendedprice"))
+        val g = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), y.as("y"),
+            col("l_quantity").as("xd"), col("l_extendedprice").as("yd"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("y")).cast("double").as("sxy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"),
+            sum(col("y") * col("y")).cast("double").as("syy"),
+            regr_slope(col("yd"), col("xd")).as("b_slope"),
+            regr_intercept(col("yd"), col("xd")).as("b_icept"),
+            regr_r2(col("yd"), col("xd")).as("b_r2"))
+        val nD = col("n").cast("double")
+        val cxy = nD * col("sxy") - col("sx") * col("sy")
+        val cxx = nD * col("sxx") - col("sx") * col("sx")
+        val cyy = nD * col("syy") - col("sy") * col("sy")
+        val slope = cxy / cxx
+        val icept = (col("sy") - (cxy / cxx) * col("sx")) / nD
+        val r2 = (cxy * cxy) / (cxx * cyy)
+        def near(b: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          abs(b - e) <= greatest(lit(1e-6), abs(e) * 1e-6)
+        g.select(col("l_returnflag"), col("n"),
+            slope.as("slope"), icept.as("intercept"), r2.as("r2"),
+            near(col("b_slope"), slope).as("slope_ok"),
+            near(col("b_icept"), icept).as("intercept_ok"),
+            near(col("b_r2"), r2).as("r2_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM a GROUP BY rf),
+        |e AS (
+        |  SELECT rf, n, sx, sy,
+        |    CAST(n AS DOUBLE)*sxy - sx*sy AS cxy,
+        |    CAST(n AS DOUBLE)*sxx - sx*sx AS cxx,
+        |    CAST(n AS DOUBLE)*syy - sy*sy AS cyy
+        |  FROM g)
+        |SELECT rf AS l_returnflag, n,
+        |  cxy/cxx AS slope,
+        |  (sy - (cxy/cxx)*sx)/CAST(n AS DOUBLE) AS intercept,
+        |  (cxy*cxy)/(cxx*cyy) AS r2,
+        |  true AS slope_ok, true AS intercept_ok, true AS r2_ok
+        |FROM e ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q53_ignore_nulls_window",
+      "IGNORE NULLS window navigation (LAG + running LAST_VALUE): " +
+        "carry-forward of the last finished-order price per customer — " +
+        "the canonical gauge-fill/last-observation pattern. DuckDB 1.0 " +
+        "has no IGNORE NULLS syntax, so the oracle emulates it exactly " +
+        "with a running non-null COUNT joined back to the row_number-" +
+        "indexed non-null sequence.",
+      (s, dir) => {
+        t(s, dir, "orders").filter(col("o_custkey") <= 100)
+          .createOrReplaceTempView("q53_orders")
+        s.sql("""
+          WITH t0 AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS fp
+            FROM q53_orders)
+          SELECT o_custkey, o_orderkey,
+            LAG(fp) IGNORE NULLS OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+              AS prev_f_price,
+            LAST_VALUE(fp) IGNORE NULLS OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS fill_f_price
+          FROM t0 ORDER BY o_custkey, o_orderkey""")
+      },
+      Some("""WITH t0 AS (
+        |  SELECT o_custkey AS k, o_orderkey AS o, o_orderdate AS d,
+        |         CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS fp
+        |  FROM orders WHERE o_custkey <= 100),
+        |nn AS (
+        |  SELECT k, fp, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, o) AS j
+        |  FROM t0 WHERE fp IS NOT NULL),
+        |b AS (
+        |  SELECT k, o, fp,
+        |    COUNT(fp) OVER (PARTITION BY k ORDER BY d, o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS jprev,
+        |    COUNT(fp) OVER (PARTITION BY k ORDER BY d, o) AS jcur
+        |  FROM t0)
+        |SELECT b.k AS o_custkey, b.o AS o_orderkey,
+        |  p.fp AS prev_f_price, c.fp AS fill_f_price
+        |FROM b
+        |LEFT JOIN nn p ON p.k = b.k AND p.j = b.jprev
+        |LEFT JOIN nn c ON c.k = b.k AND c.j = b.jcur
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q54_hll_sketch_union",
+      "Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): one " +
+        "sketch per group, then hll_union_agg combines the per-group " +
+        "sketches into a global estimate WITHOUT rescanning rows — the " +
+        "100 TB pattern (sketch per partition/day once, union forever). " +
+        "Sketch insertion is register-max, order-independent, so the " +
+        "estimate is deterministic; the oracled columns are the exact " +
+        "distinct counts plus the within-5%-of-exact assertions " +
+        "(lgK=12 → rsd ≈ 1.6%).",
+      (s, dir) => {
+        val per = t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"),
+            countDistinct("l_partkey").as("exact_parts"))
+        val perRow = per.select(
+          col("l_returnflag"), col("exact_parts"),
+          (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
+            .cast("double") / col("exact_parts") < 0.05).as("hll_within_5pct"))
+        val globalExact = t(s, dir, "lineitem")
+          .agg(countDistinct("l_partkey").as("exact_parts"))
+        val unionRow = per.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+          .crossJoin(globalExact)
+          .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
+            (abs(col("est") - col("exact_parts")).cast("double") /
+              col("exact_parts") < 0.05).as("hll_within_5pct"))
+        perRow.unionByName(unionRow).orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        | CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | true AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'ALL', CAST(COUNT(DISTINCT l_partkey) AS BIGINT), true
+        |FROM lineitem
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q55_width_bucket_histogram",
+      "Equi-width histogram via width_bucket over a power-of-two range " +
+        "([0, 2^20), 32 buckets of 32768): every FP step (divide by a " +
+        "power of two, floor) is exact, so the manual FLOOR in the " +
+        "oracle reproduces the engine's bucket function bit-for-bit — " +
+        "the one-scan, one-aggregation histogram a 100 TB profiler runs.",
+      (s, dir) => t(s, dir, "orders")
+        .select(
+          width_bucket(col("o_totalprice"), lit(0d), lit(1048576d), lit(32L))
+            .as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 32768.0) AS BIGINT) + 1 AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
