@@ -1840,6 +1840,208 @@ object LlmOps {
         |SELECT n_truth, n_pred, n_hit,
         |  round(CAST(n_hit AS DOUBLE) / n_pred, 6) AS precision,
         |  round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    Q("d43_readability",
+      "Flesch-style readability scoring per document: words by " +
+        "whitespace split, sentences by [.!?]+ runs (floored at 1 — " +
+        "this corpus is punctuation-free), syllables approximated as " +
+        "[aeiouy]+ vowel groups. The score's double expression is " +
+        "written in identical op order on both engines over exact " +
+        "integer counts, so it matches bit-for-bit. One scan, " +
+        "stateless per row — the cheapest kind of 100 TB filter.",
+      (s, dir) => {
+        val words = size(split(trim(col("text")), "\\s+")).cast("long")
+        val sents = greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+        val sylls = size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long")
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+            sylls.as("n_sylls"))
+          .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_sylls"),
+            (lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") /
+                  col("n_sents").cast("double"))
+              - lit(84.6) * (col("n_sylls").cast("double") /
+                  col("n_words").cast("double"))).as("flesch"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_sylls
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, n_words, n_sents, n_sylls,
+        |  206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |    - 84.6 * (CAST(n_sylls AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("d44_unimax_alloc",
+      "UniMax language-sampling allocation (Chung et al. 2023): spread " +
+        "a token budget uniformly across languages, capped by each " +
+        "language's available data, leftover redistributed — the " +
+        "closed-form water-fill: sort languages ascending by size, k = " +
+        "largest prefix where n_k*(L-k)+csum_k fits the budget; those " +
+        "take everything, the rest split the remainder evenly. All " +
+        "integer arithmetic until one final double division, so " +
+        "bit-exact cross-engine. Budget = 4/5 of the corpus.",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("d44_documents")
+        s.sql("""
+          WITH l AS (
+            SELECT lang, COUNT(*) AS n FROM d44_documents GROUP BY lang),
+          tot AS (
+            SELECT CAST(SUM(n) * 4 DIV 5 AS BIGINT) AS b,
+                   COUNT(*) AS nl FROM l),
+          r AS (
+            SELECT lang, n,
+                   ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+                   SUM(n) OVER (ORDER BY n, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+            FROM l),
+          k AS (
+            SELECT COALESCE(MAX(CASE WHEN n * (nl - i) + csum <= b
+                                     THEN i END), 0) AS k
+            FROM r, tot),
+          theta AS (
+            SELECT b, k.k,
+                   COALESCE((SELECT csum FROM r WHERE i = k.k), 0) AS csumk,
+                   nl
+            FROM tot, k)
+          SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                 CASE WHEN i <= k THEN CAST(n AS DOUBLE)
+                      ELSE CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE)
+                 END AS alloc,
+                 CASE WHEN i <= k THEN CAST(n AS DOUBLE) / CAST(b AS DOUBLE)
+                      ELSE (CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE))
+                           / CAST(b AS DOUBLE)
+                 END AS weight
+          FROM r, theta ORDER BY lang""")
+      },
+      Some("""WITH l AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(SUM(n) * 4 // 5 AS BIGINT) AS b, COUNT(*) AS nl FROM l),
+        |r AS (
+        |  SELECT lang, n,
+        |         ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+        |         SUM(n) OVER (ORDER BY n, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM l),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN n * (nl - i) + csum <= b
+        |                           THEN i END), 0) AS k
+        |  FROM r, tot),
+        |theta AS (
+        |  SELECT b, k.k,
+        |         COALESCE((SELECT csum FROM r WHERE i = k.k), 0) AS csumk,
+        |         nl
+        |  FROM tot, k)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |       CASE WHEN i <= k THEN CAST(n AS DOUBLE)
+        |            ELSE CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE)
+        |       END AS alloc,
+        |       CASE WHEN i <= k THEN CAST(n AS DOUBLE) / CAST(b AS DOUBLE)
+        |            ELSE (CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE))
+        |             / CAST(b AS DOUBLE)
+        |       END AS weight
+        |FROM r, theta ORDER BY lang""".stripMargin)),
+
+    Q("d45_knn_label",
+      "kNN majority-vote classification over embeddings: 10 query " +
+        "vectors, each classified by its 5 cosine-nearest labeled " +
+        "neighbors (broadcast queries x one corpus scan, per-query " +
+        "top-k window, then a deterministic votes-desc/label-asc " +
+        "argmax). The semi-supervised labeling pass of a training-data " +
+        "pipeline; at 100 TB the same plan runs per LSH/IVF bucket " +
+        "(s02/s03) instead of brute force.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"),
+            col("label"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val scored = e.filter(col("vec_id") >= 10)
+          .crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"), col("label"),
+            Similarity.cosine(col("v"), col("qv")).as("cos"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val votes = scored
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+          .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+        val wVote = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("votes").desc, col("label"))
+        votes.withColumn("r", row_number().over(wVote)).filter(col("r") === 1)
+          .select(col("qid"), col("label").as("pred_label"),
+            col("votes").cast("long").as("votes"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT qid, e.vec_id, e.label, ${cosSql("v", "qv")} AS c
+        |  FROM e, q WHERE e.vec_id >= 10),
+        |top AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |    FROM s) WHERE rk <= 5),
+        |v AS (SELECT qid, label, COUNT(*) AS votes
+        |      FROM top GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, votes FROM (
+        |  SELECT qid, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS r
+        |  FROM v) WHERE r = 1 ORDER BY qid""".stripMargin)),
+
+    Q("d46_centroid_assign",
+      "k-means E-step at pipeline scale: 4 fixed centroids (vectors " +
+        "3/7/11/19 — broadcast, the way real trained centroids ship to " +
+        "executors), every corpus vector assigned to its max-cosine " +
+        "centroid (deterministic centroid-id tie-break), per-cluster " +
+        "size and min/max affinity (order-independent extremes, no " +
+        "double summation). The assignment pass of embedding-space " +
+        "clustering for mixture balancing / SemDeDup-style pruning.",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        val cents = e.filter(col("vec_id").isin(3L, 7L, 11L, 19L))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            Similarity.cosine(col("v"), col("cv")).as("cos"))
+          .withColumn("r", row_number().over(wBest)).filter(col("r") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            min("cos").as("min_cos"), max("cos").as("max_cos"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      WHERE vec_id IN (3, 7, 11, 19)),
+        |s AS (
+        |  SELECT e.vec_id, cid, ${cosSql("v", "cv")} AS cos
+        |  FROM e, c),
+        |b AS (
+        |  SELECT vec_id, cid, cos FROM (
+        |    SELECT vec_id, cid, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r
+        |    FROM s) WHERE r = 1)
+        |SELECT cid, COUNT(*) AS n_members,
+        |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+        |FROM b GROUP BY cid ORDER BY cid""".stripMargin))
   )
 }
