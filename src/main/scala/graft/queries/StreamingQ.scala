@@ -429,6 +429,68 @@ object StreamingQ {
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin)),
 
+    Q("w14_dedup_within_watermark",
+      "Streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark " +
+        "expires a key's dedup state once the watermark passes it (w07's " +
+        "dropDuplicates keeps every key forever: a 100 TB stream would " +
+        "OOM its state store). With a delay spanning this finite input " +
+        "the emitted key set equals exact DISTINCT; only the key columns " +
+        "are kept, because which duplicate arrives first is partition-" +
+        "order noise.",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(to_json(struct(
+            col("ts"), col("user_id"), col("event_type"))).as("value")),
+          "ts TIMESTAMP, user_id LONG, event_type STRING")
+        val dd = stream.withWatermark("ts", "365 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        val out = runToMemory(s, dd, "append")
+        cleanup()
+        out.orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("w15_transform_with_state",
+      "Spark 4 arbitrary-state v2: transformWithState (graft.streaming." +
+        "TwsRunningStats) — named ValueState with its own encoder in a " +
+        "RocksDB state store (changelog-checkpointed, state scales past " +
+        "executor memory), same per-user running (count, max) semantics " +
+        "as w08's mapGroupsWithState so both share the batch oracle. " +
+        "The provider conf is set for the run and restored after.",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val (stream, cleanup) = jsonStream(s,
+            events(s, dir).select(
+              to_json(struct(col("user_id"), col("value"))).as("value")),
+            "user_id LONG, value DOUBLE")
+          import s.implicits._
+          val pairs = stream.select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val out = runToMemory(s,
+            graft.streaming.TwsRunningStats.perKey(pairs)
+              .toDF("user_id", "n_events", "max_value"),
+            "update")
+          cleanup()
+          out.groupBy("user_id")
+            .agg(
+              max("n_events").cast("long").as("n_events"),
+              max("max_value").as("max_value"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("w12_streaming_file_sink",
       "Streaming PARQUET FILE SINK with a checkpoint: stateless filter + " +
         "project streams to an append-mode parquet directory (the " +
