@@ -241,4 +241,47 @@ class StreamingSpec extends AnyFunSpec {
       assert(seen.filter(_._5 == 4L).toSet == Set((1L, 0L, 200L, 4L, 4L)))
     }
   }
+
+  describe("TwsRunningStats.perKey (transformWithState, RocksDB state)") {
+    it("carries (count, max) state across micro-batches") {
+      val in = Files.createTempDirectory("graft-tws-in").toString
+      val cp = Files.createTempDirectory("graft-tws-cp").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val seen = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        def run(): Unit = {
+          val pairs = spark.readStream.schema("k LONG, v DOUBLE").json(in)
+            .select($"k", $"v").as[(Long, Double)]
+          val q = TwsRunningStats.perKey(pairs)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+               _: Long) => seen.synchronized { seen ++= b.collect() }; ()
+            }
+            .outputMode("update").option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+          """{"k":1,"v":2.5}""" + "\n" + """{"k":1,"v":1.0}""" + "\n" +
+            """{"k":2,"v":-3.0}""" + "\n")
+        run()
+        assert(seen.toSet == Set((1L, 2L, 2.5), (2L, 1L, -3.0)))
+        // Batch 2 on the same checkpoint: RocksDB state resumes — counts
+        // keep climbing and key 2's max survives a smaller new value.
+        seen.clear()
+        Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+          """{"k":1,"v":9.0}""" + "\n" + """{"k":2,"v":-5.0}""" + "\n")
+        run()
+        assert(seen.toSet == Set((1L, 3L, 9.0), (2L, 2L, -3.0)))
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
