@@ -447,6 +447,112 @@ object Extended {
       Some("""SELECT CAST(FLOOR(o_totalprice / 32768.0) AS BIGINT) + 1 AS bucket,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    Q("q56_bitwise_aggs",
+      "Bitwise aggregate family (BIT_AND / BIT_OR / BIT_XOR over int64) " +
+        "plus scalar shifts/masks — pure integer lattice ops, " +
+        "associative+commutative, so partial+final aggregation and " +
+        "cross-engine exactness are both free. The permission-mask / " +
+        "feature-flag rollup shape.",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_orderkey"),
+          expr("shiftleft(1L, cast(o_orderkey % 16 as int))").as("flag"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          bit_and(col("o_orderkey")).as("key_and"),
+          bit_or(col("o_orderkey")).as("key_or"),
+          bit_xor(col("o_orderkey")).as("key_xor"),
+          bit_or(col("flag")).as("flags_seen"),
+          bit_count(bit_or(col("flag"))).cast("long").as("n_distinct_flags"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(BIT_AND(o_orderkey) AS BIGINT) AS key_and,
+        | CAST(BIT_OR(o_orderkey) AS BIGINT) AS key_or,
+        | CAST(BIT_XOR(o_orderkey) AS BIGINT) AS key_xor,
+        | CAST(BIT_OR(1::BIGINT << CAST(o_orderkey % 16 AS INT)) AS BIGINT)
+        |   AS flags_seen,
+        | CAST(bit_count(BIT_OR(1::BIGINT << CAST(o_orderkey % 16 AS INT)))
+        |   AS BIGINT) AS n_distinct_flags
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q57_date_fns",
+      "Calendar function battery — epoch-day arithmetic, month index, " +
+        "quarter, ISO week, day-of-week (Spark is 1=Sunday, DuckDB " +
+        "0=Sunday: aligned by +1), month-end (last_day) and clamped " +
+        "add_months (Jan 31 + 1 month = Feb 28 in both engines).",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"))
+        .select(
+          col("o_orderkey"),
+          col("d"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("epoch_day"),
+          ((year(col("d")) - 1970) * 12 + month(col("d")) - 1).cast("long")
+            .as("month_index"),
+          quarter(col("d")).cast("long").as("qtr"),
+          weekofyear(col("d")).cast("long").as("iso_week"),
+          dayofweek(col("d")).cast("long").as("dow"),
+          last_day(col("d")).as("month_end"),
+          add_months(col("d"), 3).as("plus3m"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        | date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   AS epoch_day,
+        | (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+        |   AS month_index,
+        | quarter(o_orderdate) AS qtr,
+        | weekofyear(o_orderdate) AS iso_week,
+        | dayofweek(o_orderdate) + 1 AS dow,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q58_null_semantics",
+      "Three-valued-logic battery: COUNT(*) vs COUNT(col), SUM over an " +
+        "all-NULL slice (NULL, not 0), COALESCE/NULLIF, and null-safe " +
+        "equality (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM) — the " +
+        "semantics corner every engine port gets wrong first.",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          when(col("o_orderkey") % 3 =!= 0, col("o_totalprice")).as("x"),
+          when(col("o_orderkey") % 5 =!= 0, col("o_totalprice")).as("y"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("x")).as("n_x"),
+          sum(when(col("x").isNull, dec2(col("y")))).cast("double")
+            .as("sum_y_where_x_null"),
+          sum(when(lit(false), dec2(col("y")))).cast("double")
+            .as("sum_empty_slice"),
+          sum(when(col("x") <=> col("y"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq"),
+          sum(dec2(coalesce(col("x"), lit(0)))).cast("double")
+            .as("sum_x_coalesced"),
+          count(nullif(col("o_orderpriority"), lit("1-URGENT")))
+            .as("n_not_urgent"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH t0 AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS x,
+        |    CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice END AS y
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        | COUNT(*) AS n_rows,
+        | COUNT(x) AS n_x,
+        | CAST(SUM(CASE WHEN x IS NULL THEN CAST(y AS DECIMAL(18,2)) END)
+        |   AS DOUBLE) AS sum_y_where_x_null,
+        | CAST(SUM(CASE WHEN false THEN CAST(y AS DECIMAL(18,2)) END)
+        |   AS DOUBLE) AS sum_empty_slice,
+        | CAST(SUM(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nullsafe_eq,
+        | CAST(SUM(COALESCE(CAST(x AS DECIMAL(18,2)), 0)) AS DOUBLE)
+        |   AS sum_x_coalesced,
+        | COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent
+        |FROM t0 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

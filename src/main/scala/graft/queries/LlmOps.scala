@@ -2042,6 +2042,98 @@ object LlmOps {
         |    FROM s) WHERE r = 1)
         |SELECT cid, COUNT(*) AS n_members,
         |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
-        |FROM b GROUP BY cid ORDER BY cid""".stripMargin))
+        |FROM b GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    Q("d47_common_ngrams",
+      "Corpus-frequent n-gram exposure (the C4/CCNet boilerplate-blocklist " +
+        "recipe): per-doc DISTINCT 3-gram hashes → corpus doc-frequency → " +
+        "grams in >= 5 docs form the blocklist → each doc scored by the " +
+        "fraction of its grams that are blocklisted. Two shuffles total " +
+        "(gram df, doc rollup), no all-pairs anything; at 100 TB the " +
+        "blocklist (df >= K) is tiny and broadcastable back onto the " +
+        "corpus. One integer division per doc at the end.",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(transform(
+            Dedup.shingles(TA.tokens(col("text"))),
+            sh => Dedup.hash60(sh) % Dedup.HashP))).as("g"))
+        val common = grams.groupBy("g")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 5)
+          .select(col("g"), lit(1L).as("is_common"))
+        grams.join(broadcast(common), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+          .select(col("doc_id"), col("n_grams"), col("n_common"),
+            (col("n_common").cast("double") / col("n_grams").cast("double"))
+              .as("common_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000003)) AS hs
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(hs) AS g FROM s),
+        |df AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY g),
+        |c AS (SELECT g FROM df WHERE d >= 5)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS common_ratio
+        |FROM g LEFT JOIN c ON g.g = c.g
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("m05_vlm_token_budget",
+      "Vision-language packing estimate: image side = ViT patch grid " +
+        "(14px patches over m03's resize plan, ceil division), text side " +
+        "= whitespace tokens, plus 2 special tokens; fits_4k flags docs " +
+        "whose combined sequence fits a 4096 context. Integer math end " +
+        "to end — the budgeting pass that decides multimodal packing " +
+        "before any pixel is decoded.",
+      (s, dir) => graft.operators.MultimodalResize.plan(
+          Multimodal.decode(
+            Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")),
+          maxDim = 224)
+        .toDF()
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_text_tokens")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          (((col("out_w") + 13) / lit(14)).cast("long") *
+            ((col("out_h") + 13) / lit(14)).cast("long")).as("n_patches"),
+          col("n_text_tokens"))
+        .select(col("doc_id"), col("n_patches"), col("n_text_tokens"),
+          (col("n_patches") + col("n_text_tokens") + lit(2L)).as("n_total"),
+          (col("n_patches") + col("n_text_tokens") + lit(2L) <= 4096)
+            .as("fits_4k"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
+        |    240 + octet_length(CAST(text AS BLOB)) % 240 AS height,
+        |    len(string_split(text, ' ')) AS n_text_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_text_tokens,
+        |    CASE WHEN greatest(width, height) <= 224 THEN width
+        |         ELSE width * 224 // greatest(width, height) END AS out_w,
+        |    CASE WHEN greatest(width, height) <= 224 THEN height
+        |         ELSE height * 224 // greatest(width, height) END AS out_h
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id,
+        |    ((out_w + 13) // 14) * ((out_h + 13) // 14) AS n_patches,
+        |    CAST(n_text_tokens AS BIGINT) AS n_text_tokens
+        |  FROM r)
+        |SELECT doc_id, CAST(n_patches AS BIGINT) AS n_patches, n_text_tokens,
+        |  CAST(n_patches + n_text_tokens + 2 AS BIGINT) AS n_total,
+        |  n_patches + n_text_tokens + 2 <= 4096 AS fits_4k
+        |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

@@ -164,6 +164,69 @@ object StreamingQ {
         |                            AND epoch_us(c.ts) // 1000 + 3600000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
 
+    Q("w16_stream_stream_outer",
+      "LEFT OUTER stream-stream interval join: matched pairs emit " +
+        "immediately; an unmatched click emits its NULL-padded row only " +
+        "once the joint watermark proves no purchase can still arrive " +
+        "in its [click, click+1h] window — the state-eviction semantics " +
+        "inner joins never exercise. Rows are restricted (in BOTH arms) " +
+        "to clicks a safe margin older than min(max click ts, max " +
+        "purchase ts) - 2h delay - 1h interval, where eviction is " +
+        "guaranteed regardless of the strict-vs-inclusive boundary.",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val mx = ev.filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+          .agg(min(col("m"))).head.getLong(0)
+        // ms precision (the stream rides through to_json), 60s margin.
+        val cutoffMs = mx / 1000L - (3L * 3600L + 60L) * 1000L
+        def side(et: String, u: String, t: String) = {
+          val (stream, cleanup) = jsonStream(s,
+            ev.filter(col("event_type") === et)
+              .select(to_json(struct(col("user_id"), col("ts"))).as("value")),
+            "user_id LONG, ts TIMESTAMP")
+          (stream.select(col("user_id").as(u), col("ts").as(t))
+            .withWatermark(t, "2 hours"), cleanup)
+        }
+        val (clicks, c1) = side("click", "cu", "cts")
+        val (purchases, c2) = side("purchase", "pu", "pts")
+        val out = runToMemory(s,
+          clicks.join(purchases,
+            col("cu") === col("pu") &&
+              col("pts") >= col("cts") &&
+              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+            "left_outer"),
+          "append")
+        c1(); c2()
+        out.filter(unix_millis(col("cts")) <= cutoffMs)
+          .groupBy(col("cu").as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("pu")).as("n_matched"),
+            sum(when(col("pu").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH mx AS (
+        |  SELECT MIN(m) AS m FROM (
+        |    SELECT event_type, MAX(epoch_us(ts)) AS m FROM events
+        |    WHERE event_type IN ('click', 'purchase')
+        |    GROUP BY event_type)),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS cms FROM events, mx
+        |  WHERE event_type = 'click'
+        |    AND epoch_us(ts) // 1000 <= m // 1000 - (3*3600 + 60) * 1000),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS pms FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(p.user_id) AS n_matched,
+        |  CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id
+        | AND p.pms BETWEEN c.cms AND c.cms + 3600000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
     Q("w06_streaming_perkey_schema",
       "Custom stateful streaming operator in the gate: per-key evolving " +
         "schema via flatMapGroupsWithState (PerKeySchema.evolve, " +
