@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** Every declared query, in catalog order. */
   def catalog: Seq[Q] =
-    Relational.all ++ Parity.all ++ LlmOps.all ++ Extended.all ++ StreamingQ.all
+    Relational.all ++ Parity.all ++ Parity.extra ++ LlmOps.all ++
+      Extended.all ++ StreamingQ.all
 
   /** Flagship: the reference's whole pipeline (validate + route + infer +
     * DDL) over events.props at sf0.001 — ONE scan, one parse per line via

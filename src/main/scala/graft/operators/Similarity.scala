@@ -62,6 +62,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Integer sign-bit LSH bucket (same hyperplane family as
+    * [[signBucket]], packed into a long so bucket distance is
+    * `bit_count(a XOR b)` — cheap, codegen'd, and portable). */
+  def signBucketInt(emb: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(emb, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** MULTIPROBE LSH top-k (Lv et al., VLDB'07 idea, sign-bit family):
+    * scan the query's bucket plus every bucket within Hamming distance
+    * `probe` — 1 + bits extra buckets at probe=1 — trading a (bits+1)/2^bits
+    * corpus fraction for the recall the single-bucket s02 path loses
+    * when a neighbor's boundary dimension flips sign. The probe set is
+    * expressed as one XOR-popcount predicate against the broadcast
+    * query bucket, so the candidate filter stays a codegen'd scan —
+    * no bucket-list explosion. */
+  def multiprobeTopK(emb: DataFrame, idCol: String, embCol: String,
+                     queryId: Long, k: Int, bits: Int = 8,
+                     probe: Int = 1): DataFrame = {
+    val e = emb.select(
+      col(idCol), asDouble(col(embCol)).as("v"),
+      signBucketInt(col(embCol), bits).as("bucket"))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probe &&
+          col(idCol) =!= queryId)
+      .select(col(idCol), col("bucket"), cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Graph ANN — one NN-descent refinement round (Dong et al., WWW'11)
     * over an LSH-seeded k-NN graph:
     *

@@ -316,6 +316,30 @@ object LlmOps {
         |FROM e, q WHERE e.bucket = q.qbucket AND vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 5""").stripMargin)),
 
+    Q("s08_multiprobe_lsh_topk",
+      "Multiprobe LSH top-k (Lv et al. VLDB'07): the query bucket PLUS " +
+        "all buckets within Hamming distance 1 — one XOR-popcount " +
+        "predicate against the broadcast query bucket, recovering the " +
+        "neighbors s02's single-bucket scan loses to a flipped boundary " +
+        "bit at ~9/256 of the corpus scanned.",
+      (s, dir) => Similarity.multiprobeTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 5),
+      Some(("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    CAST(""" + (1 to 8).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+          .mkString(" + ") +
+        """ AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.bucket,
+        |  list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))) AS cosine
+        |FROM e, q
+        |WHERE bit_count(xor(e.bucket, q.qbucket)) <= 1 AND vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 5""").stripMargin)),
+
     Q("s06_nndescent_topk",
       "Graph ANN: one NN-descent round over an LSH-seeded k-NN graph — " +
         "seed top-5 within sign buckets, expand neighbors-of-neighbors " +

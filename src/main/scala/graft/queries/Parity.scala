@@ -189,4 +189,33 @@ object Parity {
   private object CatalogRun {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
   }
+
+  val extra: Seq[Q] = Seq(
+    Q("p08_param_eval",
+      "Op #12 as a DISTRIBUTED query: the reference evaluates " +
+        "`${attr}` expression-language per flowfile on one thread " +
+        "(HiveSchemaGenerator.scala:65-73); here graft.catalog.Params " +
+        "resolves the same template against each record's attribute map " +
+        "in a UDF, then routing counts per resolved target — per-record " +
+        "dynamic table names at scan throughput. Unknown attributes " +
+        "resolve to '' (NiFi EL behavior), exercised by ${missing}.",
+      (s, dir) => {
+        val resolve = udf((template: String, et: String, uid: Long) =>
+          graft.catalog.Params.resolve(template,
+            Map("event_type" -> et, "user" -> uid.toString)))
+        events(s, dir)
+          .select(resolve(
+            lit("events_${event_type}/u=${user}/x=${missing}"),
+            col("event_type"), col("user_id")).as("target"))
+          .groupBy(substring_index(col("target"), "/", 1).as("table_name"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("target")).as("n_targets"))
+          .orderBy("table_name")
+      },
+      Some("""SELECT 'events_' || event_type AS table_name,
+        | COUNT(*) AS n,
+        | CAST(COUNT(DISTINCT 'events_' || event_type || '/u=' || user_id
+        |   || '/x=') AS BIGINT) AS n_targets
+        |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin))
+  )
 }

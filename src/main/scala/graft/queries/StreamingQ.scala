@@ -554,6 +554,61 @@ object StreamingQ {
       Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("w17_foreachbatch_upsert",
+      "Streaming MERGE/upsert sink via foreachBatch: each micro-batch " +
+        "upserts latest-event-per-user into a parquet table (read-" +
+        "merge-rewrite — the Delta-less CDC apply; q40 is the batch " +
+        "MERGE). maxFilesPerTrigger chops the input into several " +
+        "batches so the upsert path (insert new keys + replace older " +
+        "rows) actually exercises; the argmax is associative, so the " +
+        "final table equals the batch latest-per-user result no matter " +
+        "how the stream was chopped. The merged state is materialized " +
+        "(localCheckpoint) BEFORE overwriting the directory it was " +
+        "read from.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w17").toString
+        events(s, dir)
+          .select(to_json(struct(col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value"))).as("value"))
+          .repartition(16)
+          .write.mode("overwrite").text(s"$tmp/in")
+        val stream = s.readStream
+          .schema("user_id LONG, ts_us LONG, event_id LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", "4")
+          .json(s"$tmp/in")
+        val tbl = s"$tmp/tbl"
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val cur =
+              try s.read.parquet(tbl)
+              catch { case _: Throwable => b.limit(0) }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id")
+              .orderBy(col("ts_us").desc, col("event_id").desc)
+            val merged = cur.unionByName(b)
+              .withColumn("rk", row_number().over(w))
+              .filter(col("rk") === 1).drop("rk")
+              .localCheckpoint()
+            merged.write.mode("overwrite").parquet(tbl)
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val res = s.read.parquet(tbl)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .orderBy("user_id")
+          .localCheckpoint()
+        Rm.rf(tmp)
+        res
+      },
+      Some("""SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) WHERE rk = 1 ORDER BY user_id""".stripMargin)),
+
     Q("w12_streaming_file_sink",
       "Streaming PARQUET FILE SINK with a checkpoint: stateless filter + " +
         "project streams to an append-mode parquet directory (the " +
