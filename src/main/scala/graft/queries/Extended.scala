@@ -400,16 +400,24 @@ object Extended {
         "distinct counts plus the within-5%-of-exact assertions " +
         "(lgK=12 → rsd ≈ 1.6%).",
       (s, dir) => {
-        val per = t(s, dir, "lineitem")
+        // HLL insertion is idempotent, so sketches built from the
+        // DISTINCT (flag, partkey) pairs are identical to sketches over
+        // the raw rows — ONE lineitem scan and one pair-shuffle feed
+        // both the per-group and the global arm (vs a second full scan
+        // + a second two-phase distinct expansion).
+        val pairs = t(s, dir, "lineitem")
+          .select("l_returnflag", "l_partkey").distinct()
+          .localCheckpoint()
+        val per = pairs
           .groupBy("l_returnflag")
           .agg(
             hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"),
-            countDistinct("l_partkey").as("exact_parts"))
+            count(lit(1)).as("exact_parts"))
         val perRow = per.select(
           col("l_returnflag"), col("exact_parts"),
           (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
             .cast("double") / col("exact_parts") < 0.05).as("hll_within_5pct"))
-        val globalExact = t(s, dir, "lineitem")
+        val globalExact = pairs
           .agg(countDistinct("l_partkey").as("exact_parts"))
         val unionRow = per.agg(
             hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
