@@ -561,6 +561,102 @@ object Extended {
         | CAST(SUM(COALESCE(CAST(x AS DECIMAL(18,2)), 0)) AS DOUBLE)
         |   AS sum_x_coalesced,
         | COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_not_urgent
-        |FROM t0 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM t0 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q59_execute_immediate",
+      "SQL scripting surface (Spark 4.0): session VARIABLE declared, SET, " +
+        "then EXECUTE IMMEDIATE with a ? parameter marker bound USING the " +
+        "variable — parameterized dynamic SQL without string splicing " +
+        "(the injection-safe template path a metadata-driven 100 TB " +
+        "pipeline uses for per-tenant predicates).",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q59_orders")
+        s.sql("DECLARE OR REPLACE VARIABLE q59_cut DOUBLE DEFAULT 0.0")
+        s.sql("SET VAR q59_cut = 100000.0")
+        s.sql("""EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_price
+           FROM q59_orders WHERE o_totalprice > ?
+           GROUP BY o_orderpriority ORDER BY o_orderpriority'
+          USING q59_cut""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q60_collation",
+      "Collation-aware grouping (Spark 4.0 COLLATE): a deliberately " +
+        "case-mangled name column grouped under UTF8_LCASE folds the " +
+        "case variants together; the emitted key is normalized via " +
+        "lower(min(raw)) because WHICH variant represents a collated " +
+        "group is engine-internal. Oracle groups by lower() — the " +
+        "pre-collation workaround the feature replaces.",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("q60_nation")
+        s.sql("""
+          WITH v AS (
+            SELECT CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                        ELSE lower(n_name) END AS name_var,
+                   n_regionkey
+            FROM q60_nation)
+          SELECT lower(min(name_var)) AS name_ci,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT name_var) AS BIGINT) AS n_variants,
+                 CAST(MAX(n_regionkey) AS BIGINT) AS regionkey
+          FROM v
+          GROUP BY name_var COLLATE UTF8_LCASE
+          ORDER BY name_ci""")
+      },
+      Some("""WITH v AS (
+        |  SELECT CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+        |              ELSE lower(n_name) END AS name_var,
+        |         n_regionkey
+        |  FROM nation)
+        |SELECT lower(min(name_var)) AS name_ci,
+        | COUNT(*) AS n,
+        | CAST(COUNT(DISTINCT name_var) AS BIGINT) AS n_variants,
+        | CAST(MAX(n_regionkey) AS BIGINT) AS regionkey
+        |FROM v GROUP BY lower(name_var) ORDER BY name_ci""".stripMargin)),
+
+    Q("q61_map_hofs",
+      "Map higher-order functions — transform_values, map_filter, " +
+        "map_zip_with over the props map, folded to exact aggregates " +
+        "(map COLUMNS never reach the output: map iteration order is " +
+        "engine noise, their aggregated values are not).",
+      (s, dir) => {
+        val m = from_json(col("props"), MapType(StringType, LongType)).as("m")
+        events(s, dir)
+          .select(col("event_type"), m)
+          .select(
+            col("event_type"),
+            element_at(transform_values(col("m"), (_, v) => v * 2), "k")
+              .as("k2"),
+            element_at(
+              map_zip_with(col("m"),
+                transform_values(col("m"), (_, v) => v * 2),
+                (_, a, b) => a + b), "k").as("k3"),
+            size(map_filter(col("m"), (_, v) => v % 2 === 0)).cast("long")
+              .as("n_even_entries"))
+          .groupBy("event_type")
+          .agg(
+            sum("k2").cast("long").as("sum_k2"),
+            sum("k3").cast("long").as("sum_k3"),
+            sum("n_even_entries").as("n_even"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t0 AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  FROM events)
+        |SELECT event_type,
+        | CAST(SUM(kv * 2) AS BIGINT) AS sum_k2,
+        | CAST(SUM(kv * 3) AS BIGINT) AS sum_k3,
+        | CAST(SUM(CASE WHEN kv % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        | COUNT(*) AS n
+        |FROM t0 GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -2113,6 +2113,37 @@ object LlmOps {
         |FROM g LEFT JOIN c ON g.g = c.g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("d48_lexical_diversity",
+      "Lexical-diversity profile per document: type-token ratio and " +
+        "hapax-legomena count via explode → (doc, token) count → per-doc " +
+        "rollup — two partial+final aggregations, the same shape at any " +
+        "corpus size; TTR is one exact integer division per doc. The " +
+        "diversity filter that catches keyword-stuffed / template docs " +
+        "where d16's repetition score misses.",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("m05_vlm_token_budget",
       "Vision-language packing estimate: image side = ViT patch grid " +
         "(14px patches over m03's resize plan, ceil division), text side " +
