@@ -32,6 +32,42 @@ object LlmOps {
     * for each query would double the most expensive part of a Verify
     * sweep for zero benefit. Holding the reference also keeps the
     * checkpoint blocks alive for the second use. */
+  /** Shared PQ oracle CTE chain (m=8 sub-vectors, 16-centroid
+    * first-vector codebook, query = vec 0) ending in
+    * `approx(vec_id, adist)` — s04 and s09 both build on it. */
+  private def pqApproxCtes: String = """e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
+        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
+        |dists AS (
+        |  SELECT e.vec_id, ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, ms, cb
+        |  WHERE e.vec_id <> 0),
+        |mind AS (SELECT vec_id, m, MIN(d2) AS md
+        |         FROM dists GROUP BY vec_id, m),
+        |codes AS (
+        |  SELECT d.vec_id, d.m, MIN(d.j) AS code
+        |  FROM dists d JOIN mind USING (vec_id, m)
+        |  WHERE d.d2 = mind.md
+        |  GROUP BY d.vec_id, d.m),
+        |adc AS (
+        |  SELECT ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM (SELECT v FROM e WHERE vec_id = 0) q, ms, cb),
+        |approx AS (
+        |  SELECT c.vec_id,
+        |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
+        |  FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
+        |  GROUP BY c.vec_id)""".stripMargin
+
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
@@ -1072,40 +1108,47 @@ object LlmOps {
           .orderBy(col("adist").asc, col("vec_id").asc)
           .limit(10)
       },
-      Some("""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
-        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
-        |dists AS (
-        |  SELECT e.vec_id, ms.m, cb.j,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
-        |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
-        |      (x, y) -> x + y) AS d2
-        |  FROM e, ms, cb
-        |  WHERE e.vec_id <> 0),
-        |mind AS (SELECT vec_id, m, MIN(d2) AS md
-        |         FROM dists GROUP BY vec_id, m),
-        |codes AS (
-        |  SELECT d.vec_id, d.m, MIN(d.j) AS code
-        |  FROM dists d JOIN mind USING (vec_id, m)
-        |  WHERE d.d2 = mind.md
-        |  GROUP BY d.vec_id, d.m),
-        |adc AS (
-        |  SELECT ms.m, cb.j,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      i -> (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
-        |         * (q.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
-        |      (x, y) -> x + y) AS d2
-        |  FROM (SELECT v FROM e WHERE vec_id = 0) q, ms, cb),
-        |approx AS (
-        |  SELECT c.vec_id,
-        |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
-        |  FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
-        |  GROUP BY c.vec_id)
-        |SELECT vec_id, round(adist, 6) AS adist FROM approx
+      Some(s"WITH $pqApproxCtes\n" +
+        """SELECT vec_id, round(adist, 6) AS adist FROM approx
         |ORDER BY round(adist, 6), vec_id LIMIT 10""".stripMargin)),
+
+    Q("s09_pq_rerank",
+      "Two-stage ANN — the production retrieval shape: PQ/ADC shortlist " +
+        "(s04's compressed scan, 32x less memory traffic) takes the top " +
+        "40 candidates, then ONLY those 40 fetch their full vectors for " +
+        "an exact cosine rerank to top-10. Rerank cost is O(shortlist), " +
+        "independent of corpus size; the shortlist cut uses the rounded " +
+        "ADC distance with id tie-break so it is engine-portable.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Quantize.codebookFromFirst(emb, "vec_id", "embedding",
+          m = 8, k = 16)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val adc = Quantize.adcTable(qv, cb)
+        val short = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            round(Quantize.adcDistance(
+              Quantize.encodeFast(col("embedding"), cb),
+              adc), 6).as("adist"))
+          .where(col("adist").isNotNull)
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(40)
+        short.select(col("vec_id"),
+            Similarity.cosine(
+              Similarity.asDouble(col("embedding")),
+              typedLit(qv)).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"WITH $pqApproxCtes,\n" +
+        s"""shortlist AS (
+          |  SELECT vec_id FROM approx
+          |  ORDER BY round(adist, 6), vec_id LIMIT 40),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          |SELECT e.vec_id, ${cosSql("v", "qv")} AS cosine
+          |FROM e JOIN shortlist USING (vec_id), q
+          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
     Q("d32_quality_audit",
       "Single-pass data-quality audit (graft.operators.Quality, the " +
