@@ -657,6 +657,27 @@ object Extended {
         | CAST(SUM(kv * 3) AS BIGINT) AS sum_k3,
         | CAST(SUM(CASE WHEN kv % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
         | COUNT(*) AS n
-        |FROM t0 GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM t0 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q62_identifier_clause",
+      "Dynamic identifier binding (Spark 4 IDENTIFIER(...)): the table " +
+        "name arrives in a session variable and binds as an IDENTIFIER, " +
+        "not by splicing strings into SQL — with q59's parameter " +
+        "markers, the complete injection-safe dynamic-SQL surface of a " +
+        "metadata-driven pipeline.",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q62_customer")
+        s.sql("DECLARE OR REPLACE VARIABLE q62_tbl STRING DEFAULT ''")
+        s.sql("SET VAR q62_tbl = 'q62_customer'")
+        s.sql("""
+          SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_bal
+          FROM IDENTIFIER(q62_tbl)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -2156,6 +2156,45 @@ object LlmOps {
         |FROM g LEFT JOIN c ON g.g = c.g
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("d49_containment",
+      "ASYMMETRIC near-dup: containment C = |A∩B| / min(|A|,|B|) over " +
+        "the hashed 3-gram sets of the banded-LSH candidate pairs — " +
+        "catches a short doc quoted inside a long one, where symmetric " +
+        "Jaccard (d09/d42) stays low because the union is dominated by " +
+        "the long side. Candidates from buckets (never all-pairs); " +
+        "integer set sizes + one final division, bit-exact cross-engine.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val d = docs.select(col("doc_id"),
+            array_distinct(transform(
+              Dedup.shingles(TA.tokens(col("text"))),
+              sh => Dedup.hash60(sh) % Dedup.HashP)).as("hs"))
+          .filter(size(col("hs")) > 0)
+        Dedup.candidatePairs(
+            Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+          .join(d.select(col("doc_id").as("d1"), col("hs").as("ha")), "d1")
+          .join(d.select(col("doc_id").as("d2"), col("hs").as("hb")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("ha"), col("hb"))).cast("long")
+              .as("n_inter"),
+            least(size(col("ha")), size(col("hb"))).cast("long").as("n_min"))
+          .select(col("d1"), col("d2"), col("n_inter"), col("n_min"),
+            (col("n_inter").cast("double") / col("n_min").cast("double"))
+              .as("containment"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"WITH $neardupPairsCtes,\n" +
+        """hsd AS (SELECT doc_id, list_distinct(hs) AS h FROM s
+          |        WHERE len(hs) > 0)
+          |SELECT d1, d2,
+          |  CAST(len(list_intersect(a.h, b.h)) AS BIGINT) AS n_inter,
+          |  CAST(least(len(a.h), len(b.h)) AS BIGINT) AS n_min,
+          |  CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+          |    / CAST(least(len(a.h), len(b.h)) AS DOUBLE) AS containment
+          |FROM pairs JOIN hsd a ON a.doc_id = d1
+          |           JOIN hsd b ON b.doc_id = d2
+          |ORDER BY d1, d2""".stripMargin)),
+
     Q("d48_lexical_diversity",
       "Lexical-diversity profile per document: type-token ratio and " +
         "hapax-legomena count via explode → (doc, token) count → per-doc " +
