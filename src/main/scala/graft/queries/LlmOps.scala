@@ -2195,6 +2195,53 @@ object LlmOps {
           |           JOIN hsd b ON b.doc_id = d2
           |ORDER BY d1, d2""".stripMargin)),
 
+    Q("d50_quota_select",
+      "Per-source quota selection — the budgeted data-mixing op: each " +
+        "source keeps its top ceil(n/5) docs by (n_chars desc, doc_id) " +
+        "— rank inside a source partition, integer quota arithmetic, " +
+        "exact decimal kept-volume. One shuffle on source for the " +
+        "window + one rollup; at 100 TB the rank is per-source " +
+        "range-partitioned and the quota join is a broadcast.",
+      (s, dir) => {
+        val wRk = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(wRk))
+          .withColumn("n_src", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")))
+          .withColumn("quota", ((col("n_src") + 4) / lit(5)).cast("long"))
+          .groupBy("source")
+          .agg(
+            max("n_src").cast("long").as("n_src"),
+            max("quota").as("quota"),
+            sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("rk") <= col("quota"), col("n_chars")))
+              .cast("long").as("kept_chars"),
+            min(when(col("rk") <= col("quota"), col("n_chars")))
+              .cast("long").as("min_kept_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+        |    (COUNT(*) OVER (PARTITION BY source) + 4) // 5 AS quota
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(MAX(n_src) AS BIGINT) AS n_src,
+        |  CAST(MAX(quota) AS BIGINT) AS quota,
+        |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rk <= quota THEN n_chars END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(MIN(CASE WHEN rk <= quota THEN n_chars END) AS BIGINT)
+        |    AS min_kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("d48_lexical_diversity",
       "Lexical-diversity profile per document: type-token ratio and " +
         "hapax-legomena count via explode → (doc, token) count → per-doc " +
