@@ -609,6 +609,59 @@ object StreamingQ {
         |                       ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events) WHERE rk = 1 ORDER BY user_id""".stripMargin)),
 
+    Q("w18_tws_liststate_topk",
+      "transformWithState with TWO named state variables (ListState " +
+        "top-3 + ValueState counter, graft.streaming.TwsTopK) — the " +
+        "state-composition surface of the v2 API beyond w15's single " +
+        "tuple. State is O(k) per key forever; the count is monotone, " +
+        "so each key's final snapshot is its max-count emission, " +
+        "checked against the batch per-user top-3 oracle.",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val (stream, cleanup) = jsonStream(s,
+            events(s, dir).select(
+              to_json(struct(col("user_id"), col("value"))).as("value")),
+            "user_id LONG, value DOUBLE")
+          import s.implicits._
+          val pairs = stream.select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val out = runToMemory(s,
+            graft.streaming.TwsTopK.perKey(pairs, k = 3)
+              .toDF("user_id", "n_events", "topk"),
+            "update")
+          cleanup()
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          out.withColumn("_maxn", max("n_events").over(w))
+            .where(col("n_events") === col("_maxn"))
+            // get() (0-based) is NULL out-of-bounds even under ANSI,
+            // unlike element_at, for keys with fewer than 3 events.
+            .select(col("user_id"), col("n_events").cast("long").as("n_events"),
+              get(col("topk"), lit(0)).as("top1"),
+              get(col("topk"), lit(1)).as("top2"),
+              get(col("topk"), lit(2)).as("top3"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      Some("""WITH r AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rk = 1 THEN value END) AS top1,
+        |  MAX(CASE WHEN rk = 2 THEN value END) AS top2,
+        |  MAX(CASE WHEN rk = 3 THEN value END) AS top3
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("w12_streaming_file_sink",
       "Streaming PARQUET FILE SINK with a checkpoint: stateless filter + " +
         "project streams to an append-mode parquet directory (the " +
