@@ -284,4 +284,47 @@ class StreamingSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("TwsTopK.perKey (transformWithState, ListState + ValueState)") {
+    it("keeps an O(k) top-k list per key across micro-batches") {
+      val in = Files.createTempDirectory("graft-twstk-in").toString
+      val cp = Files.createTempDirectory("graft-twstk-cp").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val seen = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Seq[Double])]
+        def run(): Unit = {
+          val pairs = spark.readStream.schema("k LONG, v DOUBLE").json(in)
+            .select($"k", $"v").as[(Long, Double)]
+          val q = TwsTopK.perKey(pairs, k = 2)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[(Long, Long, Seq[Double])],
+               _: Long) => seen.synchronized { seen ++= b.collect() }; ()
+            }
+            .outputMode("update").option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+          """{"k":1,"v":5.0}""" + "\n" + """{"k":1,"v":1.0}""" + "\n" +
+            """{"k":1,"v":3.0}""" + "\n")
+        run()
+        assert(seen.toList == List((1L, 3L, Seq(5.0, 3.0))))
+        // Batch 2 resumes the RocksDB list: 4.0 displaces 3.0, the
+        // counter keeps climbing, and the list never exceeds k=2.
+        seen.clear()
+        Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+          """{"k":1,"v":4.0}""" + "\n" + """{"k":1,"v":0.5}""" + "\n")
+        run()
+        assert(seen.toList == List((1L, 5L, Seq(5.0, 4.0))))
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
