@@ -1918,7 +1918,10 @@ object LlmOps {
         "integer counts, so it matches bit-for-bit. One scan, " +
         "stateless per row — the cheapest kind of 100 TB filter.",
       (s, dir) => {
-        val words = size(split(trim(col("text")), "\\s+")).cast("long")
+        // regexp_extract_all('\S+') yields 0 for empty/whitespace-only
+        // text on both engines; split("\\s+") would yield 1 on Spark.
+        val words = size(regexp_extract_all(col("text"),
+          lit("\\S+"), lit(0))).cast("long")
         val sents = greatest(lit(1L),
           size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
         val sylls = size(regexp_extract_all(lower(col("text")),
@@ -1958,37 +1961,37 @@ object LlmOps {
         "integer arithmetic until one final double division, so " +
         "bit-exact cross-engine. Budget = 4/5 of the corpus.",
       (s, dir) => {
-        t(s, dir, "documents").createOrReplaceTempView("d44_documents")
-        s.sql("""
-          WITH l AS (
-            SELECT lang, COUNT(*) AS n FROM d44_documents GROUP BY lang),
-          tot AS (
-            SELECT CAST(SUM(n) * 4 DIV 5 AS BIGINT) AS b,
-                   COUNT(*) AS nl FROM l),
-          r AS (
-            SELECT lang, n,
-                   ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
-                   SUM(n) OVER (ORDER BY n, lang
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
-            FROM l),
-          k AS (
-            SELECT COALESCE(MAX(CASE WHEN n * (nl - i) + csum <= b
-                                     THEN i END), 0) AS k
-            FROM r, tot),
-          theta AS (
-            SELECT b, k.k,
-                   COALESCE((SELECT csum FROM r WHERE i = k.k), 0) AS csumk,
-                   nl
-            FROM tot, k)
-          SELECT lang, CAST(n AS BIGINT) AS n_docs,
-                 CASE WHEN i <= k THEN CAST(n AS DOUBLE)
-                      ELSE CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE)
-                 END AS alloc,
-                 CASE WHEN i <= k THEN CAST(n AS DOUBLE) / CAST(b AS DOUBLE)
-                      ELSE (CAST(b - csumk AS DOUBLE) / CAST(nl - k AS DOUBLE))
-                           / CAST(b AS DOUBLE)
-                 END AS weight
-          FROM r, theta ORDER BY lang""")
+        // The corpus aggregation (the 100 TB part) is a distributed
+        // groupBy; the water-fill closed form then runs on the driver
+        // over the per-language histogram — bounded by #languages, the
+        // same bounded-aggregate-collect discipline as the PQ codebooks
+        // (Quantize.scala). The former SQL CTE formulation referenced
+        // its windowed `r` three times, re-running an unpartitioned
+        // WindowExec (and the upstream histogram) per reference.
+        val hist = t(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (lang, n) => (n, lang) }
+        val nl = hist.length.toLong
+        val b = hist.map(_._2).sum * 4L / 5L
+        val csums = hist.scanLeft(0L)(_ + _._2).tail
+        val k = hist.indices.foldLeft(0) { (acc, idx) =>
+          val i = idx + 1
+          if (hist(idx)._2 * (nl - i) + csums(idx) <= b) i else acc
+        }
+        val csumk = if (k >= 1) csums(k - 1) else 0L
+        val rows = hist.zipWithIndex.map { case ((lang, n), idx) =>
+          // Double op order identical to the oracle's CASE arms.
+          if (idx + 1 <= k) (lang, n, n.toDouble, n.toDouble / b.toDouble)
+          else {
+            val a = (b - csumk).toDouble / (nl - k).toDouble
+            (lang, n, a, a / b.toDouble)
+          }
+        }
+        s.createDataFrame(rows.toIndexedSeq)
+          .toDF("lang", "n_docs", "alloc", "weight")
+          .orderBy("lang")
       },
       Some("""WITH l AS (
         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

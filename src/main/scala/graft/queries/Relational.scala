@@ -1151,36 +1151,36 @@ object Relational {
         "partition directory.",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q49").toString
-        events(s, dir).select("event_id", "event_type", "value")
-          .repartition(64)
-          .write.mode("overwrite").parquet(s"$tmp/frag")
-        val before = s.read.parquet(s"$tmp/frag")
-          .select(input_file_name()).distinct().count()
-        val bytes = graft.operators.Compact.sizeOf(s, s"$tmp/frag")
-        val (_, nOut) = graft.operators.Compact.parquet(
-          s, s"$tmp/frag", s"$tmp/out",
-          targetBytes = math.max(1L, (bytes + 3) / 4))
-        val compacted = s.read.parquet(s"$tmp/out")
-        val after = compacted.select(input_file_name()).distinct().count()
-        // The oracle pins 64 -> 4 files; fail HERE with a readable message
-        // (not a downstream hash mismatch) if data volume or write sizing
-        // ever drifts from that assumption.
-        require(before == 64L,
-          s"q49 expects 64 fragment files (one per non-empty repartition " +
-            s"slice), got $before — events row count or file sizing changed")
-        require(nOut == 4 && after == 4L,
-          s"q49 expects 4 compacted files (planned=$nOut, written=$after) " +
-            "— Compact.parquet sizing or partition emptiness changed")
-        val res = compacted
-          .agg(count(lit(1)).as("n_rows"),
-            sum(dec2(col("value"))).cast("double").as("sum_value"))
-          .select(lit(before).as("n_files_before"),
-            lit(after).as("n_files_after"),
-            lit(nOut.toLong).as("n_files_planned"),
-            col("n_rows"), col("sum_value"))
-          .localCheckpoint()
-        Rm.rf(tmp)
-        res
+        try {
+          events(s, dir).select("event_id", "event_type", "value")
+            .repartition(64)
+            .write.mode("overwrite").parquet(s"$tmp/frag")
+          val before = s.read.parquet(s"$tmp/frag")
+            .select(input_file_name()).distinct().count()
+          val bytes = graft.operators.Compact.sizeOf(s, s"$tmp/frag")
+          val (_, nOut) = graft.operators.Compact.parquet(
+            s, s"$tmp/frag", s"$tmp/out",
+            targetBytes = math.max(1L, (bytes + 3) / 4))
+          val compacted = s.read.parquet(s"$tmp/out")
+          val after = compacted.select(input_file_name()).distinct().count()
+          // The oracle pins 64 -> 4 files; fail HERE with a readable message
+          // (not a downstream hash mismatch) if data volume or write sizing
+          // ever drifts from that assumption.
+          require(before == 64L,
+            s"q49 expects 64 fragment files (one per non-empty repartition " +
+              s"slice), got $before — events row count or file sizing changed")
+          require(nOut == 4 && after == 4L,
+            s"q49 expects 4 compacted files (planned=$nOut, written=$after) " +
+              "— Compact.parquet sizing or partition emptiness changed")
+          compacted
+            .agg(count(lit(1)).as("n_rows"),
+              sum(dec2(col("value"))).cast("double").as("sum_value"))
+            .select(lit(before).as("n_files_before"),
+              lit(after).as("n_files_after"),
+              lit(nOut.toLong).as("n_files_planned"),
+              col("n_rows"), col("sum_value"))
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
       },
       Some("""SELECT CAST(64 AS BIGINT) AS n_files_before,
         | CAST(4 AS BIGINT) AS n_files_after,

@@ -287,13 +287,15 @@ object StreamingQ {
         |FROM ks GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     Q("w07_streaming_dedup",
-      "Streaming exact dedup: dropDuplicates on (user_id, event_type) " +
-        "inside a real streaming query — state is ONE entry per distinct " +
-        "key (O(distinct), not O(stream)); per-type distinct-user counts " +
-        "must equal the batch DISTINCT oracle. The bounded-state " +
-        "production variant is dropDuplicatesWithinWatermark (same plan " +
-        "with state eviction); only the unwindowed form is exactly " +
-        "batch-equivalent, hence oracled here.",
+      "WARNING — UNBOUNDED STATE, test-scale only: dropDuplicates keeps " +
+        "one state entry per distinct key FOREVER (no eviction), so on " +
+        "a real 100 TB stream this query would OOM its state store. Do " +
+        "NOT copy this as a dedup template — use w14's " +
+        "dropDuplicatesWithinWatermark, which is the same plan with " +
+        "watermark-driven state eviction. w07 exists only because the " +
+        "unwindowed form is exactly batch-equivalent and therefore " +
+        "oracle-checkable: per-type distinct-user counts must equal the " +
+        "batch DISTINCT oracle.",
       (s, dir) => {
         val (stream, cleanup) = jsonStream(s,
           events(s, dir).select(
@@ -580,9 +582,14 @@ object StreamingQ {
         val tbl = s"$tmp/tbl"
         val q = stream.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
+            // First batch: the sink table doesn't exist yet. Only the
+            // path-missing case may substitute empty state — any other
+            // read failure must propagate, or accumulated upsert state
+            // would be silently discarded.
             val cur =
-              try s.read.parquet(tbl)
-              catch { case _: Throwable => b.limit(0) }
+              if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tbl)))
+                b.limit(0)
+              else s.read.parquet(tbl)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("user_id")
               .orderBy(col("ts_us").desc, col("event_id").desc)
