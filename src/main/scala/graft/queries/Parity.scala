@@ -216,6 +216,60 @@ object Parity {
         | COUNT(*) AS n,
         | CAST(COUNT(DISTINCT 'events_' || event_type || '/u=' || user_id
         |   || '/x=') AS BIGINT) AS n_targets
-        |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin)),
+
+    Q("p09_hive_metastore_roundtrip",
+      "Op #9 against a REAL HiveExternalCatalog (enableHiveSupport + " +
+        "embedded derby — the metastore code path the reference's DDL " +
+        "targets, minus the thrift hop; graft.catalog.HiveMode): execute " +
+        "the reference-shaped CREATE EXTERNAL TABLE ... ROW FORMAT SERDE " +
+        "... LOCATION DDL against the Hive catalog, gate the stored " +
+        "metadata (EXTERNAL type + serde lib via the catalog API), then " +
+        "re-read the table by name through the HiveTableScan path and " +
+        "aggregate. The serde is the engine's own graft.hive.JsonLineSerDe " +
+        "(this distribution ships no hcatalog JsonSerDe jar, and Hive " +
+        "instantiates the serde class at CREATE time — shipping a working " +
+        "serde makes the reference's DDL executable, not just renderable).",
+      (s, dir) => {
+        val props = events(s, dir).select(col("props"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-p09").toString
+        try {
+          props.write.mode("overwrite").text(s"$tmp/data")
+          val schema = JsonIngest
+            .inferColumnSchema(props, "props", typed = true)
+            .getOrElse(sys.error("no schema inferred"))
+          val hs = graft.catalog.HiveMode.session(s)
+          val serdeTable = s"graft_p09_serde_${CatalogRun.n.incrementAndGet()}"
+          val ourSerde = classOf[graft.hive.JsonLineSerDe].getName
+          hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
+          hs.sql(Ddl.createStatement(schema, serdeTable, s"$tmp/data",
+            serde = ourSerde))
+          val meta = hs.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(serdeTable))
+          val serdeLib = meta.storage.serde.getOrElse("")
+          require(meta.tableType.name == "EXTERNAL",
+            s"p09: expected EXTERNAL table in Hive catalog, got " +
+              s"${meta.tableType.name}")
+          require(serdeLib == ourSerde,
+            s"p09: Hive catalog stored serde '$serdeLib', expected '$ourSerde'")
+          val res = hs.table(serdeTable)
+            .agg(count(lit(1)).as("n"),
+              sum(col("k")).cast("long").as("sum_k"))
+            .select(col("n"), col("sum_k"),
+              lit(hs.conf.get("spark.sql.catalogImplementation"))
+                .as("catalog_impl"),
+              lit(meta.tableType.name).as("table_type"),
+              lit(serdeLib).as("serde_lib"))
+            .localCheckpoint()
+          hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
+          res
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | 'hive' AS catalog_impl,
+        | 'EXTERNAL' AS table_type,
+        | 'graft.hive.JsonLineSerDe' AS serde_lib
+        |FROM events""".stripMargin))
   )
 }
