@@ -270,6 +270,50 @@ object Parity {
         | 'hive' AS catalog_impl,
         | 'EXTERNAL' AS table_type,
         | 'graft.hive.JsonLineSerDe' AS serde_lib
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    Q("p10_map_type_inference",
+      "MAP-type inference — the capability the reference's lattice lacks " +
+        "but its own fixture begs for (T/resources/flowfile.json's " +
+        "updatedAttributes is a string->string attribute map that " +
+        "CreateHQL.scala:57-61 renders as an ever-growing STRUCT whose " +
+        "DDL churns on every new key): after the distributed fold, " +
+        "JType.mapify collapses a nested struct with >= 32 uniformly-" +
+        "typed keys into MAP<STRING,t>, while the 2-key meta struct " +
+        "stays a STRUCT. Payloads are fixture-shaped JSON built from " +
+        "events (per-record singleton attribute maps keyed by user), so " +
+        "the pre-collapse key count is data-derived and oracled; the " +
+        "normalization is a driver-side O(schema) post-pass, so the " +
+        "aggregation stays an associative lattice join.",
+      (s, dir) => {
+        val j = events(s, dir).select(concat(
+          lit("{\"meta\": {\"src\": \"nifi\", \"v\": 1}, " +
+            "\"updatedAttributes\": {\"u"),
+          col("user_id"), lit("\": \""), col("event_type"), lit("\"}}"))
+          .as("payload"))
+        val structy = JsonIngest
+          .inferColumnSchema(j, "payload", typed = true)
+          .getOrElse(sys.error("p10: no schema inferred"))
+        val nKeys = structy("updatedAttributes").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.length
+        val mapped = graft.schema.SchemaInference
+          .mapifySchema(structy, threshold = 32, typed = true)
+        val ddl = Ddl.createExternalTable(
+          mapped, "events_attrs", "/tmp/events_attrs")
+        import s.implicits._
+        Seq((ddl, nKeys.toLong)).toDF("ddl", "n_attr_keys")
+      },
+      Some("SELECT '" + (
+        "DROP TABLE IF EXISTS events_attrs;\n" +
+          "CREATE EXTERNAL TABLE events_attrs (\n" +
+          "\t`meta` STRUCT<\n" +
+          "\t\t`src`: STRING,\n" +
+          "\t\t`v`: BIGINT\n" +
+          "\t>,\n" +
+          "\t`updatedAttributes` MAP<STRING,STRING>\n" +
+          ") ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n" +
+          "location '/tmp/events_attrs';").replace("'", "''") +
+        "' AS ddl, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_attr_keys " +
+        "FROM events"))
   )
 }

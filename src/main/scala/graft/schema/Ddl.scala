@@ -50,6 +50,15 @@ object Ddl {
     pad + key.fold("")(_ + " ") + (dt match {
       case ArrayType(e, _) =>
         Seq("ARRAY<", render(e, indent + 1), s"$pad>").mkString("\n")
+      // Map with a leaf value renders inline (`MAP<STRING,STRING>` — the
+      // attribute-map shape mapify produces); composite values indent
+      // like ARRAY. Hive map keys are always STRING in this lattice.
+      case MapType(_, v, _)
+          if !v.isInstanceOf[ArrayType] && !v.isInstanceOf[StructType] &&
+            !v.isInstanceOf[MapType] =>
+        s"MAP<STRING,${leaf(v)}>"
+      case MapType(_, v, _) =>
+        Seq("MAP<STRING,", render(v, indent + 1), s"$pad>").mkString("\n")
       case StructType(fs) =>
         "STRUCT<\n" + fs.map { f =>
           render(f.dataType, indent + 1, Some("`" + f.name + "`:"))

@@ -42,6 +42,12 @@ case object JBool extends JType
 final case class JArr(elem: JType) extends JType
 /** First-seen field order preserved. */
 final case class JStruct(fields: Vector[(String, JType)]) extends JType
+/** String-keyed map — never produced by raw inference (JSON objects
+  * parse as [[JStruct]], like the reference, `CreateHQL.scala:57-61`);
+  * introduced by the post-aggregation [[JType.mapify]] normalization
+  * for attribute-map-shaped structs, or lifted from a user-declared
+  * Spark `MapType`. */
+final case class JMap(value: JType) extends JType
 /** Poison: a top-level record was not a JSON object (or structurally
   * unusable); the whole inference result is invalid. */
 case object JTop extends JType
@@ -70,11 +76,50 @@ object JType {
         }
         JStruct(mergedA ++ bx.filterNot { case (k, _) => aKeys.contains(k) })
       }
+    // Map ⊔ map joins values; map ⊔ struct folds the struct's values in
+    // (a struct IS a map observation once one side has been normalized).
+    case (JMap(x), JMap(y))       => JMap(merge(x, y, typed))
+    case (JMap(x), JStruct(fs))   =>
+      JMap(fs.foldLeft(x) { case (acc, (_, v)) => merge(acc, v, typed) })
+    case (JStruct(fs), JMap(x))   =>
+      JMap(fs.foldLeft(x) { case (acc, (_, v)) => merge(acc, v, typed) })
     case (x, y) if x == y         => x
     case (JLong, JDouble) | (JDouble, JLong) if typed => JDouble
     // Any other conflict (scalar vs scalar, scalar vs composite,
     // array vs struct) widens to STRING — reference `CreateHQL.scala:63-64`.
     case _                        => JStr
+  }
+
+  /** Post-aggregation normalization: collapse structs that look like
+    * string-keyed attribute maps into `MAP<STRING, τ>`.
+    *
+    * The reference renders EVERY JSON object as a STRUCT
+    * (`CreateHQL.scala:57-61,75-79`) — so a high-cardinality key space
+    * (its own test fixture's `updatedAttributes`,
+    * `T/resources/flowfile.json`) becomes an ever-growing struct whose
+    * DDL changes with every new key. A struct with at least `threshold`
+    * keys whose values share one uniform type is collapsed to [[JMap]]
+    * of that type instead.
+    *
+    * Runs AFTER the distributed fold, never inside it: the threshold
+    * test is not associative (two half-sized observations could each
+    * stay below it), while the post-pass sees the final key set —
+    * keeping [[merge]] a true lattice join that Spark can parallelize.
+    */
+  def mapify(t: JType, threshold: Int, typed: Boolean): JType = t match {
+    case JStruct(fs) =>
+      val norm = fs.map { case (k, v) => k -> mapify(v, threshold, typed) }
+      if (norm.size >= threshold) {
+        val lub = norm.foldLeft(JNull: JType) {
+          case (acc, (_, v)) => merge(acc, v, typed)
+        }
+        val uniform = norm.forall { case (_, v) => v == lub || v == JNull }
+        if (uniform && lub != JNull && lub != JTop) JMap(lub)
+        else JStruct(norm)
+      } else JStruct(norm)
+    case JArr(e)  => JArr(mapify(e, threshold, typed))
+    case JMap(v)  => JMap(mapify(v, threshold, typed))
+    case other    => other
   }
 
   import org.apache.spark.sql.types._
@@ -89,6 +134,7 @@ object JType {
     case JDouble             => DoubleType
     case JBool               => BooleanType
     case JArr(e)             => ArrayType(toDataType(e))
+    case JMap(v)             => MapType(StringType, toDataType(v))
     case JStruct(fs) =>
       StructType(fs.map { case (k, v) => StructField(k, toDataType(v)) })
   }
@@ -101,6 +147,7 @@ object JType {
     case DoubleType | FloatType | _: DecimalType       => JDouble
     case BooleanType             => JBool
     case ArrayType(e, _)         => JArr(fromDataType(e))
+    case MapType(_, v, _)        => JMap(fromDataType(v))
     case StructType(fs)          =>
       JStruct(fs.iterator.map(f => f.name -> fromDataType(f.dataType)).toVector)
     case _                       => JStr

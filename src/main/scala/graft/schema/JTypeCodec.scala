@@ -44,6 +44,7 @@ final class JTypeCodec extends Codec[JType, Array[Byte]] {
           out.writeInt(kb.length); out.write(kb)
           go(v)
         }
+      case JMap(v)      => out.writeByte(8); go(v)
     }
     go(t)
     out.flush()
@@ -68,6 +69,7 @@ final class JTypeCodec extends Codec[JType, Array[Byte]] {
       case 7 =>
         val n = in.readInt()
         JStruct(Vector.fill(n)(readName() -> go()))
+      case 8 => JMap(go())
       case t => throw new IllegalStateException(s"bad JType tag $t")
     }
     go()

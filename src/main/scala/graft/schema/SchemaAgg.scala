@@ -65,6 +65,14 @@ object SchemaInference {
     schemaFromJson(json)
   }
 
+  /** Post-aggregation attribute-map normalization ([[JType.mapify]])
+    * applied per top-level column (the table's own column set is never
+    * collapsed — only nested structs can become maps). */
+  def mapifySchema(s: StructType, threshold: Int, typed: Boolean): StructType =
+    StructType(s.fields.map(f => f.copy(dataType =
+      JType.toDataType(
+        JType.mapify(JType.fromDataType(f.dataType), threshold, typed)))))
+
   def schemaFromJson(json: String): Option[StructType] =
     if (json == null || json == InvalidSchema) None
     else DataType.fromJson(json) match {

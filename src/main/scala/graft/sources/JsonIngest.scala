@@ -64,13 +64,19 @@ object JsonIngest {
       .map(Ddl.createExternalTable(_, tableName, location))
 
   /** Schema inference over a JSON-string column of an arbitrary DataFrame
-    * (e.g. `events.props` in the test data). */
+    * (e.g. `events.props` in the test data). `mapThreshold` applies the
+    * post-aggregation attribute-map normalization: nested structs with at
+    * least that many uniformly-typed keys collapse to `MAP<STRING, τ>`
+    * ([[graft.schema.JType.mapify]]). */
   def inferColumnSchema(
-      df: DataFrame, col: String, typed: Boolean = false): Option[StructType] = {
+      df: DataFrame, col: String, typed: Boolean = false,
+      mapThreshold: Option[Int] = None): Option[StructType] = {
     val json = df.select(
         SchemaInference.infer_schema_agg(df(col), typed).as("schema_json"))
       .as(Encoders.STRING).head()
     SchemaInference.schemaFromJson(json)
+      .map(s => mapThreshold.fold(s)(th =>
+        SchemaInference.mapifySchema(s, th, typed)))
   }
 
   /** The whole reference pipeline — validate, route-count, infer — in ONE

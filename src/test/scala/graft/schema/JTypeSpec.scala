@@ -45,6 +45,48 @@ class JTypeSpec extends AnyFunSpec {
     }
   }
 
+  describe("mapify (attribute-map normalization — the post-aggregation " +
+    "pass; JMap never enters the distributed fold)") {
+    val th = 32
+    it("collapses a >=threshold uniformly-typed struct to MAP") {
+      val big = JStruct((1 to 40).map(i => s"k$i" -> (JStr: JType)).toVector)
+      assert(JType.mapify(big, th, typed = true) == JMap(JStr))
+    }
+    it("keeps small structs as STRUCT") {
+      val small = JStruct(Vector("a" -> JStr, "b" -> JStr))
+      assert(JType.mapify(small, th, typed = true) == small)
+    }
+    it("keeps non-uniform value types as STRUCT") {
+      val mixed = JStruct((1 to 40).map(i =>
+        s"k$i" -> (if (i == 1) JLong else JStr: JType)).toVector)
+      assert(JType.mapify(mixed, th, typed = true) == mixed)
+    }
+    it("does not collapse an all-null struct (no evidence)") {
+      val nulls = JStruct((1 to 40).map(i => s"k$i" -> (JNull: JType)).toVector)
+      assert(JType.mapify(nulls, th, typed = true) == nulls)
+    }
+    it("collapses nested structs while outer small structs survive") {
+      val attrs = JStruct((1 to 40).map(i => s"a$i" -> (JStr: JType)).toVector)
+      val t = JStruct(Vector("meta" -> JStruct(Vector("src" -> JStr)),
+        "attrs" -> attrs))
+      assert(JType.mapify(t, th, typed = true) ==
+        JStruct(Vector("meta" -> JStruct(Vector("src" -> JStr)),
+          "attrs" -> JMap(JStr))))
+    }
+    it("merges map-vs-struct observations (streaming evolution path)") {
+      assert(m(JMap(JStr), JStruct(Vector("x" -> JStr, "y" -> JStr))) ==
+        JMap(JStr))
+      assert(m(JStruct(Vector("x" -> JLong)), JMap(JDouble), typed = true) ==
+        JMap(JDouble))
+    }
+    it("lowers to MapType and renders MAP<STRING,STRING> DDL") {
+      assert(JType.toDataType(JMap(JStr)) == MapType(StringType, StringType))
+      assert(Ddl.render(MapType(StringType, StringType)) ==
+        "MAP<STRING,STRING>")
+      assert(JType.fromDataType(MapType(StringType, LongType)) == JMap(JLong))
+    }
+  }
+
   describe("toDataType") {
     it("renders JNull leaves as STRING (empty-array behavior, CreateHQL.scala:42,81)") {
       assert(JType.toDataType(JArr(JNull)) == ArrayType(StringType))
@@ -97,10 +139,11 @@ class JTypeSpec extends AnyFunSpec {
       val c = new JTypeCodec
       c.decode(c.encode(a)) == a
     })
-    it("handles JTop, empty structs, and unicode field names") {
+    it("handles JTop, empty structs, unicode field names, and maps") {
       val c = new JTypeCodec
       val cases = Seq[JType](JTop, JStruct(Vector.empty),
-        JStruct(Vector("naïve.key-中文" -> JArr(JStruct(Vector("x" -> JLong))))))
+        JStruct(Vector("naïve.key-中文" -> JArr(JStruct(Vector("x" -> JLong))))),
+        JMap(JStr), JStruct(Vector("attrs" -> JMap(JArr(JLong)))))
       cases.foreach(t => assert(c.decode(c.encode(t)) == t))
     }
     it("handles field names beyond writeUTF's 64 KB limit") {
