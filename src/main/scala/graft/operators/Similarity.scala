@@ -111,27 +111,103 @@ object Similarity {
     * as tiebreak) so the cut is engine-portable; the raw fold is already
     * bit-identical (left-fold in DOUBLE, see class doc).
     */
+  /** The k-NN seed graph [[nnDescentTopK]] step 1 builds (bucket
+    * equi-join, top-`graphK` per vertex by 6-decimal-rounded cosine),
+    * materialized once — shared by the NN-descent refinement and the
+    * [[beamSearchTopK]] read path. */
+  def knnSeedGraph(verts: DataFrame, graphK: Int, bits: Int): DataFrame = {
+    val a = verts.select(col("id").as("src"), col("v").as("va"), col("bucket"))
+    val b = verts.select(col("id").as("nbr"), col("v").as("vb"),
+      col("bucket").as("bucket_b"))
+    val byRank = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("nbr").asc)
+    a.join(b, col("bucket") === col("bucket_b") && col("src") =!= col("nbr"))
+      .select(col("src"), col("nbr"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .withColumn("rn", row_number().over(byRank)).where(col("rn") <= graphK)
+      .select("src", "nbr")
+      .localCheckpoint()
+  }
+
+  /** Graph-walk ANN read path (the HNSW-style query side s06's build
+    * lacks): greedy BEAM SEARCH over the k-NN seed graph.
+    *
+    * Per probe, start from one fixed entry vertex, then for a fixed
+    * number of rounds expand the beam's out-edges, score the neighbors
+    * against the query (exact cosine), and keep the best `beam`
+    * vertices (round-6 cosine, id tiebreak). The search state is
+    * O(probes × beam) rows; each round is one edge-list join + one
+    * bounded top-`beam` cut — never a corpus scan, which is the whole
+    * point at 100 TB: query cost is O(rounds × beam × degree) vector
+    * reads per probe regardless of corpus size. Rounds are FIXED (not
+    * convergence-tested) so the walk is expressible as chained oracle
+    * CTEs; `localCheckpoint` truncates the per-round lineage exactly
+    * like the connected-components loop.
+    *
+    * The brute-force arm is evaluation-only (s07 discipline): it flags
+    * each walked result with membership in the exact top-k so recall is
+    * auditable from the output itself.
+    */
+  def beamSearchTopK(emb: DataFrame, idCol: String, embCol: String,
+                     nProbes: Int = 3, entryId: Long = 3L, k: Int = 5,
+                     beam: Int = 8, rounds: Int = 3, bits: Int = 6,
+                     graphK: Int = 5): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"),
+      signBucket(col(embCol), bits).as("bucket"))
+    val verts = e.where(col("id") >= nProbes)
+    val g0 = knnSeedGraph(verts, graphK, bits)
+    val probes = e.where(col("id") < nProbes)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val nv = verts.select(col("id").as("nbr"), col("v").as("nv"))
+    val byBeam = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("id").asc)
+    var beamDf = verts.where(col("id") === entryId)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf
+        .join(g0, beamDf("id") === g0("src"))
+        .select(col("qid"), col("nbr"))
+        .join(nv, "nbr")
+        .join(broadcast(probes), "qid")
+        .select(col("qid"), col("nbr").as("id"),
+          round(cosine(col("nv"), col("qv")), 6).as("cos"))
+      beamDf = beamDf.union(expanded).distinct()
+        .withColumn("rn", row_number().over(byBeam))
+        .where(col("rn") <= beam)
+        .select("qid", "id", "cos")
+        .localCheckpoint()
+    }
+    val walk = beamDf
+      .withColumn("rk", row_number().over(byBeam)).where(col("rk") <= k)
+    val exact = verts.crossJoin(broadcast(probes))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("erk", row_number().over(byBeam)).where(col("erk") <= k)
+      .select(col("qid").as("eqid"), col("id").as("eid"))
+    walk.join(exact,
+        walk("qid") === exact("eqid") && walk("id") === exact("eid"), "left")
+      .select(col("qid"), col("rk").cast("long").as("rk"),
+        col("id").as("vec_id"), col("cos").as("cosine"),
+        col("eid").isNotNull.as("hit"))
+      .orderBy("qid", "rk")
+  }
+
   def nnDescentTopK(emb: DataFrame, idCol: String, embCol: String,
                     k: Int = 5, bits: Int = 6, probeMax: Long = 20L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"),
       signBucket(col(embCol), bits).as("bucket"))
-    val a = e.select(col("id").as("src"), col("v").as("va"), col("bucket"))
-    val b = e.select(col("id").as("nbr"), col("v").as("vb"),
-      col("bucket").as("bucket_b"))
     val byRank = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("nbr").asc)
-    // Materialize the seed graph once (localCheckpoint, as the CC loop
-    // does): it is referenced three times below (both self-join sides +
-    // the candidate union) and would otherwise re-run the bucket join
-    // per reference — 3 extra corpus scans at 100 TB. Graph refinement
-    // is iterative by nature; each round would re-checkpoint.
-    val g0 = a
-      .join(b, col("bucket") === col("bucket_b") && col("src") =!= col("nbr"))
-      .select(col("src"), col("nbr"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .withColumn("rn", row_number().over(byRank)).where(col("rn") <= k)
-      .select("src", "nbr")
-      .localCheckpoint()
+    // Seed graph materialized once (localCheckpoint inside
+    // knnSeedGraph, as the CC loop does): it is referenced three times
+    // below (both self-join sides + the candidate union) and would
+    // otherwise re-run the bucket join per reference — 3 extra corpus
+    // scans at 100 TB. Graph refinement is iterative by nature; each
+    // round would re-checkpoint.
+    val g0 = knnSeedGraph(e, k, bits)
     val non = g0.as("g1").join(g0.as("g2"), col("g1.nbr") === col("g2.src"))
       .select(col("g1.src").as("src"), col("g2.nbr").as("nbr"))
       .where(col("src") =!= col("nbr"))

@@ -1150,6 +1150,81 @@ object LlmOps {
           |FROM e JOIN shortlist USING (vec_id), q
           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("s10_beam_search_topk",
+      "Graph-WALK ANN read path over the s06-style k-NN seed graph (the " +
+        "HNSW-shaped query side s06's build step lacks): per probe " +
+        "(vec_id < 3), greedy beam search from one fixed entry vertex — " +
+        "3 rounds of expand-out-edges / exact-cosine score / keep-best-8 " +
+        "(round-6 cosine, id tiebreak) — then top-5. Query cost is " +
+        "O(rounds x beam x degree) vector reads per probe, INDEPENDENT " +
+        "of corpus size (s01 scans everything; this walks ~120 edges); " +
+        "search state is O(probes x beam) rows, localCheckpoint'ed per " +
+        "round like the CC loop. Each emitted row carries a hit flag " +
+        "against the exact top-5 — the brute arm is evaluation-only " +
+        "(s07 discipline), so recall is auditable from the output.",
+      (s, dir) => Similarity.beamSearchTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some {
+        val bucket = (1 to 6).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        def hop(prev: String, cur: String): String =
+          s"""$cur AS (
+            |  SELECT qid, id, cos FROM (
+            |    SELECT qid, id, cos,
+            |      ROW_NUMBER() OVER (PARTITION BY qid
+            |        ORDER BY cos DESC, id) AS rn
+            |    FROM (
+            |      SELECT qid, id, cos FROM $prev
+            |      UNION
+            |      SELECT b.qid, g0.nbr AS id,
+            |        round(${cosSql("en.v", "p.qv")}, 6) AS cos
+            |      FROM $prev b
+            |      JOIN g0 ON g0.src = b.id
+            |      JOIN verts en ON en.id = g0.nbr
+            |      JOIN probes p ON p.qid = b.qid))
+            |  WHERE rn <= 8)""".stripMargin
+        s"""WITH e AS (
+          |  SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    $bucket AS bucket
+          |  FROM embeddings),
+          |verts AS (SELECT * FROM e WHERE id >= 3),
+          |probes AS (SELECT id AS qid, v AS qv FROM e WHERE id < 3),
+          |pr AS (
+          |  SELECT a.id AS src, b.id AS nbr,
+          |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+          |  FROM verts a JOIN verts b
+          |    ON a.bucket = b.bucket AND a.id <> b.id),
+          |g0 AS (
+          |  SELECT src, nbr FROM (
+          |    SELECT src, nbr, ROW_NUMBER() OVER (PARTITION BY src
+          |      ORDER BY cos DESC, nbr) AS rn
+          |    FROM pr) WHERE rn <= 5),
+          |b0 AS (
+          |  SELECT p.qid, t.id, round(${cosSql("t.v", "p.qv")}, 6) AS cos
+          |  FROM verts t, probes p WHERE t.id = 3),
+          |${hop("b0", "b1")},
+          |${hop("b1", "b2")},
+          |${hop("b2", "b3")},
+          |walk AS (
+          |  SELECT qid, id, cos, ROW_NUMBER() OVER (PARTITION BY qid
+          |    ORDER BY cos DESC, id) AS rk
+          |  FROM b3),
+          |exact AS (
+          |  SELECT qid, id FROM (
+          |    SELECT p.qid, t.id,
+          |      ROW_NUMBER() OVER (PARTITION BY p.qid
+          |        ORDER BY round(${cosSql("t.v", "p.qv")}, 6) DESC, t.id)
+          |        AS erk
+          |    FROM verts t, probes p) WHERE erk <= 5)
+          |SELECT w.qid, w.rk, w.id AS vec_id, w.cos AS cosine,
+          |  (x.id IS NOT NULL) AS hit
+          |FROM walk w LEFT JOIN exact x ON x.qid = w.qid AND x.id = w.id
+          |WHERE w.rk <= 5
+          |ORDER BY w.qid, w.rk""".stripMargin
+      }),
+
     Q("d32_quality_audit",
       "Single-pass data-quality audit (graft.operators.Quality, the " +
         "Deequ-style publish gate): null / uniqueness / range / regex " +
