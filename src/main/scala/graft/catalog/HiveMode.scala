@@ -42,6 +42,13 @@ object HiveMode {
           .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
           .config("javax.jdo.option.ConnectionURL",
             s"jdbc:derby:;databaseName=$tmp/metastore_db;create=true")
+          // The metastore would otherwise list the location and stamp
+          // totalSize into the table properties at CREATE time — which
+          // Spark restores as catalog stats, defeating q63's
+          // "stats only after ANALYZE" evidence. Non-spark keys land in
+          // the SharedState's cloned hadoopConf, which is what the
+          // embedded metastore reads.
+          .config("hive.stats.autogather", "false")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .config("spark.sql.shuffle.partitions",

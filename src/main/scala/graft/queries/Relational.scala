@@ -1231,6 +1231,84 @@ object Relational {
       Some("""SELECT COUNT(*) AS n,
         | CAST(1 AS BIGINT) AS dpp_planned,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events WHERE event_type = 'purchase'""".stripMargin))
+        |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    Q("q63_cbo_stats_join",
+      "CATALOG-STATISTICS-driven join planning (the CBO evidence q48/" +
+        "q50's runtime pruning doesn't cover): orders/customer live as " +
+        "Hive TEXTFILE tables in the derby metastore (HiveMode — " +
+        "textfile so no parquet-relation conversion substitutes file-" +
+        "size estimates), AQE off. Before ANALYZE the stats-less " +
+        "dimension sizes at spark.sql.defaultSizeInBytes (Long.MaxValue) " +
+        "and the join plans as SortMergeJoin; after ANALYZE TABLE ... " +
+        "COMPUTE STATISTICS (+ FOR COLUMNS on the join key) the catalog " +
+        "totalSize drives a BroadcastHashJoin — both plan shapes gated " +
+        "by requires, emitted as evidence columns. At 100 TB this is " +
+        "why nightly ANALYZE matters: without stats the planner must " +
+        "assume every table is unbroadcastable.",
+      (s, dir) => {
+        val hs = graft.catalog.HiveMode.session(s)
+        val fact = "graft_q63_orders"
+        val dim = "graft_q63_customer"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q63").toString
+        // EXTERNAL tables over files written OUTSIDE Hive: a CTAS would
+        // auto-gather totalSize into the table properties and the
+        // "before" side would never be stats-less. DECIMAL(18,2) before
+        // the text roundtrip: decimal -> string -> decimal is lossless,
+        // so the textfile tables reproduce the parquet sums exactly.
+        t(hs, dir, "customer")
+          .select(concat_ws("\u0001", col("c_custkey"), col("c_mktsegment"))
+            .as("value"))
+          .write.mode("overwrite").text(s"$tmp/cust")
+        t(hs, dir, "orders")
+          .select(concat_ws("\u0001", col("o_orderkey"), col("o_custkey"),
+            dec2(col("o_totalprice"))).as("value"))
+          .write.mode("overwrite").text(s"$tmp/ord")
+        hs.sql(s"DROP TABLE IF EXISTS $dim")
+        hs.sql(s"DROP TABLE IF EXISTS $fact")
+        hs.sql(s"CREATE EXTERNAL TABLE $dim (c_custkey BIGINT, " +
+          s"c_mktsegment STRING) STORED AS TEXTFILE LOCATION '$tmp/cust'")
+        hs.sql(s"CREATE EXTERNAL TABLE $fact (o_orderkey BIGINT, " +
+          s"o_custkey BIGINT, o_totalprice DECIMAL(18,2)) " +
+          s"STORED AS TEXTFILE LOCATION '$tmp/ord'")
+        val prevAqe = hs.conf.get("spark.sql.adaptive.enabled")
+        try {
+          hs.conf.set("spark.sql.adaptive.enabled", "false")
+          def joined = hs.table(fact)
+            .join(hs.table(dim), col("o_custkey") === col("c_custkey"))
+            .filter(col("c_mktsegment") === "BUILDING")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice")).cast("double").as("sum_price"))
+          val smjBefore = joined.queryExecution.executedPlan.toString
+            .contains("SortMergeJoin")
+          hs.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS")
+          hs.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS " +
+            "FOR COLUMNS c_custkey, c_mktsegment")
+          val bhjAfter = joined.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin")
+          require(smjBefore,
+            "q63: expected SortMergeJoin before ANALYZE (stats-less Hive " +
+              "table should size at defaultSizeInBytes)")
+          require(bhjAfter,
+            "q63: expected catalog-stats-driven BroadcastHashJoin after " +
+              "ANALYZE")
+          joined.select(col("n"),
+              lit(if (smjBefore) 1L else 0L).as("smj_before_stats"),
+              lit(if (bhjAfter) 1L else 0L).as("bhj_after_stats"),
+              col("sum_price"))
+            .localCheckpoint()
+        } finally {
+          hs.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          hs.sql(s"DROP TABLE IF EXISTS $dim")
+          hs.sql(s"DROP TABLE IF EXISTS $fact")
+          Rm.rf(tmp)
+        }
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(1 AS BIGINT) AS smj_before_stats,
+        | CAST(1 AS BIGINT) AS bhj_after_stats,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
   )
 }
