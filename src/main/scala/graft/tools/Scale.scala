@@ -1,0 +1,161 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale-stress harness: measures the dedup/ANN/join chain at sf0.1 and
+  * at a synthesized `factor`x tier, recording wall time AND shuffle
+  * bytes per query (SparkListener task metrics — the same numbers the
+  * Spark UI aggregates), so the "bucketed ops scale near-linearly"
+  * design claims are backed by a measured curve instead of plan-shape
+  * argument alone. Results feed SCALE.md.
+  *
+  * Corpus synthesis (deterministic, id-offset copies into /tmp):
+  *  - documents: copy i prefixes text with "c<i> " — copies are NEAR
+  *    duplicates of their original, the realistic worst case for a
+  *    dedup pipeline (minhash bands collide per copy-group, so LSH
+  *    bucket population grows with the duplication rate, not just N);
+  *  - embeddings: copy i rotates the vector by i positions — genuinely
+  *    new directions (cosine-distinct), so ANN bucket populations grow
+  *    ~uniformly;
+  *  - orders/customer/lineitem: key columns offset per copy (custkey
+  *    consistently on both join sides, so join output scales linearly,
+  *    not by copy-count squared).
+  *
+  * Usage: runMain graft.tools.Scale [baseDir] [factor] [synthDir]
+  */
+object Scale {
+
+  /** VERDICT r05 chain + q01 as the known-linear scan-agg control. */
+  val chain: Seq[String] = Seq(
+    "q01_pricing_summary", "q36_bucketed_join",
+    "d07_neardup_pairs", "d20_neardup_clusters",
+    "d35_substring_dedup", "d49_containment",
+    "s03_ivf_topk", "s06_nndescent_topk")
+
+  private final class ShuffleMetrics extends SparkListener {
+    val read = new AtomicLong
+    val write = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+  }
+
+  private def maxId(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
+  def synthesize(s: SparkSession, base: String, factor: Int,
+                 out: String): Unit = {
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val dStride = maxId(docs, "doc_id")
+    copies(docs) { (d, i) =>
+      d.select(
+        (col("doc_id") + lit(i * dStride)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(lit(s"c$i "), col("text"))).as("text"),
+        col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val vStride = maxId(emb, "vec_id")
+    copies(emb) { (e, i) =>
+      val dim = size(col("embedding"))
+      e.select(
+        (col("vec_id") + lit(i * vStride)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(sequence(lit(0), dim - 1),
+           j => element_at(col("embedding"), ((j + lit(i)) % dim) + 1)))
+          .as("embedding"),
+        col("label"))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = s.read.parquet(s"$base/customer.parquet")
+    val cStride = maxId(cust, "c_custkey")
+    copies(cust) { (c, i) =>
+      c.select((col("c_custkey") + lit(i * cStride)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val ord = s.read.parquet(s"$base/orders.parquet")
+    val oStride = maxId(ord, "o_orderkey")
+    copies(ord) { (o, i) =>
+      o.select((col("o_orderkey") + lit(i * oStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * cStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    copies(li) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val synthDir =
+      args.drop(2).headOption.getOrElse(s"/tmp/graft_scale${factor}x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
+      System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
+      synthesize(spark, base, factor, synthDir)
+    } else System.err.println(s"[scale] reusing existing $synthDir")
+
+    val metrics = new ShuffleMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val queries = SparkEntry.queries
+    for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
+         name <- chain) {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $tier $name failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      // listener events drain asynchronously; the sleep bounds the error
+      // to well under a MB at these volumes
+      Thread.sleep(800)
+      val rd = metrics.read.getAndSet(0L) / 1e6
+      val wr = metrics.write.getAndSet(0L) / 1e6
+      println(s"""{"tier":"$tier","query":"$name",""" +
+        s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+        s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+        s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+    }
+    spark.stop()
+  }
+}
