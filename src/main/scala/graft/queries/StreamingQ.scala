@@ -556,6 +556,69 @@ object StreamingQ {
       Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("w19_tws_state_ttl",
+      "State TTL on transformWithState (graft.streaming.TwsTtl) — the " +
+        "v2 API's retention knob: each key's ValueState carries a " +
+        "processing-time expiration maintained by the RocksDB store's " +
+        "TTL machinery, so unbounded keyspaces stay finite WITHOUT the " +
+        "watermark coupling of dropDuplicatesWithinWatermark (retention " +
+        "is a per-state-variable policy). The 10-minute TTL deliberately " +
+        "exceeds the run's wall clock, so nothing expires mid-test and " +
+        "the result stays exactly batch-equivalent for the oracle; at " +
+        "scale the same query sets minutes-to-hours. Run with an " +
+        "explicit stop-after-input-consumed loop: in ProcessingTime " +
+        "mode the operator always reports shouldRunAnotherBatch, so an " +
+        "AvailableNow trigger would re-fire empty micro-batches forever " +
+        "(that termination difference IS the processing-time contract — " +
+        "timers/TTL may still need to fire after the data is done).",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val expected = events(s, dir).count()
+          val (stream, cleanup) = jsonStream(s,
+            events(s, dir).select(
+              to_json(struct(col("user_id"), col("value"))).as("value")),
+            "user_id LONG, value DOUBLE")
+          import s.implicits._
+          val pairs = stream.select(col("user_id"), col("value"))
+            .as[(Long, Double)]
+          val qname = s"graft_w19_${System.nanoTime()}"
+          val q = graft.streaming.TwsTtl.perKey(pairs)
+            .toDF("user_id", "n_events", "max_value")
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .trigger(Trigger.ProcessingTime("100 milliseconds"))
+            .start()
+          // The file source reads every available file in the first
+          // batch (no maxFilesPerTrigger); poll progress until that
+          // batch's rows are through the operator, then stop.
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q.recentProgress.map(_.numInputRows).sum < expected &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          require(q.recentProgress.map(_.numInputRows).sum >= expected,
+            s"w19: stream did not consume $expected rows within 120s")
+          q.stop()
+          q.awaitTermination()
+          cleanup()
+          s.table(qname)
+            .groupBy("user_id")
+            .agg(
+              max("n_events").cast("long").as("n_events"),
+              max("max_value").as("max_value"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("w17_foreachbatch_upsert",
       "Streaming MERGE/upsert sink via foreachBatch: each micro-batch " +
         "upserts latest-event-per-user into a parquet table (read-" +
