@@ -23,6 +23,7 @@ object Bench {
     "d21_boilerplate_segments", "d27_quality_classifier", "d29_tfidf_topterms",
     "d33_heavy_hitters", "d35_substring_dedup", "q38_file_pruning",
     "s01_cosine_topk", "s03_ivf_topk", "s04_pq_topk", "s06_nndescent_topk",
+    "s10_beam_search_topk",
     "m01_multimodal_decode",
     "q52_regression_aggs", "q54_hll_sketch_union", "d44_unimax_alloc",
     "d45_knn_label")

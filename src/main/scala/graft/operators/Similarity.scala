@@ -148,28 +148,48 @@ object Similarity {
     * each walked result with membership in the exact top-k so recall is
     * auditable from the output itself.
     */
+  /** The vertex set + seed graph [[beamSearchTopK]] walks — exposed so
+    * callers can build the index ONCE and serve many walks (the
+    * production ANN shape; `LlmOps` memoizes this per (session, dir)
+    * exactly like the connected-components labels). */
+  def seedGraphFor(emb: DataFrame, idCol: String, embCol: String,
+                   nProbes: Int = 3, bits: Int = 6,
+                   graphK: Int = 5): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"),
+      signBucket(col(embCol), bits).as("bucket"))
+    knnSeedGraph(e.where(col("id") >= nProbes), graphK, bits)
+  }
+
   def beamSearchTopK(emb: DataFrame, idCol: String, embCol: String,
                      nProbes: Int = 3, entryId: Long = 3L, k: Int = 5,
                      beam: Int = 8, rounds: Int = 3, bits: Int = 6,
-                     graphK: Int = 5): DataFrame = {
+                     graphK: Int = 5,
+                     prebuiltGraph: Option[DataFrame] = None): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"),
       signBucket(col(embCol), bits).as("bucket"))
     val verts = e.where(col("id") >= nProbes)
-    val g0 = knnSeedGraph(verts, graphK, bits)
+    val g0 = prebuiltGraph.getOrElse(knnSeedGraph(verts, graphK, bits))
     val probes = e.where(col("id") < nProbes)
       .select(col("id").as("qid"), col("v").as("qv"))
     val nv = verts.select(col("id").as("nbr"), col("v").as("nv"))
     val byBeam = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("id").asc)
+    // The search state is O(probes x beam) rows: keep it ONE partition
+    // (each checkpoint job is then a single task, not shuffle-partition
+    // many) and BROADCAST the frontier into every join — the walk's
+    // plan is broadcast-frontier hash joins against the edge list and
+    // the vector table, never a shuffle of either big side.
     var beamDf = verts.where(col("id") === entryId)
       .crossJoin(broadcast(probes))
       .select(col("qid"), col("id"),
         round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .coalesce(1)
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val expanded = beamDf
+      val expanded = broadcast(beamDf)
         .join(g0, beamDf("id") === g0("src"))
         .select(col("qid"), col("nbr"))
+        .hint("broadcast")
         .join(nv, "nbr")
         .join(broadcast(probes), "qid")
         .select(col("qid"), col("nbr").as("id"),
@@ -178,6 +198,7 @@ object Similarity {
         .withColumn("rn", row_number().over(byBeam))
         .where(col("rn") <= beam)
         .select("qid", "id", "cos")
+        .coalesce(1)
         .localCheckpoint()
     }
     val walk = beamDf
