@@ -2417,6 +2417,34 @@ object LlmOps {
         |SELECT doc_id, CAST(n_patches AS BIGINT) AS n_patches, n_text_tokens,
         |  CAST(n_patches + n_text_tokens + 2 AS BIGINT) AS n_total,
         |  n_patches + n_text_tokens + 2 <= 4096 AS fits_4k
-        |FROM p ORDER BY doc_id""".stripMargin))
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    Q("m06_binary_dedup",
+      "Exact BINARY-content dedup — asset-level dedup over opaque " +
+        "payload blobs (the image/audio analog of d01): each document " +
+        "carries a binary asset (modeled as its source/lang image URI " +
+        "rendered to bytes — many docs share one asset, the media-" +
+        "corpus reality), digested with md5 (m01's content hash) and " +
+        "grouped on the 16-byte digest: keep-min + copy count per " +
+        "duplicate group. The digest is projected BEFORE the shuffle, " +
+        "so at 100 TB the exchange carries 16-byte keys, never the " +
+        "blobs — the design rule that makes media dedup feasible.",
+      (s, dir) => Multimodal
+        .withPayload(
+          t(s, dir, "documents").withColumn("asset",
+            concat(col("source"), lit("/"), col("lang"), lit(".png"))),
+          "doc_id", "asset")
+        .toDF()
+        .select(col("doc_id"), md5(col("payload")).as("content_md5"))
+        .groupBy("content_md5")
+        .agg(min("doc_id").as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("content_md5"),
+      Some("""SELECT md5(source || '/' || lang || '.png') AS content_md5,
+        | CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY content_md5""".stripMargin))
   )
 }
