@@ -314,6 +314,58 @@ object Parity {
           ") ROW FORMAT SERDE 'org.apache.hive.hcatalog.data.JsonSerDe'\n" +
           "location '/tmp/events_attrs';").replace("'", "''") +
         "' AS ddl, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_attr_keys " +
-        "FROM events"))
+        "FROM events")),
+
+    Q("p11_hive_serde_insert",
+      "The Hive SINK side of p09: INSERT INTO a JsonLineSerDe table " +
+        "through InsertIntoHiveTable — each row is SERIALIZED by the " +
+        "engine's serde (the write direction p09's scan doesn't touch), " +
+        "producing NDJSON files under the table location, then read " +
+        "back twice: once via hs.table (Hive scan through the serde) " +
+        "and once as plain spark.read.json over the raw files — both " +
+        "aggregates must agree with each other and the oracle, proving " +
+        "the serialized bytes are real NDJSON, not just " +
+        "serde-roundtrippable.",
+      (s, dir) => {
+        val hs = graft.catalog.HiveMode.session(s)
+        val table = s"graft_p11_${CatalogRun.n.incrementAndGet()}"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-p11").toString
+        try {
+          hs.sql(s"DROP TABLE IF EXISTS $table")
+          hs.sql(s"CREATE EXTERNAL TABLE $table " +
+            "(user_id BIGINT, event_type STRING, value_cents BIGINT) " +
+            s"ROW FORMAT SERDE '${classOf[graft.hive.JsonLineSerDe].getName}' " +
+            s"STORED AS TEXTFILE LOCATION '$tmp/data'")
+          events(hs, dir)
+            .select(col("user_id"), col("event_type"),
+              // integer cents so the JSON number roundtrip is exact
+              round(col("value") * 100).cast("long").as("value_cents"))
+            .createOrReplaceTempView("p11_src")
+          hs.sql(s"INSERT INTO $table SELECT * FROM p11_src")
+          val viaHive = hs.table(table)
+            .agg(count(lit(1)).as("n"),
+              sum(col("value_cents")).cast("long").as("sum_cents"),
+              countDistinct(col("event_type")).as("n_types"))
+            .head()
+          val viaJson = hs.read
+            .schema("user_id LONG, event_type STRING, value_cents LONG")
+            .json(s"$tmp/data")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value_cents")).cast("long").as("sum_cents"))
+            .head()
+          require(viaHive.getLong(0) == viaJson.getLong(0) &&
+              viaHive.getLong(1) == viaJson.getLong(1),
+            s"p11: serde-written files disagree between Hive scan " +
+              s"($viaHive) and plain JSON read ($viaJson)")
+          hs.sql(s"DROP TABLE IF EXISTS $table")
+          import s.implicits._
+          Seq((viaHive.getLong(0), viaHive.getLong(1), viaHive.getLong(2)))
+            .toDF("n", "sum_cents", "n_types")
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events""".stripMargin))
   )
 }
