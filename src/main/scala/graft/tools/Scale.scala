@@ -156,6 +156,33 @@ object Scale {
         s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
         s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
     }
+    // s06's documented scale contract: raise `bits` with V to hold the
+    // LSH bucket population constant (Similarity.nnDescentTopK doc).
+    // Measure it — the Nx tier re-run with bits = 6 + ceil(log2 N)
+    // should land near the 1x fixed-bits time, turning the contract
+    // from argument into evidence.
+    val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
+    val bitsN = 6 + extraBits
+    val samples = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.Similarity.nnDescentTopK(
+          spark.read.parquet(s"$synthDir/embeddings.parquet"),
+          "vec_id", "embedding", k = 5, bits = bitsN, probeMax = 20L)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] s06 bits=$bitsN failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    Thread.sleep(800)
+    val rd = metrics.read.getAndSet(0L) / 1e6
+    val wr = metrics.write.getAndSet(0L) / 1e6
+    println(s"""{"tier":"${factor}x","query":"s06_nndescent_topk_bits$bitsN",""" +
+      s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+      s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+      s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
     spark.stop()
   }
 }
