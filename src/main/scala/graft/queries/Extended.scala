@@ -697,6 +697,102 @@ object Extended {
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("q64_xml_fns",
+      "Native XML functions (Spark 4): per-record XML payloads (the " +
+        "enterprise-feed shape NiFi pipelines carry next to JSON) parsed " +
+        "with from_xml against a declared schema — attribute (_id) and " +
+        "element extraction, nullable missing elements — plus xpath_long " +
+        "on the raw string; aggregated per event_type. The oracle " +
+        "re-derives the same fields with regexp_extract, proving the " +
+        "XML parse itself, not just the aggregation.",
+      (s, dir) => {
+        val xml = concat(
+          lit("<rec id=\""), col("event_id"), lit("\"><u>"),
+          col("user_id"), lit("</u>"),
+          when(col("value") >= 50, concat(lit("<hi>"),
+            round(col("value") * 100).cast("long"), lit("</hi>")))
+            .otherwise(lit("")),
+          lit("<t>"), col("event_type"), lit("</t></rec>"))
+        val parsed = events(s, dir)
+          .select(col("event_type"), xml.as("x"))
+          .select(col("event_type"), col("x"),
+            from_xml(col("x"), lit("STRUCT<_id: BIGINT, u: BIGINT, " +
+              "hi: BIGINT, t: STRING>")).as("r"))
+        parsed.select(col("event_type"),
+            col("r._id").as("rid"), col("r.u").as("u"),
+            col("r.hi").as("hi"),
+            expr("xpath_long(x, 'sum(/rec/u)')").as("xp_u"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("rid")).cast("long").as("sum_id"),
+            sum(col("u")).cast("long").as("sum_u"),
+            sum(col("xp_u")).cast("long").as("sum_xpath_u"),
+            count(col("hi")).as("n_hi"),
+            sum(col("hi")).cast("long").as("sum_hi_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (
+        |  SELECT event_type,
+        |    '<rec id="' || event_id || '"><u>' || user_id || '</u>' ||
+        |    CASE WHEN value >= 50
+        |         THEN '<hi>' || CAST(round(value * 100) AS BIGINT) || '</hi>'
+        |         ELSE '' END ||
+        |    '<t>' || event_type || '</t></rec>' AS doc
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(doc, 'id="(\d+)"', 1) AS BIGINT) AS rid,
+        |    CAST(regexp_extract(doc, '<u>(\d+)</u>', 1) AS BIGINT) AS u,
+        |    CAST(NULLIF(regexp_extract(doc, '<hi>(\d+)</hi>', 1), '')
+        |      AS BIGINT) AS hi
+        |  FROM x)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(rid) AS BIGINT) AS sum_id,
+        |  CAST(SUM(u) AS BIGINT) AS sum_u,
+        |  CAST(SUM(u) AS BIGINT) AS sum_xpath_u,
+        |  CAST(COUNT(hi) AS BIGINT) AS n_hi,
+        |  CAST(SUM(hi) AS BIGINT) AS sum_hi_cents
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q65_ansi_intervals",
+      "ANSI interval TYPES (year-month + day-time), not just date_add " +
+        "sugar: o_orderdate shifted by a constructed YEAR TO MONTH " +
+        "interval (make_ym_interval, +1y2m — month-end clamping " +
+        "semantics agree across engines) and a DAY TO SECOND interval " +
+        "(make_dt_interval, +45d) over the timestamp form; per-priority " +
+        "aggregates of the shifted dates and the VARYING day spans the " +
+        "month shift produces (month lengths differ — datediff over the " +
+        "ym shift is a real per-row signal, not a constant).",
+      (s, dir) => {
+        val d = col("o_orderdate").cast("date")
+        val md = d + make_ym_interval(lit(1), lit(2))
+        val dd = (col("o_orderdate") + make_dt_interval(
+          lit(45), lit(0), lit(0), lit(0))).cast("date")
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), d.as("d"), md.as("md"), dd.as("dd"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            // ISO strings, not DATE: the comparator sees identical
+            // dtypes on both engines (DATE arrives as object vs
+            // datetime64 otherwise)
+            date_format(min(col("md")), "yyyy-MM-dd").as("min_shifted"),
+            date_format(max(col("md")), "yyyy-MM-dd").as("max_shifted"),
+            sum(datediff(col("md"), col("d"))).cast("long").as("sum_ym_days"),
+            sum(dayofyear(col("dd"))).cast("long").as("sum_dt_doy"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(o_orderdate AS DATE) + INTERVAL '1 year 2 months' AS md,
+        |    CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS dd
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  strftime(MIN(md), '%Y-%m-%d') AS min_shifted,
+        |  strftime(MAX(md), '%Y-%m-%d') AS max_shifted,
+        |  CAST(SUM(date_diff('day', d, md)) AS BIGINT) AS sum_ym_days,
+        |  CAST(SUM(dayofyear(dd)) AS BIGINT) AS sum_dt_doy
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }
