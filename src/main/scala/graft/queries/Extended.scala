@@ -793,6 +793,53 @@ object Extended {
         |  strftime(MAX(md), '%Y-%m-%d') AS max_shifted,
         |  CAST(SUM(date_diff('day', d, md)) AS BIGINT) AS sum_ym_days,
         |  CAST(SUM(dayofyear(dd)) AS BIGINT) AS sum_dt_doy
-        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q66_csv_fns",
+      "In-row CSV parsing (from_csv) — completes the embedded-record " +
+        "parse trio next to from_json (q14/p-ops) and from_xml (q64): " +
+        "per-record CSV payloads with a quoted field containing the " +
+        "delimiter, parsed against a declared schema; a malformed row " +
+        "(too few columns) yields NULLs in PERMISSIVE mode and is " +
+        "counted on the invalid side — the same valid/invalid routing " +
+        "contract as the reference's JSON validation (op #3), applied " +
+        "to a second wire format.",
+      (s, dir) => {
+        val csvLine = when(col("event_id") % 97 === 0,
+          concat(lit("\""), col("event_type"), lit("\"")))
+          .otherwise(concat(
+            lit("\""), col("event_type"), lit(",x\","),
+            col("user_id"), lit(","),
+            round(col("value") * 100).cast("long")))
+        events(s, dir)
+          .select(col("event_type"), csvLine.as("line"))
+          .select(col("event_type"),
+            from_csv(col("line"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "tag STRING, uid BIGINT, cents BIGINT"),
+              Map.empty[String, String]).as("r"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("r.uid")).as("n_parsed"),
+            sum(when(col("r.uid").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_invalid"),
+            sum(col("r.cents")).cast("long").as("sum_cents"),
+            max(col("r.tag")).as("max_tag"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS uid,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |         ELSE event_type || ',x' END AS tag
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(uid) AS BIGINT) AS n_parsed,
+        |  CAST(COUNT(*) - COUNT(uid) AS BIGINT) AS n_invalid,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  MAX(tag) AS max_tag
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

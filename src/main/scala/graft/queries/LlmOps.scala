@@ -2341,6 +2341,59 @@ object LlmOps {
         |    AS min_kept_chars
         |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("d51_pipeline",
+      "The COMPOSED preprocessing pipeline in one query — what a user " +
+        "of this engine actually runs, chaining three catalog stages: " +
+        "quality gate (d03's exact-ratio score >= 0.3) -> exact dedup " +
+        "keep-min-doc_id per text (d01/d24 discipline: deterministic " +
+        "survivor) -> token-budget sequence packing (d23's bucketed " +
+        "prefix sums, budget 2048). Output is the packed-sequence " +
+        "manifest. Each stage keeps its standalone plan shape (codegen'd " +
+        "scoring projection, one dedup shuffle on the text key, " +
+        "bucket-partitioned packing window), so the composition adds " +
+        "NO new scan — Catalyst pipelines gate+dedup into the same " +
+        "exchange the packing bucket needs.",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        val kept = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TA.qualityScore(toks).as("score"))
+          .filter(col("score") >= 0.3)
+        val survivors = kept
+          .withColumn("rk", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("text").orderBy("doc_id")))
+          .filter(col("rk") === 1)
+          .select("doc_id", "text")
+        Sampling.packSequences(survivors, "doc_id",
+          size(split(col("text"), " ")), budget = 2048, bucketSize = 100)
+          .groupBy("bucket", "seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("n_tokens"))
+          .orderBy("bucket", "seq_id")
+      },
+      Some(s"""WITH sc AS (
+        |  SELECT doc_id, text,
+        |    least(len(string_split(text, ' ')) / 50.0, 1.0) *
+        |      (1.0 - len(list_filter(string_split(text, ' '),
+        |         t -> list_contains($stopSql, t))) /
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
+        |  FROM documents),
+        |k AS (SELECT doc_id, text FROM sc WHERE score >= 0.3),
+        |u AS (SELECT MIN(doc_id) AS doc_id, text FROM k GROUP BY text),
+        |d AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |         len(string_split(text, ' ')) AS nt
+        |  FROM u),
+        |p AS (
+        |  SELECT bucket, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM d)
+        |SELECT bucket, CAST(st // 2048 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin)),
+
     Q("d48_lexical_diversity",
       "Lexical-diversity profile per document: type-token ratio and " +
         "hapax-legomena count via explode → (doc, token) count → per-doc " +
