@@ -227,6 +227,53 @@ object StreamingQ {
         | AND p.pms BETWEEN c.cms AND c.cms + 3600000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
 
+    Q("w20_stream_stream_semi",
+      "LEFT SEMI stream-stream interval join — the existence-check " +
+        "shape (did this click convert within the hour?) without " +
+        "materializing the purchase payload: each click row emits AT " +
+        "MOST ONCE, on first match, and never carries right-side " +
+        "columns, so the state store holds no matched-row bookkeeping " +
+        "for re-emission. Matches emit on arrival (no eviction wait — " +
+        "the asymmetry vs w16's outer join), so a full AvailableNow run " +
+        "equals the batch EXISTS oracle with no boundary restriction; " +
+        "watermarks still bound both sides' state like w05/w16.",
+      (s, dir) => {
+        val ev = events(s, dir)
+        def side(et: String, u: String, t: String) = {
+          val (stream, cleanup) = jsonStream(s,
+            ev.filter(col("event_type") === et)
+              .select(to_json(struct(col("user_id"), col("ts"))).as("value")),
+            "user_id LONG, ts TIMESTAMP")
+          (stream.select(col("user_id").as(u), col("ts").as(t))
+            .withWatermark(t, "2 hours"), cleanup)
+        }
+        val (clicks, c1) = side("click", "cu", "cts")
+        val (purchases, c2) = side("purchase", "pu", "pts")
+        val out = runToMemory(s,
+          clicks.join(purchases,
+            col("cu") === col("pu") &&
+              col("pts") >= col("cts") &&
+              col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+            "left_semi"),
+          "append")
+        c1(); c2()
+        out.groupBy(col("cu").as("user_id"))
+          .agg(count(lit(1)).as("n_converted_clicks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS cms FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS pms FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, COUNT(*) AS n_converted_clicks
+        |FROM c
+        |WHERE EXISTS (SELECT 1 FROM p
+        |  WHERE p.user_id = c.user_id
+        |    AND p.pms BETWEEN c.cms AND c.cms + 3600000)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
     Q("w06_streaming_perkey_schema",
       "Custom stateful streaming operator in the gate: per-key evolving " +
         "schema via flatMapGroupsWithState (PerKeySchema.evolve, " +
