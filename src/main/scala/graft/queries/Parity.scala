@@ -233,13 +233,13 @@ object Parity {
       (s, dir) => {
         val props = events(s, dir).select(col("props"))
         val tmp = java.nio.file.Files.createTempDirectory("graft-p09").toString
+        val hs = graft.catalog.HiveMode.session(s)
+        val serdeTable = s"graft_p09_serde_${CatalogRun.n.incrementAndGet()}"
         try {
           props.write.mode("overwrite").text(s"$tmp/data")
           val schema = JsonIngest
             .inferColumnSchema(props, "props", typed = true)
             .getOrElse(sys.error("no schema inferred"))
-          val hs = graft.catalog.HiveMode.session(s)
-          val serdeTable = s"graft_p09_serde_${CatalogRun.n.incrementAndGet()}"
           val ourSerde = classOf[graft.hive.JsonLineSerDe].getName
           hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
           hs.sql(Ddl.createStatement(schema, serdeTable, s"$tmp/data",
@@ -261,9 +261,14 @@ object Parity {
               lit(meta.tableType.name).as("table_type"),
               lit(serdeLib).as("serde_lib"))
             .localCheckpoint()
-          hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
           res
-        } finally Rm.rf(tmp)
+        } finally {
+          // In finally: a tripped require must not leak the catalog
+          // entry (counter-unique names would otherwise accumulate in
+          // the JVM-lifetime derby catalog).
+          hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
+          Rm.rf(tmp)
+        }
       },
       Some("""SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -357,11 +362,15 @@ object Parity {
               viaHive.getLong(1) == viaJson.getLong(1),
             s"p11: serde-written files disagree between Hive scan " +
               s"($viaHive) and plain JSON read ($viaJson)")
-          hs.sql(s"DROP TABLE IF EXISTS $table")
           import s.implicits._
           Seq((viaHive.getLong(0), viaHive.getLong(1), viaHive.getLong(2)))
             .toDF("n", "sum_cents", "n_types")
-        } finally Rm.rf(tmp)
+        } finally {
+          // In finally so a tripped require doesn't leak the catalog
+          // entry (counter-unique names accumulate otherwise).
+          hs.sql(s"DROP TABLE IF EXISTS $table")
+          Rm.rf(tmp)
+        }
       },
       Some("""SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

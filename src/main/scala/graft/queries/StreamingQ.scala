@@ -644,8 +644,11 @@ object StreamingQ {
           // batch's rows are through the operator, then stop.
           val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
           while (q.recentProgress.map(_.numInputRows).sum < expected &&
-              System.nanoTime() < deadline)
+              q.exception.isEmpty && System.nanoTime() < deadline)
             Thread.sleep(100)
+          // A failed stream must surface its own error, not a
+          // misleading consumption-timeout message.
+          q.exception.foreach(throw _)
           require(q.recentProgress.map(_.numInputRows).sum >= expected,
             s"w19: stream did not consume $expected rows within 120s")
           q.stop()
