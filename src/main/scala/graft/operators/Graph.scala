@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived similarity graphs — the
+  * centrality / clustering measures a curation pipeline uses to weight
+  * or filter documents (web-graph PageRank quality priors, triangle
+  * density as a template-farm signal).
+  *
+  * Scale design (100 TB rules):
+  *  - Edges come from the shared-shingle INVERTED INDEX — a bucketed
+  *    self-join on the gram key with a document-frequency cap, the d07
+  *    discipline: candidate pairs are O(Σ bucket²) over capped buckets,
+  *    never an all-pairs cross join.
+  *  - PageRank is the standard iterative join-aggregate: each round is
+  *    one shuffle of (src-partitioned edges ⋈ id-partitioned ranks);
+  *    per-node state is one double — 100 TB of documents is ~10^11
+  *    nodes × 16 bytes of rank state, a routine shuffle, while the
+  *    text itself never enters the loop.
+  *  - Triangle counting orients each edge from its lower-(degree, id)
+  *    endpoint to the higher one first, bounding every join fan-out by
+  *    the max ORIENTED out-degree (O(√m) on skewed graphs) — the
+  *    classic trick that keeps celebrity nodes from exploding the
+  *    wedge join.
+  */
+object Graph {
+
+  /** Undirected canonical edge list `(da < db)`: documents sharing at
+    * least one distinct token `n`-gram, from the inverted index. Grams
+    * with document frequency above `maxDf` are dropped before the
+    * self-join (they are the stop-grams of the gram world — at corpus
+    * scale a single viral boilerplate gram would otherwise create one
+    * quadratic bucket; the threshold mirrors d07's `maxBucket` guard). */
+  def sharedGramEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 64): DataFrame = {
+    val inv = docs
+      .select(
+        col(idCol).as("gid"),
+        explode(array_distinct(
+          Dedup.shingles(TextAnalysis.tokens(col(textCol)), n))).as("gram"))
+    val dfq = inv.groupBy("gram")
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") <= maxDf)
+      .select("gram")
+    val kept = inv.join(dfq, "gram")
+    // toDF on each side: fresh attribute ids for the self-join (the
+    // connectedComponents `toDF("rn", "rrep")` idiom).
+    val l = kept.select("gram", "gid").toDF("gram", "da")
+    val r = kept.select("gram", "gid").toDF("gramr", "db")
+    l.join(r, col("gram") === col("gramr"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+      .distinct()
+  }
+
+  /** Both directions of a canonical `(da, db)` edge list — the form
+    * [[pageRank]] consumes for an undirected graph. */
+  def symmetrize(canonical: DataFrame): DataFrame =
+    canonical.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(canonical.select(col("db").as("src"), col("da").as("dst")))
+
+  /** PageRank over a directed edge list `(src, dst)` in which every
+    * node has at least one out-edge and at least one in-edge (true for
+    * any symmetrized undirected graph — isolated nodes are simply not
+    * in the edge list and carry no rank). Returns `(id, r)`.
+    *
+    * Each iteration re-derives ranks from the previous frame:
+    * edges ⋈ ranks on src → group by dst — partial aggregation runs
+    * map-side, per-node state is one double. The only driver-side
+    * value is the node COUNT (the uniform prior), never row data. */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .toDF("dsrc", "deg")
+    val withDeg = edges.join(deg, col("src") === col("dsrc")).drop("dsrc")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nv = nodes.count().toDouble
+    var ranks = nodes.select(col("id"), lit(1.0 / nv).as("r")).toDF("id", "r")
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, col("src") === col("id"))
+        .groupBy("dst")
+        .agg((lit((1.0 - damping) / nv) +
+          lit(damping) * sum(col("r") / col("deg"))).as("r"))
+        .toDF("id", "r")
+    }
+    ranks
+  }
+
+  /** Unique triangles of an undirected canonical edge list, one row per
+    * triangle with members sorted numerically `(a < b < c)`.
+    *
+    * Edges are first oriented low→high by `(degree, id)`; the wedge
+    * join then extends each oriented path u→v→w with the closing check
+    * u→w — every triangle matches exactly once, and fan-out is bounded
+    * by the max oriented out-degree. */
+  def triangles(canonical: DataFrame): DataFrame = {
+    val deg = symmetrize(canonical)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).cast("long").as("deg"))
+    val oriented = canonical
+      .join(deg.select(col("id").as("da"), col("deg").as("dega")), "da")
+      .join(deg.select(col("id").as("db"), col("deg").as("degb")), "db")
+      .select(
+        when(struct(col("dega"), col("da")) < struct(col("degb"), col("db")),
+          struct(col("da").as("src"), col("db").as("dst")))
+          .otherwise(struct(col("db").as("src"), col("da").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val e1 = oriented.toDF("u", "v")
+    val e2 = oriented.toDF("v", "w")
+    val e3 = oriented.toDF("u", "w")
+    val sorted = e1.join(e2, "v").join(e3, Seq("u", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+    sorted.select(
+      element_at(col("t"), 1).as("a"),
+      element_at(col("t"), 2).as("b"),
+      element_at(col("t"), 3).as("c"))
+  }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * `2·tri / (deg·(deg−1))` over every node of the canonical edge
+    * list (coefficient 0.0 for degree-1 nodes). Exact integer counts;
+    * the one double division has identical operands in any engine. */
+  def clustering(canonical: DataFrame): DataFrame = {
+    val deg = symmetrize(canonical)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).cast("long").as("deg"))
+    val tri = triangles(canonical)
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("tri"))
+      .toDF("id", "tri")
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((lit(2.0) * coalesce(col("tri"), lit(0L))) /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .as("coeff"))
+  }
+}

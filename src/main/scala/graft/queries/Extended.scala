@@ -840,6 +840,130 @@ object Extended {
         |  CAST(COUNT(*) - COUNT(uid) AS BIGINT) AS n_invalid,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  MAX(tag) AS max_tag
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q67_bloom_semi_join",
+      "Bloom-filter join pruning built from codegen'd primitives — the " +
+        "runtime-filter pattern for a fact⋈dim join where the dim " +
+        "predicate is selective: the dim side folds its keys into a " +
+        "2^16-bit Bloom filter (k=3 xxhash64 probes, bit array = ~1024 " +
+        "bit_or-aggregated words — a TINY table, broadcast, never " +
+        "collected), the fact side keeps only rows whose 3 bits are all " +
+        "set, and the surviving candidates flow into the EXACT join " +
+        "that dedups false positives. At 100 TB this is the shuffle-" +
+        "avoidance play: the bloom prefilter drops most fact rows " +
+        "BEFORE the join exchange. Two require-gates prove (1) the " +
+        "filter actually pruned and (2) zero false negatives — the " +
+        "final answer is exact, which is what the oracle checks.",
+      (s, dir) => {
+        val m = 1L << 16
+        def bpos(key: Column, i: Int): Column =
+          pmod(xxhash64(key, lit(i)), lit(m))
+        val dim = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val words = dim
+          .select(explode(array(
+            (0 until 3).map(i => bpos(col("p_partkey"), i)): _*)).as("pos"))
+          .withColumn("w", expr("pos DIV 64"))
+          .groupBy("w")
+          .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+        val li = t(s, dir, "lineitem")
+          .select("l_partkey", "l_extendedprice", "l_discount", "l_returnflag")
+        var cand = li
+        for (i <- 0 until 3) {
+          cand = cand
+            .withColumn("pos", bpos(col("l_partkey"), i))
+            .withColumn("w", expr("pos DIV 64"))
+            .join(broadcast(words), Seq("w"))
+            .filter(expr(
+              "(bits & shiftleft(1L, CAST(pos % 64 AS INT))) != 0"))
+            .drop("pos", "w", "bits")
+        }
+        val joined = cand
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        val nFact = li.count()
+        val nCand = cand.count()
+        val nTrue = li.join(broadcast(dim),
+          col("l_partkey") === col("p_partkey")).count()
+        val nAfter = joined.count()
+        require(nCand < nFact,
+          s"q67: bloom did not prune ($nCand candidates of $nFact rows)")
+        require(nAfter == nTrue,
+          s"q67: bloom dropped true matches ($nAfter != $nTrue)")
+        joined.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_extendedprice")) *
+              (dec2(lit(1)) - dec2(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q68_cms_freq_bound",
+      "Count-min sketch frequency estimation gated against its error " +
+        "contract (q25's discipline for a SECOND sketch family): ONE " +
+        "count_min_sketch aggregate (eps 0.1%, confidence 99%, fixed " +
+        "seed — deterministic for fixed data) over all of lineitem; the " +
+        "serialized sketch (a few KB — aggregate state, not row data) " +
+        "is opened on the driver and probed for 5 supplier keys. CMS " +
+        "guarantees est ≥ exact and, w.h.p., est ≤ exact + eps·N — " +
+        "both booleans are computed IN the result against the exact " +
+        "per-key counts, which is what the oracle replays. The sketch " +
+        "answers point frequency queries in O(1) from one streaming " +
+        "pass — the 100 TB use is heavy-hitter screening (d33's " +
+        "Misra-Gries sibling) without a per-key shuffle.",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val eps = 0.001
+        val row = li.agg(
+          expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n")).head()
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+        val slack = math.ceil(eps * row.getLong(1)).toLong
+        val keys = (1L to 5L).toSeq
+        val est = typedLit(
+          keys.map(k => k -> cms.estimateCount(java.lang.Long.valueOf(k))).toMap)
+        li.filter(col("l_suppkey").isin(keys: _*))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("exact_n"))
+          .select(col("l_suppkey"), col("exact_n"),
+            (element_at(est, col("l_suppkey")) >= col("exact_n")).as("cms_overcounts"),
+            (element_at(est, col("l_suppkey")) <= col("exact_n") + lit(slack))
+              .as("cms_within_bound"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS exact_n,
+        | true AS cms_overcounts, true AS cms_within_bound
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 5
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    Q("q69_pipe_syntax",
+      "SQL pipe syntax (Spark 4 |> operators — the linear query form " +
+        "the 2024 'Pipe Syntax in SQL' paper argues for): FROM |> WHERE " +
+        "|> EXTEND |> AGGREGATE..GROUP BY |> ORDER BY, with the house " +
+        "exact-decimal revenue arithmetic inside EXTEND. Same plan as " +
+        "the nested-SQL equivalent (pipe operators are pure parser " +
+        "sugar over the single logical plan) — the oracle is that " +
+        "equivalent in ANSI form.",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q69_li")
+        s.sql(
+          "FROM q69_li\n" +
+            "|> WHERE l_quantity >= 30\n" +
+            "|> EXTEND CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev\n" +
+            "|> AGGREGATE COUNT(*) AS n, CAST(SUM(rev) AS DOUBLE) AS revenue " +
+            "GROUP BY l_returnflag\n" +
+            "|> ORDER BY l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

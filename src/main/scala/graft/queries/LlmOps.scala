@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classifier, Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis => TA, TextClean, Tfidf}
+import graft.operators.{Classifier, Dedup, Graph, Multimodal, Quantize, Sampling, Similarity, TextAnalysis => TA, TextClean, Tfidf}
 import Tables.{events, t}
 
 /** Training-data-pipeline query surface: dedup (exact / MinHash-LSH /
@@ -13,6 +13,26 @@ import Tables.{events, t}
 object LlmOps {
 
   private val stopSql = TA.Stopwords.mkString("['", "','", "']")
+
+  /** DuckDB CTE chain for the shared-3-gram document graph (doc_id <
+    * 150, gram document-frequency cap 64): ends at `p(da, db)` — the
+    * canonical da<db edge list — and `e(src, dst)` — both directions.
+    * The exact mirror of [[graft.operators.Graph.sharedGramEdges]] +
+    * `symmetrize`; d52 and d53 build on it. */
+  private def graphCtes: String = """w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM w),
+        |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+        |ix AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        |p AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |      FROM ix a JOIN ix b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |e AS (SELECT da AS src, db AS dst FROM p
+        |      UNION ALL SELECT db AS src, da AS dst FROM p)"""
 
   /** DuckDB cosine-similarity SQL between two list expressions — the
     * exact mirror of [[graft.operators.Similarity.cosine]]'s left
@@ -2393,6 +2413,86 @@ object LlmOps {
         |SELECT bucket, CAST(st // 2048 AS BIGINT) AS seq_id,
         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
         |FROM p GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin)),
+
+    Q("d52_graph_pagerank",
+      "PageRank quality prior over the shared-3-gram document graph " +
+        "(the web-graph centrality weighting CommonCrawl-style curation " +
+        "uses, applied to intra-corpus text reuse): edges from the gram " +
+        "INVERTED INDEX — a bucketed self-join with a document-" +
+        "frequency cap (Graph.sharedGramEdges, d07's maxBucket " +
+        "discipline — never all-pairs) — then 3 iterations of the " +
+        "standard join-aggregate PageRank (damping 0.85), each round " +
+        "one shuffle carrying ONE double of state per node. The rank is " +
+        "rounded to 6 decimals (s06's determinism rule: double " +
+        "summation order is engine noise, 1e-6 is not). The oracle " +
+        "replays the identical 3 unrolled iterations as chained CTEs.",
+      (s, dir) => {
+        val edges = Graph.symmetrize(Graph.sharedGramEdges(
+          t(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text"))
+        Graph.pageRank(edges, iters = 3, damping = 0.85)
+          .select(col("id").as("doc_id"), round(col("r"), 6).as("pr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $graphCtes,
+        |nv AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e),
+        |dg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT DISTINCT src AS id FROM e),
+        |r0r AS (SELECT id, 1.0/(SELECT n FROM nv) AS r FROM r0),
+        |it1 AS (SELECT e.dst AS id,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/(SELECT n FROM nv)
+        |      + CAST(0.85 AS DOUBLE)*SUM(r.r/d.deg) AS r
+        |  FROM e JOIN r0r r ON r.id = e.src JOIN dg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |it2 AS (SELECT e.dst AS id,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/(SELECT n FROM nv)
+        |      + CAST(0.85 AS DOUBLE)*SUM(r.r/d.deg) AS r
+        |  FROM e JOIN it1 r ON r.id = e.src JOIN dg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |it3 AS (SELECT e.dst AS id,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/(SELECT n FROM nv)
+        |      + CAST(0.85 AS DOUBLE)*SUM(r.r/d.deg) AS r
+        |  FROM e JOIN it2 r ON r.id = e.src JOIN dg d ON d.src = e.src
+        |  GROUP BY e.dst)
+        |SELECT id AS doc_id, round(r, 6) AS pr FROM it3
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("d53_graph_clustering",
+      "Triangle participation + local clustering coefficient per " +
+        "document over the same shared-3-gram graph — the triangle-" +
+        "density signal that separates template farms (dense cliques " +
+        "of mutually-overlapping boilerplate) from organic text reuse " +
+        "(sparse chains). Edges are ORIENTED low→high by (degree, id) " +
+        "before the wedge join, bounding every join fan-out by the max " +
+        "oriented out-degree (O(√m) on skewed graphs — the celebrity-" +
+        "node guard); each triangle is counted exactly once. Counts " +
+        "are exact integers; the coefficient 2·tri/(deg·(deg−1)) is " +
+        "one double division with identical operands in both engines. " +
+        "The oracle counts triangles the naive a<b<c way — same set, " +
+        "different plan.",
+      (s, dir) => Graph.clustering(Graph.sharedGramEdges(
+          t(s, dir, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("deg"), col("tri"), col("coeff"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $graphCtes,
+        |dg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY src),
+        |tr AS (SELECT p1.da AS a, p1.db AS b, p2.db AS c
+        |       FROM p p1 JOIN p p2 ON p2.da = p1.db
+        |       JOIN p p3 ON p3.da = p1.da AND p3.db = p2.db),
+        |pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |         SELECT a AS id FROM tr
+        |         UNION ALL SELECT b AS id FROM tr
+        |         UNION ALL SELECT c AS id FROM tr)
+        |       GROUP BY id)
+        |SELECT dg.id AS doc_id, dg.deg,
+        |  CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+        |  CASE WHEN dg.deg < 2 THEN 0.0
+        |       ELSE CAST(2.0 AS DOUBLE) * COALESCE(pn.tri, 0) /
+        |            CAST(dg.deg * (dg.deg - 1) AS DOUBLE) END AS coeff
+        |FROM dg LEFT JOIN pn ON pn.id = dg.id
+        |ORDER BY doc_id""".stripMargin)),
 
     Q("d48_lexical_diversity",
       "Lexical-diversity profile per document: type-token ratio and " +
