@@ -45,6 +45,35 @@ object LlmOps {
       |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
       .stripMargin
 
+  /** IVF coarse quantizer (s03/s11): per-label centroids from exact
+    * scaled-integer sums (order-free → deterministic in any engine),
+    * then the `nProbe` best cells by centroid cosine vs the broadcast
+    * query — via orderBy+limit → TakeOrderedAndProject (a per-partition
+    * heap + driver merge of nProbe rows), not a global window that
+    * would drag every centroid into one partition. `e` must carry
+    * (vec_id, label: long, v: array<double>); `q` one row (qv). */
+  private def ivfTopCells(
+      e: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame,
+      nProbe: Int): org.apache.spark.sql.DataFrame = {
+    val Sim = graft.operators.Similarity
+    val dims = e.select(col("label"),
+      posexplode(transform(col("v"), x => round(x * 1e6).cast("long")))
+        .as(Seq("i", "x")))
+    val cents = dims.groupBy("label", "i")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("sx"), col("n")))),
+        t3 => t3.getField("sx").cast("double") /
+          (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
+    cents.crossJoin(broadcast(q))
+      .select(col("label"), Sim.cosine(col("cv"), col("qv")).as("cscore"))
+      .orderBy(col("cscore").desc, col("label").asc)
+      .limit(nProbe)
+      .select("label")
+  }
+
   /** Near-dup component labels over `documents`, memoized per
     * (session, data dir): d20 and d24 both need the SAME iterative
     * connected-components run, and its result is a localCheckpoint'ed
@@ -524,26 +553,8 @@ object LlmOps {
         val e = t(s, dir, "embeddings").select(
           col("vec_id"), col("label").cast("long").as("label"),
           Sim.asDouble(col("embedding")).as("v"))
-        // Centroids: per-dim sums of round(x*1e6) longs — exact, order-free.
-        val dims = e.select(col("label"),
-          posexplode(transform(col("v"), x => round(x * 1e6).cast("long")))
-            .as(Seq("i", "x")))
-        val cents = dims.groupBy("label", "i")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-          .groupBy("label")
-          .agg(transform(
-            array_sort(collect_list(struct(col("i"), col("sx"), col("n")))),
-            t3 => t3.getField("sx").cast("double") /
-              (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
         val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-        // Top-2 cells via orderBy+limit → TakeOrderedAndProject (a
-        // per-partition heap + driver merge of 2 rows), not a global
-        // window that would drag every centroid into one partition.
-        val top2 = cents.crossJoin(broadcast(q))
-          .select(col("label"), Sim.cosine(col("cv"), col("qv")).as("cscore"))
-          .orderBy(col("cscore").desc, col("label").asc)
-          .limit(2)
-          .select("label")
+        val top2 = ivfTopCells(e, q, nProbe = 2)
         e.join(broadcast(top2), "label")
           .filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -1265,6 +1276,67 @@ object LlmOps {
           |WHERE w.rk <= 5
           |ORDER BY w.qid, w.rk""".stripMargin
       }),
+
+    Q("s11_ivfpq_topk",
+      "IVF+PQ composed — the FAISS IVFADC read path (Jégou et al. " +
+        "2011 §V): s03's coarse quantizer picks the 2 best cells " +
+        "(exact-integer centroids, broadcast probe), and INSIDE the " +
+        "probed cells the scan runs s04's compressed path — 8-code PQ " +
+        "vectors + ADC table lookups, never the raw floats. The two " +
+        "prunings multiply: cells cut the candidate set ~|cells|-fold, " +
+        "PQ cuts bytes-per-candidate 32-fold, which is how a billion-" +
+        "vector index fits a RAM budget. Codes, ADC table, cell choice " +
+        "and tie-breaks all re-derived exactly in the SQL oracle.",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val emb = t(s, dir, "embeddings")
+        val e = emb.select(
+          col("vec_id"), col("label").cast("long").as("label"),
+          Sim.asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val top2 = ivfTopCells(e, q, nProbe = 2)
+        val cb = Quantize.codebookFromFirst(emb, "vec_id", "embedding",
+          m = 8, k = 16)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+        val adc = Quantize.adcTable(qv, cb)
+        emb.select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding"))
+          .join(broadcast(top2), "label")
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("label"),
+            round(Quantize.adcDistance(
+              Quantize.encodeFast(col("embedding"), cb), adc), 6).as("adist"))
+          .where(col("adist").isNotNull)
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"WITH $pqApproxCtes,\n" +
+        """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |         FROM embeddings),
+        |ld AS (SELECT lab.label,
+        |         unnest(generate_series(1, len(e.v))) AS i,
+        |         unnest(list_transform(e.v,
+        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+        |       FROM e JOIN lab USING (vec_id)),
+        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+        |        SELECT label, i,
+        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+        |            AS cval
+        |        FROM ld GROUP BY label, i)
+        |      GROUP BY label),
+        |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |top2 AS (
+        |  SELECT label FROM (
+        |    SELECT label,
+        |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
+        |    FROM cellc, qq)
+        |  ORDER BY cscore DESC, label LIMIT 2)
+        |SELECT a.vec_id, lab.label, round(a.adist, 6) AS adist
+        |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
+        |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
 
     Q("d32_quality_audit",
       "Single-pass data-quality audit (graft.operators.Quality, the " +
