@@ -30,10 +30,10 @@ object Bench {
     "d21_boilerplate_segments", "d27_quality_classifier", "d29_tfidf_topterms",
     "d33_heavy_hitters", "d35_substring_dedup", "q38_file_pruning",
     "s01_cosine_topk", "s03_ivf_topk", "s04_pq_topk", "s06_nndescent_topk",
-    "s10_beam_search_topk",
+    "s10_beam_search_topk", "s11_ivfpq_topk",
     "m01_multimodal_decode",
     "q52_regression_aggs", "q54_hll_sketch_union", "d44_unimax_alloc",
-    "d45_knn_label")
+    "d45_knn_label", "d52_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

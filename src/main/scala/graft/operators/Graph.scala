@@ -31,7 +31,13 @@ object Graph {
     * with document frequency above `maxDf` are dropped before the
     * self-join (they are the stop-grams of the gram world — at corpus
     * scale a single viral boilerplate gram would otherwise create one
-    * quadratic bucket; the threshold mirrors d07's `maxBucket` guard). */
+    * quadratic bucket; the threshold mirrors d07's `maxBucket` guard).
+    *
+    * Grams are hashed to 60-bit ints ([[Dedup.hash60]] — the d35
+    * discipline) BEFORE the df aggregation and self-join, so both
+    * shuffles carry 8-byte keys, never gram strings; the hash is
+    * md5-prefix, so SQL oracles reproduce it exactly (no cross-engine
+    * collision divergence even in principle). */
   def sharedGramEdges(
       docs: DataFrame,
       idCol: String,
@@ -43,16 +49,17 @@ object Graph {
         col(idCol).as("gid"),
         explode(array_distinct(
           Dedup.shingles(TextAnalysis.tokens(col(textCol)), n))).as("gram"))
-    val dfq = inv.groupBy("gram")
+      .select(col("gid"), Dedup.hash60(col("gram")).as("gh"))
+    val dfq = inv.groupBy("gh")
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") <= maxDf)
-      .select("gram")
-    val kept = inv.join(dfq, "gram")
+      .select("gh")
+    val kept = inv.join(dfq, "gh")
     // toDF on each side: fresh attribute ids for the self-join (the
     // connectedComponents `toDF("rn", "rrep")` idiom).
-    val l = kept.select("gram", "gid").toDF("gram", "da")
-    val r = kept.select("gram", "gid").toDF("gramr", "db")
-    l.join(r, col("gram") === col("gramr"))
+    val l = kept.select("gh", "gid").toDF("gh", "da")
+    val r = kept.select("gh", "gid").toDF("ghr", "db")
+    l.join(r, col("gh") === col("ghr"))
       .filter(col("da") < col("db"))
       .select("da", "db")
       .distinct()

@@ -24,8 +24,10 @@ object LlmOps {
         |  FROM documents WHERE doc_id < 150),
         |sh AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |    unnest(list_transform(
+        |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+        |      g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS s
         |  FROM w),
         |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
         |ix AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),

@@ -111,6 +111,8 @@ object Scale {
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val synthDir =
       args.drop(2).headOption.getOrElse(s"/tmp/graft_scale${factor}x")
+    // 4th arg selects the probe set: all (default) | chain | graph.
+    val what = args.drop(3).headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -134,7 +136,7 @@ object Scale {
 
     val queries = SparkEntry.queries
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
-         name <- chain) {
+         name <- (if (what == "graph") Seq.empty[String] else chain)) {
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -161,28 +163,63 @@ object Scale {
     // Measure it — the Nx tier re-run with bits = 6 + ceil(log2 N)
     // should land near the 1x fixed-bits time, turning the contract
     // from argument into evidence.
-    val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
-    val bitsN = 6 + extraBits
-    val samples = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      try {
-        graft.operators.Similarity.nnDescentTopK(
-          spark.read.parquet(s"$synthDir/embeddings.parquet"),
-          "vec_id", "embedding", k = 5, bits = bitsN, probeMax = 20L)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[scale] s06 bits=$bitsN failed: ${e.getMessage}")
-        -1.0
+    if (what != "graph") {
+      val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
+      val bitsN = 6 + extraBits
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.Similarity.nnDescentTopK(
+            spark.read.parquet(s"$synthDir/embeddings.parquet"),
+            "vec_id", "embedding", k = 5, bits = bitsN, probeMax = 20L)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] s06 bits=$bitsN failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      Thread.sleep(800)
+      val rd = metrics.read.getAndSet(0L) / 1e6
+      val wr = metrics.write.getAndSet(0L) / 1e6
+      println(s"""{"tier":"${factor}x","query":"s06_nndescent_topk_bits$bitsN",""" +
+        s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+        s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+        s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+    }
+    // Graph probe: d52's catalog query runs on a correctness-sized
+    // 150-doc slice; the SCALE evidence runs the inverted-index edge
+    // derivation + 3 PageRank rounds over EVERY document at both tiers.
+    // The df<=64 cap engages at the synthesized tier (near-dup copies
+    // multiply gram document frequency ~factor-fold), which is the
+    // guard's job — candidate work stays O(Σ min(df,64)²) while the
+    // corpus grows.
+    if (what != "chain") {
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            graft.operators.Graph.pageRank(
+              graft.operators.Graph.symmetrize(
+                graft.operators.Graph.sharedGramEdges(
+                  docs, "doc_id", "text")), iters = 3)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier graph failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"d52_pagerank_fullcorpus",""" +
+          s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
     }
-    Thread.sleep(800)
-    val rd = metrics.read.getAndSet(0L) / 1e6
-    val wr = metrics.write.getAndSet(0L) / 1e6
-    println(s"""{"tier":"${factor}x","query":"s06_nndescent_topk_bits$bitsN",""" +
-      s""""samples":[${samples.map(fmt).mkString(",")}],""" +
-      s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
-      s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
     spark.stop()
   }
 }
