@@ -131,6 +131,47 @@ object Graph {
       element_at(col("t"), 3).as("c"))
   }
 
+  /** Semi-supervised label propagation with CLAMPED seeds (Zhu &
+    * Ghahramani 2002 shape): seeded nodes keep their label; every
+    * other node adopts, each round, the majority label among its
+    * labeled neighbors (ties → lexicographically smallest label, so
+    * the fixpoint is deterministic). `rounds` is fixed and small —
+    * label reach grows one hop per round, and an unrolled round count
+    * keeps the computation oracle-replayable (the s10 fixed-rounds
+    * discipline). Each round is one edge⋈labels shuffle + one
+    * per-node windowed argmax, partitioned by node — never global.
+    *
+    * `edges` directed (symmetrized for undirected graphs); `seeds` is
+    * `(id, lab)`. Returns `(id, lab)` for every node in the edge list,
+    * lab null where no label has reached the node yet. */
+  def labelPropagation(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val sd = seeds.toDF("id", "lab")
+    var labels = nodes.join(sd, Seq("id"), "left").toDF("id", "lab")
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(labels, col("src") === col("id"))
+        .where(col("lab").isNotNull)
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val winner = contrib
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("dst").orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("id"), col("lab").as("wlab"))
+      labels = nodes
+        .join(sd.withColumnRenamed("lab", "slab"), Seq("id"), "left")
+        .join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("slab"), col("wlab")).as("lab"))
+        .toDF("id", "lab")
+    }
+    labels
+  }
+
   /** Per-node triangle participation + local clustering coefficient
     * `2·tri / (deg·(deg−1))` over every node of the canonical edge
     * list (coefficient 0.0 for degree-1 nodes). Exact integer counts;

@@ -2568,6 +2568,55 @@ object LlmOps {
         |FROM dg LEFT JOIN pn ON pn.id = dg.id
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("d54_label_propagation",
+      "Semi-supervised label propagation over the shared-gram graph " +
+        "(Zhu & Ghahramani shape, CLAMPED seeds): every 5th document " +
+        "keeps its known language label; unlabeled nodes adopt, per " +
+        "round, the majority label among labeled neighbors (ties → " +
+        "smallest label). 2 unrolled rounds — label reach grows one " +
+        "hop per round and the fixed count keeps the computation " +
+        "oracle-replayable (s10's fixed-rounds discipline). The " +
+        "curation use: propagate expensive human/model annotations " +
+        "(lang, quality tier, topic) through the text-reuse graph " +
+        "instead of re-scoring every document. Per-round cost is one " +
+        "edge⋈labels shuffle + a per-node windowed argmax — never a " +
+        "global window.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        val edges = Graph.symmetrize(
+          Graph.sharedGramEdges(docs, "doc_id", "text"))
+        val seeds = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang"))
+        Graph.labelPropagation(edges, seeds, rounds = 2)
+          .select(col("id").as("doc_id"), col("lab").as("community"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $graphCtes,
+        |seeds AS (SELECT doc_id AS id, lang AS lab FROM documents
+        |          WHERE doc_id < 150 AND doc_id % 5 = 0),
+        |n0 AS (SELECT DISTINCT src AS id FROM e),
+        |l0 AS (SELECT n0.id, s.lab FROM n0 LEFT JOIN seeds s USING (id)),
+        |c1 AS (SELECT e.dst AS id, l.lab, COUNT(*) AS c
+        |       FROM e JOIN l0 l ON l.id = e.src
+        |       WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab),
+        |w1 AS (SELECT id, lab FROM (
+        |         SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY c DESC, lab) AS rk FROM c1) WHERE rk = 1),
+        |l1 AS (SELECT n0.id, COALESCE(s.lab, w1.lab) AS lab
+        |       FROM n0 LEFT JOIN seeds s USING (id)
+        |       LEFT JOIN w1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, l.lab, COUNT(*) AS c
+        |       FROM e JOIN l1 l ON l.id = e.src
+        |       WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab),
+        |w2 AS (SELECT id, lab FROM (
+        |         SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id
+        |           ORDER BY c DESC, lab) AS rk FROM c2) WHERE rk = 1),
+        |l2 AS (SELECT n0.id, COALESCE(s.lab, w2.lab) AS lab
+        |       FROM n0 LEFT JOIN seeds s USING (id)
+        |       LEFT JOIN w2 USING (id))
+        |SELECT id AS doc_id, lab AS community FROM l2
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("d48_lexical_diversity",
       "Lexical-diversity profile per document: type-token ratio and " +
         "hapax-legomena count via explode → (doc, token) count → per-doc " +

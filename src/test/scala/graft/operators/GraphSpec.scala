@@ -89,6 +89,24 @@ class GraphSpec extends AnyFunSpec {
         (4L, 1L, 0L, 0.0)))       // tail: degree 1, coefficient 0
     }
 
+    it("propagates clamped seed labels one hop per round, ties to min") {
+      import spark.implicits._
+      // Path 1-2-3-4-5, seeds: 1->"a", 5->"b". Round 1 labels 2 and 4;
+      // round 2 reaches 3 with a 1-1 tie -> lexicographic min "a".
+      val path = Graph.symmetrize(
+        edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+      val seeds = Seq((1L, "a"), (5L, "b")).toDF("id", "lab")
+      val out = Graph.labelPropagation(path, seeds, rounds = 2)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(
+        1L -> Some("a"), 2L -> Some("a"), 3L -> Some("a"),
+        4L -> Some("b"), 5L -> Some("b")))
+      // One round only: the middle node is still unlabeled.
+      val one = Graph.labelPropagation(path, seeds, rounds = 1)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(one(3L).isEmpty && one(2L).contains("a") && one(4L).contains("b"))
+    }
+
     it("counts each K4 triangle exactly once despite equal degrees") {
       val k4 = edgesOf(
         (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
