@@ -78,8 +78,10 @@ object Graph {
     *
     * Each iteration re-derives ranks from the previous frame:
     * edges ⋈ ranks on src → group by dst — partial aggregation runs
-    * map-side, per-node state is one double. The only driver-side
-    * value is the node COUNT (the uniform prior), never row data. */
+    * map-side, per-node state is one double. The node count (the
+    * uniform prior) stays IN the plan as a broadcast 1-row aggregate —
+    * no separate driver action, so one invocation is one execution and
+    * the repeated edges subtree dedups via ReusedExchange. */
   def pageRank(
       edges: DataFrame,
       iters: Int = 3,
@@ -88,14 +90,17 @@ object Graph {
       .toDF("dsrc", "deg")
     val withDeg = edges.join(deg, col("src") === col("dsrc")).drop("dsrc")
     val nodes = edges.select(col("src").as("id")).distinct()
-    val nv = nodes.count().toDouble
-    var ranks = nodes.select(col("id"), lit(1.0 / nv).as("r")).toDF("id", "r")
+    val nv = nodes.agg(count(lit(1)).cast("double").as("nv"))
+    var ranks = nodes.crossJoin(broadcast(nv))
+      .select(col("id"), (lit(1.0) / col("nv")).as("r")).toDF("id", "r")
     for (_ <- 1 to iters) {
       ranks = withDeg
         .join(ranks, col("src") === col("id"))
         .groupBy("dst")
-        .agg((lit((1.0 - damping) / nv) +
-          lit(damping) * sum(col("r") / col("deg"))).as("r"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+        .crossJoin(broadcast(nv))
+        .select(col("dst"),
+          (lit(1.0 - damping) / col("nv") + lit(damping) * col("m")).as("r"))
         .toDF("id", "r")
     }
     ranks
