@@ -819,6 +819,46 @@ object StreamingQ {
       Some("""SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
         |FROM events WHERE value > 50
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w21_state_reader",
+      "Spark 4 State Data Source (format 'statestore'): a streaming " +
+        "aggregation runs to completion against an explicit " +
+        "checkpoint, then the operator's STATE STORE itself is " +
+        "batch-queried — the ops surface for stateful pipelines " +
+        "(audit what a store holds without replaying the stream; at " +
+        "scale this is how a misbehaving stateful job is debugged and " +
+        "how state is bulk-exported). The per-key aggregation buffers " +
+        "read back from the store must equal the batch GROUP BY over " +
+        "the same input — exactly what the oracle computes.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w21").toString
+        try {
+          events(s, dir)
+            .select(to_json(struct(col("user_id"), col("event_type")))
+              .as("value"))
+            .write.mode("overwrite").text(s"$tmp/in")
+          val stream = s.readStream
+            .schema("user_id BIGINT, event_type STRING").json(s"$tmp/in")
+          val q = stream.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("user_id").as("sum_uid"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.format("statestore").load(s"$tmp/ckpt")
+            .select(
+              col("key.event_type").as("event_type"),
+              col("value.count").as("n"),
+              col("value.sum").cast("long").as("sum_uid"))
+            .orderBy("event_type")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
