@@ -964,6 +964,48 @@ object Extended {
       Some("""SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem WHERE l_quantity >= 30
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q70_sql_udf",
+      "SQL-defined function (Spark 4 CREATE FUNCTION ... RETURN — the " +
+        "declarative UDF surface next to q22's Scala UDF): the margin " +
+        "arithmetic lives in a named catalog function whose body is " +
+        "pure SQL, so it inlines into codegen instead of crossing a " +
+        "JVM closure boundary — at 100 TB the difference between a " +
+        "library of reusable business logic and a serialization tax. " +
+        "Composed with two more Spark-4 SQL conveniences the oracle " +
+        "replays literally: a LATERAL column alias (avg_rev reuses " +
+        "the revenue alias in the same SELECT) and GROUP BY ALL " +
+        "(grouping keys inferred from the non-aggregate output).",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q70_li")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q70_margin(
+            p DOUBLE, d DOUBLE) RETURNS DECIMAL(38,4)
+          RETURN CAST(p AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))""")
+        s.sql("""
+          SELECT l_returnflag, revenue, n,
+                 revenue / n AS avg_rev,
+                 avg_rev * 2 AS twice_avg
+          FROM (
+            SELECT l_returnflag,
+                   CAST(SUM(q70_margin(l_extendedprice, l_discount))
+                     AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM q70_li
+            WHERE l_quantity >= 25
+            GROUP BY ALL)
+          ORDER BY l_returnflag""")
+      },
+      Some("""WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n
+        |  FROM lineitem WHERE l_quantity >= 25
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, revenue, n,
+        | revenue / n AS avg_rev,
+        | (revenue / n) * 2 AS twice_avg
+        |FROM g ORDER BY l_returnflag""".stripMargin))
   )
 }
