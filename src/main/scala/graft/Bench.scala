@@ -15,9 +15,10 @@ object Bench {
     * dedup, boilerplate detection, z-order clustering key, cosine top-k,
     * multimodal decode, graph-walk ANN.
     *
-    * Two headline queries memoize build-once state per (session, dir) —
-    * q54's distinct-pairs checkpoint and s10's k-NN seed graph (the ANN
-    * index) — so their first sample includes the build and later
+    * Three headline queries memoize build-once state per (session, dir) —
+    * q54's distinct-pairs checkpoint, s10's k-NN seed graph (the ANN
+    * index) and d52's shared-gram edge list (the corpus graph) — so
+    * their first sample includes the build and later
     * samples measure the serve path, which is the production shape for
     * both. The emitted `samples` arrays make the cold/warm split
     * visible in the artifact rather than hiding it in a min. */
