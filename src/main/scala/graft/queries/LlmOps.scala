@@ -1362,6 +1362,60 @@ object LlmOps {
         |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
         |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
 
+    Q("s12_filtered_topk",
+      "Filtered (hybrid) ANN — metadata-constrained vector search, the " +
+        "retrieval shape every production RAG stack runs: top-k cosine " +
+        "among vectors whose label passes the predicate. Strategy " +
+        "matters: PRE-filter pushes the predicate into the scan BEFORE " +
+        "any distance math (exact, no recall loss — and at 100 TB the " +
+        "label predicate reaches the parquet reader as a pushed " +
+        "filter, shrinking I/O by the filter's selectivity), while " +
+        "POST-filter (rank first, filter a top-40 shortlist after) " +
+        "loses results whenever the filter is selective. The query " +
+        "answers with pre-filter and audits post-filter against it " +
+        "per row (post_found=false rows ARE the recall loss, " +
+        "s07's audit discipline). Rounded-cosine + id ordering keys " +
+        "keep every cut engine-portable (s06 rule).",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), col("label"),
+          Sim.asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(Sim.cosine(col("v"), col("qv")), 6).as("cos"))
+        val pre = scored.filter(col("label").isin(1, 2))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        val post = scored
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(40)
+          .filter(col("label").isin(1, 2))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+          .select(col("vec_id").as("pid"))
+        pre.join(post, col("vec_id") === col("pid"), "left")
+          .select(col("vec_id"), col("cos"),
+            col("pid").isNotNull.as("post_found"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(${cosSql("e.v", "q.qv")}, 6) AS cos
+        |  FROM e, q WHERE vec_id <> 0),
+        |pre AS (SELECT vec_id, cos FROM sc WHERE label IN (1, 2)
+        |        ORDER BY cos DESC, vec_id LIMIT 10),
+        |post40 AS (SELECT vec_id, label, cos FROM sc
+        |           ORDER BY cos DESC, vec_id LIMIT 40),
+        |post AS (SELECT vec_id FROM post40 WHERE label IN (1, 2)
+        |         ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT p.vec_id, p.cos, (po.vec_id IS NOT NULL) AS post_found
+        |FROM pre p LEFT JOIN post po USING (vec_id)
+        |ORDER BY cos DESC, vec_id""".stripMargin)),
+
     Q("d32_quality_audit",
       "Single-pass data-quality audit (graft.operators.Quality, the " +
         "Deequ-style publish gate): null / uniqueness / range / regex " +
