@@ -1416,6 +1416,60 @@ object LlmOps {
         |FROM pre p LEFT JOIN post po USING (vec_id)
         |ORDER BY cos DESC, vec_id""".stripMargin)),
 
+    Q("d55_hard_negatives",
+      "Hard-negative mining for retrieval training (the DPR/Contriever " +
+        "recipe): for each probe query, the top-3 most-similar vectors " +
+        "with a DIFFERENT label — near the query in embedding space " +
+        "but wrong by the label, exactly the negatives that make a " +
+        "dual-encoder learn. One corpus scan: the probe batch " +
+        "broadcasts, cosine is computed in the scan's codegen span, " +
+        "and the per-query cut is a qid-partitioned window (never " +
+        "global). At 100 TB probe batches stream through unchanged — " +
+        "cost is one scan per batch, independent of batch count " +
+        "tricks. Rounded-cosine + id rank keys (s06 rule).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), col("label"),
+          Sim.asDouble(col("embedding")).as("v"))
+        val probes = e.filter(col("vec_id") < 5).select(
+          col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+        e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(probes))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"), col("label"),
+            round(Sim.cosine(col("v"), col("qv")), 6).as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("label").cast("long").as("neg_label"),
+            col("cos"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+        |      FROM e WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT p.qid, e.vec_id, e.label,
+        |    round(${cosSql("e.v", "p.qv")}, 6) AS cos
+        |  FROM e, p
+        |  WHERE e.vec_id >= 5 AND e.label <> p.qlabel),
+        |rk AS (
+        |  SELECT qid, vec_id, label, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rk
+        |  FROM sc)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+        |  CAST(label AS BIGINT) AS neg_label, cos
+        |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
     Q("d32_quality_audit",
       "Single-pass data-quality audit (graft.operators.Quality, the " +
         "Deequ-style publish gate): null / uniqueness / range / regex " +
