@@ -856,29 +856,13 @@ object Extended {
         "filter actually pruned and (2) zero false negatives — the " +
         "final answer is exact, which is what the oracle checks.",
       (s, dir) => {
-        val m = 1L << 16
-        def bpos(key: Column, i: Int): Column =
-          pmod(xxhash64(key, lit(i)), lit(m))
+        val B = graft.operators.Bloom
         val dim = t(s, dir, "part")
           .filter(col("p_brand") === "Brand#23").select("p_partkey")
-        val words = dim
-          .select(explode(array(
-            (0 until 3).map(i => bpos(col("p_partkey"), i)): _*)).as("pos"))
-          .withColumn("w", expr("pos DIV 64"))
-          .groupBy("w")
-          .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+        val words = B.build(dim, "p_partkey")
         val li = t(s, dir, "lineitem")
           .select("l_partkey", "l_extendedprice", "l_discount", "l_returnflag")
-        var cand = li
-        for (i <- 0 until 3) {
-          cand = cand
-            .withColumn("pos", bpos(col("l_partkey"), i))
-            .withColumn("w", expr("pos DIV 64"))
-            .join(broadcast(words), Seq("w"))
-            .filter(expr(
-              "(bits & shiftleft(1L, CAST(pos % 64 AS INT))) != 0"))
-            .drop("pos", "w", "bits")
-        }
+        val cand = B.probe(li, "l_partkey", words)
         val joined = cand
           .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
         val nFact = li.count()

@@ -1416,6 +1416,98 @@ object LlmOps {
         |FROM pre p LEFT JOIN post po USING (vec_id)
         |ORDER BY cos DESC, vec_id""".stripMargin)),
 
+    Q("s13_mmr_rerank",
+      "Maximal Marginal Relevance diversified re-ranking (Carbonell & " +
+        "Goldstein '98) — the de-dup-at-read-time step RAG retrieval " +
+        "runs after ANN: from the top-8 cosine shortlist, greedily " +
+        "pick 4 results maximizing 0.7·relevance − 0.3·max-similarity-" +
+        "to-already-picked, so near-duplicate hits don't crowd the " +
+        "context window. The shortlist (8 rows) and its pairwise-" +
+        "similarity table (64 rows) are localCheckpoint'ed ONCE — the " +
+        "4 greedy rounds then run on those tiny frames without ever " +
+        "rescanning the corpus (greedy cost is O(k²·shortlist), " +
+        "independent of corpus size). Every similarity is rounded to " +
+        "6 decimals with id tie-breaks (s06 rule) and the score " +
+        "arithmetic uses identical double operands in both engines; " +
+        "the oracle unrolls the same 4 selection steps as CTEs.",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), Sim.asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val top8 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("v"),
+            round(Sim.cosine(col("v"), col("qv")), 6).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id").asc).limit(8)
+          .localCheckpoint()
+        val a = top8.select(col("vec_id").as("va"), col("v").as("xa"))
+        val b = top8.select(col("vec_id").as("vb"), col("v").as("xb"))
+        val pw = a.crossJoin(b).filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"),
+            round(Sim.cosine(col("xa"), col("xb")), 6).as("sim"))
+          .localCheckpoint()
+        val short = top8.select("vec_id", "rel")
+        var sel = short.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+          .select(lit(1L).as("rk"), col("vec_id"), col("rel"))
+        for (r <- 2 to 4) {
+          val selIds = sel.select(col("vec_id").as("sid"))
+          val next = short
+            .join(selIds, col("vec_id") === col("sid"), "left_anti")
+            .join(pw.join(selIds, col("vb") === col("sid"))
+              .select(col("va"), col("sim")), col("vec_id") === col("va"))
+            .groupBy("vec_id", "rel").agg(max("sim").as("ms"))
+            .select(col("vec_id"), col("rel"),
+              (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("score"))
+            .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+          sel = sel.unionByName(
+            next.select(lit(r.toLong).as("rk"), col("vec_id"), col("rel")))
+        }
+        sel.orderBy("rk")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |t8 AS (
+        |  SELECT e.vec_id, e.v, round(${cosSql("e.v", "q.qv")}, 6) AS rel
+        |  FROM e, q WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 8),
+        |pw AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(${cosSql("a.v", "b.v")}, 6) AS sim
+        |  FROM t8 a JOIN t8 b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel FROM t8 ORDER BY rel DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT t.vec_id, t.rel,
+        |    CAST(0.7 AS DOUBLE)*t.rel - CAST(0.3 AS DOUBLE)*MAX(pw.sim) AS score
+        |  FROM t8 t JOIN pw ON pw.va = t.vec_id
+        |    AND pw.vb IN (SELECT vec_id FROM s1)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY t.vec_id, t.rel),
+        |s2 AS (SELECT vec_id, rel FROM c2 ORDER BY score DESC, vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |c3 AS (SELECT t.vec_id, t.rel,
+        |    CAST(0.7 AS DOUBLE)*t.rel - CAST(0.3 AS DOUBLE)*MAX(pw.sim) AS score
+        |  FROM t8 t JOIN pw ON pw.va = t.vec_id
+        |    AND pw.vb IN (SELECT vec_id FROM sel2)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  GROUP BY t.vec_id, t.rel),
+        |s3 AS (SELECT vec_id, rel FROM c3 ORDER BY score DESC, vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |c4 AS (SELECT t.vec_id, t.rel,
+        |    CAST(0.7 AS DOUBLE)*t.rel - CAST(0.3 AS DOUBLE)*MAX(pw.sim) AS score
+        |  FROM t8 t JOIN pw ON pw.va = t.vec_id
+        |    AND pw.vb IN (SELECT vec_id FROM sel3)
+        |  WHERE t.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  GROUP BY t.vec_id, t.rel),
+        |s4 AS (SELECT vec_id, rel FROM c4 ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT rk, vec_id, rel FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel FROM s1
+        |  UNION ALL SELECT 2, vec_id, rel FROM s2
+        |  UNION ALL SELECT 3, vec_id, rel FROM s3
+        |  UNION ALL SELECT 4, vec_id, rel FROM s4)
+        |ORDER BY rk""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +
