@@ -990,6 +990,88 @@ object Extended {
         |SELECT l_returnflag, revenue, n,
         | revenue / n AS avg_rev,
         | (revenue / n) * 2 AS twice_avg
-        |FROM g ORDER BY l_returnflag""".stripMargin))
+        |FROM g ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q71_script_transform",
+      "Hive-style script transform (SELECT TRANSFORM ... USING) — rows " +
+        "piped through an EXTERNAL PROCESS per partition (here 'cat', " +
+        "the identity filter available in any container) in no-serde " +
+        "tab-delimited mode, read back as strings, re-typed, and " +
+        "aggregated. This is the legacy streaming-UDF escape hatch a " +
+        "migration from Hadoop/Hive pipelines needs; the typed " +
+        "roundtrip is lossless (Spark's double→string rendering is " +
+        "shortest-roundtrip), so the oracle aggregates the original " +
+        "table directly.",
+      (s, dir) => {
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+          .createOrReplaceTempView("q71_li")
+        s.sql("""
+          WITH piped AS (
+            SELECT TRANSFORM(l_orderkey, l_returnflag, l_quantity)
+                   USING 'cat' AS (ok STRING, rf STRING, qt STRING)
+            FROM q71_li)
+          SELECT rf AS l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(qt AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(MIN(CAST(ok AS BIGINT)) AS BIGINT) AS min_ok
+          FROM piped GROUP BY rf ORDER BY rf""")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(MIN(l_orderkey) AS BIGINT) AS min_ok
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q72_try_arithmetic",
+      "Error-safe arithmetic under ANSI mode (Spark 4 defaults ANSI " +
+        "ON, where overflow/div-zero/bad-cast THROW): the try_* " +
+        "family returns NULL instead, per cell, without disabling " +
+        "ANSI for the rest of the query — try_divide hits zero only " +
+        "where l_quantity=17, try_add/try_multiply overflow BIGINT " +
+        "exactly where the key crosses the 2^63 boundary, try_cast " +
+        "rejects non-numeric strings. The oracle reproduces every " +
+        "NULL boundary arithmetically (DuckDB HUGEINT computes the " +
+        "overflow condition exactly). Aggregates are order-free " +
+        "(COUNT/MIN/MAX), so doubles stay engine-portable.",
+      (s, dir) => {
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+          .createOrReplaceTempView("q72_li")
+        s.sql("""
+          WITH t AS (
+            SELECT l_returnflag,
+              try_divide(l_extendedprice, l_quantity - 17.0) AS td,
+              try_add(9223372036854775800L, l_orderkey) AS ta,
+              try_multiply(l_orderkey, 4611686018427387904L) AS tm,
+              try_cast(concat('x', l_orderkey) AS BIGINT) AS bad,
+              try_cast(CAST(l_orderkey AS STRING) AS BIGINT) AS good
+            FROM q72_li)
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(COUNT(*) - COUNT(td) AS BIGINT) AS n_div_zero,
+                 CAST(COUNT(ta) AS BIGINT) AS n_add_ok,
+                 CAST(COUNT(tm) AS BIGINT) AS n_mul_ok,
+                 CAST(COUNT(bad) AS BIGINT) AS n_bad_cast,
+                 CAST(MAX(good) AS BIGINT) AS max_good,
+                 round(MIN(td), 6) AS min_td
+          FROM t GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH t AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity = 17.0 THEN NULL
+        |         ELSE l_extendedprice / (l_quantity - 17.0) END AS td,
+        |    CASE WHEN CAST(9223372036854775800 AS HUGEINT) + l_orderkey
+        |              > 9223372036854775807 THEN NULL
+        |         ELSE l_orderkey END AS ta,
+        |    CASE WHEN CAST(l_orderkey AS HUGEINT) * 4611686018427387904
+        |              > 9223372036854775807 THEN NULL
+        |         ELSE l_orderkey END AS tm,
+        |    l_orderkey AS good
+        |  FROM lineitem WHERE l_orderkey < 5000)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(COUNT(*) - COUNT(td) AS BIGINT) AS n_div_zero,
+        | CAST(COUNT(ta) AS BIGINT) AS n_add_ok,
+        | CAST(COUNT(tm) AS BIGINT) AS n_mul_ok,
+        | CAST(0 AS BIGINT) AS n_bad_cast,
+        | CAST(MAX(good) AS BIGINT) AS max_good,
+        | round(MIN(td), 6) AS min_td
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
