@@ -1508,6 +1508,46 @@ object LlmOps {
         |  UNION ALL SELECT 4, vec_id, rel FROM s4)
         |ORDER BY rk""".stripMargin)),
 
+    Q("d56_k_anonymity",
+      "k-anonymity audit + suppression plan (Sweeney 2002) — the " +
+        "privacy gate a training-data release pipeline runs next to " +
+        "d15's PII scrub: rows grouped by their quasi-identifier " +
+        "tuple (event_type × value decade); any group smaller than " +
+        "k=5 is a re-identification risk and gets suppressed. Two " +
+        "aggregations (group sizes → per-type rollup), both " +
+        "partial+final — the same shape at any corpus size. Reports " +
+        "per event_type: group counts, risky groups, rows lost to " +
+        "suppression, and the k level actually achieved after it.",
+      (s, dir) => {
+        val groups = events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") / 10).cast("long").as("vb"))
+          .groupBy("event_type", "vb")
+          .agg(count(lit(1)).as("sz"))
+        groups.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("sz") < 5, 1L).otherwise(0L)).cast("long")
+              .as("n_risky_groups"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("long")
+              .as("n_rows_suppressed"),
+            min(when(col("sz") >= 5, col("sz"))).cast("long")
+              .as("k_after_suppression"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS vb,
+        |         COUNT(*) AS sz
+        |  FROM events GROUP BY event_type, vb)
+        |SELECT event_type, COUNT(*) AS n_groups,
+        | CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_risky_groups,
+        | CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |   AS n_rows_suppressed,
+        | CAST(MIN(CASE WHEN sz >= 5 THEN sz END) AS BIGINT)
+        |   AS k_after_suppression
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +
