@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.schema.Ddl
 import graft.sources.JsonIngest
-import Tables.events
+import Tables.{events, t}
 
 /** Reference-parity queries: the NiFi processor's whole capability
   * (validate → route → infer → DDL, `HiveSchemaGenerator.scala:60-114`,
@@ -375,6 +375,83 @@ object Parity {
       Some("""SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    Q("p12_csv_infer",
+      "Schema inference extended to a SECOND wire format — the " +
+        "reference infers JSON only (P/CreateHQL.scala:8-20); real " +
+        "NiFi flows carry CSV too. Type sniffing is ONE distributed " +
+        "aggregation of bool_and lattice facts per column (all-digits " +
+        "→ BIGINT, else all-numeric → DOUBLE, else all-date → DATE, " +
+        "else STRING — the widening order of the reference's " +
+        "conflict→STRING rule, op #6, applied to typed sniffing), " +
+        "then a schema-sized projection renders the verdicts; no row " +
+        "ever reaches the driver. The oracle re-derives every " +
+        "bool_and fact and the same CASE lattice.",
+      (s, dir) => {
+        val line = concat_ws(",",
+          col("o_orderkey"),
+          col("o_totalprice"),
+          col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        val parsed = t(s, dir, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(from_csv(line.as("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "c1 STRING, c2 STRING, c3 STRING, c4 STRING"),
+            Map.empty[String, String]).as("r"))
+          .select(col("r.*"))
+        def digitsOk(c: String) =
+          bool_and(col(c).rlike("^-?[0-9]+$")).as(s"${c}_l")
+        def doubleOk(c: String) =
+          bool_and(expr(s"try_cast($c AS DOUBLE) IS NOT NULL")).as(s"${c}_d")
+        def dateOk(c: String) =
+          bool_and(expr(s"try_cast($c AS DATE) IS NOT NULL")).as(s"${c}_t")
+        val cols = Seq("c1", "c2", "c3", "c4")
+        val facts = parsed.agg(
+          digitsOk(cols.head), (cols.tail.map(digitsOk) ++
+            cols.map(doubleOk) ++ cols.map(dateOk)): _*)
+        def verdict(c: String) =
+          when(col(s"${c}_l"), "BIGINT")
+            .when(col(s"${c}_d"), "DOUBLE")
+            .when(col(s"${c}_t"), "DATE")
+            .otherwise("STRING")
+        facts.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i + 1L).as("pos"), lit(c).as("col_name"),
+              verdict(c).as("hive_type"))
+          }: _*)).as("e"))
+          .select(col("e.pos"), col("e.col_name"), col("e.hive_type"))
+          .orderBy("pos")
+      },
+      Some("""WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+        |         CAST(o_totalprice AS VARCHAR) AS c2,
+        |         o_orderpriority AS c3,
+        |         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS c4
+        |  FROM orders WHERE o_orderkey < 1000),
+        |f AS (
+        |  SELECT
+        |    bool_and(regexp_matches(c1, '^-?[0-9]+$')) AS c1_l,
+        |    bool_and(regexp_matches(c2, '^-?[0-9]+$')) AS c2_l,
+        |    bool_and(regexp_matches(c3, '^-?[0-9]+$')) AS c3_l,
+        |    bool_and(regexp_matches(c4, '^-?[0-9]+$')) AS c4_l,
+        |    bool_and(TRY_CAST(c1 AS DOUBLE) IS NOT NULL) AS c1_d,
+        |    bool_and(TRY_CAST(c2 AS DOUBLE) IS NOT NULL) AS c2_d,
+        |    bool_and(TRY_CAST(c3 AS DOUBLE) IS NOT NULL) AS c3_d,
+        |    bool_and(TRY_CAST(c4 AS DOUBLE) IS NOT NULL) AS c4_d,
+        |    bool_and(TRY_CAST(c1 AS DATE) IS NOT NULL) AS c1_t,
+        |    bool_and(TRY_CAST(c2 AS DATE) IS NOT NULL) AS c2_t,
+        |    bool_and(TRY_CAST(c3 AS DATE) IS NOT NULL) AS c3_t,
+        |    bool_and(TRY_CAST(c4 AS DATE) IS NOT NULL) AS c4_t
+        |  FROM src)
+        |SELECT CAST(pos AS BIGINT) AS pos, col_name,
+        |  CASE WHEN l THEN 'BIGINT' WHEN d THEN 'DOUBLE'
+        |       WHEN t THEN 'DATE' ELSE 'STRING' END AS hive_type
+        |FROM (
+        |  SELECT 1 AS pos, 'c1' AS col_name, c1_l AS l, c1_d AS d, c1_t AS t FROM f
+        |  UNION ALL SELECT 2, 'c2', c2_l, c2_d, c2_t FROM f
+        |  UNION ALL SELECT 3, 'c3', c3_l, c3_d, c3_t FROM f
+        |  UNION ALL SELECT 4, 'c4', c4_l, c4_d, c4_t FROM f)
+        |ORDER BY pos""".stripMargin))
   )
 }
