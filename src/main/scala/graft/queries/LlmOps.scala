@@ -1508,6 +1508,50 @@ object LlmOps {
         |  UNION ALL SELECT 4, vec_id, rel FROM s4)
         |ORDER BY rk""".stripMargin)),
 
+    Q("m07_chunk_dedup",
+      "Chunk-level storage dedup over binary payloads — the content-" +
+        "chunking measure (fixed 4-byte chunks here; content-defined " +
+        "boundaries plug into the same shape) that tells a media " +
+        "corpus how much chunk store it actually needs: every asset " +
+        "splits into chunks INSIDE the scan (binary substring + md5 " +
+        "digest, codegen'd — m06's digest-before-shuffle rule, the " +
+        "exchange only ever carries 32-hex digests), then per-source " +
+        "distinct-vs-total chunk counts give the dedup ratio. The " +
+        "double division has identical small-integer operands in " +
+        "both engines.",
+      (s, dir) => {
+        val assets = Multimodal.withPayload(
+          t(s, dir, "documents").withColumn("asset",
+            concat(col("source"), lit("/"), col("lang"), lit(".png"))),
+          "doc_id", "asset").toDF()
+          .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        val chunks = assets.select(col("source"),
+          explode(expr(
+            "transform(sequence(0, CAST(ceil(length(payload)/4.0) AS INT)" +
+              " - 1, 1), i -> md5(substring(payload, i*4+1, 4)))")).as("ch"))
+        chunks.groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct("ch").as("n_unique_chunks"))
+          .select(col("source"), col("n_chunks"), col("n_unique_chunks"),
+            (col("n_unique_chunks").cast("double") /
+              col("n_chunks").cast("double")).as("dedup_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH a AS (
+        |  SELECT source, source || '/' || lang || '.png' AS uri
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    unnest(list_transform(
+        |      generate_series(0, CAST(ceil(strlen(uri)/4.0) AS INT) - 1),
+        |      i -> md5(substr(uri, i*4+1, 4)))) AS ch
+        |  FROM a)
+        |SELECT source, COUNT(*) AS n_chunks,
+        | CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique_chunks,
+        | CAST(COUNT(DISTINCT ch) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |   AS dedup_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("d56_k_anonymity",
       "k-anonymity audit + suppression plan (Sweeney 2002) — the " +
         "privacy gate a training-data release pipeline runs next to " +

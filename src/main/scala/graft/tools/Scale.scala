@@ -195,26 +195,36 @@ object Scale {
     // guard's job — candidate work stays O(Σ min(df,64)²) while the
     // corpus grows.
     if (what != "chain") {
-      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+      val probes: Seq[(String, String => Unit)] = Seq(
+        ("d52_pagerank_fullcorpus", { dir: String =>
+          graft.operators.Graph.pageRank(
+            graft.operators.Graph.symmetrize(
+              graft.operators.Graph.sharedGramEdges(
+                spark.read.parquet(s"$dir/documents.parquet"),
+                "doc_id", "text")), iters = 3)
+            .write.format("noop").mode("overwrite").save()
+        }),
+        ("d53_triangles_fullcorpus", { dir: String =>
+          graft.operators.Graph.clustering(
+            graft.operators.Graph.sharedGramEdges(
+              spark.read.parquet(s"$dir/documents.parquet"),
+              "doc_id", "text"))
+            .write.format("noop").mode("overwrite").save()
+        }))
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
+           (name, run) <- probes) {
         val samples = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try {
-            val docs = spark.read.parquet(s"$dir/documents.parquet")
-            graft.operators.Graph.pageRank(
-              graft.operators.Graph.symmetrize(
-                graft.operators.Graph.sharedGramEdges(
-                  docs, "doc_id", "text")), iters = 3)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[scale] $tier graph failed: ${e.getMessage}")
+          try { run(dir); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier $name failed: ${e.getMessage}")
             -1.0
           }
         }
         Thread.sleep(800)
         val rd = metrics.read.getAndSet(0L) / 1e6
         val wr = metrics.write.getAndSet(0L) / 1e6
-        println(s"""{"tier":"$tier","query":"d52_pagerank_fullcorpus",""" +
+        println(s"""{"tier":"$tier","query":"$name",""" +
           s""""samples":[${samples.map(fmt).mkString(",")}],""" +
           s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
