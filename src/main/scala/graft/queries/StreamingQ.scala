@@ -859,6 +859,56 @@ object StreamingQ {
       },
       Some("""SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(user_id) AS BIGINT) AS sum_uid
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w22_multi_sink_fanout",
+      "foreachBatch multi-sink fan-out with IDEMPOTENT writes — the " +
+        "exactly-once recipe the Structured Streaming guide prescribes " +
+        "for sinks without transactional support: every micro-batch " +
+        "lands in TWO parquet sinks under a batchId-keyed directory " +
+        "(mode=overwrite), so a retried batch REPLACES its own " +
+        "partition instead of appending duplicates. After AvailableNow " +
+        "completion the sinks must agree with each other (require) and " +
+        "with the batch oracle (the gate). One streaming pass, two " +
+        "materializations — the fan-out shape of a bronze/silver " +
+        "split.",
+      (s, dir) => {
+        val (stream, cleanup) = jsonStream(s,
+          events(s, dir).select(
+            to_json(struct(col("user_id"), col("event_type"), col("value")))
+              .as("value")),
+          "user_id BIGINT, event_type STRING, value DOUBLE")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w22").toString
+        try {
+          val q = stream.filter(col("value") > 25.0)
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], id: Long) =>
+              df.write.mode("overwrite").parquet(s"$tmp/a/batch_id=$id")
+              df.write.mode("overwrite").parquet(s"$tmp/b/batch_id=$id")
+              ()
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val a = s.read.parquet(s"$tmp/a")
+          val b = s.read.parquet(s"$tmp/b")
+          val (na, nb) = (a.count(), b.count())
+          require(na == nb,
+            s"w22: fan-out sinks disagree ($na vs $nb rows)")
+          a.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value"), 3).cast(
+                org.apache.spark.sql.types.DecimalType(18, 3)))
+                .cast("double").as("sum_v"))
+            .orderBy("event_type")
+            .localCheckpoint()
+        } finally { cleanup(); Rm.rf(tmp) }
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
+        |FROM events WHERE value > 25
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
