@@ -1072,6 +1072,43 @@ object Extended {
         | CAST(0 AS BIGINT) AS n_bad_cast,
         | CAST(MAX(good) AS BIGINT) AS max_good,
         | round(MIN(td), 6) AS min_td
-        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q73_pagination",
+      "Pagination two ways, proven equivalent: page 3 (rows 21-30 of " +
+        "the (o_totalprice DESC, o_orderkey) total order) via " +
+        "OFFSET/LIMIT — O(offset) work, fine for UIs — and via KEYSET " +
+        "continuation (WHERE past-the-boundary on the sort key, the " +
+        "O(page) pattern that survives deep pagination at 100 TB " +
+        "because the predicate pushes into the scan). The boundary " +
+        "row stays IN the plan (broadcast 1-row frame + explicit " +
+        "tuple-comparison filter); the keyset_match column proves " +
+        "both methods return identical rows — which is what the " +
+        "oracle's OFFSET page asserts.",
+      (s, dir) => {
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        def sorted(df: org.apache.spark.sql.DataFrame) =
+          df.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val offsetPage = sorted(ord).offset(20).limit(10)
+        val boundary = sorted(ord).offset(19).limit(1)
+          .select(col("o_totalprice").as("bp"), col("o_orderkey").as("bk"))
+        val keysetPage = sorted(
+          ord.crossJoin(broadcast(boundary))
+            .filter(col("o_totalprice") < col("bp") ||
+              (col("o_totalprice") === col("bp") &&
+                col("o_orderkey") > col("bk")))
+            .select("o_orderkey", "o_totalprice"))
+          .limit(10)
+        offsetPage.join(
+            keysetPage.select(col("o_orderkey").as("kk")),
+            col("o_orderkey") === col("kk"), "left")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("kk").isNotNull.as("keyset_match"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, true AS keyset_match
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 20""".stripMargin))
   )
 }

@@ -1552,6 +1552,49 @@ object LlmOps {
         |   AS dedup_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
 
+    Q("d57_curriculum_stages",
+      "Curriculum staging manifest (easy→hard training order): every " +
+        "document is assigned to one of 4 quality stages by EXACT " +
+        "global NTILE over (quality score DESC, doc_id) — computed " +
+        "with RankOps.globalNtile's two-phase range-rank, NOT a " +
+        "single-partition window (q20's discipline: at 100 TB a " +
+        "global Window.orderBy is a dead executor). Stage summaries " +
+        "are order-free aggregates; the score is d03's exact-ratio " +
+        "quality rounded to 6 decimals so the stage boundaries are " +
+        "engine-portable.",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            round(TA.qualityScore(toks), 6).as("score"))
+        graft.operators.RankOps.globalNtile(
+            scored, Seq(col("score").desc, col("doc_id").asc),
+            buckets = 4, out = "stage")
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"),
+            min("score").as("min_score"),
+            max("score").as("max_score"),
+            sum("n_chars").cast("long").as("n_chars_total"))
+          .select(col("stage").cast("long").as("stage"), col("n_docs"),
+            col("min_score"), col("max_score"), col("n_chars_total"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |    round(least(len(string_split(text, ' ')) / 50.0, 1.0) *
+        |      (1.0 - len(list_filter(string_split(text, ' '),
+        |         t -> list_contains($stopSql, t))) /
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS score
+        |  FROM documents),
+        |st AS (
+        |  SELECT n_chars, score,
+        |    NTILE(4) OVER (ORDER BY score DESC, doc_id) AS stage
+        |  FROM sc)
+        |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_docs,
+        | MIN(score) AS min_score, MAX(score) AS max_score,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin)),
+
     Q("d56_k_anonymity",
       "k-anonymity audit + suppression plan (Sweeney 2002) — the " +
         "privacy gate a training-data release pipeline runs next to " +

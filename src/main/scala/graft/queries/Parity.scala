@@ -452,6 +452,49 @@ object Parity {
         |  UNION ALL SELECT 2, 'c2', c2_l, c2_d, c2_t FROM f
         |  UNION ALL SELECT 3, 'c3', c3_l, c3_d, c3_t FROM f
         |  UNION ALL SELECT 4, 'c4', c4_l, c4_d, c4_t FROM f)
-        |ORDER BY pos""".stripMargin))
+        |ORDER BY pos""".stripMargin)),
+
+    Q("p13_corrupt_record",
+      "PERMISSIVE-mode corrupt-record capture — the BUILT-IN " +
+        "counterpart of the engine's own json_is_valid routing " +
+        "(op #3/#11): every 13th payload is deterministically " +
+        "corrupted (d15's injection discipline), the NDJSON is read " +
+        "back with columnNameOfCorruptRecord, and corrupt rows " +
+        "surface as (null fields + raw line) WITHOUT failing the " +
+        "scan — the schema-on-read quarantine column a lakehouse " +
+        "ingest keeps next to explicit routing. Valid-side aggregate " +
+        "and corrupt counts must equal the oracle's modular " +
+        "arithmetic.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-p13").toString
+        try {
+          events(s, dir)
+            .select(when(col("event_id") % 13 === 0,
+                concat(lit("{bad"), col("props")))
+              .otherwise(col("props")).as("value"))
+            .write.mode("overwrite").text(s"$tmp/in")
+          val parsed = s.read
+            .schema("k BIGINT, _corrupt_record STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(s"$tmp/in")
+          parsed.agg(
+              count(lit(1)).as("n"),
+              count(col("_corrupt_record")).as("n_corrupt"),
+              sum(col("k")).cast("long").as("sum_k_valid"),
+              sum(when(col("_corrupt_record").startsWith("{bad"), 1L)
+                .otherwise(0L)).cast("long").as("n_corrupt_tagged"))
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT)
+        |   AS n_corrupt,
+        | CAST(SUM(CASE WHEN event_id % 13 <> 0
+        |   THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+        |   AS BIGINT) AS sum_k_valid,
+        | CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT)
+        |   AS n_corrupt_tagged
+        |FROM events""".stripMargin))
   )
 }
