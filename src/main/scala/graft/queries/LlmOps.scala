@@ -1635,6 +1635,70 @@ object LlmOps {
         |   AS k_after_suppression
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("s14_sq8_topk",
+      "Scalar quantization (SQ8) ANN — the third classic compression " +
+        "next to coarse cells (s03 IVF) and subvector codebooks " +
+        "(s04/s05/s11 PQ): every dimension maps to an int8 code by " +
+        "per-dimension min/max scaling, 4× smaller vectors, and " +
+        "search decodes approximately against the RAW query " +
+        "(asymmetric, the FAISS SQ8 shape). The per-dim (lo, hi) " +
+        "stats stay IN the plan as a broadcast 1-row array aggregate " +
+        "(s03's centroid pattern — nothing reaches the driver); " +
+        "encode/decode is pure zip_with arithmetic the oracle " +
+        "replays op-for-op, and round() agrees across engines on " +
+        "the non-negative scaled domain.",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id"), Sim.asDouble(col("embedding")).as("v"))
+        val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+          .groupBy().agg(
+            transform(array_sort(collect_list(struct(col("i"), col("lo")))),
+              t => t.getField("lo")).as("lo"),
+            transform(array_sort(collect_list(struct(col("i"), col("hi")))),
+              t => t.getField("hi")).as("hi"))
+        val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val withStats = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+        val span = zip_with(col("hi"), col("lo"), (h, l) => h - l)
+        val codes = zip_with(
+          zip_with(col("v"), col("lo"), (x, l) => x - l), span,
+          (d, sp) => when(sp === 0, lit(0.0)).otherwise(round(d / sp * 255)))
+        val dec = zip_with(
+          zip_with(codes, span, (c, sp) => c * sp / 255), col("lo"),
+          (y, l) => y + l)
+        withStats
+          .select(col("vec_id"),
+            round(Sim.cosine(dec, col("qv")), 6).as("cos"))
+          .where(col("cos").isNotNull)
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (SELECT unnest(generate_series(1, len(v))) AS i,
+        |             unnest(v) AS x FROM e),
+        |st AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY i),
+        |arr AS (SELECT list(lo ORDER BY i) AS lo,
+        |               list(hi ORDER BY i) AS hi FROM st),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |dec AS (
+        |  SELECT e.vec_id,
+        |    list_transform(generate_series(1, len(e.v)), i ->
+        |      CASE WHEN arr.hi[i] - arr.lo[i] = 0 THEN arr.lo[i]
+        |           ELSE round((e.v[i] - arr.lo[i]) /
+        |                  (arr.hi[i] - arr.lo[i]) * 255)
+        |                * (arr.hi[i] - arr.lo[i]) / 255 + arr.lo[i]
+        |      END) AS dv
+        |  FROM e, arr WHERE e.vec_id <> 0)
+        |SELECT dec.vec_id, round(${cosSql("dec.dv", "q.qv")}, 6) AS cos
+        |FROM dec, q
+        |WHERE round(${cosSql("dec.dv", "q.qv")}, 6) IS NOT NULL
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +

@@ -909,6 +909,53 @@ object StreamingQ {
       Some("""SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_v
         |FROM events WHERE value > 25
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w23_checkpoint_recovery",
+      "Exactly-once across a RESTART — the recovery contract that " +
+        "makes streaming trustworthy in production: half the input " +
+        "runs to completion (AvailableNow) into a parquet sink with a " +
+        "checkpoint; the other half lands in the source AFTER the " +
+        "first query stopped; a SECOND query starts from the SAME " +
+        "checkpoint and processes ONLY the new files (the offset log " +
+        "remembers the first half). The combined sink must equal the " +
+        "batch aggregate over everything — rows lost on restart or " +
+        "replayed twice would both break the hash.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w23").toString
+        try {
+          val ev = events(s, dir).select(col("event_id"),
+            to_json(struct(col("event_id"), col("event_type"))).as("value"))
+          ev.filter(col("event_id") % 2 === 0).select("value")
+            .write.mode("overwrite").text(s"$tmp/in/half1")
+          def runOnce(): Unit = {
+            val q = s.readStream
+              .schema("event_id BIGINT, event_type STRING")
+              .json(s"$tmp/in/*")
+              .writeStream.format("parquet")
+              .option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          runOnce()
+          ev.filter(col("event_id") % 2 =!= 0).select("value")
+            .write.mode("overwrite").text(s"$tmp/in/half2")
+          runOnce()
+          s.read.parquet(s"$tmp/out")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum("event_id").cast("long").as("sum_id"),
+              countDistinct("event_id").as("n_distinct"))
+            .orderBy("event_type")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
