@@ -1109,6 +1109,59 @@ object Extended {
       Some("""SELECT o_orderkey, o_totalprice, true AS keyset_match
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 10 OFFSET 20""".stripMargin))
+        |LIMIT 10 OFFSET 20""".stripMargin)),
+
+    Q("q74_generators",
+      "The remaining Generator (UDTF-shaped) builtins in one battery " +
+        "— stack (columns→rows reshaping), inline (array-of-struct " +
+        "flattening), and posexplode_OUTER (empty arrays keep their " +
+        "parent row as a NULL child — the outer-join semantics of " +
+        "generation): each arm reshapes the same slice and folds to " +
+        "exact per-tag aggregates. Generators run inside " +
+        "whole-stage codegen as Generate nodes — row multiplication " +
+        "without a shuffle; the oracle re-derives each arm " +
+        "arithmetically.",
+      (s, dir) => {
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+          .createOrReplaceTempView("q74_li")
+        s.sql("""
+          WITH st AS (
+            SELECT stack(2, 'qty', l_quantity, 'ext', l_extendedprice)
+                   AS (tag, val)
+            FROM q74_li),
+          px AS (
+            SELECT CAST(p.pos AS STRING) AS tag, p.col AS val
+            FROM q74_li
+            LATERAL VIEW OUTER posexplode(
+              CASE WHEN l_orderkey % 7 = 0 THEN array()
+                   ELSE array(l_quantity, l_quantity * 2) END) p AS pos, col),
+          inl AS (
+            SELECT i.tag, i.val FROM q74_li
+            LATERAL VIEW inline(array(
+              named_struct('tag', 'lo', 'val', l_discount),
+              named_struct('tag', 'hi', 'val', l_discount * 2))) i)
+          SELECT gen, coalesce(tag, 'null') AS tag, COUNT(*) AS n,
+                 CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+          FROM (
+            SELECT 'stack' AS gen, tag, val FROM st
+            UNION ALL SELECT 'posexplode', tag, val FROM px
+            UNION ALL SELECT 'inline', tag, val FROM inl)
+          GROUP BY gen, tag ORDER BY gen, tag""")
+      },
+      Some("""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 2000),
+        |u AS (
+        |  SELECT 'stack' AS gen, 'qty' AS tag, l_quantity AS val FROM src
+        |  UNION ALL SELECT 'stack', 'ext', l_extendedprice FROM src
+        |  UNION ALL SELECT 'posexplode', '0', l_quantity FROM src
+        |    WHERE l_orderkey % 7 <> 0
+        |  UNION ALL SELECT 'posexplode', '1', l_quantity * 2 FROM src
+        |    WHERE l_orderkey % 7 <> 0
+        |  UNION ALL SELECT 'posexplode', 'null', NULL FROM src
+        |    WHERE l_orderkey % 7 = 0
+        |  UNION ALL SELECT 'inline', 'lo', l_discount FROM src
+        |  UNION ALL SELECT 'inline', 'hi', l_discount * 2 FROM src)
+        |SELECT gen, tag, COUNT(*) AS n,
+        | CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY gen, tag ORDER BY gen, tag""".stripMargin))
   )
 }
