@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{events, t}
+
+/** Event-sequence / behavioral analytics battery — the classic
+  * clickstream operators a training-data pipeline's upstream product
+  * analytics would run over the same event log: batch sessionization,
+  * retention cohorts, time-bounded funnels, interval-sweep concurrency,
+  * gaps-and-islands runs, association rules, and sorted-neighborhood
+  * dedup blocking (Hernández & Stolfo's merge/purge alternative to the
+  * LSH blocking in `Dedup`).
+  *
+  * Cross-engine determinism: all time arithmetic is on integer
+  * MICROSECONDS (`unix_micros` / `epoch_us` — exact in both engines, no
+  * interval or seconds-truncation semantics), every window order carries
+  * the `(ts, event_id)` unique tie-break, and every ratio is a SINGLE
+  * IEEE division of exactly-computed BIGINTs.
+  *
+  * Scale notes are per-query; the common pattern is that every window is
+  * partitioned by a bounded-cardinality key (user, event_type, block),
+  * never global.
+  */
+object Behavior {
+
+  /** `events` reduced to the integer-µs timeline used by every query
+    * here: (event_id, user_id, event_type, tus). */
+  private def eline(s: org.apache.spark.sql.SparkSession, dir: String) =
+    events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+
+  private val GapUs = 1800000000L  // 30-minute session gap
+  private val HourUs = 3600000000L
+
+  val all: Seq[Q] = Seq(
+
+    Q("q75_sessionize",
+      "Batch sessionization: per-user 30-min-gap sessions via lag + " +
+        "running sum of session-start flags, folded to per-user session " +
+        "stats. SCALE: both windows partition by user_id — the shuffle " +
+        "is one hash exchange on the user key reused by lag, the " +
+        "running sum, and the final aggregation; no global sort.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val sess = eline(s, dir)
+          .withColumn("ns",
+            when(lag("tus", 1).over(w).isNull
+              .or(col("tus") - lag("tus", 1).over(w) > GapUs), 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("ev"))
+        sess.groupBy("user_id")
+          .agg(
+            max("sid").as("n_sessions"),
+            max("ev").as("max_sess_events"),
+            sum("ev").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > $GapUs
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, sid, COUNT(*) AS ev FROM sess GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(MAX(sid) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(ev) AS BIGINT) AS max_sess_events,
+        |  CAST(SUM(ev) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q76_retention_cohorts",
+      "Retention cohort matrix: cohort = ISO week of a user's first " +
+        "event; cell = distinct users active at each whole-week offset. " +
+        "SCALE: first-event is a user-key aggregation (map-side " +
+        "partial), the matrix is a tiny (weeks x offsets) grid however " +
+        "large the log; the user->cohort join broadcasts the per-user " +
+        "first-week table when dims allow.",
+      (s, dir) => {
+        val e = events(s, dir).select(
+          col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
+        val cohort = e.groupBy("user_id").agg(min("aw").as("cw"))
+        e.join(cohort, "user_id")
+          .select(
+            col("cw").as("cohort_week"),
+            expr("CAST(datediff(aw, cw) / 7 AS BIGINT)").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(aw) AS cw FROM e GROUP BY 1)
+        |SELECT cw AS cohort_week,
+        |  CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q77_funnel_steps",
+      "Time-bounded funnel view -> click -> purchase: each stage's entry " +
+        "is the user's first qualifying event within ONE HOUR of the " +
+        "previous stage (strictly after it). SCALE: three user-keyed " +
+        "min-aggregations chained by joins on user_id — each stage " +
+        "SHRINKS the key set, so later joins broadcast; no windows, no " +
+        "per-event state.",
+      (s, dir) => {
+        val e = eline(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tus").as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("tus") > col("t1") && col("tus") <= col("t1") + HourUs)
+          .groupBy("user_id").agg(min("tus").as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("tus") > col("t2") && col("tus") <= col("t2") + HourUs)
+          .groupBy("user_id").agg(min("tus").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(tus) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click'
+        |        AND tus > t1 AND tus <= t1 + $HourUs GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(tus) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase'
+        |        AND tus > t2 AND tus <= t2 + $HourUs GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_view_click,
+        |       (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin)),
+
+    Q("q78_interval_sweep",
+      "Max-concurrency sweep: each event opens a 5-minute half-open " +
+        "activity interval; +1/-1 boundary events, running sum per " +
+        "event_type ordered (t, delta, event_id) — ends sort before " +
+        "starts at the same instant, so touching intervals do not " +
+        "overlap. SCALE: the window partitions by event_type (at real " +
+        "scale: type x day, stitching day boundaries by carrying the " +
+        "open count forward) — never a global single-partition sort.",
+      (s, dir) => {
+        val e = eline(s, dir)
+        val bounds = e.select(
+            col("event_type"), col("tus").as("t"),
+            lit(1L).as("delta"), col("event_id"))
+          .unionByName(e.select(
+            col("event_type"), (col("tus") + 300000000L).as("t"),
+            lit(-1L).as("delta"), col("event_id")))
+        val w = Window.partitionBy("event_type")
+          .orderBy("t", "delta", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        bounds
+          .withColumn("open", sum("delta").over(w))
+          .groupBy("event_type")
+          .agg(max("open").as("max_concurrent"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |b AS (
+        |  SELECT event_type, tus AS t, 1 AS delta, event_id FROM e
+        |  UNION ALL
+        |  SELECT event_type, tus + 300000000, -1, event_id FROM e),
+        |r AS (
+        |  SELECT event_type,
+        |    SUM(delta) OVER (PARTITION BY event_type
+        |                     ORDER BY t, delta, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM b)
+        |SELECT event_type, CAST(MAX(open) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q79_gaps_islands",
+      "Gaps-and-islands: runs of CONSECUTIVE same-type events per user " +
+        "via the row_number-difference trick (rn_overall - rn_per_type " +
+        "is constant within a run), folded to per-type run statistics. " +
+        "SCALE: both row_numbers share the user_id partitioning (one " +
+        "shuffle, two window specs over the same exchange); the " +
+        "(user, type, grp) aggregation is map-side partial.",
+      (s, dir) => {
+        val w1 = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val w2 = Window.partitionBy("user_id", "event_type")
+          .orderBy("tus", "event_id")
+        eline(s, dir)
+          .withColumn("grp",
+            row_number().over(w1) - row_number().over(w2))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_runs"),
+            max("run_len").as("max_run"),
+            sum(when(col("run_len") >= 3, 1L).otherwise(0L)).as("runs_ge3"))
+          .orderBy("event_type")
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY tus, event_id) AS grp
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, event_type, grp, COUNT(*) AS run_len
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  COUNT(*) AS n_runs,
+        |  CAST(MAX(run_len) AS BIGINT) AS max_run,
+        |  CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS runs_ge3
+        |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("q80_assoc_rules",
+      "Association rules over order baskets: brand pairs co-purchased " +
+        "in one order; support >= 0.5% of baskets; lift and confidence " +
+        "as single divisions of exact BIGINT counts (pair*n / ca*cb — " +
+        "bit-identical cross-engine). SCALE: baskets are distinct " +
+        "(order, brand) — pair generation is a self-join on the order " +
+        "key whose per-order cost is (brands/order choose 2), bounded " +
+        "by basket width not corpus size; per-brand counts broadcast.",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(t(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        // basket count stays IN-plan (broadcast 1-row agg, the d52
+        // discipline) — no driver-side count().
+        val nDf = ob.agg(countDistinct("ok").as("n"))
+        val single = ob.groupBy("b").agg(count(lit(1)).as("cb"))
+        val pairs = ob.as("x")
+          .join(ob.withColumnRenamed("b", "b2").as("y"), "ok")
+          .filter(col("b") < col("b2"))
+          .groupBy("b", "b2").agg(count(lit(1)).as("cp"))
+          .crossJoin(broadcast(nDf))
+          .filter(col("cp") * 200L >= col("n"))
+        pairs
+          .join(single.withColumnRenamed("b", "bb").withColumnRenamed("cb", "ca"),
+            col("b") === col("bb"))
+          .join(single.withColumnRenamed("b", "bb2"),
+            col("b2") === col("bb2"))
+          .select(
+            col("b").as("brand_a"), col("b2").as("brand_b"),
+            col("cp").as("pair_orders"),
+            (col("cp").cast("double") / col("ca").cast("double"))
+              .as("confidence"),
+            ((col("cp") * col("n")).cast("double") /
+              (col("ca") * col("cb")).cast("double")).as("lift"))
+          .orderBy(desc("lift"), col("brand_a"), col("brand_b"))
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        |single AS (SELECT b, COUNT(*) AS cb FROM ob GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.b, y.b AS b2, COUNT(*) AS cp
+        |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING COUNT(*) * 200 >= (SELECT n FROM n))
+        |SELECT p.b AS brand_a, p.b2 AS brand_b,
+        |  CAST(cp AS BIGINT) AS pair_orders,
+        |  CAST(cp AS DOUBLE) / CAST(sa.cb AS DOUBLE) AS confidence,
+        |  CAST(cp * (SELECT n FROM n) AS DOUBLE)
+        |    / CAST(sa.cb * sb.cb AS DOUBLE) AS lift
+        |FROM pairs p
+        |JOIN single sa ON p.b = sa.b
+        |JOIN single sb ON p.b2 = sb.b
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin)),
+
+    Q("d58_sorted_neighborhood",
+      "Sorted-neighborhood dedup blocking (Hernandez & Stolfo " +
+        "merge/purge): sort docs by a normalized text prefix inside " +
+        "4-char prefix blocks, compare each doc to its next 2 " +
+        "neighbors, emit token-Jaccard >= 0.4 candidate pairs. The " +
+        "complement to LSH blocking (d07): O(n * w) comparisons, no " +
+        "signature computation. SCALE: the sort is per-block " +
+        "(prefix-partitioned shuffle), window width is constant; " +
+        "cross-block near-misses are the documented trade-off (run " +
+        "multiple passes with rotated keys to recover them).",
+      (s, dir) => {
+        val toks = filter(
+          array_distinct(split(lower(col("text")), "[^a-z0-9]+")),
+          x => x =!= lit(""))
+        val d = t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            lower(col("text")).as("nk"),
+            toks.as("tk"))
+          // punctuation-only docs tokenize to [] and would make the
+          // Jaccard 0/0 (NaN vs NULL across engines) — drop them here
+          // and in the oracle identically.
+          .filter(size(col("tk")) > 0)
+          .withColumn("blk", substring(col("nk"), 1, 4))
+        val w = Window.partitionBy("blk").orderBy("nk", "doc_id")
+        val paired = d
+          .withColumn("nid1", lead("doc_id", 1).over(w))
+          .withColumn("ntk1", lead("tk", 1).over(w))
+          .withColumn("nid2", lead("doc_id", 2).over(w))
+          .withColumn("ntk2", lead("tk", 2).over(w))
+        def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          size(array_intersect(a, b)).cast("double") /
+            size(array_union(a, b)).cast("double")
+        val p1 = paired.filter(col("nid1").isNotNull)
+          .select(col("doc_id").as("a"), col("nid1").as("b"),
+            jac(col("tk"), col("ntk1")).as("jaccard"))
+        val p2 = paired.filter(col("nid2").isNotNull)
+          .select(col("doc_id").as("a"), col("nid2").as("b"),
+            jac(col("tk"), col("ntk2")).as("jaccard"))
+        p1.unionByName(p2)
+          .filter(col("jaccard") >= 0.4)
+          .orderBy("a", "b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lower(text) AS nk,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS tk,
+        |    substr(lower(text), 1, 4) AS blk
+        |  FROM documents
+        |  WHERE len(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) > 0),
+        |p AS (
+        |  SELECT doc_id, tk,
+        |    lead(doc_id, 1) OVER w AS nid1, lead(tk, 1) OVER w AS ntk1,
+        |    lead(doc_id, 2) OVER w AS nid2, lead(tk, 2) OVER w AS ntk2
+        |  FROM d WINDOW w AS (PARTITION BY blk ORDER BY nk, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS a, nid1 AS b,
+        |    CAST(len(list_intersect(tk, ntk1)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(tk, ntk1))) AS DOUBLE)
+        |      AS jaccard
+        |  FROM p WHERE nid1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nid2,
+        |    CAST(len(list_intersect(tk, ntk2)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(tk, ntk2))) AS DOUBLE)
+        |  FROM p WHERE nid2 IS NOT NULL)
+        |SELECT a, b, jaccard FROM pairs
+        |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin)))
+}
