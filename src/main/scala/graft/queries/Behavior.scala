@@ -32,6 +32,30 @@ object Behavior {
       col("event_id"), col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("tus"))
 
+  /** q80's per-order sorted brand baskets, localCheckpoint'ed once per
+    * (session, dir) — the basket table feeds THREE consumers (pair
+    * explode, per-brand counts, basket count) and without the memo each
+    * would re-run the lineitem+part join and the distinct shuffle (the
+    * d44 re-evaluation defect class). Same memo discipline as
+    * Extended.pairsMemo / LlmOps.ccMemo. */
+  private val basketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def brandBaskets(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val key = (s, dir)
+    Option(basketsMemo.get(key)).getOrElse {
+      val b = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .localCheckpoint()
+      Option(basketsMemo.putIfAbsent(key, b)).getOrElse(b)
+    }
+  }
+
   private val GapUs = 1800000000L  // 30-minute session gap
   private val HourUs = 3600000000L
 
@@ -236,30 +260,32 @@ object Behavior {
       "Association rules over order baskets: brand pairs co-purchased " +
         "in one order; support >= 0.5% of baskets; lift and confidence " +
         "as single divisions of exact BIGINT counts (pair*n / ca*cb — " +
-        "bit-identical cross-engine). SCALE: baskets are distinct " +
-        "(order, brand) — pair generation is a self-join on the order " +
-        "key whose per-order cost is (brands/order choose 2), bounded " +
-        "by basket width not corpus size; per-brand counts broadcast.",
+        "bit-identical cross-engine). SCALE: baskets fold to a sorted " +
+        "brand array in ONE order-key shuffle (memoized checkpoint, 3 " +
+        "consumers); pairs are generated INSIDE each basket row by an " +
+        "array-combination explode — (width choose 2) per order, no " +
+        "self-join shuffle; basket count stays in-plan (broadcast " +
+        "1-row agg, the d52 discipline — no driver count()).",
       (s, dir) => {
-        val ob = t(s, dir, "lineitem")
-          .join(t(s, dir, "part"),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-          .distinct()
-        // basket count stays IN-plan (broadcast 1-row agg, the d52
-        // discipline) — no driver-side count().
-        val nDf = ob.agg(countDistinct("ok").as("n"))
-        val single = ob.groupBy("b").agg(count(lit(1)).as("cb"))
-        val pairs = ob.as("x")
-          .join(ob.withColumnRenamed("b", "b2").as("y"), "ok")
-          .filter(col("b") < col("b2"))
+        val baskets = brandBaskets(s, dir)
+        val nDf = baskets.agg(count(lit(1)).as("n"))
+        val single = baskets
+          .select(explode(col("bs")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("cb"))
+        val pairs = baskets
+          .select(explode(expr(
+            """flatten(transform(bs, (x, i) ->
+              |  transform(slice(bs, i + 2, size(bs)),
+              |    y -> struct(x AS b, y AS b2))))""".stripMargin)).as("p"))
+          .select(col("p.b"), col("p.b2"))
           .groupBy("b", "b2").agg(count(lit(1)).as("cp"))
           .crossJoin(broadcast(nDf))
           .filter(col("cp") * 200L >= col("n"))
         pairs
-          .join(single.withColumnRenamed("b", "bb").withColumnRenamed("cb", "ca"),
+          .join(broadcast(
+            single.withColumnRenamed("b", "bb").withColumnRenamed("cb", "ca")),
             col("b") === col("bb"))
-          .join(single.withColumnRenamed("b", "bb2"),
+          .join(broadcast(single.withColumnRenamed("b", "bb2")),
             col("b2") === col("bb2"))
           .select(
             col("b").as("brand_a"), col("b2").as("brand_b"),
@@ -315,21 +341,22 @@ object Behavior {
           .filter(size(col("tk")) > 0)
           .withColumn("blk", substring(col("nk"), 1, 4))
         val w = Window.partitionBy("blk").orderBy("nk", "doc_id")
-        val paired = d
-          .withColumn("nid1", lead("doc_id", 1).over(w))
-          .withColumn("ntk1", lead("tk", 1).over(w))
-          .withColumn("nid2", lead("doc_id", 2).over(w))
-          .withColumn("ntk2", lead("tk", 2).over(w))
-        def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          size(array_intersect(a, b)).cast("double") /
-            size(array_union(a, b)).cast("double")
-        val p1 = paired.filter(col("nid1").isNotNull)
-          .select(col("doc_id").as("a"), col("nid1").as("b"),
-            jac(col("tk"), col("ntk1")).as("jaccard"))
-        val p2 = paired.filter(col("nid2").isNotNull)
-          .select(col("doc_id").as("a"), col("nid2").as("b"),
-            jac(col("tk"), col("ntk2")).as("jaccard"))
-        p1.unionByName(p2)
+        // ONE window pass producing a neighbors array, then a single
+        // explode — a two-branch union would re-run the scan + sort
+        // per depth (no exchange reuse across differently-projected
+        // branches).
+        d.withColumn("nbs", array(
+            struct(lead("doc_id", 1).over(w).as("id"),
+              lead("tk", 1).over(w).as("tk")),
+            struct(lead("doc_id", 2).over(w).as("id"),
+              lead("tk", 2).over(w).as("tk"))))
+          .select(col("doc_id").as("a"), col("tk"),
+            explode(col("nbs")).as("nb"))
+          .filter(col("nb.id").isNotNull)
+          .select(col("a"), col("nb.id").as("b"),
+            (size(array_intersect(col("tk"), col("nb.tk"))).cast("double") /
+              size(array_union(col("tk"), col("nb.tk"))).cast("double"))
+              .as("jaccard"))
           .filter(col("jaccard") >= 0.4)
           .orderBy("a", "b")
       },
