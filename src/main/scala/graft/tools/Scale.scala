@@ -38,6 +38,15 @@ object Scale {
     "d35_substring_dedup", "d49_containment",
     "s03_ivf_topk", "s06_nndescent_topk")
 
+  /** Behavioral battery probes: user-partitioned windows (q75/q79)
+    * should absorb a factor-fold USER population near-linearly (more
+    * partitions, same depth); q78's per-type windows deepen instead —
+    * the documented type-x-day repartition point; q80's basket fold +
+    * in-array pair explode is one shuffle each way. */
+  val behavior: Seq[String] = Seq(
+    "q75_sessionize", "q78_interval_sweep",
+    "q79_gaps_islands", "q80_assoc_rules")
+
   private final class ShuffleMetrics extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
@@ -104,6 +113,38 @@ object Scale {
     copies(li) { (l, i) =>
       l.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    synthesizeEvents(s, base, factor, out)
+    synthesizePart(s, base, out)
+  }
+
+  /** `part` is a DIM table: lineitem copies keep `l_partkey`, so the
+    * dim is copied verbatim — at the synthesized tier each part simply
+    * appears in factor-fold more orders, which is exactly the
+    * growth-mode q80's per-brand counts must absorb. */
+  def synthesizePart(s: SparkSession, base: String, out: String): Unit =
+    s.read.parquet(s"$base/part.parquet")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+  /** events copies offset BOTH ids: the user population grows
+    * factor-fold while each user's history stays the same length — the
+    * realistic growth mode for an event log, and the one the
+    * user-partitioned windows (q75/q79) must absorb: more partitions,
+    * not deeper ones. `ts` arrives as LONG nanos under `nanosAsLong`
+    * and is copied verbatim. */
+  def synthesizeEvents(s: SparkSession, base: String, factor: Int,
+                       out: String): Unit = {
+    val ev = s.read.parquet(s"$base/events.parquet")
+    val eStride = maxId(ev, "event_id")
+    val uStride = maxId(ev, "user_id")
+    (0 until factor).map { i =>
+      ev.select(
+        (col("event_id") + lit(i * eStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * uStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,7 +152,8 @@ object Scale {
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val synthDir =
       args.drop(2).headOption.getOrElse(s"/tmp/graft_scale${factor}x")
-    // 4th arg selects the probe set: all (default) | chain | graph.
+    // 4th arg selects the probe set:
+    // all (default) | chain | graph | behavior.
     val what = args.drop(3).headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -128,6 +170,16 @@ object Scale {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
       synthesize(spark, base, factor, synthDir)
     } else System.err.println(s"[scale] reusing existing $synthDir")
+    // events were added to the synth set after the graph probes ran —
+    // top up an existing synth dir that predates them.
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$synthDir/events.parquet"))) {
+      System.err.println(s"[scale] synthesizing ${factor}x events -> $synthDir")
+      synthesizeEvents(spark, base, factor, synthDir)
+    }
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$synthDir/part.parquet")))
+      synthesizePart(spark, base, synthDir)
 
     val metrics = new ShuffleMetrics
     spark.sparkContext.addSparkListener(metrics)
@@ -135,8 +187,14 @@ object Scale {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     val queries = SparkEntry.queries
+    val probeNames = what match {
+      case "graph" => Seq.empty[String]
+      case "chain" => chain
+      case "behavior" => behavior
+      case _ => chain ++ behavior
+    }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
-         name <- (if (what == "graph") Seq.empty[String] else chain)) {
+         name <- probeNames) {
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -163,7 +221,7 @@ object Scale {
     // Measure it — the Nx tier re-run with bits = 6 + ceil(log2 N)
     // should land near the 1x fixed-bits time, turning the contract
     // from argument into evidence.
-    if (what != "graph") {
+    if (what == "all" || what == "chain") {
       val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
       val bitsN = 6 + extraBits
       val samples = (1 to 2).map { _ =>
@@ -194,7 +252,7 @@ object Scale {
     // multiply gram document frequency ~factor-fold), which is the
     // guard's job — candidate work stays O(Σ min(df,64)²) while the
     // corpus grows.
-    if (what != "chain") {
+    if (what == "all" || what == "graph") {
       val probes: Seq[(String, String => Unit)] = Seq(
         ("d52_pagerank_fullcorpus", { dir: String =>
           graft.operators.Graph.pageRank(
