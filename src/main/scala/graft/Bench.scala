@@ -34,7 +34,8 @@ object Bench {
     "s10_beam_search_topk", "s11_ivfpq_topk",
     "m01_multimodal_decode",
     "q52_regression_aggs", "q54_hll_sketch_union", "d44_unimax_alloc",
-    "d45_knn_label", "d52_graph_pagerank")
+    "d45_knn_label", "d52_graph_pagerank",
+    "q75_sessionize", "q80_assoc_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

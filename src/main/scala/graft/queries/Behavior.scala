@@ -387,5 +387,170 @@ object Behavior {
         |      / CAST(len(list_distinct(list_concat(tk, ntk2))) AS DOUBLE)
         |  FROM p WHERE nid2 IS NOT NULL)
         |SELECT a, b, jaccard FROM pairs
-        |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin)))
+        |WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    Q("q81_scd2_intervals",
+      "SCD-Type-2 interval build: collapse consecutive same-type runs " +
+        "(the q79 islands) to validity intervals [valid_from, " +
+        "valid_to) where valid_to = next run's start (NULL while " +
+        "current) — the standard warehouse dimension-history " +
+        "construction. SCALE: all three windows and the run " +
+        "aggregation share the user_id exchange; interval stitching " +
+        "is lead() within the user partition, no self-join.",
+      (s, dir) => {
+        val w1 = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        val w2 = Window.partitionBy("user_id", "event_type")
+          .orderBy("tus", "event_id")
+        val runs = eline(s, dir)
+          .withColumn("grp",
+            row_number().over(w1) - row_number().over(w2))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(min("tus").as("valid_from"))
+        val w3 = Window.partitionBy("user_id")
+          .orderBy("valid_from", "event_type")
+        runs
+          .withColumn("valid_to", lead("valid_from", 1).over(w3))
+          .filter(col("user_id") < 10)
+          .select("user_id", "event_type", "valid_from", "valid_to")
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, tus,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY tus, event_id) AS grp
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, event_type, grp, MIN(tus) AS valid_from
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |                         ORDER BY valid_from, event_type)
+        |    AS valid_to
+        |FROM runs WHERE user_id < 10
+        |ORDER BY user_id, valid_from""".stripMargin)),
+
+    Q("q82_resample_gapfill",
+      "Time-series resample + gap fill: per-user daily activity on a " +
+        "DENSE day grid from the user's own [first, last] day " +
+        "(sequence + explode, zero-filled left join), folded to " +
+        "per-user coverage stats. SCALE: the grid generates inside " +
+        "each user row (span/day elements, no cross join against a " +
+        "calendar table); the join is user+day keyed and the grid " +
+        "side is generated co-partitioned.",
+      (s, dir) => {
+        val e = events(s, dir)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("di"))
+        val daily = e.groupBy("user_id", "di").agg(count(lit(1)).as("n"))
+        val grid = e.groupBy("user_id")
+          .agg(min("di").as("lo"), max("di").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"))).as("di"))
+        grid.join(daily, Seq("user_id", "di"), "left")
+          .withColumn("cnt", coalesce(col("n"), lit(0L)))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("n_zero_days"),
+            max("cnt").as("max_daily"))
+          .filter(col("user_id") < 25)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, di, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(MIN(di), MAX(di))) AS di
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id,
+        |  COUNT(*) AS n_days,
+        |  CAST(SUM(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_days,
+        |  CAST(MAX(COALESCE(d.n, 0)) AS BIGINT) AS max_daily
+        |FROM grid g LEFT JOIN daily d USING (user_id, di)
+        |WHERE g.user_id < 25
+        |GROUP BY g.user_id ORDER BY g.user_id""".stripMargin)),
+
+    Q("d59_zscore_outliers",
+      "Per-language length outliers at |z| > 2 decided ENTIRELY in " +
+        "integer arithmetic: (n*x - S)^2 > 4*(n*SS - S^2) is the exact " +
+        "z^2 > 4 test from BIGINT count/sum/sum-of-squares — no " +
+        "floating-point mean or stddev, so the verdict is bit-free " +
+        "cross-engine (the q52 exactness discipline applied to " +
+        "outlier detection). SCALE: one per-language aggregate " +
+        "broadcast back over the scan; the decision is a codegen'd " +
+        "projection, shuffle-free.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val stats = d.groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("s"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        d.join(broadcast(stats), "lang")
+          .filter({
+            val dev = col("n") * col("n_chars") - col("s")
+            dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s"))
+          })
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""WITH stats AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN stats USING (lang)
+        |WHERE (n * n_chars - s) * (n * n_chars - s)
+        |      > 4 * (n * ss - s * s)
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("d60_markov_transitions",
+      "First-order Markov transition matrix over per-user event " +
+        "sequences: bigram counts via lead() in the user partition, " +
+        "row-normalized to transition probabilities (single division " +
+        "of exact BIGINTs). SCALE: ONE user-key exchange for the " +
+        "bigram window; the matrix is (types x types)-bounded however " +
+        "long the log, so the row-total window runs over that tiny " +
+        "aggregate — a second aggregation + join-back would re-execute " +
+        "the whole bigram subtree (the d44 defect class).",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        eline(s, dir)
+          .withColumn("nxt", lead("event_type", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("prev_type"),
+            col("nxt").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tn", sum("n").over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("tn").cast("double")).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |bi AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY tus, event_id) AS next_type
+        |  FROM o),
+        |c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n
+        |  FROM bi WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |           AS DOUBLE) AS p
+        |FROM c
+        |ORDER BY prev_type, next_type""".stripMargin)))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funspec.AnyFunSpec
 
 import graft.TestSpark
@@ -140,6 +141,84 @@ class BehaviorSpec extends AnyFunSpec {
       assert(row.getLong(2) == 2L)                    // pair in 2 orders
       assert(row.getDouble(3) == 2.0 / 3.0)           // conf = cp/ca
       assert(row.getDouble(4) == (2.0 * 3) / (3 * 2)) // lift = cp*n/(ca*cb)
+    }
+  }
+
+  describe("q81_scd2_intervals") {
+    it("stitches run starts into [valid_from, valid_to) interval chains") {
+      val dir = freshDir()
+      writeEvents(dir, Seq(
+        (1L, Jan1 + 1 * S, 1L, "view"),
+        (2L, Jan1 + 2 * S, 1L, "view"),
+        (3L, Jan1 + 3 * S, 1L, "click"),
+        (4L, Jan1 + 4 * S, 1L, "view")))
+      val us = 1704067200L * 1000000L   // Jan1 in µs
+      val out = q("q81_scd2_intervals")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(out.toSeq == Seq(
+        (1L, "view", us + 1000000L, us + 3000000L),
+        (1L, "click", us + 3000000L, us + 4000000L),
+        (1L, "view", us + 4000000L, -1L)))
+    }
+  }
+
+  describe("q82_resample_gapfill") {
+    it("zero-fills the dense per-user day grid") {
+      val dir = freshDir()
+      writeEvents(dir, Seq(
+        (1L, Jan1, 1L, "view"),
+        (2L, Jan1 + 3600 * S, 1L, "view"),   // same day
+        (3L, Jan1 + 2 * Day, 1L, "view"),    // day 2; day 1 is a gap
+        (4L, Jan1, 2L, "view")))
+      val out = q("q82_resample_gapfill")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == Seq((1L, 3L, 1L, 2L), (2L, 1L, 0L, 1L)))
+    }
+  }
+
+  describe("d59_zscore_outliers") {
+    it("flags |z| > 2 by the exact integer inequality") {
+      import spark.implicits._
+      val dir = freshDir()
+      // five 100-char docs + one 600-char: only the 600 has z > 2
+      // ((n*x-S)^2 = 6.25e6 > 4*(n*SS-S^2) = 5e6); with one fewer
+      // 100-doc the deviant sits at exactly z = 2 and must NOT flag.
+      (Seq((1L, "en", 600L)) ++ (2L to 6L).map(i => (i, "en", 100L)))
+        .toDF("doc_id", "lang", "n_chars")
+        .withColumn("text", lit("x"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = q("d59_zscore_outliers")(spark, dir).collect()
+        .map(_.getLong(0))
+      assert(out.toSeq == Seq(1L))
+    }
+    it("treats the z = 2 boundary as inside (strict >)") {
+      import spark.implicits._
+      val dir = freshDir()
+      (Seq((1L, "en", 600L)) ++ (2L to 5L).map(i => (i, "en", 100L)))
+        .toDF("doc_id", "lang", "n_chars")
+        .withColumn("text", lit("x"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      assert(q("d59_zscore_outliers")(spark, dir).count() == 0)
+    }
+  }
+
+  describe("d60_markov_transitions") {
+    it("row-normalizes per-user bigram counts") {
+      val dir = freshDir()
+      writeEvents(dir, Seq(
+        (1L, Jan1 + 1 * S, 1L, "view"),
+        (2L, Jan1 + 2 * S, 1L, "click"),
+        (3L, Jan1 + 3 * S, 1L, "view"),
+        (4L, Jan1 + 1 * S, 2L, "view"),
+        (5L, Jan1 + 2 * S, 2L, "view")))
+      val out = q("d60_markov_transitions")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(out.toSeq == Seq(
+        ("click", "view", 1L, 1.0),
+        ("view", "click", 1L, 0.5),
+        ("view", "view", 1L, 0.5)))
     }
   }
 
