@@ -552,5 +552,122 @@ object Behavior {
         |    / CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
         |           AS DOUBLE) AS p
         |FROM c
-        |ORDER BY prev_type, next_type""".stripMargin)))
+        |ORDER BY prev_type, next_type""".stripMargin)),
+
+    Q("q83_chi_square_cells",
+      "Chi-square independence test over the priority x status " +
+        "contingency table, emitted PER CELL (observed, expected, " +
+        "contribution) — every value is exact-count window math plus " +
+        "single IEEE operations in identical op order, so cells are " +
+        "bit-identical cross-engine; a cross-cell total would be an " +
+        "order-dependent double sum, which is why the oracle contract " +
+        "is per-cell (sum the column client-side for the statistic, " +
+        "df = (R-1)(C-1)). SCALE: cells are (priorities x statuses)-" +
+        "bounded, so the three window sums run over a tiny aggregate " +
+        "however large the fact table; the only real work is the " +
+        "map-side-partial count.",
+      (s, dir) => {
+        val cells = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("o"))
+        val wr = Window.partitionBy("pri")
+        val wc = Window.partitionBy("st")
+        val wn = Window.partitionBy()
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        cells
+          .withColumn("r", sum("o").over(wr))
+          .withColumn("c", sum("o").over(wc))
+          .withColumn("n", sum("o").over(wn))
+          .select(
+            col("pri"), col("st"), col("o"),
+            ((d(col("r")) * d(col("c"))) / d(col("n"))).as("e"),
+            {
+              val num = d(col("o")) * d(col("n")) - d(col("r")) * d(col("c"))
+              ((num * num) / (d(col("n")) * d(col("r")) * d(col("c"))))
+                .as("contrib")
+            })
+          .orderBy("pri", "st")
+      },
+      Some("""WITH cells AS (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT pri, st, o,
+        |    CAST(SUM(o) OVER (PARTITION BY pri) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY st) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT pri, st, o,
+        |  (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / CAST(n AS DOUBLE) AS e,
+        |  ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |   * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+        |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |    AS contrib
+        |FROM m ORDER BY pri, st""".stripMargin)),
+
+    Q("q84_time_to_convert",
+      "Time-to-event quantiles: per signup-week cohort, the p50/p90 " +
+        "microsecond delay from a user's first signup to their first " +
+        "subsequent purchase — quantiles by the q26 rank-selection " +
+        "discipline (value at ceil(p*n) in a tie-broken order), no " +
+        "interpolation formula to diverge cross-engine. SCALE: the " +
+        "conversion table is one row per converted user; its cohort-" +
+        "partitioned window is post-aggregation work.",
+      (s, dir) => {
+        val e = eline(s, dir)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("tus").as("t0"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .join(s1, "user_id")
+          .filter(col("tus") > col("t0"))
+          .groupBy("user_id").agg(
+            min(col("tus") - col("t0")).as("dt"),
+            min(col("t0")).as("t0"))
+          .withColumn("cw",
+            to_date(date_trunc("week", timestamp_micros(col("t0")))))
+        val w = Window.partitionBy("cw").orderBy("dt", "user_id")
+        conv
+          .select(col("cw"), col("dt"), col("user_id"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy("cw")).as("n"))
+          .groupBy("cw")
+          .agg(
+            max("n").cast("long").as("n_conv"),
+            max(when(col("rn") === ceil(col("n") * 0.5), col("dt")))
+              .as("p50_us"),
+            max(when(col("rn") === ceil(col("n") * 0.9), col("dt")))
+              .as("p90_us"))
+          .orderBy("cw")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(tus) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, MIN(tus - t0) AS dt, MIN(t0) AS t0
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tus > t0
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(date_trunc('week', make_timestamp(t0)) AS DATE)
+        |           AS cw, dt, user_id
+        |  FROM conv),
+        |rk AS (
+        |  SELECT cw, dt,
+        |    row_number() OVER (PARTITION BY cw ORDER BY dt, user_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY cw) AS n
+        |  FROM r)
+        |SELECT cw,
+        |  CAST(MAX(n) AS BIGINT) AS n_conv,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dt END)
+        |    AS p50_us,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN dt END)
+        |    AS p90_us
+        |FROM rk GROUP BY cw ORDER BY cw""".stripMargin)))
 }

@@ -222,6 +222,44 @@ class BehaviorSpec extends AnyFunSpec {
     }
   }
 
+  describe("q83_chi_square_cells") {
+    it("computes observed/expected/contribution from exact margins") {
+      import spark.implicits._
+      val dir = freshDir()
+      // 2x2 with margins all 4, n=8, E=2 everywhere; contribution
+      // (8*O-16)^2/128 = 0.5 for every cell.
+      val rows = Seq.fill(3)(("P1", "O")) ++ Seq(("P1", "F")) ++
+        Seq(("P2", "O")) ++ Seq.fill(3)(("P2", "F"))
+      rows.toDF("o_orderpriority", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = q("q83_chi_square_cells")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      assert(out.toSeq == Seq(
+        ("P1", "F", 1L, 2.0, 0.5), ("P1", "O", 3L, 2.0, 0.5),
+        ("P2", "F", 3L, 2.0, 0.5), ("P2", "O", 1L, 2.0, 0.5)))
+    }
+  }
+
+  describe("q84_time_to_convert") {
+    it("selects rank-based quantiles of signup->purchase delay") {
+      val dir = freshDir()
+      writeEvents(dir, Seq(
+        (1L, Jan1, 1L, "signup"),
+        (2L, Jan1 + 100 * S, 1L, "purchase"),
+        (3L, Jan1, 2L, "signup"),
+        (4L, Jan1 + 200 * S, 2L, "purchase"),
+        (5L, Jan1 + 50 * S, 3L, "purchase")))  // purchase w/o signup
+      val r = q("q84_time_to_convert")(spark, dir).collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getDate(0).toString == "2024-01-01")
+      // n=2: p50 at rank ceil(1)=1 -> 1e8 us, p90 at ceil(1.8)=2 -> 2e8
+      assert((row.getLong(1), row.getLong(2), row.getLong(3)) ==
+        ((2L, 100000000L, 200000000L)))
+    }
+  }
+
   describe("d58_sorted_neighborhood") {
     it("emits only adjacent pairs above the Jaccard threshold") {
       import spark.implicits._
