@@ -669,5 +669,72 @@ object Behavior {
         |    AS p50_us,
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN dt END)
         |    AS p90_us
-        |FROM rk GROUP BY cw ORDER BY cw""".stripMargin)))
+        |FROM rk GROUP BY cw ORDER BY cw""".stripMargin)),
+
+    Q("d61_prefix_filter_join",
+      "Prefix-filtered set-similarity self-join (the SSJoin primitive, " +
+        "Chaudhuri et al. ICDE'06) at Jaccard >= 0.9: tokens globally " +
+        "ordered rarest-first, candidates must share a token in their " +
+        "(sz - ceil(t*sz) + 1)-prefix — sound because J >= t implies " +
+        "overlap >= ceil(t*|x|) — then exact array-intersect verify. " +
+        "The third blocking family next to LSH (d07) and sorted " +
+        "neighborhood (d58). Correctness slice doc_id < 100 (the d52 " +
+        "discipline); the ORACLE is the brute-force all-shared-token " +
+        "join, so any unsound pruning would hash-mismatch. SCALE: " +
+        "candidate volume is bounded by prefix-token bucket sizes " +
+        "(rare tokens -> small buckets); the df-ordering aggregation " +
+        "is one token-key shuffle.",
+      (s, dir) => {
+        val toks = filter(
+          array_distinct(split(lower(col("text")), "[^a-z0-9]+")),
+          x => x =!= lit(""))
+        val tk = t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(toks).as("tok"))
+        val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+        val sorted = tk.join(dfreq, "tok")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .as("st"))
+          .select(col("doc_id"),
+            expr("transform(st, x -> x.tok)").as("arr"),
+            size(col("st")).as("sz"))
+        val p = sorted
+          .withColumn("plen",
+            (col("sz") - ceil(col("sz") * lit(0.9)) + 1).cast("int"))
+          .select(col("doc_id"), col("arr"), col("sz"),
+            explode(expr("slice(arr, 1, plen)")).as("ptok"))
+        p.toDF("a", "arra", "sza", "ptok")
+          .join(p.toDF("b", "arrb", "szb", "ptok2"),
+            col("ptok") === col("ptok2") && col("a") < col("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("arra"), col("arrb"))).cast("long")
+              .as("ov"),
+            col("sza"), col("szb"))
+          .distinct()
+          .withColumn("jaccard",
+            col("ov").cast("double") /
+              (col("sza") + col("szb") - col("ov")).cast("double"))
+          .filter(col("jaccard") >= 0.9)
+          .select("a", "b", "ov", "jaccard")
+          .orderBy("a", "b")
+      },
+      Some("""WITH tk0 AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS arr
+        |  FROM documents WHERE doc_id < 100),
+        |tk AS (
+        |  SELECT doc_id, len(arr) AS sz, unnest(arr) AS tok FROM tk0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ov,
+        |    MIN(x.sz) AS sza, MIN(y.sz) AS szb
+        |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(ov AS BIGINT) AS ov,
+        |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
+        |      >= CAST(0.9 AS DOUBLE)
+        |ORDER BY a, b""".stripMargin)))
 }

@@ -260,6 +260,25 @@ class BehaviorSpec extends AnyFunSpec {
     }
   }
 
+  describe("d61_prefix_filter_join") {
+    it("keeps J >= 0.9 pairs (boundary inclusive) through the prefix filter") {
+      import spark.implicits._
+      val dir = freshDir()
+      // doc2 = doc1 minus "jj": J = 9/10 = 0.9 exactly (boundary in).
+      // doc1's rarest-first 2-token prefix is [jj, aa], doc2's 1-token
+      // prefix is [aa] -> they share "aa", so the filter must keep them.
+      Seq(
+        (1L, "aa bb cc dd ee ff gg hh ii jj"),
+        (2L, "aa bb cc dd ee ff gg hh ii"),
+        (3L, "xx yy zz"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = q("d61_prefix_filter_join")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq == Seq((1L, 2L, 9L, 0.9)))
+    }
+  }
+
   describe("d58_sorted_neighborhood") {
     it("emits only adjacent pairs above the Jaccard threshold") {
       import spark.implicits._
