@@ -23,6 +23,16 @@ import org.apache.spark.sql.SparkSession
   *  - Derby files + warehouse live under a fresh temp dir (one per JVM;
   *    embedded Derby allows a single connection, hence the memoization).
   *  - NEVER `stop()` this session — it shares the SparkContext.
+  *
+  * '''Concurrency contract: single-threaded callers only.''' While the
+  * first call is inside `getOrCreate`, the JVM-global default/active
+  * sessions are cleared; a concurrent thread calling
+  * `SparkSession.builder().getOrCreate()` (or relying on
+  * `getActiveSession`) during that window could bind to the hive
+  * session or recreate state. The harness (Verify/Bench/tests) runs
+  * queries sequentially, which is what makes this safe; any future
+  * concurrent caller must acquire all its sessions through this same
+  * object's lock.
   */
 object HiveMode {
 

@@ -8,11 +8,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.hive.serde.serdeConstants
-import org.apache.hadoop.hive.serde2.{AbstractSerDe, SerDeStats}
+import org.apache.hadoop.hive.serde2.{AbstractSerDe, SerDeException, SerDeStats}
 import org.apache.hadoop.hive.serde2.objectinspector.{
   ListObjectInspector, MapObjectInspector, ObjectInspector,
   PrimitiveObjectInspector, StructObjectInspector}
-import org.apache.hadoop.hive.serde2.objectinspector.primitive.PrimitiveObjectInspectorUtils
 import org.apache.hadoop.hive.serde2.typeinfo.{
   ListTypeInfo, MapTypeInfo, PrimitiveTypeInfo, StructTypeInfo,
   TypeInfo, TypeInfoFactory, TypeInfoUtils}
@@ -55,8 +54,33 @@ class JsonLineSerDe extends AbstractSerDe {
     val tis = TypeInfoUtils.getTypeInfosFromTypeString(types)
     typeInfo = TypeInfoFactory
       .getStructTypeInfo(names, tis).asInstanceOf[StructTypeInfo]
+    validateSupported(typeInfo)
     inspector =
       TypeInfoUtils.getStandardJavaObjectInspectorFromTypeInfo(typeInfo)
+  }
+
+  /** Reject declared types outside the reference's inference lattice at
+    * table-registration time — a decimal/date/timestamp/binary column
+    * would otherwise surface downstream as a ClassCastException against
+    * the standard Java ObjectInspector instead of a clear error. */
+  private def validateSupported(ti: TypeInfo): Unit = ti match {
+    case s: StructTypeInfo =>
+      s.getAllStructFieldTypeInfos.asScala.foreach(validateSupported)
+    case l: ListTypeInfo => validateSupported(l.getListElementTypeInfo)
+    case m: MapTypeInfo =>
+      validateSupported(m.getMapKeyTypeInfo)
+      validateSupported(m.getMapValueTypeInfo)
+    case p: PrimitiveTypeInfo =>
+      import PrimitiveObjectInspector.PrimitiveCategory._
+      p.getPrimitiveCategory match {
+        case STRING | LONG | INT | DOUBLE | FLOAT | BOOLEAN => ()
+        case cat => throw new SerDeException(
+          s"JsonLineSerDe: unsupported primitive type $cat — the " +
+            "supported set is string/bigint/int/double/float/boolean " +
+            "(the inference lattice, SURVEY §1.2)")
+      }
+    case other => throw new SerDeException(
+      s"JsonLineSerDe: unsupported type ${other.getTypeName}")
   }
 
   override def getObjectInspector: ObjectInspector = inspector
@@ -133,14 +157,13 @@ class JsonLineSerDe extends AbstractSerDe {
           case BOOLEAN =>
             if (node.isBoolean || node.isTextual)
               java.lang.Boolean.valueOf(node.asBoolean()) else null
-          case _ =>
-            // Remaining Hive primitives (decimal/date/ts/binary/...) are
-            // outside the reference's lattice (SURVEY §1.2); read their
-            // text form via Hive's own converter rather than guessing.
-            PrimitiveObjectInspectorUtils.getString(
-              node.asText(),
-              org.apache.hadoop.hive.serde2.objectinspector.primitive
-                .PrimitiveObjectInspectorFactory.javaStringObjectInspector)
+          case cat =>
+            // initialize() rejects these declared types up front; a
+            // category reaching here means the guard was bypassed —
+            // fail loudly rather than hand a String to a non-string
+            // ObjectInspector.
+            throw new SerDeException(
+              s"JsonLineSerDe: unsupported primitive type $cat")
         }
       case _ => null
     }

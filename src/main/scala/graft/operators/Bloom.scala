@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** xxhash64 is type-sensitive (LONG 5 and INT 5 hash differently), so
+    * a filter built on one integral width and probed with another would
+    * silently break the no-false-negative contract. Normalize every
+    * integral key to BIGINT before hashing, identically on the build
+    * and probe sides; non-integral keys (string, binary, …) hash as-is
+    * and must carry the same type on both sides. */
+  private def normKey(key: Column, df: DataFrame, keyCol: String): Column =
+    df.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => key.cast("bigint")
+      case _ => key
+    }
+
   /** Bit positions for `key` under `k` seeded hash probes. */
   private def positions(key: Column, k: Int, m: Long): Seq[Column] =
     (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(m)))
@@ -29,7 +44,8 @@ object Bloom {
   def build(keys: DataFrame, keyCol: String, k: Int = 3,
             m: Long = 1L << 16): DataFrame =
     keys
-      .select(explode(array(positions(col(keyCol), k, m): _*)).as("pos"))
+      .select(explode(array(
+        positions(normKey(col(keyCol), keys, keyCol), k, m): _*)).as("pos"))
       .withColumn("w", expr("pos DIV 64"))
       .groupBy("w")
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
@@ -37,17 +53,23 @@ object Bloom {
   /** Keep only probe rows whose `k` bits are all set in `words` —
     * `k` broadcast joins against the word table; rows hitting an
     * absent word (bits implicitly 0) drop via the inner join. The
-    * result is a superset of true matches (no false negatives). */
+    * result is a superset of true matches (no false negatives).
+    * Internal columns are uniquely suffixed so caller columns named
+    * `pos`/`w`/`bits` survive untouched. */
   def probe(df: DataFrame, keyCol: String, words: DataFrame, k: Int = 3,
             m: Long = 1L << 16): DataFrame = {
+    val key = normKey(col(keyCol), df, keyCol)
+    val wordsR = words.select(col("w").as("__bloom_w"),
+      col("bits").as("__bloom_bits"))
     var cand = df
     for (i <- 0 until k) {
       cand = cand
-        .withColumn("pos", pmod(xxhash64(col(keyCol), lit(i)), lit(m)))
-        .withColumn("w", expr("pos DIV 64"))
-        .join(broadcast(words), Seq("w"))
-        .filter(expr("(bits & shiftleft(1L, CAST(pos % 64 AS INT))) != 0"))
-        .drop("pos", "w", "bits")
+        .withColumn("__bloom_pos", pmod(xxhash64(key, lit(i)), lit(m)))
+        .withColumn("__bloom_w", expr("__bloom_pos DIV 64"))
+        .join(broadcast(wordsR), Seq("__bloom_w"))
+        .filter(expr(
+          "(__bloom_bits & shiftleft(1L, CAST(__bloom_pos % 64 AS INT))) != 0"))
+        .drop("__bloom_pos", "__bloom_w", "__bloom_bits")
     }
     cand
   }

@@ -5,18 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride through
   * the pipeline as opaque `binary` columns with typed metadata; decode /
-  * feature-extract runs per partition so a real codec would amortize its
-  * init across a batch of rows.
+  * feature-extract runs per partition so the codec amortizes its init
+  * across a batch of rows.
   *
-  * The decode itself is a clearly-marked STUB (this container has no
-  * image/audio libraries): it derives deterministic fake dimensions from
-  * the payload bytes. Everything Spark-side — the binary column, the
-  * typed `Dataset` boundary, `mapPartitions` batching, the output
-  * schema — is real and is what matters at 100 TB.
+  * The image path is REAL end to end: [[Multimodal.withPngPayload]]
+  * renders genuine PNGs (JDK `javax.imageio` — no external media libs
+  * needed) with dimensions and fill color derived deterministically
+  * from the row, and [[Multimodal.decode]] runs an actual
+  * `ImageIO.read` per payload, reporting the decoded width/height and a
+  * pixel-sum the SQL oracle reproduces in closed form from the
+  * synthesis parameters — so a broken codec round-trip fails the
+  * correctness gate, not just a schema check. The video-frame and audio
+  * paths below operate on raw byte windows (a keyframe extractor / FFT
+  * would slot into the same per-partition loop).
   */
 final case class Blob(doc_id: Long, payload: Array[Byte])
 final case class Decoded(
-    doc_id: Long, n_bytes: Long, width: Long, height: Long, content_md5: String)
+    doc_id: Long, width: Long, height: Long, n_pixels: Long, sum_red: Long)
 
 object Multimodal {
 
@@ -27,25 +32,61 @@ object Multimodal {
               col(textCol).cast("binary").as("payload"))
       .as(Encoders.product[Blob])
 
-  /** STUB decoder — a real implementation would hand `it` to an image
-    * codec per batch. Deterministic: dims derive from byte length, the
-    * content hash is md5 (portable to the SQL oracle). */
+  /** Render a REAL deterministic PNG per row: dimensions derive from
+    * the text's byte length (`w = 32 + n % 97`, `h = 24 + n % 83` —
+    * both reproducible in SQL), the constant fill color from the id
+    * (`red = 13·id mod 256`, green/blue likewise with 17/19). The
+    * payload is a genuine `javax.imageio` PNG encode, so downstream
+    * [[decode]] exercises an actual codec round-trip; encode runs per
+    * partition, the blobs never touch the driver. */
+  def withPngPayload(df: DataFrame, idCol: String,
+                     textCol: String): Dataset[Blob] =
+    df.select(col(idCol).cast("long").as("_1"),
+        octet_length(col(textCol)).cast("long").as("_2"))
+      .as(Encoders.product[(Long, Long)])
+      .mapPartitions { it =>
+        it.map { case (id, n) =>
+          val w = (32 + n % 97).toInt
+          val h = (24 + n % 83).toInt
+          val rgb = (((id * 13) % 256) << 16 |
+                     ((id * 17) % 256) << 8 |
+                     ((id * 19) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Blob(id, bos.toByteArray)
+        }
+      }(Encoders.product[Blob])
+
+  /** REAL image decode (JDK `ImageIO`, per-partition batching): reads
+    * each payload as an image and reports the decoded geometry plus the
+    * red-channel pixel sum — for [[withPngPayload]] synthesis the
+    * oracle knows all of these in closed form, so the gate verifies the
+    * full encode→bytes→decode round-trip, not a stub. */
   def decode(blobs: Dataset[Blob]): Dataset[Decoded] =
     blobs.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { b =>
-        val n = b.payload.length.toLong
-        val md5hex = digest.digest(b.payload)
-          .map(x => f"${x & 0xff}%02x").mkString
-        digest.reset()
-        Decoded(b.doc_id, n, 320 + n % 320, 240 + n % 240, md5hex)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        require(img != null,
+          s"undecodable image payload for doc ${b.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += (px(i) >>> 16) & 0xff; i += 1 }
+        Decoded(b.doc_id, w.toLong, h.toLong, w.toLong * h, sum)
       }
     }(Encoders.product[Decoded])
 
   /** Frame sampling over a video-like payload: `k` evenly-spaced fixed
-    * length byte slices per blob (STUB for codec-level keyframe
-    * extraction — the partitioning/explode shape is the real part).
-    * Blobs shorter than one frame yield no frames. */
+    * length byte slices per blob (byte-window stand-in for codec-level
+    * keyframe extraction — a real demuxer slots into the same
+    * per-partition loop). Blobs shorter than one frame yield no
+    * frames. */
   def sampleFrames(blobs: Dataset[Blob], k: Int, frameLen: Int): Dataset[Frame] =
     blobs.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
@@ -112,20 +153,34 @@ final case class Resized(
 
 object MultimodalResize {
 
-  /** Resize planning (STUB for the pixel op): fit (width, height) into a
-    * `maxDim` square preserving aspect ratio — never upscale. Integer
-    * math only (floor division), so the SQL oracle reproduces it
-    * exactly; `out_bytes` budgets the decoded RGB buffer the real
-    * resizer would allocate (out_w × out_h × 3). Runs per partition like
-    * [[Multimodal.decode]] so a real codec amortizes init per batch. */
-  def plan(decoded: Dataset[Decoded], maxDim: Int): Dataset[Resized] =
-    decoded.mapPartitions { it =>
-      it.map { d =>
-        val m = math.max(d.width, d.height)
+  /** REAL aspect-preserving downscale into a `maxDim` box (never
+    * upscale): each payload is decoded with `ImageIO`, the target
+    * geometry computed with integer floor math (SQL-reproducible), and
+    * the pixel op actually runs — `Graphics2D.drawImage` into an
+    * exactly-sized RGB buffer whose decoded dimensions are what the
+    * row reports. `out_bytes` is the resized RGB buffer size
+    * (out_w × out_h × 3). Per-partition like [[Multimodal.decode]], so
+    * codec + raster init amortize across each batch. */
+  def resize(blobs: Dataset[Blob], maxDim: Int): Dataset[Resized] =
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.payload))
+        require(img != null,
+          s"undecodable image payload for doc ${b.doc_id}")
+        val w = img.getWidth.toLong
+        val h = img.getHeight.toLong
+        val m = math.max(w, h)
         val (ow, oh) =
-          if (m <= maxDim) (d.width, d.height)
-          else (d.width * maxDim / m, d.height * maxDim / m)
-        Resized(d.doc_id, d.width, d.height, ow, oh, ow * oh * 3)
+          if (m <= maxDim) (w, h)
+          else (w * maxDim / m, h * maxDim / m)
+        val out = new java.awt.image.BufferedImage(
+          ow.toInt, oh.toInt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, ow.toInt, oh.toInt, null)
+        g.dispose()
+        Resized(b.doc_id, w, h,
+          out.getWidth.toLong, out.getHeight.toLong, ow * oh * 3)
       }
     }(Encoders.product[Resized])
 }

@@ -730,42 +730,53 @@ object LlmOps {
         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
 
     Q("m01_multimodal_decode",
-      "Multimodal plumbing: binary payload column → mapPartitions decode " +
-        "(STUB codec, real schema/batching) → typed metadata.",
+      "Multimodal decode, REAL end to end: per-row deterministic PNG " +
+        "synthesis (JDK ImageIO encode — dims from byte length, fill " +
+        "color from doc_id) → binary column → mapPartitions ImageIO " +
+        "decode reporting ACTUAL width/height and the red-channel pixel " +
+        "sum. The oracle derives every output in closed form from the " +
+        "synthesis parameters, so a broken codec round-trip fails the " +
+        "hash gate — not a stub.",
       (s, dir) => Multimodal.decode(
-        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF()
-        .orderBy("doc_id")
-        .limit(200),
-      Some("""SELECT doc_id,
-        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        | CAST(320 + octet_length(CAST(text AS BLOB)) % 320 AS BIGINT) AS width,
-        | CAST(240 + octet_length(CAST(text AS BLOB)) % 240 AS BIGINT) AS height,
-        | md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin))
-    ,
-    Q("m03_resize_plan",
-      "Multimodal resize planning: decode metadata → aspect-preserving " +
-        "fit into a 224-box (never upscale), integer math only; " +
-        "out_bytes budgets the RGB buffer of the real resizer.",
-      (s, dir) => graft.operators.MultimodalResize.plan(
-        Multimodal.decode(
-          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")),
-        maxDim = 224)
+        Multimodal.withPngPayload(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
         .orderBy("doc_id")
         .limit(200),
       Some("""WITH d AS (
         |  SELECT doc_id,
-        |    320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
-        |    240 + octet_length(CAST(text AS BLOB)) % 240 AS height
+        |    32 + octet_length(CAST(text AS BLOB)) % 97 AS w,
+        |    24 + octet_length(CAST(text AS BLOB)) % 83 AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(w * h * ((doc_id * 13) % 256) AS BIGINT) AS sum_red
+        |FROM d ORDER BY doc_id LIMIT 200""".stripMargin))
+    ,
+    Q("m03_resize_plan",
+      "Multimodal resize, REAL pixel op: decode each synthesized PNG, " +
+        "aspect-preserving downscale into a 64-box (never upscale; " +
+        "integer floor math for the target geometry) via Graphics2D " +
+        "into an exactly-sized RGB buffer — the reported out dims are " +
+        "the RESIZED image's decoded dimensions; out_bytes is its RGB " +
+        "buffer size.",
+      (s, dir) => graft.operators.MultimodalResize.resize(
+        Multimodal.withPngPayload(t(s, dir, "documents"), "doc_id", "text"),
+        maxDim = 64)
+        .toDF()
+        .orderBy("doc_id")
+        .limit(200),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    32 + octet_length(CAST(text AS BLOB)) % 97 AS width,
+        |    24 + octet_length(CAST(text AS BLOB)) % 83 AS height
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, width, height,
-        |    CASE WHEN greatest(width, height) <= 224 THEN width
-        |         ELSE width * 224 // greatest(width, height) END AS out_w,
-        |    CASE WHEN greatest(width, height) <= 224 THEN height
-        |         ELSE height * 224 // greatest(width, height) END AS out_h
+        |    CASE WHEN greatest(width, height) <= 64 THEN width
+        |         ELSE width * 64 // greatest(width, height) END AS out_w,
+        |    CASE WHEN greatest(width, height) <= 64 THEN height
+        |         ELSE height * 64 // greatest(width, height) END AS out_h
         |  FROM d)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
@@ -3058,22 +3069,28 @@ object LlmOps {
 
     Q("m05_vlm_token_budget",
       "Vision-language packing estimate: image side = ViT patch grid " +
-        "(14px patches over m03's resize plan, ceil division), text side " +
-        "= whitespace tokens, plus 2 special tokens; fits_4k flags docs " +
-        "whose combined sequence fits a 4096 context. Integer math end " +
-        "to end — the budgeting pass that decides multimodal packing " +
-        "before any pixel is decoded.",
-      (s, dir) => graft.operators.MultimodalResize.plan(
-          Multimodal.decode(
-            Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text")),
-          maxDim = 224)
-        .toDF()
-        .join(t(s, dir, "documents").select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_text_tokens")),
-          Seq("doc_id"))
+        "(14px patches over the metadata-declared 320x240-family dims, " +
+        "224-box fit, ceil division), text side = whitespace tokens, " +
+        "plus 2 special tokens; fits_4k flags docs whose combined " +
+        "sequence fits a 4096 context. Integer math end to end, pure " +
+        "codegen'd expressions — the budgeting pass that decides " +
+        "multimodal packing BEFORE any pixel is decoded (m01/m03 are " +
+        "the decode arms).",
+      (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          (((col("out_w") + 13) / lit(14)).cast("long") *
-            ((col("out_h") + 13) / lit(14)).cast("long")).as("n_patches"),
+          (lit(320L) + octet_length(col("text")).cast("long") % 320)
+            .as("width"),
+          (lit(240L) + octet_length(col("text")).cast("long") % 240)
+            .as("height"),
+          size(split(col("text"), " ")).cast("long").as("n_text_tokens"))
+        .withColumn("m", greatest(col("width"), col("height")))
+        .withColumn("out_w", when(col("m") <= 224, col("width"))
+          .otherwise(expr("width * 224 DIV m")))
+        .withColumn("out_h", when(col("m") <= 224, col("height"))
+          .otherwise(expr("height * 224 DIV m")))
+        .select(col("doc_id"),
+          (expr("(out_w + 13) DIV 14") * expr("(out_h + 13) DIV 14"))
+            .as("n_patches"),
           col("n_text_tokens"))
         .select(col("doc_id"), col("n_patches"), col("n_text_tokens"),
           (col("n_patches") + col("n_text_tokens") + lit(2L)).as("n_total"),

@@ -633,26 +633,45 @@ object StreamingQ {
           val pairs = stream.select(col("user_id"), col("value"))
             .as[(Long, Double)]
           val qname = s"graft_w19_${System.nanoTime()}"
-          val q = graft.streaming.TwsTtl.perKey(pairs)
-            .toDF("user_id", "n_events", "max_value")
-            .writeStream.format("memory").queryName(qname)
-            .outputMode("update")
-            .trigger(Trigger.ProcessingTime("100 milliseconds"))
-            .start()
-          // The file source reads every available file in the first
-          // batch (no maxFilesPerTrigger); poll progress until that
-          // batch's rows are through the operator, then stop.
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q.recentProgress.map(_.numInputRows).sum < expected &&
-              q.exception.isEmpty && System.nanoTime() < deadline)
-            Thread.sleep(100)
-          // A failed stream must surface its own error, not a
-          // misleading consumption-timeout message.
-          q.exception.foreach(throw _)
-          require(q.recentProgress.map(_.numInputRows).sum >= expected,
-            s"w19: stream did not consume $expected rows within 120s")
-          q.stop()
-          q.awaitTermination()
+          // recentProgress is a bounded ring (~100 entries) and the
+          // 100 ms trigger emits empty-batch progress every tick, so
+          // the one data-bearing batch could rotate out before a slow
+          // poll observes it. Accumulate consumed rows in a listener
+          // instead — registered BEFORE start() so no event is missed.
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  consumed.addAndGet(e.progress.numInputRows); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = graft.streaming.TwsTtl.perKey(pairs)
+              .toDF("user_id", "n_events", "max_value")
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("update")
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            // The file source reads every available file in the first
+            // batch (no maxFilesPerTrigger); poll until that batch's
+            // rows are through the operator, then stop.
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (consumed.get() < expected &&
+                q.exception.isEmpty && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            // A failed stream must surface its own error, not a
+            // misleading consumption-timeout message.
+            q.exception.foreach(throw _)
+            require(consumed.get() >= expected,
+              s"w19: stream did not consume $expected rows within 120s")
+            q.stop()
+            q.awaitTermination()
+          } finally s.streams.removeListener(listener)
           cleanup()
           s.table(qname)
             .groupBy("user_id")

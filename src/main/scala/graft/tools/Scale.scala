@@ -71,12 +71,15 @@ object Scale {
     val docs = s.read.parquet(s"$base/documents.parquet")
     val dStride = maxId(docs, "doc_id")
     copies(docs) { (d, i) =>
+      // derive n_chars from the PREFIXED text (copies i>0 are longer
+      // than their source by the "c<i> " prefix) so n_chars-dependent
+      // probes see consistent corpus stats at the synth tier
       d.select(
-        (col("doc_id") + lit(i * dStride)).as("doc_id"),
-        (if (i == 0) col("text")
-         else concat(lit(s"c$i "), col("text"))).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
+          (col("doc_id") + lit(i * dStride)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(lit(s"c$i "), col("text"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = s.read.parquet(s"$base/embeddings.parquet")

@@ -230,18 +230,34 @@ class OperatorsSpec extends AnyFunSpec {
   }
 
   describe("Multimodal") {
-    it("carries binary payloads and decodes deterministic metadata") {
+    it("renders real PNGs and ImageIO-decodes actual dims + pixel sum") {
       val out = Multimodal.decode(
-        Multimodal.withPayload(docs, "doc_id", "text"))
+        Multimodal.withPngPayload(docs, "doc_id", "text"))
         .collect().map(d => d.doc_id -> d).toMap
       val text0 = "the quick brown fox jumps over the lazy dog"
-      assert(out(0L).n_bytes == text0.getBytes("UTF-8").length)
-      assert(out(0L).width == 320 + text0.length % 320)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val expected = md.digest(text0.getBytes("UTF-8"))
-        .map(x => f"${x & 0xff}%02x").mkString
-      assert(out(0L).content_md5 == expected)
-      assert(out(0L).content_md5 == out(1L).content_md5)
+      val n = text0.getBytes("UTF-8").length
+      assert(out(0L).width == 32 + n % 97)
+      assert(out(0L).height == 24 + n % 83)
+      assert(out(0L).n_pixels == out(0L).width * out(0L).height)
+      // constant fill red = 13·id mod 256: doc 0 → 0, doc 1 → 13 —
+      // only a genuine encode→decode round-trip reproduces these
+      assert(out(0L).sum_red == 0L)
+      assert(out(1L).sum_red == out(1L).n_pixels * 13L)
+    }
+    it("resize runs the real pixel op and floors the target geometry") {
+      val r = graft.operators.MultimodalResize.resize(
+        Multimodal.withPngPayload(docs, "doc_id", "text"), maxDim = 16)
+        .collect().map(d => d.doc_id -> d).toMap
+      val d0 = r(0L)
+      val m = math.max(d0.width, d0.height)
+      assert(d0.out_w == d0.width * 16 / m)
+      assert(d0.out_h == d0.height * 16 / m)
+      assert(d0.out_bytes == d0.out_w * d0.out_h * 3)
+      // never upscale: a payload already inside the box keeps its dims
+      val big = graft.operators.MultimodalResize.resize(
+        Multimodal.withPngPayload(docs, "doc_id", "text"), maxDim = 4096)
+        .collect().head
+      assert(big.out_w == big.width && big.out_h == big.height)
     }
   }
 
