@@ -64,7 +64,28 @@ object Bench {
     // attributable to noise vs regression from the artifact alone.
     // A failed query reports -1, never a bogus near-zero timing.
     val nSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // Per-query shuffle bytes via SparkListener task metrics (the Scale
+    // harness's collector, lifted here per VERDICT r06 #8): a
+    // round-over-round time swing with flat shuffle bytes is noise; both
+    // moving means the plan changed. Listener events drain
+    // asynchronously — the short sleep before reading bounds the error
+    // to well under a MB at these volumes.
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      })
     val results = headline.filter(queries.contains).map { name =>
+      shuffleRead.set(0L); shuffleWrite.set(0L)
       val times = (1 to nSamples).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -76,24 +97,35 @@ object Bench {
           -1.0
         }
       }
+      Thread.sleep(300)
+      // per-sample average, so the number is comparable across n_samples
+      // settings (memoized-state queries shuffle more in the cold sample;
+      // the average smears that build over the runs, same as the samples
+      // array exposes it)
+      val rwMb = (shuffleRead.get() + shuffleWrite.get()) / 1e6 / nSamples
       val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
-      (name, best, times)
+      (name, best, times, rwMb)
     }
     // Locale-free formatting: the f-interpolator uses the default locale
     // and would emit comma decimals (invalid JSON) on e.g. de_DE JVMs.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val samples = results.map { case (k, _, ts) =>
+    val samples = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val shuffle = results.map { case (k, _, _, mb) =>
+      "\"" + k + "\":" + fmt(mb)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":$qs,"samples":$samples,"n_samples":$nSamples,""" +
+        s""""queries":$qs,"samples":$samples,""" +
+        s""""shuffle_rw_mb":$shuffle,"n_samples":$nSamples,""" +
         s""""warmup":"footer-read per table + one noop run of q01; """ +
-        s"""per-query value = min of n_samples runs","sf":"$sfDir"}""")
+        s"""per-query value = min of n_samples runs; shuffle_rw_mb = """ +
+        s"""read+write bytes over all samples / n_samples","sf":"$sfDir"}""")
     spark.stop()
   }
 }

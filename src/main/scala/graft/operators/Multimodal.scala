@@ -33,7 +33,7 @@ object Multimodal {
       .as(Encoders.product[Blob])
 
   /** Render a REAL deterministic PNG per row: dimensions derive from
-    * the text's byte length (`w = 32 + n % 97`, `h = 24 + n % 83` —
+    * the text's byte length (`w = 24 + n % 53`, `h = 16 + n % 43` —
     * both reproducible in SQL), the constant fill color from the id
     * (`red = 13·id mod 256`, green/blue likewise with 17/19). The
     * payload is a genuine `javax.imageio` PNG encode, so downstream
@@ -46,8 +46,8 @@ object Multimodal {
       .as(Encoders.product[(Long, Long)])
       .mapPartitions { it =>
         it.map { case (id, n) =>
-          val w = (32 + n % 97).toInt
-          val h = (24 + n % 83).toInt
+          val w = (24 + n % 53).toInt
+          val h = (16 + n % 43).toInt
           val rgb = (((id * 13) % 256) << 16 |
                      ((id * 17) % 256) << 8 |
                      ((id * 19) % 256)).toInt

@@ -175,27 +175,42 @@ object Behavior {
 
     Q("q78_interval_sweep",
       "Max-concurrency sweep: each event opens a 5-minute half-open " +
-        "activity interval; +1/-1 boundary events, running sum per " +
-        "event_type ordered (t, delta, event_id) — ends sort before " +
-        "starts at the same instant, so touching intervals do not " +
-        "overlap. SCALE: the window partitions by event_type (at real " +
-        "scale: type x day, stitching day boundaries by carrying the " +
-        "open count forward) — never a global single-partition sort.",
+        "activity interval; +1/-1 boundary events, running sum ordered " +
+        "(t, delta, event_id) — ends sort before starts at the same " +
+        "instant, so touching intervals do not overlap. SCALE: the " +
+        "running sum partitions by (event_type, UTC day), so window " +
+        "depth is the per-type-per-day boundary count — FLAT as the " +
+        "user population grows (more partitions, not deeper ones). Day " +
+        "boundaries stitch exactly: each day's max prefix is offset by " +
+        "the carried open count (cumulative sum of prior days' delta " +
+        "totals), computed on the BOUNDED type x day aggregate. The " +
+        "global max = max over days of (carry + within-day max), " +
+        "because concatenating days in order reproduces the global " +
+        "boundary order.",
       (s, dir) => {
         val e = eline(s, dir)
+        val dayUs = 86400000000L
         val bounds = e.select(
             col("event_type"), col("tus").as("t"),
             lit(1L).as("delta"), col("event_id"))
           .unionByName(e.select(
             col("event_type"), (col("tus") + 300000000L).as("t"),
             lit(-1L).as("delta"), col("event_id")))
-        val w = Window.partitionBy("event_type")
+          .withColumn("day", expr(s"t DIV ${dayUs}L"))
+        val w = Window.partitionBy("event_type", "day")
           .orderBy("t", "delta", "event_id")
           .rowsBetween(Window.unboundedPreceding, 0)
-        bounds
-          .withColumn("open", sum("delta").over(w))
+        val perDay = bounds
+          .withColumn("open_in_day", sum("delta").over(w))
+          .groupBy("event_type", "day")
+          .agg(max("open_in_day").as("max_in_day"),
+            sum("delta").as("day_total"))
+        val wd = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perDay
+          .withColumn("carry", coalesce(sum("day_total").over(wd), lit(0L)))
           .groupBy("event_type")
-          .agg(max("open").as("max_concurrent"))
+          .agg(max(col("carry") + col("max_in_day")).as("max_concurrent"))
           .orderBy("event_type")
       },
       Some("""WITH e AS (

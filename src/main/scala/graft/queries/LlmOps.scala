@@ -744,8 +744,8 @@ object LlmOps {
         .limit(200),
       Some("""WITH d AS (
         |  SELECT doc_id,
-        |    32 + octet_length(CAST(text AS BLOB)) % 97 AS w,
-        |    24 + octet_length(CAST(text AS BLOB)) % 83 AS h
+        |    24 + octet_length(CAST(text AS BLOB)) % 53 AS w,
+        |    16 + octet_length(CAST(text AS BLOB)) % 43 AS h
         |  FROM documents)
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -768,8 +768,8 @@ object LlmOps {
         .limit(200),
       Some("""WITH d AS (
         |  SELECT doc_id,
-        |    32 + octet_length(CAST(text AS BLOB)) % 97 AS width,
-        |    24 + octet_length(CAST(text AS BLOB)) % 83 AS height
+        |    24 + octet_length(CAST(text AS BLOB)) % 53 AS width,
+        |    16 + octet_length(CAST(text AS BLOB)) % 43 AS height
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, width, height,

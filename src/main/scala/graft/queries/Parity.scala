@@ -495,6 +495,103 @@ object Parity {
         |   AS BIGINT) AS sum_k_valid,
         | CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT)
         |   AS n_corrupt_tagged
+        |FROM events""".stripMargin)),
+
+    Q("p14_hive_migration_exec",
+      "p07's migration DDL EXECUTED, closing the drift loop end to end " +
+        "(reference context: the generated DDL's whole purpose is " +
+        "downstream execution, P/CreateHQL.scala:94-99): create the " +
+        "old-cohort JsonLineSerDe table in the derby metastore, infer " +
+        "the new cohort (retyped k + added v2), render " +
+        "Ddl.alterStatements and APPLY them — ADD COLUMNS through " +
+        "Spark SQL; the CHANGE COLUMN retype through the session " +
+        "catalog's alterTableDataSchema (Spark's SQL surface refuses " +
+        "Hive column-type changes; the metastore schema alteration is " +
+        "exactly what Hive's CHANGE COLUMN performs) — then land the " +
+        "new cohort's files and re-read EVERYTHING through the serde " +
+        "under the migrated schema: old rows' numeric k now reads as " +
+        "STRING (retype applies in place, no data rewrite), v2 is " +
+        "NULL for old rows and set for new ones.",
+      (s, dir) => {
+        val hs = graft.catalog.HiveMode.session(s)
+        val table = s"graft_p14_${CatalogRun.n.incrementAndGet()}"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-p14").toString
+        try {
+          val ev = events(s, dir)
+          val oldDocs = ev.filter(col("event_id") % 5 =!= 0)
+            .select(col("props"))
+          val newDocs = ev.filter(col("event_id") % 5 === 0)
+            .select(regexp_replace(col("props"), "\\{\"k\": (\\d+)\\}",
+              "{\"k\": \"$1\", \"v2\": \"beta\"}").as("props"))
+          oldDocs.write.mode("overwrite").text(s"$tmp/data")
+          val oldS = JsonIngest
+            .inferColumnSchema(oldDocs, "props", typed = true)
+            .getOrElse(sys.error("p14: no old-cohort schema"))
+          val newS = JsonIngest
+            .inferColumnSchema(newDocs, "props", typed = true)
+            .getOrElse(sys.error("p14: no new-cohort schema"))
+          val ourSerde = classOf[graft.hive.JsonLineSerDe].getName
+          hs.sql(s"DROP TABLE IF EXISTS $table")
+          hs.sql(Ddl.createStatement(oldS, table, s"$tmp/data",
+            serde = ourSerde))
+          val drift = Ddl.diffSchemas(oldS, newS)
+          val stmts = Ddl.alterStatements(table, drift)
+          val (changes, adds) =
+            stmts.partition(_.contains(" CHANGE COLUMN "))
+          require(adds.nonEmpty && changes.nonEmpty,
+            s"p14: expected both ADD and CHANGE statements, got $stmts")
+          adds.foreach(hs.sql(_))
+          // Apply each rendered CHANGE COLUMN by rewriting that
+          // column's type in the metastore data schema.
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+          val cat = hs.sessionState.catalog
+          val retypedTo = drift.retyped
+            .map { case (c, _, nt) => Ddl.sanitizeName(c) -> nt }.toMap
+          val migrated = org.apache.spark.sql.types.StructType(
+            cat.getTableMetadata(ident).dataSchema.map { f =>
+              retypedTo.get(f.name) match {
+                case Some("STRING") =>
+                  f.copy(dataType = org.apache.spark.sql.types.StringType)
+                case Some(other) => sys.error(
+                  s"p14: unexpected retype target $other for ${f.name}")
+                case None => f
+              }
+            })
+          cat.alterTableDataSchema(ident, migrated)
+          hs.catalog.refreshTable(table)
+          val meta = cat.getTableMetadata(ident)
+          require(meta.dataSchema("k").dataType ==
+              org.apache.spark.sql.types.StringType,
+            s"p14: k not retyped in metastore: ${meta.dataSchema("k")}")
+          require(meta.dataSchema.fieldNames.contains("v2"),
+            "p14: v2 not added in metastore")
+          newDocs.write.mode("append").text(s"$tmp/data")
+          hs.catalog.refreshTable(table)
+          val res = hs.table(table)
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("k").cast("long")).cast("long").as("sum_k"),
+              count(col("v2")).as("n_v2"))
+            .select(col("n"), col("sum_k"), col("n_v2"),
+              lit(drift.added.size.toLong).as("n_added"),
+              lit(drift.retyped.size.toLong).as("n_retyped"),
+              lit(meta.dataSchema("k").dataType.simpleString).as("k_type"))
+            .localCheckpoint()
+          res
+        } finally {
+          // In finally so a tripped require doesn't leak the catalog
+          // entry (counter-unique names accumulate otherwise).
+          hs.sql(s"DROP TABLE IF EXISTS $table")
+          Rm.rf(tmp)
+        }
+      },
+      Some("""SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
+        | CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_v2,
+        | CAST(1 AS BIGINT) AS n_added,
+        | CAST(1 AS BIGINT) AS n_retyped,
+        | 'string' AS k_type
         |FROM events""".stripMargin))
   )
 }

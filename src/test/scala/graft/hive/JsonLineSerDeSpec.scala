@@ -51,6 +51,25 @@ class JsonLineSerDeSpec extends AnyFunSpec with Matchers {
       val sd = serde("userid", "bigint")
       row(sd, """{"userId": 42}""").asScala shouldBe Seq(42L)
     }
+
+    it("reads numeric JSON under a retyped STRING column as its text " +
+       "form — the in-place migration contract p14 executes") {
+      val sd = serde("k,v2", "string,string")
+      // old-cohort file written when k was BIGINT, read post-ALTER
+      row(sd, """{"k": 37}""").asScala shouldBe Seq("37", null)
+      row(sd, """{"k": "37", "v2": "beta"}""").asScala shouldBe
+        Seq("37", "beta")
+    }
+
+    it("rejects out-of-lattice declared types with a clear SerDeException") {
+      val e = intercept[org.apache.hadoop.hive.serde2.SerDeException] {
+        serde("d", "decimal(10,2)")
+      }
+      e.getMessage should include("unsupported primitive")
+      intercept[org.apache.hadoop.hive.serde2.SerDeException] {
+        serde("ts", "array<timestamp>")
+      }
+    }
   }
 
   describe("JsonLineSerDe.serialize") {

@@ -236,8 +236,8 @@ class OperatorsSpec extends AnyFunSpec {
         .collect().map(d => d.doc_id -> d).toMap
       val text0 = "the quick brown fox jumps over the lazy dog"
       val n = text0.getBytes("UTF-8").length
-      assert(out(0L).width == 32 + n % 97)
-      assert(out(0L).height == 24 + n % 83)
+      assert(out(0L).width == 24 + n % 53)
+      assert(out(0L).height == 16 + n % 43)
       assert(out(0L).n_pixels == out(0L).width * out(0L).height)
       // constant fill red = 13·id mod 256: doc 0 → 0, doc 1 → 13 —
       // only a genuine encode→decode round-trip reproduces these
