@@ -47,6 +47,16 @@ object Scale {
     "q75_sessionize", "q78_interval_sweep",
     "q79_gaps_islands", "q80_assoc_rules")
 
+  /** The flat-claim families (VERDICT r06 #1): queries whose 100 TB
+    * story is "runtime tracks designed work, not corpus" — the set the
+    * 30x/100x tier exists to stress. Excludes the deliberately
+    * worst-case near-dup chain (d07/d20/d49 measure a ~factor² pair
+    * volume by design; their law is established at 10x). */
+  val flat: Seq[String] = Seq(
+    "q01_pricing_summary", "q36_bucketed_join", "d35_substring_dedup",
+    "s03_ivf_topk", "q75_sessionize", "q78_interval_sweep",
+    "q79_gaps_islands")
+
   private final class ShuffleMetrics extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
@@ -62,6 +72,91 @@ object Scale {
 
   private def maxId(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
+
+  /** Planted-duplicate corpus for the d61 scale arm. The testdata
+    * documents share vocabulary so heavily that at J >= 0.9 the TRUE
+    * pair set is itself quadratic (measured at sf0.01: 9 020 of 124 750
+    * possible pairs qualify) — no exact join can beat its own output
+    * size, so that corpus cannot exhibit the prefix filter's scale law.
+    * A real dedup corpus is the opposite regime: mostly-unique docs
+    * with a planted near-dup fraction. Synthesize exactly that,
+    * deterministically: every 10th doc near-duplicates its predecessor
+    * (39 of 40 tokens shared → J = 39/41 ≈ 0.95); 36 of 40 tokens are
+    * doc-unique hashes (df 1–2 — these fill the rarest-first prefixes,
+    * so buckets have <= 2 docs), 4 come from a 30-token common pool
+    * (df ~ n/30 — never reach a prefix). Candidate volume must then
+    * track the planted-pair count (n/10), not n². */
+  def plantedDocs(s: SparkSession, nDocs: Long): DataFrame = {
+    val base = s.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+        .as("seed"),
+      (col("id") % 10 === 9).as("is_copy"))
+    // pmod keeps hash tokens sign-free: a '-' would split the token
+    // under the probe's [^a-z0-9]+ tokenizer
+    val common = (0 until 4).map(j =>
+      concat(lit("c"), pmod(xxhash64(col("seed"), lit(1000 + j)), lit(30))))
+    val rare = (0 until 36).map { j =>
+      val tok = concat(lit("r"),
+        pmod(xxhash64(col("seed"), lit(j)), lit(Long.MaxValue)))
+      if (j == 0)
+        when(col("is_copy"), concat(lit("x"), col("doc_id"))).otherwise(tok)
+      else tok
+    }
+    base.select(col("doc_id"),
+      concat_ws(" ", (common ++ rare): _*).as("text"))
+  }
+
+  /** d61's prefix-filtered set-similarity join over a full corpus (the
+    * catalog query gates correctness on a doc_id<100 slice; this is its
+    * scale arm, VERDICT r06 #5): same rarest-first prefix pipeline at
+    * Jaccard >= `t` over every document, plus the candidate-volume
+    * evidence the design claim rests on — prefix-bucket count/max and
+    * the Σ b·(b−1)/2 candidate bound, vs the join's actual candidate
+    * and surviving-pair counts. Returns a JSON fragment. */
+  def ssjoinEvidence(s: SparkSession, docs: DataFrame, t: Double): String = {
+    val toks = filter(
+      array_distinct(split(lower(col("text")), "[^a-z0-9]+")),
+      x => x =!= lit(""))
+    val tk = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = tk.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.tok)").as("arr"),
+        size(col("st")).as("sz"))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))
+    // bucket histogram + candidate count over the ARRAY-FREE projection
+    // (carrying `arr` per prefix row would dominate the measurement)
+    val pl = sorted
+      .select(col("doc_id"), explode(expr("slice(arr, 1, plen)")).as("ptok"))
+    val b = pl.groupBy("ptok").agg(count(lit(1)).as("b"))
+      .agg(count(lit(1)).as("nb"), max("b").as("maxb"),
+        sum(expr("b * (b - 1) DIV 2")).as("bound")).head()
+    val nCand = pl.toDF("a", "ptok")
+      .join(pl.toDF("b", "ptok2"),
+        col("ptok") === col("ptok2") && col("a") < col("b"))
+      .count()
+    val p = sorted.select(col("doc_id"), col("arr"), col("sz"),
+      explode(expr("slice(arr, 1, plen)")).as("ptok"))
+    val nPairs = p.toDF("a", "arra", "sza", "ptok")
+      .join(p.toDF("b", "arrb", "szb", "ptok2"),
+        col("ptok") === col("ptok2") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("arra"), col("arrb"))).cast("long")
+          .as("ov"),
+        col("sza"), col("szb"))
+      .distinct()
+      .filter(col("ov").cast("double") /
+        (col("sza") + col("szb") - col("ov")).cast("double") >= t)
+      .count()
+    s""""n_prefix_buckets":${b.getLong(0)},"max_bucket":${b.getLong(1)},""" +
+      s""""cand_bound":${b.getLong(2)},"n_candidates":$nCand,""" +
+      s""""n_pairs":$nPairs"""
+  }
 
   def synthesize(s: SparkSession, base: String, factor: Int,
                  out: String): Unit = {
@@ -191,9 +286,10 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" => Seq.empty[String]
+      case "graph" | "ssjoin" => Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
+      case "flat" => flat
       case _ => chain ++ behavior
     }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
@@ -224,7 +320,28 @@ object Scale {
     // Measure it — the Nx tier re-run with bits = 6 + ceil(log2 N)
     // should land near the 1x fixed-bits time, turning the contract
     // from argument into evidence.
-    if (what == "all" || what == "chain") {
+    // d61 scale arm: full-corpus prefix-filter join + candidate-volume
+    // evidence on the planted-duplicate corpus at 1x and Nx doc counts
+    // (one timed pass each). 50k docs at 1x.
+    if (what == "all" || what == "flat" || what == "ssjoin") {
+      for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
+        val t0 = System.nanoTime()
+        val evidence =
+          try ssjoinEvidence(spark, plantedDocs(spark, n), t = 0.9)
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier ssjoin failed: ${e.getMessage}")
+            """"n_pairs":-1"""
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"d61_ssjoin_planted",""" +
+          s""""n_docs":$n,"sec":${fmt(sec)},$evidence,""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+      }
+    }
+    if (what == "all" || what == "chain" || what == "flat") {
       val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
       val bitsN = 6 + extraBits
       val samples = (1 to 2).map { _ =>

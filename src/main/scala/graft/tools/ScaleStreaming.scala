@@ -1,0 +1,157 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming scale harness (VERDICT r06 #3 — the streaming analog of
+  * [[Scale]]): drives the engine's stateful streaming shapes with a
+  * `rate` source at a sustained rows/sec and reports, from
+  * `StreamingQueryProgress`, what the correctness gate cannot show —
+  * throughput, batch duration, and STATE-STORE growth over time. The
+  * claim under test is boundedness: every stateful operator the engine
+  * ships keeps state proportional to the live keyspace/watermark
+  * window, never to the rows-seen total (the reference capability being
+  * scaled is the incremental per-record fold, P/CreateHQL.scala:14-20).
+  *
+  * Probes (one JSON line each):
+  *  - `session_window` — w03's shape: watermarked session windows per
+  *    user key. Continuous per-key traffic keeps one open session per
+  *    key, so state rows plateau at ~keys.
+  *  - `dedup_watermark` — w14's shape: dropDuplicatesWithinWatermark on
+  *    a key that repeats every `keys` rows; state is the keys seen
+  *    within the watermark horizon, not all rows.
+  *  - `tws_ttl` — w19's shape: transformWithState + RocksDB with a
+  *    10 s TTL over a keyspace sized to ~20 s of input, so each key's
+  *    revisit arrives AFTER its TTL: without eviction state would climb
+  *    to the full keyspace; with it, rows plateau near the ~10 s live
+  *    set.
+  *
+  * Usage: runMain graft.tools.ScaleStreaming [rowsPerSec] [secs] [keys]
+  */
+object ScaleStreaming {
+
+  private final case class Sample(
+      batchId: Long, inRows: Long, procRps: Double, batchMs: Long,
+      stateRows: Long, stateMb: Double)
+
+  /** Poll `q.lastProgress` until `secs` elapse, keeping one sample per
+    * data-bearing batch (the rate source emits every batch; empty ones
+    * are skipped so idle polling doesn't dilute the numbers). */
+  private def drive(q: StreamingQuery, secs: Int): Seq[Sample] = {
+    val out = ArrayBuffer.empty[Sample]
+    val deadline = System.nanoTime() + secs * 1000L * 1000 * 1000
+    var lastBatch = -1L
+    while (System.nanoTime() < deadline && q.exception.isEmpty) {
+      val p = q.lastProgress
+      if (p != null && p.batchId != lastBatch && p.numInputRows > 0) {
+        lastBatch = p.batchId
+        val st = p.stateOperators.headOption
+        out += Sample(
+          p.batchId, p.numInputRows, p.processedRowsPerSecond,
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(-1L),
+          st.map(_.numRowsTotal).getOrElse(0L),
+          st.map(_.memoryUsedBytes / 1e6).getOrElse(0.0))
+      }
+      Thread.sleep(200)
+    }
+    q.exception.foreach(throw _)
+    q.stop()
+    q.awaitTermination()
+    out.toSeq
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def report(name: String, rate: Int, keys: Long,
+                     samples: Seq[Sample]): Unit = {
+    // steady state = drop the first third (stream warm-up: codegen,
+    // RocksDB open, first checkpoint)
+    val steady = samples.drop(samples.length / 3)
+    val rps = steady.map(_.procRps).filter(_ > 0)
+    val ms = steady.map(_.batchMs).filter(_ >= 0).sorted
+    def p50(xs: Seq[Long]) = if (xs.isEmpty) -1L else xs(xs.length / 2)
+    val rows = samples.map(_.stateRows)
+    println(s"""{"probe":"$name","rate_rps":$rate,"keys":$keys,""" +
+      s""""batches":${samples.length},""" +
+      s""""avg_processed_rps":${fmt(if (rps.isEmpty) -1 else rps.sum / rps.length)},""" +
+      s""""p50_batch_ms":${p50(ms)},"max_batch_ms":${ms.lastOption.getOrElse(-1L)},""" +
+      s""""state_rows_first":${rows.headOption.getOrElse(-1L)},""" +
+      s""""state_rows_max":${if (rows.isEmpty) -1L else rows.max},""" +
+      s""""state_rows_last":${rows.lastOption.getOrElse(-1L)},""" +
+      s""""state_mb_last":${fmt(samples.lastOption.map(_.stateMb).getOrElse(-1.0))},""" +
+      s""""state_rows_series":[${rows.mkString(",")}]}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rate = args.headOption.map(_.toInt).getOrElse(20000)
+    val secs = args.drop(1).headOption.map(_.toInt).getOrElse(40)
+    val keys = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def src: DataFrame = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate)
+      // several input partitions so the source side parallelizes like a
+      // real ingest, not a single-thread generator
+      .option("numPartitions", 8)
+      .load()
+
+    // w03's shape: per-key session windows under a watermark.
+    val sess = src
+      .select(col("timestamp"), (col("value") % keys).as("user_id"))
+      .withWatermark("timestamp", "5 seconds")
+      .groupBy(session_window(col("timestamp"), "2 seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    report("session_window", rate, keys, drive(
+      sess.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("sess"))
+        .outputMode("append").start(), secs))
+
+    // w14's shape: bounded-state dedup within the watermark horizon.
+    val dedup = src
+      .select(col("timestamp"), (col("value") % keys).as("k"))
+      .withWatermark("timestamp", "5 seconds")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+    report("dedup_watermark", rate, keys, drive(
+      dedup.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("dedup"))
+        .outputMode("append").start(), secs))
+
+    // w19's shape: TTL'd per-key state on RocksDB. Keyspace = ~20 s of
+    // input with a 10 s TTL: each key's next visit lands after its TTL,
+    // so eviction — not the keyspace bound — is what must hold the line.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ttlKeys = rate.toLong * 20
+    val pairs = src
+      .select((col("value") % ttlKeys).as("_1"),
+        col("value").cast("double").as("_2"))
+      .as[(Long, Double)]
+    val ttl = graft.streaming.TwsTtl
+      .perKey(pairs, ttl = java.time.Duration.ofSeconds(10))
+      .toDF("k", "n_events", "max_value")
+    report("tws_ttl", rate, ttlKeys, drive(
+      ttl.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("ttl"))
+        .outputMode("update").start(), secs))
+
+    spark.stop()
+  }
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files
+      .createTempDirectory(s"graft-scale-stream-$tag").toString
+}
