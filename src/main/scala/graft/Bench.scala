@@ -84,7 +84,13 @@ object Bench {
           }
         }
       })
-    val results = headline.filter(queries.contains).map { name =>
+    // Optional focus filter for triage runs (comma-separated names):
+    // lets a single headline query be re-sampled at high N without the
+    // full sweep. Unset = the full headline, the driver's shape.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = headline.filter(queries.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       shuffleRead.set(0L); shuffleWrite.set(0L)
       val times = (1 to nSamples).map { _ =>
         val t0 = System.nanoTime()
