@@ -934,9 +934,10 @@ object LlmOps {
 
     Q("d20_neardup_clusters",
       "Transitive near-dup clusters: banded-LSH candidate pairs → " +
-        "hash-min label propagation (Dedup.connectedComponents, one " +
-        "shuffle per round, O(diameter) rounds); every clustered doc " +
-        "maps to its min-id representative. Oracle: recursive CTE.",
+        "large-star/small-star contraction (Dedup.connectedComponents; " +
+        "the edge set itself contracts to the star forest, so late " +
+        "rounds shrink); every clustered doc maps to its min-id " +
+        "representative. Oracle: recursive CTE.",
       (s, dir) => neardupLabels(s, dir)
         .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
         .orderBy("doc_id"),

@@ -286,11 +286,43 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" => Seq.empty[String]
+      case "graph" | "ssjoin" | "cc" => Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
       case "flat" => flat
       case _ => chain ++ behavior
+    }
+    // Focused cold-CC probe (VERDICT r07 #1): the d20 clustering step
+    // WITHOUT the ccMemo, so every sample pays the full candidate-pair +
+    // contraction cost; reports the large-star/small-star round count
+    // alongside wall time so the convergence claim is in the artifact.
+    if (what == "cc") {
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val pairs = graft.operators.Dedup.candidatePairs(
+              graft.operators.Dedup.minhashBands(
+                spark.read.parquet(s"$dir/documents.parquet"),
+                "doc_id", "text"),
+              "doc_id")
+            graft.operators.Dedup.connectedComponents(pairs)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier cc failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"d20_cold_cc",""" +
+          s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""cc_rounds":${graft.operators.Dedup.lastCCIterations.get()},""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+      }
     }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
          name <- probeNames) {

@@ -700,6 +700,19 @@ class OperatorsSpec extends AnyFunSpec {
       assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
       assert(got.forall(_._2 == 1L))
     }
+    it("keeps self-loop-only nodes as their own representative") {
+      val edges = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    }
+    it("resolves a 64-node chain within the default iteration bound") {
+      // worst-case diameter for plain propagation; large/small-star
+      // contracts it in O(log^2 n) rounds
+      val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+      assert(got.length == 64 && got.forall(_._2 == 0L))
+      assert(Dedup.lastCCIterations.get() <= 10)
+    }
   }
 
   describe("Dedup.connectedComponents vs union-find reference") {
