@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver-run per round at sf0.1): times the headline
-  * queries and prints ONE JSON line. Results are forced through the
-  * `noop` sink so every projected column is actually computed —
-  * `.count()` would let Catalyst prune the expressions under test.
+  * queries and prints the result as JSON lines — a compact headline
+  * line (total + per-query best + shuffle bytes) first AND last, with
+  * the full per-sample arrays on the middle line, so a truncated
+  * stdout capture keeps every query's number whichever end survives.
+  * Results are forced through the `noop` sink so every projected
+  * column is actually computed — `.count()` would let Catalyst prune
+  * the expressions under test.
   */
 object Bench {
 
@@ -72,26 +76,28 @@ object Bench {
     // to well under a MB at these volumes.
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null) {
-            shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-            ()
-          }
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
         }
-      })
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     // Optional focus filter for triage runs (comma-separated names):
     // lets a single headline query be re-sampled at high N without the
-    // full sweep. Unset = the full headline, the driver's shape.
+    // full sweep. Unset = the full headline, the driver's shape. When
+    // set, the emitted JSON carries an explicit "only" field so a
+    // consumer never mistakes a triage subset's total for a full sweep
+    // (ADVICE r07).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val results = headline.filter(queries.contains)
       .filter(n => only.forall(_.contains(n))).map { name =>
-      shuffleRead.set(0L); shuffleWrite.set(0L)
       val times = (1 to nSamples).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -104,14 +110,20 @@ object Bench {
         }
       }
       Thread.sleep(300)
-      // per-sample average, so the number is comparable across n_samples
-      // settings (memoized-state queries shuffle more in the cold sample;
-      // the average smears that build over the runs, same as the samples
-      // array exposes it)
-      val rwMb = (shuffleRead.get() + shuffleWrite.get()) / 1e6 / nSamples
+      // getAndSet(0) AT the post-sleep read (not a reset at the next
+      // query's start): an event draining in after this read is dropped
+      // rather than silently attributed to the next query (ADVICE r07;
+      // attribution remains heuristic — the sleep bounds the error).
+      // Per-sample average, so the number is comparable across
+      // n_samples settings (memoized-state queries shuffle more in the
+      // cold sample; the average smears that build over the runs, same
+      // as the samples array exposes it).
+      val rwMb =
+        (shuffleRead.getAndSet(0L) + shuffleWrite.getAndSet(0L)) / 1e6 / nSamples
       val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
       (name, best, times, rwMb)
     }
+    spark.sparkContext.removeSparkListener(listener)
     // Locale-free formatting: the f-interpolator uses the default locale
     // and would emit comma decimals (invalid JSON) on e.g. de_DE JVMs.
     def fmt(v: Double): String =
@@ -125,13 +137,30 @@ object Bench {
       "\"" + k + "\":" + fmt(mb)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val onlyField = only.map(o =>
+      s""""only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
+      .getOrElse("")
+    // The compact headline line (no samples — total, per-query best,
+    // shuffle bytes) is printed FIRST and repeated LAST: the round
+    // artifact is a bounded stdout capture, so whichever end survives
+    // truncation still carries every query's number (VERDICT r07 #2 —
+    // r07's single giant line lost q01–d08's samples and p04 to the
+    // tail cut). The middle line adds the full samples arrays.
+    val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        onlyField +
+        s""""queries":$qs,"shuffle_rw_mb":$shuffle,""" +
+        s""""n_samples":$nSamples,"sf":"$sfDir"}"""
+    println(compact)
+    println(
+      s"""{"metric":"total_with_samples","value":${fmt(total)},"unit":"sec",""" +
+        onlyField +
         s""""queries":$qs,"samples":$samples,""" +
         s""""shuffle_rw_mb":$shuffle,"n_samples":$nSamples,""" +
         s""""warmup":"footer-read per table + one noop run of q01; """ +
         s"""per-query value = min of n_samples runs; shuffle_rw_mb = """ +
         s"""read+write bytes over all samples / n_samples","sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

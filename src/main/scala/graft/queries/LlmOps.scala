@@ -3070,25 +3070,27 @@ object LlmOps {
 
     Q("m05_vlm_token_budget",
       "Vision-language packing estimate: image side = ViT patch grid " +
-        "(14px patches over the metadata-declared 320x240-family dims, " +
-        "224-box fit, ceil division), text side = whitespace tokens, " +
-        "plus 2 special tokens; fits_4k flags docs whose combined " +
-        "sequence fits a 4096 context. Integer math end to end, pure " +
-        "codegen'd expressions — the budgeting pass that decides " +
-        "multimodal packing BEFORE any pixel is decoded (m01/m03 are " +
-        "the decode arms).",
+        "(14px patches over the SAME dims the m01 synthesis renders — " +
+        "w = 24 + n%53, h = 16 + n%43 from the text byte length, " +
+        "computable BEFORE any pixel is decoded — fit into m03's " +
+        "shared 64-box), text side = whitespace tokens, plus 2 special " +
+        "tokens; fits_4k flags docs whose combined sequence fits a " +
+        "4096 context. Integer math end to end, pure codegen'd " +
+        "expressions — the budgeting pass runs pre-decode yet budgets " +
+        "exactly the images m01 decodes and m03 resizes (ADVICE r07: " +
+        "the multimodal family shares one geometry).",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          (lit(320L) + octet_length(col("text")).cast("long") % 320)
+          (lit(24L) + octet_length(col("text")).cast("long") % 53)
             .as("width"),
-          (lit(240L) + octet_length(col("text")).cast("long") % 240)
+          (lit(16L) + octet_length(col("text")).cast("long") % 43)
             .as("height"),
           size(split(col("text"), " ")).cast("long").as("n_text_tokens"))
         .withColumn("m", greatest(col("width"), col("height")))
-        .withColumn("out_w", when(col("m") <= 224, col("width"))
-          .otherwise(expr("width * 224 DIV m")))
-        .withColumn("out_h", when(col("m") <= 224, col("height"))
-          .otherwise(expr("height * 224 DIV m")))
+        .withColumn("out_w", when(col("m") <= 64, col("width"))
+          .otherwise(expr("width * 64 DIV m")))
+        .withColumn("out_h", when(col("m") <= 64, col("height"))
+          .otherwise(expr("height * 64 DIV m")))
         .select(col("doc_id"),
           (expr("(out_w + 13) DIV 14") * expr("(out_h + 13) DIV 14"))
             .as("n_patches"),
@@ -3100,16 +3102,16 @@ object LlmOps {
         .orderBy("doc_id"),
       Some("""WITH d AS (
         |  SELECT doc_id,
-        |    320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
-        |    240 + octet_length(CAST(text AS BLOB)) % 240 AS height,
+        |    24 + octet_length(CAST(text AS BLOB)) % 53 AS width,
+        |    16 + octet_length(CAST(text AS BLOB)) % 43 AS height,
         |    len(string_split(text, ' ')) AS n_text_tokens
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_text_tokens,
-        |    CASE WHEN greatest(width, height) <= 224 THEN width
-        |         ELSE width * 224 // greatest(width, height) END AS out_w,
-        |    CASE WHEN greatest(width, height) <= 224 THEN height
-        |         ELSE height * 224 // greatest(width, height) END AS out_h
+        |    CASE WHEN greatest(width, height) <= 64 THEN width
+        |         ELSE width * 64 // greatest(width, height) END AS out_w,
+        |    CASE WHEN greatest(width, height) <= 64 THEN height
+        |         ELSE height * 64 // greatest(width, height) END AS out_h
         |  FROM d),
         |p AS (
         |  SELECT doc_id,

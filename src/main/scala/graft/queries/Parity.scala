@@ -244,8 +244,8 @@ object Parity {
           hs.sql(s"DROP TABLE IF EXISTS $serdeTable")
           hs.sql(Ddl.createStatement(schema, serdeTable, s"$tmp/data",
             serde = ourSerde))
-          val meta = hs.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(serdeTable))
+          val meta = graft.catalog.MetastoreInternal
+            .tableMetadata(hs, serdeTable)
           val serdeLib = meta.storage.serde.getOrElse("")
           require(meta.tableType.name == "EXTERNAL",
             s"p09: expected EXTERNAL table in Hive catalog, got " +
@@ -542,24 +542,19 @@ object Parity {
             s"p14: expected both ADD and CHANGE statements, got $stmts")
           adds.foreach(hs.sql(_))
           // Apply each rendered CHANGE COLUMN by rewriting that
-          // column's type in the metastore data schema.
-          val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-          val cat = hs.sessionState.catalog
-          val retypedTo = drift.retyped
-            .map { case (c, _, nt) => Ddl.sanitizeName(c) -> nt }.toMap
-          val migrated = org.apache.spark.sql.types.StructType(
-            cat.getTableMetadata(ident).dataSchema.map { f =>
-              retypedTo.get(f.name) match {
-                case Some("STRING") =>
-                  f.copy(dataType = org.apache.spark.sql.types.StringType)
-                case Some(other) => sys.error(
-                  s"p14: unexpected retype target $other for ${f.name}")
-                case None => f
-              }
-            })
-          cat.alterTableDataSchema(ident, migrated)
+          // column's type in the metastore data schema (the internal-
+          // API call lives in MetastoreInternal, ADVICE r07).
+          val retypedTo = drift.retyped.map {
+            case (c, _, "STRING") =>
+              Ddl.sanitizeName(c) ->
+                (org.apache.spark.sql.types.StringType:
+                  org.apache.spark.sql.types.DataType)
+            case (c, _, other) =>
+              sys.error(s"p14: unexpected retype target $other for $c")
+          }.toMap
+          graft.catalog.MetastoreInternal.retypeColumns(hs, table, retypedTo)
           hs.catalog.refreshTable(table)
-          val meta = cat.getTableMetadata(ident)
+          val meta = graft.catalog.MetastoreInternal.tableMetadata(hs, table)
           require(meta.dataSchema("k").dataType ==
               org.apache.spark.sql.types.StringType,
             s"p14: k not retyped in metastore: ${meta.dataSchema("k")}")

@@ -1,7 +1,5 @@
 package graft.tools
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -37,31 +35,50 @@ object ScaleStreaming {
       batchId: Long, inRows: Long, procRps: Double, batchMs: Long,
       stateRows: Long, stateMb: Double)
 
-  /** Poll `q.lastProgress` until `secs` elapse, keeping one sample per
-    * data-bearing batch (the rate source emits every batch; empty ones
-    * are skipped so idle polling doesn't dilute the numbers). */
+  /** Run `q` for `secs`, capturing EVERY data-bearing batch via a
+    * `StreamingQueryListener` (ADVICE r07: polling `lastProgress` under
+    * the ASAP trigger skipped batches between polls, leaving gaps in
+    * the state series and biasing the throughput mean — the listener
+    * receives each `QueryProgressEvent` exactly once, same pattern as
+    * the w19 fix in StreamingQ). Empty batches are skipped so idle
+    * ticks don't dilute the numbers. */
   private def drive(q: StreamingQuery, secs: Int): Seq[Sample] = {
-    val out = ArrayBuffer.empty[Sample]
-    val deadline = System.nanoTime() + secs * 1000L * 1000 * 1000
-    var lastBatch = -1L
-    while (System.nanoTime() < deadline && q.exception.isEmpty) {
-      val p = q.lastProgress
-      if (p != null && p.batchId != lastBatch && p.numInputRows > 0) {
-        lastBatch = p.batchId
-        val st = p.stateOperators.headOption
-        out += Sample(
-          p.batchId, p.numInputRows, p.processedRowsPerSecond,
-          Option(p.durationMs.get("triggerExecution"))
-            .map(_.longValue()).getOrElse(-1L),
-          st.map(_.numRowsTotal).getOrElse(0L),
-          st.map(_.memoryUsedBytes / 1e6).getOrElse(0.0))
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Sample]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.id == q.id && p.numInputRows > 0) {
+          val st = p.stateOperators.headOption
+          out.add(Sample(
+            p.batchId, p.numInputRows, p.processedRowsPerSecond,
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue()).getOrElse(-1L),
+            st.map(_.numRowsTotal).getOrElse(0L),
+            st.map(_.memoryUsedBytes / 1e6).getOrElse(0.0)))
+          ()
+        }
       }
-      Thread.sleep(200)
     }
-    q.exception.foreach(throw _)
-    q.stop()
-    q.awaitTermination()
-    out.toSeq
+    val streams = q.sparkSession.streams
+    streams.addListener(listener)
+    try {
+      val deadline = System.nanoTime() + secs * 1000L * 1000 * 1000
+      while (System.nanoTime() < deadline && q.exception.isEmpty)
+        Thread.sleep(200)
+      q.exception.foreach(throw _)
+      q.stop()
+      q.awaitTermination()
+    } finally streams.removeListener(listener)
+    // the listener bus delivers asynchronously; drain what's in flight
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq.sortBy(_.batchId)
   }
 
   private def fmt(v: Double): String =
