@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered set-similarity self-join — the SSJoin primitive
+  * (Chaudhuri et al., "A Primitive Operator for Similarity Joins in
+  * Data Cleaning", ICDE'06) with the PPJoin positional filter (Xiao et
+  * al., "Efficient Similarity Joins for Near Duplicate Detection",
+  * WWW'08): the published refinement VERDICT r07 #3 asked for.
+  *
+  * Scale design — the join never ships a token string:
+  *
+  *  1. Tokens are hashed to 64 bits (`xxhash64`) BEFORE the document-
+  *     frequency shuffle, so every downstream key and array element is
+  *     8 bytes (the d35 gram-hash rule; the ~|vocab|²/2⁶⁴ ≈ 1e-10
+  *     collision odds are the accepted d35/d61 trade).
+  *  2. Candidate generation runs on an ARRAY-FREE projection
+  *     `(doc_id, sz, pos, prefix-token)`: docs sharing a token in their
+  *     rarest-first `(sz − ceil(t·sz) + 1)`-prefix are candidates —
+  *     sound because J ≥ t implies overlap ≥ ceil(t·|x|), so two
+  *     qualifying docs must collide inside their prefixes. Two
+  *     sound-but-loose pruning predicates run inside the join:
+  *      - length filter: J ≥ t ⇒ t·max(sx,sy) ≤ min(sx,sy);
+  *      - positional filter: for the pair's FIRST common token at
+  *        (1-based) positions (i, j), everything earlier is disjoint,
+  *        so overlap ≤ 1 + min(sx−i, sy−j), which must reach
+  *        α = t/(1+t)·(sx+sy). Applied per shared-token row and then
+  *        `distinct` — lossless at pair level because the first-common
+  *        row always satisfies it for a truly-qualifying pair (later
+  *        rows may prune, but the pair survives via that row).
+  *     Both predicates compare against the real-valued bound minus a
+  *     1e-7 slack instead of a float `ceil`, so fp rounding can only
+  *     ADMIT a borderline candidate (exact verify rejects it), never
+  *     drop a qualifying one.
+  *  3. Verification joins the deduped candidate list back to the
+  *     hashed-array table by doc id — each doc's array crosses the
+  *     wire once per side, not once per prefix row (r07 measured the
+  *     array-carrying variant at 25.7 GB shuffle at 30×; this is the
+  *     cut). The exact `array_intersect` count then decides J ≥ t, so
+  *     the pre-filters affect performance only, never membership.
+  *
+  * The array table is localCheckpoint'ed: candidate generation and
+  * both verify sides consume it, and an unmaterialized subtree would
+  * re-run the tokenize + df-sort per consumer (the d44 defect class).
+  *
+  * Reference capability being re-expressed: corpus-scale near-dup
+  * blocking (SURVEY §2 dedup family; the reference's scope is schema
+  * inference — `P/CreateHQL.scala` — so this operator is part of the
+  * training-data-pipeline extension, not a port).
+  */
+object SSJoin {
+
+  /** Distinct lowercased word tokens of a text column. */
+  def tokenize(textCol: Column): Column =
+    filter(array_distinct(split(lower(textCol), "[^a-z0-9]+")),
+      x => x =!= lit(""))
+
+  /** One row per doc: `(doc_id, arr, sz)` where `arr` holds the doc's
+    * 64-bit token hashes sorted rarest-first (global (df, hash) order —
+    * any consistent total order is sound; rarest-first is what makes
+    * prefix buckets small). Materialized once per call via
+    * localCheckpoint — three consumers downstream. */
+  def sortedTokenArrays(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        explode(tokenize(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val dfreq = tk.groupBy("h").agg(count(lit(1)).as("df"))
+    tk.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.h)").as("arr"),
+        size(col("st")).as("sz"))
+      .localCheckpoint()
+  }
+
+  /** Array-free prefix projection: `(doc_id, sz, i, ptok)` — one row
+    * per token in the doc's length-`(sz − ceil(t·sz) + 1)` prefix,
+    * with `i` the token's 1-based position in the sorted array. */
+  def prefixRows(sorted: DataFrame, t: Double): DataFrame =
+    sorted
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(arr, 1, plen)")).as(Seq("pos0", "ptok")))
+      .select(col("doc_id"), col("sz"),
+        (col("pos0") + 1).as("i"), col("ptok"))
+
+  /** Deduped candidate pairs `(a, sza, b, szb)` from the prefix-token
+    * self-join with the length + positional filters applied in the
+    * join condition (pruned rows never leave the exchange). */
+  def candidates(pr: DataFrame, t: Double): DataFrame = {
+    val left = pr.toDF("a", "sza", "ia", "ptok")
+    val right = pr.toDF("b", "szb", "ib", "ptok2")
+    val alpha =
+      (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
+    left.join(right,
+        col("ptok") === col("ptok2") && col("a") < col("b") &&
+          least(col("sza"), col("szb")).cast("double") >=
+            greatest(col("sza"), col("szb")).cast("double") * lit(t) - lit(1e-7) &&
+          (lit(1L) + least(col("sza") - col("ia"), col("szb") - col("ib")))
+            .cast("double") >= alpha)
+      .select(col("a"), col("sza"), col("b"), col("szb"))
+      .distinct()
+  }
+
+  /** Full pipeline: pairs with Jaccard ≥ `t` over distinct-token sets,
+    * columns `(a, b, ov, jaccard)` — `ov` the exact intersection size,
+    * `jaccard` one IEEE division of exact integers (cross-engine
+    * bit-identical). */
+  def join(docs: DataFrame, idCol: String, textCol: String,
+           t: Double): DataFrame = {
+    val sorted = sortedTokenArrays(docs, idCol, textCol)
+    val cands = candidates(prefixRows(sorted, t), t)
+    cands
+      .join(sorted.select(col("doc_id").as("a"), col("arr").as("arra")), "a")
+      .join(sorted.select(col("doc_id").as("b"), col("arr").as("arrb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("arra"), col("arrb"))).cast("long").as("ov"),
+        col("sza"), col("szb"))
+      .withColumn("jaccard",
+        col("ov").cast("double") /
+          (col("sza") + col("szb") - col("ov")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("a", "b", "ov", "jaccard")
+  }
+}

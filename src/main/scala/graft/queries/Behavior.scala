@@ -688,52 +688,22 @@ object Behavior {
 
     Q("d61_prefix_filter_join",
       "Prefix-filtered set-similarity self-join (the SSJoin primitive, " +
-        "Chaudhuri et al. ICDE'06) at Jaccard >= 0.9: tokens globally " +
-        "ordered rarest-first, candidates must share a token in their " +
-        "(sz - ceil(t*sz) + 1)-prefix — sound because J >= t implies " +
-        "overlap >= ceil(t*|x|) — then exact array-intersect verify. " +
-        "The third blocking family next to LSH (d07) and sorted " +
-        "neighborhood (d58). Correctness slice doc_id < 100 (the d52 " +
-        "discipline); the ORACLE is the brute-force all-shared-token " +
-        "join, so any unsound pruning would hash-mismatch. SCALE: " +
-        "candidate volume is bounded by prefix-token bucket sizes " +
-        "(rare tokens -> small buckets); the df-ordering aggregation " +
-        "is one token-key shuffle.",
-      (s, dir) => {
-        val toks = filter(
-          array_distinct(split(lower(col("text")), "[^a-z0-9]+")),
-          x => x =!= lit(""))
-        val tk = t(s, dir, "documents")
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), explode(toks).as("tok"))
-        val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
-        val sorted = tk.join(dfreq, "tok")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-            .as("st"))
-          .select(col("doc_id"),
-            expr("transform(st, x -> x.tok)").as("arr"),
-            size(col("st")).as("sz"))
-        val p = sorted
-          .withColumn("plen",
-            (col("sz") - ceil(col("sz") * lit(0.9)) + 1).cast("int"))
-          .select(col("doc_id"), col("arr"), col("sz"),
-            explode(expr("slice(arr, 1, plen)")).as("ptok"))
-        p.toDF("a", "arra", "sza", "ptok")
-          .join(p.toDF("b", "arrb", "szb", "ptok2"),
-            col("ptok") === col("ptok2") && col("a") < col("b"))
-          .select(col("a"), col("b"),
-            size(array_intersect(col("arra"), col("arrb"))).cast("long")
-              .as("ov"),
-            col("sza"), col("szb"))
-          .distinct()
-          .withColumn("jaccard",
-            col("ov").cast("double") /
-              (col("sza") + col("szb") - col("ov")).cast("double"))
-          .filter(col("jaccard") >= 0.9)
-          .select("a", "b", "ov", "jaccard")
-          .orderBy("a", "b")
-      },
+        "Chaudhuri et al. ICDE'06, + the PPJoin positional filter, " +
+        "Xiao et al. WWW'08) at Jaccard >= 0.9: tokens hashed to 64 " +
+        "bits and globally ordered rarest-first; candidates must share " +
+        "a token in their (sz - ceil(t*sz) + 1)-prefix AND pass the " +
+        "length and positional bounds; the exact array-intersect " +
+        "verify then joins the deduped candidates back to the hashed " +
+        "arrays, so arrays ship once per side, never once per prefix " +
+        "row (operators/SSJoin.scala). The third blocking family next " +
+        "to LSH (d07) and sorted neighborhood (d58). Correctness " +
+        "slice doc_id < 100 (the d52 discipline); the ORACLE is the " +
+        "brute-force all-shared-token join, so any unsound pruning " +
+        "would hash-mismatch.",
+      (s, dir) => graft.operators.SSJoin.join(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", t = 0.9)
+        .orderBy("a", "b"),
       Some("""WITH tk0 AS (
         |  SELECT doc_id, list_distinct(list_filter(
         |    string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -106,56 +106,28 @@ object Scale {
       concat_ws(" ", (common ++ rare): _*).as("text"))
   }
 
-  /** d61's prefix-filtered set-similarity join over a full corpus (the
-    * catalog query gates correctness on a doc_id<100 slice; this is its
-    * scale arm, VERDICT r06 #5): same rarest-first prefix pipeline at
-    * Jaccard >= `t` over every document, plus the candidate-volume
-    * evidence the design claim rests on — prefix-bucket count/max and
-    * the Σ b·(b−1)/2 candidate bound, vs the join's actual candidate
-    * and surviving-pair counts. Returns a JSON fragment. */
+  /** d61's candidate-volume evidence (untimed — the timed measurement
+    * is `SSJoin.join` alone, VERDICT r07 #8): prefix-bucket count/max
+    * and the Σ b·(b−1)/2 candidate bound over the array-free
+    * projection, the raw prefix-share candidate count (the r06/r07
+    * comparable), and the count surviving the length + positional
+    * filters (the PPJoin cut — must stay ≥ the true pair count or the
+    * filter lost pairs). Returns a JSON fragment. */
   def ssjoinEvidence(s: SparkSession, docs: DataFrame, t: Double): String = {
-    val toks = filter(
-      array_distinct(split(lower(col("text")), "[^a-z0-9]+")),
-      x => x =!= lit(""))
-    val tk = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
-    val dfreq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sorted = tk.join(dfreq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .as("st"))
-      .select(col("doc_id"),
-        expr("transform(st, x -> x.tok)").as("arr"),
-        size(col("st")).as("sz"))
-      .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))
-    // bucket histogram + candidate count over the ARRAY-FREE projection
-    // (carrying `arr` per prefix row would dominate the measurement)
-    val pl = sorted
-      .select(col("doc_id"), explode(expr("slice(arr, 1, plen)")).as("ptok"))
-    val b = pl.groupBy("ptok").agg(count(lit(1)).as("b"))
+    import graft.operators.SSJoin
+    val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
+    val pr = SSJoin.prefixRows(sorted, t).localCheckpoint()
+    val b = pr.groupBy("ptok").agg(count(lit(1)).as("b"))
       .agg(count(lit(1)).as("nb"), max("b").as("maxb"),
         sum(expr("b * (b - 1) DIV 2")).as("bound")).head()
-    val nCand = pl.toDF("a", "ptok")
-      .join(pl.toDF("b", "ptok2"),
+    val nCandRaw = pr.toDF("a", "sza", "ia", "ptok")
+      .join(pr.toDF("b", "szb", "ib", "ptok2"),
         col("ptok") === col("ptok2") && col("a") < col("b"))
       .count()
-    val p = sorted.select(col("doc_id"), col("arr"), col("sz"),
-      explode(expr("slice(arr, 1, plen)")).as("ptok"))
-    val nPairs = p.toDF("a", "arra", "sza", "ptok")
-      .join(p.toDF("b", "arrb", "szb", "ptok2"),
-        col("ptok") === col("ptok2") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("arra"), col("arrb"))).cast("long")
-          .as("ov"),
-        col("sza"), col("szb"))
-      .distinct()
-      .filter(col("ov").cast("double") /
-        (col("sza") + col("szb") - col("ov")).cast("double") >= t)
-      .count()
+    val nCandPos = SSJoin.candidates(pr, t).count()
     s""""n_prefix_buckets":${b.getLong(0)},"max_bucket":${b.getLong(1)},""" +
-      s""""cand_bound":${b.getLong(2)},"n_candidates":$nCand,""" +
-      s""""n_pairs":$nPairs"""
+      s""""cand_bound":${b.getLong(2)},"n_candidates":$nCandRaw,""" +
+      s""""n_candidates_pos":$nCandPos"""
   }
 
   def synthesize(s: SparkSession, base: String, factor: Int,
@@ -352,24 +324,42 @@ object Scale {
     // Measure it — the Nx tier re-run with bits = 6 + ceil(log2 N)
     // should land near the 1x fixed-bits time, turning the contract
     // from argument into evidence.
-    // d61 scale arm: full-corpus prefix-filter join + candidate-volume
-    // evidence on the planted-duplicate corpus at 1x and Nx doc counts
-    // (one timed pass each). 50k docs at 1x.
+    // d61 scale arm: full-corpus prefix-filter join on the planted-
+    // duplicate corpus at 1x and Nx doc counts. The corpus is persisted
+    // to parquet ONCE per tier and the join measured on the stored
+    // table (VERDICT r07 #8: synthesis out of the timed window); the
+    // candidate-volume evidence runs untimed after the measurement.
+    // 50k docs at 1x.
     if (what == "all" || what == "flat" || what == "ssjoin") {
       for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
+        val corpus = s"/tmp/graft_ssjoin_planted_$n"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus)))
+          plantedDocs(spark, n).write.parquet(corpus)
+        val docs = spark.read.parquet(corpus)
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.write.set(0L)
         val t0 = System.nanoTime()
-        val evidence =
-          try ssjoinEvidence(spark, plantedDocs(spark, n), t = 0.9)
+        val nPairs =
+          try graft.operators.SSJoin.join(docs, "doc_id", "text", t = 0.9)
+            .count()
           catch { case e: Throwable =>
             System.err.println(s"[scale] $tier ssjoin failed: ${e.getMessage}")
-            """"n_pairs":-1"""
+            -1L
           }
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(800)
         val rd = metrics.read.getAndSet(0L) / 1e6
         val wr = metrics.write.getAndSet(0L) / 1e6
+        val evidence =
+          try ssjoinEvidence(spark, docs, t = 0.9)
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier ssjoin evidence failed: " +
+              e.getMessage)
+            """"n_candidates":-1"""
+          }
+        metrics.read.set(0L); metrics.write.set(0L)
         println(s"""{"tier":"$tier","query":"d61_ssjoin_planted",""" +
-          s""""n_docs":$n,"sec":${fmt(sec)},$evidence,""" +
+          s""""n_docs":$n,"sec":${fmt(sec)},"n_pairs":$nPairs,$evidence,""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
     }

@@ -715,6 +715,34 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("SSJoin vs brute-force Jaccard reference") {
+    it("matches brute force on a seeded corpus (filters are lossless)") {
+      val vocab = (0 until 40).map(i => s"w$i")
+      val rnd = new scala.util.Random(11)
+      // overlapping random token sets + planted near-dup pairs so both
+      // the prune path and the keep path are exercised
+      val base = (0L until 50L).map { i =>
+        (i, rnd.shuffle(vocab).take(8 + rnd.nextInt(6)).toSet)
+      }
+      val planted = base.take(10).map { case (i, ts) =>
+        (i + 100L, ts - ts.head + s"x$i")
+      }
+      val all = base ++ planted
+      val t = 0.6
+      val expected = (for {
+        (a, ta) <- all; (b, tb) <- all if a < b
+        ov = (ta & tb).size
+        if ov > 0 && ov.toDouble / (ta ++ tb).size >= t
+      } yield (a, b, ov.toLong)).toSet
+      val got = SSJoin.join(
+          all.map { case (i, ts) => (i, ts.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", t)
+        .select("a", "b", "ov").as[(Long, Long, Long)].collect().toSet
+      assert(expected.nonEmpty && got == expected)
+    }
+  }
+
   describe("Dedup.connectedComponents vs union-find reference") {
     it("matches brute-force union-find on a seeded random graph") {
       val rnd = new scala.util.Random(42)
