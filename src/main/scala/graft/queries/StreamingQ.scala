@@ -975,6 +975,93 @@ object StreamingQ {
       Some("""SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(event_id) AS BIGINT) AS sum_id,
         | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("w24_streaming_neardup_gate",
+      "Streaming NEAR-dup ingest admission (VERDICT r07 #4) — the " +
+        "production pipeline shape w10 (static-corpus gate) and d34 " +
+        "(incremental batch) lead to: documents stream in, each doc's " +
+        "MinHash bands (codegen'd MinHashSigs) key a transformWithState " +
+        "store by BAND BUCKET (band, signature), and a TTL'd " +
+        "ValueState[Long] per bucket remembers the first doc id " +
+        "registered (graft.streaming.TwsLshGate, RocksDB provider). A " +
+        "doc is rejected iff any of its buckets was already owned by a " +
+        "smaller id — the same decision the batch banded-LSH makes, so " +
+        "the oracle is the batch LSH self-join. Shingle-less docs emit " +
+        "no bands and are admitted via the batch-side left join. " +
+        "ProcessingTime trigger + consumed-rows listener (the w19 " +
+        "discipline: TTL requires processing-time mode, where " +
+        "AvailableNow would re-fire forever).",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val docs = Tables.t(s, dir, "documents")
+          val expected = docs.count()
+          val (stream, cleanup) = jsonStream(s,
+            docs.select(
+              to_json(struct(col("doc_id"), col("text"))).as("value")),
+            "doc_id LONG, text STRING")
+          import s.implicits._
+          val bands = graft.operators.Dedup
+            .minhashBands(stream, "doc_id", "text")
+            .select(col("j").cast("int"), col("sig").cast("long"),
+              col("doc_id").cast("long"))
+            .as[(Int, Long, Long)]
+          val qname = s"graft_w24_${System.nanoTime()}"
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  consumed.addAndGet(e.progress.numInputRows); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = graft.streaming.TwsLshGate.perBucket(bands)
+              .toDF("doc_id", "hit")
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("update")
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (consumed.get() < expected &&
+                q.exception.isEmpty && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            q.exception.foreach(throw _)
+            require(consumed.get() >= expected,
+              s"w24: stream did not consume $expected rows within 120s")
+            q.stop()
+            q.awaitTermination()
+          } finally s.streams.removeListener(listener)
+          cleanup()
+          val gate = s.table(qname)
+            .groupBy("doc_id").agg(max(col("hit")).as("rejected"))
+          docs.select(col("doc_id"))
+            .join(gate, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("rejected"), lit(false)).as("rejected"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      Some(s"WITH ${LlmOps.neardupPairsCtes},\n" +
+        """hit AS (
+          |  SELECT DISTINCT a.doc_id
+          |  FROM sig a JOIN sig b
+          |    ON a.j = b.j AND a.m = b.m AND b.doc_id < a.doc_id
+          |  WHERE a.m IS NOT NULL)
+          |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
+          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -165,6 +165,30 @@ object ScaleStreaming {
         .option("checkpointLocation", ckpt("ttl"))
         .outputMode("update").start(), secs))
 
+    // w24's shape: banded-LSH near-dup admission (TwsLshGate, RocksDB +
+    // 10 s TTL). Every 10 consecutive "docs" share signatures (the
+    // near-dup group), each doc emits 4 band rows, and the bucket
+    // keyspace GROWS FOREVER with the rate source's value — so without
+    // eviction state would climb without bound; with the TTL it must
+    // plateau near the live horizon: 4 bands x (rate/10 groups/s) x
+    // 10 s = 4 x rate occupied buckets.
+    val gateBands = src.select(
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("_1"),
+            pmod(xxhash64((col("value") / 10).cast("long"), lit(j)),
+              lit(1L << 40)).as("_2"),
+            col("value").as("_3"))): _*)).as("b"))
+      .select(col("b._1").as("_1"), col("b._2").as("_2"),
+        col("b._3").as("_3"))
+      .as[(Int, Long, Long)]
+    val gate = graft.streaming.TwsLshGate
+      .perBucket(gateBands, ttl = java.time.Duration.ofSeconds(10))
+      .toDF("doc_id", "hit")
+    report("lsh_gate", rate, 4L * rate, drive(
+      gate.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("gate"))
+        .outputMode("update").start(), secs))
+
     spark.stop()
   }
 
