@@ -1711,6 +1711,64 @@ object LlmOps {
         |WHERE round(${cosSql("dec.dv", "q.qv")}, 6) IS NOT NULL
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("s15_persisted_index_topk",
+      "ANN index PERSISTENCE (the production serve path; all other " +
+        "s-queries build in-run): the s11 IVF+PQ artifacts — cell " +
+        "centroids, PQ codebook, label-partitioned postings of PQ " +
+        "codes — are written as parquet tables through the engine's " +
+        "sink (operators/AnnIndex.write), then the query is served " +
+        "ENTIRELY from the stored tables: top-2 cells by stored-" +
+        "centroid cosine (the probe decision — two longs collected, " +
+        "as any IVF serve path does), ADC table rebuilt from the " +
+        "stored codebook (one kilobyte-scale collect), and a postings " +
+        "scan that reads ONLY the probed cells' partitions (static " +
+        "partition filter — the on-disk analog of the IVF cell cut; " +
+        "unprobed cells' files are never listed). Exact-integer " +
+        "centroids, first-16 codebook and encodeFast codes " +
+        "round-trip parquet bit-exactly, so the served result equals " +
+        "s11's and shares its oracle.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-s15").toString
+        try {
+          graft.operators.AnnIndex.write(
+            emb, "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+          val qv = emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0)
+            .map(_.toDouble).toSeq
+          graft.operators.AnnIndex
+            .search(s, tmp, qv, nProbe = 2, topK = 10, excludeId = 0L)
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(s"WITH $pqApproxCtes,\n" +
+        """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |         FROM embeddings),
+        |ld AS (SELECT lab.label,
+        |         unnest(generate_series(1, len(e.v))) AS i,
+        |         unnest(list_transform(e.v,
+        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+        |       FROM e JOIN lab USING (vec_id)),
+        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+        |        SELECT label, i,
+        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+        |            AS cval
+        |        FROM ld GROUP BY label, i)
+        |      GROUP BY label),
+        |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |top2 AS (
+        |  SELECT label FROM (
+        |    SELECT label,
+        |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
+        |    FROM cellc, qq)
+        |  ORDER BY cscore DESC, label LIMIT 2)
+        |SELECT a.vec_id, lab.label, round(a.adist, 6) AS adist
+        |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
+        |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +

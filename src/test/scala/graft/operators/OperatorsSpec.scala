@@ -715,6 +715,64 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("AnnIndex persisted serve path") {
+    it("serves the same ranking as the in-run IVF+PQ arms and prunes partitions") {
+      val rnd = new scala.util.Random(5)
+      val emb = (0L until 64L).map(i =>
+        (i, Array.fill(16)(rnd.nextFloat()), i % 4))
+        .toDF("vec_id", "embedding", "label")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-annidx-spec").toString
+      try {
+        AnnIndex.write(emb, "vec_id", "embedding", "label",
+          m = 4, k = 8, dir = tmp)
+        val qv = emb.filter($"vec_id" === 0)
+          .select($"embedding").as[Array[Float]].head()
+          .map(_.toDouble).toSeq
+        val served = AnnIndex.search(spark, tmp, qv,
+          nProbe = 2, topK = 5, excludeId = 0L)
+        // reference: same codebook + ADC math, computed in-run
+        val cb = Quantize.codebookFromFirst(emb, "vec_id", "embedding", 4, 8)
+        val adc = Quantize.adcTable(qv, cb)
+        val cents = emb.select($"label".cast("long").as("label"),
+            Similarity.asDouble($"embedding").as("v"))
+          .select($"label", posexplode(
+            transform($"v", x => round(x * 1e6).cast("long")))
+            .as(Seq("i", "x")))
+          .groupBy("label", "i")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(transform(
+            array_sort(collect_list(struct($"i", $"sx", $"n"))),
+            t3 => t3.getField("sx").cast("double") /
+              (t3.getField("n").cast("double") * lit(1e6))).as("cv"))
+        val top = cents
+          .select($"label", Similarity.cosine($"cv", typedlit(qv)).as("cs"))
+          .orderBy($"cs".desc, $"label".asc).limit(2).select("label")
+        val expected = emb
+          .select($"vec_id", $"label".cast("long").as("label"),
+            Quantize.encodeFast($"embedding", cb).as("codes"))
+          .join(broadcast(top), "label")
+          .filter($"vec_id" =!= 0)
+          .select($"vec_id", $"label",
+            round(Quantize.adcDistance($"codes", adc), 6).as("adist"))
+          .orderBy($"adist".asc, $"vec_id".asc).limit(5)
+          .as[(Long, Long, Double)].collect().toSeq
+        assert(served.as[(Long, Long, Double)].collect().toSeq == expected)
+        // the postings scan must prune at the PARTITION level (the
+        // on-disk cell cut the operator's scaladoc claims): the probed
+        // cells appear in PartitionFilters, not just as a data filter
+        val plan = served.queryExecution.executedPlan.toString
+        val pf = "(?i)partitionfilters: \\[[^\\]]*label[^\\]]* IN \\("
+          .r.findFirstIn(plan)
+        assert(pf.isDefined,
+          s"expected a label IN (...) partition filter in the serve plan:\n$plan")
+      } finally {
+        graft.queries.Rm.rf(tmp)
+      }
+    }
+  }
+
   describe("SSJoin vs brute-force Jaccard reference") {
     it("matches brute force on a seeded corpus (filters are lossless)") {
       val vocab = (0 until 40).map(i => s"w$i")
