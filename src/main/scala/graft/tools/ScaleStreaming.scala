@@ -108,6 +108,12 @@ object ScaleStreaming {
     val rate = args.headOption.map(_.toInt).getOrElse(20000)
     val secs = args.drop(1).headOption.map(_.toInt).getOrElse(40)
     val keys = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
+    // 4th arg: comma-separated probe subset (session_window,
+    // dedup_watermark, tws_ttl, lsh_gate, interval_join, restart) or
+    // "all" (default).
+    val what = args.drop(3).headOption.getOrElse("all")
+    def want(name: String): Boolean =
+      what == "all" || what.split(",").contains(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -126,6 +132,7 @@ object ScaleStreaming {
       .load()
 
     // w03's shape: per-key session windows under a watermark.
+    if (want("session_window")) {
     val sess = src
       .select(col("timestamp"), (col("value") % keys).as("user_id"))
       .withWatermark("timestamp", "5 seconds")
@@ -136,8 +143,10 @@ object ScaleStreaming {
       sess.writeStream.format("noop")
         .option("checkpointLocation", ckpt("sess"))
         .outputMode("append").start(), secs))
+    }
 
     // w14's shape: bounded-state dedup within the watermark horizon.
+    if (want("dedup_watermark")) {
     val dedup = src
       .select(col("timestamp"), (col("value") % keys).as("k"))
       .withWatermark("timestamp", "5 seconds")
@@ -146,6 +155,7 @@ object ScaleStreaming {
       dedup.writeStream.format("noop")
         .option("checkpointLocation", ckpt("dedup"))
         .outputMode("append").start(), secs))
+    }
 
     // w19's shape: TTL'd per-key state on RocksDB. Keyspace = ~20 s of
     // input with a 10 s TTL: each key's next visit lands after its TTL,
@@ -153,6 +163,7 @@ object ScaleStreaming {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ttlKeys = rate.toLong * 20
+    if (want("tws_ttl")) {
     val pairs = src
       .select((col("value") % ttlKeys).as("_1"),
         col("value").cast("double").as("_2"))
@@ -164,6 +175,7 @@ object ScaleStreaming {
       ttl.writeStream.format("noop")
         .option("checkpointLocation", ckpt("ttl"))
         .outputMode("update").start(), secs))
+    }
 
     // w24's shape: banded-LSH near-dup admission (TwsLshGate, RocksDB +
     // 10 s TTL). Every 10 consecutive "docs" share signatures (the
@@ -172,6 +184,7 @@ object ScaleStreaming {
     // eviction state would climb without bound; with the TTL it must
     // plateau near the live horizon: 4 bands x (rate/10 groups/s) x
     // 10 s = 4 x rate occupied buckets.
+    if (want("lsh_gate")) {
     val gateBands = src.select(
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("_1"),
@@ -188,8 +201,132 @@ object ScaleStreaming {
       gate.writeStream.format("noop")
         .option("checkpointLocation", ckpt("gate"))
         .outputMode("update").start(), secs))
+    }
+
+    if (want("interval_join")) intervalJoinProbe(spark, rate, keys, secs)
+    if (want("restart")) restartProbe(spark, rate)
 
     spark.stop()
+  }
+
+  /** Stream-stream interval join under sustained rate (VERDICT r07 #6,
+    * the w05/w16 shape): two independent rate sources derive EVENT time
+    * from `value` (1 event-second per wall-second at `rate` rows/s), a
+    * 5 s watermark on both sides, equality on `value % keys` plus a
+    * ±2 s interval. State = BOTH sides' watermark-bounded buffers: each
+    * side retains ~rate × (watermark + interval) rows, so the series
+    * must plateau near 2 × rate × 7 — the interval horizon — and never
+    * track rows-seen. */
+  private def intervalJoinProbe(spark: SparkSession, rate: Int,
+                                keys: Long, secs: Int): Unit = {
+    def evSrc(tsName: String, kName: String, vName: String): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+          timestamp_micros(lit(1700000000000000L) +
+            (col("value") * lit(1000000L / rate))).as(tsName),
+          (col("value") % keys).as(kName),
+          col("value").as(vName))
+    val left = evSrc("lts", "lk", "lv").withWatermark("lts", "5 seconds")
+    val right = evSrc("rts", "rk", "rv").withWatermark("rts", "5 seconds")
+    val joined = left.join(right,
+      col("lk") === col("rk") &&
+        col("rts") >= col("lts") - expr("INTERVAL 2 SECONDS") &&
+        col("rts") <= col("lts") + expr("INTERVAL 2 SECONDS"))
+    report("interval_join", rate, keys, drive(
+      joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("ivj"))
+        .outputMode("append").start(), secs))
+  }
+
+  /** Kill/restart under sustained rate (VERDICT r07 #6 second half —
+    * w23's exactly-once contract, but mid-flight through a stateful
+    * windowed aggregation instead of between idle AvailableNow runs):
+    * ~1M rows land as many json files; an interrupted run consumes them
+    * through a watermarked 10 s-window count at a paced trigger
+    * (maxFilesPerTrigger) into a parquet sink and is STOPPED mid-run
+    * (~half consumed, mid-window state in the checkpoint); a second
+    * query resumes from the same checkpoint and drains the rest
+    * (AvailableNow). A CONTROL run processes everything uninterrupted
+    * into its own sink. The two parquet outputs must be row-identical —
+    * rows lost at the kill point or replayed after it would both break
+    * the multiset equality. */
+  private def restartProbe(spark: SparkSession, rate: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-restart").toString
+    val nRows = 1000000L
+    // 1 kHz event time: 1M rows span ~1000 s of event time → ~100
+    // closed 10 s windows; 50 files of 20k rows each
+    spark.range(nRows).select(
+        to_json(struct(
+          timestamp_micros(lit(1700000000000000L) + col("id") * 1000L)
+            .as("ts"),
+          (col("id") % 997L).as("k"))).as("value"))
+      .repartition(50)
+      .write.mode("overwrite").text(s"$tmp/in")
+    def query(ckptDir: String, outDir: String) = spark.readStream
+      .schema("ts TIMESTAMP, k LONG")
+      .option("maxFilesPerTrigger", 2)
+      .json(s"$tmp/in")
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+    val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          consumed.addAndGet(e.progress.numInputRows); ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(listener)
+    val t0 = System.nanoTime()
+    val killedAt =
+      try {
+        val q1 = query(s"$tmp/ckpt", s"$tmp/out")
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (consumed.get() < nRows / 2 && q1.exception.isEmpty &&
+            System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q1.exception.foreach(throw _)
+        val at = consumed.get()
+        q1.stop(); q1.awaitTermination()
+        at
+      } finally spark.streams.removeListener(listener)
+    // resume from the SAME checkpoint; drain the remainder
+    val q2 = query(s"$tmp/ckpt", s"$tmp/out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // uninterrupted control into its own sink
+    val qc = query(s"$tmp/ckpt_control", s"$tmp/out_control")
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    def snapshot(dir: String): Seq[(java.sql.Timestamp, Long, Long)] = {
+      import spark.implicits._
+      spark.read.parquet(dir).select(col("ws"), col("k"), col("n"))
+        .as[(java.sql.Timestamp, Long, Long)].collect().toSeq.sorted
+    }
+    val restarted = snapshot(s"$tmp/out")
+    val control = snapshot(s"$tmp/out_control")
+    println(s"""{"probe":"restart","rate_rps":$rate,""" +
+      s""""n_rows":$nRows,"killed_after_rows":$killedAt,""" +
+      s""""sec_to_drain":${fmt(sec)},""" +
+      s""""n_out_restarted":${restarted.length},""" +
+      s""""n_out_control":${control.length},""" +
+      s""""outputs_identical":${restarted == control}}""")
+    graft.queries.Rm.rf(tmp)
   }
 
   private def ckpt(tag: String): String =
