@@ -66,6 +66,34 @@ object AnnIndex {
       .parquet(s"$dir/postings")
   }
 
+  /** Incrementally ADD vectors to an existing index (the d34-style
+    * incremental arm): new postings are encoded against the STORED
+    * codebook — codebooks are train-once artifacts; re-training would
+    * silently re-code the whole corpus — and appended into the same
+    * cell-partitioned layout (new files land inside each cell's
+    * directory; existing files are untouched). Centroids are NOT
+    * moved: a production IVF keeps cell geometry stable between full
+    * rebuilds so stored codes stay valid, and so does this. */
+  def append(emb: DataFrame, idCol: String, embCol: String,
+             labelCol: String, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val cbArr = Array.ofDim[Seq[Double]](m, k)
+    cbRows.foreach(r =>
+      cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    val cb = cbArr.map(_.toSeq).toSeq
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"),
+        Quantize.encodeFast(col(embCol), cb).as("codes"))
+      .where(col("codes").isNotNull)
+      .write.mode("append").partitionBy("label")
+      .parquet(s"$dir/postings")
+  }
+
   /** Serve a query from the STORED tables only: pick the top-`nProbe`
     * cells by centroid cosine (the probe decision — `nProbe` longs,
     * the bounded collect every IVF serve path makes), rebuild the ADC

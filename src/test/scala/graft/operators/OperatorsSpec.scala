@@ -771,6 +771,41 @@ class OperatorsSpec extends AnyFunSpec {
         graft.queries.Rm.rf(tmp)
       }
     }
+    it("append-ed vectors serve identically to a full rebuild") {
+      val rnd = new scala.util.Random(9)
+      val all = (0L until 80L).map(i =>
+        (i, Array.fill(16)(rnd.nextFloat()), i % 4))
+      val first = all.filter(_._1 < 60L).toDF("vec_id", "embedding", "label")
+      val rest = all.filter(_._1 >= 60L).toDF("vec_id", "embedding", "label")
+      val whole = all.toDF("vec_id", "embedding", "label")
+      val tmpInc = java.nio.file.Files
+        .createTempDirectory("graft-annidx-inc").toString
+      val tmpFull = java.nio.file.Files
+        .createTempDirectory("graft-annidx-full").toString
+      try {
+        // incremental: build on the first 60 (codebook = first 8 vecs,
+        // shared by both paths), append the remaining 20
+        AnnIndex.write(first, "vec_id", "embedding", "label",
+          m = 4, k = 8, dir = tmpInc)
+        AnnIndex.append(rest, "vec_id", "embedding", "label", tmpInc)
+        AnnIndex.write(whole, "vec_id", "embedding", "label",
+          m = 4, k = 8, dir = tmpFull)
+        val qv = whole.filter($"vec_id" === 0)
+          .select($"embedding").as[Array[Float]].head()
+          .map(_.toDouble).toSeq
+        def serve(d: String) =
+          AnnIndex.search(spark, d, qv, nProbe = 2, topK = 8,
+            excludeId = 0L).as[(Long, Long, Double)].collect().toSeq
+        // centroids differ (incremental keeps cell geometry from the
+        // first build — by design), so compare the served rankings on
+        // the SAME probed cells: with labels 0..3 and uniform data the
+        // probe picks the same 2 cells here (asserted via result equality)
+        assert(serve(tmpInc) == serve(tmpFull))
+      } finally {
+        graft.queries.Rm.rf(tmpInc)
+        graft.queries.Rm.rf(tmpFull)
+      }
+    }
   }
 
   describe("SSJoin vs brute-force Jaccard reference") {
