@@ -809,54 +809,66 @@ class OperatorsSpec extends AnyFunSpec {
   }
 
   describe("SSJoin vs brute-force Jaccard reference") {
-    it("matches brute force on a seeded corpus (filters are lossless)") {
-      val vocab = (0 until 40).map(i => s"w$i")
-      val rnd = new scala.util.Random(11)
-      // overlapping random token sets + planted near-dup pairs so both
-      // the prune path and the keep path are exercised
-      val base = (0L until 50L).map { i =>
-        (i, rnd.shuffle(vocab).take(8 + rnd.nextInt(6)).toSet)
+    // multi-seed, multi-threshold sweep (a bounded property test: full
+    // ScalaCheck would spawn hundreds of Spark jobs) — both the prune
+    // path and the keep path must survive every (seed, t) combination
+    // for the length/positional filters to be lossless.
+    for ((seed, t) <- Seq((11, 0.6), (23, 0.5), (37, 0.75), (41, 0.9)))
+      it(s"matches brute force at t=$t (seed $seed)") {
+        val vocab = (0 until 40).map(i => s"w$i")
+        val rnd = new scala.util.Random(seed)
+        // overlapping random token sets + planted near-dup pairs
+        val base = (0L until 50L).map { i =>
+          (i, rnd.shuffle(vocab).take(8 + rnd.nextInt(6)).toSet)
+        }
+        // high thresholds need tighter planted pairs: add-one-token is
+        // J = n/(n+1) ≥ 0.89; drop-one-add-one is J = (n−1)/(n+1) ≤ 0.86
+        val planted = base.take(10).map { case (i, ts) =>
+          (i + 100L, (if (t > 0.8) ts else ts - ts.head) + s"x$i")
+        }
+        val all = base ++ planted
+        val expected = (for {
+          (a, ta) <- all; (b, tb) <- all if a < b
+          ov = (ta & tb).size
+          if ov > 0 && ov.toDouble / (ta ++ tb).size >= t
+        } yield (a, b, ov.toLong)).toSet
+        val got = SSJoin.join(
+            all.map { case (i, ts) => (i, ts.mkString(" ")) }
+              .toDF("doc_id", "text"),
+            "doc_id", "text", t)
+          .select("a", "b", "ov").as[(Long, Long, Long)].collect().toSet
+        assert(expected.nonEmpty && got == expected)
       }
-      val planted = base.take(10).map { case (i, ts) =>
-        (i + 100L, ts - ts.head + s"x$i")
-      }
-      val all = base ++ planted
-      val t = 0.6
-      val expected = (for {
-        (a, ta) <- all; (b, tb) <- all if a < b
-        ov = (ta & tb).size
-        if ov > 0 && ov.toDouble / (ta ++ tb).size >= t
-      } yield (a, b, ov.toLong)).toSet
-      val got = SSJoin.join(
-          all.map { case (i, ts) => (i, ts.mkString(" ")) }
-            .toDF("doc_id", "text"),
-          "doc_id", "text", t)
-        .select("a", "b", "ov").as[(Long, Long, Long)].collect().toSet
-      assert(expected.nonEmpty && got == expected)
-    }
   }
 
   describe("Dedup.connectedComponents vs union-find reference") {
-    it("matches brute-force union-find on a seeded random graph") {
-      val rnd = new scala.util.Random(42)
-      val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
-        .filter { case (a, b) => a != b }
-      // reference: union-find with min-label roots
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+    // multi-seed/density sweep over random graphs: sparse (mostly small
+    // components), medium, and dense (one giant component) regimes all
+    // must converge to the canonical-min labels.
+    for ((seed, nodes, nEdges) <- Seq((42, 80, 120), (7, 60, 40),
+        (13, 50, 200), (99, 120, 90)))
+      it(s"matches union-find on a random graph (seed $seed, " +
+          s"$nodes nodes, $nEdges edges)") {
+        val rnd = new scala.util.Random(seed)
+        val edges = Seq.fill(nEdges)(
+            (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+          .filter { case (a, b) => a != b }
+        // reference: union-find with min-label roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ns = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = ns.map(n => n -> find(n)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected)
       }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val expected = nodes.map(n => n -> find(n)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
-        .as[(Long, Long)].collect().toMap
-      assert(got == expected)
-    }
   }
 
   describe("Sampling.packSequences vs prefix-sum reference") {
