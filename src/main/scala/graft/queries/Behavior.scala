@@ -178,39 +178,43 @@ object Behavior {
         "activity interval; +1/-1 boundary events, running sum ordered " +
         "(t, delta, event_id) — ends sort before starts at the same " +
         "instant, so touching intervals do not overlap. SCALE: the " +
-        "running sum partitions by (event_type, UTC day), so window " +
-        "depth is the per-type-per-day boundary count — FLAT as the " +
-        "user population grows (more partitions, not deeper ones). Day " +
-        "boundaries stitch exactly: each day's max prefix is offset by " +
-        "the carried open count (cumulative sum of prior days' delta " +
-        "totals), computed on the BOUNDED type x day aggregate. The " +
-        "global max = max over days of (carry + within-day max), " +
-        "because concatenating days in order reproduces the global " +
-        "boundary order.",
+        "running sum partitions by (event_type, UTC hour), so window " +
+        "depth is the per-type-per-HOUR boundary count — the grid " +
+        "width is the depth knob (r07 used days; the 100x tier showed " +
+        "day partitions deepening with the user population, so the " +
+        "grid refines to hours: 24x more partitions, 24x shallower " +
+        "windows, and the stitch aggregate stays bounded at " +
+        "types x hours). Bucket boundaries stitch exactly: each " +
+        "bucket's max prefix is offset by the carried open count " +
+        "(cumulative sum of prior buckets' delta totals), computed on " +
+        "the BOUNDED type x hour aggregate. The global max = max over " +
+        "buckets of (carry + within-bucket max), because concatenating " +
+        "buckets in time order reproduces the global boundary order — " +
+        "for ANY grid width.",
       (s, dir) => {
         val e = eline(s, dir)
-        val dayUs = 86400000000L
+        val hourUs = 3600000000L
         val bounds = e.select(
             col("event_type"), col("tus").as("t"),
             lit(1L).as("delta"), col("event_id"))
           .unionByName(e.select(
             col("event_type"), (col("tus") + 300000000L).as("t"),
             lit(-1L).as("delta"), col("event_id")))
-          .withColumn("day", expr(s"t DIV ${dayUs}L"))
-        val w = Window.partitionBy("event_type", "day")
+          .withColumn("bkt", expr(s"t DIV ${hourUs}L"))
+        val w = Window.partitionBy("event_type", "bkt")
           .orderBy("t", "delta", "event_id")
           .rowsBetween(Window.unboundedPreceding, 0)
-        val perDay = bounds
-          .withColumn("open_in_day", sum("delta").over(w))
-          .groupBy("event_type", "day")
-          .agg(max("open_in_day").as("max_in_day"),
-            sum("delta").as("day_total"))
-        val wd = Window.partitionBy("event_type").orderBy("day")
+        val perBkt = bounds
+          .withColumn("open_in_bkt", sum("delta").over(w))
+          .groupBy("event_type", "bkt")
+          .agg(max("open_in_bkt").as("max_in_bkt"),
+            sum("delta").as("bkt_total"))
+        val wd = Window.partitionBy("event_type").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)
-        perDay
-          .withColumn("carry", coalesce(sum("day_total").over(wd), lit(0L)))
+        perBkt
+          .withColumn("carry", coalesce(sum("bkt_total").over(wd), lit(0L)))
           .groupBy("event_type")
-          .agg(max(col("carry") + col("max_in_day")).as("max_concurrent"))
+          .agg(max(col("carry") + col("max_in_bkt")).as("max_concurrent"))
           .orderBy("event_type")
       },
       Some("""WITH e AS (
