@@ -1062,6 +1062,170 @@ object StreamingQ {
           |  WHERE a.m IS NOT NULL)
           |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("w25_streaming_ann_serve",
+      "ONLINE vector-search serving — the streaming counterpart to " +
+        "s15's batch serve path: query vectors arrive as a stream and " +
+        "are answered from the PERSISTED AnnIndex tables. Cell " +
+        "routing is a pure per-row expression (stored centroids " +
+        "collected once and baked as literals — the probe decision " +
+        "needs no shuffle and no per-query job), the routed stream " +
+        "joins the STORED postings stream-static on the cell " +
+        "(stateless), the PQ approximate distance is computed from " +
+        "the stored codes against the stored codebook as a codegen'd " +
+        "expression (identical arithmetic to s11's ADC table: per-" +
+        "slot zip_with fold + slot-order sum), and the per-query " +
+        "nearest neighbor is ONE streaming min-aggregation on " +
+        "struct(adist, vec_id) — ties break exactly like s11. The " +
+        "oracle re-derives codes, cells and per-query ADC for all 20 " +
+        "streamed queries in SQL.",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w25").toString
+        try {
+          graft.operators.AnnIndex.write(
+            emb, "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+          // serve-time bounded collects from the STORED tables: cell
+          // centroids (labels asc — array_position's first-max then
+          // breaks cosine ties toward the smallest label) + codebook
+          val cents = s.read.parquet(s"$tmp/centroids")
+            .select(col("label").cast("long"), col("cv"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+            .sortBy(_._1).toSeq
+          val cbRows = s.read.parquet(s"$tmp/codebook")
+            .select(col("slot").cast("int"), col("code").cast("int"),
+              col("c"))
+            .collect()
+          val m = cbRows.map(_.getInt(0)).max + 1
+          val k = cbRows.map(_.getInt(1)).max + 1
+          val cbArr = Array.ofDim[Seq[Double]](m, k)
+          cbRows.foreach(r =>
+            cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+          val cb = cbArr.map(_.toSeq).toSeq
+          val d = cb.head.head.size
+          // queries 0..19 stream in as DOUBLE arrays (doubles survive
+          // the JSON hop bit-exactly; floats are widened BEFORE
+          // serialization, matching the oracle's CAST(x AS DOUBLE))
+          val (stream, cleanup) = jsonStream(s,
+            emb.filter(col("vec_id") < 20)
+              .select(to_json(struct(
+                col("vec_id").as("qid"),
+                transform(col("embedding"), x => x.cast("double"))
+                  .as("qv"))).as("value")),
+            "qid LONG, qv ARRAY<DOUBLE>")
+          val EL = graft.operators.ExprLet
+          val Sim = graft.operators.Similarity
+          val routed = stream.withColumn("cell",
+            EL.let(array(cents.map { case (_, cv) =>
+              Sim.cosine(col("qv"), typedlit(cv)) }: _*)) { ss =>
+              element_at(typedlit(cents.map(_._1)),
+                array_position(ss, array_max(ss)).cast("int"))
+            })
+          val postings = s.read
+            .schema("vec_id LONG, codes ARRAY<INT>, label LONG")
+            .parquet(s"$tmp/postings")
+          def approxDist(qv: org.apache.spark.sql.Column,
+                         codes: org.apache.spark.sql.Column)
+              : org.apache.spark.sql.Column =
+            EL.let(codes) { cs =>
+              (0 until m).map { mi =>
+                aggregate(
+                  zip_with(
+                    slice(qv, mi * d + 1, d),
+                    element_at(typedlit(cb(mi)),
+                      element_at(cs, mi + 1) + 1),
+                    (x, y) => (x - y) * (x - y)),
+                  lit(0.0), (acc, t) => acc + t)
+              }.reduce(_ + _)
+            }
+          val served = routed
+            .join(postings, col("cell") === col("label"))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"),
+              struct(
+                round(approxDist(col("qv"), col("codes")), 6).as("adist"),
+                col("vec_id")).as("cand"))
+            .groupBy("qid")
+            .agg(min(col("cand")).as("best"))
+          val out = runToMemory(s, served, "update")
+          cleanup()
+          // update mode re-emits per batch; the per-qid min is monotone
+          // non-increasing, so a final min-fold is an exact dedupe
+          out.groupBy("qid").agg(min(col("best")).as("b"))
+            .select(col("qid"), col("b.vec_id").as("nn_vec_id"),
+              col("b.adist").as("adist"))
+            .orderBy("qid")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
+        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
+        |dists AS (
+        |  SELECT e.vec_id, ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, ms, cb),
+        |mind AS (SELECT vec_id, m, MIN(d2) AS md
+        |         FROM dists GROUP BY vec_id, m),
+        |codes AS (
+        |  SELECT d.vec_id, d.m, MIN(d.j) AS code
+        |  FROM dists d JOIN mind USING (vec_id, m)
+        |  WHERE d.d2 = mind.md
+        |  GROUP BY d.vec_id, d.m),
+        |ld AS (SELECT lab.label,
+        |         unnest(generate_series(1, len(e.v))) AS i,
+        |         unnest(list_transform(e.v,
+        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+        |       FROM e JOIN lab USING (vec_id)),
+        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+        |        SELECT label, i,
+        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+        |            AS cval
+        |        FROM ld GROUP BY label, i)
+        |      GROUP BY label),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |cell AS (
+        |  SELECT qid, label FROM (
+        |    SELECT q.qid, cellc.label,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        list_reduce(list_transform(generate_series(1, len(cv)),
+        |          i -> cv[i] * qv[i]), (x, y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(cv, x -> x * x),
+        |           (x, y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |           (x, y) -> x + y))) DESC, cellc.label) AS rn
+        |    FROM q, cellc)
+        |  WHERE rn = 1),
+        |adcq AS (
+        |  SELECT q.qid, ms.m, cb.j,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+        |         * (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM q, ms, cb),
+        |approxq AS (
+        |  SELECT a.qid, c.vec_id,
+        |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
+        |  FROM codes c JOIN adcq a ON a.m = c.m AND a.j = c.code
+        |  GROUP BY a.qid, c.vec_id),
+        |res AS (
+        |  SELECT ap.qid, ap.vec_id, round(ap.adist, 6) AS adist,
+        |    row_number() OVER (PARTITION BY ap.qid
+        |      ORDER BY round(ap.adist, 6), ap.vec_id) AS rn
+        |  FROM approxq ap
+        |  JOIN lab ON lab.vec_id = ap.vec_id
+        |  JOIN cell ON cell.qid = ap.qid AND cell.label = lab.label
+        |  WHERE ap.vec_id <> ap.qid)
+        |SELECT qid, vec_id AS nn_vec_id, adist
+        |FROM res WHERE rn = 1 ORDER BY qid""".stripMargin))
   )
 }
