@@ -205,6 +205,7 @@ object ScaleStreaming {
 
     if (want("interval_join")) intervalJoinProbe(spark, rate, keys, secs)
     if (want("restart")) restartProbe(spark, rate)
+    if (want("ann_serve")) annServeProbe(spark, rate, secs)
 
     spark.stop()
   }
@@ -326,6 +327,89 @@ object ScaleStreaming {
       s""""n_out_restarted":${restarted.length},""" +
       s""""n_out_control":${control.length},""" +
       s""""outputs_identical":${restarted == control}}""")
+    graft.queries.Rm.rf(tmp)
+  }
+
+  /** ONLINE ANN serving throughput (the w25 shape under sustained
+    * rate): a persisted AnnIndex is built ONCE from the sf0.1
+    * embeddings (~50 k vectors, 8×16 PQ), then a rate source of
+    * synthetic query vectors is served against the STORED tables —
+    * literal-baked cell routing, stream-static postings join,
+    * codegen'd PQ distance, per-query min-aggregation windowed under a
+    * watermark so answer state EVICTS as queries complete (each qid
+    * occurs at one instant, so (qid, window) state is rate × horizon,
+    * never queries-served-total). avg_processed_rps IS the serve
+    * throughput: every input row is one full k-NN query — routed,
+    * joined against its cell's ~1/cells of the corpus, scored and
+    * folded. The query rate is the harness rate argument. */
+  private def annServeProbe(spark: SparkSession, qRate: Int,
+                            secs: Int): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-annserve").toString
+    graft.operators.AnnIndex.write(
+      spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"),
+      "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+    val cents = spark.read.parquet(s"$tmp/centroids")
+      .select(col("label").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val cbRows = spark.read.parquet(s"$tmp/codebook")
+      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val k = cbRows.map(_.getInt(1)).max + 1
+    val cbArr = Array.ofDim[Seq[Double]](m, k)
+    cbRows.foreach(r => cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    val cb = cbArr.map(_.toSeq).toSeq
+    val d = cb.head.head.size
+    val dim = d * m
+    val EL = graft.operators.ExprLet
+    val Sim = graft.operators.Similarity
+    // synthetic query vectors: 64 deterministic doubles per qid
+    val qs = spark.readStream.format("rate")
+      .option("rowsPerSecond", qRate)
+      .option("numPartitions", 8)
+      .load()
+      .select(col("timestamp"), col("value").as("qid"),
+        transform(sequence(lit(1), lit(dim)),
+          j => (pmod(xxhash64(col("value"), j), lit(1000L)).cast("double")
+            / lit(1000.0))).as("qv"))
+    val routed = qs.withColumn("cell",
+      EL.let(array(cents.map { case (_, cv) =>
+        Sim.cosine(col("qv"), typedlit(cv)) }: _*)) { ss =>
+        element_at(typedlit(cents.map(_._1)),
+          array_position(ss, array_max(ss)).cast("int"))
+      })
+    val postings = spark.read
+      .schema("vec_id LONG, codes ARRAY<INT>, label LONG")
+      .parquet(s"$tmp/postings")
+    def approxDist(qv: org.apache.spark.sql.Column,
+                   codes: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      EL.let(codes) { cs =>
+        (0 until m).map { mi =>
+          aggregate(
+            zip_with(
+              slice(qv, mi * d + 1, d),
+              element_at(typedlit(cb(mi)), element_at(cs, mi + 1) + 1),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t)
+        }.reduce(_ + _)
+      }
+    val served = routed
+      .withWatermark("timestamp", "5 seconds")
+      .join(postings, col("cell") === col("label"))
+      .select(col("timestamp"), col("qid"),
+        struct(round(approxDist(col("qv"), col("codes")), 6).as("adist"),
+          col("vec_id")).as("cand"))
+      .groupBy(window(col("timestamp"), "10 seconds"), col("qid"))
+      .agg(min(col("cand")).as("best"))
+    report("ann_serve", qRate, cents.length.toLong, drive(
+      served.writeStream.format("noop")
+        .option("checkpointLocation", ckpt("annserve"))
+        .outputMode("update").start(), secs))
     graft.queries.Rm.rf(tmp)
   }
 
