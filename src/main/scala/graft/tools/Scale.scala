@@ -258,11 +258,70 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" | "cc" => Seq.empty[String]
+      case "graph" | "ssjoin" | "cc" | "ann" => Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
       case "flat" => flat
       case _ => chain ++ behavior
+    }
+    // Persisted-ANN-index arm (s15/w25's build-once path): time the
+    // full AnnIndex.write (centroid agg + encodeFast + partitioned
+    // postings write) and the stored-table serve at both tiers. Build
+    // is the linear-in-V path (one centroid shuffle + one scan-encode-
+    // write); serve cost is cell-bounded, independent of V growth that
+    // lands in other cells.
+    if (what == "ann") {
+      // untimed warm-up build (JIT + codegen + parquet committer init):
+      // without it the 1x tier's build absorbs first-in-JVM cost and
+      // reads SLOWER than the 10x tier
+      locally {
+        val wtmp = java.nio.file.Files
+          .createTempDirectory("graft-annidx-warm").toString
+        graft.operators.AnnIndex.write(
+          spark.read.parquet(s"$base/embeddings.parquet")
+            .filter(col("vec_id") < 2000),
+          "vec_id", "embedding", "label", m = 8, k = 16, wtmp)
+        graft.queries.Rm.rf(wtmp)
+      }
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft-annidx-$tier").toString
+        val t0 = System.nanoTime()
+        val buildSec =
+          try {
+            graft.operators.AnnIndex.write(
+              emb, "vec_id", "embedding", "label", m = 8, k = 16, idx)
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier ann build failed: ${e.getMessage}")
+            -1.0
+          }
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+          .map(_.toDouble).toSeq
+        val serves = (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          try {
+            graft.operators.AnnIndex
+              .search(spark, idx, qv, nProbe = 2, topK = 10, excludeId = 0L)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t1) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier ann serve failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"ann_index_build_serve",""" +
+          s""""build_sec":${fmt(buildSec)},""" +
+          s""""serve_samples":[${serves.map(fmt).mkString(",")}],""" +
+          s""""serve_sec":${fmt(serves.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+        graft.queries.Rm.rf(idx)
+      }
     }
     // Focused cold-CC probe (VERDICT r07 #1): the d20 clustering step
     // WITHOUT the ccMemo, so every sample pays the full candidate-pair +
