@@ -26,8 +26,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    revisit arrives AFTER its TTL: without eviction state would climb
   *    to the full keyspace; with it, rows plateau near the ~10 s live
   *    set.
+  *  - `lsh_gate` — w24's shape: banded-LSH near-dup admission with
+  *    TTL'd bucket-owner state over an UNBOUNDED bucket keyspace;
+  *    state must plateau at the TTL live horizon (4 × rate).
+  *  - `interval_join` — w05/w16's shape: stream-stream interval join;
+  *    state = both sides' watermark+interval buffers, plateauing at
+  *    ~2 × rate × horizon while rows-seen grows without bound.
+  *  - `restart` — w23's exactly-once contract mid-flight: kill a
+  *    stateful windowed aggregation mid-window at sustained rate,
+  *    resume from the checkpoint, require output row-identical to an
+  *    uninterrupted control run.
+  *  - `ann_serve` — w25's shape: online PQ k-NN serving from a
+  *    persisted AnnIndex; avg_processed_rps IS queries served/sec and
+  *    answer state is watermark-evicted (rate × horizon, never
+  *    queries-served-total).
   *
   * Usage: runMain graft.tools.ScaleStreaming [rowsPerSec] [secs] [keys]
+  *   [probe,probe,...|all]
   */
 object ScaleStreaming {
 
