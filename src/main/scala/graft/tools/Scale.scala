@@ -235,19 +235,19 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(
+    if (what != "skew" && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
       synthesize(spark, base, factor, synthDir)
     } else System.err.println(s"[scale] reusing existing $synthDir")
     // events were added to the synth set after the graph probes ran —
     // top up an existing synth dir that predates them.
-    if (!java.nio.file.Files.exists(
+    if (what != "skew" && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/events.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x events -> $synthDir")
       synthesizeEvents(spark, base, factor, synthDir)
     }
-    if (!java.nio.file.Files.exists(
+    if (what != "skew" && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/part.parquet")))
       synthesizePart(spark, base, synthDir)
 
@@ -258,11 +258,72 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" | "cc" | "ann" => Seq.empty[String]
+      case "graph" | "ssjoin" | "cc" | "ann" | "skew" => Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
       case "flat" => flat
       case _ => chain ++ behavior
+    }
+    // Skew arm: the "AQE skew-join" design claim, measured. A
+    // deliberately skewed fact table (60% of rows on ONE key) sort-
+    // merge-joins a 2 M-row dim (broadcast disabled — the shape where
+    // skew actually bites; partial-agg shapes absorb skew in map-side
+    // combine and need no mitigation). Runs the SAME join with AQE's
+    // skew split off and on: off = the hot key's entire partition lands
+    // in one straggler task; on = OptimizeSkewedJoin splits it by size.
+    if (what == "skew") {
+      val n = 2000000L * factor
+      val nDim = 2000000L
+      def run(skewOn: Boolean): Double = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", skewOn)
+        // the split thresholds default to executor-scale partitions
+        // (256 MB); scale them to this corpus as a deployment would,
+        // or the ~100 MB hot partition never qualifies for a split
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+        try {
+          val fact = spark.range(n).select(
+            when(pmod(col("id"), lit(10)) < 6, 0L)
+              .otherwise(pmod(xxhash64(col("id")), lit(nDim))).as("k"),
+            (col("id") % 1000).as("v"))
+          val dim = spark.range(nDim).select(col("id").as("k"),
+            xxhash64(col("id")).as("attr"))
+          val t0 = System.nanoTime()
+          fact.join(dim, "k")
+            .groupBy(pmod(col("attr"), lit(16)).as("g"))
+            .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] skew(on=$skewOn) failed: ${e.getMessage}")
+          -1.0
+        } finally {
+          spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+          spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+          spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+      run(skewOn = true) // warm-up (JIT + codegen), untimed
+      val off = (1 to 2).map(_ => run(skewOn = false))
+      val on = (1 to 2).map(_ => run(skewOn = true))
+      Thread.sleep(800)
+      val rd = metrics.read.getAndSet(0L) / 1e6
+      val wr = metrics.write.getAndSet(0L) / 1e6
+      println(s"""{"query":"skew_join_aqe","n_fact":$n,"hot_frac":0.6,""" +
+        s""""samples_off":[${off.map(fmt).mkString(",")}],""" +
+        s""""samples_on":[${on.map(fmt).mkString(",")}],""" +
+        s""""sec_off":${fmt(off.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+        s""""sec_on":${fmt(on.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+        s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
     }
     // Persisted-ANN-index arm (s15/w25's build-once path): time the
     // full AnnIndex.write (centroid agg + encodeFast + partitioned
