@@ -82,7 +82,13 @@ object SSJoin {
   def prefixRows(sorted: DataFrame, t: Double): DataFrame =
     sorted
       .withColumn("plen",
-        (col("sz") - ceil(col("sz") * lit(t)) + 1).cast("int"))
+        // ceil over (t·sz − 1e-7): if t·sz is mathematically an integer
+        // but the double product rounds up an ulp, a bare ceil would
+        // overshoot and shorten the prefix by one token — the only spot
+        // where an fp error could PRUNE a qualifying pair. The slack
+        // makes rounding lengthen the prefix instead (admit-only, like
+        // the length/positional filters' −1e-7).
+        (col("sz") - ceil(col("sz") * lit(t) - lit(1e-7)) + 1).cast("int"))
       .select(col("doc_id"), col("sz"),
         posexplode(expr("slice(arr, 1, plen)")).as(Seq("pos0", "ptok")))
       .select(col("doc_id"), col("sz"),

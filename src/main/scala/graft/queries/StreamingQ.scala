@@ -1012,12 +1012,14 @@ object StreamingQ {
             .as[(Int, Long, Long)]
           val qname = s"graft_w24_${System.nanoTime()}"
           val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
           val listener =
             new org.apache.spark.sql.streaming.StreamingQueryListener {
               import org.apache.spark.sql.streaming.StreamingQueryListener._
               override def onQueryStarted(e: QueryStartedEvent): Unit = ()
               override def onQueryProgress(e: QueryProgressEvent): Unit =
                 if (e.progress.name == qname) {
+                  if (e.progress.numInputRows > 0) dataBatches.incrementAndGet()
                   consumed.addAndGet(e.progress.numInputRows); ()
                 }
               override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -1039,6 +1041,13 @@ object StreamingQ {
               s"w24: stream did not consume $expected rows within 120s")
             q.stop()
             q.awaitTermination()
+            // this oracle (batch LSH self-join on doc id) is only the
+            // gate's semantics when everything arrives in ONE data
+            // batch — assert that assumption instead of silently
+            // relying on it (ADVICE r08); w26 oracles the multi-batch
+            // first-writer-wins regime
+            require(dataBatches.get() == 1,
+              s"w24: expected a single data batch, saw ${dataBatches.get()}")
           } finally s.streams.removeListener(listener)
           cleanup()
           val gate = s.table(qname)
@@ -1226,6 +1235,126 @@ object StreamingQ {
         |  JOIN cell ON cell.qid = ap.qid AND cell.label = lab.label
         |  WHERE ap.vec_id <> ap.qid)
         |SELECT qid, vec_id AS nn_vec_id, adist
-        |FROM res WHERE rn = 1 ORDER BY qid""".stripMargin))
+        |FROM res WHERE rn = 1 ORDER BY qid""".stripMargin)),
+
+    Q("w26_streaming_neardup_gate_multibatch",
+      "The w24 gate's TRUE cross-batch semantics, oracled (VERDICT r08 " +
+        "#1): FIRST-WRITER-WINS across micro-batches. Documents arrive " +
+        "in three separate data batches in an order DIFFERENT from " +
+        "doc-id order (wave = doc_id % 3; each wave is one NDJSON file " +
+        "ATOMIC_MOVE'd into the watched dir only after the previous " +
+        "wave is fully consumed, so wave boundaries ARE batch " +
+        "boundaries), which means a smaller doc id can arrive AFTER a " +
+        "larger one that already owns a shared band bucket — and is " +
+        "then the one rejected. An online ingest gate cannot retract " +
+        "an admission it already made, so earliest-arrival ownership " +
+        "(intra-batch ties to the smallest id) is the only consistent " +
+        "decision; the oracle encodes exactly that predicate: rejected " +
+        "iff some other doc in a shared bucket has an earlier wave, or " +
+        "the same wave and a smaller id.",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w26").toString
+        try {
+          val docs = Tables.t(s, dir, "documents")
+          // one NDJSON file per wave, collected up front; staged OUTSIDE
+          // the watched dir and moved in atomically so the live query
+          // can never list a half-written file
+          val waveLines: Seq[Array[String]] = (0 until 3).map { w =>
+            docs.filter(col("doc_id") % 3 === w)
+              .select(to_json(struct(col("doc_id"), col("text"))))
+              .collect().map(_.getString(0))
+          }
+          val in = java.nio.file.Paths.get(tmp, "in")
+          val stage = java.nio.file.Paths.get(tmp, "stage")
+          java.nio.file.Files.createDirectories(in)
+          java.nio.file.Files.createDirectories(stage)
+          import s.implicits._
+          val bands = graft.operators.Dedup
+            .minhashBands(
+              s.readStream.schema("doc_id LONG, text STRING")
+                .json(in.toString),
+              "doc_id", "text")
+            .select(col("j").cast("int"), col("sig").cast("long"),
+              col("doc_id").cast("long"))
+            .as[(Int, Long, Long)]
+          val qname = s"graft_w26_${System.nanoTime()}"
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  if (e.progress.numInputRows > 0) dataBatches.incrementAndGet()
+                  consumed.addAndGet(e.progress.numInputRows); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = graft.streaming.TwsLshGate.perBucket(bands)
+              .toDF("doc_id", "hit")
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("update")
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            var cum = 0L
+            waveLines.zipWithIndex.foreach { case (lines, w) =>
+              val f = stage.resolve(s"wave$w.json")
+              java.nio.file.Files.write(f,
+                lines.mkString("\n").getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              java.nio.file.Files.move(f, in.resolve(s"wave$w.json"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              cum += lines.length
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (consumed.get() < cum && q.exception.isEmpty &&
+                  System.nanoTime() < deadline)
+                Thread.sleep(100)
+              q.exception.foreach(throw _)
+              require(consumed.get() >= cum,
+                s"w26: wave $w not consumed ($cum rows) within 120s")
+            }
+            q.stop()
+            q.awaitTermination()
+            val nonEmpty = waveLines.count(_.nonEmpty)
+            require(dataBatches.get() >= nonEmpty,
+              s"w26: expected >= $nonEmpty data batches (one per wave), " +
+                s"saw ${dataBatches.get()} — waves collapsed into one " +
+                "batch, so the multi-batch regime was not exercised")
+          } finally s.streams.removeListener(listener)
+          val gate = s.table(qname)
+            .groupBy("doc_id").agg(max(col("hit")).as("rejected"))
+          docs.select(col("doc_id"))
+            .join(gate, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("rejected"), lit(false)).as("rejected"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None    => s.conf.unset(provKey)
+          }
+          Rm.rf(tmp)
+        }
+      },
+      Some(s"WITH ${LlmOps.neardupPairsCtes},\n" +
+        """hit AS (
+          |  SELECT DISTINCT a.doc_id
+          |  FROM sig a JOIN sig b
+          |    ON a.j = b.j AND a.m = b.m AND b.doc_id <> a.doc_id
+          |  WHERE a.m IS NOT NULL
+          |    AND (b.doc_id % 3 < a.doc_id % 3
+          |      OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id)))
+          |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
+          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -16,11 +16,25 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * Scale story: state is one long per OCCUPIED band bucket — bounded by
   * the distinct-bucket count inside the TTL horizon, never by documents
   * seen (the same eviction contract as [[TwsTtl]]; RocksDB TTL column
-  * family does the aging). The batch equivalence the w24 oracle checks
-  * — "rejected iff some smaller doc id shares a bucket" — holds when
-  * ids arrive in order (the AvailableNow single-batch shape; rows
-  * within a bucket are sorted before the owner check, so intra-batch
-  * order is canonical regardless of shuffle order).
+  * family does the aging).
+  *
+  * Cross-batch semantics are FIRST-WRITER-WINS, deliberately: the gate
+  * decides admission online, and an ingest gate cannot retract a doc it
+  * already admitted in an earlier micro-batch — so when a SMALLER id
+  * arrives after a larger one already owns a shared bucket, the
+  * later-arriving smaller id is the one rejected. Within one
+  * micro-batch, rows in a bucket are sorted before the owner check, so
+  * intra-batch ties are canonical (smallest id) regardless of shuffle
+  * order. Two oracles pin both regimes (ADVICE r08 / VERDICT r08 #1):
+  * w24 checks the single-batch shape (where first-writer-wins equals
+  * the batch LSH self-join "smaller id shares a bucket" predicate, and
+  * the query ASSERTS the one-data-batch assumption it relies on), and
+  * w26 splits arrival across ≥3 micro-batches in non-id order and
+  * checks the true predicate: rejected iff a shared bucket has an
+  * EARLIER-ARRIVING registrant (earlier wave, or same wave and smaller
+  * id). TTL expiry re-seeds ownership — the first arrival after the
+  * owner ages out is admitted and becomes the new owner
+  * (StreamingSpec "re-admits after the owner ages out").
   */
 object TwsLshGate {
 

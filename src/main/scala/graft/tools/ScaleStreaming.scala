@@ -89,9 +89,12 @@ object ScaleStreaming {
       q.exception.foreach(throw _)
       q.stop()
       q.awaitTermination()
+      // the listener bus delivers asynchronously; drain in-flight
+      // events BEFORE detaching (ADVICE r08 — a sleep after
+      // removeListener can't recover events still queued at stop
+      // time, so tail batches went missing from the series)
+      Thread.sleep(500)
     } finally streams.removeListener(listener)
-    // the listener bus delivers asynchronously; drain what's in flight
-    Thread.sleep(500)
     import scala.jdk.CollectionConverters._
     out.asScala.toSeq.sortBy(_.batchId)
   }
@@ -296,12 +299,21 @@ object ScaleStreaming {
       .option("checkpointLocation", ckptDir)
       .outputMode("append")
     val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    // count ONLY q1's batches (ADVICE r08): the session's listener bus
+    // is shared, so stale queued events from an earlier probe — or any
+    // concurrent query — would inflate killedAt and end the kill phase
+    // early. The id is captured right after start(); an event racing
+    // the capture is merely dropped, which delays the kill by one poll.
+    val watchId =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
     val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          consumed.addAndGet(e.progress.numInputRows); ()
+          if (e.progress.id == watchId.get())
+            consumed.addAndGet(e.progress.numInputRows)
+          ()
         }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       }
@@ -311,6 +323,7 @@ object ScaleStreaming {
       try {
         val q1 = query(s"$tmp/ckpt", s"$tmp/out")
           .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        watchId.set(q1.id)
         val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
         while (consumed.get() < nRows / 2 && q1.exception.isEmpty &&
             System.nanoTime() < deadline)

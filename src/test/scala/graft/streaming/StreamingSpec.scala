@@ -285,6 +285,79 @@ class StreamingSpec extends AnyFunSpec {
     }
   }
 
+  describe("TwsLshGate.perBucket (TTL'd bucket-owner state)") {
+    // VERDICT r08 #1(b): ownership must AGE OUT — after the TTL the
+    // next arrival in the bucket is admitted and becomes the new owner,
+    // and cross-batch admission is first-writer-wins (a smaller id
+    // arriving later is the one rejected; an online gate cannot retract
+    // an admission it already made).
+    it("re-admits after the owner ages out, then the new owner wins") {
+      val tmp = Files.createTempDirectory("graft-lshgate-ttl")
+      val in = tmp.resolve("in"); Files.createDirectories(in)
+      val stage = tmp.resolve("stage"); Files.createDirectories(stage)
+      val cp = Files.createTempDirectory("graft-lshgate-cp").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val seen =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+        val rows = spark.readStream.schema("b INT, sig LONG, d LONG")
+          .json(in.toString)
+          .select($"b", $"sig", $"d").as[(Int, Long, Long)]
+        val q = graft.streaming.TwsLshGate
+          .perBucket(rows, ttl = java.time.Duration.ofSeconds(2))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[(Long, Boolean)], _: Long) =>
+              seen.synchronized { seen ++= b.collect() }; ()
+          }
+          .outputMode("update").option("checkpointLocation", cp)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+        // every row targets ONE bucket (band 0, sig 42): each doc emits
+        // exactly one output row, so seen.size is the arrival barrier
+        def put(name: String, lines: String): Unit = {
+          val f = stage.resolve(name)
+          Files.writeString(f, lines)
+          Files.move(f, in.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
+        }
+        def waitFor(n: Int): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (seen.synchronized(seen.size) < n && q.exception.isEmpty &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(throw _)
+          assert(seen.synchronized(seen.size) >= n)
+        }
+        // batch 1: 100 seeds the bucket (admitted), 150 is flagged
+        put("b1.json",
+          """{"b":0,"sig":42,"d":100}""" + "\n" +
+            """{"b":0,"sig":42,"d":150}""" + "\n")
+        waitFor(2)
+        assert(seen.synchronized(seen.toSet) ==
+          Set((100L, false), (150L, true)))
+        // owner 100 ages out (TTL 2 s) → 200 is RE-admitted as owner
+        Thread.sleep(3000)
+        seen.synchronized(seen.clear())
+        put("b2.json", """{"b":0,"sig":42,"d":200}""" + "\n")
+        waitFor(1)
+        assert(seen.synchronized(seen.toSet) == Set((200L, false)))
+        // 50 < 200 but arrives LATER, inside 200's TTL → rejected
+        seen.synchronized(seen.clear())
+        put("b3.json", """{"b":0,"sig":42,"d":50}""" + "\n")
+        waitFor(1)
+        assert(seen.synchronized(seen.toSet) == Set((50L, true)))
+        q.stop(); q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   describe("TwsTopK.perKey (transformWithState, ListState + ValueState)") {
     it("keeps an O(k) top-k list per key across micro-batches") {
       val in = Files.createTempDirectory("graft-twstk-in").toString
