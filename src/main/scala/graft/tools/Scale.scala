@@ -60,11 +60,17 @@ object Scale {
   private final class ShuffleMetrics extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
+    // peak single-task shuffle read — the skew witness: a whale
+    // component serialized into one task shows up here as ~the whole
+    // component's bytes, a skew-split plan as ~the advisory size
+    val maxTaskRead = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        val r = m.shuffleReadMetrics.totalBytesRead
+        read.addAndGet(r)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        maxTaskRead.updateAndGet(p => math.max(p, r))
         ()
       }
     }
@@ -235,19 +241,20 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (what != "skew" && !java.nio.file.Files.exists(
+    val needsSynth = what != "skew" && what != "whale"
+    if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
       synthesize(spark, base, factor, synthDir)
     } else System.err.println(s"[scale] reusing existing $synthDir")
     // events were added to the synth set after the graph probes ran —
     // top up an existing synth dir that predates them.
-    if (what != "skew" && !java.nio.file.Files.exists(
+    if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/events.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x events -> $synthDir")
       synthesizeEvents(spark, base, factor, synthDir)
     }
-    if (what != "skew" && !java.nio.file.Files.exists(
+    if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/part.parquet")))
       synthesizePart(spark, base, synthDir)
 
@@ -258,7 +265,8 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" | "cc" | "ann" | "skew" => Seq.empty[String]
+      case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" =>
+        Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
       case "flat" => flat
@@ -415,6 +423,61 @@ object Scale {
           s""""cc_rounds":${graft.operators.Dedup.lastCCIterations.get()},""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
+    }
+    // Whale-component probe (VERDICT r08 #2): one component holding 60%
+    // of all nodes — the late-round star-skew worst case the Dedup
+    // scaladoc documents. The whale is a balanced binary tree (node i —
+    // i DIV 2), so contraction reaches the full-width star on node 0
+    // within ~log(depth) rounds; the rest of the graph is 2-node
+    // components. With the per-node min as a partial-aggregable groupBy
+    // (map-side combine) and the join-back skew-splittable by AQE, the
+    // peak single-task shuffle read must stay near the advisory
+    // partition size, NOT the whale's full neighborhood; the window
+    // formulation this replaced had no such bound. Invariants checked
+    // untimed: max component size == whale size, component count exact.
+    if (what == "whale") {
+      val n = 200000L * factor
+      val nWhale = n * 6 / 10
+      // deployment-scale AQE skew thresholds (same rationale as the
+      // skew arm: the defaults are executor-sized, not sandbox-sized)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      val edges = spark.range(1, nWhale)
+        .select(col("id").as("s"), expr("id DIV 2").as("d"))
+        .unionAll(spark.range(nWhale, n - 1, 2)
+          .select(col("id").as("s"), (col("id") + 1).as("d")))
+        .localCheckpoint()
+      metrics.maxTaskRead.set(0L)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.Dedup.connectedComponents(edges)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] whale cc failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      Thread.sleep(800)
+      val rd = metrics.read.getAndSet(0L) / 1e6
+      val wr = metrics.write.getAndSet(0L) / 1e6
+      val mx = metrics.maxTaskRead.getAndSet(0L) / 1e6
+      val comp = graft.operators.Dedup.connectedComponents(edges)
+        .groupBy("rep").agg(count(lit(1)).as("sz"))
+        .agg(max("sz").as("mxsz"), count(lit(1)).as("ncomp")).head()
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      println(s"""{"query":"whale_cc","n_nodes":$n,"whale_nodes":$nWhale,""" +
+        s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+        s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+        s""""cc_rounds":${graft.operators.Dedup.lastCCIterations.get()},""" +
+        s""""max_component":${comp.getLong(0)},""" +
+        s""""n_components":${comp.getLong(1)},""" +
+        s""""max_task_shuffle_read_mb":${fmt(mx)},""" +
+        s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
     }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
          name <- probeNames) {
