@@ -66,6 +66,23 @@ object AnnIndex {
       .parquet(s"$dir/postings")
   }
 
+  /** Load the stored PQ codebook back into the m x k x d nested shape
+    * the in-run arms use (`Quantize.codebookFromFirst`'s type) — the
+    * ONE bounded driver collect every PQ serve/encode path performs.
+    * Single definition shared by [[append]], [[search]], the w25
+    * streaming serve, and the ann_serve scale probe (VERDICT r08 #4:
+    * the triplicated inline loaders were a divergence risk). */
+  def loadCodebook(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebook")
+      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val arr = Array.ofDim[Seq[Double]](m, k)
+    rows.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    arr.map(_.toSeq).toSeq
+  }
+
   /** Incrementally ADD vectors to an existing index (the d34-style
     * incremental arm): new postings are encoded against the STORED
     * codebook — codebooks are train-once artifacts; re-training would
@@ -76,16 +93,7 @@ object AnnIndex {
     * rebuilds so stored codes stay valid, and so does this. */
   def append(emb: DataFrame, idCol: String, embCol: String,
              labelCol: String, dir: String): Unit = {
-    val spark = emb.sparkSession
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
-      .collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val k = cbRows.map(_.getInt(1)).max + 1
-    val cbArr = Array.ofDim[Seq[Double]](m, k)
-    cbRows.foreach(r =>
-      cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
-    val cb = cbArr.map(_.toSeq).toSeq
+    val cb = loadCodebook(emb.sparkSession, dir)
     emb.select(col(idCol).cast("long").as("vec_id"),
         col(labelCol).cast("long").as("label"),
         Quantize.encodeFast(col(embCol), cb).as("codes"))
@@ -111,15 +119,7 @@ object AnnIndex {
       .limit(nProbe)
       .select("label")
       .collect().map(_.getLong(0)).toSeq
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
-      .collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val k = cbRows.map(_.getInt(1)).max + 1
-    val cbArr = Array.ofDim[Seq[Double]](m, k)
-    cbRows.foreach(r =>
-      cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
-    val adc = Quantize.adcTable(qv, cbArr.map(_.toSeq).toSeq)
+    val adc = Quantize.adcTable(qv, loadCodebook(spark, dir))
     // explicit schema: partition-type inference would read the label
     // dirs as INT; declaring LONG keeps the partition column native so
     // the isin filter prunes at the partition level

@@ -1769,6 +1769,69 @@ object LlmOps {
         |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
         |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
 
+    Q("s16_appended_index_topk",
+      "Index APPEND under the correctness gate (VERDICT r08 #6 — " +
+        "append-equals-rebuild was previously spec-only): the IVF+PQ " +
+        "index is built from the FIRST HALF of the corpus " +
+        "(vec_id < n/2), the second half is appended incrementally " +
+        "(AnnIndex.append: encoded against the STORED codebook, new " +
+        "postings files landing inside the existing cell partitions; " +
+        "centroids deliberately unmoved — stable cell geometry is what " +
+        "keeps stored codes valid between full rebuilds), and the " +
+        "query is served from the resulting tables exactly like s15. " +
+        "The oracle is the same ADC arithmetic over the UNION corpus " +
+        "but with the probe decision taken on BUILD-half centroids: " +
+        "appended vectors must be fully servable from the probed " +
+        "cells, and the cell cut must reflect what the stored index " +
+        "actually contains.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cut = emb.count() / 2
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-s16").toString
+        try {
+          graft.operators.AnnIndex.write(
+            emb.filter(col("vec_id") < cut),
+            "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+          graft.operators.AnnIndex.append(
+            emb.filter(col("vec_id") >= cut),
+            "vec_id", "embedding", "label", tmp)
+          val qv = emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0)
+            .map(_.toDouble).toSeq
+          graft.operators.AnnIndex
+            .search(s, tmp, qv, nProbe = 2, topK = 10, excludeId = 0L)
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(s"WITH $pqApproxCtes,\n" +
+        """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |         FROM embeddings),
+        |ld AS (SELECT lab.label,
+        |         unnest(generate_series(1, len(e.v))) AS i,
+        |         unnest(list_transform(e.v,
+        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+        |       FROM e JOIN lab USING (vec_id)
+        |       WHERE e.vec_id < (SELECT COUNT(*) // 2 FROM embeddings)),
+        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+        |        SELECT label, i,
+        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+        |            AS cval
+        |        FROM ld GROUP BY label, i)
+        |      GROUP BY label),
+        |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |top2 AS (
+        |  SELECT label FROM (
+        |    SELECT label,
+        |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
+        |    FROM cellc, qq)
+        |  ORDER BY cscore DESC, label LIMIT 2)
+        |SELECT a.vec_id, lab.label, round(a.adist, 6) AS adist
+        |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
+        |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +

@@ -1104,16 +1104,8 @@ object StreamingQ {
             .collect()
             .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
             .sortBy(_._1).toSeq
-          val cbRows = s.read.parquet(s"$tmp/codebook")
-            .select(col("slot").cast("int"), col("code").cast("int"),
-              col("c"))
-            .collect()
-          val m = cbRows.map(_.getInt(0)).max + 1
-          val k = cbRows.map(_.getInt(1)).max + 1
-          val cbArr = Array.ofDim[Seq[Double]](m, k)
-          cbRows.foreach(r =>
-            cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
-          val cb = cbArr.map(_.toSeq).toSeq
+          val cb = graft.operators.AnnIndex.loadCodebook(s, tmp)
+          val m = cb.size
           val d = cb.head.head.size
           // queries 0..19 stream in as DOUBLE arrays (doubles survive
           // the JSON hop bit-exactly; floats are widened BEFORE

@@ -383,14 +383,8 @@ object ScaleStreaming {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
-    val cbRows = spark.read.parquet(s"$tmp/codebook")
-      .select(col("slot").cast("int"), col("code").cast("int"), col("c"))
-      .collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val k = cbRows.map(_.getInt(1)).max + 1
-    val cbArr = Array.ofDim[Seq[Double]](m, k)
-    cbRows.foreach(r => cbArr(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
-    val cb = cbArr.map(_.toSeq).toSeq
+    val cb = graft.operators.AnnIndex.loadCodebook(spark, tmp)
+    val m = cb.size
     val d = cb.head.head.size
     val dim = d * m
     val EL = graft.operators.ExprLet
