@@ -17,12 +17,14 @@ object Bench {
     * multi-join, window, top-k, grouping sets, event-time window, JSON
     * extraction, single-pass inference, fingerprint/near-dup/simhash
     * dedup, boilerplate detection, z-order clustering key, cosine top-k,
-    * multimodal decode, graph-walk ANN.
+    * multimodal decode, graph-walk ANN, persisted-index serve,
+    * prefix-filtered set-similarity join.
     *
-    * Four headline queries memoize build-once state per (session, dir) —
-    * q54's distinct-pairs checkpoint, s10's k-NN seed graph (the ANN
-    * index), d52's shared-gram edge list (the corpus graph) and q80's
-    * brand-basket fold — so their first sample includes the build and
+    * Five headline queries memoize build-once state per (session, dir) —
+    * q54's distinct-pairs checkpoint, s10's k-NN seed graph, s15's
+    * persisted IVF+PQ index (warm samples measure the stored-table
+    * serve path), d52's shared-gram edge list (the corpus graph) and
+    * q80's brand-basket fold — so their first sample includes the build and
     * later samples measure the serve path, which is the production
     * shape for all of them. The emitted `samples` arrays make the
     * cold/warm split visible in the artifact rather than hiding it in
@@ -36,7 +38,8 @@ object Bench {
     "d21_boilerplate_segments", "d27_quality_classifier", "d29_tfidf_topterms",
     "d33_heavy_hitters", "d35_substring_dedup", "q38_file_pruning",
     "s01_cosine_topk", "s03_ivf_topk", "s04_pq_topk", "s06_nndescent_topk",
-    "s10_beam_search_topk", "s11_ivfpq_topk",
+    "s10_beam_search_topk", "s11_ivfpq_topk", "s15_persisted_index_topk",
+    "d61_ssjoin_full",
     "m01_multimodal_decode",
     "q52_regression_aggs", "q54_hll_sketch_union", "d44_unimax_alloc",
     "d45_knn_label", "d52_graph_pagerank",
@@ -53,7 +56,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries
+    // d61's oracle-gated catalog entry runs a 100-doc correctness
+    // slice; the Bench arm measures the SSJoin primitive over the FULL
+    // sf-dir documents table (VERDICT r08 #7 asked for d61 at sf0.1),
+    // so the prefix-join + semi-filtered verify costs are what the
+    // round-over-round shuffle discipline tracks. Bench-only: the
+    // full-corpus brute-force oracle would be a token² blowup in
+    // DuckDB, and the 100-doc slice already hash-gates the operator.
+    val queries = SparkEntry.queries +
+      ("d61_ssjoin_full" -> ((s: SparkSession, dir: String) =>
+        graft.operators.SSJoin.join(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", t = 0.9)))
     // Warm up JIT/codegen and parquet footers so the first measured query
     // doesn't absorb JVM startup (standard benchmarking hygiene).
     Seq("lineitem", "orders", "events", "documents", "embeddings", "part")

@@ -144,4 +144,42 @@ object Quantize {
           element_at(typedlit(adc(mi)), element_at(cs, mi + 1) + 1))
         .reduce(_ + _)
     }
+
+  /** Column-side ADC table for a STREAMED query vector (the w25 /
+    * ann-serve shape, where the query is data, not a driver value):
+    * `tab(mi+1)(code+1) = ‖q_sub_mi − cb(mi)(code)‖²`, built ONCE per
+    * query row. The per-segment arithmetic is the exact expression the
+    * serve path previously evaluated per CANDIDATE row
+    * (`aggregate(zip_with(slice(qv), centroid, sq), 0.0, +)` — same
+    * zip order, same left fold), so looked-up distances are
+    * bit-identical; what changes is WHERE the higher-order functions
+    * run. Spark's HOFs are CodegenFallback — interpreted — so paying
+    * them m·k times per query instead of m times per (query ×
+    * candidate) row is the serve-throughput fix VERDICT r08 #3 asked
+    * to diagnose: the per-candidate hot path becomes [[adcLookupExpr]],
+    * plain codegen'd `element_at` sums. */
+  def adcTableExpr(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    val d = cb.head.head.size
+    array(cb.indices.map { mi =>
+      array(cb(mi).indices.map { code =>
+        aggregate(
+          zip_with(
+            slice(qv, mi * d + 1, d),
+            typedlit(cb(mi)(code)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
+      }: _*)
+    }: _*)
+  }
+
+  /** Approximate distance from a per-row ADC table ([[adcTableExpr]]):
+    * `m` nested `element_at` lookups summed left-to-right — identical
+    * association order to the expression it replaces, fully inside
+    * whole-stage codegen. */
+  def adcLookupExpr(tab: Column, codes: Column, m: Int): Column =
+    ExprLet.let(codes) { cs =>
+      (0 until m).map(mi =>
+          element_at(element_at(tab, mi + 1), element_at(cs, mi + 1) + 1))
+        .reduce(_ + _)
+    }
 }

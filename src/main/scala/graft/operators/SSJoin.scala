@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
   *     hashed-array table by doc id — each doc's array crosses the
   *     wire once per side, not once per prefix row (r07 measured the
   *     array-carrying variant at 25.7 GB shuffle at 30×; this is the
-  *     cut). The exact `array_intersect` count then decides J ≥ t, so
-  *     the pre-filters affect performance only, never membership.
+  *     cut). The array table is first SEMI-FILTERED to docs that
+  *     appear in some candidate pair (r08 #8): with candidates ≈ true
+  *     pairs the surviving array table is broadcastable, and the pair
+  *     rows never re-shuffle an attached array at all. The exact
+  *     `array_intersect` count then decides J ≥ t, so the pre-filters
+  *     affect performance only, never membership.
   *
   * The array table is localCheckpoint'ed: candidate generation and
   * both verify sides consume it, and an unmaterialized subtree would
@@ -119,10 +123,26 @@ object SSJoin {
   def join(docs: DataFrame, idCol: String, textCol: String,
            t: Double): DataFrame = {
     val sorted = sortedTokenArrays(docs, idCol, textCol)
-    val cands = candidates(prefixRows(sorted, t), t)
+    val cands = candidates(prefixRows(sorted, t), t).localCheckpoint()
+    // Verify-side cut (VERDICT r08 #8): only docs that appear in some
+    // surviving candidate pair need their array at verify time — in
+    // the filtered-join regime (candidates ≈ true near-dup pairs,
+    // measured exactly linear at 1×..100×) that is a tiny fraction of
+    // the corpus. The semi-join shrinks the array table BEFORE the two
+    // verify joins, so AQE broadcasts the shrunken side and the pair
+    // rows stop re-shuffling a 40-token array per candidate; in a
+    // dense-pair worst case it degrades to the previous two shuffle
+    // joins, never worse. cands is checkpointed: it now has two
+    // consumers (the id list and the verify join) and an
+    // unmaterialized subtree would re-run the prefix self-join per
+    // consumer (the d44 defect class).
+    val needed = sorted.join(
+      cands.select(col("a").as("doc_id"))
+        .union(cands.select(col("b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi")
     cands
-      .join(sorted.select(col("doc_id").as("a"), col("arr").as("arra")), "a")
-      .join(sorted.select(col("doc_id").as("b"), col("arr").as("arrb")), "b")
+      .join(needed.select(col("doc_id").as("a"), col("arr").as("arra")), "a")
+      .join(needed.select(col("doc_id").as("b"), col("arr").as("arrb")), "b")
       .select(col("a"), col("b"),
         size(array_intersect(col("arra"), col("arrb"))).cast("long").as("ov"),
         col("sza"), col("szb"))

@@ -162,6 +162,29 @@ object LlmOps {
     }
   }
 
+  /** s15's persisted IVF+PQ index directory, memoized per (session,
+    * dir) with the [[ccMemo]] get + putIfAbsent discipline (VERDICT
+    * r08 #7: the serve arm joins the Bench headline, so the build must
+    * run once and warm samples measure the SERVE path — the production
+    * shape of a persisted index). The temp directory lives for the
+    * JVM's life; a racing first caller builds a second copy harmlessly
+    * (Verify/Bench are single-threaded). */
+  private val annIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+  private def annIndexDir(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String = {
+    val key = (s, dir)
+    Option(annIndexMemo.get(key)).getOrElse {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-s15").toString
+      graft.operators.AnnIndex.write(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        m = 8, k = 16, tmp)
+      Option(annIndexMemo.putIfAbsent(key, tmp)).getOrElse(tmp)
+    }
+  }
+
   /** s10's localCheckpoint'ed k-NN seed graph (the ANN index), memoized
     * per (session, dir) with the same get + putIfAbsent discipline as
     * [[ccMemo]] — build once, walk per query. */
@@ -1728,19 +1751,16 @@ object LlmOps {
         "round-trip parquet bit-exactly, so the served result equals " +
         "s11's and shares its oracle.",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-s15").toString
-        try {
-          graft.operators.AnnIndex.write(
-            emb, "vec_id", "embedding", "label", m = 8, k = 16, tmp)
-          val qv = emb.filter(col("vec_id") === 0)
-            .select(col("embedding")).head().getSeq[Float](0)
-            .map(_.toDouble).toSeq
-          graft.operators.AnnIndex
-            .search(s, tmp, qv, nProbe = 2, topK = 10, excludeId = 0L)
-            .localCheckpoint()
-        } finally Rm.rf(tmp)
+        // build is memoized per (session, dir) — Bench's warm samples
+        // measure the serve path against the STORED tables, the
+        // production shape (VERDICT r08 #7)
+        val idx = annIndexDir(s, dir)
+        val qv = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+          .map(_.toDouble).toSeq
+        graft.operators.AnnIndex
+          .search(s, idx, qv, nProbe = 2, topK = 10, excludeId = 0L)
+          .localCheckpoint()
       },
       Some(s"WITH $pqApproxCtes,\n" +
         """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label

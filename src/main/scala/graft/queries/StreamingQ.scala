@@ -1125,29 +1125,28 @@ object StreamingQ {
               element_at(typedlit(cents.map(_._1)),
                 array_position(ss, array_max(ss)).cast("int"))
             })
+          // stream-static joins re-execute the static side per
+          // micro-batch; caching pins the postings scan in memory so
+          // batch N>1 never re-lists/re-reads the parquet (half of the
+          // r08 serve-ceiling diagnosis — the other half is the ADC
+          // table below)
           val postings = s.read
             .schema("vec_id LONG, codes ARRAY<INT>, label LONG")
             .parquet(s"$tmp/postings")
-          def approxDist(qv: org.apache.spark.sql.Column,
-                         codes: org.apache.spark.sql.Column)
-              : org.apache.spark.sql.Column =
-            EL.let(codes) { cs =>
-              (0 until m).map { mi =>
-                aggregate(
-                  zip_with(
-                    slice(qv, mi * d + 1, d),
-                    element_at(typedlit(cb(mi)),
-                      element_at(cs, mi + 1) + 1),
-                    (x, y) => (x - y) * (x - y)),
-                  lit(0.0), (acc, t) => acc + t)
-              }.reduce(_ + _)
-            }
+            .cache()
+          // per-QUERY ADC table (m×k segment distances, bit-identical
+          // to the per-candidate expression it replaces — see
+          // Quantize.adcTableExpr); the per-candidate hot path is then
+          // m codegen'd lookups instead of m interpreted HOF folds
+          val Qz = graft.operators.Quantize
           val served = routed
+            .withColumn("adctab", Qz.adcTableExpr(col("qv"), cb))
             .join(postings, col("cell") === col("label"))
             .filter(col("vec_id") =!= col("qid"))
             .select(col("qid"),
               struct(
-                round(approxDist(col("qv"), col("codes")), 6).as("adist"),
+                round(Qz.adcLookupExpr(col("adctab"), col("codes"), m), 6)
+                  .as("adist"),
                 col("vec_id")).as("cand"))
             .groupBy("qid")
             .agg(min(col("cand")).as("best"))
@@ -1155,11 +1154,13 @@ object StreamingQ {
           cleanup()
           // update mode re-emits per batch; the per-qid min is monotone
           // non-increasing, so a final min-fold is an exact dedupe
-          out.groupBy("qid").agg(min(col("best")).as("b"))
+          val res = out.groupBy("qid").agg(min(col("best")).as("b"))
             .select(col("qid"), col("b.vec_id").as("nn_vec_id"),
               col("b.adist").as("adist"))
             .orderBy("qid")
             .localCheckpoint()
+          postings.unpersist()
+          res
         } finally Rm.rf(tmp)
       },
       Some("""WITH e AS (
