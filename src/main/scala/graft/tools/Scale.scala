@@ -515,21 +515,43 @@ object Scale {
     // 50k docs at 1x.
     if (what == "all" || what == "flat" || what == "ssjoin") {
       for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
+        // Deployment-shaped partition sizing ("size shuffle.partitions
+        // so partitions fit in memory at the target SF"): the
+        // harness's fixed 32 shuffle partitions put ~370 MB in each
+        // sort at the 100× tier's ~12 GB token shuffle — deep into
+        // spill (measured: 231 s → 103 s at 100×). Raising AQE's
+        // INITIAL partition count lets big shuffles keep up to 256
+        // partitions while AQE still coalesces small ones down — a
+        // real cluster config's shape. Scaled with the tier (big tiers
+        // only): the blanket setting cost the 50 k-doc tier ~4 s of
+        // per-block overhead for nothing.
+        if (n >= 500000L)
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "256")
+        else spark.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
         val corpus = s"/tmp/graft_ssjoin_planted_$n"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus)))
           plantedDocs(spark, n).write.parquet(corpus)
         val docs = spark.read.parquet(corpus)
-        Thread.sleep(800)
-        metrics.read.set(0L); metrics.write.set(0L)
-        val t0 = System.nanoTime()
-        val nPairs =
-          try graft.operators.SSJoin.join(docs, "doc_id", "text", t = 0.9)
-            .count()
-          catch { case e: Throwable =>
+        // best-of-2 like the cc/whale arms (this host's noisy-neighbor
+        // spikes put +40% on single samples; both raw samples are
+        // emitted so a swing stays attributable from the artifact)
+        var nPairs = -1L
+        val samples = (1 to 2).map { _ =>
+          Thread.sleep(800)
+          metrics.read.set(0L); metrics.write.set(0L)
+          val t0 = System.nanoTime()
+          try {
+            nPairs = graft.operators.SSJoin
+              .join(docs, "doc_id", "text", t = 0.9).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
             System.err.println(s"[scale] $tier ssjoin failed: ${e.getMessage}")
-            -1L
+            -1.0
           }
-        val sec = (System.nanoTime() - t0) / 1e9
+        }
         Thread.sleep(800)
         val rd = metrics.read.getAndSet(0L) / 1e6
         val wr = metrics.write.getAndSet(0L) / 1e6
@@ -542,9 +564,14 @@ object Scale {
           }
         metrics.read.set(0L); metrics.write.set(0L)
         println(s"""{"tier":"$tier","query":"d61_ssjoin_planted",""" +
-          s""""n_docs":$n,"sec":${fmt(sec)},"n_pairs":$nPairs,$evidence,""" +
+          s""""n_docs":$n,""" +
+          s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""n_pairs":$nPairs,$evidence,""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     }
     if (what == "all" || what == "chain" || what == "flat") {
       val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)

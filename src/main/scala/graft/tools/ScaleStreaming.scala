@@ -36,6 +36,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    stateful windowed aggregation mid-window at sustained rate,
   *    resume from the checkpoint, require output row-identical to an
   *    uninterrupted control run.
+  *  - `restart_interval` — the same kill/resume contract through a
+  *    stream-stream interval join (both sides' buffers in the
+  *    checkpoint); outputs compared as multisets via exceptAll.
   *  - `ann_serve` — w25's shape: online PQ k-NN serving from a
   *    persisted AnnIndex; avg_processed_rps IS queries served/sec and
   *    answer state is watermark-evicted (rate × horizon, never
@@ -127,8 +130,8 @@ object ScaleStreaming {
     val secs = args.drop(1).headOption.map(_.toInt).getOrElse(40)
     val keys = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
     // 4th arg: comma-separated probe subset (session_window,
-    // dedup_watermark, tws_ttl, lsh_gate, interval_join, restart) or
-    // "all" (default).
+    // dedup_watermark, tws_ttl, lsh_gate, interval_join, restart,
+    // restart_interval, ann_serve) or "all" (default).
     val what = args.drop(3).headOption.getOrElse("all")
     def want(name: String): Boolean =
       what == "all" || what.split(",").contains(name)
@@ -223,6 +226,7 @@ object ScaleStreaming {
 
     if (want("interval_join")) intervalJoinProbe(spark, rate, keys, secs)
     if (want("restart")) restartProbe(spark, rate)
+    if (want("restart_interval")) restartIntervalProbe(spark, rate)
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
 
     spark.stop()
@@ -355,6 +359,132 @@ object ScaleStreaming {
       s""""n_out_restarted":${restarted.length},""" +
       s""""n_out_control":${control.length},""" +
       s""""outputs_identical":${restarted == control}}""")
+    graft.queries.Rm.rf(tmp)
+  }
+
+  /** Kill/restart mid-flight through a STREAM-STREAM INTERVAL JOIN
+    * (VERDICT r08 #5: the restart probe above proves the exactly-once
+    * contract for windowed aggregation only; the join's state — both
+    * sides' watermark+interval buffers, plus the join semantics across
+    * the kill point — is a different recovery surface). Two file-source
+    * sides (500 k rows each, 1 kHz event time, key = hash(id) % 997)
+    * inner-join on key within ±1 s; the paced run is STOPPED once
+    * roughly half the total input is consumed (mid-buffer state in the
+    * checkpoint), a second query resumes from the same checkpoint and
+    * drains (AvailableNow), and an uninterrupted control run consumes
+    * everything into its own sink. Outputs are compared as MULTISETS
+    * via two `exceptAll` counts — rows lost at the kill point or
+    * replayed after it both break the equality; no driver collect of
+    * the ~1 M joined rows. */
+  private def restartIntervalProbe(spark: SparkSession, rate: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-ivjrestart").toString
+    val nRows = 500000L
+    // repartitionByRange on id: each file is a CONTIGUOUS event-time
+    // slice and the file source consumes part-files in path order, so
+    // the replay arrives in near-event-time order (the realistic
+    // ingest shape). A plain repartition would put the whole time
+    // range in every file — the watermark then races to the end after
+    // batch 1 and drops nearly all later rows as late, leaving almost
+    // no join state alive across the kill point (first cut of this
+    // probe: 28 k of ~1 M potential joined rows survived).
+    def gen(dir: String, seed: Int): Unit = {
+      spark.range(nRows)
+        .repartitionByRange(25, col("id"))
+        .sortWithinPartitions("id")
+        .select(
+          to_json(struct(
+            timestamp_micros(lit(1700000000000000L) + col("id") * 1000L)
+              .as("ts"),
+            pmod(xxhash64(col("id"), lit(seed)), lit(997L)).as("k"),
+            col("id").as("v"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      // FileStreamSource batches files oldest-modification-time first,
+      // and the 25 write tasks finish in arbitrary order — so without
+      // re-stamping, the range-ordered slices still replay shuffled
+      // and most rows land behind the watermark. Stamp mod-times
+      // strictly increasing in part-file path order so consumption
+      // order == event-time order.
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+      }
+    }
+    gen(s"$tmp/inL", 1)
+    gen(s"$tmp/inR", 2)
+    def side(dir: String, p: String) = spark.readStream
+      .schema("ts TIMESTAMP, k LONG, v LONG")
+      .option("maxFilesPerTrigger", 2)
+      .json(dir)
+      .select(col("ts").as(s"${p}ts"), col("k").as(s"${p}k"),
+        col("v").as(s"${p}v"))
+      .withWatermark(s"${p}ts", "2 seconds")
+    def query(ckptDir: String, outDir: String) =
+      side(s"$tmp/inL", "l").join(side(s"$tmp/inR", "r"),
+          col("lk") === col("rk") &&
+            col("rts") >= col("lts") - expr("INTERVAL 1 SECONDS") &&
+            col("rts") <= col("lts") + expr("INTERVAL 1 SECONDS"))
+        .select(col("lts"), col("lk").as("k"), col("lv"), col("rv"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+    val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val watchId =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          if (e.progress.id == watchId.get())
+            consumed.addAndGet(e.progress.numInputRows)
+          ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(listener)
+    val t0 = System.nanoTime()
+    val killedAt =
+      try {
+        val q1 = query(s"$tmp/ckpt", s"$tmp/out")
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        watchId.set(q1.id)
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (consumed.get() < nRows && q1.exception.isEmpty &&
+            System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q1.exception.foreach(throw _)
+        val at = consumed.get()
+        q1.stop(); q1.awaitTermination()
+        at
+      } finally spark.streams.removeListener(listener)
+    val q2 = query(s"$tmp/ckpt", s"$tmp/out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val qc = query(s"$tmp/ckpt_control", s"$tmp/out_control")
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    val restarted = spark.read.parquet(s"$tmp/out")
+    val control = spark.read.parquet(s"$tmp/out_control")
+    val nR = restarted.count()
+    val nC = control.count()
+    val identical = nR == nC &&
+      restarted.exceptAll(control).count() == 0L &&
+      control.exceptAll(restarted).count() == 0L
+    println(s"""{"probe":"restart_interval","rate_rps":$rate,""" +
+      s""""n_rows_per_side":$nRows,"killed_after_rows":$killedAt,""" +
+      s""""sec_to_drain":${fmt(sec)},""" +
+      s""""n_out_restarted":$nR,""" +
+      s""""n_out_control":$nC,""" +
+      s""""outputs_identical":$identical}""")
     graft.queries.Rm.rf(tmp)
   }
 
