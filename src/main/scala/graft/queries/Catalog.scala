@@ -38,12 +38,26 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column made usable: Spark 4 only
-    * reads it with `nanosAsLong`, so `ts` arrives as LONG nanoseconds and
-    * is converted to a microsecond timestamp here (DuckDB reads the same
-    * column as a µs TIMESTAMP, so the two engines agree). */
+  /** `events` with its timestamp column normalized to a session-zone
+    * TIMESTAMP regardless of how the driver generated it. The testdata
+    * has shipped `ts` two ways across rounds — TIMESTAMP(NANOS), which
+    * Spark 4 only reads under `nanosAsLong` (arriving as LONG
+    * nanoseconds), and plain TIMESTAMP(MICROS) with isAdjustedToUTC
+    * false, which Spark reads as TIMESTAMP_NTZ — so the conversion
+    * dispatches on the ARRIVED type instead of assuming a layout
+    * (round 9: the regenerated parquet silently switched to µs and the
+    * nanos-only path broke every events query). DuckDB reads both
+    * layouts as a naive µs TIMESTAMP; with the session zone pinned to
+    * UTC all three arrive at identical wall-clock values. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>   // nanos-as-long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw                                 // already TIMESTAMP
+    }
   }
 }
