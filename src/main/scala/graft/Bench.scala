@@ -60,7 +60,10 @@ object Bench {
     // slice; the Bench arm measures the SSJoin primitive over the FULL
     // sf-dir documents table (VERDICT r08 #7 asked for d61 at sf0.1),
     // so the prefix-join + semi-filtered verify costs are what the
-    // round-over-round shuffle discipline tracks. Bench-only: the
+    // round-over-round shuffle discipline tracks. The sf0.1 corpus is
+    // clique-heavy at t=0.9 (5,000 docs -> 964,854 true pairs,
+    // candidates only 3.4x over true), so this arm's cost is OUTPUT-
+    // bound — ~1M verified pairs — not plan overhead. Bench-only: the
     // full-corpus brute-force oracle would be a token² blowup in
     // DuckDB, and the 100-doc slice already hash-gates the operator.
     val queries = SparkEntry.queries +

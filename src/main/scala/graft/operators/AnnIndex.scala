@@ -102,6 +102,61 @@ object AnnIndex {
       .parquet(s"$dir/postings")
   }
 
+  /** Compact FRAGMENTED cells of the postings table (the small-files
+    * maintenance pass every append-heavy index needs): each
+    * [[append]] lands one new file batch per touched cell, so after
+    * many appends a probe of one cell reads dozens of tiny parquet
+    * files — footer and open() overhead, not data, starts to dominate
+    * the serve scan. Compaction is SELECTIVE: cells whose file count
+    * is within `maxFilesPerCell` are not read, rewritten, or even
+    * opened — the rewrite cost is proportional to the fragmentation,
+    * never to the corpus (at 100 TB a full-table rewrite per
+    * maintenance tick would dwarf the appends it cleans up after).
+    *
+    * One Spark job rewrites ALL fragmented cells (read filtered to
+    * those labels, hash-repartitioned by label so each cell lands in
+    * exactly one task = one output file), then each cell directory is
+    * swapped in with two renames (bounded driver metadata work, one
+    * pair per fragmented cell — the same class of driver action as
+    * registering a partition in a metastore). Readers see either the
+    * old file set or the new one, never a mix, because the swap
+    * replaces the whole `label=` directory. Row content is preserved
+    * exactly — [[search]] results are bit-identical pre/post (spec:
+    * "compact preserves served results").
+    *
+    * Returns the labels compacted (empty = nothing fragmented). */
+  def compact(spark: SparkSession, dir: String,
+              maxFilesPerCell: Int = 1): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+    val frag = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("label="))
+      .map(st => (st.getPath.getName.stripPrefix("label=").toLong, st.getPath))
+      .filter { case (_, p) => partFiles(p) > maxFilesPerCell }
+      .sortBy(_._1)
+    if (frag.nonEmpty) {
+      val tmp = new Path(s"$dir/.postings_compacting")
+      fs.delete(tmp, true)
+      spark.read.schema("vec_id LONG, codes ARRAY<INT>, label LONG")
+        .parquet(s"$dir/postings")
+        .filter(col("label").isin(frag.map(_._1): _*))
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(tmp.toString)
+      frag.foreach { case (label, cellPath) =>
+        val fresh = new Path(tmp, s"label=$label")
+        val retired = new Path(root, s".label=$label.retired")
+        fs.rename(cellPath, retired)
+        fs.rename(fresh, cellPath)
+        fs.delete(retired, true)
+      }
+      fs.delete(tmp, true)
+    }
+    frag.map(_._1)
+  }
+
   /** Serve a query from the STORED tables only: pick the top-`nProbe`
     * cells by centroid cosine (the probe decision — `nProbe` longs,
     * the bounded collect every IVF serve path makes), rebuild the ADC

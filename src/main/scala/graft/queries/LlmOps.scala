@@ -119,6 +119,38 @@ object LlmOps {
         |  FROM codes c JOIN adc a ON a.m = c.m AND a.j = c.code
         |  GROUP BY c.vec_id)""".stripMargin
 
+  /** Shared oracle tail for the appended-index serve paths (s16 and
+    * s17): ADC arithmetic over the UNION corpus, probe decision on
+    * BUILD-half centroids (`ld`'s WHERE) — compaction rewrites file
+    * layout only, so s17 shares s16's oracle verbatim. */
+  private def appendedIdxOracleTail: String =
+    """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+    |         FROM embeddings),
+    |ld AS (SELECT lab.label,
+    |         unnest(generate_series(1, len(e.v))) AS i,
+    |         unnest(list_transform(e.v,
+    |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+    |       FROM e JOIN lab USING (vec_id)
+    |       WHERE e.vec_id < (SELECT COUNT(*) // 2 FROM embeddings)),
+    |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+    |        SELECT label, i,
+    |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+    |            AS cval
+    |        FROM ld GROUP BY label, i)
+    |      GROUP BY label),
+    |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    |top2 AS (
+    |  SELECT label FROM (
+    |    SELECT label,
+    |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
+    |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
+    |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
+    |    FROM cellc, qq)
+    |  ORDER BY cscore DESC, label LIMIT 2)
+    |SELECT a.vec_id, lab.label, round(a.adist, 6) AS adist
+    |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
+    |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin
+
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
@@ -1824,33 +1856,54 @@ object LlmOps {
             .localCheckpoint()
         } finally Rm.rf(tmp)
       },
-      Some(s"WITH $pqApproxCtes,\n" +
-        """lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-        |         FROM embeddings),
-        |ld AS (SELECT lab.label,
-        |         unnest(generate_series(1, len(e.v))) AS i,
-        |         unnest(list_transform(e.v,
-        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
-        |       FROM e JOIN lab USING (vec_id)
-        |       WHERE e.vec_id < (SELECT COUNT(*) // 2 FROM embeddings)),
-        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
-        |        SELECT label, i,
-        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
-        |            AS cval
-        |        FROM ld GROUP BY label, i)
-        |      GROUP BY label),
-        |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |top2 AS (
-        |  SELECT label FROM (
-        |    SELECT label,
-        |      list_reduce(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]), (x,y) -> x + y) /
-        |      (sqrt(list_reduce(list_transform(cv, x -> x * x), (x,y) -> x + y)) *
-        |       sqrt(list_reduce(list_transform(qv, x -> x * x), (x,y) -> x + y))) AS cscore
-        |    FROM cellc, qq)
-        |  ORDER BY cscore DESC, label LIMIT 2)
-        |SELECT a.vec_id, lab.label, round(a.adist, 6) AS adist
-        |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
-        |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin)),
+      Some(s"WITH $pqApproxCtes,\n" + appendedIdxOracleTail)),
+
+    Q("s17_compacted_index_topk",
+      "Index COMPACTION under the correctness gate (the maintenance " +
+        "pass of the persisted-index lifecycle s15→s16→s17): the " +
+        "index is built from the first half of the corpus and the " +
+        "second half is appended in TWO waves, each landing its own " +
+        "file batch inside the touched cell partitions — the " +
+        "small-files fragmentation every append-heavy index " +
+        "accumulates. AnnIndex.compact then SELECTIVELY rewrites only " +
+        "the fragmented cells (one Spark job hash-repartitioned by " +
+        "label, one output file per cell, per-cell directory swap — " +
+        "rewrite cost proportional to fragmentation, never the " +
+        "corpus) and the query is served from the compacted tables " +
+        "exactly like s15. Compaction rewrites file LAYOUT only, so " +
+        "the oracle is s16's verbatim: same union-corpus ADC " +
+        "arithmetic, same build-half probe decision — a changed " +
+        "result here would mean compact dropped or duplicated a " +
+        "posting.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val n = emb.count()
+        val cut = n / 2
+        val mid = cut + (n - cut) / 2
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-s17").toString
+        try {
+          graft.operators.AnnIndex.write(
+            emb.filter(col("vec_id") < cut),
+            "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+          graft.operators.AnnIndex.append(
+            emb.filter(col("vec_id") >= cut && col("vec_id") < mid),
+            "vec_id", "embedding", "label", tmp)
+          graft.operators.AnnIndex.append(
+            emb.filter(col("vec_id") >= mid),
+            "vec_id", "embedding", "label", tmp)
+          val compacted = graft.operators.AnnIndex.compact(s, tmp)
+          require(compacted.nonEmpty,
+            "s17: two appends left no fragmented cell to compact")
+          val qv = emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0)
+            .map(_.toDouble).toSeq
+          graft.operators.AnnIndex
+            .search(s, tmp, qv, nProbe = 2, topK = 10, excludeId = 0L)
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(s"WITH $pqApproxCtes,\n" + appendedIdxOracleTail)),
 
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +

@@ -44,6 +44,162 @@ object StreamingQ {
     s.table(qname)
   }
 
+  /** Shared serve core of the online-ANN queries (w25/w27): build the
+    * persisted index via `buildIdx` (w25: one full AnnIndex.write;
+    * w27: build-half write + append + compact), then stream query
+    * vectors against the STORED tables — literal-baked centroid
+    * routing, cached stream-static postings join, per-query ADC
+    * table, one streaming min-aggregation. See w25's description for
+    * the full design rationale; the two queries differ ONLY in how
+    * the index on disk came to be. */
+  private def annServeStreamed(s: SparkSession, dir: String,
+      buildIdx: (DataFrame, String) => Unit): DataFrame = {
+    val emb = Tables.t(s, dir, "embeddings")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-w25").toString
+    try {
+      buildIdx(emb, tmp)
+      // serve-time bounded collects from the STORED tables: cell
+      // centroids (labels asc — array_position's first-max then
+      // breaks cosine ties toward the smallest label) + codebook
+      val cents = s.read.parquet(s"$tmp/centroids")
+        .select(col("label").cast("long"), col("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val cb = graft.operators.AnnIndex.loadCodebook(s, tmp)
+      val m = cb.size
+      // queries 0..19 stream in as DOUBLE arrays (doubles survive
+      // the JSON hop bit-exactly; floats are widened BEFORE
+      // serialization, matching the oracle's CAST(x AS DOUBLE))
+      val (stream, cleanup) = jsonStream(s,
+        emb.filter(col("vec_id") < 20)
+          .select(to_json(struct(
+            col("vec_id").as("qid"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("qv"))).as("value")),
+        "qid LONG, qv ARRAY<DOUBLE>")
+      val EL = graft.operators.ExprLet
+      val Sim = graft.operators.Similarity
+      val routed = stream.withColumn("cell",
+        EL.let(array(cents.map { case (_, cv) =>
+          Sim.cosine(col("qv"), typedlit(cv)) }: _*)) { ss =>
+          element_at(typedlit(cents.map(_._1)),
+            array_position(ss, array_max(ss)).cast("int"))
+        })
+      // stream-static joins re-execute the static side per
+      // micro-batch; caching pins the postings scan in memory so
+      // batch N>1 never re-lists/re-reads the parquet (half of the
+      // r08 serve-ceiling diagnosis — the other half is the ADC
+      // table below)
+      val postings = s.read
+        .schema("vec_id LONG, codes ARRAY<INT>, label LONG")
+        .parquet(s"$tmp/postings")
+        .cache()
+      // per-QUERY ADC table (m×k segment distances, bit-identical
+      // to the per-candidate expression it replaces — see
+      // Quantize.adcTableExpr); the per-candidate hot path is then
+      // m codegen'd lookups instead of m interpreted HOF folds
+      val Qz = graft.operators.Quantize
+      val served = routed
+        .withColumn("adctab", Qz.adcTableExpr(col("qv"), cb))
+        .join(postings, col("cell") === col("label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          struct(
+            round(Qz.adcLookupExpr(col("adctab"), col("codes"), m), 6)
+              .as("adist"),
+            col("vec_id")).as("cand"))
+        .groupBy("qid")
+        .agg(min(col("cand")).as("best"))
+      val out = runToMemory(s, served, "update")
+      cleanup()
+      // update mode re-emits per batch; the per-qid min is monotone
+      // non-increasing, so a final min-fold is an exact dedupe
+      val res = out.groupBy("qid").agg(min(col("best")).as("b"))
+        .select(col("qid"), col("b.vec_id").as("nn_vec_id"),
+          col("b.adist").as("adist"))
+        .orderBy("qid")
+        .localCheckpoint()
+      postings.unpersist()
+      res
+    } finally Rm.rf(tmp)
+  }
+
+  /** w25/w27's oracle: codes, cells and per-query ADC re-derived for
+    * all 20 streamed queries in SQL. `ldWhere` restricts which vectors
+    * form the stored centroids — empty for w25 (full-corpus build),
+    * the build-half predicate for w27 (appends must not move cell
+    * geometry, so the probe decision reflects the stored index). */
+  private def annServeOracle(ldWhere: String): String =
+    """WITH e AS (
+    |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    |  FROM embeddings),
+    |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
+    |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
+    |dists AS (
+    |  SELECT e.vec_id, ms.m, cb.j,
+    |    list_reduce(list_transform(generate_series(1, 8),
+    |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+    |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+    |      (x, y) -> x + y) AS d2
+    |  FROM e, ms, cb),
+    |mind AS (SELECT vec_id, m, MIN(d2) AS md
+    |         FROM dists GROUP BY vec_id, m),
+    |codes AS (
+    |  SELECT d.vec_id, d.m, MIN(d.j) AS code
+    |  FROM dists d JOIN mind USING (vec_id, m)
+    |  WHERE d.d2 = mind.md
+    |  GROUP BY d.vec_id, d.m),
+    |ld AS (SELECT lab.label,
+    |         unnest(generate_series(1, len(e.v))) AS i,
+    |         unnest(list_transform(e.v,
+    |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
+    |       FROM e JOIN lab USING (vec_id)""".stripMargin +
+      ldWhere + """),
+    |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
+    |        SELECT label, i,
+    |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
+    |            AS cval
+    |        FROM ld GROUP BY label, i)
+    |      GROUP BY label),
+    |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+    |cell AS (
+    |  SELECT qid, label FROM (
+    |    SELECT q.qid, cellc.label,
+    |      row_number() OVER (PARTITION BY q.qid ORDER BY
+    |        list_reduce(list_transform(generate_series(1, len(cv)),
+    |          i -> cv[i] * qv[i]), (x, y) -> x + y) /
+    |        (sqrt(list_reduce(list_transform(cv, x -> x * x),
+    |           (x, y) -> x + y)) *
+    |         sqrt(list_reduce(list_transform(qv, x -> x * x),
+    |           (x, y) -> x + y))) DESC, cellc.label) AS rn
+    |    FROM q, cellc)
+    |  WHERE rn = 1),
+    |adcq AS (
+    |  SELECT q.qid, ms.m, cb.j,
+    |    list_reduce(list_transform(generate_series(1, 8),
+    |      i -> (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
+    |         * (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
+    |      (x, y) -> x + y) AS d2
+    |  FROM q, ms, cb),
+    |approxq AS (
+    |  SELECT a.qid, c.vec_id,
+    |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
+    |  FROM codes c JOIN adcq a ON a.m = c.m AND a.j = c.code
+    |  GROUP BY a.qid, c.vec_id),
+    |res AS (
+    |  SELECT ap.qid, ap.vec_id, round(ap.adist, 6) AS adist,
+    |    row_number() OVER (PARTITION BY ap.qid
+    |      ORDER BY round(ap.adist, 6), ap.vec_id) AS rn
+    |  FROM approxq ap
+    |  JOIN lab ON lab.vec_id = ap.vec_id
+    |  JOIN cell ON cell.qid = ap.qid AND cell.label = lab.label
+    |  WHERE ap.vec_id <> ap.qid)
+    |SELECT qid, vec_id AS nn_vec_id, adist
+    |FROM res WHERE rn = 1 ORDER BY qid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("w02_streaming_daily",
       "Event-time tumbling window computed by Structured Streaming " +
@@ -1089,146 +1245,40 @@ object StreamingQ {
         "struct(adist, vec_id) — ties break exactly like s11. The " +
         "oracle re-derives codes, cells and per-query ADC for all 20 " +
         "streamed queries in SQL.",
-      (s, dir) => {
-        val emb = Tables.t(s, dir, "embeddings")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-w25").toString
-        try {
-          graft.operators.AnnIndex.write(
-            emb, "vec_id", "embedding", "label", m = 8, k = 16, tmp)
-          // serve-time bounded collects from the STORED tables: cell
-          // centroids (labels asc — array_position's first-max then
-          // breaks cosine ties toward the smallest label) + codebook
-          val cents = s.read.parquet(s"$tmp/centroids")
-            .select(col("label").cast("long"), col("cv"))
-            .collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-            .sortBy(_._1).toSeq
-          val cb = graft.operators.AnnIndex.loadCodebook(s, tmp)
-          val m = cb.size
-          val d = cb.head.head.size
-          // queries 0..19 stream in as DOUBLE arrays (doubles survive
-          // the JSON hop bit-exactly; floats are widened BEFORE
-          // serialization, matching the oracle's CAST(x AS DOUBLE))
-          val (stream, cleanup) = jsonStream(s,
-            emb.filter(col("vec_id") < 20)
-              .select(to_json(struct(
-                col("vec_id").as("qid"),
-                transform(col("embedding"), x => x.cast("double"))
-                  .as("qv"))).as("value")),
-            "qid LONG, qv ARRAY<DOUBLE>")
-          val EL = graft.operators.ExprLet
-          val Sim = graft.operators.Similarity
-          val routed = stream.withColumn("cell",
-            EL.let(array(cents.map { case (_, cv) =>
-              Sim.cosine(col("qv"), typedlit(cv)) }: _*)) { ss =>
-              element_at(typedlit(cents.map(_._1)),
-                array_position(ss, array_max(ss)).cast("int"))
-            })
-          // stream-static joins re-execute the static side per
-          // micro-batch; caching pins the postings scan in memory so
-          // batch N>1 never re-lists/re-reads the parquet (half of the
-          // r08 serve-ceiling diagnosis — the other half is the ADC
-          // table below)
-          val postings = s.read
-            .schema("vec_id LONG, codes ARRAY<INT>, label LONG")
-            .parquet(s"$tmp/postings")
-            .cache()
-          // per-QUERY ADC table (m×k segment distances, bit-identical
-          // to the per-candidate expression it replaces — see
-          // Quantize.adcTableExpr); the per-candidate hot path is then
-          // m codegen'd lookups instead of m interpreted HOF folds
-          val Qz = graft.operators.Quantize
-          val served = routed
-            .withColumn("adctab", Qz.adcTableExpr(col("qv"), cb))
-            .join(postings, col("cell") === col("label"))
-            .filter(col("vec_id") =!= col("qid"))
-            .select(col("qid"),
-              struct(
-                round(Qz.adcLookupExpr(col("adctab"), col("codes"), m), 6)
-                  .as("adist"),
-                col("vec_id")).as("cand"))
-            .groupBy("qid")
-            .agg(min(col("cand")).as("best"))
-          val out = runToMemory(s, served, "update")
-          cleanup()
-          // update mode re-emits per batch; the per-qid min is monotone
-          // non-increasing, so a final min-fold is an exact dedupe
-          val res = out.groupBy("qid").agg(min(col("best")).as("b"))
-            .select(col("qid"), col("b.vec_id").as("nn_vec_id"),
-              col("b.adist").as("adist"))
-            .orderBy("qid")
-            .localCheckpoint()
-          postings.unpersist()
-          res
-        } finally Rm.rf(tmp)
-      },
-      Some("""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-        |cb AS (SELECT vec_id AS j, v FROM e WHERE vec_id < 16),
-        |ms AS (SELECT m FROM generate_series(0, 7) AS g(m)),
-        |dists AS (
-        |  SELECT e.vec_id, ms.m, cb.j,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      i -> (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
-        |         * (e.v[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
-        |      (x, y) -> x + y) AS d2
-        |  FROM e, ms, cb),
-        |mind AS (SELECT vec_id, m, MIN(d2) AS md
-        |         FROM dists GROUP BY vec_id, m),
-        |codes AS (
-        |  SELECT d.vec_id, d.m, MIN(d.j) AS code
-        |  FROM dists d JOIN mind USING (vec_id, m)
-        |  WHERE d.d2 = mind.md
-        |  GROUP BY d.vec_id, d.m),
-        |ld AS (SELECT lab.label,
-        |         unnest(generate_series(1, len(e.v))) AS i,
-        |         unnest(list_transform(e.v,
-        |           x -> CAST(round(x * 1000000) AS BIGINT))) AS x
-        |       FROM e JOIN lab USING (vec_id)),
-        |cellc AS (SELECT label, list(cval ORDER BY i) AS cv FROM (
-        |        SELECT label, i,
-        |          CAST(SUM(x) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0)
-        |            AS cval
-        |        FROM ld GROUP BY label, i)
-        |      GROUP BY label),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-        |cell AS (
-        |  SELECT qid, label FROM (
-        |    SELECT q.qid, cellc.label,
-        |      row_number() OVER (PARTITION BY q.qid ORDER BY
-        |        list_reduce(list_transform(generate_series(1, len(cv)),
-        |          i -> cv[i] * qv[i]), (x, y) -> x + y) /
-        |        (sqrt(list_reduce(list_transform(cv, x -> x * x),
-        |           (x, y) -> x + y)) *
-        |         sqrt(list_reduce(list_transform(qv, x -> x * x),
-        |           (x, y) -> x + y))) DESC, cellc.label) AS rn
-        |    FROM q, cellc)
-        |  WHERE rn = 1),
-        |adcq AS (
-        |  SELECT q.qid, ms.m, cb.j,
-        |    list_reduce(list_transform(generate_series(1, 8),
-        |      i -> (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])
-        |         * (q.qv[ms.m * 8 + i] - cb.v[ms.m * 8 + i])),
-        |      (x, y) -> x + y) AS d2
-        |  FROM q, ms, cb),
-        |approxq AS (
-        |  SELECT a.qid, c.vec_id,
-        |    list_reduce(list(a.d2 ORDER BY c.m), (x, y) -> x + y) AS adist
-        |  FROM codes c JOIN adcq a ON a.m = c.m AND a.j = c.code
-        |  GROUP BY a.qid, c.vec_id),
-        |res AS (
-        |  SELECT ap.qid, ap.vec_id, round(ap.adist, 6) AS adist,
-        |    row_number() OVER (PARTITION BY ap.qid
-        |      ORDER BY round(ap.adist, 6), ap.vec_id) AS rn
-        |  FROM approxq ap
-        |  JOIN lab ON lab.vec_id = ap.vec_id
-        |  JOIN cell ON cell.qid = ap.qid AND cell.label = lab.label
-        |  WHERE ap.vec_id <> ap.qid)
-        |SELECT qid, vec_id AS nn_vec_id, adist
-        |FROM res WHERE rn = 1 ORDER BY qid""".stripMargin)),
+      (s, dir) => annServeStreamed(s, dir, (emb, tmp) =>
+        graft.operators.AnnIndex.write(
+          emb, "vec_id", "embedding", "label", m = 8, k = 16, tmp)),
+      Some(annServeOracle(""))),
+
+    Q("w27_streaming_ann_serve_appended",
+      "Online serving from an APPENDED-and-COMPACTED index — the full " +
+        "persisted-index lifecycle (build s15, append s16, compact " +
+        "s17) closed under the STREAMING gate: the index is built " +
+        "from the first half of the corpus, the second half is " +
+        "appended against the stored codebook, AnnIndex.compact " +
+        "rewrites the fragmented cells, and then query vectors stream " +
+        "in and are answered from the resulting tables by exactly " +
+        "w25's serve core (literal-baked centroid routing, cached " +
+        "stream-static postings join, per-query ADC table, one " +
+        "streaming min-aggregation). The oracle is w25's with one " +
+        "change: stored centroids come from the BUILD half only " +
+        "(appends must not move cell geometry), so the per-query cell " +
+        "decision is taken on build-half centroids while every " +
+        "posting — built, appended, compacted — must be servable.",
+      (s, dir) => annServeStreamed(s, dir, { (emb, tmp) =>
+        val cut = emb.count() / 2
+        graft.operators.AnnIndex.write(
+          emb.filter(col("vec_id") < cut),
+          "vec_id", "embedding", "label", m = 8, k = 16, tmp)
+        graft.operators.AnnIndex.append(
+          emb.filter(col("vec_id") >= cut),
+          "vec_id", "embedding", "label", tmp)
+        val compacted = graft.operators.AnnIndex.compact(s, tmp)
+        require(compacted.nonEmpty,
+          "w27: the append left no fragmented cell to compact")
+      }),
+      Some(annServeOracle(
+        "\n       WHERE e.vec_id < (SELECT COUNT(*) // 2 FROM embeddings)"))),
 
     Q("w26_streaming_neardup_gate_multibatch",
       "The w24 gate's TRUE cross-batch semantics, oracled (VERDICT r08 " +

@@ -806,6 +806,55 @@ class OperatorsSpec extends AnyFunSpec {
         graft.queries.Rm.rf(tmpFull)
       }
     }
+    it("compact is selective and preserves served results") {
+      import org.apache.hadoop.fs.Path
+      val rnd = new scala.util.Random(13)
+      val all = (0L until 80L).map(i =>
+        (i, Array.fill(16)(rnd.nextFloat()), i % 4))
+      // one input partition → the initial write lands exactly one file
+      // per cell, so fragmentation afterwards comes ONLY from appends
+      val first = all.filter(_._1 < 60L)
+        .toDF("vec_id", "embedding", "label").repartition(1)
+      // two append waves, both touching ONLY cell 0 — cells 1..3 stay
+      // exactly as the initial write left them
+      val Seq(w1, w2) = Seq(
+        all.filter(t3 => t3._1 >= 60L && t3._1 < 70L && t3._3 == 0L),
+        all.filter(t3 => t3._1 >= 70L && t3._3 == 0L))
+        .map(_.toDF("vec_id", "embedding", "label"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-annidx-compact").toString
+      val fs = new Path(tmp).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def cellFiles(label: Long): Set[String] =
+        fs.listStatus(new Path(s"$tmp/postings/label=$label"))
+          .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+      try {
+        AnnIndex.write(first, "vec_id", "embedding", "label",
+          m = 4, k = 8, dir = tmp)
+        AnnIndex.append(w1, "vec_id", "embedding", "label", tmp)
+        AnnIndex.append(w2, "vec_id", "embedding", "label", tmp)
+        assert(cellFiles(0L).size >= 3) // initial + one per append wave
+        val untouchedBefore = (1L to 3L).map(cellFiles)
+        val qv = first.filter($"vec_id" === 0)
+          .select($"embedding").as[Array[Float]].head()
+          .map(_.toDouble).toSeq
+        def serve() = AnnIndex.search(spark, tmp, qv, nProbe = 2,
+          topK = 8, excludeId = 0L).as[(Long, Long, Double)].collect().toSeq
+        val before = serve()
+        val compacted = AnnIndex.compact(spark, tmp)
+        // only the fragmented cell is rewritten; the others keep their
+        // exact file set (names carry task UUIDs — any rewrite would
+        // change them)
+        assert(compacted == Seq(0L))
+        assert(cellFiles(0L).size == 1)
+        assert((1L to 3L).map(cellFiles) == untouchedBefore)
+        assert(serve() == before)
+        // idempotent: nothing left to compact
+        assert(AnnIndex.compact(spark, tmp).isEmpty)
+      } finally {
+        graft.queries.Rm.rf(tmp)
+      }
+    }
   }
 
   describe("SSJoin vs brute-force Jaccard reference") {
