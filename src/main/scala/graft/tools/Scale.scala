@@ -265,7 +265,8 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" =>
+      case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
+           "compact" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -391,6 +392,79 @@ object Scale {
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
         graft.queries.Rm.rf(idx)
       }
+    }
+    // Compaction probe (round 9): many append waves fragment the
+    // postings cells into one file batch each — the small-files shape
+    // an append-heavy index accumulates between maintenance passes.
+    // Measures serve cost from the fragmented index, the selective
+    // compact itself, and serve cost after — the before/after delta is
+    // pure file-open/footer overhead, since row content and partition
+    // pruning are identical.
+    if (what == "compact") {
+      import org.apache.hadoop.fs.Path
+      val emb = spark.read.parquet(s"$synthDir/embeddings.parquet")
+      val n = emb.count()
+      val cut = n / 2
+      val waves = 64
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-annidx-compactprobe").toString
+      graft.operators.AnnIndex.write(
+        emb.filter(col("vec_id") < cut),
+        "vec_id", "embedding", "label", m = 8, k = 16, idx)
+      val span = (n - cut + waves - 1) / waves
+      val ta = System.nanoTime()
+      (0 until waves).foreach { w =>
+        val lo = cut + w * span
+        val hi = math.min(n, lo + span)
+        if (lo < hi) graft.operators.AnnIndex.append(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", "label", idx)
+      }
+      val appendSec = (System.nanoTime() - ta) / 1e9
+      val fs = new Path(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def census(): (Int, Int) =
+        fs.listStatus(new Path(s"$idx/postings")).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("label="))
+          .map(st => fs.listStatus(st.getPath)
+            .count(_.getPath.getName.startsWith("part-")))
+          .foldLeft((0, 0)) { case ((tot, mx), c) =>
+            (tot + c, math.max(mx, c)) }
+      val (filesFrag, maxCellFrag) = census()
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toSeq
+      def serveBest(): Double = {
+        // untimed warm call first: JIT/codegen, not file IO, dominates
+        // the first serve in a fresh JVM
+        graft.operators.AnnIndex
+          .search(spark, idx, qv, nProbe = 2, topK = 10, excludeId = 0L)
+          .write.format("noop").mode("overwrite").save()
+        (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          graft.operators.AnnIndex
+            .search(spark, idx, qv, nProbe = 2, topK = 10, excludeId = 0L)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t1) / 1e9
+        }.min
+      }
+      val serveFrag = serveBest()
+      val t1 = System.nanoTime()
+      val nCompacted = graft.operators.AnnIndex.compact(spark, idx).size
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val (filesComp, maxCellComp) = census()
+      val serveComp = serveBest()
+      println(s"""{"query":"ann_compact","n_vectors":$n,""" +
+        s""""waves":$waves,"append_sec":${fmt(appendSec)},""" +
+        s""""files_frag":$filesFrag,"max_cell_files_frag":$maxCellFrag,""" +
+        s""""serve_frag_sec":${fmt(serveFrag)},""" +
+        s""""cells_compacted":$nCompacted,""" +
+        s""""compact_sec":${fmt(compactSec)},""" +
+        s""""files_compacted":$filesComp,""" +
+        s""""max_cell_files_compacted":$maxCellComp,""" +
+        s""""serve_compacted_sec":${fmt(serveComp)}}""")
+      graft.queries.Rm.rf(idx)
     }
     // Focused cold-CC probe (VERDICT r07 #1): the d20 clustering step
     // WITHOUT the ccMemo, so every sample pays the full candidate-pair +
