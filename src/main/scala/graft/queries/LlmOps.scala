@@ -2036,6 +2036,70 @@ object LlmOps {
           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
           |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin)),
 
+    Q("d62_persisted_dedup_store",
+      "Cross-RUN near-dup gating against a PERSISTED fingerprint store " +
+        "— the nightly-crawl lifecycle d34 only simulates in-run: wave " +
+        "0 (doc_id % 3 = 0) bootstraps a parquet store of its distinct " +
+        "MinHash band buckets; each later wave is gated by a bucket-" +
+        "equi join against the store AS READ FROM DISK, and then ONLY " +
+        "the admitted docs' buckets are appended — a rejected " +
+        "duplicate must not contaminate the store, which also keeps " +
+        "the store distinct for free (an admitted doc by definition " +
+        "shares no bucket with it). The store is the persisted " +
+        "artifact between runs; at 100 TB it would be written " +
+        "bucketBy(j, sig) into a table so the nightly gate join " +
+        "shuffles only the (much smaller) new wave. The oracle " +
+        "unrolls the two gated waves: rejected iff a bucket is shared " +
+        "with wave 0 or with an ADMITTED wave-1 doc.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val wave = col("doc_id") % 3
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d62").toString
+        try {
+          Dedup.minhashBands(docs.filter(wave === 0), "doc_id", "text")
+            .select(col("j"), col("sig")).distinct()
+            .write.mode("overwrite").parquet(s"$tmp/store")
+          val flags = (1 to 2).map { w =>
+            val nb = Dedup
+              .minhashBands(docs.filter(wave === w), "doc_id", "text")
+              .localCheckpoint()
+            val hit = nb
+              .join(s.read.parquet(s"$tmp/store"), Seq("j", "sig"))
+              .select(col("doc_id")).distinct()
+            val fl = docs.filter(wave === w).select(col("doc_id"))
+              .join(hit.withColumn("_h", lit(1)), Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("_h") === 1, lit(false)).as("rejected"))
+              // materialized BEFORE the append below: the gate decision
+              // must be taken against the store as this run found it
+              .localCheckpoint()
+            nb.join(fl.filter(!col("rejected")), Seq("doc_id"), "left_semi")
+              .select(col("j"), col("sig")).distinct()
+              .write.mode("append").parquet(s"$tmp/store")
+            fl
+          }
+          flags.reduce(_ union _).orderBy("doc_id").localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(s"WITH $neardupPairsCtes,\n" +
+        """w AS (SELECT doc_id, doc_id % 3 AS wave FROM documents),
+        |s0 AS (SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
+        |       WHERE w.wave = 0 AND g.m IS NOT NULL),
+        |rej1 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
+        |         JOIN s0 ON g.j = s0.j AND g.m = s0.m WHERE w.wave = 1),
+        |s1 AS (SELECT j, m FROM s0
+        |       UNION
+        |       SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
+        |       WHERE w.wave = 1 AND g.m IS NOT NULL
+        |         AND g.doc_id NOT IN (SELECT doc_id FROM rej1)),
+        |rej2 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
+        |         JOIN s1 ON g.j = s1.j AND g.m = s1.m WHERE w.wave = 2)
+        |SELECT w.doc_id,
+        |  (w.doc_id IN (SELECT doc_id FROM rej1)
+        |   OR w.doc_id IN (SELECT doc_id FROM rej2)) AS rejected
+        |FROM w WHERE w.wave IN (1, 2) ORDER BY w.doc_id""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +
