@@ -118,11 +118,18 @@ object AnnIndex {
     * exactly one task = one output file), then each cell directory is
     * swapped in with two renames (bounded driver metadata work, one
     * pair per fragmented cell — the same class of driver action as
-    * registering a partition in a metastore). Readers see either the
-    * old file set or the new one, never a mix, because the swap
-    * replaces the whole `label=` directory. Row content is preserved
-    * exactly — [[search]] results are bit-identical pre/post (spec:
-    * "compact preserves served results").
+    * registering a partition in a metastore). A reader never sees a
+    * MIX of old and new files — the swap replaces the whole `label=`
+    * directory — but between the two renames the cell is briefly
+    * absent, so compaction assumes the single-maintainer window every
+    * file-based table without a transaction log needs (a production
+    * deployment serializes maintenance against serving via the
+    * metastore or a Delta-style log; the swap keeps the window to two
+    * metadata ops). A failed rename-in restores the original
+    * directory and aborts rather than leaving the cell missing. Row
+    * content is preserved exactly — [[search]] results are
+    * bit-identical pre/post (spec: "compact preserves served
+    * results").
     *
     * Returns the labels compacted (empty = nothing fragmented). */
   def compact(spark: SparkSession, dir: String,
@@ -148,8 +155,13 @@ object AnnIndex {
       frag.foreach { case (label, cellPath) =>
         val fresh = new Path(tmp, s"label=$label")
         val retired = new Path(root, s".label=$label.retired")
-        fs.rename(cellPath, retired)
-        fs.rename(fresh, cellPath)
+        require(fs.rename(cellPath, retired),
+          s"compact: rename-out failed for label=$label")
+        if (!fs.rename(fresh, cellPath)) {
+          fs.rename(retired, cellPath) // restore — never leave a cell absent
+          throw new IllegalStateException(
+            s"compact: rename-in failed for label=$label (original restored)")
+        }
         fs.delete(retired, true)
       }
       fs.delete(tmp, true)
