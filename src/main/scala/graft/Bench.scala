@@ -36,7 +36,8 @@ object Bench {
     "w03_session_window", "q14_json_group", "p04_route_infer_single_pass",
     "d05_fingerprint", "d07_neardup_pairs", "d08_simhash", "d16_repetition",
     "d21_boilerplate_segments", "d27_quality_classifier", "d29_tfidf_topterms",
-    "d33_heavy_hitters", "d35_substring_dedup", "q38_file_pruning",
+    "d33_heavy_hitters", "d35_substring_dedup", "d62_persisted_dedup_store",
+    "q38_file_pruning",
     "s01_cosine_topk", "s03_ivf_topk", "s04_pq_topk", "s06_nndescent_topk",
     "s10_beam_search_topk", "s11_ivfpq_topk", "s15_persisted_index_topk",
     "d61_ssjoin_full",
