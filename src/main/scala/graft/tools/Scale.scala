@@ -266,7 +266,7 @@ object Scale {
     val queries = SparkEntry.queries
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
-           "compact" =>
+           "compact" | "store" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -391,6 +391,92 @@ object Scale {
           s""""serve_sec":${fmt(serves.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
         graft.queries.Rm.rf(idx)
+      }
+    }
+    // Persisted-dedup-store probe (round 9, the d62 shape at tier
+    // scale): the nightly gate joins a NEW wave's band buckets against
+    // the persisted store of every prior wave's buckets. With a plain
+    // parquet store, the equi-join shuffles BOTH sides — and the store
+    // is the side that grows run over run, so at 100 TB the nightly
+    // cost grows with corpus history. Writing the store BUCKETED on
+    // the join key (bucketBy(j, sig) via saveAsTable) pre-partitions
+    // it at rest: the join shuffles only the new wave, the store scans
+    // in place. Both arms gate the SAME wave against the SAME store
+    // content; the row reports per-arm wall time, shuffle bytes, and
+    // whether the store side exchanged.
+    if (what == "store") {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$synthDir/documents.parquet")
+      val isNew = col("doc_id") % 3 === 0
+      // The synth corpus is built by replicating sf0.1 docs, so its
+      // distinct bucket set collapses to ~13k rows — broadcastable,
+      // which is NOT the regime the store reaches in production. A
+      // year of nightly crawls leaves a store dominated by buckets of
+      // docs the new wave never touches; model that cold history with
+      // range-generated buckets (negative sigs — real MinHash sigs are
+      // non-negative, so they can never match a wave bucket and the
+      // gate's output is unchanged) so the store side is the big side,
+      // as it is at scale.
+      val coldHistory = spark.range(20L * 1000 * 1000)
+        .select((col("id") % 4).cast("int").as("j"),
+          (-col("id") - 1).as("sig"))
+      val oldBuckets = Dedup
+        .minhashBands(docs.filter(!isNew), "doc_id", "text")
+        .select(col("j").cast("int").as("j"), col("sig")).distinct()
+        .unionAll(coldHistory)
+      val newBands = Dedup
+        .minhashBands(docs.filter(isNew), "doc_id", "text")
+        .localCheckpoint()
+      val plainDir = s"$synthDir/d62_store_plain"
+      oldBuckets.write.mode("overwrite").parquet(plainDir)
+      spark.sql("DROP TABLE IF EXISTS graft_d62_store")
+      oldBuckets.write.mode("overwrite")
+        .bucketBy(cpus.toInt, "j", "sig").sortBy("j", "sig")
+        .saveAsTable("graft_d62_store")
+      val nStore = spark.read.parquet(plainDir).count()
+      def gate(store: DataFrame): DataFrame =
+        newBands.join(store, Seq("j", "sig"))
+          .select(col("doc_id")).distinct()
+      // the synth store is broadcastable at probe size; at 100 TB it is
+      // orders of magnitude past any broadcast threshold, so disable
+      // broadcast for the arms to measure the shape that regime gets
+      // (the skew probe's convention: thresholds scaled as a
+      // deployment would)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for ((arm, store) <- Seq(
+            ("plain", spark.read.parquet(plainDir)),
+            ("bucketed", spark.table("graft_d62_store")))) {
+          val rejected = gate(store)
+          // store-side exchange check: with the bucketed table the
+          // scan's existing HashPartitioning(j, sig) satisfies the
+          // join, so only the new-wave side (and the final distinct)
+          // exchange — one fewer than the plain arm
+          rejected.write.format("noop").mode("overwrite").save() // warm
+          val plan = rejected.queryExecution.executedPlan.toString
+          val nExchanges = "Exchange hashpartitioning".r
+            .findAllIn(plan).length
+          Thread.sleep(800)
+          metrics.read.getAndSet(0L); metrics.write.getAndSet(0L)
+          val samples = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            rejected.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Thread.sleep(800)
+          val rd = metrics.read.getAndSet(0L) / 1e6
+          val wr = metrics.write.getAndSet(0L) / 1e6
+          println(s"""{"query":"d62_store_gate","arm":"$arm",""" +
+            s""""n_store_buckets":$nStore,""" +
+            s""""n_exchanges":$nExchanges,""" +
+            s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+            s""""sec":${fmt(samples.min)},""" +
+            s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.sql("DROP TABLE IF EXISTS graft_d62_store")
       }
     }
     // Compaction probe (round 9): many append waves fragment the
