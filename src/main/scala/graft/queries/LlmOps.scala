@@ -151,6 +151,29 @@ object LlmOps {
     |FROM approx a JOIN lab USING (vec_id) JOIN top2 USING (label)
     |ORDER BY round(a.adist, 6), vec_id LIMIT 10""".stripMargin
 
+  /** Shared oracle for the persisted-store dedup lifecycle (batch d62
+    * and streaming w28 — same store semantics, different arrival
+    * mechanism): waves 1 and 2 unrolled, rejected iff a band bucket is
+    * shared with wave 0 or with an ADMITTED wave-1 doc. */
+  private[queries] def persistedStoreOracle: String =
+    s"WITH $neardupPairsCtes,\n" +
+      """w AS (SELECT doc_id, doc_id % 3 AS wave FROM documents),
+      |s0 AS (SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
+      |       WHERE w.wave = 0 AND g.m IS NOT NULL),
+      |rej1 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
+      |         JOIN s0 ON g.j = s0.j AND g.m = s0.m WHERE w.wave = 1),
+      |s1 AS (SELECT j, m FROM s0
+      |       UNION
+      |       SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
+      |       WHERE w.wave = 1 AND g.m IS NOT NULL
+      |         AND g.doc_id NOT IN (SELECT doc_id FROM rej1)),
+      |rej2 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
+      |         JOIN s1 ON g.j = s1.j AND g.m = s1.m WHERE w.wave = 2)
+      |SELECT w.doc_id,
+      |  (w.doc_id IN (SELECT doc_id FROM rej1)
+      |   OR w.doc_id IN (SELECT doc_id FROM rej2)) AS rejected
+      |FROM w WHERE w.wave IN (1, 2) ORDER BY w.doc_id""".stripMargin
+
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
@@ -2082,23 +2105,7 @@ object LlmOps {
           flags.reduce(_ union _).orderBy("doc_id").localCheckpoint()
         } finally Rm.rf(tmp)
       },
-      Some(s"WITH $neardupPairsCtes,\n" +
-        """w AS (SELECT doc_id, doc_id % 3 AS wave FROM documents),
-        |s0 AS (SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
-        |       WHERE w.wave = 0 AND g.m IS NOT NULL),
-        |rej1 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
-        |         JOIN s0 ON g.j = s0.j AND g.m = s0.m WHERE w.wave = 1),
-        |s1 AS (SELECT j, m FROM s0
-        |       UNION
-        |       SELECT DISTINCT g.j, g.m FROM sig g JOIN w USING (doc_id)
-        |       WHERE w.wave = 1 AND g.m IS NOT NULL
-        |         AND g.doc_id NOT IN (SELECT doc_id FROM rej1)),
-        |rej2 AS (SELECT DISTINCT g.doc_id FROM sig g JOIN w USING (doc_id)
-        |         JOIN s1 ON g.j = s1.j AND g.m = s1.m WHERE w.wave = 2)
-        |SELECT w.doc_id,
-        |  (w.doc_id IN (SELECT doc_id FROM rej1)
-        |   OR w.doc_id IN (SELECT doc_id FROM rej2)) AS rejected
-        |FROM w WHERE w.wave IN (1, 2) ORDER BY w.doc_id""".stripMargin)),
+      Some(persistedStoreOracle)),
 
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +

@@ -1398,6 +1398,126 @@ object StreamingQ {
           |      OR (b.doc_id % 3 = a.doc_id % 3 AND b.doc_id < a.doc_id)))
           |SELECT d.doc_id, h.doc_id IS NOT NULL AS rejected
           |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("w28_streaming_persisted_store_gate",
+      "The d62 persisted-store dedup lifecycle under the STREAMING " +
+        "gate — the nightly-crawl loop as a live ingest: three waves " +
+        "of documents arrive as separate micro-batches (wave = doc_id " +
+        "% 3, atomically-moved NDJSON files with a consumption barrier " +
+        "between waves, the w26 machinery); inside foreachBatch each " +
+        "batch is gated by a bucket-equi join against the store AS " +
+        "READ FROM DISK, and only admitted docs' band buckets are " +
+        "appended back before the next wave may arrive. The store on " +
+        "disk IS the operator state — it is data, not checkpoint, so " +
+        "it survives restarts and is shared with the batch pipeline " +
+        "by construction (the same files d62 would read). Wave 0 " +
+        "bootstraps an empty store (all admitted); the oracle is " +
+        "d62's verbatim — same store semantics, different arrival " +
+        "mechanism.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w28").toString
+        try {
+          val waveLines: Seq[Array[String]] = (0 until 3).map { w =>
+            docs.filter(col("doc_id") % 3 === w)
+              .select(to_json(struct(col("doc_id"), col("text"))))
+              .collect().map(_.getString(0))
+          }
+          val in = java.nio.file.Paths.get(tmp, "in")
+          val stage = java.nio.file.Paths.get(tmp, "stage")
+          java.nio.file.Files.createDirectories(in)
+          java.nio.file.Files.createDirectories(stage)
+          val store = s"$tmp/store"
+          val flagsDir = s"$tmp/flags"
+          // seed an EMPTY store so the first batch's gate has a dir to
+          // read (same schema as every later append)
+          graft.operators.Dedup
+            .minhashBands(docs.filter(lit(false)), "doc_id", "text")
+            .select(col("j"), col("sig"))
+            .write.mode("overwrite").parquet(store)
+          val qname = s"graft_w28_${System.nanoTime()}"
+          // barrier on completed NON-EMPTY BATCHES, not on row counts:
+          // a foreachBatch body that runs several actions re-scans the
+          // batch source per action, and numInputRows counts the
+          // re-reads (measured 3x here) — a row barrier passes early
+          // and collapses the waves into one batch. A progress event
+          // fires only after its batch's foreachBatch completed, so
+          // nonEmptyBatches > w implies wave w's store append is
+          // durable before wave w+1 moves in.
+          val nonEmptyBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname && e.progress.numInputRows > 0) {
+                  nonEmptyBatches.incrementAndGet(); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = s.readStream.schema("doc_id LONG, text STRING")
+              .json(in.toString)
+              .writeStream.queryName(qname)
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                // the batch feeds three consumers (bands, flags join,
+                // flags dump) — pin it so the source isn't re-scanned
+                // per action
+                batch.persist()
+                try {
+                  val nb = graft.operators.Dedup
+                    .minhashBands(batch, "doc_id", "text")
+                    .localCheckpoint()
+                  val hit = nb
+                    .join(s.read.parquet(store), Seq("j", "sig"))
+                    .select(col("doc_id")).distinct()
+                  val fl = batch.select(col("doc_id"))
+                    .join(hit.withColumn("_h", lit(1)), Seq("doc_id"), "left")
+                    .select(col("doc_id"),
+                      coalesce(col("_h") === 1, lit(false)).as("rejected"))
+                    // materialized BEFORE the append: the gate decision
+                    // is taken against the store as this batch found it
+                    .localCheckpoint()
+                  nb.join(fl.filter(!col("rejected")),
+                      Seq("doc_id"), "left_semi")
+                    .select(col("j"), col("sig")).distinct()
+                    .write.mode("append").parquet(store)
+                  fl.write.mode("append").parquet(flagsDir)
+                } finally batch.unpersist()
+                ()
+              }
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            waveLines.zipWithIndex.foreach { case (lines, w) =>
+              val f = stage.resolve(s"wave$w.json")
+              java.nio.file.Files.write(f,
+                lines.mkString("\n").getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              java.nio.file.Files.move(f, in.resolve(s"wave$w.json"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (nonEmptyBatches.get() <= w && q.exception.isEmpty &&
+                  System.nanoTime() < deadline)
+                Thread.sleep(100)
+              q.exception.foreach(throw _)
+              require(nonEmptyBatches.get() > w,
+                s"w28: wave $w not processed within 120s")
+            }
+            q.stop()
+            q.awaitTermination()
+            require(nonEmptyBatches.get() == 3,
+              s"w28: expected exactly 3 data batches (one per wave), " +
+                s"saw ${nonEmptyBatches.get()}")
+          } finally s.streams.removeListener(listener)
+          s.read.parquet(flagsDir)
+            .filter(col("doc_id") % 3 =!= 0)
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(LlmOps.persistedStoreOracle))
   )
 }
