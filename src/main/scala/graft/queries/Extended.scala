@@ -144,7 +144,7 @@ object Extended {
         // Stats pass: 4 longs to the driver (z-ordering always needs one).
         val r = li.agg(
           min("l_partkey"), max("l_partkey"),
-          min("l_suppkey"), max("l_suppkey")).head
+          min("l_suppkey"), max("l_suppkey")).head()
         val z = Compact.zValue(Seq(
           Compact.uniformBucket(col("l_partkey"),
             lit(r.getLong(0)), lit(r.getLong(1)), 16),
@@ -192,7 +192,7 @@ object Extended {
         val li = t(s, dir, "lineitem")
         val r = li.agg(
           min("l_partkey"), max("l_partkey"),
-          min("l_suppkey"), max("l_suppkey")).head
+          min("l_suppkey"), max("l_suppkey")).head()
         val (pkmin, pkmax) = (r.getLong(0), r.getLong(1))
         val (skmin, skmax) = (r.getLong(2), r.getLong(3))
         // Query box: the middle eighth of each key range (driver-side

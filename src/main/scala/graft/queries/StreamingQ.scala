@@ -333,7 +333,7 @@ object StreamingQ {
         val ev = events(s, dir)
         val mx = ev.filter(col("event_type").isin("click", "purchase"))
           .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
-          .agg(min(col("m"))).head.getLong(0)
+          .agg(min(col("m"))).head().getLong(0)
         // ms precision (the stream rides through to_json), 60s margin.
         val cutoffMs = mx / 1000L - (3L * 3600L + 60L) * 1000L
         def side(et: String, u: String, t: String) = {
@@ -645,7 +645,7 @@ object StreamingQ {
         // strict emission boundary + to_json ms truncation only while
         // max(ts) is NOT on (or within 1ms after) an hour boundary —
         // guard that assumption instead of trusting the data generator.
-        val maxTs = events(s, dir).agg(max(col("ts"))).head.getTimestamp(0)
+        val maxTs = events(s, dir).agg(max(col("ts"))).head().getTimestamp(0)
         require(maxTs.getTime % 3600000L > 1L,
           s"w13 assumes max(ts) is >1ms past an hour boundary; got $maxTs " +
             "— the strict-vs-inclusive emission edge would diverge")
