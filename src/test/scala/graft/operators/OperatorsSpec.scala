@@ -1082,6 +1082,66 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("persisted dedup store lifecycle (d62/w28 shape)") {
+    it("keeps the store distinct and rejects exactly per first-admitted") {
+      // three waves: wave 0 = docs A,B; wave 1 = C (dup of A), D (new);
+      // wave 2 = E (dup of D — must be rejected even though D arrived
+      // after the bootstrap), F (dup of C — must be ADMITTED, because
+      // the rejected C never entered the store... unless F also shares
+      // a bucket with A, which it does, being C's dup — so F is
+      // rejected via A. G is a true singleton.)
+      val mk = (i: Long, txt: String) => (i, txt)
+      val docs = Seq(
+        mk(0L, "alpha beta gamma delta epsilon zeta"),   // A wave 0
+        mk(3L, "one two three four five six"),           // B wave 0
+        mk(1L, "alpha beta gamma delta epsilon zeta"),   // C wave 1 dup(A)
+        mk(4L, "seven eight nine ten eleven twelve"),    // D wave 1 new
+        mk(2L, "seven eight nine ten eleven twelve"),    // E wave 2 dup(D)
+        mk(5L, "alpha beta gamma delta epsilon zeta"),   // F wave 2 dup(A)
+        mk(8L, "unique solitary single lonely only sole")// G wave 2 new
+      ).toDF("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-d62-spec").toString
+      try {
+        val store = s"$tmp/store"
+        val wave = col("doc_id") % 3
+        Dedup.minhashBands(docs.filter(wave === 0), "doc_id", "text")
+          .select($"j", $"sig").distinct()
+          .write.mode("overwrite").parquet(store)
+        val flags = (1 to 2).map { w =>
+          val nb = Dedup
+            .minhashBands(docs.filter(wave === w), "doc_id", "text")
+            .localCheckpoint()
+          val hit = nb.join(spark.read.parquet(store), Seq("j", "sig"))
+            .select($"doc_id").distinct()
+          val fl = docs.filter(wave === w).select($"doc_id")
+            .join(hit.withColumn("_h", lit(1)), Seq("doc_id"), "left")
+            .select($"doc_id",
+              coalesce($"_h" === 1, lit(false)).as("rejected"))
+            .localCheckpoint()
+          nb.join(fl.filter(!$"rejected"), Seq("doc_id"), "left_semi")
+            .select($"j", $"sig").distinct()
+            .write.mode("append").parquet(store)
+          fl
+        }
+        val out = flags.reduce(_ union _)
+          .as[(Long, Boolean)].collect().toMap
+        assert(out == Map(1L -> true,  // C rejected via A
+                          4L -> false, // D admitted
+                          2L -> true,  // E rejected via admitted D
+                          5L -> true,  // F rejected via A's store buckets
+                          8L -> false))// G admitted
+        // the store-distinctness invariant the scaladoc claims: an
+        // admitted doc shares no bucket with the store, so appends can
+        // never introduce a duplicate (j, sig)
+        val st = spark.read.parquet(store)
+        assert(st.count() == st.distinct().count())
+      } finally {
+        graft.queries.Rm.rf(tmp)
+      }
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
