@@ -2107,6 +2107,93 @@ object LlmOps {
       },
       Some(persistedStoreOracle)),
 
+    Q("d63_bitext_margin",
+      "Margin-based bitext mining (the Artetxe/Schwenk LASER recipe " +
+        "that curates parallel-translation training pairs): for each " +
+        "source-side probe vector, the best target-side match by the " +
+        "MARGIN score cos(x,y) / ((kNN-mean(x) + kNN-mean(y)) / 2) " +
+        "with k = 4 — raw cosine over-selects hubs, vectors close to " +
+        "everything; dividing by both sides' neighborhood density is " +
+        "what makes mined pairs precise. Sides are modeled by label " +
+        "parity, the probe batch is 50 source vectors (mining runs " +
+        "batch-against-corpus in production; the pair enumeration " +
+        "here is the sf-bounded demonstrator — at 100 TB the " +
+        "candidate pairs come from the ANN blocking s02/s03 exactly " +
+        "as d11/d36 prune theirs, with the margin arithmetic " +
+        "unchanged). kNN means fold in rank order (array_sort + " +
+        "sequential aggregate, the engine's float-fold convention) so " +
+        "both engines sum identically; margins are rounded to 6 " +
+        "places BEFORE the per-source argmax so the winner is " +
+        "tie-broken identically cross-engine.",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val Sim = graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), Sim.asDouble(col("embedding")).as("v"),
+            (col("label") % 2 === 0).as("is_src"))
+        val src = e.filter(col("is_src") && col("vec_id") < 50)
+          .select(col("vec_id").as("x"), col("v").as("vx"))
+        val tgt = e.filter(!col("is_src"))
+          .select(col("vec_id").as("y"), col("v").as("vy"))
+        val pairs = src.crossJoin(tgt)
+          .select(col("x"), col("y"),
+            Sim.cosine(col("vx"), col("vy")).as("c"))
+          .localCheckpoint()
+        val wx = Window.partitionBy("x")
+          .orderBy(col("c").desc, col("y").asc)
+        val wy = Window.partitionBy("y")
+          .orderBy(col("c").desc, col("x").asc)
+        def knnMean(ranked: DataFrame, side: String, rank: String) =
+          ranked.filter(col(rank) <= 4)
+            .groupBy(side)
+            .agg((aggregate(
+              expr(s"transform(array_sort(collect_list(struct($rank, c))), t -> t.c)"),
+              lit(0.0), (acc, v) => acc + v) / lit(4.0)).as(s"m_$side"))
+        val mx = knnMean(pairs.withColumn("rx", row_number().over(wx)), "x", "rx")
+        val my = knnMean(pairs.withColumn("ry", row_number().over(wy)), "y", "ry")
+        val marg = pairs.join(mx, "x").join(my, "y")
+          .select(col("x"), col("y"),
+            round(col("c") / ((col("m_x") + col("m_y")) / lit(2.0)), 6)
+              .as("margin"))
+        marg.withColumn("rn", row_number().over(
+            Window.partitionBy("x")
+              .orderBy(col("margin").desc, col("y").asc)))
+          .filter(col("rn") === 1)
+          .select(col("x"), col("y").as("best_y"), col("margin"))
+          .orderBy("x")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v,
+        |    label % 2 = 0 AS is_src
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT s.vec_id AS x, t.vec_id AS y, ${cosSql("s.v", "t.v")} AS c
+        |  FROM e s, e t
+        |  WHERE s.is_src AND s.vec_id < 50 AND NOT t.is_src),
+        |rx AS (SELECT x, y, c,
+        |         row_number() OVER (PARTITION BY x ORDER BY c DESC, y) AS rx
+        |       FROM p),
+        |ry AS (SELECT x, y, c,
+        |         row_number() OVER (PARTITION BY y ORDER BY c DESC, x) AS ry
+        |       FROM p),
+        |ax AS (SELECT x,
+        |         list_reduce(list(c ORDER BY rx), (a, b) -> a + b) / 4 AS mx
+        |       FROM rx WHERE rx <= 4 GROUP BY x),
+        |ay AS (SELECT y,
+        |         list_reduce(list(c ORDER BY ry), (a, b) -> a + b) / 4 AS my
+        |       FROM ry WHERE ry <= 4 GROUP BY y),
+        |m AS (SELECT p.x, p.y,
+        |        round(p.c / ((ax.mx + ay.my) / 2), 6) AS margin
+        |      FROM p JOIN ax USING (x) JOIN ay USING (y)),
+        |r AS (SELECT x, y, margin,
+        |        row_number() OVER (PARTITION BY x
+        |          ORDER BY margin DESC, y) AS rn
+        |      FROM m)
+        |SELECT x, y AS best_y, margin FROM r WHERE rn = 1
+        |ORDER BY x""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +
