@@ -2152,7 +2152,11 @@ object LlmOps {
               lit(0.0), (acc, v) => acc + v) / lit(4.0)).as(s"m_$side"))
         val mx = knnMean(pairs.withColumn("rx", row_number().over(wx)), "x", "rx")
         val my = knnMean(pairs.withColumn("ry", row_number().over(wy)), "y", "ry")
-        val marg = pairs.join(mx, "x").join(my, "y")
+        // the kNN-mean tables are one row per probe / per target —
+        // broadcast them so the margin attach never reshuffles the
+        // (much larger) pair table
+        val marg = pairs
+          .join(broadcast(mx), "x").join(broadcast(my), "y")
           .select(col("x"), col("y"),
             round(col("c") / ((col("m_x") + col("m_y")) / lit(2.0)), 6)
               .as("margin"))
