@@ -1162,6 +1162,43 @@ object Extended {
         |  UNION ALL SELECT 'inline', 'hi', l_discount * 2 FROM src)
         |SELECT gen, tag, COUNT(*) AS n,
         | CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM u GROUP BY gen, tag ORDER BY gen, tag""".stripMargin))
+        |FROM u GROUP BY gen, tag ORDER BY gen, tag""".stripMargin)),
+
+    Q("q85_observe_metrics",
+      "In-job observability via Dataset.observe + Observation (the " +
+        "Spark 3.3+ metrics API): data-quality counters — row count, " +
+        "exact quantity total, discount-outlier count, null-shipdate " +
+        "count — ride the SAME job as the real work instead of a " +
+        "second audit scan (d32 is the two-pass audit; this is the " +
+        "zero-extra-pass production variant: at 100 TB a second scan " +
+        "of the fact table to count nulls costs as much as the " +
+        "pipeline itself). The observed frame is materialized once, " +
+        "the Observation handle yields the metrics the executors " +
+        "accumulated during that one pass, and the metrics themselves " +
+        "are the query result the oracle re-derives in SQL.",
+      (s, dir) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation(
+          s"q85_${java.util.UUID.randomUUID()}")
+        val observed = t(s, dir, "lineitem").observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(dec2(col("l_quantity"))).as("sum_qty"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_high_discount"),
+          count(when(col("l_shipdate").isNull, 1)).as("n_null_shipdate"))
+        // ONE materializing pass — the metrics accumulate on its tasks
+        observed.write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        Seq((
+          m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_high_discount").asInstanceOf[Long],
+          m("n_null_shipdate").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_qty", "n_high_discount", "n_null_shipdate")
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+        |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS n_null_shipdate
+        |FROM lineitem""".stripMargin))
   )
 }
