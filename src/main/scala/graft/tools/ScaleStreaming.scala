@@ -43,6 +43,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    persisted AnnIndex; avg_processed_rps IS queries served/sec and
   *    answer state is watermark-evicted (rate × horizon, never
   *    queries-served-total).
+  *  - `store_gate` — w28's shape at rate, run to NAME its limits:
+  *    per-batch store re-scan time and store file-count growth are
+  *    the measured reasons the high-rate design is the TTL'd
+  *    in-memory gate (w24) and the store gate is nightly (d62).
   *
   * Usage: runMain graft.tools.ScaleStreaming [rowsPerSec] [secs] [keys]
   *   [probe,probe,...|all]
@@ -228,8 +232,95 @@ object ScaleStreaming {
     if (want("restart")) restartProbe(spark, rate)
     if (want("restart_interval")) restartIntervalProbe(spark, rate)
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
+    if (want("store_gate")) storeGateProbe(spark, rate, secs)
 
     spark.stop()
+  }
+
+  /** w28's shape under sustained rate — the PERSISTED-store gate as a
+    * live stream, run to NAME its limits rather than to pass: each
+    * micro-batch bucket-joins its bands against the parquet store and
+    * appends the admitted buckets, so (a) the store gains one file
+    * batch per trigger — the small-files growth AnnIndex.compact
+    * exists to bound, reported as the file-count series — and (b) the
+    * gate join re-reads a store that grows without bound, so per-batch
+    * gate time RISES with rows seen (reported first-5 vs last-5 mean).
+    * This is why the high-rate online design is w24's TTL'd in-memory
+    * gate and the store gate is the NIGHTLY shape (d62), with the
+    * store bucketed at rest (`d62_store_r09`) and compacted on the
+    * maintenance boundary. Dup structure: every 7 consecutive docs
+    * share signatures — 7 does not divide the rate source's
+    * second-aligned batch sizes, so groups straddle batch boundaries
+    * and the cross-batch gate genuinely rejects (a group size that
+    * divides the batch size never straddles, and intra-batch dups are
+    * by design not rejected — d62/w28 semantics). */
+  private def storeGateProbe(spark: SparkSession, rate: Int,
+                             secs: Int): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-storegate").toString
+    val store = s"$dir/store"
+    Seq.empty[(Int, Long)].toDF("j", "sig")
+      .write.mode("overwrite").parquet(store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileCounts = new java.util.concurrent.ConcurrentLinkedQueue[Int]
+    val gateMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+    val q = src.select(col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt("storegate"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val bands = batch.select(col("value").as("doc_id"),
+              explode(array((0 until 4).map(j =>
+                struct(lit(j).as("j"),
+                  pmod(xxhash64((col("value") / 7).cast("long"), lit(j)),
+                    lit(1L << 40)).as("sig"))): _*)).as("b"))
+            .select(col("doc_id"), col("b.j").as("j"), col("b.sig").as("sig"))
+            .localCheckpoint()
+          val t0 = System.nanoTime()
+          val hitDocs = bands
+            .join(spark.read.parquet(store), Seq("j", "sig"))
+            .select(col("doc_id")).distinct()
+            .localCheckpoint()
+          val nRej = hitDocs.count()
+          gateMs.add((System.nanoTime() - t0) / 1000000); ()
+          rejected.addAndGet(nRej)
+          bands.join(hitDocs, Seq("doc_id"), "left_anti")
+            .select(col("j"), col("sig")).distinct()
+            .write.mode("append").parquet(store)
+          processed.addAndGet(batch.count())
+          fileCounts.add(fs.listStatus(
+              new org.apache.hadoop.fs.Path(store))
+            .count(_.getPath.getName.startsWith("part-"))); ()
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    val samples = drive(q, secs)
+    import scala.jdk.CollectionConverters._
+    val gm = gateMs.asScala.toSeq
+    val fc = fileCounts.asScala.toSeq
+    def mean(xs: Seq[Long]): Double =
+      if (xs.isEmpty) -1.0 else xs.sum.toDouble / xs.size
+    val storeRows = spark.read.parquet(store).count()
+    val rps = samples.map(_.procRps)
+    println(s"""{"probe":"store_gate","rate_rps":$rate,""" +
+      s""""batches":${samples.size},""" +
+      s""""avg_processed_rps":${fmt(if (rps.isEmpty) -1 else rps.sum / rps.size)},""" +
+      s""""rows_processed":${processed.get()},""" +
+      s""""rows_rejected":${rejected.get()},""" +
+      s""""store_rows_final":$storeRows,""" +
+      s""""store_files_first":${fc.headOption.getOrElse(-1)},""" +
+      s""""store_files_last":${fc.lastOption.getOrElse(-1)},""" +
+      s""""gate_ms_first5":${fmt(mean(gm.take(5)))},""" +
+      s""""gate_ms_last5":${fmt(mean(gm.takeRight(5)))}}""")
+    graft.queries.Rm.rf(dir)
   }
 
   /** Stream-stream interval join under sustained rate (VERDICT r07 #6,
