@@ -1518,6 +1518,77 @@ object StreamingQ {
             .localCheckpoint()
         } finally Rm.rf(tmp)
       },
-      Some(LlmOps.persistedStoreOracle))
+      Some(LlmOps.persistedStoreOracle)),
+
+    Q("w29_streaming_observe_metrics",
+      "q85's in-job observability on a STREAM: Dataset.observe " +
+        "metrics — row count, click count, exact DECIMAL value total " +
+        "— accumulate on the streaming query's own tasks and surface " +
+        "per micro-batch through StreamingQueryProgress" +
+        ".observedMetrics; no second scan and no extra state " +
+        "operator, the production way to watch data quality ride an " +
+        "ingest stream. The input is chopped into several micro-" +
+        "batches (repartition 16 + maxFilesPerTrigger 4) so the " +
+        "additivity actually carries weight: counts and DECIMAL sums " +
+        "add exactly across batches, the driver folds each batch's " +
+        "observed row with BigDecimal addition, and the folded totals " +
+        "are hash-gated against the batch aggregates in SQL.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w29").toString
+        try {
+          events(s, dir)
+            .select(to_json(struct(col("event_type"), col("value")))
+              .as("value"))
+            .repartition(16)
+            .write.mode("overwrite").text(s"$tmp/in")
+          val stream = s.readStream
+            .schema("event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", "4")
+            .json(s"$tmp/in")
+          val observed = stream.observe("w29_metrics",
+            count(lit(1)).as("n_rows"),
+            count(when(col("event_type") === "click", 1)).as("n_clicks"),
+            sum(col("value").cast("decimal(28,6)")).as("sum_value"))
+          val nRows = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nClicks = new java.util.concurrent.atomic.AtomicLong(0L)
+          val sumRef = new java.util.concurrent.atomic.AtomicReference(
+            java.math.BigDecimal.ZERO)
+          val qname = s"graft_w29_${System.nanoTime()}"
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  val row = e.progress.observedMetrics.get("w29_metrics")
+                  if (row != null && !row.isNullAt(0) && row.getLong(0) > 0) {
+                    nRows.addAndGet(row.getLong(0))
+                    nClicks.addAndGet(row.getLong(1))
+                    val d = row.getDecimal(2)
+                    if (d != null) { sumRef.updateAndGet(_.add(d)); () }
+                  }
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = observed.writeStream.format("noop").queryName(qname)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // the listener bus delivers asynchronously — drain before
+            // reading the accumulators (the ADVICE r08 ordering)
+            Thread.sleep(500)
+          } finally s.streams.removeListener(listener)
+          Seq((nRows.get(), nClicks.get(), sumRef.get().doubleValue()))
+            .toDF("n_rows", "n_clicks", "sum_value")
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin))
   )
 }
