@@ -2198,6 +2198,120 @@ object LlmOps {
         |SELECT x, y AS best_y, margin FROM r WHERE rn = 1
         |ORDER BY x""".stripMargin)),
 
+    Q("d64_semdedup_kmeans",
+      "SemDeDup as PUBLISHED (Abbas et al. 2023, arXiv:2303.09540): " +
+        "k-means-cluster the embedding space, then prune near-" +
+        "duplicates WITHIN each cluster only — the clustering is what " +
+        "turns the quadratic all-pairs cosine into k independent " +
+        "bounded blocks (d36's sign-bucket is the cheap stand-in; this " +
+        "is the real recipe). Training reuses Quantize.trainCodebook " +
+        "with m = 1 — one subquantizer over the whole vector IS " +
+        "whole-vector Lloyd — for 2 iterations from the first-k init; " +
+        "per iteration the corpus touches one map-side argmin " +
+        "(broadcast-size centroid literals baked into a native " +
+        "expression) plus ONE (cid, dim) aggregation of exact scaled-" +
+        "integer partial sums, so only k·d numbers ever reach the " +
+        "driver — the bounded-artifact class every codebook shares. " +
+        "Pruning: a vector is dropped iff a SMALLER-id vector in the " +
+        "same cluster exceeds the cosine threshold (the greedy keep-" +
+        "min convention all the dedup ops use); the within-cluster " +
+        "pair join keys on cid, and at 100 TB k scales with the " +
+        "corpus so cluster sizes stay bounded — the published knob. " +
+        "The threshold 0.35 is calibrated to the synthetic corpus " +
+        "(max pairwise cosine 0.51; production SemDeDup uses ~0.95+ " +
+        "on real embeddings). The ENTIRE 2-iteration training loop is " +
+        "replicated in the SQL oracle (same argmin tie-break, same " +
+        "integer mean arithmetic, empty cells keep the prior " +
+        "centroid), so the gate checks training + clustering + " +
+        "pruning end-to-end.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = Quantize.trainCodebook(emb, "vec_id", "embedding",
+          m = 1, k = 4, iters = 2)
+        val av = emb.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"),
+          Quantize.encodeFast(col("embedding"), cb).getItem(0).as("cid"))
+        val pruned = av.as("a").join(av.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where(Similarity.cosine(col("a.v"), col("b.v")) > lit(0.35))
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        av.join(pruned.withColumn("p", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            sum(coalesce(col("p"), lit(0L))).as("n_pruned"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cb0 AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < 4),
+        |d0 AS (
+        |  SELECT e.vec_id, cb0.j,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - cb0.cv[i]) * (e.v[i] - cb0.cv[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, cb0),
+        |m0 AS (SELECT vec_id, MIN(d2) AS md FROM d0 GROUP BY vec_id),
+        |c0 AS (SELECT d.vec_id, MIN(d.j) AS code
+        |       FROM d0 d JOIN m0 USING (vec_id)
+        |       WHERE d.d2 = m0.md GROUP BY d.vec_id),
+        |u0 AS (
+        |  SELECT c0.code AS j, dim.i,
+        |    CAST(SUM(CAST(round(e.v[dim.i] * 1000000) AS BIGINT))
+        |         AS DOUBLE) / (COUNT(*) * 1000000.0) AS cv
+        |  FROM c0 JOIN e USING (vec_id), generate_series(1, 64) AS dim(i)
+        |  GROUP BY c0.code, dim.i),
+        |cb1 AS (
+        |  SELECT dom.j, list(COALESCE(u.cv, dom.base) ORDER BY dom.i) AS cv
+        |  FROM (SELECT cb0.j, dim.i, cb0.cv[dim.i] AS base
+        |        FROM cb0, generate_series(1, 64) AS dim(i)) dom
+        |  LEFT JOIN u0 u ON u.j = dom.j AND u.i = dom.i
+        |  GROUP BY dom.j),
+        |d1 AS (
+        |  SELECT e.vec_id, cb1.j,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - cb1.cv[i]) * (e.v[i] - cb1.cv[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, cb1),
+        |m1 AS (SELECT vec_id, MIN(d2) AS md FROM d1 GROUP BY vec_id),
+        |c1 AS (SELECT d.vec_id, MIN(d.j) AS code
+        |       FROM d1 d JOIN m1 USING (vec_id)
+        |       WHERE d.d2 = m1.md GROUP BY d.vec_id),
+        |u1 AS (
+        |  SELECT c1.code AS j, dim.i,
+        |    CAST(SUM(CAST(round(e.v[dim.i] * 1000000) AS BIGINT))
+        |         AS DOUBLE) / (COUNT(*) * 1000000.0) AS cv
+        |  FROM c1 JOIN e USING (vec_id), generate_series(1, 64) AS dim(i)
+        |  GROUP BY c1.code, dim.i),
+        |cb2 AS (
+        |  SELECT dom.j, list(COALESCE(u.cv, dom.base) ORDER BY dom.i) AS cv
+        |  FROM (SELECT cb1.j, dim.i, cb1.cv[dim.i] AS base
+        |        FROM cb1, generate_series(1, 64) AS dim(i)) dom
+        |  LEFT JOIN u1 u ON u.j = dom.j AND u.i = dom.i
+        |  GROUP BY dom.j),
+        |d2s AS (
+        |  SELECT e.vec_id, cb2.j,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - cb2.cv[i]) * (e.v[i] - cb2.cv[i])),
+        |      (x, y) -> x + y) AS d2
+        |  FROM e, cb2),
+        |m2 AS (SELECT vec_id, MIN(d2) AS md FROM d2s GROUP BY vec_id),
+        |c2 AS (SELECT d.vec_id, MIN(d.j) AS code
+        |       FROM d2s d JOIN m2 USING (vec_id)
+        |       WHERE d.d2 = m2.md GROUP BY d.vec_id),
+        |av AS (SELECT e.vec_id, c2.code AS cid, e.v
+        |       FROM e JOIN c2 USING (vec_id)),
+        |pr AS (SELECT DISTINCT b.vec_id
+        |       FROM av a JOIN av b
+        |         ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |       WHERE ${cosSql("a.v", "b.v")} > 0.35)
+        |SELECT CAST(av.cid AS INT) AS cid,
+        |  COUNT(*) AS n_members,
+        |  CAST(COUNT(pr.vec_id) AS BIGINT) AS n_pruned
+        |FROM av LEFT JOIN pr USING (vec_id)
+        |GROUP BY av.cid ORDER BY av.cid""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +
