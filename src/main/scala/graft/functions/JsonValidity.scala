@@ -64,9 +64,12 @@ object Fns {
     GraftBridge.column(JsonIsValid(GraftBridge.expression(c)))
   def json_is_object(c: Column): Column =
     GraftBridge.column(JsonIsObject(GraftBridge.expression(c)))
+  def nfc_normalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
   def register(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "json_is_valid", es => JsonIsValid(es.head))
     GraftBridge.registerFunction(spark, "json_is_object", es => JsonIsObject(es.head))
+    GraftBridge.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es.head))
   }
 }

@@ -2312,6 +2312,53 @@ object LlmOps {
         |FROM av LEFT JOIN pr USING (vec_id)
         |GROUP BY av.cid ORDER BY av.cid""".stripMargin)),
 
+    Q("d65_unicode_nfc",
+      "Unicode NFC canonicalization — the normalization pass that runs " +
+        "BEFORE every hash in the pipeline (decomposed a+U+0301 and " +
+        "precomposed U+00E1 are identical text but different bytes, so " +
+        "unnormalized corpora silently defeat exact dedup d01, " +
+        "MinHash d06, and fingerprinting d05). Spark has no built-in " +
+        "normalizer; graft.functions.NfcNormalize is a native codegen'd " +
+        "expression over java.text.Normalizer with an isNormalized " +
+        "zero-copy fast path (at 100 TB nearly all text is already " +
+        "composed — the common case must not allocate). The corpus is " +
+        "ASCII, so the query plants the decomposition deterministically " +
+        "(a→a+COMBINING ACUTE, o→o+COMBINING DIAERESIS, q→q+COMBINING " +
+        "ACUTE); NFC recomposes the first two (á, ö) and must LEAVE " +
+        "q+U+0301 decomposed (no precomposed form exists — the " +
+        "non-composing path is exercised, n_base < n_nfc < n_decomp). " +
+        "Oracle: DuckDB's nfc_normalize — two independent UAX #15 " +
+        "implementations must agree byte-for-byte (md5 of the " +
+        "normalized text). Pure per-row projection, shuffle-free " +
+        "until the gate's ORDER BY.",
+      (s, dir) => {
+        val dec = regexp_replace(regexp_replace(regexp_replace(
+          col("text"), "a", "a\u0301"), "o", "o\u0308"), "q", "q\u0301")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_base"),
+            dec.as("dtext"))
+          .select(col("doc_id"), col("n_base"),
+            length(col("dtext")).cast("long").as("n_decomp"),
+            length(graft.functions.Fns.nfc_normalize(col("dtext")))
+              .cast("long").as("n_nfc"),
+            md5(graft.functions.Fns.nfc_normalize(col("dtext")))
+              .as("nfc_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, length(text) AS n_base,
+        |    replace(replace(replace(text,
+        |      'a', 'a' || chr(769)),
+        |      'o', 'o' || chr(776)),
+        |      'q', 'q' || chr(769)) AS dtext
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(length(dtext) AS BIGINT) AS n_decomp,
+        |  CAST(length(nfc_normalize(dtext)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(dtext)) AS nfc_md5
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +

@@ -1142,6 +1142,28 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("NfcNormalize (native expression)") {
+    it("recomposes where a precomposed form exists and only there") {
+      val fix = Seq(
+        ("a\u0301", "\u00e1"),  // a + COMBINING ACUTE -> precomposed
+        ("o\u0308", "\u00f6"),  // o + COMBINING DIAERESIS -> precomposed
+        ("q\u0301", "q\u0301"), // no precomposed q-acute: unchanged
+        ("\u00e1", "\u00e1"),   // already NFC: identity
+        ("plain", "plain"))
+        .toDF("s", "expect")
+      fix.select(graft.functions.Fns.nfc_normalize($"s").as("n"), $"expect")
+        .collect()
+        .foreach(r => assert(r.getString(0) == r.getString(1)))
+    }
+    it("registers in SQL and propagates null") {
+      graft.functions.Fns.register(spark)
+      val r = spark.sql(
+        "SELECT nfc_normalize('a\u0301') AS n, " +
+          "nfc_normalize(CAST(NULL AS STRING)) AS z").head()
+      assert(r.getString(0) == "\u00e1" && r.isNullAt(1))
+    }
+  }
+
   describe("SparkEntry contract") {
     it("has unique names and every oracle key is a declared query") {
       val names = graft.SparkEntry.catalog.map(_.name)
