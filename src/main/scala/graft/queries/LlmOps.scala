@@ -2359,6 +2359,96 @@ object LlmOps {
         |  md5(nfc_normalize(dtext)) AS nfc_md5
         |FROM d ORDER BY doc_id""".stripMargin)),
 
+    Q("d66_source_overlap",
+      "Corpus-snapshot diffing — how much do two crawl sources overlap? " +
+        "— the dataset-versioning question every multi-source mixture " +
+        "asks before weighting (a re-crawl that is 80% last month's " +
+        "snapshot should not get fresh-data weight). Per-source UNION " +
+        "MinHash: the per-source signature position j is min(md5(j_ || " +
+        "shingle)) over ALL the source's shingles — MinHash sketches " +
+        "are mergeable, so the per-source state is O(k) and builds in " +
+        "ONE map-side-combining aggregation however many documents the " +
+        "source holds; source-pair Jaccard is then estimated as the " +
+        "fraction of equal signature positions (k = 16), sources " +
+        "crossed AFTER aggregation — 20 sketch rows, not corpus rows. " +
+        "The audit arm computes the EXACT shingle-set Jaccard per pair " +
+        "(distinct grams, one equality join on the gram — per-gram " +
+        "fan-out bounded by the source count) the way d39 audits " +
+        "doc-level MinHash; at 100 TB only the sketch arm runs on the " +
+        "full corpus and the exact arm audits a sample.",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(
+              Dedup.shingles(TA.tokens(col("text"))))).as("g"))
+        val dg = base.distinct()
+        val sigCols = (0 until 16).map(j =>
+          min(md5(concat(lit(s"${j}_"), col("g")))).as(s"sig_$j"))
+        val sigs = dg.groupBy("source")
+          .agg(sigCols.head, sigCols.tail: _*)
+        val sz = dg.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = dg.as("a").join(dg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = sigs.as("x").join(sigs.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"),
+            col("y.source").as("source_b"),
+            (0 until 16).map(j =>
+              (col(s"x.sig_$j") === col(s"y.sig_$j")).cast("long"))
+              .reduce(_ + _).as("n_equal"))
+        pairs
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .join(sz.select(col("source").as("source_a"), col("n").as("na")),
+            Seq("source_a"))
+          .join(sz.select(col("source").as("source_b"), col("n").as("nb")),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_equal"),
+            round(col("n_equal") / lit(16.0), 6).as("jaccard_est"),
+            round(coalesce(col("n_inter"), lit(0L)) /
+              (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+              .as("jaccard_exact"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(("""WITH sh AS (
+        |  SELECT source,
+        |    unnest(list_distinct(
+        |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2]))) AS g
+        |  FROM documents),
+        |dg AS (SELECT DISTINCT source, g FROM sh),
+        |sigs AS (SELECT source, """ +
+        (0 until 16).map(j =>
+          s"MIN(md5('${j}_' || g)) AS sig_$j").mkString(", ") +
+        """ FROM dg GROUP BY source),
+        |sz AS (SELECT source, COUNT(*) AS n FROM dg GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_inter
+        |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    CAST(""" +
+        (0 until 16).map(j =>
+          s"CAST(x.sig_$j = y.sig_$j AS BIGINT)").mkString(" + ") +
+        """ AS BIGINT) AS n_equal
+        |  FROM sigs x JOIN sigs y ON x.source < y.source)
+        |SELECT p.source_a, p.source_b, p.n_equal,
+        |  round(p.n_equal / 16.0, 6) AS jaccard_est,
+        |  round(COALESCE(i.n_inter, 0) /
+        |    (za.n + zb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard_exact
+        |FROM pairs p
+        |LEFT JOIN inter i
+        |  ON i.source_a = p.source_a AND i.source_b = p.source_b
+        |JOIN sz za ON za.source = p.source_a
+        |JOIN sz zb ON zb.source = p.source_b
+        |ORDER BY p.source_a, p.source_b""").stripMargin)),
+
     Q("d31_rag_chunks",
       "Strided document chunking (TextClean.chunks) — the RAG/context-" +
         "window preparation step: overlapping 32-token windows at stride " +
@@ -3666,6 +3756,52 @@ object LlmOps {
         | CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
-        |ORDER BY content_md5""".stripMargin))
+        |ORDER BY content_md5""".stripMargin)),
+
+    Q("m08_shard_manifest",
+      "WebDataset-style shard planning — the storage-layout op every " +
+        "multimodal training corpus needs: assets are packed into " +
+        "contiguous ~capacity-byte shards (training readers stream " +
+        "whole shards sequentially; small random reads are what kills " +
+        "a 100 TB media corpus on object storage), and the MANIFEST " +
+        "(per shard: item count, byte total, id range) is what the " +
+        "data loader indexes. Packing reuses d23's bucketed prefix-sum " +
+        "(Sampling.packSequences over octet_length(payload) instead of " +
+        "token counts): cumulative bytes within bounded id buckets, " +
+        "shard = floor(bytes-before / cap) — parallel buckets, never a " +
+        "global single-partition sort. The byte counts come from the " +
+        "real binary payload column (blobs stay on executors; only " +
+        "their lengths aggregate). A production writer follows with " +
+        "repartition(bucket, shard_id) and one tar per task — the " +
+        "manifest this query emits IS that writer's plan.",
+      (s, dir) => {
+        val blobs = Multimodal.withPayload(
+          t(s, dir, "documents").withColumn("asset",
+            concat(col("lang"), lit(":"), col("text"))),
+          "doc_id", "asset").toDF()
+        Sampling.packSequences(blobs, "doc_id",
+            octet_length(col("payload")), budget = 4096, bucketSize = 100)
+          .groupBy("bucket", "seq_id")
+          .agg(count(lit(1)).as("n_items"),
+            sum("n_tokens").cast("long").as("n_bytes"),
+            min("doc_id").cast("long").as("first_doc"),
+            max("doc_id").cast("long").as("last_doc"))
+          .withColumnRenamed("seq_id", "shard_id")
+          .orderBy("bucket", "shard_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |         strlen(lang || ':' || text) AS nb
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, bucket, nb,
+        |    COALESCE(SUM(nb) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM d)
+        |SELECT bucket, CAST(st // 4096 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_items, CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY bucket, shard_id""".stripMargin))
   )
 }

@@ -632,6 +632,18 @@ class OperatorsSpec extends AnyFunSpec {
       assert(close(trained(1)(0), Seq(9.8, 9.8)))
       assert(close(trained(1)(1), Seq(-0.2, -0.2)))
     }
+    it("whole-vector (m=1) training is invariant under repartitioning") {
+      // d64's claim: the exact scaled-integer M-step makes the trained
+      // centroids identical whatever the input partitioning is.
+      val data = (0 until 40).map { i =>
+        (i.toLong, Seq(i % 7 * 0.5f, i % 5 * 1.5f, i % 3 * -0.25f, 1.0f))
+      }.toDF("vec_id", "embedding")
+      val one = Quantize.trainCodebook(data.repartition(1),
+        "vec_id", "embedding", m = 1, k = 4, iters = 2)
+      val many = Quantize.trainCodebook(data.repartition(11),
+        "vec_id", "embedding", m = 1, k = 4, iters = 2)
+      assert(one == many)
+    }
     it("ADC distance equals the exact distance to the reconstruction") {
       val q = Seq(1.0, 1.0, 8.0, 8.0)
       val adc = Quantize.adcTable(q, cb)
