@@ -266,7 +266,7 @@ object Scale {
     val queries = SparkEntry.queries
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
-           "compact" | "store" =>
+           "compact" | "store" | "kmeans" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -638,6 +638,55 @@ object Scale {
         s""""n_components":${comp.getLong(1)},""" +
         s""""max_task_shuffle_read_mb":${fmt(mx)},""" +
         s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+    }
+    // k-means training probe (round 9, d64's mechanism at tier):
+    // whole-vector Lloyd (trainCodebook m=1) over the synthesized
+    // embeddings. Train arm: FIXED k — per-iteration cost is one
+    // corpus scan + one (cid, dim) aggregation of scaled-long partial
+    // sums, so wall time must grow ~linearly in vectors while driver
+    // state stays k·d doubles. Prune arm: the published SemDeDup knob —
+    // k grows with the corpus (k ≈ n/250) so mean cluster size stays
+    // ~constant and the within-cluster pair join's work per cluster is
+    // bounded; reports the pruned count so the arm is evidence, not a
+    // no-op (rotated synth copies are cosine-distinct by design, so
+    // pruning stays sparse — the timing measures the JOIN's shape).
+    if (what == "kmeans") {
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val nv = emb.count()
+        metrics.read.getAndSet(0L); metrics.write.getAndSet(0L)
+        val t0 = System.nanoTime()
+        graft.operators.Quantize.trainCodebook(
+          emb, "vec_id", "embedding", m = 1, k = 8, iters = 2)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val trd = metrics.read.getAndSet(0L) / 1e6
+        metrics.write.getAndSet(0L)
+        val kPrune = math.max(8, (nv / 250).toInt)
+        val t1 = System.nanoTime()
+        val cb = graft.operators.Quantize.trainCodebook(
+          emb, "vec_id", "embedding", m = 1, k = kPrune, iters = 2)
+        val av = emb.select(col("vec_id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("v"),
+          graft.operators.Quantize.encodeFast(col("embedding"), cb)
+            .getItem(0).as("cid"))
+        val nPruned = av.as("a").join(av.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where(graft.operators.Similarity.cosine(
+            col("a.v"), col("b.v")) > lit(0.35))
+          .select(col("b.vec_id")).distinct().count()
+        val pruneSec = (System.nanoTime() - t1) / 1e9
+        Thread.sleep(800)
+        val prd = metrics.read.getAndSet(0L) / 1e6
+        metrics.write.getAndSet(0L)
+        println(s"""{"query":"d64_kmeans","tier":"$tier",""" +
+          s""""n_vectors":$nv,"train_k8_sec":${fmt(trainSec)},""" +
+          s""""train_shuffle_read_mb":${fmt(trd)},""" +
+          s""""prune_k":$kPrune,"prune_sec":${fmt(pruneSec)},""" +
+          s""""n_pruned":$nPruned,""" +
+          s""""prune_shuffle_read_mb":${fmt(prd)}}""")
+      }
     }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));
          name <- probeNames) {
