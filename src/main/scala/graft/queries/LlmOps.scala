@@ -2381,7 +2381,10 @@ object LlmOps {
           .select(col("source"),
             explode(array_distinct(
               Dedup.shingles(TA.tokens(col("text"))))).as("g"))
-        val dg = base.distinct()
+        // dg feeds three consumers (sketches, set sizes, intersection):
+        // checkpoint it once (the q80/d62 memoization convention) so the
+        // tokenize+explode+distinct lineage runs once, not three times
+        val dg = base.distinct().localCheckpoint()
         val sigCols = (0 until 16).map(j =>
           min(md5(concat(lit(s"${j}_"), col("g")))).as(s"sig_$j"))
         val sigs = dg.groupBy("source")
