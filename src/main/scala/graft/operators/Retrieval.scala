@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked and boolean retrieval over an inverted index — the serving
+  * side of a training-data pipeline (corpus search, eval-set mining,
+  * hard-negative sourcing) next to d29's TF-IDF feature extractor.
+  *
+  * Scale shape (100 TB corpus, small query set):
+  *  - the postings list `(term, doc, tf, dl)` is ONE hash aggregation
+  *    over the exploded tokens; the per-doc length rides along from a
+  *    pre-explode projection (the standard index layout's doc-length
+  *    array, denormalized) so scoring never needs a second corpus pass
+  *    or a join back to the documents table;
+  *  - the query set is tiny → it BROADCASTS, and the postings side
+  *    filters to query terms without shuffling the index (at rest the
+  *    postings would be bucketed by term, making this a pruned scan);
+  *  - document frequency for the query terms is exact from the
+  *    filtered slice (postings are distinct per (doc, term), so a
+  *    plain count per term IS df) — no full-vocabulary aggregation on
+  *    the serve path;
+  *  - corpus constants (N, avgdl) are a 1-row aggregate, broadcast via
+  *    crossJoin;
+  *  - per-(query, doc) accumulation shuffles only the filtered slice,
+  *    and top-k per query is a bounded window, never a global sort.
+  *
+  * Cross-engine determinism: each term's score contribution is rounded
+  * to 9 decimals and summed as DECIMAL (addition order across terms is
+  * engine-dependent; decimal addition is exact), and the final score
+  * rounds to 6 — the d28/tfidf discipline.
+  */
+object Retrieval {
+
+  /** Inverted postings `(term, doc, tf, dl)`: one explode + one hash
+    * aggregation; `dl` (doc token count) is computed before the explode
+    * and carried through `first` (constant within the (doc, term)
+    * group). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+
+  /** Corpus constants for BM25: (n_docs, avgdl). avgdl is one exact
+    * integer division sum_tokens/n as DOUBLE — deterministic across
+    * engines. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+        .cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Okapi BM25 (Robertson & Spärck Jones; the Lucene `+1` idf variant
+    * that keeps weights positive):
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+    * `w = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+    * `queries` is `(query_id, term)` — one row per query term. Returns
+    * the top-`k` docs per query as `(query_id, rk, doc_id, score)`. */
+  def bm25TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // Serve-path slice: broadcast the distinct query terms; only
+    // postings rows for query terms survive (no shuffle of the index).
+    val slice = posts.join(broadcast(queries.select("term").distinct()), "term")
+    // df per query term as a WINDOW over the slice — the slice is
+    // distinct per (doc, term), so a count partitioned by term IS the
+    // corpus df, and the window re-uses the slice instead of
+    // re-deriving the postings lineage from a second corpus scan (the
+    // plan-audit lesson from d29's tfidf). The shuffle it costs moves
+    // only the query-term slice, never the index.
+    val scored = slice
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(queries), "term")   // attach query_ids
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
+  /** Conjunctive boolean retrieval: docs containing EVERY term of
+    * `terms`. One broadcast filter + one count-match aggregation over
+    * the (already (doc, term)-distinct) postings — the distributed
+    * equivalent of df-ascending posting-list intersection (the group
+    * count reaches `terms.size` iff every list contains the doc).
+    * Returns `(doc_id, n_hits)` where n_hits = total tf over the
+    * query terms. */
+  def booleanAnd(posts: DataFrame, terms: Seq[String]): DataFrame =
+    posts
+      .filter(col("term").isInCollection(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("n_hits"))
+      .filter(col("n_terms") === terms.size)
+      .select("doc_id", "n_hits")
+}

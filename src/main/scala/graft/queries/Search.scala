@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.queries.Tables.t
+
+/** Corpus retrieval queries — the inverted-index serving shapes (ranked
+  * BM25 and boolean) a training-data pipeline uses for eval-set mining,
+  * corpus search, and hard-negative sourcing. Operators live in
+  * [[graft.operators.Retrieval]]; the streaming serve path is w30 in
+  * [[StreamingQ]]. */
+object Search {
+
+  /** The shared demo query set: tiny, broadcastable — the serve-path
+    * assumption (queries ≪ corpus) that keeps the postings unshuffled. */
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "vector", 3L -> "scan")
+
+  private[queries] val QuerySql =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    Q("d67_bm25_topk",
+      "Okapi BM25 ranked retrieval (graft.operators.Retrieval): " +
+        "inverted postings (term, doc, tf, dl) from ONE explode + hash " +
+        "agg with the doc-length denormalized in (no second corpus " +
+        "pass); the query set broadcasts so the index side never " +
+        "shuffles; df for the query terms comes from the filtered " +
+        "slice (postings are (doc,term)-distinct, so count IS df); " +
+        "corpus constants are a broadcast 1-row aggregate; per-term " +
+        "contributions round to 9 decimals and sum as DECIMAL (term " +
+        "addition order is engine-dependent), final score rounds to 6; " +
+        "top-10 per query is a bounded window.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Retrieval.bm25TopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH posts AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |qry(query_id, term) AS (VALUES $QuerySql),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+        |      AS avgdl
+        |  FROM documents),
+        |slice AS (SELECT p.* FROM posts p
+        |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+        |sc AS (
+        |  SELECT q.query_id, s.doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+        |      AS contrib
+        |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+        |       stats),
+        |agg AS (SELECT query_id, doc_id,
+        |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM sc GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d68_boolean_retrieval",
+      "Conjunctive boolean retrieval over the inverted postings: docs " +
+        "containing ALL of {join, vector, stream} via one broadcast " +
+        "term filter + one count-match aggregation — the distributed " +
+        "form of df-ascending posting-list intersection (the group " +
+        "count reaches |terms| iff every list holds the doc). At rest " +
+        "the postings would be bucketed by term, making the filter a " +
+        "pruned scan.",
+      (s, dir) => Retrieval.booleanAnd(
+          Retrieval.postings(t(s, dir, "documents"), "doc_id", "text"),
+          Seq("join", "vector", "stream"))
+        .orderBy("doc_id"),
+      Some("""WITH posts AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits
+        |FROM posts WHERE term IN ('join', 'vector', 'stream')
+        |GROUP BY doc_id HAVING COUNT(*) = 3
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

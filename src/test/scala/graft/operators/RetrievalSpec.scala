@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "spark joins data with hash joins"),
+    (1L, "sort merge joins shuffle data"),
+    (2L, "broadcast joins skip the shuffle"),
+    (3L, "window functions rank data"))
+    .toDF("doc_id", "text")
+
+  describe("Retrieval.postings") {
+    it("emits (doc, term, tf, dl) with exact counts") {
+      val p = Retrieval.postings(corpus, "doc_id", "text")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(p.contains((0L, "joins", 2L, 6L)))   // tf 2, dl 6
+      assert(p.contains((3L, "rank", 1L, 4L)))
+      assert(p.count(_._1 == 0L) == 5)            // 5 distinct terms in doc 0
+    }
+  }
+
+  describe("Retrieval.bm25TopK") {
+    it("matches a hand-computed BM25 score and ranks exact-tf-2 first") {
+      val posts = Retrieval.postings(corpus, "doc_id", "text")
+      val stats = Retrieval.corpusStats(corpus, "text")
+      val q = Seq((1L, "joins")).toDF("query_id", "term")
+      val top = Retrieval.bm25TopK(posts, q, stats, k = 4)
+        .as[(Long, Long, Long, Double)].collect().toList
+      // df(joins)=3, N=4 → idf = ln(1 + 1.5/3.5); avgdl = 20/4 = 5.0
+      val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+      def w(tf: Long, dl: Long): Double = {
+        val c = BigDecimal(idf * (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 5.0)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        c.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(top.map(_._3) == List(0L, 1L, 2L)) // tf2@dl6, then dl5 tie → id
+      assert(top.head._4 == w(2, 6))
+      assert(top(1)._4 == w(1, 5))
+      assert(top(2)._4 == w(1, 5))
+    }
+    it("a term absent from the corpus contributes no rows") {
+      val posts = Retrieval.postings(corpus, "doc_id", "text")
+      val stats = Retrieval.corpusStats(corpus, "text")
+      val q = Seq((1L, "nonexistent")).toDF("query_id", "term")
+      assert(Retrieval.bm25TopK(posts, q, stats, k = 4).count() == 0)
+    }
+  }
+
+  describe("Retrieval.booleanAnd") {
+    it("agrees with a brute-force contains-all filter") {
+      val posts = Retrieval.postings(corpus, "doc_id", "text")
+      val terms = Seq("joins", "data")
+      val got = Retrieval.booleanAnd(posts, terms)
+        .as[(Long, Long)].collect().toMap
+      val want = corpus.as[(Long, String)].collect()
+        .filter { case (_, t) =>
+          val toks = t.split(" "); terms.forall(toks.contains) }
+        .map { case (id, t) =>
+          id -> t.split(" ").count(terms.contains).toLong }
+        .toMap
+      assert(got == want)            // docs 0 (3 hits) and 1 (2 hits)
+      assert(got == Map(0L -> 3L, 1L -> 2L))
+    }
+  }
+}
