@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Colloc, SpanDedup}
+import graft.queries.Tables.t
+
+/** Corpus-mining queries: collocation discovery and span-level repeat
+  * detection (operators in [[graft.operators.Colloc]] and
+  * [[graft.operators.SpanDedup]]). */
+object Mining {
+
+  val all: Seq[Q] = Seq(
+
+    Q("d69_pmi_collocations",
+      "Collocation mining by pointwise mutual information (Church & " +
+        "Hanks 1990; graft.operators.Colloc): bigram and unigram " +
+        "counts are each one explode + hash agg; the PMI join keys on " +
+        "the Zipf-skewed word columns (count tables NOT assumed " +
+        "broadcastable at corpus scale); totals are 1-row aggregates " +
+        "OF the count tables so numerators and denominators can never " +
+        "disagree on tokenization edges. PMI rounds to 6 decimals " +
+        "over an identically-parenthesized double expression — libm " +
+        "ulp differences can't flip the ranking key.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Colloc.pmiTopK(
+          Colloc.bigramCounts(docs, "text"),
+          Colloc.unigramCounts(docs, "text"),
+          minCount = 5, k = 20)
+      },
+      Some("""WITH bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        |bc AS (SELECT b, COUNT(*) AS c_ab FROM bg GROUP BY b),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |tot AS (SELECT (SELECT SUM(c_ab) FROM bc) AS nb,
+        |               (SELECT SUM(c_w) FROM uc) AS nt),
+        |sc AS (SELECT split_part(b, ' ', 1) AS w1,
+        |    split_part(b, ' ', 2) AS w2, c_ab,
+        |    round(ln((CAST(c_ab AS DOUBLE) * nt * nt) /
+        |             (CAST(nb AS DOUBLE) * u1.c_w * u2.c_w)), 6) AS pmi
+        |  FROM bc
+        |  JOIN uc u1 ON split_part(b, ' ', 1) = u1.w
+        |  JOIN uc u2 ON split_part(b, ' ', 2) = u2.w, tot
+        |  WHERE c_ab >= 5)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi FROM sc
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    Q("d70_repeated_spans",
+      "Span-level exact-substring repeat detection (Lee et al. 2022; " +
+        "graft.operators.SpanDedup): every 10-gram occurrence ships " +
+        "as (doc, pos, xxhash64(gram)) — 8 bytes per gram, the d35 " +
+        "pre-shuffle discipline — corpus-repeated grams come from one " +
+        "hash agg on the gram hash, and each doc's maskable-token " +
+        "count is the size of its repeated-span UNION (a ×10 explode " +
+        "of only the repeated occurrences + distinct count). The " +
+        "numbers a masking pass acts on, not just a dup count.",
+      (s, dir) => SpanDedup.repeatedSpanStats(
+          SpanDedup.gramOccurrences(
+            t(s, dir, "documents"), "doc_id", "text", n = 10),
+          n = 10)
+        .orderBy("doc_id"),
+      Some("""WITH flat AS (
+        |  SELECT doc_id, o.pos AS pos, o.g AS g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w) - 9),
+        |        i -> {'pos': i - 1, 'g': array_to_string(w[i:i+9], ' ')}))
+        |        AS o
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents))),
+        |cnt AS (SELECT g, COUNT(*) AS c FROM flat GROUP BY g),
+        |rep AS (SELECT doc_id, pos FROM flat JOIN cnt USING (g)
+        |        WHERE c > 1),
+        |n_occ AS (SELECT doc_id, COUNT(*) AS n_occ FROM rep
+        |          GROUP BY doc_id),
+        |cov AS (SELECT doc_id,
+        |    CAST(COUNT(DISTINCT ti) AS BIGINT) AS n_masked FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS ti
+        |   FROM rep)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ, n_masked
+        |FROM n_occ JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+  )
+}

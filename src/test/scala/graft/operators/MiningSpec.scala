@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class MiningSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  describe("Colloc") {
+    // "x y" always co-occur; "p"/"q" never adjacent to each other.
+    val docs = Seq(
+      (0L, "x y p x y q"),
+      (1L, "q x y p"),
+      (2L, "p q x y"))
+      .toDF("doc_id", "text")
+
+    it("counts adjacent bigrams exactly") {
+      val bc = Colloc.bigramCounts(docs, "text")
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      assert(bc.getOrElse(("x", "y"), 0L) == 4L)
+      assert(bc.getOrElse(("y", "p"), 0L) == 2L)
+      assert(!bc.contains(("p", "q")) || bc(("p", "q")) == 1L)
+    }
+
+    it("ranks the perfect collocation first, with a hand-checked PMI") {
+      val top = Colloc.pmiTopK(
+        Colloc.bigramCounts(docs, "text"),
+        Colloc.unigramCounts(docs, "text"),
+        minCount = 2, k = 5)
+        .as[(String, String, Long, Double)].collect().toList
+      assert(top.head._1 == "x" && top.head._2 == "y")
+      // c_xy=4, NB=11, c_x=4, c_y=4, NT=14 →
+      // pmi = ln(4·14·14 / (11·4·4))
+      val want = BigDecimal(
+        math.log((4.0 * 14 * 14) / (11.0 * 4 * 4)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(top.head._4 == want)
+    }
+  }
+
+  describe("SpanDedup") {
+    // doc 0 and 1 share the exact 10-gram "a b c d e f g h i j";
+    // doc 2 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j zz"),
+      (1L, "yy a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t u"))
+      .toDF("doc_id", "text")
+
+    it("emits one occurrence per position with the position 0-based") {
+      val occ = SpanDedup.gramOccurrences(docs, "doc_id", "text", n = 10)
+        .as[(Long, Int, Long)].collect()
+      assert(occ.count(_._1 == 0L) == 2)       // positions 0 and 1
+      assert(occ.filter(_._1 == 2L).map(_._2).sorted.toList == List(0, 1))
+    }
+
+    it("masks exactly the shared span's union, not the whole doc") {
+      val got = SpanDedup.repeatedSpanStats(
+        SpanDedup.gramOccurrences(docs, "doc_id", "text", n = 10), n = 10)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, o, m) => id -> (o, m) }.toMap
+      // doc 0: shared gram at pos 0 → 1 occurrence, tokens 0..9 masked
+      // doc 1: shared gram at pos 1 → 1 occurrence, tokens 1..10 masked
+      assert(got == Map(0L -> (1L, 10L), 1L -> (1L, 10L)))
+    }
+  }
+}
