@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Colloc, SpanDedup}
+import graft.operators.{Colloc, PHash, SpanDedup}
 import graft.queries.Tables.t
 
 /** Corpus-mining queries: collocation discovery and span-level repeat
@@ -84,6 +84,51 @@ object Mining {
         |  GROUP BY doc_id)
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ, n_masked
         |FROM n_occ JOIN cov USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("m09_phash_neardup",
+      "Perceptual-hash image near-dup (graft.operators.PHash): REAL " +
+        "PNG synthesis → ImageIO decode → dHash (64 bits as two " +
+        "sign-free halves) → LSH-style band join on 4×16-bit bands " +
+        "(pigeonhole-lossless at Hamming ≤ 3) → codegen'd popcount " +
+        "verify on the carried halves, no join-back. The planted " +
+        "+128 pixel perturbation (id%11=0) makes 180 of the 950 " +
+        "pairs distance-1 NEAR-dups — the oracle recomputes every " +
+        "hash in closed form from the synthesis parameters, so a " +
+        "broken codec round-trip or bit order fails the gate.",
+      (s, dir) => PHash.nearDupPairs(
+          PHash.dhash(PHash.withPatternPng(
+            t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id"))
+            .toDF(),
+          maxDist = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH px AS (
+        |  SELECT doc_id, x, y,
+        |    CASE WHEN doc_id % 11 = 0 AND x = 0 AND y = 0
+        |      THEN (((x*17 + y*29) * (1 + doc_id % 5)) % 256 + 128) % 256
+        |      ELSE ((x*17 + y*29) * (1 + doc_id % 5)) % 256 END AS v
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |       generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+        |bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.y = a.y
+        |   AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN idx >= 32
+        |      THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT)
+        |      AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32
+        |      THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) +
+        |       bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) +
+        |      bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
