@@ -54,6 +54,51 @@ object Retrieval {
       (sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
         .cast("double") / count(lit(1))).as("avgdl"))
 
+  /** Persist the index for serving: postings with BOTH per-doc length
+    * and per-term document frequency denormalized in (`term, doc_id,
+    * tf, dl, df`) — df via one window over the postings (the serve
+    * path then needs NO aggregation over the index at all) — written
+    * PARTITIONED BY a hash bucket of the term, so a query's scan
+    * prunes to the handful of partitions its terms hash into (the s15
+    * file-level-pruning design, applied to text). A 1-row stats table
+    * `(n_docs, avgdl)` rides alongside. */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String, nBuckets: Int): Unit = {
+    postings(docs, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/postings")
+    corpusStats(docs, textCol)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve-time slice of the stored index for a (tiny) term set: the
+    * term-bucket literals make the partition filter STATIC, so only
+    * the files those buckets own are read. The bucket computation is a
+    * bounded collect over the query terms (the w25 centroid-literal
+    * discipline). */
+  def readIndexSlice(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     terms: Seq[String], nBuckets: Int): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(nBuckets)).as("tb"))
+      .distinct().as[Long].collect().toSeq
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+      .drop("tb")
+  }
+
+  /** BM25 over an index slice that already carries `df` (the stored
+    * layout of [[writeIndex]]) — no aggregation over the index, just
+    * scoring + per-query top-k. */
+  def bm25TopKIndexed(slice: DataFrame, queries: DataFrame,
+                      stats: DataFrame, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame =
+    rank(slice.join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats)), k, k1, b)
+
   /** Okapi BM25 (Robertson & Spärck Jones; the Lucene `+1` idf variant
     * that keeps weights positive):
     * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
@@ -71,10 +116,18 @@ object Retrieval {
     // re-deriving the postings lineage from a second corpus scan (the
     // plan-audit lesson from d29's tfidf). The shuffle it costs moves
     // only the query-term slice, never the index.
-    val scored = slice
+    rank(slice
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(queries), "term")   // attach query_ids
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), k, k1, b)
+  }
+
+  /** Shared scoring tail: expects (query_id, doc_id, term, tf, dl, df,
+    * n_docs, avgdl) rows; one (query, doc) aggregation + a bounded
+    * per-query window. */
+  private def rank(scoredInput: DataFrame, k: Int,
+                   k1: Double, b: Double): DataFrame =
+    scoredInput
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))))
@@ -85,13 +138,11 @@ object Retrieval {
           .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
-    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score")
-  }
 
   /** Conjunctive boolean retrieval: docs containing EVERY term of
     * `terms`. One broadcast filter + one count-match aggregation over

@@ -22,6 +22,43 @@ object Search {
   private[queries] val QuerySql =
     QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  /** The BM25 top-10 oracle — shared verbatim by d67 (batch) and w30
+    * (streamed serving): the serve path must agree with the batch
+    * scorer exactly, per-bit. */
+  private val Bm25OracleSql: String =
+    s"""WITH posts AS (
+    |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+    |           unnest(string_split(text, ' ')) AS term
+    |    FROM documents)
+    |  GROUP BY doc_id, term),
+    |qry(query_id, term) AS (VALUES $QuerySql),
+    |stats AS (SELECT COUNT(*) AS n_docs,
+    |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+    |      AS avgdl
+    |  FROM documents),
+    |slice AS (SELECT p.* FROM posts p
+    |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+    |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+    |sc AS (
+    |  SELECT q.query_id, s.doc_id,
+    |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+    |      (tf * (1.2 + 1.0)) /
+    |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+    |      AS contrib
+    |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+    |       stats),
+    |agg AS (SELECT query_id, doc_id,
+    |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+    |      AS score
+    |  FROM sc GROUP BY query_id, doc_id),
+    |rk AS (SELECT query_id, doc_id, score,
+    |    CAST(row_number() OVER (PARTITION BY query_id
+    |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+    |  FROM agg)
+    |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
+    |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d67_bm25_topk",
@@ -45,38 +82,7 @@ object Search {
           k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH posts AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
-        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |           unnest(string_split(text, ' ')) AS term
-        |    FROM documents)
-        |  GROUP BY doc_id, term),
-        |qry(query_id, term) AS (VALUES $QuerySql),
-        |stats AS (SELECT COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
-        |      AS avgdl
-        |  FROM documents),
-        |slice AS (SELECT p.* FROM posts p
-        |          WHERE term IN (SELECT DISTINCT term FROM qry)),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
-        |sc AS (
-        |  SELECT q.query_id, s.doc_id,
-        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
-        |      AS contrib
-        |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
-        |       stats),
-        |agg AS (SELECT query_id, doc_id,
-        |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-        |      AS score
-        |  FROM sc GROUP BY query_id, doc_id),
-        |rk AS (SELECT query_id, doc_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-        |  FROM agg)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
-        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(Bm25OracleSql)),
 
     Q("d68_boolean_retrieval",
       "Conjunctive boolean retrieval over the inverted postings: docs " +
@@ -98,6 +104,65 @@ object Search {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_hits
         |FROM posts WHERE term IN ('join', 'vector', 'stream')
         |GROUP BY doc_id HAVING COUNT(*) = 3
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("w30_streaming_bm25_serve",
+      "Streamed BM25 serving from the PERSISTED index — the text " +
+        "retrieval counterpart to w25's vector serving: " +
+        "Retrieval.writeIndex stores postings with df AND dl " +
+        "denormalized, PARTITIONED BY a term-hash bucket; queries " +
+        "arrive one file per query (maxFilesPerTrigger=1 → each query " +
+        "served in its own micro-batch); foreachBatch computes the " +
+        "batch's term-bucket literals (a bounded collect over the " +
+        "arriving terms, the w25 centroid discipline) so the postings " +
+        "scan PRUNES to the buckets the query hashes into, scores " +
+        "with the same shared rank tail as d67, and writes each " +
+        "batch's top-10 idempotently (overwrite per batch id). The " +
+        "oracle is d67's, VERBATIM — streamed serving must equal the " +
+        "batch scorer per-bit, and the stored df/dl must match the " +
+        "corpus-derived ones.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w30").toString
+        try {
+          Retrieval.writeIndex(t(s, dir, "documents"),
+            "doc_id", "text", tmp, nBuckets = 16)
+          val stats = s.read.parquet(s"$tmp/stats")
+          // one ndjson file PER QUERY: a query's terms must co-arrive
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/in"))
+          QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/in/q$qid.json"),
+              qts.map { case (q, t) =>
+                s"""{"query_id":$q,"term":"$t"}""" }
+                .mkString("\n").getBytes("UTF-8"))
+          }
+          val stream = s.readStream
+            .schema("query_id LONG, term STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val terms = batch.select("term").distinct()
+                  .collect().map(_.getString(0)).toSeq
+                Retrieval.bm25TopKIndexed(
+                  Retrieval.readIndexSlice(s, tmp, terms, nBuckets = 16),
+                  batch, stats, k = 10)
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(Bm25OracleSql))
   )
 }

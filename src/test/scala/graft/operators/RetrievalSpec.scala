@@ -55,6 +55,33 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.writeIndex / readIndexSlice / bm25TopKIndexed") {
+    it("the stored-df path equals the corpus-window path, and the " +
+       "slice scan prunes on the term-bucket partition") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ridx").toString
+      try {
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        val q = Seq((1L, "joins"), (2L, "data"), (2L, "shuffle"))
+          .toDF("query_id", "term")
+        val stats = spark.read.parquet(s"$tmp/stats")
+        val slice = Retrieval.readIndexSlice(
+          spark, tmp, Seq("joins", "data", "shuffle"), nBuckets = 8)
+        // partition pruning: the scan must carry a static tb filter
+        val plan = slice.queryExecution.executedPlan.toString
+        assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+          s"expected a tb partition filter in:\n$plan")
+        val viaIndex = Retrieval.bm25TopKIndexed(slice, q, stats, k = 4)
+          .as[(Long, Long, Long, Double)].collect().toSet
+        val viaWindow = Retrieval.bm25TopK(
+          Retrieval.postings(corpus, "doc_id", "text"), q,
+          Retrieval.corpusStats(corpus, "text"), k = 4)
+          .as[(Long, Long, Long, Double)].collect().toSet
+        assert(viaIndex == viaWindow && viaIndex.nonEmpty)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+  }
+
   describe("Retrieval.booleanAnd") {
     it("agrees with a brute-force contains-all filter") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
