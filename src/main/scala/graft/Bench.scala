@@ -44,7 +44,12 @@ object Bench {
     "m01_multimodal_decode",
     "q52_regression_aggs", "q54_hll_sketch_union", "d44_unimax_alloc",
     "d45_knn_label", "d52_graph_pagerank",
-    "q75_sessionize", "q80_assoc_rules")
+    "q75_sessionize", "q80_assoc_rules",
+    // round-9 retrieval + mining wave: BM25 over the inverted index
+    // (build + broadcast-query serve in one plan), span-level repeat
+    // stats (one scan, one gh shuffle), dHash near-dup (real codec
+    // round-trip + banded Hamming join)
+    "d67_bm25_topk", "d70_repeated_spans", "m09_phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   * identically on engines with checked 64-bit shifts.
   *
   * Scale shape: hashing is per-partition map work (no shuffle);
-  * candidate generation is an LSH-style BAND join — each hash emits 4
+  * exact-hash duplicates collapse by a direct equality join; only
+  * DISTINCT hashes enter the LSH-style BAND join — each emits 4
   * 16-bit bands, pairs agreeing on ANY band meet in one shuffle on
-  * (band_idx, band_val), and by pigeonhole the join is LOSSLESS for
-  * Hamming distance ≤ 3 (4 bands can't all differ on ≤ 3 bit flips).
-  * Verification is a codegen'd popcount on the carried halves — no
-  * join-back to re-fetch hashes.
+  * (band_idx, band_val), and by pigeonhole the banding is LOSSLESS
+  * for Hamming distance ≤ 3 (4 bands can't all differ on ≤ 3 bit
+  * flips). Verification is a codegen'd popcount on the carried
+  * halves; the doc-level expansion afterwards is output-bound. The
+  * 16-bit band space (65 536 values) saturates around 10⁶ DISTINCT
+  * hashes — past that, candidates grow quadratically and a deployment
+  * shards the band join by a coarser partition (or widens the hash);
+  * the distinct-hash collapse is what keeps dup-heavy corpora far
+  * below that ceiling.
   */
 final case class DHash(doc_id: Long, hi: Long, lo: Long)
 
@@ -92,30 +98,57 @@ object PHash {
       }
     }(Encoders.product[DHash])
 
-  /** Near-dup pairs by banded Hamming join: 4×16-bit bands from
-    * `(hi, lo)` → candidates meet on (band_idx, band_val); verify
-    * `popcount(xor) <= maxDist` on the carried halves. Lossless for
-    * `maxDist <= 3` by pigeonhole. Returns `(doc_a, doc_b, dist)`. */
+  /** Near-dup pairs by banded Hamming join, in two regimes:
+    *
+    *  - identical hashes (distance 0 — re-encodes, byte-different
+    *    copies of the same image) pair by a DIRECT equality join on
+    *    `(hi, lo)`, no banding at all;
+    *  - distinct hashes band-join on 4×16-bit bands — candidates meet
+    *    on (band_idx, band_val), verified by a codegen'd popcount, and
+    *    by pigeonhole the banding is LOSSLESS for Hamming ≤ 3.
+    *
+    * Banding over DISTINCT hashes (not docs) matters at corpus scale:
+    * a 16-bit band has only 65 536 values, so per-doc banding's bucket
+    * population — and with it the candidate count — grows
+    * quadratically once the corpus passes ~10⁶ images, while
+    * dup-heavy corpora collapse to far fewer distinct hashes. The
+    * doc-level pair expansion after verification is output-bound by
+    * construction. Returns `(doc_a, doc_b, dist)`, doc_a < doc_b. */
   def nearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, s"4 bands are only lossless to distance 3, got $maxDist")
-    val banded = hashes.select(col("doc_id"), col("hi"), col("lo"),
+    val h = hashes.select("doc_id", "hi", "lo")
+    val same = h.select(col("doc_id").as("doc_a"), col("hi"), col("lo"))
+      .join(h.select(col("doc_id").as("doc_b"), col("hi"), col("lo")),
+        Seq("hi", "lo"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("dist"))
+    val dh = h.select("hi", "lo").distinct()
+    val banded = dh.select(col("hi"), col("lo"),
       posexplode(array(
         shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL)),
         col("hi").bitwiseAND(lit(0xffffL)),
         shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)),
         col("lo").bitwiseAND(lit(0xffffL)))).as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("hi").as("ahi"),
-      col("lo").as("alo"), col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("hi").as("bhi"),
-      col("lo").as("blo"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ahi", "alo", "bhi", "blo")
+    val a = banded.select(col("hi").as("ahi"), col("lo").as("alo"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("hi").as("bhi"), col("lo").as("blo"),
+      col("band_idx"), col("band_val"))
+    val hashPairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("ahi") < col("bhi") ||
+        (col("ahi") === col("bhi") && col("alo") < col("blo")))
+      .select("ahi", "alo", "bhi", "blo")
       .distinct()   // a pair can agree on several bands
       .withColumn("dist",
         (bit_count(col("ahi").bitwiseXOR(col("bhi"))) +
           bit_count(col("alo").bitwiseXOR(col("blo")))).cast("long"))
       .filter(col("dist") <= maxDist)
-      .select("doc_a", "doc_b", "dist")
+    val near = hashPairs
+      .join(h.select(col("doc_id").as("doc_x"), col("hi").as("ahi"),
+        col("lo").as("alo")), Seq("ahi", "alo"))
+      .join(h.select(col("doc_id").as("doc_y"), col("hi").as("bhi"),
+        col("lo").as("blo")), Seq("bhi", "blo"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"), col("dist"))
+    same.unionByName(near)
   }
 }

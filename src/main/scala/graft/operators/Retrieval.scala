@@ -54,40 +54,110 @@ object Retrieval {
       (sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
         .cast("double") / count(lit(1))).as("avgdl"))
 
-  /** Persist the index for serving: postings with BOTH per-doc length
-    * and per-term document frequency denormalized in (`term, doc_id,
-    * tf, dl, df`) — df via one window over the postings (the serve
-    * path then needs NO aggregation over the index at all) — written
-    * PARTITIONED BY a hash bucket of the term, so a query's scan
-    * prunes to the handful of partitions its terms hash into (the s15
-    * file-level-pruning design, applied to text). A 1-row stats table
-    * `(n_docs, avgdl)` rides alongside. */
+  /** Persist the index for serving, in the three-table layout a real
+    * text engine keeps (a Lucene segment's shape, relational):
+    *
+    *  - `postings/` `(term, doc_id, tf, dl)` PARTITIONED BY `tb`, a
+    *    hash bucket of the term — a query's scan prunes to the
+    *    partitions its terms hash into (the s15 file-level-pruning
+    *    design applied to text), and APPEND is a pure file add;
+    *  - `terms/` `(term, df)`, also `tb`-partitioned — the term
+    *    DICTIONARY. df lives HERE, not denormalized into postings:
+    *    appending docs changes every affected term's corpus-wide df,
+    *    and a denormalized df would force rewriting old postings
+    *    (the reason [[appendIndex]] can exist at all);
+    *  - `stats/` one row of EXACT integers `(n_docs, sum_tokens)` —
+    *    avgdl is derived at serve time, so merged stats after an
+    *    append stay exact (a stored double avgdl could not be
+    *    combined without drift). */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, nBuckets: Int): Unit = {
-    postings(docs, idCol, textCol)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val posts = postings(docs, idCol, textCol)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb")
+    posts.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/postings")
-    corpusStats(docs, textCol)
+    // df from the freshly-written postings (one scan of the new files,
+    // not a second corpus explode)
+    docs.sparkSession.read.parquet(s"$dir/postings")
+      .groupBy("tb", "term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
+    exactStats(docs, textCol)
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** Serve-time slice of the stored index for a (tiny) term set: the
-    * term-bucket literals make the partition filter STATIC, so only
-    * the files those buckets own are read. The bucket computation is a
-    * bounded collect over the query terms (the w25 centroid-literal
-    * discipline). */
+  /** `(n_docs, sum_tokens)` as exact longs — the mergeable form. */
+  private def exactStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+        .cast("long").as("sum_tokens"))
+
+  /** Stored stats → the `(n_docs, avgdl)` shape the scorer consumes
+    * (one exact integer division as DOUBLE). */
+  def readStats(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs"),
+        (col("sum_tokens").cast("double") / col("n_docs")).as("avgdl"))
+
+  /** Incrementally ADD documents to a stored index: new postings
+    * APPEND into the `tb` partitions (old files untouched); the term
+    * dictionary is rewritten as old ∪ new with summed df (vocabulary-
+    * sized — the segment-merge cost a text engine pays on commit, NOT
+    * a corpus rewrite), swapped in with two renames; stats merge as
+    * exact integer adds. Serving an appended index must equal a
+    * fresh build over the union corpus — d71 holds that under the
+    * oracle gate. */
+  def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                  dir: String, nBuckets: Int): Unit = {
+    val spark = newDocs.sparkSession
+    val newPosts = postings(newDocs, idCol, textCol)
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+    newPosts.write.mode("append").partitionBy("tb")
+      .parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/terms")
+      .unionByName(
+        newPosts.groupBy("tb", "term").agg(count(lit(1)).as("df")))
+      .groupBy("tb", "term").agg(sum("df").cast("long").as("df"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms_new")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(s"$dir/terms_retired"), true)
+    require(fs.rename(p(s"$dir/terms"), p(s"$dir/terms_retired")),
+      "appendIndex: rename-out of the term dictionary failed")
+    require(fs.rename(p(s"$dir/terms_new"), p(s"$dir/terms")),
+      "appendIndex: rename-in of the merged term dictionary failed")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
+      .head()
+    val add = exactStats(newDocs, textCol)
+      .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
+      .head()
+    import spark.implicits._
+    // values are already collected — overwriting the path read above
+    // is safe, nothing lazy still points at it
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_tokens")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve-time slice of the stored index for a (tiny) term set,
+    * df attached from the dictionary: the term-bucket literals make
+    * BOTH partition filters STATIC, so only the files those buckets
+    * own are read. The bucket computation is a bounded collect over
+    * the query terms (the w25 centroid-literal discipline). */
   def readIndexSlice(spark: org.apache.spark.sql.SparkSession, dir: String,
                      terms: Seq[String], nBuckets: Int): DataFrame = {
     import spark.implicits._
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(nBuckets)).as("tb"))
       .distinct().as[Long].collect().toSeq
-    spark.read.parquet(s"$dir/postings")
+    def pruned(sub: String) = spark.read.parquet(s"$dir/$sub")
       .filter(col("tb").isInCollection(buckets) &&
         col("term").isInCollection(terms))
       .drop("tb")
+    pruned("postings").join(broadcast(pruned("terms")), "term")
   }
 
   /** BM25 over an index slice that already carries `df` (the stored

@@ -127,7 +127,7 @@ object Search {
         try {
           Retrieval.writeIndex(t(s, dir, "documents"),
             "doc_id", "text", tmp, nBuckets = 16)
-          val stats = s.read.parquet(s"$tmp/stats")
+          val stats = Retrieval.readStats(s, tmp)
           // one ndjson file PER QUERY: a query's terms must co-arrive
           java.nio.file.Files.createDirectories(
             java.nio.file.Paths.get(s"$tmp/in"))
@@ -159,6 +159,40 @@ object Search {
             .start()
           q.awaitTermination()
           s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(Bm25OracleSql)),
+
+    Q("d71_bm25_appended_index",
+      "Index MAINTENANCE under the gate — the s15/s16 lifecycle for " +
+        "text: build the persisted index from the first half of the " +
+        "corpus, Retrieval.appendIndex the second half (postings " +
+        "append as pure file adds into the tb partitions; the term " +
+        "DICTIONARY — where df lives, precisely so appends never " +
+        "rewrite old postings — merges old ∪ new with summed df and " +
+        "swaps in with two renames; stats merge as exact integer " +
+        "adds), then serve the full query set from the result. The " +
+        "oracle is d67's VERBATIM over the whole corpus: an appended " +
+        "index must be indistinguishable from a fresh build.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d71").toString
+        try {
+          val docs = t(s, dir, "documents")
+          val cut = docs.count() / 2
+          Retrieval.writeIndex(docs.filter(col("doc_id") < cut),
+            "doc_id", "text", tmp, nBuckets = 16)
+          Retrieval.appendIndex(docs.filter(col("doc_id") >= cut),
+            "doc_id", "text", tmp, nBuckets = 16)
+          val terms = QueryTerms.map(_._2).distinct
+          Retrieval.bm25TopKIndexed(
+            Retrieval.readIndexSlice(s, tmp, terms, nBuckets = 16),
+            QueryTerms.toDF("query_id", "term"),
+            Retrieval.readStats(s, tmp),
+            k = 10)
             .orderBy("query_id", "rk")
             .localCheckpoint()
         } finally Rm.rf(tmp)

@@ -266,7 +266,7 @@ object Scale {
     val queries = SparkEntry.queries
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
-           "compact" | "store" | "kmeans" =>
+           "compact" | "store" | "kmeans" | "retrieval" | "phash" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -686,6 +686,139 @@ object Scale {
           s""""prune_k":$kPrune,"prune_sec":${fmt(pruneSec)},""" +
           s""""n_pruned":$nPruned,""" +
           s""""prune_shuffle_read_mb":${fmt(prd)}}""")
+      }
+    }
+    // Retrieval arm (round 9, d67/w30's index at tier): index BUILD is
+    // the linear path (one explode+agg, one df window, one partitioned
+    // write); SERVE cost must track the query terms' postings (Σ df),
+    // not the corpus — the term-bucket partition filter keeps the scan
+    // to the buckets the query hashes into. The demo queries use
+    // common terms (worst case: df grows ~linearly with the corpus),
+    // so serve time growing ~linearly in Σ df while build-side corpus
+    // grows is the honest contract; a production engine caps this
+    // with WAND/df-cut, noted in SCALE.md. d70's span stats ride
+    // along as the corpus-linear explode control.
+    if (what == "retrieval") {
+      import graft.operators.{Retrieval, SpanDedup}
+      val qterms = Seq("hash", "join", "window", "agg", "stream",
+        "vector", "scan")
+      val queriesDf = Seq(1L -> "hash", 1L -> "join", 2L -> "window",
+        2L -> "agg", 2L -> "stream", 3L -> "vector", 3L -> "scan")
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val nDocs = docs.count()
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft-ridx-$tier").toString
+        metrics.read.set(0L); metrics.write.set(0L)
+        val t0 = System.nanoTime()
+        val buildSec =
+          try {
+            Retrieval.writeIndex(docs, "doc_id", "text", idx, nBuckets = 16)
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier index build failed: ${e.getMessage}")
+            -1.0
+          }
+        Thread.sleep(800)
+        val brd = metrics.read.getAndSet(0L) / 1e6
+        val bwr = metrics.write.getAndSet(0L) / 1e6
+        import spark.implicits._
+        val stats = Retrieval.readStats(spark, idx)
+        val qdf = queriesDf.toDF("query_id", "term")
+        var sliceRows = -1L
+        val serves = (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          try {
+            val slice = Retrieval.readIndexSlice(spark, idx, qterms, 16)
+            Retrieval.bm25TopKIndexed(slice, qdf, stats, k = 10)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t1) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier serve failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        sliceRows = Retrieval.readIndexSlice(spark, idx, qterms, 16).count()
+        Thread.sleep(800)
+        val srd = metrics.read.getAndSet(0L) / 1e6
+        metrics.write.getAndSet(0L)
+        // d70 control: corpus-linear explode + one gh shuffle
+        val t2 = System.nanoTime()
+        val spanSec =
+          try {
+            SpanDedup.repeatedSpanStats(
+              SpanDedup.gramOccurrences(docs, "doc_id", "text", n = 10),
+              n = 10).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t2) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier spans failed: ${e.getMessage}")
+            -1.0
+          }
+        Thread.sleep(800)
+        val xrd = metrics.read.getAndSet(0L) / 1e6
+        metrics.write.getAndSet(0L)
+        println(s"""{"tier":"$tier","query":"d67_retrieval_index",""" +
+          s""""n_docs":$nDocs,"build_sec":${fmt(buildSec)},""" +
+          s""""build_shuffle_read_mb":${fmt(brd)},""" +
+          s""""build_write_mb":${fmt(bwr)},""" +
+          s""""serve_samples":[${serves.map(fmt).mkString(",")}],""" +
+          s""""serve_sec":${fmt(serves.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""slice_rows":$sliceRows,"serve_shuffle_read_mb":${fmt(srd)},""" +
+          s""""d70_spans_sec":${fmt(spanSec)},""" +
+          s""""d70_shuffle_read_mb":${fmt(xrd)}}""")
+        graft.queries.Rm.rf(idx)
+      }
+    }
+    // pHash arm (round 9, m09's band join at tier): the banded Hamming
+    // join's scale law. Hashing is per-partition map work; the join
+    // shuffles 4 band rows per doc and meets pairs in (band_idx,
+    // band_val) buckets. Planted structure holds GROUP SIZE constant
+    // (20 members) while the group count grows with n — candidate and
+    // output volume then grow linearly in n, and so must wall time.
+    // Hashes are synthesized directly from the group id (the image
+    // round-trip is per-partition map cost, measured by m09 itself);
+    // a planted single-bit flip on every 7th member keeps the verify
+    // stage honest (distance 1 pairs must survive).
+    if (what == "phash") {
+      import graft.operators.PHash
+      for ((tier, n) <- Seq(("1x", 100000L), (s"${factor}x", 100000L * factor))) {
+        val nGroups = n / 20
+        val hashes = spark.range(n).select(
+          col("id").as("doc_id"),
+          shiftright(xxhash64(pmod(col("id"), lit(nGroups))), 33)
+            .bitwiseAND(lit(0xffffffffL)).as("hi0"),
+          xxhash64(pmod(col("id"), lit(nGroups)), lit(7))
+            .bitwiseAND(lit(0xffffffffL)).as("lo0"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              col("hi0").bitwiseXOR(lit(1L << 20))).otherwise(col("hi0"))
+              .as("hi"),
+            col("lo0").as("lo"))
+        var nPairs = -1L
+        val samples = (1 to 2).map { _ =>
+          Thread.sleep(800)
+          metrics.read.set(0L); metrics.write.set(0L)
+          val t0 = System.nanoTime()
+          try {
+            nPairs = PHash.nearDupPairs(hashes, maxDist = 3).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier phash failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        // distinct hashes = what actually enters the band join — the
+        // saturation witness for the 16-bit band space
+        val nDistinct = hashes.select("hi", "lo").distinct().count()
+        println(s"""{"tier":"$tier","query":"m09_phash_bandjoin",""" +
+          s""""n_docs":$n,"n_groups":$nGroups,""" +
+          s""""n_distinct_hashes":$nDistinct,"n_pairs":$nPairs,""" +
+          s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
     }
     for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir));

@@ -64,7 +64,7 @@ class RetrievalSpec extends AnyFunSpec {
         Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
         val q = Seq((1L, "joins"), (2L, "data"), (2L, "shuffle"))
           .toDF("query_id", "term")
-        val stats = spark.read.parquet(s"$tmp/stats")
+        val stats = Retrieval.readStats(spark, tmp)
         val slice = Retrieval.readIndexSlice(
           spark, tmp, Seq("joins", "data", "shuffle"), nBuckets = 8)
         // partition pruning: the scan must carry a static tb filter
@@ -79,6 +79,32 @@ class RetrievalSpec extends AnyFunSpec {
           .as[(Long, Long, Long, Double)].collect().toSet
         assert(viaIndex == viaWindow && viaIndex.nonEmpty)
       } finally graft.queries.Rm.rf(tmp)
+    }
+
+    it("an appended index serves identically to a fresh full build") {
+      val half = java.nio.file.Files
+        .createTempDirectory("graft-ridx-h").toString
+      val full = java.nio.file.Files
+        .createTempDirectory("graft-ridx-f").toString
+      try {
+        Retrieval.writeIndex(corpus.filter($"doc_id" < 2),
+          "doc_id", "text", half, nBuckets = 8)
+        Retrieval.appendIndex(corpus.filter($"doc_id" >= 2),
+          "doc_id", "text", half, nBuckets = 8)
+        Retrieval.writeIndex(corpus, "doc_id", "text", full, nBuckets = 8)
+        // dictionary df must match exactly after the merge-swap
+        def dict(d: String) = spark.read.parquet(s"$d/terms")
+          .select("term", "df").as[(String, Long)].collect().toMap
+        assert(dict(half) == dict(full))
+        val q = Seq((1L, "joins"), (1L, "data")).toDF("query_id", "term")
+        def serve(d: String) = Retrieval.bm25TopKIndexed(
+          Retrieval.readIndexSlice(spark, d, Seq("joins", "data"), 8),
+          q, Retrieval.readStats(spark, d), k = 4)
+          .as[(Long, Long, Long, Double)].collect().toSet
+        assert(serve(half) == serve(full) && serve(full).nonEmpty)
+      } finally {
+        graft.queries.Rm.rf(half); graft.queries.Rm.rf(full)
+      }
     }
   }
 
