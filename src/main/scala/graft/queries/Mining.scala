@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Colloc, PHash, SpanDedup}
+import graft.operators.{Colloc, PHash, SpanDedup, Winnow}
 import graft.queries.Tables.t
 
 /** Corpus-mining queries: collocation discovery and span-level repeat
@@ -85,6 +85,56 @@ object Mining {
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ, n_masked
         |FROM n_occ JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("d72_winnowing",
+      "Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — " +
+        "the MOSS algorithm; graft.operators.Winnow): hash every " +
+        "5-gram (md5-derived 60-bit value — winnowing SELECTS by hash " +
+        "value, so the gate hash must agree across engines, the d17 " +
+        "discipline), keep each 4-window's MINIMUM as the doc's " +
+        "fingerprint set (guaranteed density: any match of length >= " +
+        "w+k-1 is caught, selections survive edits elsewhere — what " +
+        "d10's fixed-stride fingerprints lack), then pair docs " +
+        "sharing >= 2 fingerprints with a df<=10 cap on boilerplate " +
+        "fingerprints (the d52 fan-out discipline). One window per " +
+        "doc, one shuffle on the fingerprint.",
+      (s, dir) => Winnow.sharedFingerprintPairs(
+          Winnow.fingerprints(
+            Winnow.gramOccurrencesMd5(
+              t(s, dir, "documents"), "doc_id", "text", n = 5),
+            w = 4),
+          minShared = 2, maxFpDf = 10)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH occ AS (
+        |  SELECT doc_id, o.pos AS pos, o.gh AS gh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w) - 4),
+        |        i -> {'pos': i - 1,
+        |              'gh': ('0x' || substr(md5(
+        |                array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT}))
+        |        AS o
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents))),
+        |wm AS (
+        |  SELECT doc_id, pos,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM occ),
+        |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm
+        |       WHERE pos <= n - 4),
+        |capped AS (SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf
+        |  FROM fp)
+        |  WHERE fdf <= 10),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS n_shared
+        |  FROM capped a JOIN capped b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("m09_phash_neardup",
       "Perceptual-hash image near-dup (graft.operators.PHash): REAL " +

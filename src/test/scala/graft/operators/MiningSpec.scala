@@ -42,6 +42,39 @@ class MiningSpec extends AnyFunSpec {
     }
   }
 
+  describe("Winnow") {
+    // doc 1 = doc 0 with an edit at the FRONT; the shared tail's
+    // fingerprints must survive (the winnowing robustness property)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "EDIT alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+
+    def fps = Winnow.fingerprints(
+      Winnow.gramOccurrencesMd5(docs, "doc_id", "text", n = 3), w = 3)
+
+    it("selects one fingerprint per window (density guarantee) and " +
+       "an edited copy keeps the shared region's fingerprints") {
+      val byDoc = fps.as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // doc 0: 8 grams, 6 full windows → between 1 and 6 distinct mins
+      assert(byDoc(0L).nonEmpty && byDoc(0L).size <= 6)
+      // every fingerprint of doc 0 except those near the edit site
+      // must also be selected for doc 1
+      assert((byDoc(0L) intersect byDoc(1L)).size >= byDoc(0L).size - 2)
+      assert((byDoc(0L) intersect byDoc(2L)).isEmpty)
+    }
+
+    it("pairs docs by shared fingerprints with the df cap honored") {
+      val pairs = Winnow.sharedFingerprintPairs(fps, minShared = 2,
+        maxFpDf = 10).as[(Long, Long, Long)].collect()
+      assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+      // a df cap of 1 kills every shared fingerprint → no pairs
+      assert(Winnow.sharedFingerprintPairs(fps, 1, maxFpDf = 1).count() == 0)
+    }
+  }
+
   describe("SpanDedup") {
     // doc 0 and 1 share the exact 10-gram "a b c d e f g h i j";
     // doc 2 shares nothing.
