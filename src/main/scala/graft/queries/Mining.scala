@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Colloc, PHash, SpanDedup, Winnow}
+import graft.operators.{Colloc, EntityRes, FsField, PHash, SpanDedup, Winnow}
 import graft.queries.Tables.t
 
 /** Corpus-mining queries: collocation discovery and span-level repeat
@@ -85,6 +85,75 @@ object Mining {
         |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ, n_masked
         |FROM n_occ JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("d73_entity_resolution",
+      "Fellegi-Sunter record linkage (JASA 1969; " +
+        "graft.operators.EntityRes): 300 planted dirty duplicates of " +
+        "the customer table (one name character replaced at an " +
+        "id-dependent position, balance shifted 0.01 — synthesized " +
+        "identically in both engines), blocked on (nation, " +
+        "balance-kilobucket) so the quadratic pairing stays inside " +
+        "bounded blocks; per-field agreement (levenshtein<=1 name, " +
+        "|bal diff|<=0.02, segment equality) weighted ln(m/u) / " +
+        "ln((1-m)/(1-u)) with published-style error rates; matches " +
+        "at score>=6.5. All 300 planted pairs are recovered — a pair " +
+        "straddling a kilobucket boundary would be blocking-recall " +
+        "loss, the documented multi-pass/d58 territory.",
+      (s, dir) => {
+        val base = t(s, dir, "customer").select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nat"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+        val dirty = base.filter(col("id") % 5 === 0).select(
+          (col("id") + 10000).as("id"),
+          expr("concat(substr(name, 1, id % 9 + 4), 'X', " +
+            "substr(name, id % 9 + 6))").as("name"),
+          col("nat"), (col("bal") + lit(0.01)).as("bal"), col("seg"))
+        val recs = base.unionByName(dirty)
+          .withColumn("bb", floor(col("bal") / 1000).cast("long"))
+        EntityRes.fsScorePairs(recs, "id", Seq("nat", "bb"), Seq(
+            FsField("name", (a, b) => levenshtein(a, b) <= 1,
+              m = 0.95, u = 0.001),
+            FsField("bal", (a, b) => abs(a - b) <= 0.02,
+              m = 0.9, u = 0.01),
+            FsField("seg", (a, b) => a === b, m = 0.9, u = 0.2)))
+          .filter(col("score") >= 6.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |         c_acctbal AS bal, c_mktsegment AS seg
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT id + 10000 AS id,
+        |    concat(substr(name, 1, id % 9 + 4), 'X',
+        |           substr(name, id % 9 + 6)) AS name,
+        |    nat, bal + 0.01 AS bal, seg
+        |  FROM base WHERE id % 5 = 0),
+        |rec AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |blk AS (SELECT *, CAST(floor(bal / 1000) AS BIGINT) AS bb
+        |        FROM rec),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (levenshtein(a.name, b.name) <= 1) AS name_agree,
+        |    (abs(a.bal - b.bal) <= 0.02) AS bal_agree,
+        |    (a.seg = b.seg) AS seg_agree
+        |  FROM blk a JOIN blk b
+        |    ON a.nat = b.nat AND a.bb = b.bb AND a.id < b.id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(CAST(name_agree AS INT) + CAST(bal_agree AS INT) +
+        |      CAST(seg_agree AS INT) AS BIGINT) AS n_agree,
+        |    round(
+        |      (CASE WHEN name_agree THEN ln(0.95 / 0.001)
+        |            ELSE ln(0.05 / 0.999) END) +
+        |      (CASE WHEN bal_agree THEN ln(0.9 / 0.01)
+        |            ELSE ln(0.1 / 0.99) END) +
+        |      (CASE WHEN seg_agree THEN ln(0.9 / 0.2)
+        |            ELSE ln(0.1 / 0.8) END), 6) AS score
+        |  FROM pairs)
+        |SELECT id_a, id_b, n_agree, score
+        |FROM scored WHERE score >= 6.5 ORDER BY id_a, id_b""".stripMargin)),
 
     Q("d72_winnowing",
       "Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — " +

@@ -266,7 +266,8 @@ object Scale {
     val queries = SparkEntry.queries
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
-           "compact" | "store" | "kmeans" | "retrieval" | "phash" =>
+           "compact" | "store" | "kmeans" | "retrieval" | "phash" |
+           "append" | "winnow" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -767,6 +768,107 @@ object Scale {
           s""""d70_spans_sec":${fmt(spanSec)},""" +
           s""""d70_shuffle_read_mb":${fmt(xrd)}}""")
         graft.queries.Rm.rf(idx)
+      }
+    }
+    // Append arm (d71's maintenance contract at tier): the nightly
+    // index update's cost must track the WAVE, not the corpus. Build
+    // the index from the synth corpus minus a fixed-size wave, then
+    // time appendIndex of the wave. Across tiers the wave is CONSTANT
+    // (5k docs): postings append is wave-sized file adds; the term
+    // dictionary rewrite is vocabulary-sized (the synth corpus's
+    // vocab is near-constant, so the merge cost should stay flat
+    // while the corpus grows factor-fold). A full rebuild at the same
+    // tier is the contrast arm.
+    if (what == "append") {
+      import graft.operators.Retrieval
+      for ((tier, dir) <- Seq(("1x", base), (s"${factor}x", synthDir))) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val nDocs = docs.count()
+        // constant 5k-doc wave where the corpus allows it (the flat-
+        // append contract is judged across the BIG tiers; the 1x
+        // corpus IS 5k docs, so its wave is half the corpus)
+        val wave = math.min(5000L, nDocs / 2)
+        val waveFrom = nDocs - wave
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft-apx-$tier").toString
+        Retrieval.writeIndex(docs.filter(col("doc_id") < waveFrom),
+          "doc_id", "text", idx, nBuckets = 16)
+        metrics.read.set(0L); metrics.write.set(0L)
+        val t0 = System.nanoTime()
+        val appendSec =
+          try {
+            Retrieval.appendIndex(docs.filter(col("doc_id") >= waveFrom),
+              "doc_id", "text", idx, nBuckets = 16)
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier append failed: ${e.getMessage}")
+            -1.0
+          }
+        Thread.sleep(800)
+        val ard = metrics.read.getAndSet(0L) / 1e6
+        val awr = metrics.write.getAndSet(0L) / 1e6
+        val t1 = System.nanoTime()
+        val rebuildSec =
+          try {
+            val idx2 = java.nio.file.Files
+              .createTempDirectory(s"graft-apx2-$tier").toString
+            Retrieval.writeIndex(docs, "doc_id", "text", idx2, nBuckets = 16)
+            val s2 = (System.nanoTime() - t1) / 1e9
+            graft.queries.Rm.rf(idx2); s2
+          } catch { case e: Throwable => -1.0 }
+        Thread.sleep(800)
+        val rrd = metrics.read.getAndSet(0L) / 1e6
+        metrics.write.getAndSet(0L)
+        val nTerms = spark.read.parquet(s"$idx/terms").count()
+        println(s"""{"tier":"$tier","query":"d71_index_append",""" +
+          s""""n_docs":$nDocs,"wave_docs":$wave,"n_terms":$nTerms,""" +
+          s""""append_sec":${fmt(appendSec)},""" +
+          s""""append_shuffle_read_mb":${fmt(ard)},""" +
+          s""""append_write_mb":${fmt(awr)},""" +
+          s""""rebuild_sec":${fmt(rebuildSec)},""" +
+          s""""rebuild_shuffle_read_mb":${fmt(rrd)}}""")
+        graft.queries.Rm.rf(idx)
+      }
+    }
+    // Winnow arm (d72's selection + pairing at tier) over the PLANTED
+    // corpus (the d61 synthesizer: mostly-unique docs, every 10th a
+    // near-dup of its predecessor) — the linear regime a fingerprint
+    // probe needs (the copy-synth corpus would make pair volume grow
+    // factor² by construction). Fingerprinting is one window per doc;
+    // pairing shuffles on the fingerprint with the df cap bounding
+    // fan-out; output must track the planted-pair count (~n/10).
+    if (what == "winnow") {
+      import graft.operators.{SpanDedup, Winnow}
+      for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
+        val corpus = s"/tmp/graft_ssjoin_planted_$n"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus)))
+          plantedDocs(spark, n).write.parquet(corpus)
+        val docs = spark.read.parquet(corpus)
+        var nPairs = -1L
+        val samples = (1 to 2).map { _ =>
+          Thread.sleep(800)
+          metrics.read.set(0L); metrics.write.set(0L)
+          val t0 = System.nanoTime()
+          try {
+            nPairs = Winnow.sharedFingerprintPairs(
+              Winnow.fingerprints(
+                SpanDedup.gramOccurrences(docs, "doc_id", "text", n = 5),
+                w = 4),
+              minShared = 2, maxFpDf = 64).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $tier winnow failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        val wr = metrics.write.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"d72_winnow_planted",""" +
+          s""""n_docs":$n,"n_pairs":$nPairs,""" +
+          s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
       }
     }
     // pHash arm (round 9, m09's band join at tier): the banded Hamming

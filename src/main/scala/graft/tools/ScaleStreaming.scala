@@ -47,6 +47,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    per-batch store re-scan time and store file-count growth are
   *    the measured reasons the high-rate design is the TTL'd
   *    in-memory gate (w24) and the store gate is nightly (d62).
+  *  - `bm25_serve` — w30's shape at rate: streamed BM25 serving from
+  *    the persisted term index via foreachBatch scoring over a cached
+  *    index slice; queries over the corpus's COMMON words, so
+  *    sustainable qps is a lower bound (per-query work ~ Σ df).
   *
   * Usage: runMain graft.tools.ScaleStreaming [rowsPerSec] [secs] [keys]
   *   [probe,probe,...|all]
@@ -135,7 +139,8 @@ object ScaleStreaming {
     val keys = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
     // 4th arg: comma-separated probe subset (session_window,
     // dedup_watermark, tws_ttl, lsh_gate, interval_join, restart,
-    // restart_interval, ann_serve) or "all" (default).
+    // restart_interval, ann_serve, store_gate, bm25_serve) or
+    // "all" (default).
     val what = args.drop(3).headOption.getOrElse("all")
     def want(name: String): Boolean =
       what == "all" || what.split(",").contains(name)
@@ -233,6 +238,7 @@ object ScaleStreaming {
     if (want("restart_interval")) restartIntervalProbe(spark, rate)
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
     if (want("store_gate")) storeGateProbe(spark, rate, secs)
+    if (want("bm25_serve")) bm25ServeProbe(spark, rate, secs)
 
     spark.stop()
   }
@@ -655,6 +661,59 @@ object ScaleStreaming {
         .option("checkpointLocation", ckpt("annserve"))
         .outputMode("update").start(), secs))
     postings.unpersist()
+    graft.queries.Rm.rf(tmp)
+  }
+
+  /** w30's shape under sustained rate: streamed BM25 serving from the
+    * persisted term index via per-micro-batch scoring (foreachBatch —
+    * w30's production shape). The index slice (postings ⋈ dictionary)
+    * is cached ONCE — the demo vocabulary is tiny; a real deployment
+    * caches the hot-term slice or leans on w30's per-batch partition
+    * pruning. Each rate row is one 2-term query over the corpus's
+    * common words — the WORST case for text serving (every term's
+    * posting list is ~the whole corpus), so the sustainable qps here
+    * is a lower bound: per query the scorer touches ~2·(corpus/term
+    * df) posting rows, and the probe's ceiling is that product, not
+    * the query count. */
+  private def bm25ServeProbe(spark: SparkSession, qRate: Int,
+                             secs: Int): Unit = {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-bm25serve").toString
+    R.writeIndex(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+      "doc_id", "text", tmp, nBuckets = 16)
+    val vocab = spark.read.parquet(s"$tmp/terms")
+      .select("term").as[String].collect().sorted.toSeq
+    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 16).cache()
+    slice.count()
+    val stats = R.readStats(spark, tmp)
+    val vlit = typedlit(vocab)
+    val nv = lit(vocab.length.toLong)
+    val qs = spark.readStream.format("rate")
+      .option("rowsPerSecond", qRate)
+      .option("numPartitions", 8)
+      .load()
+      .select(col("value").as("qid"), array(
+        element_at(vlit,
+          (pmod(xxhash64(col("value"), lit(1)), nv) + 1).cast("int")),
+        element_at(vlit,
+          (pmod(xxhash64(col("value"), lit(2)), nv) + 1).cast("int")))
+        .as("terms"))
+    val q = qs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch.select(col("qid").as("query_id"),
+            explode(col("terms")).as("term"))
+          R.bm25TopKIndexed(slice, queries, stats, k = 1)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      .option("checkpointLocation", ckpt("bm25serve"))
+      .start()
+    report("bm25_serve", qRate, vocab.length.toLong, drive(q, secs))
+    slice.unpersist()
     graft.queries.Rm.rf(tmp)
   }
 

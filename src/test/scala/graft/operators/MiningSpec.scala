@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{abs, levenshtein}
 import org.scalatest.funspec.AnyFunSpec
 
 import graft.TestSpark
@@ -39,6 +40,34 @@ class MiningSpec extends AnyFunSpec {
         math.log((4.0 * 14 * 14) / (11.0 * 4 * 4)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(top.head._4 == want)
+    }
+  }
+
+  describe("EntityRes.fsScorePairs") {
+    val recs = Seq(
+      (1L, 1, "ann smith", 10.0),
+      (2L, 1, "ann smyth", 10.005),   // levenshtein 1, close balance
+      (3L, 1, "bob jones", 500.0),    // same block, agrees on nothing
+      (4L, 2, "ann smith", 10.0))     // exact dup of 1 but OTHER block
+      .toDF("id", "blk", "name", "bal")
+
+    def run = EntityRes.fsScorePairs(recs, "id", Seq("blk"), Seq(
+      FsField("name", (a, b) => levenshtein(a, b) <= 1, m = 0.9, u = 0.01),
+      FsField("bal", (a, b) => abs(a - b) <= 0.02, m = 0.9, u = 0.01)))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    it("scores agreements ln(m/u) and disagreements ln((1-m)/(1-u))") {
+      val wAgree = math.log(0.9 / 0.01)
+      val wDis = math.log((1.0 - 0.9) / (1.0 - 0.01))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(run((1L, 2L)) == (2L, r6(wAgree + wAgree)))
+      assert(run((1L, 3L)) == (0L, r6(wDis + wDis)))
+    }
+    it("never compares across blocks (blocking recall is explicit)") {
+      assert(!run.contains((1L, 4L)) && !run.contains((2L, 4L)))
+      assert(run.size == 3)   // pairs (1,2),(1,3),(2,3) inside block 1
     }
   }
 
