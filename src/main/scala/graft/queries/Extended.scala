@@ -1199,6 +1199,38 @@ object Extended {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
         |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS n_null_shipdate
-        |FROM lineitem""".stripMargin))
+        |FROM lineitem""".stripMargin)),
+
+    Q("q86_sql_sugar",
+      "Spark-4 SQL ergonomics in one query: LATERAL COLUMN ALIAS " +
+        "(rev defined in the SELECT list and referenced by margin on " +
+        "the same level — no subquery nesting), GROUP BY ALL (group " +
+        "by every non-aggregate select item), and ORDER BY ALL. Pure " +
+        "parser/analyzer sugar — the plan is identical to the " +
+        "spelled-out form, which is the DuckDB oracle (DuckDB " +
+        "supports all three, so the oracle uses the SAME sugar: two " +
+        "engines must desugar identically).",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q86_li")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) -
+               CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev,
+            round(rev / COUNT(*), 6) AS rev_per_item
+          FROM q86_li
+          WHERE l_quantity >= 20
+          GROUP BY ALL
+          ORDER BY ALL""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) -
+        |     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev,
+        |  round(rev / COUNT(*), 6) AS rev_per_item
+        |FROM lineitem
+        |WHERE l_quantity >= 20
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin))
   )
 }
