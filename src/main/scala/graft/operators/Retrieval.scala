@@ -197,7 +197,20 @@ object Retrieval {
     * per-query window. */
   private def rank(scoredInput: DataFrame, k: Int,
                    k1: Double, b: Double): DataFrame =
-    scoredInput
+    contrib(scoredInput, k1, b)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+
+  /** Per-row BM25 contribution: rounds to 9 decimals and casts to
+    * DECIMAL so the (query, doc) sum is aggregation-order-free.
+    * Expects (term, tf, dl, df, n_docs, avgdl) columns. */
+  private def contrib(rows: DataFrame, k1: Double, b: Double): DataFrame =
+    rows
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))))
@@ -206,13 +219,127 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl") / col("avgdl"))), 9)
           .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
-      .select("query_id", "rk", "doc_id", "score")
+
+  /** MaxScore-pruned BM25 (Turtle & Flood, IPM 1995 — the term-bound
+    * pruning family WAND/BMW descend from), reformulated for a
+    * set-at-a-time engine. LOSSLESS: returns bit-identical output to
+    * [[bm25TopK]] — the pruning threshold is a provable lower bound on
+    * the k-th best final score and the term bounds are provable upper
+    * bounds on per-term contributions, so no top-k doc can be pruned.
+    *
+    * Why it matters at scale: the exhaustive scorer aggregates EVERY
+    * posting row of every query term. Real query mixes pair rare terms
+    * (tiny postings, high idf) with stopword-class terms (huge
+    * postings, tiny idf). MaxScore classifies the low-bound terms as
+    * NON-ESSENTIAL — a doc matching only those provably can't reach
+    * the top-k — so the giant posting lists stop feeding the scoring
+    * aggregation and survive only as a semi-join probe for the docs
+    * the essential (rare) lists nominate. Rows entering the score
+    * aggregation collapse from Σ|postings| to
+    * |essential postings| + |candidate rows in non-essential lists|.
+    *
+    * The distributed reformulation (document-at-a-time heaps don't
+    * exist here):
+    *  1. per (query, term) upper bound `ub = idf·(k1+1) + 1e-9` — the
+    *     tf-fraction is < k1+1 for any tf ≥ 1 (its limit), and the
+    *     1e-9 pad dominates the 5e-10 the 9-decimal contribution
+    *     rounding can add;
+    *  2. threshold θ per query = the k-th best SINGLE-TERM score using
+    *     only the query's highest-ub term (contributions are
+    *     positive, so any doc's partial score is ≤ its final score,
+    *     and the k-th best partial is ≤ the k-th best final — a valid
+    *     lower bound obtained from the CHEAPEST list worth scanning);
+    *     fewer than k docs → θ = -∞, nothing prunes;
+    *  3. a term is non-essential iff the cumulative ub sum in
+    *     ub-ascending order stays < θ − 1e-6 (the full last-digit ulp
+    *     of the 6-decimal final rounding — a pruned doc's true sum is
+    *     < θ − 1e-6, so even rounded UP it stays strictly below θ and
+    *     can't displace a top-k doc on the doc_id tiebreak);
+    *  4. candidates = docs appearing in ≥1 essential list; exact
+    *     scores for candidates only, over ALL their rows (essential
+    *     and not — scores must be exact), via a semi-join.
+    *
+    * All per-(query,term) planning state (ub, θ, essential flags) is
+    * query-set-sized → broadcast; the only index-sized work is the
+    * essential-list scoring and the candidate semi-join. */
+  def maxScoreTopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val slice = posts
+      .join(broadcast(queries.select("term").distinct()), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    maxScoreFromSlice(slice, queries, stats, k, k1, b)
+  }
+
+  /** MaxScore over a slice that already carries `df` (either the
+    * window-derived serve slice of [[maxScoreTopK]] or the stored
+    * dictionary layout of [[readIndexSlice]] — the streamed serve
+    * path). See [[maxScoreTopK]] for the algorithm + proof sketch. */
+  def maxScoreFromSlice(slice: DataFrame, queries: DataFrame,
+                        stats: DataFrame, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    val (_, scored) = maxScorePlan(slice, queries, stats, k, k1, b)
+    rank(scored, k, k1, b)
+  }
+
+  /** The row volumes the probe arm measures: (exhaustive rows the
+    * plain scorer aggregates, rows surviving the MaxScore prune).
+    * Shares [[maxScorePlan]]'s lineage with the real operator so the
+    * probe can't drift from what the query runs. */
+  def maxScoreRowCounts(posts: DataFrame, queries: DataFrame,
+                        stats: DataFrame, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): (Long, Long) = {
+    val slice = posts
+      .join(broadcast(queries.select("term").distinct()), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val (qslice, scored) = maxScorePlan(slice, queries, stats, k, k1, b)
+    (qslice.count(), scored.count())
+  }
+
+  /** Shared MaxScore planning lineage: returns (the exhaustive
+    * query-joined slice, the candidate-pruned subset the scorer
+    * aggregates). See [[maxScoreTopK]] for the bound proofs. */
+  private def maxScorePlan(slice: DataFrame, queries: DataFrame,
+                           stats: DataFrame, k: Int, k1: Double,
+                           b: Double): (DataFrame, DataFrame) = {
+    val qslice = slice.join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats))
+    // (query, term) planning rows: df is constant within a term, so
+    // any row carries it; ub = idf·(k1+1) + pad.
+    val termBounds = qslice.groupBy("query_id", "term")
+      .agg(first("df").as("df"), first("n_docs").as("n_docs"))
+      .withColumn("ub",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * lit(k1 + 1.0) + lit(1e-9))
+      .select("query_id", "term", "ub")
+    // θ: k-th best single-term score on each query's highest-ub term.
+    val driverTerm = termBounds
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ub").desc, col("term").asc)))
+      .filter(col("r") === 1).select("query_id", "term")
+    val theta = contrib(
+        qslice.join(broadcast(driverTerm), Seq("query_id", "term")),
+        k1, b)
+      .select(col("query_id"), col("doc_id"),
+        round(col("contrib").cast("double"), 6).as("partial"))
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("partial").desc, col("doc_id").asc)))
+      .filter(col("r") === k)
+      .select(col("query_id"), col("partial").as("theta"))
+    // Essential iff the ub-ascending running total reaches θ − ulp.
+    val essential = termBounds
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("cum", sum("ub").over(Window.partitionBy("query_id")
+        .orderBy(col("ub").asc, col("term").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("theta").isNull ||
+        col("cum") >= col("theta") - lit(1e-6))
+      .select("query_id", "term")
+    val candidates = qslice
+      .join(broadcast(essential), Seq("query_id", "term"))
+      .select("query_id", "doc_id").distinct()
+    (qslice,
+      qslice.join(candidates, Seq("query_id", "doc_id"), "left_semi"))
+  }
 
   /** Conjunctive boolean retrieval: docs containing EVERY term of
     * `terms`. One broadcast filter + one count-match aggregation over

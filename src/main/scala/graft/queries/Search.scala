@@ -84,6 +84,33 @@ object Search {
       },
       Some(Bm25OracleSql)),
 
+    Q("d74_maxscore_topk",
+      "MaxScore-pruned BM25 (Turtle & Flood, IPM 1995 — the dynamic-" +
+        "pruning family WAND descends from), reformulated set-at-a-" +
+        "time: per-(query,term) score upper bounds idf*(k1+1), a " +
+        "pruning threshold from the k-th best SINGLE-term score on " +
+        "each query's best list (a provable lower bound on the k-th " +
+        "best final score), terms whose ub-ascending running total " +
+        "stays a 6-decimal ulp below the threshold become NON-" +
+        "ESSENTIAL, and only docs nominated by an essential list are " +
+        "scored (exactly, over all their rows, via semi-join). " +
+        "LOSSLESS by construction — the oracle is d67's VERBATIM: " +
+        "identical top-10, identical scores. This is the standard " +
+        "retrieval-side fix for the w30 serve ceiling (SCALE.md r09): " +
+        "stopword-class posting lists stop feeding the scoring " +
+        "aggregation and survive only as a candidate probe.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Retrieval.maxScoreTopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(Bm25OracleSql)),
+
     Q("d68_boolean_retrieval",
       "Conjunctive boolean retrieval over the inverted postings: docs " +
         "containing ALL of {join, vector, stream} via one broadcast " +

@@ -108,6 +108,69 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.maxScoreTopK") {
+    // A Zipf-ish random corpus: term `w<i>` appears with probability
+    // ~1/i, so low-i terms are stopword-class (huge postings, tiny
+    // idf) and high-i terms are rare (tiny postings, high idf) — the
+    // mix MaxScore's essential/non-essential split exists for.
+    def zipfCorpus(nDocs: Int, vocab: Int, seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      (0L until nDocs).map { id =>
+        val toks = (1 to vocab).flatMap { i =>
+          val n = (0 until 3).count(_ => rnd.nextDouble() < 1.0 / i)
+          Seq.fill(n)(s"w$i")
+        }
+        (id, if (toks.isEmpty) "w1" else rnd.shuffle(toks).mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+
+    it("is bit-identical to the exhaustive scorer on a randomized " +
+       "sweep of rare/common query mixes") {
+      for (seed <- 1 to 3) {
+        val docs = zipfCorpus(nDocs = 120, vocab = 40, seed = seed)
+        val posts = Retrieval.postings(docs, "doc_id", "text")
+        val stats = Retrieval.corpusStats(docs, "text")
+        val rnd = new scala.util.Random(seed + 100)
+        val q = (1L to 6L).flatMap { qid =>
+          val m = 1 + rnd.nextInt(4)
+          Seq.fill(m)(qid -> s"w${1 + rnd.nextInt(40)}").distinct
+        }.toDF("query_id", "term")
+        val exhaustive = Retrieval.bm25TopK(posts, q, stats, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val pruned = Retrieval.maxScoreTopK(posts, q, stats, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(pruned == exhaustive, s"seed $seed diverged")
+        assert(exhaustive.nonEmpty)
+      }
+    }
+
+    it("actually prunes on a rare+common mix, and never scores more " +
+       "rows than the exhaustive path") {
+      val docs = zipfCorpus(nDocs = 400, vocab = 50, seed = 7)
+      val posts = Retrieval.postings(docs, "doc_id", "text")
+      val stats = Retrieval.corpusStats(docs, "text")
+      // w40+ are rare (df ~ 400·3/40 ≈ 30), w1/w2 are stopword-class
+      val q = Seq((1L, "w45"), (1L, "w1"), (2L, "w48"), (2L, "w2"))
+        .toDF("query_id", "term")
+      val (exhaustive, scored) =
+        Retrieval.maxScoreRowCounts(posts, q, stats, k = 5)
+      assert(scored <= exhaustive)
+      assert(scored < exhaustive,
+        s"expected pruning on rare+common queries ($scored vs $exhaustive)")
+    }
+
+    it("handles fewer-than-k corpora (no threshold, nothing pruned)") {
+      val posts = Retrieval.postings(corpus, "doc_id", "text")
+      val stats = Retrieval.corpusStats(corpus, "text")
+      val q = Seq((1L, "joins"), (1L, "shuffle")).toDF("query_id", "term")
+      val a = Retrieval.bm25TopK(posts, q, stats, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      val b = Retrieval.maxScoreTopK(posts, q, stats, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(a == b && a.nonEmpty)
+    }
+  }
+
   describe("Retrieval.booleanAnd") {
     it("agrees with a brute-force contains-all filter") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
