@@ -148,16 +148,26 @@ object Retrieval {
     * own are read. The bucket computation is a bounded collect over
     * the query terms (the w25 centroid-literal discipline). */
   def readIndexSlice(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     terms: Seq[String], nBuckets: Int): DataFrame = {
+                     terms: Seq[String], nBuckets: Int): DataFrame =
+    prunedRead(spark, dir, "postings", terms, nBuckets)
+      .join(broadcast(prunedRead(spark, dir, "terms", terms, nBuckets)),
+        "term")
+
+  /** One stored table (`postings` or `terms`) filtered to `terms`,
+    * with BOTH the static `tb` partition filter (file-level pruning)
+    * and the term filter applied. The bucket computation is a bounded
+    * collect over the query terms (the w25 centroid discipline). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 sub: String, terms: Seq[String],
+                 nBuckets: Int): DataFrame = {
     import spark.implicits._
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(nBuckets)).as("tb"))
       .distinct().as[Long].collect().toSeq
-    def pruned(sub: String) = spark.read.parquet(s"$dir/$sub")
+    spark.read.parquet(s"$dir/$sub")
       .filter(col("tb").isInCollection(buckets) &&
         col("term").isInCollection(terms))
       .drop("tb")
-    pruned("postings").join(broadcast(pruned("terms")), "term")
   }
 
   /** BM25 over an index slice that already carries `df` (the stored
@@ -291,6 +301,97 @@ object Retrieval {
     val slice = posts
       .join(broadcast(queries.select("term").distinct()), "term")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    maxScoreRowCountsFromSlice(slice, queries, stats, k, k1, b)
+  }
+
+  /** MaxScore serving from the PERSISTED index — the production shape:
+    * planning runs on the DICTIONARY, not the postings. The term
+    * bounds come from a partition-pruned read of `terms/` (vocab-of-
+    * query-terms-sized), the θ pass reads ONLY the driver terms'
+    * buckets, the candidate pass ONLY the essential terms' buckets —
+    * so when a query's essential lists are its rare terms (the mix
+    * MaxScore exists for), the only corpus-sized work left is the
+    * single full-slice scan feeding the final semi-joined scoring,
+    * whose aggregation input is candidate-sized. All planning state
+    * is query-set-sized and crosses the driver as bounded collects
+    * (the w25/w30 serve discipline). Output is bit-identical to
+    * [[bm25TopKIndexed]] over the same index — same bounds/threshold
+    * proofs as [[maxScoreTopK]]. */
+  def maxScoreIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, queries: DataFrame, k: Int,
+                          nBuckets: Int, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qrows = queries.select(col("query_id").cast("long"), col("term"))
+      .as[(Long, String)].collect()           // bounded: the query set
+    val qterms = qrows.map(_._2).distinct.toSeq
+    val stats = readStats(spark, dir)
+    val st = stats.select(col("n_docs").cast("long")).head()
+    val nDocs = st.getLong(0)
+    // dictionary slice: pruned, vocab-of-query-terms sized
+    val dfMap = prunedRead(spark, dir, "terms", qterms, nBuckets)
+      .select(col("term"), col("df").cast("long"))
+      .as[(String, Long)].collect().toMap
+    def ubOf(t: String): Double =
+      math.log(1.0 + (nDocs - dfMap(t) + 0.5) / (dfMap(t) + 0.5)) *
+        (k1 + 1.0) + 1e-9
+    val byQ = qrows.filter(r => dfMap.contains(r._2)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    if (byQ.isEmpty)
+      return rank(readIndexSlice(spark, dir, qterms, nBuckets)
+        .join(broadcast(queries), "term").crossJoin(broadcast(stats)),
+        k, k1, b)
+    // θ per query from the highest-ub (driver) term's list only —
+    // ties break to the lexicographically smallest term, matching
+    // maxScorePlan's (ub desc, term asc) window.
+    val driverTerm: Map[Long, String] =
+      byQ.view.mapValues(ts => ts.minBy(t => (-ubOf(t), t))).toMap
+    val dq = driverTerm.toSeq.toDF("query_id", "term")
+    val thetaMap = contrib(
+        readIndexSlice(spark, dir, driverTerm.values.toSeq.distinct,
+          nBuckets)
+          .join(broadcast(dq), "term").crossJoin(broadcast(stats)),
+        k1, b)
+      .select(col("query_id"), col("doc_id"),
+        round(col("contrib").cast("double"), 6).as("partial"))
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("partial").desc, col("doc_id").asc)))
+      .filter(col("r") === k)
+      .select(col("query_id").cast("long"), col("partial"))
+      .as[(Long, Double)].collect().toMap    // bounded: one row/query
+    // essential per query: ub-ascending running total reaches θ − ulp
+    val essential: Seq[(Long, String)] = byQ.toSeq.flatMap {
+      case (q, ts) =>
+        val ordered = ts.sortBy(t => (ubOf(t), t))
+        thetaMap.get(q) match {
+          case None => ordered.map(q -> _)
+          case Some(th) =>
+            var cum = 0.0
+            ordered.flatMap { t =>
+              cum += ubOf(t)
+              if (cum >= th - 1e-6) Some(q -> t) else None
+            }
+        }
+    }
+    val candidates =
+      readIndexSlice(spark, dir, essential.map(_._2).distinct, nBuckets)
+        .join(broadcast(essential.toDF("query_id", "term")),
+          Seq("term"))
+        .select("query_id", "doc_id").distinct()
+    rank(
+      readIndexSlice(spark, dir, qterms, nBuckets)
+        .join(broadcast(queries), "term").crossJoin(broadcast(stats))
+        .join(broadcast(candidates), Seq("query_id", "doc_id"),
+          "left_semi"),
+      k, k1, b)
+  }
+
+  /** [[maxScoreRowCounts]] over a stored-df slice (the indexed serve
+    * shape the scale probe measures). */
+  def maxScoreRowCountsFromSlice(slice: DataFrame, queries: DataFrame,
+                                 stats: DataFrame, k: Int,
+                                 k1: Double = 1.2, b: Double = 0.75)
+      : (Long, Long) = {
     val (qslice, scored) = maxScorePlan(slice, queries, stats, k, k1, b)
     (qslice.count(), scored.count())
   }
@@ -303,21 +404,28 @@ object Retrieval {
                            b: Double): (DataFrame, DataFrame) = {
     val qslice = slice.join(broadcast(queries), "term")
       .crossJoin(broadcast(stats))
-    // (query, term) planning rows: df is constant within a term, so
-    // any row carries it; ub = idf·(k1+1) + pad.
-    val termBounds = qslice.groupBy("query_id", "term")
-      .agg(first("df").as("df"), first("n_docs").as("n_docs"))
+    // (query, term) planning rows from the vocab-sized (term, df)
+    // projection — partial aggregation collapses it map-side, so the
+    // planning never shuffles or re-joins the posting rows themselves.
+    val termBounds = slice.select(col("term"), col("df")).distinct()
+      .join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats.select("n_docs")))
       .withColumn("ub",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * lit(k1 + 1.0) + lit(1e-9))
       .select("query_id", "term", "ub")
     // θ: k-th best single-term score on each query's highest-ub term.
+    // The driver/essential joins attach query_id by joining the
+    // PLANNING pairs on `term` against the raw slice — never against
+    // the full query-joined slice, whose evaluation is the very cost
+    // the prune removes.
     val driverTerm = termBounds
       .withColumn("r", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("ub").desc, col("term").asc)))
       .filter(col("r") === 1).select("query_id", "term")
     val theta = contrib(
-        qslice.join(broadcast(driverTerm), Seq("query_id", "term")),
+        slice.join(broadcast(driverTerm), "term")
+          .crossJoin(broadcast(stats)),
         k1, b)
       .select(col("query_id"), col("doc_id"),
         round(col("contrib").cast("double"), 6).as("partial"))
@@ -334,11 +442,22 @@ object Retrieval {
       .filter(col("theta").isNull ||
         col("cum") >= col("theta") - lit(1e-6))
       .select("query_id", "term")
-    val candidates = qslice
-      .join(broadcast(essential), Seq("query_id", "term"))
+    val candidates = slice
+      .join(broadcast(essential), "term")
       .select("query_id", "doc_id").distinct()
+    // Broadcast the candidates: they are bounded by the ESSENTIAL
+    // lists' total df — small by construction in the regime MaxScore
+    // exists for (rare essential lists, stopword-class non-essential
+    // ones), and a static SMJ here would shuffle the whole slice,
+    // which is the cost the prune removes (AQE can't flip the build
+    // side post-hoc: both shuffle stages launch together). In the
+    // degenerate regime — every term essential, candidates ~ the
+    // matching corpus — a deployment picks the exhaustive scorer
+    // up front from the DICTIONARY df profile (a query-set-sized
+    // plan-time decision), not this path.
     (qslice,
-      qslice.join(candidates, Seq("query_id", "doc_id"), "left_semi"))
+      qslice.join(broadcast(candidates), Seq("query_id", "doc_id"),
+        "left_semi"))
   }
 
   /** Conjunctive boolean retrieval: docs containing EVERY term of

@@ -111,6 +111,32 @@ object Search {
       },
       Some(Bm25OracleSql)),
 
+    Q("d75_maxscore_indexed",
+      "MaxScore serving from the PERSISTED index — d74's pruning in " +
+        "w30's production shape: planning runs on the term DICTIONARY " +
+        "(a partition-pruned, vocab-of-query-terms-sized read), the " +
+        "threshold pass reads ONLY the driver terms' buckets, the " +
+        "candidate pass ONLY the essential terms' buckets, and the one " +
+        "corpus-sized scan left is the final slice read whose scoring " +
+        "aggregation is candidate-sized. Planning state crosses the " +
+        "driver as bounded query-set-sized collects (the w25/w30 " +
+        "discipline). Oracle is d67's VERBATIM — the pruned indexed " +
+        "serve must equal the exhaustive corpus scorer per-bit.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d75").toString
+        try {
+          Retrieval.writeIndex(t(s, dir, "documents"),
+            "doc_id", "text", tmp, nBuckets = 16)
+          Retrieval.maxScoreIndexedTopK(s, tmp,
+            QueryTerms.toDF("query_id", "term"), k = 10, nBuckets = 16)
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(Bm25OracleSql)),
+
     Q("d68_boolean_retrieval",
       "Conjunctive boolean retrieval over the inverted postings: docs " +
         "containing ALL of {join, vector, stream} via one broadcast " +

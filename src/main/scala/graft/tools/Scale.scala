@@ -241,7 +241,8 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val needsSynth = what != "skew" && what != "whale"
+    val needsSynth =
+      what != "skew" && what != "whale" && what != "maxscore"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -267,7 +268,7 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" =>
+           "append" | "winnow" | "maxscore" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -869,6 +870,109 @@ object Scale {
           s""""samples":[${samples.map(fmt).mkString(",")}],""" +
           s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+      }
+    }
+    // MaxScore arm (round 9, d74's pruning at tier): serve cost for
+    // rare+common query mixes must track the RARE lists, not the
+    // corpus. The synthesized corpus separates the regimes cleanly:
+    // 10 of each doc's 30 tokens come from a 50-term common pool
+    // (df ~ 0.18·n — stopword-class, grows linearly with the corpus)
+    // and 20 from an (n/10)-term rare pool (df ~ 200, FLAT across
+    // tiers). Every probe query pairs one rare term with one common
+    // term — the mix MaxScore exists for. The exhaustive scorer's
+    // aggregation input grows with Σ df ~ 0.18·n per query; MaxScore
+    // classifies the common term non-essential (its ub falls below
+    // the k-th best rare-list score), so its aggregation input stays
+    // ~rare-df-sized — flat — and the output is verified IDENTICAL
+    // (exceptAll both ways) at every tier. Both arms serve from the
+    // same persisted tb-partitioned index.
+    if (what == "maxscore") {
+      import graft.operators.Retrieval
+      import spark.implicits._
+      for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
+        val rarePool = n / 10
+        val common = (0 until 10).map(j =>
+          concat(lit("c"), pmod(xxhash64(col("id"), lit(j)), lit(50))))
+        val rare = (0 until 20).map(j =>
+          concat(lit("r"), pmod(xxhash64(col("id"), lit(100 + j)),
+            lit(rarePool))))
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (common ++ rare): _*).as("text"))
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft-maxscore-$tier").toString
+        Retrieval.writeIndex(docs, "doc_id", "text", idx, nBuckets = 64)
+        val stats = Retrieval.readStats(spark, idx)
+        // 500 queries per serve batch: enough that the scoring
+        // aggregation (the corpus-coupled term) dominates the fixed
+        // scan/planning overhead — the regime the 100 TB serve path
+        // actually lives in (one plan amortizes planning over the
+        // batch; per-query aggregation input is what scales).
+        val nQ = 500
+        val queryRows = (0 until nQ).flatMap { q =>
+          Seq((q.toLong, s"r${(q * 37L) % rarePool}"),
+              (q.toLong, s"c${q % 50}"))
+        }
+        val qdf = queryRows.toDF("query_id", "term")
+        val qterms = queryRows.map(_._2).distinct
+        // serve from a cached slice — w30's production serving shape
+        // (the scan cost is identical for both arms and not what the
+        // probe measures; the contrast is aggregation input)
+        val cached =
+          Retrieval.readIndexSlice(spark, idx, qterms, nBuckets = 64)
+            .cache()
+        cached.count()
+        def slice() = cached
+        def timeArm(run: () => Unit): (Seq[Double], Double, Double) = {
+          val samples = (1 to 2).map { _ =>
+            Thread.sleep(800)
+            metrics.read.set(0L); metrics.write.set(0L)
+            val t0 = System.nanoTime()
+            try { run(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[scale] $tier maxscore failed: ${e.getMessage}")
+              -1.0
+            }
+          }
+          Thread.sleep(800)
+          (samples, metrics.read.getAndSet(0L) / 1e6,
+            metrics.write.getAndSet(0L) / 1e6)
+        }
+        val (exS, exRd, _) = timeArm(() =>
+          Retrieval.bm25TopKIndexed(slice(), qdf, stats, k = 10)
+            .write.format("noop").mode("overwrite").save())
+        val (msS, msRd, _) = timeArm(() =>
+          Retrieval.maxScoreFromSlice(slice(), qdf, stats, k = 10)
+            .write.format("noop").mode("overwrite").save())
+        // the production shape: dictionary-planned, bucket-pruned
+        // reads per phase — measured from STORAGE, not the cache
+        val (mxS, mxRd, _) = timeArm(() =>
+          Retrieval.maxScoreIndexedTopK(spark, idx, qdf, k = 10,
+              nBuckets = 64)
+            .write.format("noop").mode("overwrite").save())
+        val (rowsEx, rowsMs) = Retrieval.maxScoreRowCountsFromSlice(
+          slice(), qdf, stats, k = 10)
+        // lossless check at tier: set-identical output, all arms
+        val a = Retrieval.bm25TopKIndexed(slice(), qdf, stats, k = 10)
+        val b = Retrieval.maxScoreFromSlice(slice(), qdf, stats, k = 10)
+        val c = Retrieval.maxScoreIndexedTopK(spark, idx, qdf, k = 10,
+          nBuckets = 64)
+        val nDiff = a.exceptAll(b).count() + b.exceptAll(a).count() +
+          a.exceptAll(c).count() + c.exceptAll(a).count()
+        println(s"""{"tier":"$tier","query":"d74_maxscore_planted",""" +
+          s""""n_docs":$n,"n_queries":$nQ,""" +
+          s""""rows_exhaustive":$rowsEx,"rows_maxscore":$rowsMs,""" +
+          s""""n_diff":$nDiff,""" +
+          s""""exhaustive_samples":[${exS.map(fmt).mkString(",")}],""" +
+          s""""exhaustive_sec":${fmt(exS.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""exhaustive_shuffle_read_mb":${fmt(exRd)},""" +
+          s""""maxscore_samples":[${msS.map(fmt).mkString(",")}],""" +
+          s""""maxscore_sec":${fmt(msS.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""maxscore_shuffle_read_mb":${fmt(msRd)},""" +
+          s""""indexed_samples":[${mxS.map(fmt).mkString(",")}],""" +
+          s""""indexed_sec":${fmt(mxS.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""indexed_shuffle_read_mb":${fmt(mxRd)}}""")
+        cached.unpersist()
+        graft.queries.Rm.rf(idx)
       }
     }
     // pHash arm (round 9, m09's band join at tier): the banded Hamming

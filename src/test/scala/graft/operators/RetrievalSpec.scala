@@ -159,6 +159,29 @@ class RetrievalSpec extends AnyFunSpec {
         s"expected pruning on rare+common queries ($scored vs $exhaustive)")
     }
 
+    it("the dictionary-planned indexed serve path equals the " +
+       "exhaustive scorer on the randomized corpus") {
+      val docs = zipfCorpus(nDocs = 150, vocab = 40, seed = 11)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-msidx").toString
+      try {
+        Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 8)
+        val rnd = new scala.util.Random(42)
+        val q = ((1L to 5L).flatMap { qid =>
+          val m = 1 + rnd.nextInt(3)
+          Seq.fill(m)(qid -> s"w${1 + rnd.nextInt(40)}").distinct
+        } :+ (9L -> "absent_term")).toDF("query_id", "term")
+        val exhaustive = Retrieval.bm25TopK(
+          Retrieval.postings(docs, "doc_id", "text"), q,
+          Retrieval.corpusStats(docs, "text"), k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val indexed = Retrieval.maxScoreIndexedTopK(
+          spark, tmp, q, k = 5, nBuckets = 8)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(indexed == exhaustive && exhaustive.nonEmpty)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+
     it("handles fewer-than-k corpora (no threshold, nothing pruned)") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
       val stats = Retrieval.corpusStats(corpus, "text")
