@@ -49,7 +49,10 @@ object Bench {
     // (build + broadcast-query serve in one plan), span-level repeat
     // stats (one scan, one gh shuffle), dHash near-dup (real codec
     // round-trip + banded Hamming join)
-    "d67_bm25_topk", "d70_repeated_spans", "m09_phash_neardup")
+    "d67_bm25_topk", "d70_repeated_spans", "m09_phash_neardup",
+    // round-9 session 2: dictionary-planned MaxScore serving from the
+    // memoized persisted text index (build once, serve per sample)
+    "d75_maxscore_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

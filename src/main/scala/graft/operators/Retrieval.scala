@@ -378,11 +378,14 @@ object Retrieval {
         .join(broadcast(essential.toDF("query_id", "term")),
           Seq("term"))
         .select("query_id", "doc_id").distinct()
+    // candidate-side assembly — the maxScorePlan shape: the one
+    // corpus-sized scan is probed by a broadcast hash join on doc_id;
+    // the full query-join never materializes.
     rank(
       readIndexSlice(spark, dir, qterms, nBuckets)
-        .join(broadcast(queries), "term").crossJoin(broadcast(stats))
-        .join(broadcast(candidates), Seq("query_id", "doc_id"),
-          "left_semi"),
+        .join(broadcast(candidates), "doc_id")
+        .join(broadcast(queries), Seq("query_id", "term"))
+        .crossJoin(broadcast(stats)),
       k, k1, b)
   }
 
@@ -445,19 +448,115 @@ object Retrieval {
     val candidates = slice
       .join(broadcast(essential), "term")
       .select("query_id", "doc_id").distinct()
-    // Broadcast the candidates: they are bounded by the ESSENTIAL
-    // lists' total df — small by construction in the regime MaxScore
-    // exists for (rare essential lists, stopword-class non-essential
-    // ones), and a static SMJ here would shuffle the whole slice,
-    // which is the cost the prune removes (AQE can't flip the build
-    // side post-hoc: both shuffle stages launch together). In the
-    // degenerate regime — every term essential, candidates ~ the
-    // matching corpus — a deployment picks the exhaustive scorer
-    // up front from the DICTIONARY df profile (a query-set-sized
-    // plan-time decision), not this path.
+    // Assemble the scoring input from the CANDIDATE side: attach each
+    // candidate (query, doc) to the doc's slice rows, then keep the
+    // query's own terms. This is set-identical to semi-joining the
+    // full query-joined slice by (query_id, doc_id), but the full
+    // query-join — whose evaluation is the very cost the prune
+    // removes — never materializes: the slice is touched once, by a
+    // broadcast hash probe on doc_id. Broadcasting the candidates is
+    // sound in the regime MaxScore exists for (they are bounded by
+    // the ESSENTIAL lists' total df — the rare lists); in the
+    // degenerate all-essential regime a deployment picks the
+    // exhaustive scorer up front from the dictionary df profile (a
+    // query-set-sized plan-time decision), not this path.
     (qslice,
-      qslice.join(broadcast(candidates), Seq("query_id", "doc_id"),
-        "left_semi"))
+      slice
+        .join(broadcast(candidates), "doc_id")
+        .join(broadcast(queries), Seq("query_id", "term"))
+        .crossJoin(broadcast(stats)))
+  }
+
+  /** Mark documents deleted — the Lucene model: a delete writes only
+    * TOMBSTONES (doc ids), never touches postings. Serving via
+    * [[readServableSlice]] anti-joins them out immediately; df and
+    * corpus stats stay STALE until [[compactDeletes]] applies the
+    * tombstones — exactly Lucene's semantics, where deleted docs keep
+    * counting toward df until segment merge. The alternative (exact
+    * df maintenance at delete time) would require the deleted docs'
+    * term lists, i.e. a full postings scan or a forward index, per
+    * delete batch. Doc ids must not be reused after deletion (an
+    * appended doc sharing a tombstoned id would be anti-joined out). */
+  def deleteDocs(ids: DataFrame, dir: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** [[readIndexSlice]] minus tombstoned docs. The anti-join keys on
+    * doc_id only — tombstones are vastly smaller than postings and
+    * broadcast. df carried by the slice is the STORED (pre-delete)
+    * value until compaction; scores therefore match a fresh build
+    * only after [[compactDeletes]] (the documented Lucene-model
+    * staleness). */
+  def readServableSlice(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, terms: Seq[String],
+                        nBuckets: Int): DataFrame = {
+    val slice = readIndexSlice(spark, dir, terms, nBuckets)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+      slice
+    else
+      slice.join(
+        broadcast(spark.read.parquet(s"$dir/tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+  }
+
+  /** Apply the tombstones: rewrite postings without the deleted docs,
+    * rebuild the term dictionary from the survivors, decrement the
+    * stats EXACTLY (a doc's token count equals the sum of its tf
+    * values, so the removed postings carry everything needed), and
+    * clear the tombstones — the segment-merge moment where Lucene's
+    * stale df snaps back to exact. Swap-in uses the two-rename
+    * discipline of [[appendIndex]]; like [[AnnIndex.compact]], the
+    * swap is a maintenance-window operation, not lock-free — a reader
+    * racing the renames can fail loudly, never read a mix.
+    *
+    * Caveat (inherent to an index without a forward index): a doc
+    * with ZERO tokens leaves no postings, so deleting one cannot
+    * reclaim its n_docs contribution here; a production build keeps a
+    * doc-count sidecar for that. */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, nBuckets: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(conf)
+    if (!fs.exists(p(s"$dir/tombstones"))) return
+    val tombs = spark.read.parquet(s"$dir/tombstones").distinct()
+    val posts = spark.read.parquet(s"$dir/postings")
+    // exact decrements from the REMOVED postings: Σ tf over a doc's
+    // rows = its token count; distinct doc_id = removed doc count
+    // (an unknown tombstoned id has no postings and decrements nothing)
+    val removed = posts.join(broadcast(tombs), Seq("doc_id"), "left_semi")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        coalesce(sum(col("tf")), lit(0L)).cast("long").as("tok"))
+      .head()
+    val (remDocs, remToks) = (removed.getLong(0), removed.getLong(1))
+    posts.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/postings_new")
+    spark.read.parquet(s"$dir/postings_new")
+      .groupBy("tb", "term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/terms_new")
+    val old = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
+      .head()
+    def swap(name: String): Unit = {
+      fs.delete(p(s"$dir/${name}_retired"), true)
+      require(fs.rename(p(s"$dir/$name"), p(s"$dir/${name}_retired")),
+        s"compactDeletes: rename-out of $name failed")
+      require(fs.rename(p(s"$dir/${name}_new"), p(s"$dir/$name")),
+        s"compactDeletes: rename-in of $name failed")
+    }
+    swap("postings")
+    swap("terms")
+    import spark.implicits._
+    Seq((old.getLong(0) - remDocs, old.getLong(1) - remToks))
+      .toDF("n_docs", "sum_tokens")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    fs.delete(p(s"$dir/tombstones"), true)
+    ()
   }
 
   /** Conjunctive boolean retrieval: docs containing EVERY term of

@@ -112,6 +112,22 @@ object Scale {
       concat_ws(" ", (common ++ rare): _*).as("text"))
   }
 
+  /** Two-regime retrieval corpus for the d74/d75 MaxScore probes:
+    * each doc holds 10 tokens from a 50-term COMMON pool (df ~ 0.18·n
+    * — stopword-class, grows with the corpus) and 20 from an
+    * (n/10)-term RARE pool (df ~ 200, flat across tiers) — the
+    * rare+common query mix dynamic pruning exists for. */
+  def zipfDocs(s: SparkSession, n: Long): DataFrame = {
+    val rarePool = n / 10
+    val common = (0 until 10).map(j =>
+      concat(lit("c"), pmod(xxhash64(col("id"), lit(j)), lit(50))))
+    val rare = (0 until 20).map(j =>
+      concat(lit("r"), pmod(xxhash64(col("id"), lit(100 + j)),
+        lit(rarePool))))
+    s.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (common ++ rare): _*).as("text"))
+  }
+
   /** d61's candidate-volume evidence (untimed — the timed measurement
     * is `SSJoin.join` alone, VERDICT r07 #8): prefix-bucket count/max
     * and the Σ b·(b−1)/2 candidate bound over the array-free
@@ -891,13 +907,7 @@ object Scale {
       import spark.implicits._
       for ((tier, n) <- Seq(("1x", 50000L), (s"${factor}x", 50000L * factor))) {
         val rarePool = n / 10
-        val common = (0 until 10).map(j =>
-          concat(lit("c"), pmod(xxhash64(col("id"), lit(j)), lit(50))))
-        val rare = (0 until 20).map(j =>
-          concat(lit("r"), pmod(xxhash64(col("id"), lit(100 + j)),
-            lit(rarePool))))
-        val docs = spark.range(n).select(col("id").as("doc_id"),
-          concat_ws(" ", (common ++ rare): _*).as("text"))
+        val docs = zipfDocs(spark, n)
         val idx = java.nio.file.Files
           .createTempDirectory(s"graft-maxscore-$tier").toString
         Retrieval.writeIndex(docs, "doc_id", "text", idx, nBuckets = 64)

@@ -239,6 +239,9 @@ object ScaleStreaming {
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
     if (want("store_gate")) storeGateProbe(spark, rate, secs)
     if (want("bm25_serve")) bm25ServeProbe(spark, rate, secs)
+    if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
+    if (want("bm25_wand_ex"))
+      bm25WandProbe(spark, rate, secs, pruned = false)
 
     spark.stop()
   }
@@ -713,6 +716,66 @@ object ScaleStreaming {
       .option("checkpointLocation", ckpt("bm25serve"))
       .start()
     report("bm25_serve", qRate, vocab.length.toLong, drive(q, secs))
+    slice.unpersist()
+    graft.queries.Rm.rf(tmp)
+  }
+
+  /** The w30 serve ceiling with the d75 fix applied: streamed BM25
+    * over Scale.zipfDocs' two-regime index (500k docs), every query a
+    * rare+common pair — the realistic mix, and the one the round-9
+    * `bm25_serve` arm identified as the per-row ceiling's fix path.
+    * `pruned = true` serves each micro-batch with the dictionary-
+    * planned MaxScore (`maxScoreIndexedTopK` — aggregation input is
+    * candidate-sized, ~240 rows/query); `false` is the exhaustive
+    * control (every query scores its common term's ~92k-row posting
+    * list, so ~92k rows/query — the regime that saturated at ~200 qps
+    * in `bm25_serve_r09`). Both arms pay the same per-batch planning
+    * jobs' fixed cost; the contrast isolates rows-scored. */
+  private def bm25WandProbe(spark: SparkSession, qRate: Int, secs: Int,
+                            pruned: Boolean): Unit = {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val n = 500000L
+    val rarePool = n / 10
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-bm25wand").toString
+    R.writeIndex(Scale.zipfDocs(spark, n), "doc_id", "text", tmp,
+      nBuckets = 64)
+    val stats = R.readStats(spark, tmp)
+    // Both arms serve from the SAME cached full slice (the
+    // bm25ServeProbe/w30 caching design — a real deployment holds the
+    // index hot); the contrast isolates the scorer, not I/O.
+    val vocab = spark.read.parquet(s"$tmp/terms")
+      .select("term").as[String].collect().toSeq
+    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 64)
+      .cache()
+    slice.count()
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", qRate)
+      .option("numPartitions", 8)
+      .load()
+      .select(col("value").as("qid"), array(
+        concat(lit("r"), pmod(xxhash64(col("value"), lit(1)),
+          lit(rarePool))),
+        concat(lit("c"), pmod(xxhash64(col("value"), lit(2)), lit(50))))
+        .as("terms"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch.select(col("qid").as("query_id"),
+            explode(col("terms")).as("term"))
+          val served =
+            if (pruned)
+              R.maxScoreFromSlice(slice, queries, stats, k = 10)
+            else R.bm25TopKIndexed(slice, queries, stats, k = 10)
+          served.write.format("noop").mode("overwrite").save()
+        }
+      }
+      .option("checkpointLocation",
+        ckpt(if (pruned) "bm25wand" else "bm25wandex"))
+      .start()
+    report(if (pruned) "bm25_wand" else "bm25_wand_ex", qRate, n,
+      drive(q, secs))
     slice.unpersist()
     graft.queries.Rm.rf(tmp)
   }

@@ -108,6 +108,53 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.deleteDocs / compactDeletes") {
+    it("pre-compaction serving excludes deleted docs while df stays " +
+       "stale (the Lucene model); compaction makes the index " +
+       "indistinguishable from a fresh build over the survivors") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rdel").toString
+      val fresh = java.nio.file.Files
+        .createTempDirectory("graft-rdel-f").toString
+      try {
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        Retrieval.deleteDocs(Seq(1L, 2L, 99L).toDF("doc_id"), tmp)
+
+        def dict(d: String) = spark.read.parquet(s"$d/terms")
+          .select("term", "df").as[(String, Long)].collect().toMap
+        val staleDict = dict(tmp)
+
+        val q = Seq((1L, "joins"), (1L, "data")).toDF("query_id", "term")
+        def serve(d: String) = Retrieval.bm25TopKIndexed(
+          Retrieval.readServableSlice(spark, d,
+            Seq("joins", "data"), nBuckets = 8),
+          q, Retrieval.readStats(spark, d), k = 4)
+          .as[(Long, Long, Long, Double)].collect().toSet
+
+        // deleted docs vanish from results immediately...
+        val pre = serve(tmp)
+        assert(pre.nonEmpty && !pre.exists(r => Set(1L, 2L)(r._3)))
+        // ...but the dictionary still counts them (stale df)
+        assert(staleDict("joins") == 3L)   // docs 0,1,2 — pre-delete df
+
+        Retrieval.compactDeletes(spark, tmp, nBuckets = 8)
+        Retrieval.writeIndex(corpus.filter(!$"doc_id".isin(1L, 2L)),
+          "doc_id", "text", fresh, nBuckets = 8)
+        // dictionary, stats and served scores all snap to exact
+        assert(dict(tmp) == dict(fresh))
+        def stats(d: String) = spark.read.parquet(s"$d/stats")
+          .as[(Long, Long)].collect().toSet
+        assert(stats(tmp) == stats(fresh))
+        assert(serve(tmp) == serve(fresh) && serve(fresh).nonEmpty)
+        // tombstones consumed; unknown id 99 decremented nothing
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$tmp/tombstones")))
+      } finally {
+        graft.queries.Rm.rf(tmp); graft.queries.Rm.rf(fresh)
+      }
+    }
+  }
+
   describe("Retrieval.maxScoreTopK") {
     // A Zipf-ish random corpus: term `w<i>` appears with probability
     // ~1/i, so low-i terms are stopword-class (huge postings, tiny
