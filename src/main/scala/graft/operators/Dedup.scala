@@ -287,4 +287,68 @@ object Dedup {
       selfLoops.join(labels.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("rep")))
   }
+
+  /** Incremental connected components — the nightly label-maintenance
+    * shape: fold a NEW edge wave into an existing canonical-min
+    * labeling without re-clustering the corpus.
+    *
+    * Mechanism: each new edge's endpoints are mapped through the
+    * existing labels (two partitioned joins keyed on node; endpoints
+    * never seen before label themselves), CONTRACTING the wave onto
+    * the old component roots — so the graph [[connectedComponents]]
+    * then runs on is sized by the WAVE (old roots it touches + new
+    * nodes), never the corpus. Recomposition is one more join: an old
+    * node re-roots iff its root was remapped by the delta; wave-new
+    * nodes take their delta label directly.
+    *
+    * The result is exactly the full recompute's canonical-min
+    * labeling (spec-swept against [[connectedComponents]] over the
+    * union edge set; d77 holds it under the DuckDB gate): old roots
+    * are their components' minima, so the delta's min over
+    * {touched roots} ∪ {new nodes} IS the merged component's global
+    * min. At 100 TB this is the difference between a nightly CC over
+    * the whole pair history and one over the day's wave — the d62
+    * store economics applied to cluster labels.
+    *
+    * `labels` is `(node, rep)` (the [[connectedComponents]] output);
+    * `newEdges` is any 2-column edge frame. */
+  def incrementalCC(labels: DataFrame, newEdges: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val l = labels.toDF("node", "rep")
+    val e = newEdges.toDF("x", "y")
+    // Every touch of the corpus-sized label table is a SCAN probed by
+    // a broadcast of wave-sized state — never a shuffle of the labels
+    // (the first formulation shuffled them three times and cost more
+    // than the full recompute at 10x; measured, incc arm).
+    val waveNodes = e.select(col("x").as("wn"))
+      .unionAll(e.select(col("y").as("wn"))).distinct()
+    // label lookup for the wave's nodes: one label scan, wave-sized out
+    val lk = l.join(broadcast(waveNodes), col("node") === col("wn"))
+      .select(col("node").as("wn"), col("rep").as("wrep"))
+      .localCheckpoint()
+    val contracted = e
+      .join(broadcast(lk.toDF("xn", "xr")), col("x") === col("xn"),
+        "left")
+      .join(broadcast(lk.toDF("yn", "yr")), col("y") === col("yn"),
+        "left")
+      .select(coalesce(col("xr"), col("x")).as("a"),
+        coalesce(col("yr"), col("y")).as("b"))
+    val delta = connectedComponents(contracted, maxIter)
+      .toDF("dnode", "drep")
+    // only roots the wave actually re-rooted need corpus-wide remap
+    val remap = delta.filter(col("dnode") =!= col("drep"))
+    val updatedOld = l
+      .join(broadcast(remap), col("rep") === col("dnode"), "left")
+      .select(col("node"), coalesce(col("drep"), col("rep")).as("rep"))
+    // wave nodes never labeled before take their delta label directly
+    // (a contracted node is either an old root — already in l — or
+    // exactly such a node)
+    val newWaveNodes = waveNodes
+      .join(broadcast(lk.select(col("wn"))), Seq("wn"), "left_anti")
+    val waveNew = delta
+      .join(broadcast(newWaveNodes), col("dnode") === col("wn"),
+        "left_semi")
+      .select(col("dnode").as("node"), col("drep").as("rep"))
+    updatedOld.unionByName(waveNew)
+  }
 }

@@ -1094,6 +1094,45 @@ object LlmOps {
         |GROUP BY m.rep, m.n_docs, m.best_tokens
         |ORDER BY cluster_rep""".stripMargin)),
 
+    Q("d77_incremental_cc",
+      "Incremental near-dup clustering — the nightly label-maintenance " +
+        "shape (Dedup.incrementalCC): label the first half of the " +
+        "corpus (yesterday's run), then fold in only the NEW wave's " +
+        "pairs (every pair involving a second-half doc): the wave's " +
+        "endpoints CONTRACT onto the existing component roots via two " +
+        "label joins, connectedComponents runs on that wave-sized " +
+        "graph alone, and one recomposition join re-roots exactly the " +
+        "old components the wave touched. Output must equal d20's " +
+        "full-recompute clustering over the whole corpus — same " +
+        "recursive-CTE oracle verbatim. At 100 TB this is the d62 " +
+        "store economics applied to cluster labels: nightly CC cost " +
+        "tracks the wave, not the pair history.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cut = docs.count() / 2
+        val labels0 = Dedup.connectedComponents(
+          Dedup.candidatePairs(
+            Dedup.minhashBands(docs.filter(col("doc_id") < cut),
+              "doc_id", "text"),
+            "doc_id"))
+        val wavePairs = Dedup.candidatePairs(
+            Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+          .filter(col("d1") >= cut || col("d2") >= cut)
+        Dedup.incrementalCC(labels0, wavePairs)
+          .select(col("node").as("doc_id"), col("rep").as("cluster_rep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $neardupPairsCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id,
+        |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     Q("d26_salted_join",
       "Explicit skew-join salting: the fact side gets a deterministic " +
         "salt, the dim side replicates per salt, join on (key, salt) — " +

@@ -258,7 +258,8 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
 
     val needsSynth =
-      what != "skew" && what != "whale" && what != "maxscore"
+      what != "skew" && what != "whale" && what != "maxscore" &&
+      what != "incc"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -284,7 +285,7 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" | "maxscore" =>
+           "append" | "winnow" | "maxscore" | "incc" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -600,6 +601,62 @@ object Scale {
           s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
           s""""cc_rounds":${graft.operators.Dedup.lastCCIterations.get()},""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
+      }
+    }
+    // Incremental-CC arm (d77's economics at tier): yesterday's labels
+    // (untimed — they are a persisted artifact in the nightly shape)
+    // plus a 5% edge wave, measured against the full recompute over
+    // the union. The planted graph is the d61-style linear regime:
+    // pair chains of bounded length (edge i: 2i — 2i+1 plus every
+    // 20th edge bridging two pairs), so components stay small and
+    // both arms' outputs are checked identical by count + label sum.
+    if (what == "incc") {
+      import graft.operators.Dedup
+      for ((tier, nEdges) <- Seq(("1x", 500000L),
+          (s"${factor}x", 500000L * factor))) {
+        val all = spark.range(nEdges).select(
+          (col("id") * 2).as("d1"),
+          when(col("id") % 20 === 19, col("id") * 2 - 2)
+            .otherwise(col("id") * 2 + 1).as("d2"))
+        val cutoff = nEdges * 95 / 100
+        val w0 = all.filter(col("id") < lit(cutoff))
+          .select("d1", "d2").localCheckpoint()
+        val wave = all.filter(col("id") >= lit(cutoff))
+          .select("d1", "d2").localCheckpoint()
+        val labels0 = Dedup.connectedComponents(w0).localCheckpoint()
+        def run(tag: String)(thunk: () => org.apache.spark.sql.DataFrame)
+            : (Seq[Double], Double, Long, Long) = {
+          var chk = (-1L, -1L)
+          val samples = (1 to 2).map { _ =>
+            Thread.sleep(800)
+            metrics.read.set(0L); metrics.write.set(0L)
+            val t0 = System.nanoTime()
+            try {
+              val r = thunk().agg(count(lit(1)), sum(col("rep"))).head()
+              chk = (r.getLong(0), r.getLong(1))
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[scale] $tier incc $tag failed: ${e.getMessage}")
+              -1.0
+            }
+          }
+          Thread.sleep(800)
+          (samples, metrics.read.getAndSet(0L) / 1e6, chk._1, chk._2)
+        }
+        val (fS, fRd, fN, fSum) = run("full")(() =>
+          Dedup.connectedComponents(w0.unionAll(wave)))
+        val (iS, iRd, iN, iSum) = run("incr")(() =>
+          Dedup.incrementalCC(labels0, wave))
+        println(s"""{"tier":"$tier","query":"d77_incremental_cc",""" +
+          s""""n_edges":$nEdges,"wave_edges":${nEdges - cutoff},""" +
+          s""""full_samples":[${fS.map(fmt).mkString(",")}],""" +
+          s""""full_sec":${fmt(fS.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""full_shuffle_read_mb":${fmt(fRd)},""" +
+          s""""incr_samples":[${iS.map(fmt).mkString(",")}],""" +
+          s""""incr_sec":${fmt(iS.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
+          s""""incr_shuffle_read_mb":${fmt(iRd)},""" +
+          s""""labels_match":${fN == iN && fSum == iSum},""" +
+          s""""n_labels":$fN}""")
       }
     }
     // Whale-component probe (VERDICT r08 #2): one component holding 60%

@@ -932,6 +932,43 @@ class OperatorsSpec extends AnyFunSpec {
       }
   }
 
+  describe("Dedup.incrementalCC vs full recompute") {
+    // the nightly shape: label wave 0, fold in wave 1's edges, and the
+    // result must equal a full CC over the union — across regimes
+    // where the wave merges old components, attaches new nodes to old
+    // components, and forms brand-new components (including a new node
+    // BELOW an old root, which must re-root the old component).
+    for ((seed, nodes, e0, e1) <- Seq((5, 80, 60, 60), (21, 60, 90, 20),
+        (33, 100, 25, 75)))
+      it(s"matches connectedComponents over the union (seed $seed, " +
+          s"$nodes nodes, $e0+$e1 edges)") {
+        val rnd = new scala.util.Random(seed)
+        def wave(n: Int, lo: Int) = Seq.fill(n)(
+            (lo + rnd.nextInt(nodes - lo).toLong,
+              rnd.nextInt(nodes).toLong))
+          .filter { case (a, b) => a != b }
+        // wave 0 avoids the lowest ids so wave 1 can introduce nodes
+        // smaller than existing roots
+        val w0 = wave(e0, lo = 10)
+        val w1 = wave(e1, lo = 0)
+        val labels0 = Dedup.connectedComponents(w0.toDF("d1", "d2"))
+        val got = Dedup.incrementalCC(labels0, w1.toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        val full = Dedup.connectedComponents((w0 ++ w1).toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == full && full.nonEmpty)
+      }
+
+    it("an empty wave leaves the labeling untouched") {
+      val w0 = Seq((10L, 11L), (12L, 13L))
+      val labels0 = Dedup.connectedComponents(w0.toDF("d1", "d2"))
+      val got = Dedup.incrementalCC(labels0,
+        Seq.empty[(Long, Long)].toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == labels0.as[(Long, Long)].collect().toMap)
+    }
+  }
+
   describe("Sampling.packSequences vs prefix-sum reference") {
     it("matches per-bucket running offsets on seeded random token counts") {
       val rnd = new scala.util.Random(7)
