@@ -248,6 +248,70 @@ object Mining {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) +
         |      bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin))
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d78_suffix_array",
+      "Distributed suffix array by prefix doubling (Manber & Myers " +
+        "1990; graft.operators.SuffixArray) — the exact structure " +
+        "behind suffix-array corpus dedup (Lee et al. ACL'22), over " +
+        "DOCUMENT-LOCAL suffixes so matches never cross doc " +
+        "boundaries. One 64-char-tail seed sort replaces the first " +
+        "six doubling rounds; each later round is a self-equi-join " +
+        "on (doc_id, off+k) plus a dense re-rank via the " +
+        "sorted-distinct zipWithIndex prefix sum (never a " +
+        "single-task Window.orderBy); loop exits as soon as ranks " +
+        "individuate. The gate checks the FULL array: every " +
+        "(rank, doc_id, off) triple against DuckDB sorting the " +
+        "materialized suffix strings themselves.",
+      (s, dir) => graft.operators.SuffixArray
+        .build(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("rank").as("r"), col("doc_id"), col("off"))
+        .orderBy("r"),
+      Some("""WITH sfx AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(length(text) AS BIGINT))) AS off,
+        |    text FROM documents),
+        |s2 AS (SELECT doc_id, off,
+        |  substr(text, CAST(off + 1 AS INT)) AS s FROM sfx)
+        |SELECT CAST(row_number() OVER (ORDER BY s, doc_id, off) - 1
+        |         AS BIGINT) AS r,
+        |       doc_id, CAST(off AS BIGINT) AS off
+        |FROM s2 ORDER BY r""".stripMargin)),
+
+    Q("d79_sa_substring_dedup",
+      "EXACT substring dedup over the suffix array (Lee et al. " +
+        "ACL'22 §3 — the exact form of what d35/d70 approximate " +
+        "with gram hashes): a position is duplicated iff its suffix " +
+        "shares a >= 30-char prefix with another suffix anywhere in " +
+        "the corpus, which in suffix order is a property of the " +
+        "ADJACENT array entries alone — two rank-neighbor " +
+        "equi-joins on the kept 64-char tails, never a pairwise " +
+        "scan and no LCP recursion. Output: per-doc duplicated- " +
+        "position counts. The oracle recomputes the marks off " +
+        "DuckDB's own suffix sort with lag/lead prefix equality.",
+      (s, dir) => graft.operators.SuffixArray
+        .dupMarks(graft.operators.SuffixArray
+          .build(t(s, dir, "documents"), "doc_id", "text"), minLen = 30)
+        .groupBy("doc_id")
+        .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+          count(lit(1)).as("n_pos"))
+        .orderBy("doc_id"),
+      Some("""WITH sfx AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(length(text) AS BIGINT))) AS off,
+        |    text FROM documents),
+        |s2 AS (SELECT doc_id, off,
+        |  substr(text, CAST(off + 1 AS INT)) AS s FROM sfx),
+        |ord AS (SELECT doc_id, off, s,
+        |  row_number() OVER (ORDER BY s, doc_id, off) AS rn FROM s2),
+        |marked AS (SELECT doc_id,
+        |  (substr(s, 1, 30) = substr(lag(s)  OVER (ORDER BY rn), 1, 30)
+        |   OR
+        |   substr(s, 1, 30) = substr(lead(s) OVER (ORDER BY rn), 1, 30))
+        |  AND length(s) >= 30 AS dup FROM ord)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  count(*) AS n_pos
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

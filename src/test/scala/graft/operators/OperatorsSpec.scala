@@ -932,6 +932,54 @@ class OperatorsSpec extends AnyFunSpec {
       }
   }
 
+  describe("SuffixArray vs brute-force suffix sort") {
+    // seeded random small-alphabet strings — tiny seedLen values force
+    // multiple doubling rounds and full-suffix ties (equal docs), the
+    // two regimes where prefix doubling can go wrong
+    for ((seed, n, len, seedLen) <- Seq((1, 6, 40, 4), (2, 10, 25, 2),
+        (3, 4, 70, 64)))
+      it(s"matches on seed $seed ($n docs, len<=$len, seedLen=$seedLen)") {
+        val rnd = new scala.util.Random(seed)
+        val texts = (0L until n.toLong).map { i =>
+          // doc n-1 duplicates doc 0: planted full-suffix ties
+          if (i == n - 1) (i, "") else
+            (i, Seq.fill(1 + rnd.nextInt(len))(
+              ('a' + rnd.nextInt(3)).toChar).mkString)
+        }
+        val fixed = texts.map { case (i, t) =>
+          if (i == n - 1) (i, texts.head._2) else (i, t) }
+        val got = SuffixArray
+          .build(fixed.toDF("doc_id", "text"), "doc_id", "text", seedLen)
+          .select("rank", "doc_id", "off")
+          .as[(Long, Long, Long)].collect().sortBy(_._1)
+        val want = fixed.flatMap { case (i, t) =>
+          (0 until t.length).map(o => (t.substring(o), i, o.toLong)) }
+          .sortBy { case (s, i, o) => (s, i, o) }
+          .zipWithIndex
+          .map { case ((_, i, o), r) => (r.toLong, i, o) }
+        assert(got.toSeq == want)
+      }
+
+    it("dupMarks flags exactly the positions sharing a >=L prefix") {
+      val df = Seq((0L, "abcabcabcxyz"), (1L, "zzzabcabcabc"))
+        .toDF("doc_id", "text")
+      val got = SuffixArray.dupMarks(
+          SuffixArray.build(df, "doc_id", "text", seedLen = 8), minLen = 5)
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (d, o, dup) => (d, o) -> dup }.toMap
+      // brute force: suffix shares a >=5-char prefix with ANY other
+      val sfx = Seq((0L, "abcabcabcxyz"), (1L, "zzzabcabcabc"))
+        .flatMap { case (i, t) =>
+          (0 until t.length).map(o => (i, o.toLong, t.substring(o))) }
+      val want = sfx.map { case (i, o, s) =>
+        (i, o) -> (s.length >= 5 && sfx.exists { case (j, p, u) =>
+          (j, p) != (i, o) && u.length >= 5 &&
+            u.substring(0, 5) == s.substring(0, 5) })
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   describe("Dedup.incrementalCC vs full recompute") {
     // the nightly shape: label wave 0, fold in wave 1's edges, and the
     // result must equal a full CC over the union — across regimes
