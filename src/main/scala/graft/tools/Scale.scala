@@ -259,7 +259,7 @@ object Scale {
 
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
-      what != "incc"
+      what != "incc" && what != "sa"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -285,7 +285,7 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" | "maxscore" | "incc" =>
+           "append" | "winnow" | "maxscore" | "incc" | "sa" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -657,6 +657,55 @@ object Scale {
           s""""incr_shuffle_read_mb":${fmt(iRd)},""" +
           s""""labels_match":${fN == iN && fSum == iSum},""" +
           s""""n_labels":$fN}""")
+      }
+    }
+    // Suffix-array arm (d78's economics at tier): word-soup docs from
+    // a 24-word vocab (heavy repeated substrings — the doubling-round
+    // worst case: many positions share long prefixes, so ranks
+    // individuate late) at 1x/10x/30x of the sf0.01 character volume.
+    // Evidence per tier: build wall + shuffle, the round count implied
+    // by maxLen, and two distributed invariants — ranks are a
+    // permutation (distinct ranks == positions) and adjacent tails
+    // are non-decreasing in rank order (the local sortedness the
+    // sf0.01 DuckDB gate proves globally).
+    if (what == "sa") {
+      import graft.operators.SuffixArray
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast",
+        "table", "value", "part", "hash", "merge", "batch", "spark",
+        "order", "data", "column", "join", "small", "line", "customer",
+        "query", "window", "group", "vector")
+      val vocabCol = array(vocab.map(lit): _*)
+      for ((tier, nDocs) <- Seq(("1x", 500L), (s"${factor}x",
+          500L * factor))) {
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(50)),
+            j => element_at(vocabCol,
+              (pmod(hash(col("id") * 100 + j), lit(24)) + 1)
+                .cast("int")))).as("text"))
+          .localCheckpoint()
+        val nChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+        val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.write.set(0L)
+        val t0 = System.nanoTime()
+        val sa = SuffixArray.build(docs, "doc_id", "text")
+          .localCheckpoint()
+        val n = sa.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        // invariants (untimed)
+        val distinctRanks = sa.select("rank").distinct().count()
+        val nxt = sa.select((col("rank") - 1).as("rank"),
+          col("tail").as("tailNext"))
+        val inversions = sa.join(nxt, Seq("rank"))
+          .filter(col("tail") > col("tailNext")).count()
+        println(s"""{"tier":"$tier","query":"d78_suffix_array",""" +
+          s""""n_docs":$nDocs,"n_positions":$n,"n_chars":$nChars,""" +
+          s""""max_doc_len":$maxLen,""" +
+          s""""build_sec":${fmt(sec)},"shuffle_read_mb":${fmt(rd)},""" +
+          s""""rank_permutation":${distinctRanks == n},""" +
+          s""""adjacent_inversions":$inversions}""")
       }
     }
     // Whale-component probe (VERDICT r08 #2): one component holding 60%
