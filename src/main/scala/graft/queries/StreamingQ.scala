@@ -1589,6 +1589,128 @@ object StreamingQ {
       Some("""SELECT COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    Q("w31_streaming_semdedup_gate",
+      "Streaming SEMANTIC near-dup admission — d36's SemDeDup as live " +
+        "ingest (graft.streaming.TwsSemGate), completing the gate " +
+        "pair: w24 gates on MinHash band buckets, w31 on embedding " +
+        "sign-LSH cells. A TTL'd ListState per cell holds the " +
+        "ADMITTED vectors; an arrival is admitted iff no stored " +
+        "cell-mate reaches cosine 0.35, and only admitted vectors " +
+        "enter the state — the online greedy an ingest gate must be " +
+        "(it cannot retract). State is bounded GEOMETRICALLY: each " +
+        "cell's list is a theta-packing of its sphere sector, sized " +
+        "by theta and the dimension, never by vectors seen. The " +
+        "embedding streams as ARRAY<FLOAT> (json round-trips floats " +
+        "exactly; parsing as double would change the values) and " +
+        "widens after parse, so cosines match the oracle bit-for-bit. " +
+        "The oracle replays the greedy in SQL: a recursive CTE walks " +
+        "each cell in id order carrying the admitted list, using " +
+        "list_intersect against precomputed over-threshold pairs.",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val Sim = graft.operators.Similarity
+          val emb = Tables.t(s, dir, "embeddings")
+          val expected = emb.count()
+          val (stream, cleanup) = jsonStream(s,
+            emb.select(
+              to_json(struct(col("vec_id"), col("embedding"))).as("value")),
+            "vec_id LONG, embedding ARRAY<FLOAT>")
+          import s.implicits._
+          val routed = stream.select(
+              Sim.signBucket(col("embedding"), 4).as("bucket"),
+              col("vec_id"),
+              Sim.asDouble(col("embedding")).as("v"))
+            .as[(String, Long, Array[Double])]
+          val qname = s"graft_w31_${System.nanoTime()}"
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  if (e.progress.numInputRows > 0) dataBatches.incrementAndGet()
+                  consumed.addAndGet(e.progress.numInputRows); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = graft.streaming.TwsSemGate.perCell(routed)
+              .toDF("vec_id", "admitted")
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("update")
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+            while (consumed.get() < expected &&
+                q.exception.isEmpty && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            q.exception.foreach(throw _)
+            require(consumed.get() >= expected,
+              s"w31: stream did not consume $expected rows within 120s")
+            q.stop()
+            q.awaitTermination()
+            // the greedy-by-id oracle is the gate's semantics only when
+            // everything arrives in ONE data batch (the w24 discipline)
+            require(dataBatches.get() == 1,
+              s"w31: expected a single data batch, saw ${dataBatches.get()}")
+          } finally s.streams.removeListener(listener)
+          cleanup()
+          s.table(qname)
+            .select(col("vec_id"), col("admitted"))
+            .orderBy("vec_id")
+            .localCheckpoint()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      },
+      Some {
+        val bucket = (1 to 4).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        def cos(x: String, y: String) =
+          s"""(
+            |  list_reduce(list_transform(generate_series(1, len($x)),
+            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
+            .stripMargin
+        s"""WITH RECURSIVE e AS (
+          |  SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    $bucket AS bucket FROM embeddings),
+          |r AS (SELECT id, bucket, v,
+          |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+          |  FROM e),
+          |p AS (SELECT a.bucket, a.id AS lo, b.id AS hi FROM r a JOIN r b
+          |  ON a.bucket = b.bucket AND a.id < b.id
+          |  WHERE ${cos("a.v", "b.v")} >= 0.35),
+          |pn AS (SELECT bucket, hi, list(lo) AS los FROM p
+          |  GROUP BY bucket, hi),
+          |rc AS (SELECT r.id, r.bucket, r.rn,
+          |  coalesce(pn.los, CAST([] AS BIGINT[])) AS los
+          |  FROM r LEFT JOIN pn ON pn.hi = r.id AND pn.bucket = r.bucket),
+          |g(bucket, rn, adm) AS (
+          |  SELECT bucket, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+          |  FROM (SELECT DISTINCT bucket FROM r)
+          |  UNION ALL
+          |  SELECT g.bucket, g.rn + 1,
+          |    CASE WHEN len(list_intersect(g.adm, c.los)) > 0 THEN g.adm
+          |         ELSE list_append(g.adm, c.id) END
+          |  FROM g JOIN rc c ON c.bucket = g.bucket AND c.rn = g.rn + 1),
+          |fin AS (SELECT bucket, adm FROM g
+          |  QUALIFY rn = max(rn) OVER (PARTITION BY bucket))
+          |SELECT r.id AS vec_id, list_contains(f.adm, r.id) AS admitted
+          |FROM r JOIN fin f USING (bucket) ORDER BY vec_id""".stripMargin
+      })
   )
 }

@@ -358,6 +358,82 @@ class StreamingSpec extends AnyFunSpec {
     }
   }
 
+  describe("TwsSemGate.perCell (TTL'd admitted-vector state)") {
+    // the ONLINE-greedy property that distinguishes the gate from
+    // d36's batch rule: a REJECTED vector never enters the state, so a
+    // later vector similar only to a rejected one is admitted; and
+    // admission re-opens after the TTL ages the cell out.
+    it("gates on admitted vectors only, and re-admits after TTL") {
+      val tmp = Files.createTempDirectory("graft-semgate-ttl")
+      val in = tmp.resolve("in"); Files.createDirectories(in)
+      val stage = tmp.resolve("stage"); Files.createDirectories(stage)
+      val cp = Files.createTempDirectory("graft-semgate-cp").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val seen =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+        val rows = spark.readStream
+          .schema("b STRING, d LONG, v ARRAY<DOUBLE>").json(in.toString)
+          .select($"b", $"d", $"v").as[(String, Long, Array[Double])]
+        val q = graft.streaming.TwsSemGate
+          .perCell(rows, theta = 0.35,
+            ttl = java.time.Duration.ofSeconds(2))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[(Long, Boolean)], _: Long) =>
+              seen.synchronized { seen ++= b.collect() }; ()
+          }
+          .outputMode("update").option("checkpointLocation", cp)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+        def put(name: String, lines: String): Unit = {
+          val f = stage.resolve(name)
+          Files.writeString(f, lines)
+          Files.move(f, in.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
+        }
+        def waitFor(n: Int): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (seen.synchronized(seen.size) < n && q.exception.isEmpty &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(throw _)
+          assert(seen.synchronized(seen.size) >= n)
+        }
+        // one cell; unit vectors at 0deg/60deg/120deg/5deg:
+        // cos(A,B)=0.5>=0.35, cos(A,X)=-0.5, cos(B,X)=0.5
+        // batch 1: A admitted; B rejected (hits A)
+        put("b1.json",
+          """{"b":"c","d":100,"v":[1.0,0.0]}""" + "\n" +
+            """{"b":"c","d":150,"v":[0.5,0.8660254]}""" + "\n")
+        waitFor(2)
+        assert(seen.synchronized(seen.toSet) ==
+          Set((100L, true), (150L, false)))
+        // batch 2: X hits ONLY the rejected B -> admitted (B never
+        // entered the state; d36's batch any-earlier rule would say no)
+        seen.synchronized(seen.clear())
+        put("b2.json",
+          """{"b":"c","d":50,"v":[-0.5,0.8660254]}""" + "\n")
+        waitFor(1)
+        assert(seen.synchronized(seen.toSet) == Set((50L, true)))
+        // state {A, X} ages out (TTL 2 s) -> Y at 5deg from A admitted
+        Thread.sleep(3000)
+        seen.synchronized(seen.clear())
+        put("b3.json",
+          """{"b":"c","d":200,"v":[0.9961947,0.08715574]}""" + "\n")
+        waitFor(1)
+        assert(seen.synchronized(seen.toSet) == Set((200L, true)))
+        q.stop(); q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   describe("TwsTopK.perKey (transformWithState, ListState + ValueState)") {
     it("keeps an O(k) top-k list per key across micro-batches") {
       val in = Files.createTempDirectory("graft-twstk-in").toString
