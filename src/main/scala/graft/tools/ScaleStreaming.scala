@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -51,6 +51,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    the persisted term index via foreachBatch scoring over a cached
   *    index slice; queries over the corpus's COMMON words, so
   *    sustainable qps is a lower bound (per-query work ~ Σ df).
+  *  - `sem_gate` — w31's shape: the SemDeDup gate's GEOMETRIC state
+  *    bound. TTL far longer than the probe, so the admitted-vector
+  *    count can only plateau if the θ-packing saturates — it does
+  *    (admitted_cum bends flat while rows_seen_cum climbs linearly).
   *
   * Usage: runMain graft.tools.ScaleStreaming [rowsPerSec] [secs] [keys]
   *   [probe,probe,...|all]
@@ -139,8 +143,8 @@ object ScaleStreaming {
     val keys = args.drop(2).headOption.map(_.toLong).getOrElse(10000L)
     // 4th arg: comma-separated probe subset (session_window,
     // dedup_watermark, tws_ttl, lsh_gate, interval_join, restart,
-    // restart_interval, ann_serve, store_gate, bm25_serve) or
-    // "all" (default).
+    // restart_interval, ann_serve, store_gate, bm25_serve, sem_gate)
+    // or "all" (default).
     val what = args.drop(3).headOption.getOrElse("all")
     def want(name: String): Boolean =
       what == "all" || what.split(",").contains(name)
@@ -231,6 +235,59 @@ object ScaleStreaming {
       gate.writeStream.format("noop")
         .option("checkpointLocation", ckpt("gate"))
         .outputMode("update").start(), secs))
+    }
+
+    // w31's shape: the semantic (SemDeDup) gate's GEOMETRIC state
+    // bound, measured. Pseudo-random unit-ish vectors in R^6 stream
+    // at rate into 16 sign cells with a TTL far longer than the probe
+    // — so state can only stop growing if the geometry stops it: each
+    // cell's admitted list is a theta-packing of its sector, and once
+    // it approximates a maximal packing, every later arrival is
+    // within theta of a stored vector and is rejected WITHOUT
+    // entering state. The series should bend to a plateau while rows
+    // processed keep climbing linearly — state bounded by (theta,
+    // dim, cells), never by vectors seen. (The TwsLshGate plateau
+    // above is TEMPORAL — TTL horizon; this one is geometric.)
+    if (want("sem_gate")) {
+    val dims = 6
+    val semVecs = src.select(
+        concat((1 to 4).map(i =>
+          when(pmod(xxhash64(col("value"), lit(100 + i)), lit(2)) === 0,
+            "1").otherwise("0")): _*).as("_1"),
+        col("value").as("_2"),
+        array((0 until dims).map(i =>
+          ((pmod(xxhash64(col("value"), lit(i)), lit(2000001L)) -
+            lit(1000000L)) / lit(1000000.0))): _*).as("_3"))
+      .as[(String, Long, Array[Double])]
+    val sem = graft.streaming.TwsSemGate
+      .perCell(semVecs, theta = 0.35,
+        ttl = java.time.Duration.ofMinutes(30))
+      .toDF("vec_id", "admitted")
+    // numRowsTotal counts grouping KEYS (the 16 cells), not ListState
+    // entries — the geometric bound is visible in the ADMITTED count,
+    // so the sink tallies per-batch admissions
+    val admByBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]
+    report("sem_gate", rate, 16L, drive(
+      sem.writeStream
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          val r = b.agg(
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("a"),
+            count(lit(1)).as("n")).head()
+          admByBatch.put(id,
+            (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", ckpt("sem"))
+        .outputMode("update").start(), secs))
+    import scala.jdk.CollectionConverters._
+    val ordered = admByBatch.asScala.toSeq.sortBy(_._1).map(_._2)
+    val admCum = ordered.scanLeft(0L)(_ + _._1).drop(1)
+    val rowCum = ordered.scanLeft(0L)(_ + _._2).drop(1)
+    println(s"""{"probe":"sem_gate_admitted","rate_rps":$rate,""" +
+      s""""theta":0.35,"dims":$dims,"cells":16,""" +
+      s""""rows_seen_cum":[${rowCum.mkString(",")}],""" +
+      s""""admitted_cum":[${admCum.mkString(",")}]}""")
     }
 
     if (want("interval_join")) intervalJoinProbe(spark, rate, keys, secs)
