@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary TRAINING (Sennrich, Haddow & Birch, ACL 2016) — the
+  * learn-the-tokenizer-from-the-corpus pass (d25 applies a BPE-ish
+  * segmentation; this learns the merge table itself).
+  *
+  * Classic formulation: train on word TYPES weighted by corpus
+  * frequency. The corpus is touched exactly once (the word count);
+  * every merge round after that runs on the VOCABULARY-sized symbol
+  * table — at 100 TB the corpus scan is the only corpus-scale stage,
+  * and the loop's working set is bounded by distinct words.
+  *
+  * Symbol sequences are DOUBLE-space-joined strings, and a merge
+  * round applies the winning pair (A,B) with one literal `replace`
+  * of `' A  B '` by `' AB '` over `'  '+s+'  '`. The delimiter
+  * doubling is what makes string replace EXACTLY BPE's greedy: each
+  * match consumes one of the two spaces on either side and the
+  * replacement restores it, so consecutive disjoint occurrences
+  * ("a b a b" with A≠B) all fuse, while overlapping self-pair runs
+  * ("a a a a a" with A==B) fuse at the odd positions only —
+  * left-to-right non-overlapping, which is Sennrich's merge order.
+  * (With single spaces the shared delimiter is consumed and every
+  * other disjoint occurrence is silently skipped — caught by the
+  * reference-implementation spec, kept here as a warning.) The same
+  * builtin exists in DuckDB with the same scan semantics, so the
+  * oracle replays training exactly. Word-internal merges only (no
+  * end-of-word marker — documented divergence from the reference
+  * implementation's `</w>`; the marker is a constant extra symbol,
+  * not a structural change).
+  *
+  * Per round: one vocab-sized pair explode + hash agg, ONE driver
+  * scalar (the argmax pair — ties broken count DESC then pair ASC so
+  * training is deterministic), one vocab-sized replace. Driver state
+  * is the merge table itself — `nMerges` rows. */
+object BpeTrain {
+
+  /** Learn `nMerges` merges; returns `(step, pair, n)` — the merge
+    * table in training order with each pair's corpus-weighted count. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var cur = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws("  ",
+        array_remove(split(col("w"), ""), "")).as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // single-symbol words carry no pairs; Spark's sequence(1, 0)
+      // would DESCEND, so filter rather than rely on an empty range
+      val top = cur
+        .select(col("cnt"), split(col("s"), "  ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("l")) - 1),
+          k => concat(element_at(col("l"), k), lit(" "),
+            element_at(col("l"), k + 1)))).as("p"))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("p").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top(0).getString(0)
+        merges += ((step, p, top(0).getLong(1)))
+        val Array(a, b) = p.split(" ", 2)
+        cur = cur.select(trim(replace(
+            concat(lit("  "), col("s"), lit("  ")),
+            lit(" " + a + "  " + b + " "),
+            lit(" " + a + b + " "))).as("s"), col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "pair", "n")
+  }
+}

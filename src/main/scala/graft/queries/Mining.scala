@@ -312,6 +312,54 @@ object Mining {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  count(*) AS n_pos
-        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("d80_bpe_train",
+      "BPE vocabulary TRAINING (Sennrich et al. ACL 2016; " +
+        "graft.operators.BpeTrain): learn the tokenizer's merge table " +
+        "from the corpus — 8 rounds of corpus-weighted pair argmax " +
+        "(ties count DESC then pair ASC) + greedy merge apply. The " +
+        "corpus is scanned ONCE (word counts); every round after runs " +
+        "on the vocabulary-sized symbol table, and the merge applies " +
+        "as a literal left-to-right string replace — which IS BPE's " +
+        "non-overlapping greedy order and exists identically in " +
+        "DuckDB, so the oracle replays the whole training loop as 8 " +
+        "chained MATERIALIZED CTE stages and must reproduce the merge " +
+        "table bit-for-bit.",
+      (s, dir) => graft.operators.BpeTrain
+        .train(t(s, dir, "documents"), "text", nMerges = 8)
+        .orderBy("step"),
+      Some {
+        def stage(i: Int): String = {
+          val prev = s"r${i - 1}"
+          s"""pc$i AS MATERIALIZED (
+            |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+            |      k -> l[k] || ' ' || l[k+1])) AS p, cnt
+            |    FROM (SELECT string_split(s, '  ') AS l, cnt FROM $prev))
+            |  GROUP BY p),
+            |b$i AS MATERIALIZED (
+            |  SELECT p, n FROM pc$i ORDER BY n DESC, p ASC LIMIT 1),
+            |r$i AS MATERIALIZED (
+            |  SELECT trim(replace('  ' || s || '  ',
+            |    ' ' || split_part((SELECT p FROM b$i), ' ', 1) || '  ' ||
+            |      split_part((SELECT p FROM b$i), ' ', 2) || ' ',
+            |    ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '))
+            |    AS s, cnt
+            |  FROM $prev)""".stripMargin
+        }
+        val k = 8
+        s"""WITH r0 AS MATERIALIZED (
+          |  SELECT array_to_string(string_split(w, ''), '  ') AS s,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |        FROM documents)
+          |  WHERE length(w) > 0 GROUP BY w),
+          |${(1 to k).map(stage).mkString(",\n")}
+          |${(1 to k).map(i => s"SELECT $i AS step, " +
+            s"(SELECT p FROM b$i) AS pair, (SELECT n FROM b$i) AS n")
+            .mkString("\nUNION ALL\n")}
+          |ORDER BY step""".stripMargin
+      })
   )
 }

@@ -932,6 +932,48 @@ class OperatorsSpec extends AnyFunSpec {
       }
   }
 
+  describe("BpeTrain vs reference greedy BPE") {
+    // plain-Scala reference: Sennrich's algorithm on word types
+    def refBpe(texts: Seq[String], k: Int): Seq[(Int, String, Long)] = {
+      var vocab = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => (w.toList.map(_.toString), c) }.toList
+      (1 to k).flatMap { step =>
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p =>
+            pairs(p) = pairs.getOrElse(p, 0L) + c) }
+        if (pairs.isEmpty) None
+        else {
+          val ((a, b), n) = pairs.toSeq
+            .minBy { case ((a, b), n) => (-n, a + " " + b) }
+          vocab = vocab.map { case (syms, c) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toList, c)
+          }
+          Some((step, a + " " + b, n))
+        }
+      }
+    }
+
+    for ((name, texts, k) <- Seq(
+        ("the classic low/lower corpus",
+          Seq("low low low low low lower lower newest newest newest " +
+            "newest newest newest widest widest widest"), 6),
+        ("repeat-heavy ties", Seq("aaab aaab abab", "bbaa aaa aa"), 5)))
+      it(s"matches on $name") {
+        val got = BpeTrain.train(texts.toDF("text"), "text", k)
+          .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+        assert(got == refBpe(texts, k))
+      }
+  }
+
   describe("SuffixArray vs brute-force suffix sort") {
     // seeded random small-alphabet strings — tiny seedLen values force
     // multiple doubling rounds and full-suffix ties (equal docs), the
