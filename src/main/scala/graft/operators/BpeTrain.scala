@@ -81,4 +81,32 @@ object BpeTrain {
     }
     merges.toSeq.toDF("step", "pair", "n")
   }
+
+  /** APPLY a learned merge table: segment every word type by
+    * replaying the merges in training order (inference = the same
+    * greedy replace as training — BPE's defining property), then
+    * count tokens per document by joining word instances back to
+    * their type's segmentation. The merge table is a bounded driver
+    * artifact (`nMerges` strings); the corpus is touched twice (word
+    * instances, join-back) and the replay runs on word TYPES.
+    * Returns `(doc_id, n_tokens)` — post-BPE token counts. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[String]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var seg = words.select(col("w")).distinct()
+      .select(col("w"), concat_ws("  ",
+        array_remove(split(col("w"), ""), "")).as("s"))
+    merges.foreach { p =>
+      val Array(a, b) = p.split(" ", 2)
+      seg = seg.select(col("w"), trim(replace(
+        concat(lit("  "), col("s"), lit("  ")),
+        lit(" " + a + "  " + b + " "),
+        lit(" " + a + b + " "))).as("s"))
+    }
+    words.join(seg.select(col("w"),
+        size(split(col("s"), "  ")).cast("long").as("toks")), "w")
+      .groupBy(idCol).agg(sum("toks").as("n_tokens"))
+  }
 }

@@ -360,6 +360,63 @@ object Mining {
             s"(SELECT p FROM b$i) AS pair, (SELECT n FROM b$i) AS n")
             .mkString("\nUNION ALL\n")}
           |ORDER BY step""".stripMargin
+      }),
+
+    Q("d81_bpe_tokenize",
+      "BPE tokenization with the LEARNED merge table — d80's apply " +
+        "phase (BpeTrain.tokenCounts), closing the train-then-encode " +
+        "loop: train 8 merges on the corpus (bounded driver " +
+        "artifact), replay them in training order over word TYPES " +
+        "with the same double-space greedy replace (BPE inference IS " +
+        "training replay — its defining property), then join word " +
+        "instances back to their type's segmentation and sum tokens " +
+        "per document. The oracle re-trains AND re-applies in one CTE " +
+        "chain, so a drift anywhere in train or apply fails the gate.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeTrain
+          .train(docs, "text", nMerges = 8)
+          .orderBy("step").select("pair")
+          .collect().map(_.getString(0)).toSeq
+        graft.operators.BpeTrain
+          .tokenCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some {
+        def stage(i: Int): String = {
+          val prev = s"r${i - 1}"
+          s"""pc$i AS MATERIALIZED (
+            |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+            |      k -> l[k] || ' ' || l[k+1])) AS p, cnt
+            |    FROM (SELECT string_split(s, '  ') AS l, cnt FROM $prev))
+            |  GROUP BY p),
+            |b$i AS MATERIALIZED (
+            |  SELECT p, n FROM pc$i ORDER BY n DESC, p ASC LIMIT 1),
+            |r$i AS MATERIALIZED (
+            |  SELECT w, trim(replace('  ' || s || '  ',
+            |    ' ' || split_part((SELECT p FROM b$i), ' ', 1) || '  ' ||
+            |      split_part((SELECT p FROM b$i), ' ', 2) || ' ',
+            |    ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '))
+            |    AS s, cnt
+            |  FROM $prev)""".stripMargin
+        }
+        val k = 8
+        s"""WITH r0 AS MATERIALIZED (
+          |  SELECT w, array_to_string(string_split(w, ''), '  ') AS s,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |        FROM documents)
+          |  WHERE length(w) > 0 GROUP BY w),
+          |${(1 to k).map(stage).mkString(",\n")}
+          |SELECT d.doc_id,
+          |  CAST(SUM(len(string_split(r$k.s, '  '))) AS BIGINT)
+          |    AS n_tokens
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |      FROM documents) d
+          |JOIN r$k ON d.w = r$k.w
+          |WHERE length(d.w) > 0
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
       })
   )
 }

@@ -972,6 +972,35 @@ class OperatorsSpec extends AnyFunSpec {
           .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
         assert(got == refBpe(texts, k))
       }
+
+    it("tokenCounts = reference segmentation lengths per doc") {
+      val texts = Seq("aaab aaab abab", "bbaa aaa aa", "ab aaab b")
+      val merges = refBpe(texts, 4).map(_._2)
+      def segLen(w: String): Int = {
+        var syms = w.toList.map(_.toString)
+        merges.foreach { p =>
+          val Array(a, b) = p.split(" ", 2)
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toList
+        }
+        syms.length
+      }
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.split(" ").filter(_.nonEmpty).map(segLen).sum.toLong) }
+        .toMap
+      val got = BpeTrain.tokenCounts(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", merges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
   }
 
   describe("SuffixArray vs brute-force suffix sort") {
