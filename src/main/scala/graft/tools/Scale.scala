@@ -259,7 +259,7 @@ object Scale {
 
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
-      what != "incc" && what != "sa"
+      what != "incc" && what != "sa" && what != "bpe"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -285,7 +285,7 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" | "maxscore" | "incc" | "sa" =>
+           "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -706,6 +706,49 @@ object Scale {
           s""""build_sec":${fmt(sec)},"shuffle_read_mb":${fmt(rd)},""" +
           s""""rank_permutation":${distinctRanks == n},""" +
           s""""adjacent_inversions":$inversions}""")
+      }
+    }
+    // BPE-training arm (d80's economics at tier): the claim is that
+    // the corpus is touched ONCE (the word-type count) and every merge
+    // round runs on the VOCABULARY-sized symbol table — so train time
+    // beyond the scan should be flat in corpus size (the word-soup
+    // vocab is constant across tiers). Compare full train(8) against
+    // the word-count scan alone.
+    if (what == "bpe") {
+      import graft.operators.BpeTrain
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast",
+        "table", "value", "part", "hash", "merge", "batch", "spark",
+        "order", "data", "column", "join", "small", "line", "customer",
+        "query", "window", "group", "vector")
+      val vocabCol = array(vocab.map(lit): _*)
+      for ((tier, nDocs) <- Seq(("1x", 500L), (s"${factor}x",
+          500L * factor))) {
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(50)),
+            j => element_at(vocabCol,
+              (pmod(hash(col("id") * 100 + j), lit(24)) + 1)
+                .cast("int")))).as("text"))
+          .localCheckpoint()
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.write.set(0L)
+        var t0 = System.nanoTime()
+        val nTypes = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1))).count()
+        val scanSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val table = BpeTrain.train(docs, "text", nMerges = 8)
+          .orderBy("step").select("pair", "n")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val rd = metrics.read.getAndSet(0L) / 1e6
+        println(s"""{"tier":"$tier","query":"d80_bpe_train",""" +
+          s""""n_docs":$nDocs,"n_word_types":$nTypes,""" +
+          s""""scan_sec":${fmt(scanSec)},"train_sec":${fmt(trainSec)},""" +
+          s""""shuffle_read_mb":${fmt(rd)},""" +
+          s""""first_merge":"${table.head._1}","first_n":${table.head._2}}""")
       }
     }
     // Whale-component probe (VERDICT r08 #2): one component holding 60%
