@@ -1711,6 +1711,145 @@ object StreamingQ {
           |  QUALIFY rn = max(rn) OVER (PARTITION BY bucket))
           |SELECT r.id AS vec_id, list_contains(f.adm, r.id) AS admitted
           |FROM r JOIN fin f USING (bucket) ORDER BY vec_id""".stripMargin
+      }),
+
+    Q("w32_streaming_semdedup_gate_multibatch",
+      "The w31 gate's TRUE cross-batch semantics, oracled — the w26 " +
+        "discipline applied to the semantic gate: vectors arrive in " +
+        "three data batches in an order DIFFERENT from id order " +
+        "(wave = vec_id % 3, each wave ATOMIC_MOVE'd in only after " +
+        "the previous is consumed), so a vector can be rejected by a " +
+        "LATER-id cell-mate that arrived in an earlier wave, and a " +
+        "vector similar only to same-cell vectors of LATER waves is " +
+        "admitted. The greedy admitted set accumulates across batches " +
+        "(intra-batch in id order); the oracle's recursive CTE walks " +
+        "each cell in (wave, id) order — arrival order — instead of " +
+        "w31's plain id order.",
+      (s, dir) => {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w32").toString
+        try {
+          val Sim = graft.operators.Similarity
+          val emb = Tables.t(s, dir, "embeddings")
+          val waveLines: Seq[Array[String]] = (0 until 3).map { w =>
+            emb.filter(col("vec_id") % 3 === w)
+              .select(to_json(struct(col("vec_id"), col("embedding"))))
+              .collect().map(_.getString(0))
+          }
+          val in = java.nio.file.Paths.get(tmp, "in")
+          val stage = java.nio.file.Paths.get(tmp, "stage")
+          java.nio.file.Files.createDirectories(in)
+          java.nio.file.Files.createDirectories(stage)
+          import s.implicits._
+          val routed = s.readStream
+            .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+            .select(
+              Sim.signBucket(col("embedding"), 4).as("bucket"),
+              col("vec_id"),
+              Sim.asDouble(col("embedding")).as("v"))
+            .as[(String, Long, Array[Double])]
+          val qname = s"graft_w32_${System.nanoTime()}"
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val dataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                if (e.progress.name == qname) {
+                  if (e.progress.numInputRows > 0) dataBatches.incrementAndGet()
+                  consumed.addAndGet(e.progress.numInputRows); ()
+                }
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            }
+          s.streams.addListener(listener)
+          try {
+            val q = graft.streaming.TwsSemGate.perCell(routed)
+              .toDF("vec_id", "admitted")
+              .writeStream.format("memory").queryName(qname)
+              .outputMode("update")
+              .trigger(Trigger.ProcessingTime("100 milliseconds"))
+              .start()
+            var cum = 0L
+            waveLines.zipWithIndex.foreach { case (lines, w) =>
+              val f = stage.resolve(s"wave$w.json")
+              java.nio.file.Files.write(f,
+                lines.mkString("\n").getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+              java.nio.file.Files.move(f, in.resolve(s"wave$w.json"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              cum += lines.length
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              while (consumed.get() < cum && q.exception.isEmpty &&
+                  System.nanoTime() < deadline)
+                Thread.sleep(100)
+              q.exception.foreach(throw _)
+              require(consumed.get() >= cum,
+                s"w32: wave $w not consumed ($cum rows) within 120s")
+            }
+            q.stop()
+            q.awaitTermination()
+            val nonEmpty = waveLines.count(_.nonEmpty)
+            require(dataBatches.get() >= nonEmpty,
+              s"w32: expected >= $nonEmpty data batches (one per wave), " +
+                s"saw ${dataBatches.get()} — waves collapsed into one " +
+                "batch, so the multi-batch regime was not exercised")
+          } finally s.streams.removeListener(listener)
+          s.table(qname)
+            .select(col("vec_id"), col("admitted"))
+            .orderBy("vec_id")
+            .localCheckpoint()
+        } finally {
+          prevProv match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None    => s.conf.unset(provKey)
+          }
+          Rm.rf(tmp)
+        }
+      },
+      Some {
+        val bucket = (1 to 4).map(i =>
+          s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        def cos(x: String, y: String) =
+          s"""(
+            |  list_reduce(list_transform(generate_series(1, len($x)),
+            |    i -> $x[i] * $y[i]), (p,qq) -> p + qq) /
+            |  (sqrt(list_reduce(list_transform($x, z -> z * z), (p,qq) -> p + qq)) *
+            |   sqrt(list_reduce(list_transform($y, z -> z * z), (p,qq) -> p + qq))))"""
+            .stripMargin
+        s"""WITH RECURSIVE e AS (
+          |  SELECT vec_id AS id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    $bucket AS bucket FROM embeddings),
+          |r AS (SELECT id, bucket, v,
+          |  row_number() OVER (PARTITION BY bucket
+          |    ORDER BY id % 3, id) AS rn
+          |  FROM e),
+          |p AS (SELECT a.bucket, a.id AS lo, b.id AS hi FROM r a JOIN r b
+          |  ON a.bucket = b.bucket AND a.rn < b.rn
+          |  WHERE ${cos("a.v", "b.v")} >= 0.35),
+          |pn AS (SELECT bucket, hi, list(lo) AS los FROM p
+          |  GROUP BY bucket, hi),
+          |rc AS (SELECT r.id, r.bucket, r.rn,
+          |  coalesce(pn.los, CAST([] AS BIGINT[])) AS los
+          |  FROM r LEFT JOIN pn ON pn.hi = r.id AND pn.bucket = r.bucket),
+          |g(bucket, rn, adm) AS (
+          |  SELECT bucket, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+          |  FROM (SELECT DISTINCT bucket FROM r)
+          |  UNION ALL
+          |  SELECT g.bucket, g.rn + 1,
+          |    CASE WHEN len(list_intersect(g.adm, c.los)) > 0 THEN g.adm
+          |         ELSE list_append(g.adm, c.id) END
+          |  FROM g JOIN rc c ON c.bucket = g.bucket AND c.rn = g.rn + 1),
+          |fin AS (SELECT bucket, adm FROM g
+          |  QUALIFY rn = max(rn) OVER (PARTITION BY bucket))
+          |SELECT r.id AS vec_id, list_contains(f.adm, r.id) AS admitted
+          |FROM r JOIN fin f USING (bucket) ORDER BY vec_id""".stripMargin
       })
   )
 }
