@@ -432,6 +432,81 @@ class StreamingSpec extends AnyFunSpec {
         case None    => spark.conf.unset(provKey)
       }
     }
+
+    // the admitted-vector ListState must survive a query restart: the
+    // gate's decisions after resuming from the checkpoint depend on
+    // vectors admitted BEFORE the stop (w23's recovery contract for
+    // the TwS ListState shape, which the agg/interval restart probes
+    // don't cover).
+    it("recovers the admitted set from the checkpoint across restart") {
+      val tmp = Files.createTempDirectory("graft-semgate-ckpt")
+      val in = tmp.resolve("in"); Files.createDirectories(in)
+      val stage = tmp.resolve("stage"); Files.createDirectories(stage)
+      val cp = Files.createTempDirectory("graft-semgate-cp2").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val seen =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+        def startQuery() = {
+          val rows = spark.readStream
+            .schema("b STRING, d LONG, v ARRAY<DOUBLE>").json(in.toString)
+            .select($"b", $"d", $"v").as[(String, Long, Array[Double])]
+          graft.streaming.TwsSemGate
+            .perCell(rows, theta = 0.35,
+              ttl = java.time.Duration.ofMinutes(10))
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[(Long, Boolean)], _: Long) =>
+                seen.synchronized { seen ++= b.collect() }; ()
+            }
+            .outputMode("update").option("checkpointLocation", cp)
+            .trigger(Trigger.ProcessingTime("100 milliseconds"))
+            .start()
+        }
+        def put(name: String, lines: String): Unit = {
+          val f = stage.resolve(name)
+          Files.writeString(f, lines)
+          Files.move(f, in.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
+        }
+        def waitFor(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    n: Int): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (seen.synchronized(seen.size) < n && q.exception.isEmpty &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(throw _)
+          assert(seen.synchronized(seen.size) >= n)
+        }
+        // run 1: A admitted
+        val q1 = startQuery()
+        put("b1.json", """{"b":"c","d":100,"v":[1.0,0.0]}""" + "\n")
+        waitFor(q1, 1)
+        assert(seen.synchronized(seen.toSet) == Set((100L, true)))
+        q1.stop(); q1.awaitTermination()
+        // run 2, same checkpoint: B at 5deg from A must be REJECTED —
+        // only possible if A's vector was recovered from the store
+        seen.synchronized(seen.clear())
+        val q2 = startQuery()
+        put("b2.json",
+          """{"b":"c","d":150,"v":[0.9961947,0.08715574]}""" + "\n" +
+            """{"b":"c","d":151,"v":[0.0,1.0]}""" + "\n")
+        waitFor(q2, 2)
+        // foreachBatch is at-least-once: the restart may REPLAY the
+        // last batch (re-emitting 100's decision) — filter to the new
+        // ids; what matters is that 150 is rejected, which is only
+        // possible if A's vector came back from the store
+        assert(seen.synchronized(seen.toSet).filter(_._1 >= 150L) ==
+          Set((150L, false), (151L, true)))
+        q2.stop(); q2.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
   }
 
   describe("TwsTopK.perKey (transformWithState, ListState + ValueState)") {
