@@ -52,7 +52,12 @@ object Bench {
     "d67_bm25_topk", "d70_repeated_spans", "m09_phash_neardup",
     // round-9 session 2: dictionary-planned MaxScore serving from the
     // memoized persisted text index (build once, serve per sample)
-    "d75_maxscore_indexed")
+    "d75_maxscore_indexed",
+    // round-9 session 3: BPE merge-table training — the one iterative
+    // driver-loop op in the headline (8 rounds of vocab-sized pair
+    // argmax; the corpus is touched once, so sf growth should move
+    // only the word-count scan)
+    "d80_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
