@@ -245,4 +245,37 @@ object Similarity {
         col("cos"))
       .orderBy("src", "rk")
   }
+
+  /** Johnson–Lindenstrauss random projection with the Achlioptas ±1
+    * matrix (Achlioptas, JCSS 2003): out_j = (1/√k)·Σᵢ s(j,i)·vᵢ with
+    * s(j,i) = ±1 from the PARITY OF md5(j+"_"+i)'s first hex digit —
+    * a pure function of the coordinates, so the matrix needs no
+    * storage, no RNG state, and reproduces identically on any engine
+    * with an md5 (the d17 determinism discipline applied to a
+    * projection matrix). With k = 16 the scale 1/√k = 0.25 is an
+    * exact binary fraction and the terms fold left-to-right in
+    * double, so projections are bit-identical across engines before
+    * the defensive round(6).
+    *
+    * The workhorse embedding dim-reduction: one codegen'd projection
+    * expression per output dim riding the corpus scan — no shuffle,
+    * no driver state, no training. Returns `(id, dim, val)` rows. */
+  def randomProjection(emb: DataFrame, idCol: String, embCol: String,
+                       inDims: Int = 64, outDims: Int = 16): DataFrame = {
+    require(outDims == 16, "scale constant specialized to 1/sqrt(16)")
+    def sign(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val vd = asDouble(col(embCol))
+    def proj(j: Int): Column = round(lit(0.25) *
+      (1 to inDims).map(i =>
+        element_at(vd, i) * lit(sign(j, i))).reduce(_ + _), 6)
+    emb.select(col(idCol),
+        explode(array((1 to outDims).map(j =>
+          struct(lit(j.toLong).as("dim"), proj(j).as("val"))): _*))
+          .as("p"))
+      .select(col(idCol), col("p.dim").as("dim"), col("p.val").as("val"))
+  }
 }

@@ -1967,6 +1967,34 @@ object LlmOps {
       },
       Some(s"WITH $pqApproxCtes,\n" + appendedIdxOracleTail)),
 
+    Q("s18_random_projection",
+      "Johnson-Lindenstrauss random projection, 64 -> 16 dims " +
+        "(Achlioptas +/-1 matrix; Similarity.randomProjection): the " +
+        "workhorse embedding reduction before ANN — one codegen'd " +
+        "projection expression per output dim riding the corpus " +
+        "scan, no shuffle, no training, no stored matrix: the sign " +
+        "s(j,i) is the parity of md5(j+'_'+i)'s first hex digit, a " +
+        "pure function of the coordinates (the d17 determinism " +
+        "discipline applied to a projection matrix), so any engine " +
+        "with an md5 reproduces the projection bit-for-bit — the " +
+        "oracle re-derives every sign in SQL and folds the same " +
+        "left-to-right double sum.",
+      (s, dir) => graft.operators.Similarity
+        .randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "dim"),
+      Some("""SELECT vec_id, j AS dim,
+        |  round(0.25 * list_reduce(
+        |    list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN ('0x' || substr(md5(
+        |            CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |            1, 1))::BIGINT % 2 = 0
+        |        THEN CAST(embedding[i] AS DOUBLE)
+        |        ELSE -CAST(embedding[i] AS DOUBLE) END),
+        |    (p, qq) -> p + qq), 6) AS val
+        |FROM (SELECT vec_id, embedding,
+        |      unnest(range(1, 17)) AS j FROM embeddings)
+        |ORDER BY vec_id, dim""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +

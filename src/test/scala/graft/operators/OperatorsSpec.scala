@@ -932,6 +932,56 @@ class OperatorsSpec extends AnyFunSpec {
       }
   }
 
+  describe("Similarity.randomProjection (JL, Achlioptas signs)") {
+    def signRef(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    def vecs(n: Int, seed: Int): Seq[(Long, Array[Float])] = {
+      val rnd = new scala.util.Random(seed)
+      (0L until n.toLong).map(id =>
+        (id, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    }
+
+    it("matches a plain-Scala reference projection exactly") {
+      val vs = vecs(20, seed = 11)
+      val got = Similarity
+        .randomProjection(vs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, j, v) => (id, j) -> v }.toMap
+      val want = (for ((id, v) <- vs; j <- 1 to 16) yield {
+        val s = (1 to 64).map(i => v(i - 1).toDouble * signRef(j, i))
+          .reduce(_ + _)
+        (id, j.toLong) -> BigDecimal(0.25 * s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }).toMap
+      assert(got == want)
+    }
+
+    it("keeps pairwise distances within loose JL distortion bounds") {
+      val vs = vecs(40, seed = 7)
+      val proj = Similarity
+        .randomProjection(vs.toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3)).toMap
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val ratios = for (i <- 0L until 39L) yield {
+        val (va, vb) = (vs(i.toInt)._2, vs(i.toInt + 1)._2)
+        d2(proj(i).toSeq, proj(i + 1).toSeq) /
+          d2(va.map(_.toDouble).toSeq, vb.map(_.toDouble).toSeq)
+      }
+      // k=16: concentration is loose but real — all ratios in [0.2, 2.2]
+      // for this seeded set, and the mean is near 1
+      assert(ratios.forall(r => r > 0.2 && r < 2.2))
+      assert(math.abs(ratios.sum / ratios.size - 1.0) < 0.25)
+    }
+  }
+
   describe("BpeTrain vs reference greedy BPE") {
     // plain-Scala reference: Sennrich's algorithm on word types
     def refBpe(texts: Seq[String], k: Int): Seq[(Int, String, Long)] = {
