@@ -619,11 +619,20 @@ object Scale {
           when(col("id") % 20 === 19, col("id") * 2 - 2)
             .otherwise(col("id") * 2 + 1).as("d2"))
         val cutoff = nEdges * 95 / 100
-        val w0 = all.filter(col("id") < lit(cutoff))
-          .select("d1", "d2").localCheckpoint()
-        val wave = all.filter(col("id") >= lit(cutoff))
-          .select("d1", "d2").localCheckpoint()
-        val labels0 = Dedup.connectedComponents(w0).localCheckpoint()
+        // stage all inputs as PARQUET and read back — the nightly
+        // shape's actual storage (labels are yesterday's persisted
+        // artifact), and it keeps the 100x tier out of driver heap
+        // (localCheckpoint caching 100M-row frames OOMed there)
+        val stageDir = s"/tmp/graft_incc_stage_${tier}_$nEdges"
+        all.filter(col("id") < lit(cutoff)).select("d1", "d2")
+          .write.mode("overwrite").parquet(s"$stageDir/w0")
+        all.filter(col("id") >= lit(cutoff)).select("d1", "d2")
+          .write.mode("overwrite").parquet(s"$stageDir/wave")
+        val w0 = spark.read.parquet(s"$stageDir/w0")
+        val wave = spark.read.parquet(s"$stageDir/wave")
+        Dedup.connectedComponents(w0)
+          .write.mode("overwrite").parquet(s"$stageDir/labels0")
+        val labels0 = spark.read.parquet(s"$stageDir/labels0")
         def run(tag: String)(thunk: () => org.apache.spark.sql.DataFrame)
             : (Seq[Double], Double, Long, Long) = {
           var chk = (-1L, -1L)
