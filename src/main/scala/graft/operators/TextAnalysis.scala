@@ -71,4 +71,30 @@ object TextAnalysis {
     val b = hashBucket(text, 100)
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
+
+  /** Character-level Shannon entropy per document — the
+    * information-density quality signal (near-zero for
+    * single-character junk, ~ln|alphabet| for uniform noise; natural
+    * text sits in a band between, which is what entropy filters cut
+    * on). One explode + two keyed aggregations; the per-character
+    * −p·ln p terms are rounded to 8 dp and summed as DECIMAL so the
+    * total is independent of aggregation order (double sums are not),
+    * then rounded to 6 — the d69 ln-parenthesization discipline, so
+    * any engine reproduces the score. Returns
+    * `(idCol, n_chars, h_char)`. */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col(idCol),
+        explode(array_remove(split(col(textCol), ""), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("n"))
+      .withColumn("len",
+        sum("n").over(Window.partitionBy(col(idCol))))
+    val p = col("n").cast("double") / col("len")
+    cnt.groupBy(col(idCol)).agg(
+        min("len").cast("long").as("n_chars"),
+        round(-sum(round(p * log(p), 8).cast("decimal(28,8)")), 6)
+          .cast("double").as("h_char"))
+  }
 }

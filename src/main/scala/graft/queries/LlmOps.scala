@@ -3745,6 +3745,33 @@ object LlmOps {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("d82_char_entropy",
+      "Character-level Shannon entropy per document " +
+        "(TextAnalysis.charEntropy) — the information-density quality " +
+        "signal entropy filters cut on (near zero for repeated-char " +
+        "junk, ~ln|alphabet| for uniform noise, natural text in " +
+        "between): one explode + two keyed aggregations; each " +
+        "-p*ln(p) term rounds to 8 dp and sums as DECIMAL so the " +
+        "total is aggregation-order-independent (a plain double sum " +
+        "is not), then rounds to 6 — the d69 ln discipline, replayed " +
+        "identically by the oracle.",
+      (s, dir) => graft.operators.TextAnalysis
+        .charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |n AS (SELECT doc_id, ch, COUNT(*) AS n
+        |      FROM c GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, n,
+        |      SUM(n) OVER (PARTITION BY doc_id) AS len FROM n)
+        |SELECT doc_id,
+        |  CAST(MIN(len) AS BIGINT) AS n_chars,
+        |  CAST(round(-SUM(CAST(round(
+        |    (CAST(n AS DOUBLE) / len) * ln(CAST(n AS DOUBLE) / len), 8)
+        |    AS DECIMAL(28,8))), 6) AS DOUBLE) AS h_char
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("m05_vlm_token_budget",
       "Vision-language packing estimate: image side = ViT patch grid " +
         "(14px patches over the SAME dims the m01 synthesis renders — " +

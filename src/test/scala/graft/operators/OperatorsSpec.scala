@@ -932,6 +932,26 @@ class OperatorsSpec extends AnyFunSpec {
       }
   }
 
+  describe("TextAnalysis.charEntropy") {
+    it("is 0 for constant text, ln(k) for uniform, exact for mixed") {
+      val df = Seq((0L, "aaaaaaaa"), (1L, "abababab"), (2L, "aab"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+        .map { case (id, n, h) => id -> ((n, h)) }.toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(0L) == ((8L, 0.0)))
+      assert(got(1L)._1 == 8L && math.abs(got(1L)._2 - math.log(2)) < 1e-6)
+      // H(2/3, 1/3) from the same rounded-term construction
+      def term(p: Double) =
+        BigDecimal(p * math.log(p)).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP)
+      assert(got(2L) == ((3L,
+        r6(-(term(2.0 / 3) + term(1.0 / 3)).toDouble))))
+    }
+  }
+
   describe("Similarity.randomProjection (JL, Achlioptas signs)") {
     def signRef(j: Int, i: Int): Double = {
       val h = java.security.MessageDigest.getInstance("MD5")
