@@ -1995,6 +1995,80 @@ object LlmOps {
         |      unnest(range(1, 17)) AS j FROM embeddings)
         |ORDER BY vec_id, dim""".stripMargin)),
 
+    Q("d83_jl_distortion",
+      "The JL guarantee AUDITED UNDER THE GATE (the d39/d42/s07 " +
+        "estimator-audit discipline applied to s18): for every " +
+        "consecutive-id vector pair, squared distance in the original " +
+        "64-dim space vs the projected 16-dim space and their ratio. " +
+        "Distances fold left-to-right from a 0.0 seed in double — " +
+        "bit-identical to the oracle's list_reduce (0.0 + t1 == t1 " +
+        "exactly, so the differing init conventions coincide) — and " +
+        "d2_proj is computed from the ROUNDED stored projections, " +
+        "exactly what a consumer of s18's output would measure.",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val emb = t(s, dir, "embeddings")
+        val pv = Sim.randomProjection(emb, "vec_id", "embedding")
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(
+            struct(col("dim"), col("val")))), x => x.getField("val"))
+            .as("p"))
+        val ev = emb.select(col("vec_id"),
+          Sim.asDouble(col("embedding")).as("v"))
+        def d2(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t)
+        val a = ev.join(pv, "vec_id")
+          .select(col("vec_id").as("ia"), col("v").as("va"),
+            col("p").as("pa"))
+        val b = ev.join(pv, "vec_id")
+          .select(col("vec_id").as("ib"), col("v").as("vb"),
+            col("p").as("pb"))
+        a.join(b, col("ib") === col("ia") + 1)
+          .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
+            round(d2(col("va"), col("vb")), 6).as("d2_orig"),
+            round(d2(col("pa"), col("pb")), 6).as("d2_proj"),
+            round(d2(col("pa"), col("pb")) / d2(col("va"), col("vb")), 6)
+              .as("ratio"))
+          .orderBy("vec_a")
+      },
+      Some("""WITH pr AS (
+        |  SELECT vec_id, j AS dim,
+        |    round(0.25 * list_reduce(
+        |      list_transform(generate_series(1, 64),
+        |        i -> CASE WHEN ('0x' || substr(md5(
+        |              CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |              1, 1))::BIGINT % 2 = 0
+        |          THEN CAST(embedding[i] AS DOUBLE)
+        |          ELSE -CAST(embedding[i] AS DOUBLE) END),
+        |      (p, qq) -> p + qq), 6) AS val
+        |  FROM (SELECT vec_id, embedding,
+        |        unnest(range(1, 17)) AS j FROM embeddings)),
+        |pv AS (SELECT vec_id, list(val ORDER BY dim) AS p
+        |       FROM pr GROUP BY vec_id),
+        |ev AS (SELECT vec_id,
+        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_reduce(list_transform(generate_series(1, 64),
+        |    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+        |    (p, qq) -> p + qq), 6) AS d2_orig,
+        |  round(list_reduce(list_transform(generate_series(1, 16),
+        |    i -> (pa.p[i] - pb.p[i]) * (pa.p[i] - pb.p[i])),
+        |    (p, qq) -> p + qq), 6) AS d2_proj,
+        |  round(list_reduce(list_transform(generate_series(1, 16),
+        |    i -> (pa.p[i] - pb.p[i]) * (pa.p[i] - pb.p[i])),
+        |    (p, qq) -> p + qq) /
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+        |    (p, qq) -> p + qq), 6) AS ratio
+        |FROM ev a
+        |JOIN ev b ON b.vec_id = a.vec_id + 1
+        |JOIN pv pa ON pa.vec_id = a.vec_id
+        |JOIN pv pb ON pb.vec_id = b.vec_id
+        |ORDER BY vec_a""".stripMargin)),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +
