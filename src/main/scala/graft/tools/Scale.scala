@@ -64,6 +64,10 @@ object Scale {
     // component serialized into one task shows up here as ~the whole
     // component's bytes, a skew-split plan as ~the advisory size
     val maxTaskRead = new AtomicLong
+    // spill witnesses: bytes a task's sorter/aggregator pushed out of
+    // memory (deserialized) and what actually hit disk (compressed)
+    val memSpilled = new AtomicLong
+    val diskSpilled = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -71,6 +75,8 @@ object Scale {
         read.addAndGet(r)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         maxTaskRead.updateAndGet(p => math.max(p, r))
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
         ()
       }
     }
@@ -259,7 +265,7 @@ object Scale {
 
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
-      what != "incc" && what != "sa" && what != "bpe"
+      what != "incc" && what != "sa" && what != "bpe" && what != "spill"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -285,7 +291,7 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" =>
+           "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" | "spill" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -759,6 +765,43 @@ object Scale {
           s""""shuffle_read_mb":${fmt(rd)},""" +
           s""""first_merge":"${table.head._1}","first_n":${table.head._2}}""")
       }
+    }
+    // Spill probe — the "size partitions so they fit in executor
+    // memory" guideline, MEASURED instead of asserted: the same global
+    // sort of a ~5.5 GB payload under two shuffle-partition settings.
+    // At 4 partitions each sort task must hold ~1.4 GB — over the
+    // per-task execution share, so the sorter spills (memory/disk
+    // spill bytes from task metrics are the witness); at 128
+    // partitions each task sorts ~45 MB in memory and spill is zero.
+    // Same rows, same output, the knob is the whole difference — at
+    // 100 TB this is the difference between a sort that runs and one
+    // that thrashes.
+    if (what == "spill") {
+      import org.apache.spark.sql.functions.{concat => fconcat}
+      val n = 50000000L
+      val payload = spark.range(n).select(col("id"),
+        fconcat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string"))).as("s"))
+      for ((tag, parts) <- Seq(("undersized", 4), ("sized", 128))) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.write.set(0L)
+        metrics.memSpilled.set(0L); metrics.diskSpilled.set(0L)
+        metrics.maxTaskRead.set(0L)
+        val t0 = System.nanoTime()
+        payload.orderBy("s").write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        println(s"""{"tier":"$tag","query":"spill_sort",""" +
+          s""""n_rows":$n,"shuffle_partitions":$parts,""" +
+          s""""sort_sec":${fmt(sec)},""" +
+          s""""shuffle_read_mb":${fmt(metrics.read.getAndSet(0L) / 1e6)},""" +
+          s""""max_task_read_mb":${fmt(metrics.maxTaskRead.getAndSet(0L) / 1e6)},""" +
+          s""""mem_spilled_mb":${fmt(metrics.memSpilled.getAndSet(0L) / 1e6)},""" +
+          s""""disk_spilled_mb":${fmt(metrics.diskSpilled.getAndSet(0L) / 1e6)}}""")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
     // Whale-component probe (VERDICT r08 #2): one component holding 60%
     // of all nodes — the late-round star-skew worst case the Dedup
