@@ -278,4 +278,50 @@ object Similarity {
           .as("p"))
       .select(col(idCol), col("p.dim").as("dim"), col("p.val").as("val"))
   }
+
+  /** Farthest-point (k-center / Gonzalez 1985) coreset selection —
+    * the DIVERSITY-maximizing data pick (2-approximation of the
+    * k-center optimum): start from the smallest id, then repeatedly
+    * take the vector farthest from everything chosen so far. The
+    * complement of SemDeDup's near-dup removal: d36 deletes what's too
+    * close, this selects what's maximally spread.
+    *
+    * Each round is one projection over a rolling min-distance frame
+    * (`least(d, d2(v, newCenter))` — the new center enters as a
+    * LITERAL vector, a bounded driver scalar exactly like d80's
+    * argmax pair) plus one LIMIT-1 sort; the corpus is never joined
+    * with itself and driver state is k vectors. Squared euclidean
+    * (monotone — same argmax, no sqrt), folded left-to-right from
+    * 0.0 so distances are engine-bit-identical; ties break to the
+    * smallest id. Returns `(step, vec_id, d2_sel)` — each center
+    * with its distance-squared to the set chosen before it. */
+  def kCenters(emb: DataFrame, idCol: String, embCol: String,
+               k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    def d2(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    val ev = emb.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(embCol)).as("v"))
+    val first = ev.orderBy("vec_id").limit(1).collect()(0)
+    var centers = List((1, first.getLong(0), 0.0))
+    var c = first.getSeq[Double](1)
+    var md = ev.select(col("vec_id"), col("v"),
+      d2(col("v"), c).as("d")).localCheckpoint()
+    for (step <- 2 to k) {
+      // already-chosen centers sit at d = 0 and can never win the
+      // argmax while any unchosen point is at positive distance
+      val top = md
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
+      centers ::= ((step, top.getLong(0), top.getDouble(2)))
+      c = top.getSeq[Double](1)
+      md = md.select(col("vec_id"), col("v"),
+        least(col("d"), d2(col("v"), c)).as("d")).localCheckpoint()
+    }
+    centers.reverse.map { case (st, id, d) =>
+      (st, id, BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("step", "vec_id", "d2_sel")
+  }
 }

@@ -2069,6 +2069,56 @@ object LlmOps {
         |JOIN pv pb ON pb.vec_id = b.vec_id
         |ORDER BY vec_a""".stripMargin)),
 
+    Q("d84_kcenter_coreset",
+      "Farthest-point k-center coreset selection (Gonzalez 1985; " +
+        "Similarity.kCenters) — the DIVERSITY pick that complements " +
+        "SemDeDup's near-dup removal: d36 deletes what's too close, " +
+        "this selects the 8 maximally-spread vectors. Each round is " +
+        "one least(d, d2(v, newCenter)) projection over a rolling " +
+        "min-distance frame (the new center enters as a literal — a " +
+        "bounded driver scalar, the d80 argmax discipline) plus one " +
+        "LIMIT-1 sort; no self-join, driver state is k vectors. " +
+        "Squared euclidean folded left-to-right from 0.0 is " +
+        "engine-bit-identical, ties break to the smallest id, and " +
+        "already-chosen centers sit at d=0 so they can never win " +
+        "again. The oracle replays all 8 rounds as chained " +
+        "MATERIALIZED CTEs.",
+      (s, dir) => graft.operators.Similarity
+        .kCenters(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("step"),
+      Some {
+        def d2(v: String, c: String) =
+          s"""list_reduce(list_transform(generate_series(1, 64),
+            |    i -> ($v[i] - $c[i]) * ($v[i] - $c[i])),
+            |    (p, qq) -> p + qq)""".stripMargin
+        val k = 8
+        val stages = (2 to k).map { i =>
+          s"""c$i AS MATERIALIZED (
+            |  SELECT vec_id, v, d FROM m${i - 1}
+            |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin +
+          (if (i < k) s""",
+            |m$i AS MATERIALIZED (
+            |  SELECT m.vec_id, m.v,
+            |    least(m.d, ${d2("m.v", "c.v")}) AS d
+            |  FROM m${i - 1} m, c$i c)""".stripMargin else "")
+        }.mkString(",\n")
+        s"""WITH ev AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |c1 AS MATERIALIZED (
+          |  SELECT vec_id, v, 0.0 AS d FROM ev ORDER BY vec_id LIMIT 1),
+          |m1 AS MATERIALIZED (
+          |  SELECT e.vec_id, e.v, ${d2("e.v", "c.v")} AS d
+          |  FROM ev e, c1 c),
+          |$stages
+          |${(1 to k).map(i => s"SELECT $i AS step, " +
+            s"(SELECT vec_id FROM c$i) AS vec_id, " +
+            s"round((SELECT d FROM c$i), 6) AS d2_sel")
+            .mkString("\nUNION ALL\n")}
+          |ORDER BY step""".stripMargin
+      }),
+
     Q("d55_hard_negatives",
       "Hard-negative mining for retrieval training (the DPR/Contriever " +
         "recipe): for each probe query, the top-3 most-similar vectors " +

@@ -1002,6 +1002,36 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Similarity.kCenters vs reference farthest-point greedy") {
+    it("matches the Gonzalez greedy on seeded vectors") {
+      val rnd = new scala.util.Random(13)
+      val vs = (0L until 30L).map(id =>
+        (id, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      def d2(a: Array[Float], b: Array[Float]): Double =
+        (0 until 64).map(i =>
+          (a(i).toDouble - b(i).toDouble) *
+            (a(i).toDouble - b(i).toDouble)).sum
+      val chosen = scala.collection.mutable.ArrayBuffer((1, 0L, 0.0))
+      val minD = scala.collection.mutable.Map(
+        vs.map(v => v._1 -> d2(v._2, vs(0)._2)): _*)
+      for (step <- 2 to 6) {
+        val (id, d) = minD.toSeq.minBy { case (i, d) => (-d, i) }
+        chosen += ((step, id, d))
+        val c = vs(id.toInt)._2
+        vs.foreach { case (i, v) =>
+          minD(i) = math.min(minD(i), d2(v, c)) }
+      }
+      val got = Similarity
+        .kCenters(vs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 6)
+        .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+      val want = chosen.toSeq.map { case (s, i, d) =>
+        (s, i, BigDecimal(d).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      assert(got == want)
+    }
+  }
+
   describe("BpeTrain vs reference greedy BPE") {
     // plain-Scala reference: Sennrich's algorithm on word types
     def refBpe(texts: Seq[String], k: Int): Seq[(Int, String, Long)] = {
