@@ -1030,6 +1030,49 @@ object LlmOps {
         |       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    Q("d85_soft_dedup_weights",
+      "SOFT dedup — training weights instead of deletion: every doc " +
+        "gets weight 1/|its near-dup cluster| (singletons weight 1), " +
+        "so a 5-way duplicate contributes one doc's worth of gradient " +
+        "spread over its copies rather than being cut to one winner " +
+        "(the d24 keep-best alternative some pipelines prefer; total " +
+        "effective corpus mass = number of distinct contents). " +
+        "Composes d20's contraction labels with one cluster-size agg " +
+        "+ join-back; unclustered docs take weight 1 via the left " +
+        "join. At 100 TB the weight table is corpus-sized but the agg " +
+        "is cluster-keyed — no new shuffle class beyond d20 itself.",
+      (s, dir) => {
+        val labels = neardupLabels(s, dir)
+          .select(col("node").as("doc_id"), col("rep"))
+        val sizes = labels.groupBy("rep").agg(count(lit(1)).as("csz"))
+        t(s, dir, "documents").select(col("doc_id"))
+          .join(labels.join(sizes, "rep"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("csz"), lit(1L)).as("cluster_size"),
+            round(lit(1.0) / coalesce(col("csz"), lit(1L)).cast("double"),
+              6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $neardupPairsCtes,
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS doc_id,
+        |        CAST(LEAST(src, MIN(dst)) AS BIGINT) AS rep
+        |        FROM reach GROUP BY src),
+        |sz AS (SELECT rep, COUNT(*) AS csz FROM lab GROUP BY rep)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(l2.csz, 1) AS BIGINT) AS cluster_size,
+        |  round(1.0 / CAST(coalesce(l2.csz, 1) AS DOUBLE), 6) AS weight
+        |FROM documents d
+        |LEFT JOIN (SELECT lab.doc_id, sz.csz FROM lab
+        |           JOIN sz ON lab.rep = sz.rep) l2
+        |  ON d.doc_id = l2.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     Q("d21_boilerplate_segments",
       "CCNet-style repeated-segment (boilerplate) detection: corpus-wide " +
         "document frequency of non-overlapping 8-token segments (one hash " +
