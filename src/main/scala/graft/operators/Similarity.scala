@@ -293,8 +293,12 @@ object Similarity {
     * with itself and driver state is k vectors. Squared euclidean
     * (monotone — same argmax, no sqrt), folded left-to-right from
     * 0.0 so distances are engine-bit-identical; ties break to the
-    * smallest id. Returns `(step, vec_id, d2_sel)` — each center
-    * with its distance-squared to the set chosen before it. */
+    * smallest id. Requires k ≤ distinct vectors — beyond that every
+    * min-distance is 0 and the argmax degenerates to re-picking the
+    * smallest id (the oracle replays the same recurrence, so the two
+    * engines still agree; the result is just no longer a coreset).
+    * Returns `(step, vec_id, d2_sel)` — each center with its
+    * distance-squared to the set chosen before it. */
   def kCenters(emb: DataFrame, idCol: String, embCol: String,
                k: Int): DataFrame = {
     val s = emb.sparkSession

@@ -71,7 +71,9 @@ object SuffixArray {
     val d = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) > 0)
-    val maxLen = d.agg(max(length(col("text")))).head().getInt(0)
+    val maxLenRow = d.agg(max(length(col("text")))).head()
+    // null ⇔ zero non-empty docs: skip the loop, return an empty array
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     val pos = d
       .select(col("doc_id"), explode(sequence(lit(0),
         length(col("text")) - 1)).as("off"),
