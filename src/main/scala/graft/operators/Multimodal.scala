@@ -140,12 +140,55 @@ object Multimodal {
       }
     }(Encoders.product[AudioStats])
   }
+
+  /** VAD-style segmentation over the [[audioFrameStats]] frame grid:
+    * a frame is SPEECH iff its Σ sample² energy reaches `threshold`,
+    * and maximal runs of consecutive speech frames are the segments —
+    * the silence-trimming pass an audio ingest pipeline runs before
+    * transcription. The entire segmentation is per-blob imperative
+    * state (current-run length, segment count, longest run) inside
+    * one mapPartitions — frames of a blob never leave their row, so
+    * the operator has NO shuffle at all; at 100 TB it is a pure map
+    * over the audio store. Blobs shorter than one frame yield no
+    * row. */
+  def audioVadSegments(blobs: Dataset[Blob], frameLen: Int, hop: Int,
+                       threshold: Long): Dataset[VadStats] = {
+    require(frameLen > 0 && hop > 0,
+      "frameLen and hop must be positive")
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val n = b.payload.length
+        if (n < frameLen) Iterator.empty
+        else {
+          var off = 0; var count = 0L; var nSpeech = 0L
+          var nSeg = 0L; var run = 0L; var longest = 0L
+          while (off + frameLen <= n) {
+            var e = 0L; var i = 0
+            while (i < frameLen) {
+              val v = (b.payload(off + i) & 0xff).toLong; e += v * v; i += 1
+            }
+            if (e >= threshold) {
+              if (run == 0L) nSeg += 1L
+              run += 1L; nSpeech += 1L
+              if (run > longest) longest = run
+            } else run = 0L
+            count += 1L; off += hop
+          }
+          Iterator.single(VadStats(b.doc_id, count, nSpeech, nSeg, longest))
+        }
+      }
+    }(Encoders.product[VadStats])
+  }
 }
 
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
 
 final case class AudioStats(
     doc_id: Long, n_frames: Long, max_energy: Long, argmax_off: Long)
+
+final case class VadStats(
+    doc_id: Long, n_frames: Long, n_speech: Long, n_segments: Long,
+    longest_seg: Long)
 
 final case class Resized(
     doc_id: Long, width: Long, height: Long,

@@ -922,6 +922,53 @@ object LlmOps {
         |GROUP BY j.doc_id, j.n_frames, j.max_energy
         |ORDER BY j.doc_id""".stripMargin)),
 
+    Q("m10_vad_segments",
+      "VAD-style speech segmentation (Multimodal.audioVadSegments) — " +
+        "the silence-trimming pass before transcription: non-" +
+        "overlapping 128-byte PCM frames, speech iff integer energy " +
+        ">= 1256000 (the corpus median — a real split, not a " +
+        "degenerate all/none), maximal consecutive-speech runs are " +
+        "the segments. The whole segmentation is per-blob imperative " +
+        "state in one mapPartitions — frames never leave their row, " +
+        "ZERO shuffle; the oracle recomputes it relationally with the " +
+        "q79 gaps-and-islands construction (frame index minus " +
+        "row_number over speech frames).",
+      (s, dir) => Multimodal.audioVadSegments(
+          Multimodal.withPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 200 &&
+              octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"),
+          frameLen = 128, hop = 128, threshold = 1256000L)
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+        |  SELECT doc_id, (o - 1) // 128 AS fi, list_reduce(
+        |      list_transform(generate_series(o, o + 127),
+        |        p -> unicode(substr(text, CAST(p AS INT), 1))
+        |             * unicode(substr(text, CAST(p AS INT), 1))),
+        |      (a, b) -> a + b) AS energy
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, len(text) - 127, 128)) t(o)
+        |  WHERE doc_id < 200 AND octet_length(CAST(text AS BLOB)) = len(text)
+        |    AND len(text) >= 128),
+        |sp AS (SELECT doc_id, fi FROM f WHERE energy >= 1256000),
+        |isl AS (SELECT doc_id,
+        |        fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi)
+        |          AS grp FROM sp),
+        |seg AS (SELECT doc_id, grp, COUNT(*) AS len
+        |        FROM isl GROUP BY doc_id, grp),
+        |base AS (SELECT doc_id, COUNT(*) AS n_frames,
+        |         SUM(CASE WHEN energy >= 1256000 THEN 1 ELSE 0 END)
+        |           AS n_speech
+        |         FROM f GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_frames,
+        |  CAST(b.n_speech AS BIGINT) AS n_speech,
+        |  CAST(COUNT(seg.grp) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(MAX(seg.len), 0) AS BIGINT) AS longest_seg
+        |FROM base b LEFT JOIN seg ON seg.doc_id = b.doc_id
+        |GROUP BY b.doc_id, b.n_frames, b.n_speech
+        |ORDER BY b.doc_id""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +

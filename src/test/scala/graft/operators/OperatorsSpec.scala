@@ -1188,6 +1188,29 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Multimodal.audioVadSegments") {
+    it("segments planted loud/quiet frame patterns") {
+      // frameLen 4: 'z'=122 -> 4*122^2=59536 ; 'a'=97 -> 37636
+      // pattern per doc: (speech?) runs with threshold 50000
+      val docs = Seq(
+        (0L, "zzzz" + "zzzz" + "aaaa" + "zzzz"),  // [S,S,q,S] -> 2 seg, longest 2
+        (1L, "aaaa" + "aaaa"),                    // none -> 0 seg
+        (2L, "zzzz" * 5),                         // all  -> 1 seg of 5
+        (3L, "zz"))                               // shorter than a frame -> no row
+        .toDF("doc_id", "text")
+      val got = Multimodal.audioVadSegments(
+          Multimodal.withPayload(docs, "doc_id", "text"),
+          frameLen = 4, hop = 4, threshold = 50000L)
+        .collect().map(v =>
+          v.doc_id -> ((v.n_frames, v.n_speech, v.n_segments,
+            v.longest_seg))).toMap
+      assert(got == Map(
+        0L -> ((4L, 3L, 2L, 2L)),
+        1L -> ((2L, 0L, 0L, 0L)),
+        2L -> ((5L, 5L, 1L, 5L))))
+    }
+  }
+
   describe("Sampling.packSequences vs prefix-sum reference") {
     it("matches per-bucket running offsets on seeded random token counts") {
       val rnd = new scala.util.Random(7)
