@@ -51,8 +51,11 @@ object SuffixArray {
 
   /** Global 0-based index for an ALREADY-SORTED DataFrame: the
     * distributed prefix sum (per-partition counts, then offsets) via
-    * `zipWithIndex`, preserving the sort order. */
-  private def zipIndex(sorted: DataFrame, outCol: String): DataFrame = {
+    * `zipWithIndex`, preserving the sort order. Shared with the other
+    * global-rank consumers (d87's batch assignment) — the alternative,
+    * `Window.orderBy` with no partition, funnels everything through
+    * one task. */
+  private[graft] def zipIndex(sorted: DataFrame, outCol: String): DataFrame = {
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
     sorted.sparkSession.createDataFrame(

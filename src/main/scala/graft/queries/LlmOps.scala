@@ -969,6 +969,76 @@ object LlmOps {
         |GROUP BY b.doc_id, b.n_frames, b.n_speech
         |ORDER BY b.doc_id""".stripMargin)),
 
+    Q("d86_stratified_split",
+      "EXACT stratified train/val/test split — the deterministic " +
+        "complement to d17's hash split: within each language " +
+        "stratum, docs ordered by doc_id take buckets rn % 10 " +
+        "(0-7 train, 8 val, 9 test), so every stratum's proportions " +
+        "are exact to ±1 doc rather than hash-approximate — what " +
+        "eval-set construction actually wants when strata are small. " +
+        "One window over the stratum key; output the per-(lang, " +
+        "split) counts.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy("doc_id")) - 1)
+          .withColumn("split",
+            when(col("rn") % 10 < 8, "train")
+              .when(col("rn") % 10 === 8, "val").otherwise("test"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH r AS (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+        |      AS rn
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN rn % 10 < 8 THEN 'train'
+        |       WHEN rn % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    Q("d87_length_batching",
+      "Length-bucketed batch assignment with PADDING-WASTE " +
+        "accounting — the dataloader-efficiency pass: docs sorted by " +
+        "(token count, doc_id) pack into fixed batches of 8, so " +
+        "near-equal lengths share a batch; per batch the padded cost " +
+        "is 8 x max(len) and waste = padded - sum(len). Output: per " +
+        "batch (size, max_len, n_tokens, waste) plus the sort-order " +
+        "determinism that makes the assignment reproducible. At " +
+        "100 TB the sort is one range exchange and batches are " +
+        "the zipIndex prefix sum within it (NOT a partitionless " +
+        "Window.orderBy, which would funnel the corpus through one " +
+        "task) — compare the waste of arrival-order batching on the " +
+        "same corpus (the win length-grouping exists for).",
+      (s, dir) => {
+        val l = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+        graft.operators.SuffixArray
+          .zipIndex(l.orderBy("len", "doc_id"), "idx")
+          .withColumn("batch", expr("idx div 8"))
+          .groupBy("batch").agg(
+            count(lit(1)).as("n_docs"),
+            max("len").as("max_len"),
+            sum("len").as("n_tokens"),
+            (max("len") * count(lit(1)) - sum("len")).as("waste"))
+          .orderBy("batch")
+      },
+      Some("""WITH l AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS len FROM documents),
+        |b AS (SELECT len,
+        |  (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+        |  FROM l)
+        |SELECT batch, COUNT(*) AS n_docs,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS waste
+        |FROM b GROUP BY batch ORDER BY batch""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +
