@@ -1039,6 +1039,63 @@ object LlmOps {
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS waste
         |FROM b GROUP BY batch ORDER BY batch""".stripMargin)),
 
+    Q("d88_batching_waste_compare",
+      "The length-grouping WIN, measured under the gate: the same " +
+        "corpus batched two ways — arrival order (by doc_id) vs " +
+        "length-sorted (d87's assignment) — and the padded token " +
+        "waste of each (padded = 8 x batch max; waste = padded - " +
+        "real). One row per strategy with total waste and its " +
+        "fraction of the padded volume; the delta IS the dataloader " +
+        "speedup length-grouped batching buys.",
+      (s, dir) => {
+        val l = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+        def waste(sorted: org.apache.spark.sql.DataFrame, tag: String) =
+          graft.operators.SuffixArray.zipIndex(sorted, "idx")
+            .withColumn("batch", expr("idx div 8"))
+            .groupBy("batch").agg(max("len").as("mx"),
+              sum("len").as("tok"), count(lit(1)).as("n"))
+            .agg(sum(col("mx") * col("n")).as("padded"),
+              sum("tok").as("n_tokens"))
+            .select(lit(tag).as("strategy"),
+              (col("padded") - col("n_tokens")).as("waste"),
+              col("n_tokens"),
+              round((col("padded") - col("n_tokens")).cast("double") /
+                col("padded"), 6).as("waste_frac"))
+        waste(l.orderBy("doc_id"), "arrival")
+          .unionByName(waste(l.orderBy("len", "doc_id"), "length_sorted"))
+          .orderBy("strategy")
+      },
+      Some("""WITH l AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS len FROM documents),
+        |a AS (SELECT len,
+        |  (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+        |  FROM l),
+        |s AS (SELECT len,
+        |  (row_number() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+        |  FROM l),
+        |ab AS (SELECT batch, MAX(len) AS mx, SUM(len) AS tok,
+        |       COUNT(*) AS n FROM a GROUP BY batch),
+        |sb AS (SELECT batch, MAX(len) AS mx, SUM(len) AS tok,
+        |       COUNT(*) AS n FROM s GROUP BY batch),
+        |f AS (
+        |  SELECT 'arrival' AS strategy,
+        |    CAST(SUM(mx * n) - SUM(tok) AS BIGINT) AS waste,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |    round(CAST(SUM(mx * n) - SUM(tok) AS DOUBLE) /
+        |      CAST(SUM(mx * n) AS DOUBLE), 6) AS waste_frac
+        |  FROM ab
+        |  UNION ALL
+        |  SELECT 'length_sorted',
+        |    CAST(SUM(mx * n) - SUM(tok) AS BIGINT),
+        |    CAST(SUM(tok) AS BIGINT),
+        |    round(CAST(SUM(mx * n) - SUM(tok) AS DOUBLE) /
+        |      CAST(SUM(mx * n) AS DOUBLE), 6)
+        |  FROM sb)
+        |SELECT * FROM f ORDER BY strategy""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +
