@@ -1231,6 +1231,37 @@ object Extended {
         |FROM lineitem
         |WHERE l_quantity >= 20
         |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin))
+        |ORDER BY ALL""".stripMargin)),
+
+    Q("q87_unpivot",
+      "UNPIVOT / melt — the wide-to-long reshape (Dataset.unpivot, " +
+        "the inverse of q29's pivot): per-nation aggregates of three " +
+        "measures unpivoted to (nation, measure, value) rows. All " +
+        "measures cast to DOUBLE via DECIMAL so the long format is " +
+        "type-uniform and engine-exact; the oracle uses DuckDB's " +
+        "standard-SQL UNPIVOT clause — the two engines' reshapes must " +
+        "agree row-for-row.",
+      (s, dir) => {
+        val a = t(s, dir, "customer").groupBy("c_nationkey").agg(
+          count(lit(1)).cast("double").as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"),
+          min(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("min_bal"))
+        a.unpivot(Array(col("c_nationkey")),
+            Array(col("n_cust"), col("sum_bal"), col("min_bal")),
+            "measure", "value")
+          .orderBy("c_nationkey", "measure")
+      },
+      Some("""WITH a AS (SELECT c_nationkey,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_bal,
+        |  CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, measure, value
+        |FROM a UNPIVOT (value FOR measure IN (n_cust, sum_bal, min_bal))
+        |ORDER BY c_nationkey, measure""".stripMargin))
   )
 }
