@@ -1369,6 +1369,56 @@ object LlmOps {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
+    Q("d89_temperature_mix",
+      "Temperature-scaled multilingual sampling (the mBERT/XLM-R " +
+        "alpha-smoothing formula, alpha = 0.3): per-language token " +
+        "share p_l from exact integer counts, smoothed weight " +
+        "q_l = p_l^0.3 rounded to 8 dp and SUMMED AS DECIMAL (the " +
+        "d82 discipline — the normalizer is independent of " +
+        "aggregation order and engine pow ulps are absorbed by the " +
+        "rounding), smoothed share q/Z, and the per-language " +
+        "sampling rate a half-corpus token budget implies " +
+        "(min(1, share*budget/tokens)). Low-resource languages are " +
+        "upsampled, the head capped — the standard knob between " +
+        "proportional and uniform mixing.",
+      (s, dir) => {
+        val l = t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(sum(size(split(col("text"), " ")).cast("long"))
+            .as("tok"))
+        val tot = l.agg(sum("tok").as("tot"))
+        val q = l.crossJoin(broadcast(tot))
+          .withColumn("p", col("tok").cast("double") / col("tot"))
+          .withColumn("q", round(pow(col("p"), 0.3), 8)
+            .cast("decimal(18,8)"))
+        val z = q.agg(sum(col("q")).as("z"))
+        q.crossJoin(broadcast(z))
+          .select(col("lang"), col("tok"),
+            round(col("p"), 6).as("p"),
+            round(col("q").cast("double") / col("z").cast("double"), 6)
+              .as("share"))
+          .withColumn("rate", round(least(lit(1.0),
+            col("share") * 0.5 / col("p")), 6))
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY lang),
+        |t1 AS (SELECT CAST(SUM(tok) AS BIGINT) AS tot FROM l),
+        |q AS (SELECT lang, tok,
+        |  CAST(tok AS DOUBLE) / tot AS p,
+        |  CAST(round(pow(CAST(tok AS DOUBLE) / tot, 0.3), 8)
+        |    AS DECIMAL(18,8)) AS q
+        |  FROM l, t1),
+        |z AS (SELECT SUM(q) AS z FROM q)
+        |SELECT lang, tok, round(p, 6) AS p,
+        |  round(CAST(q AS DOUBLE) / CAST(z AS DOUBLE), 6) AS share,
+        |  round(least(1.0,
+        |    round(CAST(q AS DOUBLE) / CAST(z AS DOUBLE), 6) * 0.5 /
+        |      round(p, 6)), 6) AS rate
+        |FROM q, z ORDER BY lang""".stripMargin)),
+
     Q("d22_mixture_sample",
       "Corpus mixture construction: per-source sampling rates applied " +
         "via content-hash permille (no RNG — stable across runs, " +
