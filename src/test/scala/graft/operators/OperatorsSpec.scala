@@ -1108,7 +1108,8 @@ class OperatorsSpec extends AnyFunSpec {
     // multiple doubling rounds and full-suffix ties (equal docs), the
     // two regimes where prefix doubling can go wrong
     for ((seed, n, len, seedLen) <- Seq((1, 6, 40, 4), (2, 10, 25, 2),
-        (3, 4, 70, 64)))
+        (3, 4, 70, 64), (4, 8, 55, 8), (5, 12, 15, 3), (6, 5, 90, 16),
+        (7, 9, 33, 5), (8, 7, 48, 32), (9, 11, 21, 2), (10, 6, 64, 6)))
       it(s"matches on seed $seed ($n docs, len<=$len, seedLen=$seedLen)") {
         val rnd = new scala.util.Random(seed)
         val texts = (0L until n.toLong).map { i =>
@@ -1177,6 +1178,26 @@ class OperatorsSpec extends AnyFunSpec {
           .as[(Long, Long)].collect().toMap
         assert(got == full && full.nonEmpty)
       }
+
+    it("iterated nightly waves equal one full recompute (3 folds)") {
+      // the production shape is REPEATED application: label wave 0,
+      // fold wave 1, fold wave 2 into THAT result, fold wave 3 —
+      // each fold's output must be a valid input for the next
+      val rnd = new scala.util.Random(99)
+      def wave(n: Int) = Seq.fill(n)(
+          (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+      val waves = Seq(wave(50), wave(30), wave(30), wave(30))
+      var labels = Dedup.connectedComponents(waves.head.toDF("d1", "d2"))
+      waves.tail.foreach { w =>
+        labels = Dedup.incrementalCC(labels, w.toDF("d1", "d2"))
+          .localCheckpoint()
+      }
+      val full = Dedup.connectedComponents(
+        waves.flatten.toDF("d1", "d2"))
+      assert(labels.as[(Long, Long)].collect().toMap ==
+        full.as[(Long, Long)].collect().toMap)
+    }
 
     it("an empty wave leaves the labeling untouched") {
       val w0 = Seq((10L, 11L), (12L, 13L))
