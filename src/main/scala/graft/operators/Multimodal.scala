@@ -179,6 +179,38 @@ object Multimodal {
       }
     }(Encoders.product[VadStats])
   }
+
+  /** Scene-change detection over a frame sequence — the video
+    * counterpart of [[audioVadSegments]]: consecutive `frameLen`-byte
+    * frames compared by byte-wise squared-difference energy, a cut
+    * declared where the diff reaches `threshold`, scenes = cuts + 1.
+    * Per-blob imperative state in one mapPartitions (a real codec
+    * would decode into the same loop) — zero shuffle; blobs shorter
+    * than two frames yield no row. */
+  def frameSceneStats(blobs: Dataset[Blob], frameLen: Int,
+                      threshold: Long): Dataset[SceneStats] = {
+    require(frameLen > 0, "frameLen must be positive")
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val n = b.payload.length
+        if (n < 2 * frameLen) Iterator.empty
+        else {
+          var off = 0; var cmp = 0L; var cuts = 0L
+          while (off + 2 * frameLen <= n) {
+            var d = 0L; var i = 0
+            while (i < frameLen) {
+              val x = (b.payload(off + i) & 0xff) -
+                (b.payload(off + frameLen + i) & 0xff)
+              d += x.toLong * x; i += 1
+            }
+            if (d >= threshold) cuts += 1L
+            cmp += 1L; off += frameLen
+          }
+          Iterator.single(SceneStats(b.doc_id, cmp, cuts, cuts + 1L))
+        }
+      }
+    }(Encoders.product[SceneStats])
+  }
 }
 
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
@@ -189,6 +221,9 @@ final case class AudioStats(
 final case class VadStats(
     doc_id: Long, n_frames: Long, n_speech: Long, n_segments: Long,
     longest_seg: Long)
+
+final case class SceneStats(
+    doc_id: Long, n_cmp: Long, n_cuts: Long, n_scenes: Long)
 
 final case class Resized(
     doc_id: Long, width: Long, height: Long,

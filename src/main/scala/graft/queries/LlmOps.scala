@@ -1096,6 +1096,41 @@ object LlmOps {
         |  FROM sb)
         |SELECT * FROM f ORDER BY strategy""".stripMargin)),
 
+    Q("m11_scene_detect",
+      "Scene-change detection (Multimodal.frameSceneStats) — the " +
+        "video counterpart of m10's VAD: consecutive 64-byte frames " +
+        "compared by byte-wise squared-difference energy, a cut " +
+        "declared at the corpus-median diff (114304), scenes = cuts " +
+        "+ 1. Per-blob imperative state in one mapPartitions (a " +
+        "demuxer/decoder slots into the same loop), zero shuffle; " +
+        "the oracle recomputes every frame diff relationally.",
+      (s, dir) => Multimodal.frameSceneStats(
+          Multimodal.withPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 200 &&
+              octet_length(col("text")) === length(col("text"))),
+            "doc_id", "text"),
+          frameLen = 64, threshold = 114304L)
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+        |  SELECT doc_id, o, list_reduce(
+        |      list_transform(generate_series(o, o + 63),
+        |        p -> (unicode(substr(text, CAST(p AS INT), 1)) -
+        |              unicode(substr(text, CAST(p + 64 AS INT), 1))) *
+        |             (unicode(substr(text, CAST(p AS INT), 1)) -
+        |              unicode(substr(text, CAST(p + 64 AS INT), 1)))),
+        |      (a, b) -> a + b) AS diff
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, len(text) - 127, 64)) t(o)
+        |  WHERE doc_id < 200 AND octet_length(CAST(text AS BLOB)) = len(text)
+        |    AND len(text) >= 128)
+        |SELECT doc_id, COUNT(*) AS n_cmp,
+        |  CAST(SUM(CASE WHEN diff >= 114304 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(SUM(CASE WHEN diff >= 114304 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_scenes
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +

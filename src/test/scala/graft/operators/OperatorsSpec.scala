@@ -1232,6 +1232,27 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Multimodal.frameSceneStats") {
+    it("cuts exactly where planted frame diffs cross the threshold") {
+      // frameLen 4, diff(aaaa,zzzz) = 4*(122-97)^2 = 2500
+      val docs = Seq(
+        (0L, "aaaa" + "aaaa" + "zzzz"),  // diffs [0, 2500] -> 1 cut, 2 scenes
+        (1L, "aaaa" + "zzzz" + "aaaa" + "zzzz"),  // [2500,2500,2500] -> 4 scenes
+        (2L, "aaaa" + "aaaa"),           // [0] -> 1 scene
+        (3L, "aaaaaa"))                  // shorter than 2 frames -> no row
+        .toDF("doc_id", "text")
+      val got = Multimodal.frameSceneStats(
+          Multimodal.withPayload(docs, "doc_id", "text"),
+          frameLen = 4, threshold = 1000L)
+        .collect().map(v =>
+          v.doc_id -> ((v.n_cmp, v.n_cuts, v.n_scenes))).toMap
+      assert(got == Map(
+        0L -> ((2L, 1L, 2L)),
+        1L -> ((3L, 3L, 4L)),
+        2L -> ((1L, 0L, 1L))))
+    }
+  }
+
   describe("Sampling.packSequences vs prefix-sum reference") {
     it("matches per-bucket running offsets on seeded random token counts") {
       val rnd = new scala.util.Random(7)
