@@ -192,6 +192,13 @@ object Bench {
         s"""per-query value = min of n_samples runs; shuffle_rw_mb = """ +
         s"""read+write bytes over all samples / n_samples","sf":"$sfDir"}""")
     println(compact)
+    // Minimal total-only line LAST: the compact line outgrew the
+    // driver's bounded tail window at 43 queries (BENCH_r09 parsed:
+    // null), so the artifact of record lost the round total. This
+    // line is ~80 bytes and always survives the tail cut.
+    println(
+      s"""{"metric":"total_min","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

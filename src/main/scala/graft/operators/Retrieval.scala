@@ -36,22 +36,25 @@ object Retrieval {
   /** Inverted postings `(term, doc, tf, dl)`: one explode + one hash
     * aggregation; `dl` (doc token count) is computed before the explode
     * and carried through `first` (constant within the (doc, term)
-    * group). */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * group). `tok` picks the tokenizer — the space split by default,
+    * [[TextAnalysis.tokensUnicode]] for multilingual corpora (d93). */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               tok: Column => Column = TextAnalysis.tokens): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        size(tok(col(textCol))).cast("long").as("dl"),
+        explode(tok(col(textCol))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
 
   /** Corpus constants for BM25: (n_docs, avgdl). avgdl is one exact
     * integer division sum_tokens/n as DOUBLE — deterministic across
     * engines. */
-  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+  def corpusStats(docs: DataFrame, textCol: String,
+                  tok: Column => Column = TextAnalysis.tokens): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
-      (sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      (sum(size(tok(col(textCol))).cast("long"))
         .cast("double") / count(lit(1))).as("avgdl"))
 
   /** Persist the index for serving, in the three-table layout a real
@@ -140,6 +143,62 @@ object Retrieval {
     Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
       .toDF("n_docs", "sum_tokens")
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Compact FRAGMENTED postings buckets — the text-index twin of
+    * `AnnIndex.compact` (s17): every [[appendIndex]] wave adds one
+    * file batch per touched `tb` partition, so an append-heavy index
+    * accumulates small files and serve-time file-open/footer cost
+    * grows with wave count, not data. Selectively rewrites ONLY the
+    * buckets holding more than `maxFilesPerBucket` part-files
+    * (coalesced to one write per bucket), swapping each bucket dir
+    * with rename-out/rename-in and restoring the original on a
+    * failed rename-in — a crashed compaction leaves every bucket
+    * either old or new, never absent, and re-running converges
+    * (idempotent: already-compacted buckets no longer qualify). Row
+    * content is untouched — the dictionary, stats and tombstones are
+    * not involved — so serving before and after is bit-identical.
+    * Returns the bucket ids rewritten. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, maxFilesPerBucket: Int = 1): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+    val frag = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .map(st => (st.getPath.getName.stripPrefix("tb=").toLong, st.getPath))
+      .filter { case (_, p) => partFiles(p) > maxFilesPerBucket }
+      .sortBy(_._1)
+    if (frag.nonEmpty) {
+      val tmp = new Path(s"$dir/.postings_compacting")
+      fs.delete(tmp, true)
+      // explicit schema: partition-type inference would read tb as INT;
+      // declaring LONG keeps the partition column native so the isin
+      // filter prunes at the partition level (only fragmented buckets
+      // are read, let alone rewritten)
+      spark.read
+        .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+        .parquet(s"$dir/postings")
+        .filter(col("tb").isin(frag.map(_._1): _*))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+      frag.foreach { case (tb, bucketPath) =>
+        val fresh = new Path(tmp, s"tb=$tb")
+        val retired = new Path(root, s".tb=$tb.retired")
+        require(fs.rename(bucketPath, retired),
+          s"compactPostings: rename-out failed for tb=$tb")
+        if (!fs.rename(fresh, bucketPath)) {
+          fs.rename(retired, bucketPath) // restore — never leave a bucket absent
+          throw new IllegalStateException(
+            s"compactPostings: rename-in failed for tb=$tb (original restored)")
+        }
+        fs.delete(retired, true)
+      }
+      fs.delete(tmp, true)
+    }
+    frag.map(_._1)
   }
 
   /** Serve-time slice of the stored index for a (tiny) term set,
@@ -316,11 +375,43 @@ object Retrieval {
     * is query-set-sized and crosses the driver as bounded collects
     * (the w25/w30 serve discipline). Output is bit-identical to
     * [[bm25TopKIndexed]] over the same index — same bounds/threshold
-    * proofs as [[maxScoreTopK]]. */
+    * proofs as [[maxScoreTopK]].
+    *
+    * Tombstone-aware: every postings read routes through
+    * [[readServableSlice]], so a post-delete, pre-compaction index
+    * serves the SURVIVING docs only (with the documented stale df) —
+    * including the θ pass, whose k-th-best-partial threshold must be
+    * computed over servable docs or it could exceed the true k-th
+    * best among survivors and prune a doc that belongs in the top-k.
+    *
+    * Degenerate-regime guard: the candidate broadcast is bounded by
+    * the ESSENTIAL lists' total df. When the query profile defeats
+    * the prune — every term common (all essential, θ unreachable by
+    * the ub sums) or fewer than k matching docs (θ absent) — that
+    * bound approaches the corpus and the broadcast would OOM, so the
+    * plan-time decision falls back to the exhaustive
+    * [[bm25TopKIndexed]] over the same servable slice (bit-identical
+    * output — MaxScore is lossless, so the switch is invisible in
+    * results). The threshold is `maxCandidatePostings`, the decision
+    * input is the pruned dictionary's df profile, and both are
+    * query-set-sized driver state. */
   def maxScoreIndexedTopK(spark: org.apache.spark.sql.SparkSession,
                           dir: String, queries: DataFrame, k: Int,
                           nBuckets: Int, k1: Double = 1.2,
-                          b: Double = 0.75): DataFrame = {
+                          b: Double = 0.75,
+                          maxCandidatePostings: Long = 1L << 20)
+      : DataFrame =
+    maxScoreIndexedPlan(spark, dir, queries, k, nBuckets, k1, b,
+      maxCandidatePostings)._2
+
+  /** [[maxScoreIndexedTopK]] plus the chosen path tag ("maxscore" |
+    * "exhaustive") so specs can assert the degenerate-regime switch
+    * actually takes the fallback. */
+  private[graft] def maxScoreIndexedPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nBuckets: Int,
+      k1: Double, b: Double, maxCandidatePostings: Long)
+      : (String, DataFrame) = {
     import spark.implicits._
     val qrows = queries.select(col("query_id").cast("long"), col("term"))
       .as[(Long, String)].collect()           // bounded: the query set
@@ -328,6 +419,10 @@ object Retrieval {
     val stats = readStats(spark, dir)
     val st = stats.select(col("n_docs").cast("long")).head()
     val nDocs = st.getLong(0)
+    def exhaustive: DataFrame =
+      rank(readServableSlice(spark, dir, qterms, nBuckets)
+        .join(broadcast(queries), "term").crossJoin(broadcast(stats)),
+        k, k1, b)
     // dictionary slice: pruned, vocab-of-query-terms sized
     val dfMap = prunedRead(spark, dir, "terms", qterms, nBuckets)
       .select(col("term"), col("df").cast("long"))
@@ -337,10 +432,7 @@ object Retrieval {
         (k1 + 1.0) + 1e-9
     val byQ = qrows.filter(r => dfMap.contains(r._2)).distinct
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
-    if (byQ.isEmpty)
-      return rank(readIndexSlice(spark, dir, qterms, nBuckets)
-        .join(broadcast(queries), "term").crossJoin(broadcast(stats)),
-        k, k1, b)
+    if (byQ.isEmpty) return ("exhaustive", exhaustive)
     // θ per query from the highest-ub (driver) term's list only —
     // ties break to the lexicographically smallest term, matching
     // maxScorePlan's (ub desc, term asc) window.
@@ -348,7 +440,7 @@ object Retrieval {
       byQ.view.mapValues(ts => ts.minBy(t => (-ubOf(t), t))).toMap
     val dq = driverTerm.toSeq.toDF("query_id", "term")
     val thetaMap = contrib(
-        readIndexSlice(spark, dir, driverTerm.values.toSeq.distinct,
+        readServableSlice(spark, dir, driverTerm.values.toSeq.distinct,
           nBuckets)
           .join(broadcast(dq), "term").crossJoin(broadcast(stats)),
         k1, b)
@@ -373,20 +465,29 @@ object Retrieval {
             }
         }
     }
+    // The plan-time switch (dictionary df profile → scorer): Σ df
+    // over the essential (query, term) pairs bounds the candidate
+    // set — the broadcast the pruned path is about to make. Stale
+    // dictionary df after deletes only OVERcounts (df never grows
+    // stale-downward), so the guard errs toward the safe fallback.
+    val essentialDf = essential.iterator.map { case (_, t) => dfMap(t) }.sum
+    if (essentialDf > maxCandidatePostings)
+      return ("exhaustive", exhaustive)
     val candidates =
-      readIndexSlice(spark, dir, essential.map(_._2).distinct, nBuckets)
+      readServableSlice(spark, dir, essential.map(_._2).distinct,
+          nBuckets)
         .join(broadcast(essential.toDF("query_id", "term")),
           Seq("term"))
         .select("query_id", "doc_id").distinct()
     // candidate-side assembly — the maxScorePlan shape: the one
     // corpus-sized scan is probed by a broadcast hash join on doc_id;
     // the full query-join never materializes.
-    rank(
-      readIndexSlice(spark, dir, qterms, nBuckets)
+    ("maxscore", rank(
+      readServableSlice(spark, dir, qterms, nBuckets)
         .join(broadcast(candidates), "doc_id")
         .join(broadcast(queries), Seq("query_id", "term"))
         .crossJoin(broadcast(stats)),
-      k, k1, b)
+      k, k1, b))
   }
 
   /** [[maxScoreRowCounts]] over a stored-df slice (the indexed serve
@@ -508,9 +609,14 @@ object Retrieval {
     * values, so the removed postings carry everything needed), and
     * clear the tombstones — the segment-merge moment where Lucene's
     * stale df snaps back to exact. Swap-in uses the two-rename
-    * discipline of [[appendIndex]]; like [[AnnIndex.compact]], the
-    * swap is a maintenance-window operation, not lock-free — a reader
-    * racing the renames can fail loudly, never read a mix.
+    * discipline of [[appendIndex]], applied to postings then terms:
+    * this is a maintenance-window operation, NOT lock-free — between
+    * the two table swaps (or after a crash there) a racing reader can
+    * observe new postings with the old dictionary, a silent mix, not
+    * just a loud failure. A production deployment stages both tables
+    * under one versioned directory and flips a single version pointer
+    * (one atomic rename) instead; here the maintenance window is the
+    * documented contract.
     *
     * Caveat (inherent to an index without a forward index): a doc
     * with ZERO tokens leaves no postings, so deleting one cannot

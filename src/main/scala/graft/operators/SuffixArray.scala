@@ -110,6 +110,16 @@ object SuffixArray {
       k *= 2
       round += 1
     }
+    // The final (r, doc_id, off) sort is only a TIE-BREAK — correct
+    // iff every position's rank reflects its full suffix. Exiting on
+    // the round cap before that point would order unequal suffixes
+    // arbitrarily and return a silently wrong array, so fail loudly
+    // instead (unreachable at the default maxRounds=32: k doubles
+    // past any real maxLen in far fewer rounds).
+    require(k >= maxLen || distinctRanks == total,
+      s"SuffixArray.build: maxRounds=$maxRounds exhausted at k=$k < " +
+        s"maxLen=$maxLen with $distinctRanks/$total ranks individuated — " +
+        "result would be silently unordered; raise maxRounds")
 
     zipIndex(cur.orderBy("r", "doc_id", "off"), "rank")
       .select(col("rank"), col("doc_id"), col("off").cast("long").as("off"),

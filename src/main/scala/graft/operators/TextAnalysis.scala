@@ -14,6 +14,18 @@ object TextAnalysis {
   /** Whitespace tokenization (the corpus is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-aware tokenization (VERDICT r09 #8): token = maximal run
+    * of letters/digits in ANY script — the split class is
+    * `[^\p{L}\p{N}]+`, syntax and semantics Java regex and RE2 share
+    * for BMP scripts, so a DuckDB oracle tokenizes identically via
+    * `regexp_split_to_array`. Leading/trailing separators produce
+    * empty fragments in both engines; the filter drops them on both
+    * sides. Use this over [[tokens]] when the corpus is multilingual
+    * (post-NFC, d65) — the ASCII space split would glue Greek/CJK
+    * tokens to their punctuation. */
+  def tokensUnicode(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
   /** Small fixed English stopword list (public, deterministic). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")

@@ -417,6 +417,72 @@ object Mining {
           |JOIN r$k ON d.w = r$k.w
           |WHERE length(d.w) > 0
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      }),
+
+    Q("d92_bpe_train_batched",
+      "BATCHED BPE training (BpeTrain.trainBatched — VERDICT r09 #6): " +
+        "d80's exact trainer pays one driver round-trip per merge, so " +
+        "a 32k vocabulary means 32k Spark jobs; this learns a BATCH " +
+        "per round — rank pairs by (count DESC, pair ASC), keep the " +
+        "top-8 window, admit the dominance-filtered subset (a pair is " +
+        "admitted iff no higher-ranked window pair shares any of its " +
+        "symbols {a, b, ab} — any two admitted pairs are then " +
+        "pairwise disjoint INCLUDING merge results, so the round's " +
+        "replaces commute and apply in one chained pass). Divergence " +
+        "from Sennrich's order is documented on the operator " +
+        "(post-first pairs use pre-round counts; batchSize=1 is " +
+        "exact). The oracle replays all 4 rounds — window, dominance " +
+        "anti-join, list_reduce'd replace chain — in chained " +
+        "MATERIALIZED CTEs and must reproduce the merge table " +
+        "bit-for-bit, admission pattern included.",
+      (s, dir) => graft.operators.BpeTrain
+        .trainBatched(t(s, dir, "documents"), "text",
+          nRounds = 4, batchSize = 8)
+        .orderBy("step"),
+      Some {
+        def stage(i: Int): String = {
+          val prev = s"r${i - 1}"
+          s"""pc$i AS MATERIALIZED (
+            |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+            |      k -> l[k] || ' ' || l[k+1])) AS p, cnt
+            |    FROM (SELECT string_split(s, '  ') AS l, cnt FROM $prev))
+            |  GROUP BY p),
+            |w$i AS MATERIALIZED (
+            |  SELECT p, n, row_number() OVER (ORDER BY n DESC, p ASC) AS rk,
+            |    split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
+            |    replace(p, ' ', '') AS ab
+            |  FROM pc$i ORDER BY n DESC, p ASC LIMIT 8),
+            |adm$i AS MATERIALIZED (
+            |  SELECT t.p, t.n, t.rk, t.a, t.b FROM w$i t WHERE NOT EXISTS (
+            |    SELECT 1 FROM w$i h WHERE h.rk < t.rk AND
+            |      (h.a IN (t.a, t.b, t.ab) OR h.b IN (t.a, t.b, t.ab)
+            |       OR h.ab IN (t.a, t.b, t.ab)))),
+            |r$i AS MATERIALIZED (
+            |  SELECT trim(list_reduce(
+            |    list_prepend('  ' || s || '  ',
+            |      (SELECT COALESCE(
+            |         list(' ' || a || '  ' || b || ' ' ORDER BY rk), [])
+            |       FROM adm$i)),
+            |    (acc, x) -> replace(acc, x,
+            |      ' ' || replace(trim(x), '  ', '') || ' '))) AS s, cnt
+            |  FROM $prev)""".stripMargin
+        }
+        val k = 4
+        s"""WITH r0 AS MATERIALIZED (
+          |  SELECT array_to_string(string_split(w, ''), '  ') AS s,
+          |         CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+          |        FROM documents)
+          |  WHERE length(w) > 0 GROUP BY w),
+          |${(1 to k).map(stage).mkString(",\n")},
+          |allm AS (${(1 to k)
+            .map(i => s"SELECT $i AS round, rk, p, n FROM adm$i")
+            .mkString(" UNION ALL ")})
+          |SELECT CAST(row_number() OVER (ORDER BY round, rk) AS BIGINT)
+          |    AS step,
+          |  CAST(round AS BIGINT) AS round, p AS pair, n
+          |FROM allm ORDER BY step""".stripMargin
       })
   )
 }

@@ -299,8 +299,122 @@ object ScaleStreaming {
     if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
     if (want("bm25_wand_ex"))
       bm25WandProbe(spark, rate, secs, pruned = false)
+    if (want("restart_bm25")) restartBm25Probe(spark)
 
     spark.stop()
+  }
+
+  /** Kill/restart proof for the STREAMED TEXT serve (VERDICT r09 #7 —
+    * w23/w27 cover aggregation and ANN serving; this is w30's shape):
+    * a deterministic file-fed query stream served from the persisted
+    * text index via foreachBatch, each batch's top-k written
+    * idempotently to its own `b<batchId>` dir (overwrite). The query
+    * is killed mid-flight (after ~half the input files are consumed),
+    * resumed on the SAME checkpoint with AvailableNow, and the union
+    * of outputs must be multiset-identical to an uninterrupted
+    * control run on a fresh checkpoint. Grouping of queries into
+    * batches may differ between the runs and must NOT matter: every
+    * query is scored independently against the STORED df/stats, so
+    * per-query rows are batch-invariant — which is exactly what the
+    * exceptAll comparison certifies. */
+  private def restartBm25Probe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-restartbm25").toString
+    R.writeIndex(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+      "doc_id", "text", tmp, nBuckets = 16)
+    val stats = R.readStats(spark, tmp)
+    val vocab = spark.read.parquet(s"$tmp/terms")
+      .select("term").as[String].collect().sorted.toSeq
+    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 16).cache()
+    slice.count()
+    val nFiles = 40
+    val perFile = 25
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in"))
+    (0 until nFiles).foreach { f =>
+      val lines = (0 until perFile).map { i =>
+        val qid = f * perFile + i
+        val t1 = vocab(((qid * 7 + 3) % vocab.size + vocab.size) % vocab.size)
+        val t2 = vocab(((qid * 13 + 5) % vocab.size + vocab.size) % vocab.size)
+        s"""{"query_id":$qid,"terms":["$t1","$t2"]}"""
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/in/q$f.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val nRows = nFiles.toLong * perFile
+    def query(ckptDir: String, outDir: String) = spark.readStream
+      .schema("query_id LONG, terms ARRAY<STRING>")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch
+            .select(col("query_id"), explode(col("terms")).as("term"))
+          val terms = queries.select("term").distinct()
+            .as[String].collect().toSeq
+          R.bm25TopKIndexed(
+            slice.filter(col("term").isInCollection(terms)),
+            queries, stats, k = 3)
+            .write.mode("overwrite").parquet(s"$outDir/b$bid")
+        }
+      }
+      .option("checkpointLocation", ckptDir)
+    val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val watchId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          if (e.progress.id == watchId.get())
+            consumed.addAndGet(e.progress.numInputRows)
+          ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(listener)
+    val t0 = System.nanoTime()
+    val killedAt =
+      try {
+        val q1 = query(s"$tmp/ckpt", s"$tmp/out")
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        watchId.set(q1.id)
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (consumed.get() < nRows / 2 && q1.exception.isEmpty &&
+            System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q1.exception.foreach(throw _)
+        val at = consumed.get()
+        q1.stop(); q1.awaitTermination()
+        at
+      } finally spark.streams.removeListener(listener)
+    val q2 = query(s"$tmp/ckpt", s"$tmp/out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val qc = query(s"$tmp/ckpt_control", s"$tmp/out_control")
+      .trigger(Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    val restarted = spark.read.parquet(s"$tmp/out/b*")
+    val control = spark.read.parquet(s"$tmp/out_control/b*")
+    val nR = restarted.count()
+    val nC = control.count()
+    val identical = nR == nC &&
+      restarted.exceptAll(control).count() == 0L &&
+      control.exceptAll(restarted).count() == 0L
+    println(s"""{"probe":"restart_bm25","n_queries":$nRows,""" +
+      s""""n_files":$nFiles,"killed_after_rows":$killedAt,""" +
+      s""""sec_to_drain":${fmt(sec)},""" +
+      s""""n_out_restarted":$nR,"n_out_control":$nC,""" +
+      s""""outputs_identical":$identical}""")
+    slice.unpersist()
+    graft.queries.Rm.rf(tmp)
   }
 
   /** w28's shape under sustained rate — the PERSISTED-store gate as a

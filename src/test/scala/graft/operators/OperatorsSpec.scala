@@ -1150,6 +1150,21 @@ class OperatorsSpec extends AnyFunSpec {
       }.toMap
       assert(got == want)
     }
+
+    it("fails loudly (not silently wrong) when maxRounds exhausts " +
+       "before ranks individuate") {
+      // seedLen 1 over a 3-letter alphabet with 40-char docs needs
+      // ~log2(40) doubling rounds; maxRounds=1 can't get there
+      val rnd = new scala.util.Random(3)
+      val df = (0L until 4L).map { i =>
+        (i, Seq.fill(40)(('a' + rnd.nextInt(3)).toChar).mkString) }
+        .toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        SuffixArray.build(df, "doc_id", "text",
+          seedLen = 1, maxRounds = 1).count()
+      }
+      assert(e.getMessage.contains("maxRounds"))
+    }
   }
 
   describe("Dedup.incrementalCC vs full recompute") {

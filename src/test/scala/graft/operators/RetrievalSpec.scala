@@ -10,6 +10,19 @@ class RetrievalSpec extends AnyFunSpec {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** Class-scope twin of the Zipf-ish generator used by the MaxScore
+    * suite: term `w<i>` appears with probability ~1/i per slot. */
+  private def zipf2(nDocs: Int, vocab: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until nDocs).map { id =>
+      val toks = (1 to vocab).flatMap { i =>
+        val n = (0 until 3).count(_ => rnd.nextDouble() < 1.0 / i)
+        Seq.fill(n)(s"w$i")
+      }
+      (id, if (toks.isEmpty) "w1" else rnd.shuffle(toks).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
   private def corpus = Seq(
     (0L, "spark joins data with hash joins"),
     (1L, "sort merge joins shuffle data"),
@@ -238,6 +251,131 @@ class RetrievalSpec extends AnyFunSpec {
       val b = Retrieval.maxScoreTopK(posts, q, stats, k = 10)
         .as[(Long, Long, Long, Double)].collect().toList.sorted
       assert(a == b && a.nonEmpty)
+    }
+  }
+
+  describe("Retrieval.maxScoreIndexedTopK — degenerate-regime fallback") {
+    it("an all-essential / over-threshold query profile takes the " +
+       "exhaustive path, with identical output") {
+      val docs = zipf2(nDocs = 150, vocab = 20, seed = 5)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-msfall").toString
+      try {
+        Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 8)
+        // every term stopword-class: w1..w3 appear in nearly all docs,
+        // so ubs are tiny and near-equal — the running total reaches
+        // θ immediately and everything is essential
+        val q = Seq((1L, "w1"), (1L, "w2"), (2L, "w2"), (2L, "w3"))
+          .toDF("query_id", "term")
+        val (path, res) = Retrieval.maxScoreIndexedPlan(spark, tmp, q,
+          k = 5, nBuckets = 8, k1 = 1.2, b = 0.75,
+          maxCandidatePostings = 10L)   // any real corpus exceeds this
+        assert(path == "exhaustive")
+        val got = res.as[(Long, Long, Long, Double)]
+          .collect().toList.sorted
+        val want = Retrieval.bm25TopKIndexed(
+          Retrieval.readIndexSlice(spark, tmp,
+            Seq("w1", "w2", "w3"), nBuckets = 8),
+          q, Retrieval.readStats(spark, tmp), k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(got == want && got.nonEmpty)
+        // a fewer-than-k-docs query (θ absent → all terms essential)
+        // also falls back under a tight candidate budget
+        val (p2, _) = Retrieval.maxScoreIndexedPlan(spark, tmp,
+          Seq((1L, "w20")).toDF("query_id", "term"),
+          k = 1000, nBuckets = 8, k1 = 1.2, b = 0.75,
+          maxCandidatePostings = 3L)
+        assert(p2 == "exhaustive")
+        // and the rare+common mix under the DEFAULT budget still
+        // takes the pruned path
+        val (p3, res3) = Retrieval.maxScoreIndexedPlan(spark, tmp,
+          Seq((1L, "w1"), (1L, "w19")).toDF("query_id", "term"),
+          k = 2, nBuckets = 8, k1 = 1.2, b = 0.75,
+          maxCandidatePostings = 1L << 20)
+        assert(p3 == "maxscore" && res3.count() > 0)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+  }
+
+  describe("Retrieval.maxScoreIndexedTopK — tombstones") {
+    it("pre-compaction MaxScore serving excludes deleted docs and " +
+       "equals the exhaustive servable-slice scorer bit-for-bit") {
+      val docs = zipf2(nDocs = 150, vocab = 30, seed = 13)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mstomb").toString
+      try {
+        Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 8)
+        Retrieval.deleteDocs(
+          docs.filter($"doc_id" % 2 === 0).select("doc_id"), tmp)
+        val rnd = new scala.util.Random(99)
+        val q = (1L to 5L).flatMap { qid =>
+          Seq.fill(1 + rnd.nextInt(3))(qid -> s"w${1 + rnd.nextInt(30)}")
+            .distinct
+        }.toDF("query_id", "term")
+        val qterms = q.select("term").distinct()
+          .as[String].collect().toSeq
+        val viaMaxScore = Retrieval.maxScoreIndexedTopK(
+          spark, tmp, q, k = 5, nBuckets = 8)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val viaExhaustive = Retrieval.bm25TopKIndexed(
+          Retrieval.readServableSlice(spark, tmp, qterms, nBuckets = 8),
+          q, Retrieval.readStats(spark, tmp), k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(viaMaxScore == viaExhaustive && viaMaxScore.nonEmpty)
+        assert(!viaMaxScore.exists(_._3 % 2 == 0),
+          "a tombstoned doc surfaced through the MaxScore path")
+      } finally graft.queries.Rm.rf(tmp)
+    }
+  }
+
+  describe("Retrieval.compactPostings") {
+    it("selectively rewrites only fragmented buckets, preserves " +
+       "content bit-for-bit, and is idempotent") {
+      val docs = zipf2(nDocs = 120, vocab = 25, seed = 21)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rcomp").toString
+      try {
+        Retrieval.writeIndex(docs.filter($"doc_id" < 40),
+          "doc_id", "text", tmp, nBuckets = 4)
+        (1 to 2).foreach { w =>
+          Retrieval.appendIndex(
+            docs.filter($"doc_id" >= w * 40 && $"doc_id" < (w + 1) * 40),
+            "doc_id", "text", tmp, nBuckets = 4)
+        }
+        val before = spark.read
+          .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+          .parquet(s"$tmp/postings")
+          .as[(Long, String, Long, Long, Long)].collect().toSet
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(tmp).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def census(): Map[Long, Int] = fs
+          .listStatus(new Path(s"$tmp/postings")).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("tb="))
+          .map(st => st.getPath.getName.stripPrefix("tb=").toLong ->
+            fs.listStatus(st.getPath)
+              .count(_.getPath.getName.startsWith("part-")))
+          .toMap
+        val fragBefore = census()
+        assert(fragBefore.values.exists(_ > 1),
+          "append waves should have fragmented at least one bucket")
+        val rewritten = Retrieval.compactPostings(spark, tmp)
+        assert(rewritten.toSet ==
+          fragBefore.filter(_._2 > 1).keySet)
+        val after = census()
+        assert(rewritten.forall(tb => after(tb) == 1))
+        // untouched buckets keep their exact file count
+        assert(fragBefore.filter(_._2 <= 1).forall {
+          case (tb, c) => after(tb) == c })
+        val content = spark.read
+          .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+          .parquet(s"$tmp/postings")
+          .as[(Long, String, Long, Long, Long)].collect().toSet
+        assert(content == before)
+        assert(Retrieval.compactPostings(spark, tmp).isEmpty,
+          "second compaction should find nothing fragmented")
+      } finally graft.queries.Rm.rf(tmp)
     }
   }
 
