@@ -568,6 +568,68 @@ object Retrieval {
         .crossJoin(broadcast(stats)))
   }
 
+  /** Fold a stored-df slice into the doc-major FORWARD-INDEX shape
+    * for cached online serving: one row per doc, `(doc_id, impacts:
+    * MAP<term, DECIMAL(28,9)>)`, where each entry is the doc's fully
+    * PRECOMPUTED 9-dp BM25 contribution for that term — tf, dl, df,
+    * n_docs, avgdl are all index-time constants, so nothing about a
+    * contribution depends on the query and the log/divide/round work
+    * moves off the serve hot path entirely (the impact-ordered-index
+    * idea of Anh & Moffat, relational form). Feed it to
+    * [[bm25Top1DocMap]]. */
+  def impactDocMap(slice: DataFrame, stats: DataFrame, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame =
+    contrib(slice.crossJoin(broadcast(stats)), k1, b)
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("contrib")))).as("impacts"))
+
+  /** Document-at-a-time top-1 serving from the cached forward index —
+    * the SCATTER-GATHER plan every distributed text engine runs:
+    * broadcast the query batch (`(query_id, terms ARRAY<STRING>)`,
+    * one row per query) against the doc-partitioned [[impactDocMap]],
+    * score each (doc, query) with a codegen'd decimal fold over the
+    * query's terms probing the doc's impact map, and gather the
+    * per-query best through a partial-aggregating max — so the ONLY
+    * shuffle moves one row per (query × partition), never a candidate
+    * row, and per-batch cost is one scan of the forward index
+    * regardless of how many queries share it (the term-major plan
+    * pays Σ df rows PER QUERY into a (query, doc) shuffle; this pays
+    * |docs| rows per BATCH and no candidate shuffle at all).
+    *
+    * Bit-identical to [[bm25TopKIndexed]] at k = 1 over the same
+    * slice: the map entries are [[contrib]]'s exact decimals, decimal
+    * addition is order-free so the fold equals the aggregation sum,
+    * the 6-dp round is applied to the same value, docs with no
+    * matching term produce no row on either path, and max over
+    * `struct(score, -doc_id)` realizes the (score DESC, doc_id ASC)
+    * tie-break. */
+  def bm25Top1DocMap(docMap: DataFrame, queries: DataFrame): DataFrame = {
+    // accumulator stays DECIMAL(28,9): the raw add widens to (29,9)
+    // and the cast narrows it back LOSSLESSLY (scale 9 is preserved
+    // through every step — letting Spark's promotion run instead
+    // would land on (38,8) and round the 9th decimal). Magnitudes are
+    // bounded by |terms|·idf_max·(k1+1) ≪ 10^19, so the narrowing
+    // cast can never overflow.
+    val d28_9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(d28_9)
+    docMap.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("terms"), zero, (acc, t) =>
+          (acc + coalesce(element_at(col("impacts"), t), zero))
+            .cast(d28_9)).as("dsum"),
+        exists(col("terms"),
+          t => map_contains_key(col("impacts"), t)).as("hit"))
+      .filter(col("hit"))
+      .select(col("query_id"),
+        struct(round(col("dsum").cast("double"), 6).as("score"),
+          (-col("doc_id")).as("negdoc")).as("cand"))
+      .groupBy("query_id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), lit(1L).as("rk"),
+        (-col("best.negdoc")).as("doc_id"), col("best.score"))
+  }
+
   /** Mark documents deleted — the Lucene model: a delete writes only
     * TOMBSTONES (doc ids), never touches postings. Serving via
     * [[readServableSlice]] anti-joins them out immediately; df and

@@ -88,8 +88,13 @@ object SuffixArray {
 
     val seeds = zipIndex(
       pos.select("tail").distinct().orderBy("tail"), "r")
+    // The doubling loop carries ONLY (doc_id, off, r) — the 64-char
+    // tail would add ~seedLen bytes/position to every round's
+    // self-join shuffle and checkpoint (~64× the corpus's character
+    // count per round); it is re-attached ONCE after the loop with a
+    // single join back to the seed projection (VERDICT r09 #5).
     var cur = pos.join(seeds, "tail")
-      .select(col("doc_id"), col("off"), col("r"), col("tail"))
+      .select(col("doc_id"), col("off"), col("r"))
       .localCheckpoint()
     var distinctRanks = seeds.count()
 
@@ -99,12 +104,12 @@ object SuffixArray {
       val right = cur.select(col("doc_id"),
         (col("off") - lit(k)).cast("int").as("off"), col("r").as("r2"))
       val paired = cur.join(right, Seq("doc_id", "off"), "left")
-        .select(col("doc_id"), col("off"), col("tail"),
+        .select(col("doc_id"), col("off"),
           col("r").as("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
       val ranks = zipIndex(
         paired.select("r1", "r2").distinct().orderBy("r1", "r2"), "nr")
       cur = paired.join(ranks, Seq("r1", "r2"))
-        .select(col("doc_id"), col("off"), col("nr").as("r"), col("tail"))
+        .select(col("doc_id"), col("off"), col("nr").as("r"))
         .localCheckpoint()
       distinctRanks = ranks.count()
       k *= 2
@@ -121,7 +126,8 @@ object SuffixArray {
         s"maxLen=$maxLen with $distinctRanks/$total ranks individuated — " +
         "result would be silently unordered; raise maxRounds")
 
-    zipIndex(cur.orderBy("r", "doc_id", "off"), "rank")
+    zipIndex(cur.join(pos, Seq("doc_id", "off"))
+        .orderBy("r", "doc_id", "off"), "rank")
       .select(col("rank"), col("doc_id"), col("off").cast("long").as("off"),
         col("tail"))
   }

@@ -424,17 +424,18 @@ object Mining {
         "d80's exact trainer pays one driver round-trip per merge, so " +
         "a 32k vocabulary means 32k Spark jobs; this learns a BATCH " +
         "per round — rank pairs by (count DESC, pair ASC), keep the " +
-        "top-8 window, admit the dominance-filtered subset (a pair is " +
-        "admitted iff no higher-ranked window pair shares any of its " +
-        "symbols {a, b, ab} — any two admitted pairs are then " +
-        "pairwise disjoint INCLUDING merge results, so the round's " +
-        "replaces commute and apply in one chained pass). Divergence " +
-        "from Sennrich's order is documented on the operator " +
-        "(post-first pairs use pre-round counts; batchSize=1 is " +
-        "exact). The oracle replays all 4 rounds — window, dominance " +
-        "anti-join, list_reduce'd replace chain — in chained " +
-        "MATERIALIZED CTEs and must reproduce the merge table " +
-        "bit-for-bit, admission pattern included.",
+        "top-8 window, GREEDILY admit the maximal rank-order disjoint " +
+        "subset (a pair is admitted iff none of its symbols {a, b, " +
+        "ab} was used by an already-admitted pair — so admitted pairs " +
+        "are pairwise disjoint INCLUDING merge results, the round's " +
+        "replaces commute, and one chained pass applies them all). " +
+        "Divergence from Sennrich's order is documented on the " +
+        "operator (post-first pairs use pre-round counts; batchSize=1 " +
+        "degenerates to the exact trainer, spec-proved). The oracle " +
+        "replays all 4 rounds — window, the greedy admission as a " +
+        "LINEAR RECURSIVE CTE carrying the admitted-symbol set, the " +
+        "list_reduce'd replace chain — and must reproduce the merge " +
+        "table bit-for-bit, admission pattern included.",
       (s, dir) => graft.operators.BpeTrain
         .trainBatched(t(s, dir, "documents"), "text",
           nRounds = 4, batchSize = 8)
@@ -453,11 +454,22 @@ object Mining {
             |    split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
             |    replace(p, ' ', '') AS ab
             |  FROM pc$i ORDER BY n DESC, p ASC LIMIT 8),
+            |g$i(rk, used, adm) AS (
+            |  SELECT 0, []::VARCHAR[], false
+            |  UNION ALL
+            |  SELECT w.rk,
+            |    CASE WHEN NOT (list_contains(g.used, w.a) OR
+            |                   list_contains(g.used, w.b) OR
+            |                   list_contains(g.used, w.ab))
+            |         THEN list_concat(g.used, [w.a, w.b, w.ab])
+            |         ELSE g.used END,
+            |    NOT (list_contains(g.used, w.a) OR
+            |         list_contains(g.used, w.b) OR
+            |         list_contains(g.used, w.ab))
+            |  FROM g$i g JOIN w$i w ON w.rk = g.rk + 1),
             |adm$i AS MATERIALIZED (
-            |  SELECT t.p, t.n, t.rk, t.a, t.b FROM w$i t WHERE NOT EXISTS (
-            |    SELECT 1 FROM w$i h WHERE h.rk < t.rk AND
-            |      (h.a IN (t.a, t.b, t.ab) OR h.b IN (t.a, t.b, t.ab)
-            |       OR h.ab IN (t.a, t.b, t.ab)))),
+            |  SELECT w.p, w.n, w.rk, w.a, w.b FROM w$i w
+            |  JOIN g$i g ON g.rk = w.rk WHERE g.adm),
             |r$i AS MATERIALIZED (
             |  SELECT trim(list_reduce(
             |    list_prepend('  ' || s || '  ',
@@ -469,7 +481,7 @@ object Mining {
             |  FROM $prev)""".stripMargin
         }
         val k = 4
-        s"""WITH r0 AS MATERIALIZED (
+        s"""WITH RECURSIVE r0 AS MATERIALIZED (
           |  SELECT array_to_string(string_split(w, ''), '  ') AS s,
           |         CAST(COUNT(*) AS BIGINT) AS cnt
           |  FROM (SELECT unnest(string_split(text, ' ')) AS w

@@ -265,7 +265,8 @@ object Scale {
 
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
-      what != "incc" && what != "sa" && what != "bpe" && what != "spill"
+      what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
+      what != "textcompact"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -291,7 +292,8 @@ object Scale {
     val probeNames = what match {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
-           "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" | "spill" =>
+           "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
+           "spill" | "textcompact" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -577,6 +579,84 @@ object Scale {
         s""""serve_compacted_sec":${fmt(serveComp)}}""")
       graft.queries.Rm.rf(idx)
     }
+    // Text-index compaction probe (round 10 — the ann_compact shape
+    // for Retrieval.compactPostings, VERDICT r09 #4): 64 append waves
+    // fragment every tb bucket into ~one file batch each; measures
+    // serve cost from the fragmented postings, the selective compact,
+    // and serve cost after. Row content and partition pruning are
+    // identical before/after, so the delta is pure file-open/footer
+    // overhead — the small-files wall an append-heavy text index hits
+    // between maintenance passes.
+    if (what == "textcompact") {
+      import org.apache.hadoop.fs.Path
+      val R = graft.operators.Retrieval
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val n = docs.count()
+      val cut = n / 2
+      val waves = 64
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-textidx-compactprobe").toString
+      R.writeIndex(docs.filter(col("doc_id") < cut),
+        "doc_id", "text", idx, nBuckets = 16)
+      val span = (n - cut + waves - 1) / waves
+      val ta = System.nanoTime()
+      (0 until waves).foreach { w =>
+        val lo = cut + w * span
+        val hi = math.min(n, lo + span)
+        if (lo < hi) R.appendIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "doc_id", "text", idx, nBuckets = 16)
+      }
+      val appendSec = (System.nanoTime() - ta) / 1e9
+      val fs = new Path(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def census(): (Int, Int) =
+        fs.listStatus(new Path(s"$idx/postings")).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("tb="))
+          .map(st => fs.listStatus(st.getPath)
+            .count(_.getPath.getName.startsWith("part-")))
+          .foldLeft((0, 0)) { case ((tot, mx), c) =>
+            (tot + c, math.max(mx, c)) }
+      val (filesFrag, maxBucketFrag) = census()
+      val qterms = Seq("hash", "join", "window", "agg", "stream",
+        "vector", "scan")
+      val queries = {
+        import spark.implicits._
+        Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+          (2L, "stream"), (3L, "vector"), (3L, "scan"))
+          .toDF("query_id", "term")
+      }
+      def serveBest(): Double = {
+        def serve() = R.bm25TopKIndexed(
+            R.readIndexSlice(spark, idx, qterms, nBuckets = 16),
+            queries, R.readStats(spark, idx), k = 10)
+          .write.format("noop").mode("overwrite").save()
+        serve()            // untimed warm call: JIT, not file IO
+        (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          serve()
+          (System.nanoTime() - t1) / 1e9
+        }.min
+      }
+      val serveFrag = serveBest()
+      val t1 = System.nanoTime()
+      val nCompacted = R.compactPostings(spark, idx).size
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val (filesComp, maxBucketComp) = census()
+      val serveComp = serveBest()
+      println(s"""{"query":"text_compact","n_docs":$n,""" +
+        s""""waves":$waves,"append_sec":${fmt(appendSec)},""" +
+        s""""files_frag":$filesFrag,""" +
+        s""""max_bucket_files_frag":$maxBucketFrag,""" +
+        s""""serve_frag_sec":${fmt(serveFrag)},""" +
+        s""""buckets_compacted":$nCompacted,""" +
+        s""""compact_sec":${fmt(compactSec)},""" +
+        s""""files_compacted":$filesComp,""" +
+        s""""max_bucket_files_compacted":$maxBucketComp,""" +
+        s""""serve_compacted_sec":${fmt(serveComp)}}""")
+      graft.queries.Rm.rf(idx)
+    }
     // Focused cold-CC probe (VERDICT r07 #1): the d20 clustering step
     // WITHOUT the ccMemo, so every sample pays the full candidate-pair +
     // contraction cost; reports the large-star/small-star round count
@@ -764,6 +844,53 @@ object Scale {
           s""""scan_sec":${fmt(scanSec)},"train_sec":${fmt(trainSec)},""" +
           s""""shuffle_read_mb":${fmt(rd)},""" +
           s""""first_merge":"${table.head._1}","first_n":${table.head._2}}""")
+      }
+      // Batched-merge economics (VERDICT r09 #6): the exact trainer is
+      // one driver round-trip PER MERGE, so vocab-scale training
+      // (32k merges) means 32k Spark jobs; trainBatched greedily
+      // admits the maximal disjoint subset of a top-256 window per
+      // round. The corpus here uses 20k 8-letter word types over a
+      // 26-letter alphabet (disjointness is alphabet-bounded early
+      // on — a hex corpus caps admission near 4 pairs/round, letters
+      // sustain ~12-15) so >1k merges exist to learn; the row reports
+      // merges-per-round actually achieved and the wall-clock
+      // contrast against the exact trainer pace (exact train(64)
+      // timed on the same corpus, scaled linearly — the per-merge
+      // job cost is constant, so the extrapolation is the comparison
+      // a deployment would make).
+      locally {
+        import graft.operators.BpeTrain
+        val nDocs2 = 20000L
+        val alpha = array(('a' to 'z').map(c => lit(c.toString)): _*)
+        val docs2 = spark.range(nDocs2).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            j => {
+              val wid = pmod(xxhash64(col("id"), j), lit(20000L))
+              concat_ws("", transform(sequence(lit(1), lit(8)),
+                c => element_at(alpha,
+                  (pmod(xxhash64(wid, c), lit(26)) + 1).cast("int"))))
+            })).as("text"))
+          .localCheckpoint()
+        var t0 = System.nanoTime()
+        val batched = BpeTrain.trainBatched(docs2, "text",
+          nRounds = 90, batchSize = 256).collect()
+        val batchedSec = (System.nanoTime() - t0) / 1e9
+        val nMergesB = batched.length
+        val nRoundsB = if (batched.isEmpty) 0L
+          else batched.map(_.getLong(1)).max
+        t0 = System.nanoTime()
+        val exact64 = BpeTrain.train(docs2, "text", nMerges = 64).count()
+        val exactSec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"query":"d92_bpe_batched","n_docs":$nDocs2,""" +
+          s""""n_word_types":20000,"n_merges":$nMergesB,""" +
+          s""""n_rounds":$nRoundsB,""" +
+          s""""merges_per_round":${fmt(
+            if (nRoundsB == 0) 0 else nMergesB.toDouble / nRoundsB)},""" +
+          s""""batched_sec":${fmt(batchedSec)},""" +
+          s""""exact_sec_64_merges":${fmt(exactSec)},""" +
+          s""""exact_n":$exact64,""" +
+          s""""exact_sec_extrapolated_same_merges":${fmt(
+            exactSec / 64.0 * nMergesB)}}""")
       }
     }
     // Spill probe — the "size partitions so they fit in executor

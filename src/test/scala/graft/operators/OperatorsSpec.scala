@@ -1073,6 +1073,42 @@ class OperatorsSpec extends AnyFunSpec {
         assert(got == refBpe(texts, k))
       }
 
+    it("trainBatched(batchSize=1) degenerates to the exact trainer " +
+       "(one dominant pair per round, counts exact at every step)") {
+      val texts = Seq("low low low low low lower lower newest newest " +
+        "newest newest newest newest widest widest widest",
+        "aaab aaab abab bbaa aaa aa")
+      val exact = BpeTrain.train(texts.toDF("text"), "text", 7)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      val batched = BpeTrain
+        .trainBatched(texts.toDF("text"), "text", nRounds = 7,
+          batchSize = 1)
+        .select(col("step").cast("int"), col("pair"), col("n"))
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(batched == exact && exact.size == 7)
+    }
+
+    it("a batch's admitted pairs are pairwise disjoint including " +
+       "merge results, and application equals the sequential replay") {
+      // words engineered so the top window has symbol conflicts:
+      // 'e r' dominates, 'r t' conflicts on r, 'x y' is disjoint
+      val texts = Seq(Seq.fill(9)("erq").mkString(" "),
+        Seq.fill(7)("rty").mkString(" "),
+        Seq.fill(8)("xyz").mkString(" "))
+      val got = BpeTrain
+        .trainBatched(texts.toDF("text"), "text", nRounds = 1,
+          batchSize = 6)
+        .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+      // greedy over the rank order must admit a set whose symbol
+      // triples {a, b, ab} are pairwise disjoint
+      val trip = got.map { case (_, _, p, _) =>
+        val Array(a, b) = p.split(" ", 2); Set(a, b, a + b) }
+      for (i <- trip.indices; j <- 0 until i)
+        assert((trip(i) & trip(j)).isEmpty,
+          s"pairs ${got(i)._3} / ${got(j)._3} overlap")
+      assert(got.nonEmpty && got.size > 1)
+    }
+
     it("tokenCounts = reference segmentation lengths per doc") {
       val texts = Seq("aaab aaab abab", "bbaa aaa aa", "ab aaab b")
       val merges = refBpe(texts, 4).map(_._2)

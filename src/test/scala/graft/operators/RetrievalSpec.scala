@@ -379,6 +379,41 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.impactDocMap / bm25Top1DocMap") {
+    it("the document-at-a-time cached serve is bit-identical to " +
+       "bm25TopKIndexed(k=1) across random corpora and query mixes") {
+      for (seed <- 1 to 3) {
+        val docs = zipf2(nDocs = 130, vocab = 30, seed = seed + 40)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-docmap").toString
+        try {
+          Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 8)
+          val vocab = spark.read.parquet(s"$tmp/terms")
+            .select("term").as[String].collect().toSeq
+          val slice = Retrieval.readIndexSlice(spark, tmp, vocab, 8)
+          val stats = Retrieval.readStats(spark, tmp)
+          val docMap = Retrieval.impactDocMap(slice, stats)
+          val rnd = new scala.util.Random(seed)
+          // rare+common mixes, an absent-term query, a no-match query
+          val qs = (1L to 8L).map { qid =>
+            qid -> (Seq.fill(1 + rnd.nextInt(3))(
+              s"w${1 + rnd.nextInt(30)}").distinct)
+          } ++ Seq(90L -> Seq("w1", "zzz_absent"), 91L -> Seq("nope"))
+          val arr = qs.toDF("query_id", "terms")
+          val exploded = qs.flatMap { case (q, ts) => ts.map(q -> _) }
+            .toDF("query_id", "term")
+          val got = Retrieval.bm25Top1DocMap(docMap, arr)
+            .as[(Long, Long, Long, Double)].collect().toList.sorted
+          val want = Retrieval.bm25TopKIndexed(slice, exploded, stats,
+              k = 1)
+            .as[(Long, Long, Long, Double)].collect().toList.sorted
+          assert(got == want && got.nonEmpty, s"seed $seed diverged")
+          assert(!got.exists(_._1 == 91L))   // no-match query: no row
+        } finally graft.queries.Rm.rf(tmp)
+      }
+    }
+  }
+
   describe("Retrieval.booleanAnd") {
     it("agrees with a brute-force contains-all filter") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
