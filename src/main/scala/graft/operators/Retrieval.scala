@@ -604,7 +604,38 @@ object Retrieval {
     * matching term produce no row on either path, and max over
     * `struct(score, -doc_id)` realizes the (score DESC, doc_id ASC)
     * tie-break. */
-  def bm25Top1DocMap(docMap: DataFrame, queries: DataFrame): DataFrame = {
+  def bm25Top1DocMap(docMap: DataFrame, queries: DataFrame): DataFrame =
+    docMapScores(docMap, queries)
+      .select(col("query_id"),
+        struct(col("score"), (-col("doc_id")).as("negdoc")).as("cand"))
+      .groupBy("query_id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), lit(1L).as("rk"),
+        (-col("best.negdoc")).as("doc_id"), col("best.score"))
+
+  /** General-k document-at-a-time serving: [[bm25Top1DocMap]]'s
+    * scoring scan gathered through [[TopKAgg]] — a k-bounded buffer
+    * that partial-aggregates map-side, so the only exchange moves at
+    * most k rows per (query × partition) where the window form would
+    * shuffle every candidate row per query. Output is bit-identical
+    * to [[bm25TopKIndexed]] over the same slice for any k (same
+    * decimal fold, same (score DESC, doc_id ASC) selection order —
+    * spec-proved, and d94 holds it under the d67 oracle). */
+  def bm25TopKDocMap(docMap: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame =
+    docMapScores(docMap, queries)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(k)(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+
+  /** Shared doc-at-a-time scoring scan: one pass over the forward
+    * index probing each broadcast query's terms; emits `(query_id,
+    * doc_id, score)` for docs matching ≥ 1 query term, with the same
+    * 6-dp-rounded decimal-sum score as [[rank]]. */
+  private def docMapScores(docMap: DataFrame,
+                           queries: DataFrame): DataFrame = {
     // accumulator stays DECIMAL(28,9): the raw add widens to (29,9)
     // and the cast narrows it back LOSSLESSLY (scale 9 is preserved
     // through every step — letting Spark's promotion run instead
@@ -621,13 +652,8 @@ object Retrieval {
         exists(col("terms"),
           t => map_contains_key(col("impacts"), t)).as("hit"))
       .filter(col("hit"))
-      .select(col("query_id"),
-        struct(round(col("dsum").cast("double"), 6).as("score"),
-          (-col("doc_id")).as("negdoc")).as("cand"))
-      .groupBy("query_id")
-      .agg(max(col("cand")).as("best"))
-      .select(col("query_id"), lit(1L).as("rk"),
-        (-col("best.negdoc")).as("doc_id"), col("best.score"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("dsum").cast("double"), 6).as("score"))
   }
 
   /** Mark documents deleted — the Lucene model: a delete writes only

@@ -523,6 +523,36 @@ object Search {
         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
         |  FROM agg)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
-        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin))
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d94_bm25_docmap_topk",
+      "Document-at-a-time CACHED serving at general k — the online " +
+        "path the round-10 bm25_serve ceiling fix runs (impactDocMap: " +
+        "per-(term, doc) BM25 contributions precomputed as 9-dp " +
+        "DECIMALs at cache time, the impact-ordered-index idea; " +
+        "bm25TopKDocMap: one scan of the doc-partitioned forward " +
+        "index probing each broadcast query's terms in a codegen'd " +
+        "decimal fold, gathered through TopKAgg — a k-bounded buffer " +
+        "aggregator that partial-aggregates map-side so the only " +
+        "exchange moves ≤ k rows per (query × partition), the " +
+        "scatter-gather plan a sharded text engine runs, where the " +
+        "window form shuffles every candidate row). Oracle is d67's " +
+        "VERBATIM at k=10: the cached doc-major serve must equal the " +
+        "exhaustive term-major corpus scorer per-bit.",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        val terms = QueryTerms.map(_._2).distinct
+        val docMap = Retrieval.impactDocMap(
+          Retrieval.readIndexSlice(s, idx, terms, nBuckets = 16),
+          Retrieval.readStats(s, idx))
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        Retrieval.bm25TopKDocMap(docMap, qArr, k = 10)
+          .orderBy("query_id", "rk")
+          .localCheckpoint()
+      },
+      Some(Bm25OracleSql))
   )
 }

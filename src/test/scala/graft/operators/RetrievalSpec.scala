@@ -409,6 +409,16 @@ class RetrievalSpec extends AnyFunSpec {
             .as[(Long, Long, Long, Double)].collect().toList.sorted
           assert(got == want && got.nonEmpty, s"seed $seed diverged")
           assert(!got.exists(_._1 == 91L))   // no-match query: no row
+          // general-k gather through the TopKAgg partial aggregation
+          for (k <- Seq(3, 7, 1000)) {
+            val gotK = Retrieval.bm25TopKDocMap(docMap, arr, k)
+              .as[(Long, Long, Long, Double)].collect().toList.sorted
+            val wantK = Retrieval.bm25TopKIndexed(slice, exploded,
+                stats, k)
+              .as[(Long, Long, Long, Double)].collect().toList.sorted
+            assert(gotK == wantK && gotK.nonEmpty,
+              s"seed $seed k=$k diverged")
+          }
         } finally graft.queries.Rm.rf(tmp)
       }
     }
