@@ -57,7 +57,11 @@ object Bench {
     // driver-loop op in the headline (8 rounds of vocab-sized pair
     // argmax; the corpus is touched once, so sf growth should move
     // only the word-count scan)
-    "d80_bpe_train")
+    "d80_bpe_train",
+    // round 10: document-at-a-time cached serving (shares d75's
+    // memoized index build; warm samples measure the forward-index
+    // scan + TopKAgg gather — the ~1k qps online path)
+    "d94_bm25_docmap_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -485,6 +485,39 @@ object LlmOps {
         |FROM d a JOIN d b ON a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("d95_unicode_jaccard",
+      "d09's exact pairwise token-set Jaccard on the d93 non-Latin " +
+        "fixture (vowels → Greek, the space separator → U+00B7 middle " +
+        "dot) tokenized by TextAnalysis.tokensUnicode — the ASCII " +
+        "space split would see ONE token per doc and score every " +
+        "pair's Jaccard from whole-document equality, so a correct " +
+        "result here certifies the DEDUP stack (not just retrieval) " +
+        "tokenizes multilingual content: same \\p{L}\\p{N} run " +
+        "semantics in Java regex and DuckDB's RE2.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") < 25)
+          .select(col("doc_id"), array_distinct(TA.tokensUnicode(
+            translate(col("text"), "aeiou ", "αεϊοθ·"))).as("s"))
+        val a = d.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+        val b = d.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+                  Dedup.jaccard(col("sa"), col("sb")).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    regexp_split_to_array(
+        |      translate(text, 'aeiou ', 'αεϊοθ·'), '[^\p{L}\p{N}]+'),
+        |    t -> len(t) > 0)) AS s
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("s01_cosine_topk",
       "Brute-force cosine top-k vs vec 0 (broadcast query, one corpus scan, " +
         "TakeOrdered — the ANN correctness baseline).",
