@@ -26,6 +26,36 @@ object TextAnalysis {
   def tokensUnicode(text: Column): Column =
     filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** Token-window PASSAGE CHUNKING — the embedding/RAG prep op: split
+    * each document into windows of `size` tokens advancing by
+    * `size − overlap`, so consecutive chunks share `overlap` tokens
+    * (context preserved across boundaries for retrieval). Chunk count
+    * per doc is `ceil((n − overlap) / step)` (1 when n ≤ size), so
+    * the tail window is emitted once, never as an overlap-contained
+    * duplicate. Pure per-row array expressions (codegen'd, zero
+    * shuffle — at 100 TB this rides the corpus scan); the chunk id is
+    * the 0-based window index. Emits (chunk_id, n_tokens, chunk) rows
+    * via explode of a per-doc transform. */
+  def chunkExprs(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunk size=$size overlap=$overlap: need 0 <= overlap < size")
+    val step = size - overlap
+    ExprLet.let(tokens(text)) { toks =>
+      ExprLet.let(org.apache.spark.sql.functions.size(toks)) { n =>
+        val nChunks = when(n <= size, lit(1))
+          .otherwise(ceil((n - lit(overlap)).cast("double") / step)
+            .cast("int"))
+        transform(sequence(lit(0), nChunks - 1), i =>
+          ExprLet.let(slice(toks, i * step + 1, lit(size))) { w =>
+            struct(i.cast("long").as("chunk_id"),
+              org.apache.spark.sql.functions.size(w).cast("long")
+                .as("n_tokens"),
+              concat_ws(" ", w).as("chunk"))
+          })
+      }
+    }
+  }
+
   /** Small fixed English stopword list (public, deterministic). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")

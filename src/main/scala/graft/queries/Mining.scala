@@ -495,6 +495,45 @@ object Mining {
           |    AS step,
           |  CAST(round AS BIGINT) AS round, p AS pair, n
           |FROM allm ORDER BY step""".stripMargin
-      })
+      }),
+
+    Q("d96_passage_chunks",
+      "Token-window passage chunking (TextAnalysis.chunkExprs) — the " +
+        "embedding/RAG prep op every retrieval pipeline runs before " +
+        "vectorizing: 64-token windows advancing by 48 (16-token " +
+        "overlap preserves context across boundaries), chunk count " +
+        "ceil((n-overlap)/step) so the tail window is emitted once " +
+        "and never as an overlap-contained duplicate. Pure per-row " +
+        "codegen'd array expressions — zero shuffle; at 100 TB this " +
+        "rides the corpus scan. Output: (doc_id, chunk_id, n_tokens, " +
+        "chunk); the oracle replays the window arithmetic with " +
+        "DuckDB's 1-based inclusive list slicing, which must agree " +
+        "with Spark's slice(arr, start, length) element-for-element.",
+      (s, dir) => t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis
+            .chunkExprs(col("text"), size = 64, overlap = 16)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
+          col("c.chunk"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(range(0,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(ceil((n - 16) / 48.0) AS BIGINT) END))
+        |    AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[chunk_id * 48 + 1 :
+        |               least(chunk_id * 48 + 64, n)]) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(toks[chunk_id * 48 + 1 :
+        |                       least(chunk_id * 48 + 64, n)], ' ')
+        |    AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -164,6 +164,37 @@ class OperatorsSpec extends AnyFunSpec {
         .as[(Long, Long, String)].head()
       assert(r == ((9L, 2L, "en")))   // "the" twice
     }
+
+    it("chunkExprs matches a reference chunker across window regimes") {
+      def ref(n: Int, size: Int, overlap: Int): Seq[(Long, Long)] = {
+        val step = size - overlap
+        val nc = if (n <= size) 1
+          else math.ceil((n - overlap).toDouble / step).toInt
+        (0 until nc).map(i =>
+          (i.toLong, math.min(size, n - i * step).toLong))
+      }
+      // n<size (one short chunk), n==size (one exact), boundary
+      // multiples, a tail shorter than size but longer than overlap
+      for ((n, size, overlap) <- Seq((3, 4, 1), (4, 4, 1), (10, 4, 1),
+          (11, 4, 1), (12, 4, 1), (100, 64, 16), (65, 64, 16))) {
+        val text = (1 to n).map(i => s"t$i").mkString(" ")
+        val got = Seq(text).toDF("text")
+          .select(explode(TextAnalysis
+            .chunkExprs(col("text"), size, overlap)).as("c"))
+          .select(col("c.chunk_id"), col("c.n_tokens"), col("c.chunk"))
+          .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+        assert(got.map(g => (g._1, g._2)) == ref(n, size, overlap),
+          s"n=$n size=$size overlap=$overlap")
+        // every token appears; consecutive chunks share `overlap`
+        // tokens (except a short tail); chunks reassemble the doc
+        val step = size - overlap
+        got.foreach { case (i, len, chunk) =>
+          val want = (1 to n).slice((i * step).toInt,
+            (i * step).toInt + size).map(j => s"t$j").mkString(" ")
+          assert(chunk == want, s"chunk $i content")
+        }
+      }
+    }
   }
 
   describe("LangId (trigram profile classifier)") {
