@@ -616,10 +616,13 @@ object Retrieval {
   /** General-k document-at-a-time serving: [[bm25Top1DocMap]]'s
     * scoring scan gathered through [[TopKAgg]] — a k-bounded buffer
     * that partial-aggregates map-side, so the only exchange moves at
-    * most k rows per (query × partition) where the window form would
-    * shuffle every candidate row per query. Output is bit-identical
-    * to [[bm25TopKIndexed]] over the same slice for any k (same
-    * decimal fold, same (score DESC, doc_id ASC) selection order —
+    * most one buffer row per (query × partition). (Measured caveat,
+    * gather_topk row: Spark ≥ 3.5's WindowGroupLimit gives the
+    * row_number+filter form the same map-side bound — TopKAgg's edge
+    * here is the array-per-query output shape and pattern-match-free
+    * robustness, not shuffle volume.) Output is bit-identical to
+    * [[bm25TopKIndexed]] over the same slice for any k (same decimal
+    * fold, same (score DESC, doc_id ASC) selection order —
     * spec-proved, and d94 holds it under the d67 oracle). */
   def bm25TopKDocMap(docMap: DataFrame, queries: DataFrame,
                      k: Int): DataFrame =
@@ -634,8 +637,8 @@ object Retrieval {
     * index probing each broadcast query's terms; emits `(query_id,
     * doc_id, score)` for docs matching ≥ 1 query term, with the same
     * 6-dp-rounded decimal-sum score as [[rank]]. */
-  private def docMapScores(docMap: DataFrame,
-                           queries: DataFrame): DataFrame = {
+  private[graft] def docMapScores(docMap: DataFrame,
+                                  queries: DataFrame): DataFrame = {
     // accumulator stays DECIMAL(28,9): the raw add widens to (29,9)
     // and the cast narrows it back LOSSLESSLY (scale 9 is preserved
     // through every step — letting Spark's promotion run instead

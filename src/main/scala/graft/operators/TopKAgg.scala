@@ -6,18 +6,27 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Bounded top-k partial aggregation — the GATHER half of a
-  * scatter-gather serve plan, as a Spark `Aggregator`.
+  * scatter-gather serve plan, as a Spark `Aggregator`: a k-bounded
+  * buffer that `reduce`s map-side and `merge`s across partitions, so
+  * the exchange moves at most one buffer row (≤ k entries) per
+  * (group × partition) — the per-shard heap + coordinator merge
+  * every search engine's fan-out runs. Selection order is (score
+  * DESC, id ASC), identical to the window form's
+  * `orderBy(col("score").desc, col("id").asc)`, so for equal inputs
+  * the selected set and order are bit-identical.
   *
-  * `row_number().over(Window.partitionBy(q))` computes a per-group
-  * top-k by shuffling EVERY candidate row to its group's partition
-  * and sorting there — at serve time that moves |candidates| rows per
-  * query. This aggregator keeps a k-bounded buffer that `reduce`s
-  * map-side and `merge`s across partitions, so the exchange moves at
-  * most k rows per (group × partition) — the distributed form of the
-  * per-shard heap + coordinator merge every search engine's fan-out
-  * runs. Selection order is (score DESC, id ASC), identical to the
-  * window form's `orderBy(col("score").desc, col("id").asc)`, so for
-  * equal inputs the selected set and order are bit-identical.
+  * MEASURED honesty note (gather_topk scale row): on Spark ≥ 3.5 the
+  * naive-looking `row_number().over(...)` + `filter(rk <= k)` plan
+  * is NOT naive — Catalyst's WindowGroupLimit inserts a map-side
+  * per-group limit before the exchange, so over 9.2M candidate rows
+  * the window form shuffled 160k records (k per group × partition)
+  * against this aggregator's 16k buffer rows, with equivalent
+  * wall-clock. The reasons to use TopKAgg are therefore shape and
+  * robustness, not raw shuffle: it yields the top-k as ONE ARRAY per
+  * group (the serving payload — no re-explode/re-sort to assemble a
+  * response), works where the limit-filter isn't adjacent to the
+  * window (the pushdown pattern-matches the plan), and keeps the
+  * gather a single aggregation when composed under foreachBatch.
   *
   * The buffer is a sorted `Seq` rather than a heap: k is small
   * (serving top-k, not analytics), `reduce` is O(1) for rows below

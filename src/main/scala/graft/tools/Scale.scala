@@ -60,6 +60,9 @@ object Scale {
   private final class ShuffleMetrics extends SparkListener {
     val read = new AtomicLong
     val write = new AtomicLong
+    // records (not bytes): the honest gather-cost witness on synthetic
+    // corpora whose repetitive rows compress 100:1 in the shuffle
+    val readRecords = new AtomicLong
     // peak single-task shuffle read — the skew witness: a whale
     // component serialized into one task shows up here as ~the whole
     // component's bytes, a skew-split plan as ~the advisory size
@@ -73,6 +76,7 @@ object Scale {
       if (m != null) {
         val r = m.shuffleReadMetrics.totalBytesRead
         read.addAndGet(r)
+        readRecords.addAndGet(m.shuffleReadMetrics.recordsRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         maxTaskRead.updateAndGet(p => math.max(p, r))
         memSpilled.addAndGet(m.memoryBytesSpilled)
@@ -266,7 +270,7 @@ object Scale {
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
-      what != "textcompact"
+      what != "textcompact" && what != "gather"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -293,7 +297,7 @@ object Scale {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
-           "spill" | "textcompact" =>
+           "spill" | "textcompact" | "gather" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -578,6 +582,74 @@ object Scale {
         s""""max_cell_files_compacted":$maxCellComp,""" +
         s""""serve_compacted_sec":${fmt(serveComp)}}""")
       graft.queries.Rm.rf(idx)
+    }
+    // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
+    // the same doc-at-a-time scored relation — (query, doc, score)
+    // candidate rows for 500 two-term queries against a 200k-doc
+    // zipf corpus — reduced to per-query top-10 two ways: the window
+    // form (row_number over partitionBy(query): EVERY candidate row
+    // shuffles to its query's partition and sorts) vs TopKAgg (a
+    // k-bounded buffer that partial-aggregates map-side, ≤ k rows
+    // per query × partition cross the wire). Same input, same
+    // output (asserted); the contrast is pure gather shuffle.
+    if (what == "gather") {
+      import graft.operators.Retrieval
+      val R = Retrieval
+      val n = 100000L
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-gatherprobe").toString
+      R.writeIndex(zipfDocs(spark, n), "doc_id", "text", tmp,
+        nBuckets = 64)
+      import spark.implicits._
+      val vocab = spark.read.parquet(s"$tmp/terms")
+        .select("term").as[String].collect().toSeq
+      val docMap = R.impactDocMap(
+          R.readIndexSlice(spark, tmp, vocab, nBuckets = 64),
+          R.readStats(spark, tmp))
+        .localCheckpoint()
+      // 500 queries, each one rare + one common term — the serve mix
+      val qArr = (0L until 500L).map { q =>
+        (q, Seq(s"r${(q * 131) % (n / 10)}", s"c${q % 50}"))
+      }.toDF("query_id", "terms")
+      def windowGather(): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        R.docMapScores(docMap, qArr)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("score").desc, col("doc_id").asc))
+            .cast("long"))
+          .filter(col("rk") <= 10)
+          .select("query_id", "rk", "doc_id", "score")
+      }
+      def aggGather(): org.apache.spark.sql.DataFrame =
+        R.bm25TopKDocMap(docMap, qArr, k = 10)
+      def run(thunk: () => org.apache.spark.sql.DataFrame)
+          : (Double, Double, Long, Long) = {
+        thunk().write.format("noop").mode("overwrite").save() // warm
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.write.set(0L)
+        metrics.readRecords.set(0L)
+        val t0 = System.nanoTime()
+        val cnt = thunk().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        (sec, metrics.read.getAndSet(0L) / 1e6,
+          metrics.readRecords.getAndSet(0L), cnt)
+      }
+      val (aggSec, aggMb, aggRec, aggN) = run(aggGather)
+      val (winSec, winMb, winRec, winN) = run(windowGather)
+      val a = aggGather()
+      val b = windowGather().select(a.columns.map(col): _*)
+      val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      println(s"""{"query":"gather_topk","n_docs":$n,"n_queries":500,""" +
+        s""""k":10,"topkagg_sec":${fmt(aggSec)},""" +
+        s""""topkagg_shuffle_mb":${fmt(aggMb)},""" +
+        s""""topkagg_shuffle_records":$aggRec,"topkagg_rows":$aggN,""" +
+        s""""window_sec":${fmt(winSec)},""" +
+        s""""window_shuffle_mb":${fmt(winMb)},""" +
+        s""""window_shuffle_records":$winRec,"window_rows":$winN,""" +
+        s""""outputs_identical":$identical}""")
+      graft.queries.Rm.rf(tmp)
     }
     // Text-index compaction probe (round 10 — the ann_compact shape
     // for Retrieval.compactPostings, VERDICT r09 #4): 64 append waves
