@@ -204,19 +204,21 @@ object Search {
 
     Q("w30_streaming_bm25_serve",
       "Streamed BM25 serving from the PERSISTED index — the text " +
-        "retrieval counterpart to w25's vector serving: " +
-        "Retrieval.writeIndex stores postings with df AND dl " +
-        "denormalized, PARTITIONED BY a term-hash bucket; queries " +
-        "arrive one file per query (maxFilesPerTrigger=1 → each query " +
-        "served in its own micro-batch); foreachBatch computes the " +
-        "batch's term-bucket literals (a bounded collect over the " +
-        "arriving terms, the w25 centroid discipline) so the postings " +
-        "scan PRUNES to the buckets the query hashes into, scores " +
-        "with the same shared rank tail as d67, and writes each " +
-        "batch's top-10 idempotently (overwrite per batch id). The " +
-        "oracle is d67's, VERBATIM — streamed serving must equal the " +
-        "batch scorer per-bit, and the stored df/dl must match the " +
-        "corpus-derived ones.",
+        "retrieval counterpart to w25's vector serving, in round " +
+        "10's production shape: Retrieval.writeIndex stores postings " +
+        "with df AND dl denormalized; before the stream starts the " +
+        "static side is cached ONCE as the FORWARD index " +
+        "(impactDocMap — per-(term, doc) decimal contributions " +
+        "precomputed, the w25 static-side discipline that moved the " +
+        "bm25_serve probe ~200 → ~1.05k qps); queries arrive one " +
+        "file per query (maxFilesPerTrigger=1 → each query served in " +
+        "its own micro-batch); foreachBatch scans the doc-partitioned " +
+        "map once, folds each query's terms in codegen'd decimal, " +
+        "gathers top-10 through TopKAgg, and writes each batch " +
+        "idempotently (overwrite per batch id). The oracle is d67's, " +
+        "VERBATIM — streamed doc-at-a-time serving must equal the " +
+        "batch term-major scorer per-bit, and the stored df/dl must " +
+        "match the corpus-derived ones.",
       (s, dir) => {
         import s.implicits._
         val tmp = java.nio.file.Files
@@ -229,15 +231,19 @@ object Search {
           // The round-9 serve-ceiling fix (VERDICT r09 #2), mirroring
           // w25's static-side discipline: the per-batch prunedRead
           // re-listed + re-read parquet every micro-batch, a serve-
-          // path constant ~20x off the vector path. Cache the full
-          // slice (postings ⋈ dictionary) ONCE before the stream
-          // starts — the demo vocabulary is small; a real deployment
-          // caches the HOT-term slice and falls back to the per-batch
-          // pruned read for cache misses — and serve each batch from
-          // the in-memory relation with a term filter.
+          // path constant ~20x off the vector path. The static side
+          // is now the cached FORWARD INDEX (impactDocMap: per-(term,
+          // doc) decimal contributions precomputed once — the
+          // bm25_serve_r10 plan that moved the probe's ceiling ~200 →
+          // ~1.05k qps), built ONCE before the stream starts; each
+          // batch is one doc-at-a-time scan + the TopKAgg gather,
+          // spec-proved bit-identical to the exhaustive indexed
+          // scorer, so the oracle stays d67's verbatim.
           val vocab = s.read.parquet(s"$tmp/terms")
             .select("term").as[String].collect().toSeq
-          val hot = Retrieval.readIndexSlice(s, tmp, vocab, nBuckets = 16)
+          val hot = Retrieval.impactDocMap(
+              Retrieval.readIndexSlice(s, tmp, vocab, nBuckets = 16),
+              stats)
             .cache()
           hot.count()                        // materialize pre-stream
           slice = Some(hot)
@@ -259,11 +265,9 @@ object Search {
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                              batchId: Long) =>
               if (!batch.isEmpty) {
-                val terms = batch.select("term").distinct()
-                  .collect().map(_.getString(0)).toSeq
-                Retrieval.bm25TopKIndexed(
-                  hot.filter(col("term").isInCollection(terms)),
-                  batch, stats, k = 10)
+                val qArr = batch.groupBy("query_id")
+                  .agg(collect_list(col("term")).as("terms"))
+                Retrieval.bm25TopKDocMap(hot, qArr, k = 10)
                   .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
               }
             }
