@@ -74,8 +74,9 @@ object Retrieval {
     *    append stay exact (a stored double avgdl could not be
     *    combined without drift). */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
-                 dir: String, nBuckets: Int): Unit = {
-    val posts = postings(docs, idCol, textCol)
+                 dir: String, nBuckets: Int,
+                 tok: Column => Column = TextAnalysis.tokens): Unit = {
+    val posts = postings(docs, idCol, textCol, tok)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
     posts.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/postings")
@@ -84,14 +85,15 @@ object Retrieval {
     docs.sparkSession.read.parquet(s"$dir/postings")
       .groupBy("tb", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
-    exactStats(docs, textCol)
+    exactStats(docs, textCol, tok)
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** `(n_docs, sum_tokens)` as exact longs — the mergeable form. */
-  private def exactStats(docs: DataFrame, textCol: String): DataFrame =
+  private def exactStats(docs: DataFrame, textCol: String,
+                         tok: Column => Column): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      sum(size(tok(col(textCol))).cast("long"))
         .cast("long").as("sum_tokens"))
 
   /** Stored stats → the `(n_docs, avgdl)` shape the scorer consumes
@@ -109,11 +111,14 @@ object Retrieval {
     * a corpus rewrite), swapped in with two renames; stats merge as
     * exact integer adds. Serving an appended index must equal a
     * fresh build over the union corpus — d71 holds that under the
-    * oracle gate. */
+    * oracle gate. `tok` must be the SAME tokenizer the index was
+    * built with (the layout does not self-describe its tokenizer —
+    * a mixed-tokenizer index is silently inconsistent). */
   def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                  dir: String, nBuckets: Int): Unit = {
+                  dir: String, nBuckets: Int,
+                  tok: Column => Column = TextAnalysis.tokens): Unit = {
     val spark = newDocs.sparkSession
-    val newPosts = postings(newDocs, idCol, textCol)
+    val newPosts = postings(newDocs, idCol, textCol, tok)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
     newPosts.write.mode("append").partitionBy("tb")
       .parquet(s"$dir/postings")
@@ -134,7 +139,7 @@ object Retrieval {
     val old = spark.read.parquet(s"$dir/stats")
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()
-    val add = exactStats(newDocs, textCol)
+    val add = exactStats(newDocs, textCol, tok)
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()
     import spark.implicits._

@@ -329,8 +329,11 @@ object ScaleStreaming {
     val stats = R.readStats(spark, tmp)
     val vocab = spark.read.parquet(s"$tmp/terms")
       .select("term").as[String].collect().sorted.toSeq
-    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 16).cache()
-    slice.count()
+    // static side = the cached forward index, w30's production shape
+    val docMap = R.impactDocMap(
+        R.readIndexSlice(spark, tmp, vocab, nBuckets = 16), stats)
+      .cache()
+    docMap.count()
     val nFiles = 40
     val perFile = 25
     java.nio.file.Files.createDirectories(
@@ -354,13 +357,7 @@ object ScaleStreaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
-          val queries = batch
-            .select(col("query_id"), explode(col("terms")).as("term"))
-          val terms = queries.select("term").distinct()
-            .as[String].collect().toSeq
-          R.bm25TopKIndexed(
-            slice.filter(col("term").isInCollection(terms)),
-            queries, stats, k = 3)
+          R.bm25TopKDocMap(docMap, batch, k = 3)
             .write.mode("overwrite").parquet(s"$outDir/b$bid")
         }
       }
@@ -413,7 +410,7 @@ object ScaleStreaming {
       s""""sec_to_drain":${fmt(sec)},""" +
       s""""n_out_restarted":$nR,"n_out_control":$nC,""" +
       s""""outputs_identical":$identical}""")
-    slice.unpersist()
+    docMap.unpersist()
     graft.queries.Rm.rf(tmp)
   }
 
