@@ -534,6 +534,97 @@ object Mining {
         |  array_to_string(toks[chunk_id * 48 + 1 :
         |                       least(chunk_id * 48 + 64, n)], ' ')
         |    AS chunk
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("d97_stupid_backoff_ppl",
+      "Count-based LM quality scoring with STUPID BACKOFF (Brants et " +
+        "al. EMNLP 2007 — the distributed web-scale LM recipe behind " +
+        "the CCNet/KenLM perplexity-filter family): one corpus pass " +
+        "builds positions, unigram/bigram counts are hash " +
+        "aggregations over it, and each token scores " +
+        "ln(cb/cu(prev)) when its bigram was seen, ln(0.4·cu/N) on " +
+        "backoff, ln(cu/N) with no context — scores, not normalized " +
+        "probabilities, which is exactly why no discount-estimation " +
+        "pass is needed at web scale. Per-doc mean log-score is the " +
+        "filter signal (low = gibberish/boilerplate/wrong-language " +
+        "under the corpus LM). Joins are declarative — broadcastable " +
+        "count tables here, shuffle joins on (prev, w) at 100 TB. " +
+        "Determinism: per-token ln rounds to 9 dp, DECIMAL sum, mean " +
+        "rounds to 6 (the BM25 discipline).",
+      (s, dir) => graft.operators.NgramLm
+        .docScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH l0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(o - 1 AS BIGINT) AS i, l[o] AS w
+        |  FROM l0, unnest(generate_series(1, len(l))) AS t(o)
+        |  WHERE length(l[o]) > 0),
+        |prevs AS (SELECT doc_id, i + 1 AS i, w AS prev FROM pos),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM pos GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n_total FROM pos),
+        |big AS (SELECT prev, w, COUNT(*) AS cb
+        |        FROM prevs JOIN pos USING (doc_id, i) GROUP BY prev, w),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    round(CASE
+        |      WHEN pr.prev IS NULL THEN ln(CAST(u.cu AS DOUBLE) / n_total)
+        |      WHEN b.cb IS NOT NULL THEN ln(CAST(b.cb AS DOUBLE) / up.cu)
+        |      ELSE ln(0.4 * CAST(u.cu AS DOUBLE) / n_total) END, 9) AS lp
+        |  FROM pos p
+        |  LEFT JOIN prevs pr USING (doc_id, i)
+        |  JOIN uni u ON u.w = p.w
+        |  LEFT JOIN uni up ON up.w = pr.prev
+        |  LEFT JOIN big b ON b.prev = pr.prev AND b.w = p.w,
+        |  tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("d98_dsir_importance",
+      "DSIR importance weights (Xie et al. NeurIPS 2023 — Data " +
+        "Selection via Importance Resampling): every raw doc scored " +
+        "by log w = Σ over its hashed n-gram features of " +
+        "[ln p_target(b) − ln p_raw(b)], features = unigrams ∪ " +
+        "bigrams md5-hashed into 256 buckets, both distributions " +
+        "Laplace-smoothed histograms; target here = doc_id % 7 = 0 " +
+        "(a deterministic stand-in for a curated corpus). The " +
+        "importance model is O(buckets) — λ(b) is a 256-row " +
+        "broadcast, so at 100 TB the plan is one feature explode + " +
+        "hash aggs + a broadcast-join fold, nothing corpus-sized in " +
+        "driver or model state (the paper's scalability point, kept " +
+        "structurally). λ rounds to 9 dp, DECIMAL sum, final 6.",
+      (s, dir) => graft.operators.Dsir
+        .logImportanceWeights(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("doc_id") % 7 === 0)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |feats AS (
+        |  SELECT doc_id, u.f FROM toks, unnest(list_concat(t,
+        |    CASE WHEN len(t) >= 2 THEN
+        |      list_transform(generate_series(1, len(t) - 1),
+        |        k -> t[k] || ' ' || t[k+1])
+        |    ELSE [] END)) AS u(f)),
+        |fb AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b
+        |  FROM feats),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+        |tgtc AS (SELECT b, COUNT(*) AS ct FROM fb
+        |         WHERE doc_id % 7 = 0 GROUP BY b),
+        |tots AS (SELECT COUNT(*) AS nr,
+        |    COUNT(*) FILTER (doc_id % 7 = 0) AS nt FROM fb),
+        |lam AS (
+        |  SELECT r.b,
+        |    round(ln((COALESCE(ct, 0) + 1.0) / (nt + 256.0)) -
+        |          ln((cr + 1.0) / (nr + 256.0)), 9) AS lam
+        |  FROM raw r LEFT JOIN tgtc USING (b), tots)
+        |SELECT doc_id, COUNT(*) AS n_feats,
+        |  round(CAST(SUM(CAST(lam AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS log_weight
+        |FROM fb JOIN lam USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1140,6 +1140,88 @@ class OperatorsSpec extends AnyFunSpec {
       assert(got.nonEmpty && got.size > 1)
     }
 
+    it("Dsir.logImportanceWeights matches a plain-Scala reference " +
+       "and separates a planted target domain by sign") {
+      def md5b(s: String, buckets: Int): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h.take(15), 16) % buckets
+      }
+      // target docs speak 'cooking', raw pool mostly speaks 'legal'
+      val texts = (0L until 20L).map { id =>
+        val words = if (id % 4 == 0)
+          Seq("whisk", "saute", "roux", "braise", "simmer")
+        else Seq("hereby", "plaintiff", "statute", "tort", "clause")
+        (id, (0 until 6).map(j => words(((id + j) % 5).toInt))
+          .mkString(" "))
+      }
+      val B = 64
+      def featsOf(t: String): Seq[Long] = {
+        val w = t.split(" ").toSeq
+        (w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" })
+          .map(md5b(_, B))
+      }
+      val all = texts.flatMap { case (id, t) =>
+        featsOf(t).map(b => (id, id % 4 == 0, b)) }
+      val nr = all.size.toDouble
+      val nt = all.count(_._2).toDouble
+      val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val ct = all.filter(_._2).groupBy(_._3).view
+        .mapValues(_.size.toLong).toMap
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val lam = cr.keys.map { b =>
+        b -> r9(math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + B)) -
+          math.log((cr(b) + 1.0) / (nr + B))) }.toMap
+      val want = texts.map { case (id, t) =>
+        val fs = featsOf(t)
+        (id, fs.size.toLong, fs.map(lam).sum
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val got = Dsir.logImportanceWeights(texts.toDF("doc_id", "text"),
+          "doc_id", "text", isTarget = col("doc_id") % 4 === 0,
+          nBuckets = B)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got == want)
+      // target-domain docs must weigh positive, off-domain negative
+      got.foreach { case (id, _, w) =>
+        if (id % 4 == 0) assert(w > 0, s"target doc $id got $w")
+        else assert(w < 0, s"off-domain doc $id got $w")
+      }
+    }
+
+    it("NgramLm.docScores matches a plain-Scala Stupid Backoff " +
+       "reference on a hand-checkable corpus") {
+      val texts = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "c c a"),
+        (3L, "z"))
+      val words = texts.flatMap(_._2.split(" "))
+      val n = words.size.toLong
+      val cu = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = texts.flatMap { case (_, t) =>
+        val w = t.split(" "); w.zip(w.drop(1)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val want = texts.map { case (id, t) =>
+        val w = t.split(" ")
+        val lps = w.zipWithIndex.map { case (wi, i) =>
+          if (i == 0) r9(math.log(cu(wi).toDouble / n))
+          else cb.get((w(i - 1), wi)) match {
+            case Some(c) => r9(math.log(c.toDouble / cu(w(i - 1))))
+            case None => r9(math.log(0.4 * cu(wi) / n))
+          }
+        }
+        (id, w.length.toLong,
+          (lps.sum / w.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val got = NgramLm.docScores(texts.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got == want)
+    }
+
     it("tokenCounts = reference segmentation lengths per doc") {
       val texts = Seq("aaab aaab abab", "bbaa aaa aa", "ab aaab b")
       val merges = refBpe(texts, 4).map(_._2)
