@@ -270,7 +270,7 @@ object Scale {
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
-      what != "textcompact" && what != "gather"
+      what != "textcompact" && what != "gather" && what != "lm"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -297,7 +297,7 @@ object Scale {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
-           "spill" | "textcompact" | "gather" =>
+           "spill" | "textcompact" | "gather" | "lm" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -582,6 +582,43 @@ object Scale {
         s""""max_cell_files_compacted":$maxCellComp,""" +
         s""""serve_compacted_sec":${fmt(serveComp)}}""")
       graft.queries.Rm.rf(idx)
+    }
+    // LM-scoring arm (round 10; d97/d98 economics at tier): Stupid
+    // Backoff's cost model is one positions scan + vocabulary²-bounded
+    // count aggs + a per-position scoring join — on the constant-vocab
+    // zipf corpus the count tables are size-invariant across tiers, so
+    // time and shuffle should scale with positions alone. DSIR's
+    // model is 256 rows by construction; its per-tier growth is the
+    // feature scan only.
+    if (what == "lm") {
+      for ((tier, n) <- Seq(("1x", 20000L), (s"${factor}x",
+          20000L * factor))) {
+        val docs = zipfDocs(spark, n).localCheckpoint()
+        Thread.sleep(800)
+        metrics.read.set(0L); metrics.readRecords.set(0L)
+        var t0 = System.nanoTime()
+        val lmN = graft.operators.NgramLm
+          .docScores(docs, "doc_id", "text").count()
+        val lmSec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val lmMb = metrics.read.getAndSet(0L) / 1e6
+        val lmRec = metrics.readRecords.getAndSet(0L)
+        t0 = System.nanoTime()
+        val dsN = graft.operators.Dsir
+          .logImportanceWeights(docs, "doc_id", "text",
+            isTarget = col("doc_id") % 7 === 0).count()
+        val dsSec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800)
+        val dsMb = metrics.read.getAndSet(0L) / 1e6
+        val dsRec = metrics.readRecords.getAndSet(0L)
+        println(s"""{"tier":"$tier","query":"lm_scoring",""" +
+          s""""n_docs":$n,""" +
+          s""""sbo_sec":${fmt(lmSec)},"sbo_docs":$lmN,""" +
+          s""""sbo_shuffle_mb":${fmt(lmMb)},"sbo_shuffle_records":$lmRec,""" +
+          s""""dsir_sec":${fmt(dsSec)},"dsir_docs":$dsN,""" +
+          s""""dsir_shuffle_mb":${fmt(dsMb)},""" +
+          s""""dsir_shuffle_records":$dsRec}""")
+      }
     }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
     // the same doc-at-a-time scored relation — (query, doc, score)
