@@ -625,6 +625,50 @@ object Mining {
         |  round(CAST(SUM(CAST(lam AS DECIMAL(28,9))) AS DOUBLE), 6)
         |    AS log_weight
         |FROM fb JOIN lam USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("d99_edit_distance_pairs",
+      "Character-level fuzzy near-dup via EDIT DISTANCE — the " +
+        "classic fuzzy-match family next to the token-set ones (d09 " +
+        "Jaccard, d07 MinHash, d08 SimHash): pairwise Levenshtein " +
+        "over a keyed slice with the pigeonhole LENGTH prefilter " +
+        "(lev(a,b) >= |len(a) - len(b)|, so |Δlen| <= 40 prunes " +
+        "before any distance is computed — at corpus scale the " +
+        "length bucket IS the blocking key and the quadratic step " +
+        "runs per bucket, the d58 sorted-neighborhood discipline), " +
+        "normalized similarity 1 − lev/max(len), threshold 0.3. " +
+        "Spark's levenshtein and DuckDB's must agree exactly — the " +
+        "oracle is the same pipeline verbatim.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).as("n"))
+        val a = d.select(col("doc_id").as("doc_a"),
+          col("text").as("ta"), col("n").as("na"))
+        val b = d.select(col("doc_id").as("doc_b"),
+          col("text").as("tb"), col("n").as("nb"))
+        a.join(b, col("doc_a") < col("doc_b") &&
+            abs(col("na") - col("nb")) <= 40)
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            round(lit(1.0) -
+              levenshtein(col("ta"), col("tb")).cast("double") /
+                greatest(col("na"), col("nb")), 6).as("sim"))
+          .filter(col("sim") >= 0.3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |        greatest(a.n, b.n), 6) AS sim
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 40
+        |WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |      greatest(a.n, b.n), 6) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

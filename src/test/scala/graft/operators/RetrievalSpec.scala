@@ -424,6 +424,30 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("TopKAgg") {
+    it("equals the sort-based reference on random groups, ks and " +
+       "tie patterns (incl. k > group size and duplicate scores)") {
+      for (seed <- 1 to 5) {
+        val rnd = new scala.util.Random(seed)
+        val k = 1 + rnd.nextInt(6)
+        // few distinct scores → dense ties; ids unique per group
+        val rows = (1 to 400).map { i =>
+          (rnd.nextInt(7).toLong,                       // group
+            math.floor(rnd.nextDouble() * 4) / 4.0,     // score (ties)
+            i.toLong)                                   // id
+        }
+        val got = rows.toDF("g", "score", "id")
+          .groupBy("g")
+          .agg(TopKAgg.topK(k)(col("score"), col("id")).as("top"))
+          .as[(Long, Seq[(Double, Long)])].collect().toMap
+        val want = rows.groupBy(_._1).view.mapValues(
+          _.map(r => (r._2, r._3))
+            .sortBy { case (s, id) => (-s, id) }.take(k).toSeq).toMap
+        assert(got == want, s"seed $seed k=$k")
+      }
+    }
+  }
+
   describe("Retrieval.booleanAnd") {
     it("agrees with a brute-force contains-all filter") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
