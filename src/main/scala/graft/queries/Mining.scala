@@ -669,6 +669,67 @@ object Mining {
         |  ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 40
         |WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
         |      greatest(a.n, b.n), 6) >= 0.3
-        |ORDER BY doc_a, doc_b""".stripMargin))
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("d100_pipeline_funnel",
+      "End-to-end training-data pipeline FUNNEL — the acceptance " +
+        "artifact a curation run reports: raw corpus → token-length " +
+        "gate (20–500) → stopword-ratio quality gate (>= 0.02) → " +
+        "exact dedup (md5 keep-min-doc_id) → 64/16 passage chunks, " +
+        "with per-stage survivor counts in ONE declarative plan (a " +
+        "union of stage aggregates over shared lineage — Catalyst " +
+        "reuses the scans; no driver-side stage loop). Composes the " +
+        "gated primitives (d02 token stats, d03 quality, d01 dedup, " +
+        "d96 chunking) into the shape every 100 TB curation job " +
+        "emits; the oracle replays all five stages.",
+      (s, dir) => {
+        val TA2 = graft.operators.TextAnalysis
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(TA2.tokens(col("text"))).cast("long").as("n_tok"),
+            TA2.stopwordCount(TA2.tokens(col("text"))).as("n_stop"))
+        val s1 = base.filter(col("n_tok").between(20, 500))
+        val s2 = s1.filter(
+          col("n_stop").cast("double") / col("n_tok") >= 0.02)
+        val s3 = s2.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        def stage(i: Int, name: String,
+                  df: org.apache.spark.sql.DataFrame,
+                  agg: org.apache.spark.sql.Column) =
+          df.agg(agg.as("n"))
+            .select(lit(i).as("stage"), lit(name).as("name"), col("n"))
+        stage(1, "raw", base, count(lit(1)))
+          .unionByName(stage(2, "length", s1, count(lit(1))))
+          .unionByName(stage(3, "quality", s2, count(lit(1))))
+          .unionByName(stage(4, "exact_dedup", s3, count(lit(1))))
+          .unionByName(stage(5, "chunks", s3,
+            sum(size(TA2.chunkExprs(col("text"), 64, 16)))
+              .cast("long")))
+          .orderBy("stage")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','to','in','is',
+        |                          'it','for','on'], t))) AS n_stop
+        |  FROM documents),
+        |s1 AS (SELECT * FROM base WHERE n_tok BETWEEN 20 AND 500),
+        |s2 AS (SELECT * FROM s1
+        |       WHERE CAST(n_stop AS DOUBLE) / n_tok >= 0.02),
+        |s3 AS (SELECT * FROM s2 QUALIFY row_number()
+        |       OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |chunks AS (SELECT CASE WHEN n_tok <= 64 THEN 1
+        |    ELSE CAST(ceil((n_tok - 16) / 48.0) AS BIGINT) END AS nc
+        |  FROM s3)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n FROM base
+        |  UNION ALL SELECT 2, 'length', COUNT(*) FROM s1
+        |  UNION ALL SELECT 3, 'quality', COUNT(*) FROM s2
+        |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s3
+        |  UNION ALL SELECT 5, 'chunks', CAST(SUM(nc) AS BIGINT)
+        |    FROM chunks
+        |) ORDER BY stage""".stripMargin))
   )
 }
