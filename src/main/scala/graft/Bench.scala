@@ -60,8 +60,12 @@ object Bench {
     "d80_bpe_train",
     // round 10: document-at-a-time cached serving (shares d75's
     // memoized index build; warm samples measure the forward-index
-    // scan + TopKAgg gather — the ~1k qps online path)
-    "d94_bm25_docmap_topk")
+    // scan + TopKAgg gather — the ~1k qps online path), the
+    // Stupid-Backoff LM quality filter (one corpus pass + count-table
+    // joins) and the five-stage curation funnel (union of stage
+    // aggregates over shared lineage)
+    "d94_bm25_docmap_topk", "d97_stupid_backoff_ppl",
+    "d100_pipeline_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
