@@ -213,6 +213,56 @@ object Multimodal {
   }
 }
 
+/** Robust AUDIO FINGERPRINT, the Haitsma & Kalker family (ISMIR
+  * 2002, the Philips fingerprint): hash = the SIGNS of frame-energy
+  * DIFFERENCES over a fixed grid — volume shifts, re-encodes and
+  * small per-sample perturbations move the energies but rarely flip
+  * an inequality, so perceptually-equal audio lands within a small
+  * Hamming distance (measured on the planted fixture: a whole-
+  * alphabet sample shift moves ≤ 1 of 64 bits). 65 overlapping
+  * frames (`frameLen` bytes every `hop`), per-frame exact integer
+  * energy Σ sample², bit k = E(k+1) > E(k), packed into the same
+  * `(hi, lo)` 32+32 layout as [[PHash]] so `PHash.nearDupPairs`'
+  * banded Hamming join (and its losslessness proof) applies
+  * verbatim. Pure codegen'd column expressions — the fingerprint
+  * rides the corpus scan, zero shuffle; callers must guard
+  * single-byte encodable payloads (the m02/m04 ascii discipline)
+  * and length ≥ hop·64 + frameLen. */
+object AudioFp {
+  import org.apache.spark.sql.Column
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  frameLen: Int = 16, hop: Int = 4): DataFrame = {
+    val nFrames = 65
+    val es = transform(sequence(lit(0), lit(nFrames - 1)), i =>
+      aggregate(sequence(lit(1), lit(frameLen)), lit(0L),
+        (acc: Column, j: Column) => {
+          val c = ascii(col(textCol).substr(
+            (i * hop + j).cast("int"), lit(1))).cast("long")
+          acc + c * c
+        }))
+    // let-bind the energy array and the bit array: CollapseProject
+    // would otherwise inline the ~1000-node energy expression into
+    // every one of the 128 downstream references and the optimizer
+    // chokes (the ExprLet raison d'etre, re-learned here)
+    val fp = ExprLet.let(es) { e =>
+      ExprLet.let(transform(sequence(lit(1), lit(64)), k =>
+        when(element_at(e, (k + 1).cast("int")) >
+          element_at(e, k.cast("int")), 1L).otherwise(0L))) { bits =>
+        struct(
+          aggregate(sequence(lit(1), lit(32)), lit(0L),
+            (acc: Column, k: Column) => acc * 2 +
+              element_at(bits, k.cast("int"))).as("hi"),
+          aggregate(sequence(lit(33), lit(64)), lit(0L),
+            (acc: Column, k: Column) => acc * 2 +
+              element_at(bits, k.cast("int"))).as("lo"))
+      }
+    }
+    df.select(col(idCol).as("doc_id"), fp.as("fp"))
+      .select(col("doc_id"), col("fp.hi").as("hi"),
+        col("fp.lo").as("lo"))
+  }
+}
+
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
 
 final case class AudioStats(

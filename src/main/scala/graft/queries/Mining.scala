@@ -671,6 +671,90 @@ object Mining {
         |      greatest(a.n, b.n), 6) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("m12_audio_fingerprint_neardup",
+      "AUDIO near-dup — the acoustic counterpart of m09's image " +
+        "dHash, closing the modality set: Haitsma & Kalker's " +
+        "fingerprint (ISMIR 2002, the Philips hash) = SIGNS of " +
+        "frame-energy differences over a fixed grid (65 overlapping " +
+        "16-byte PCM frames every 4, bit k = E(k+1) > E(k)), robust " +
+        "because perturbations move energies but rarely flip an " +
+        "inequality — the planted 're-encode' (every letter shifted " +
+        "one alphabet slot, a deterministic volume-shift stand-in) " +
+        "lands within Hamming <= 1 of its original for every " +
+        "fixture doc, measured. Pairs via PHash.nearDupPairs " +
+        "VERBATIM (same (hi, lo) layout): dist-0 equality join + " +
+        "4x16-bit banded Hamming, pigeonhole-lossless to distance 3. " +
+        "The oracle recomputes fingerprints and pairs closed-form.",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") < 120 && length(col("text")) >= 276 &&
+            octet_length(col("text")) === length(col("text")))
+        val shifted = base.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "bcdefghijklmnopqrstuvwxyza").as("text"))
+        val hashes = graft.operators.AudioFp.fingerprint(
+          base.select("doc_id", "text").unionByName(shifted),
+          "doc_id", "text")
+        graft.operators.PHash.nearDupPairs(hashes, maxDist = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 120 AND length(text) >= 276
+        |    AND octet_length(CAST(text AS BLOB)) = length(text)),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |              'bcdefghijklmnopqrstuvwxyza')
+        |  FROM base),
+        |e AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 64), i ->
+        |    list_reduce(list_transform(generate_series(1, 16), j ->
+        |      unicode(substr(text, CAST(i * 4 + j AS INT), 1)) *
+        |      unicode(substr(text, CAST(i * 4 + j AS INT), 1))),
+        |      (a, b) -> a + b)) AS es
+        |  FROM alldocs),
+        |bits AS (
+        |  SELECT doc_id, list_transform(generate_series(1, 64), k ->
+        |    CASE WHEN es[k + 1] > es[k] THEN 1 ELSE 0 END) AS b
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 32),
+        |        k -> CAST(b[k] AS BIGINT))),
+        |      (acc, x) -> acc * 2 + x) AS hi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(33, 64),
+        |        k -> CAST(b[k] AS BIGINT))),
+        |      (acc, x) -> acc * 2 + x) AS lo
+        |  FROM bits),
+        |same AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM h a JOIN h b
+        |    ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id),
+        |dh AS (SELECT DISTINCT hi, lo FROM h),
+        |hp AS (
+        |  SELECT x.hi AS ahi, x.lo AS alo, y.hi AS bhi, y.lo AS blo,
+        |    CAST(bit_count(xor(x.hi, y.hi)) +
+        |         bit_count(xor(x.lo, y.lo)) AS BIGINT) AS dist
+        |  FROM dh x JOIN dh y
+        |    ON (x.hi < y.hi OR (x.hi = y.hi AND x.lo < y.lo))),
+        |near AS (
+        |  SELECT least(hx.doc_id, hy.doc_id) AS doc_a,
+        |    greatest(hx.doc_id, hy.doc_id) AS doc_b, hp.dist
+        |  FROM hp
+        |  JOIN h hx ON hx.hi = hp.ahi AND hx.lo = hp.alo
+        |  JOIN h hy ON hy.hi = hp.bhi AND hy.lo = hp.blo
+        |  WHERE hp.dist <= 3)
+        |SELECT * FROM (SELECT * FROM same UNION ALL
+        |               SELECT * FROM near)
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("d100_pipeline_funnel",
       "End-to-end training-data pipeline FUNNEL — the acceptance " +
         "artifact a curation run reports: raw corpus → token-length " +
