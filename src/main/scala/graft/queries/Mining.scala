@@ -10,6 +10,36 @@ import graft.queries.Tables.t
   * [[graft.operators.SpanDedup]]). */
 object Mining {
 
+  /** The five-stage curation-funnel oracle — shared VERBATIM by d100
+    * (batch) and w33 (streamed with a persisted seen-hash store):
+    * every stage count is batching-invariant (per-doc gates are
+    * additive, the dedup stage counts DISTINCT hashes, and chunk
+    * counts per distinct hash are representative-independent since
+    * equal texts chunk equally), so the streamed funnel must equal
+    * the batch one exactly under ANY micro-batch split. */
+  private val FunnelOracleSql = """WITH base AS (
+    |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+    |    len(list_filter(string_split(text, ' '),
+    |      t -> list_contains(['the','a','of','and','to','in','is',
+    |                          'it','for','on'], t))) AS n_stop
+    |  FROM documents),
+    |s1 AS (SELECT * FROM base WHERE n_tok BETWEEN 20 AND 500),
+    |s2 AS (SELECT * FROM s1
+    |       WHERE CAST(n_stop AS DOUBLE) / n_tok >= 0.02),
+    |s3 AS (SELECT * FROM s2 QUALIFY row_number()
+    |       OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    |chunks AS (SELECT CASE WHEN n_tok <= 64 THEN 1
+    |    ELSE CAST(ceil((n_tok - 16) / 48.0) AS BIGINT) END AS nc
+    |  FROM s3)
+    |SELECT * FROM (
+    |  SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n FROM base
+    |  UNION ALL SELECT 2, 'length', COUNT(*) FROM s1
+    |  UNION ALL SELECT 3, 'quality', COUNT(*) FROM s2
+    |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s3
+    |  UNION ALL SELECT 5, 'chunks', CAST(SUM(nc) AS BIGINT)
+    |    FROM chunks
+    |) ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d69_pmi_collocations",
@@ -793,27 +823,97 @@ object Mining {
               .cast("long")))
           .orderBy("stage")
       },
-      Some("""WITH base AS (
-        |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
-        |    len(list_filter(string_split(text, ' '),
-        |      t -> list_contains(['the','a','of','and','to','in','is',
-        |                          'it','for','on'], t))) AS n_stop
-        |  FROM documents),
-        |s1 AS (SELECT * FROM base WHERE n_tok BETWEEN 20 AND 500),
-        |s2 AS (SELECT * FROM s1
-        |       WHERE CAST(n_stop AS DOUBLE) / n_tok >= 0.02),
-        |s3 AS (SELECT * FROM s2 QUALIFY row_number()
-        |       OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-        |chunks AS (SELECT CASE WHEN n_tok <= 64 THEN 1
-        |    ELSE CAST(ceil((n_tok - 16) / 48.0) AS BIGINT) END AS nc
-        |  FROM s3)
-        |SELECT * FROM (
-        |  SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n FROM base
-        |  UNION ALL SELECT 2, 'length', COUNT(*) FROM s1
-        |  UNION ALL SELECT 3, 'quality', COUNT(*) FROM s2
-        |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s3
-        |  UNION ALL SELECT 5, 'chunks', CAST(SUM(nc) AS BIGINT)
-        |    FROM chunks
-        |) ORDER BY stage""".stripMargin))
+      Some(FunnelOracleSql)),
+
+    Q("w33_streaming_funnel",
+      "The d100 curation funnel as a LIVE INGEST — documents arrive " +
+        "in micro-batches (repartitioned NDJSON, maxFilesPerTrigger)" +
+        " and foreachBatch applies the per-doc gates, dedups against " +
+        "a PERSISTED seen-hash store (parquet on disk — data, not " +
+        "checkpoint, the w28 discipline: batch survivors anti-join " +
+        "the store as read, only NEW hashes append back), and " +
+        "accumulates the five stage counters as exact driver-side " +
+        "integer adds. Every stage count is BATCHING-INVARIANT: " +
+        "per-doc gates are additive, cross-batch dedup counts " +
+        "distinct hashes regardless of which arrival won, and equal " +
+        "texts chunk equally — so the oracle is d100's VERBATIM and " +
+        "any micro-batch split must reproduce the batch funnel " +
+        "exactly.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w33").toString
+        try {
+          t(s, dir, "documents")
+            .select(to_json(struct(col("doc_id"), col("text")))
+              .as("value"))
+            .repartition(12)
+            .write.mode("overwrite").text(s"$tmp/in")
+          val store = s"$tmp/store"
+          // seed an empty store so the first batch's anti-join has a
+          // dir to read (same schema as every later append)
+          s.range(0).select(md5(col("id").cast("string")).as("h"))
+            .write.mode("overwrite").parquet(store)
+          val nRaw = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nLen = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nQual = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nDedup = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nChunks = new java.util.concurrent.atomic.AtomicLong(0L)
+          val TA2 = graft.operators.TextAnalysis
+          val q = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "3")
+            .json(s"$tmp/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val staged = batch
+                  .select(col("doc_id"), col("text"),
+                    size(TA2.tokens(col("text"))).cast("long")
+                      .as("n_tok"),
+                    TA2.stopwordCount(TA2.tokens(col("text")))
+                      .as("n_stop"))
+                  .persist()
+                try {
+                  nRaw.addAndGet(staged.count())
+                  val s1 = staged.filter(col("n_tok").between(20, 500))
+                  nLen.addAndGet(s1.count())
+                  val s2 = s1.filter(col("n_stop").cast("double") /
+                    col("n_tok") >= 0.02)
+                  nQual.addAndGet(s2.count())
+                  // one row per distinct hash in the batch (equal
+                  // texts share n_tok, so min is just a determinate
+                  // pick), anti-joined against the store AS READ
+                  val fresh = s2
+                    .groupBy(md5(col("text")).as("h"))
+                    .agg(min(col("n_tok")).as("n_tok"))
+                    .join(s.read.parquet(store), Seq("h"), "left_anti")
+                    .localCheckpoint()
+                  nDedup.addAndGet(fresh.count())
+                  val ch = fresh.agg(coalesce(sum(
+                      when(col("n_tok") <= 64, 1L).otherwise(
+                        ceil((col("n_tok") - lit(16)).cast("double") /
+                          48.0).cast("long"))), lit(0L)))
+                    .head().getLong(0)
+                  nChunks.addAndGet(ch)
+                  fresh.select("h").write.mode("append").parquet(store)
+                } finally { staged.unpersist(); () }
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .start()
+          q.awaitTermination()
+          Seq((1, "raw", nRaw.get()), (2, "length", nLen.get()),
+            (3, "quality", nQual.get()),
+            (4, "exact_dedup", nDedup.get()),
+            (5, "chunks", nChunks.get()))
+            .toDF("stage", "name", "n")
+            .orderBy("stage")
+        } finally Rm.rf(tmp)
+      },
+      Some(FunnelOracleSql))
   )
 }
