@@ -135,17 +135,28 @@ object Bench {
     // (ADVICE r07).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = headline.filter(queries.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      val times = (1 to nSamples).map { _ =>
+    // 1-minute loadavg at each sample's start: a poisoned sample on a
+    // noisy host carries its own evidence in the artifact (VERDICT r10
+    // #3 — a minutes-long contention window once inflated all three
+    // samples of eight consecutive queries and the artifact total
+    // overstated reality ~1.7x with no way to tell from the file).
+    def load1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    // One measured pass over a query: n (time, loadavg-at-start)
+    // samples plus the shuffle byte SUM those samples produced.
+    def runSamples(name: String, n: Int): (Seq[(Double, Double)], Long) = {
+      val ts = (1 to n).map { _ =>
+        val ld = load1()
         val t0 = System.nanoTime()
         try {
           queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, ld)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          (-1.0, ld)
         }
       }
       Thread.sleep(300)
@@ -153,14 +164,71 @@ object Bench {
       // query's start): an event draining in after this read is dropped
       // rather than silently attributed to the next query (ADVICE r07;
       // attribution remains heuristic — the sleep bounds the error).
+      (ts, shuffleRead.getAndSet(0L) + shuffleWrite.getAndSet(0L))
+    }
+    val sweep = headline.filter(queries.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
+      val (ts, shuffleBytes) = runSamples(name, nSamples)
+      (name, ts, shuffleBytes)
+    }
+    // Outlier pass (VERDICT r10 #3): re-sample any query whose best
+    // exceeds 1.5x its previous-round recorded best while its shuffle
+    // bytes are unchanged — identical shuffle + inflated time is the
+    // noisy-host signature, not a plan change. The previous round's
+    // queries/shuffle maps are regex-recovered from the latest
+    // BENCH_r*.json tail capture (quote-escaped inside the driver's
+    // JSON, hence the optional backslashes); any parse failure just
+    // disables resampling.
+    def prevMaps(): (Map[String, Double], Map[String, Double]) = try {
+      val dir = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_DIR", "/root/repo"))
+      val pat = "BENCH_r(\\d+)\\.json".r
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case pat(n) => Some((n.toInt, f))
+          case _ => None
+        })
+      if (files.isEmpty) (Map.empty, Map.empty)
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          files.maxBy(_._1)._2.toPath))
+        def lastMap(key: String): Map[String, Double] = {
+          val mapRe = ("""\\?"""" + key + """\\?":\{([^}]*)\}""").r
+          val pairRe = """\\?"(\w+)\\?":(-?[0-9.]+)""".r
+          mapRe.findAllMatchIn(txt).toSeq.lastOption.map { m =>
+            pairRe.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }.getOrElse(Map.empty)
+        }
+        (lastMap("queries"), lastMap("shuffle_rw_mb"))
+      }
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+    val (prevQ, prevMb) = prevMaps()
+    val resampledNames = scala.collection.mutable.ArrayBuffer[String]()
+    val results = sweep.map { case (name, ts, shuffleBytes) =>
+      val best0 = {
+        val ok = ts.map(_._1).filter(_ >= 0)
+        if (ok.nonEmpty) ok.min else -1.0
+      }
+      val mb0 = shuffleBytes / 1e6 / nSamples
+      val shuffleFlat = prevMb.get(name).forall(p =>
+        (mb0 - p).abs <= math.max(1.0, 0.2 * math.max(p, mb0)))
+      val inflated = best0 >= 0 &&
+        prevQ.get(name).exists(p => p > 0 && best0 > 1.5 * p)
+      val (allTs, allBytes) =
+        if (inflated && shuffleFlat) {
+          resampledNames += name
+          val (ts2, bytes2) = runSamples(name, nSamples)
+          (ts ++ ts2, shuffleBytes + bytes2)
+        } else (ts, shuffleBytes)
       // Per-sample average, so the number is comparable across
       // n_samples settings (memoized-state queries shuffle more in the
       // cold sample; the average smears that build over the runs, same
       // as the samples array exposes it).
-      val rwMb =
-        (shuffleRead.getAndSet(0L) + shuffleWrite.getAndSet(0L)) / 1e6 / nSamples
-      val best = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
-      (name, best, times, rwMb)
+      val rwMb = allBytes / 1e6 / allTs.size
+      val ok = allTs.map(_._1).filter(_ >= 0)
+      val best = if (ok.nonEmpty) ok.min else -1.0
+      (name, best, allTs, rwMb)
     }
     spark.sparkContext.removeSparkListener(listener)
     // Locale-free formatting: the f-interpolator uses the default locale
@@ -170,12 +238,17 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t => fmt(t._1)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + ts.map(t => fmt(t._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val shuffle = results.map { case (k, _, _, mb) =>
       "\"" + k + "\":" + fmt(mb)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val resampledField = resampledNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyField = only.map(o =>
       s""""only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
@@ -189,16 +262,22 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         onlyField +
         s""""queries":$qs,"shuffle_rw_mb":$shuffle,""" +
+        s""""resampled":$resampledField,""" +
         s""""n_samples":$nSamples,"sf":"$sfDir"}"""
     println(compact)
     println(
       s"""{"metric":"total_with_samples","value":${fmt(total)},"unit":"sec",""" +
         onlyField +
         s""""queries":$qs,"samples":$samples,""" +
+        s""""loadavg1":$loads,""" +
         s""""shuffle_rw_mb":$shuffle,"n_samples":$nSamples,""" +
+        s""""resampled":$resampledField,""" +
         s""""warmup":"footer-read per table + one noop run of q01; """ +
-        s"""per-query value = min of n_samples runs; shuffle_rw_mb = """ +
-        s"""read+write bytes over all samples / n_samples","sf":"$sfDir"}""")
+        s"""per-query value = min of n_samples runs (plus n more if """ +
+        s"""resampled: best > 1.5x prev-round best at flat shuffle); """ +
+        s"""loadavg1 = /proc/loadavg at each sample start; """ +
+        s"""shuffle_rw_mb = read+write bytes over all samples / """ +
+        s"""n_samples_run","sf":"$sfDir"}""")
     println(compact)
     // Minimal total-only line LAST: the compact line outgrew the
     // driver's bounded tail window at 43 queries (BENCH_r09 parsed:

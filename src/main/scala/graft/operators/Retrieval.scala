@@ -57,8 +57,63 @@ object Retrieval {
       (sum(size(tok(col(textCol))).cast("long"))
         .cast("double") / count(lit(1))).as("avgdl"))
 
+  /** Resolve an index root through the VERSION POINTER: `$dir/CURRENT`
+    * is a one-line file naming the live version directory (`v<N>`)
+    * that holds `postings/`, `terms/` and `stats/` as ONE consistent
+    * snapshot. Readers resolve the pointer once per operation, so a
+    * concurrent [[compactDeletes]] — which stages the next version
+    * completely and then flips the pointer with a single rename — can
+    * never show them new postings with the old dictionary (the mixed
+    * read the round-10 two-rename swap admitted). Fallbacks: no
+    * CURRENT but staged `v<N>` dirs → the highest one (the flip's
+    * sub-millisecond delete+rename window — the highest version is
+    * fully staged by then); neither → `dir` itself (legacy flat
+    * layout). */
+  def root(spark: org.apache.spark.sql.SparkSession,
+           dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$dir/CURRENT")
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      try s"$dir/${scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim}"
+      finally in.close()
+    } else versionDirs(fs, dir).lastOption
+      .map(v => s"$dir/v$v").getOrElse(dir)
+  }
+
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String): Seq[Long] = {
+    val re = "v(\\d+)".r
+    val st = try fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    st.toSeq.filter(_.isDirectory).flatMap(_.getPath.getName match {
+      case re(n) => Some(n.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Point `$dir/CURRENT` at version `v`: write `CURRENT.tmp`, then
+    * delete+rename — the one non-atomic instant is CURRENT being
+    * momentarily absent, which [[root]]'s highest-staged-version
+    * fallback resolves to the same (fully staged) target. */
+  private[graft] def flipVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(s"$dir/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$v".getBytes("UTF-8"))
+    out.close()
+    fs.delete(new Path(s"$dir/CURRENT"), false)
+    require(fs.rename(tmp, new Path(s"$dir/CURRENT")),
+      s"flipVersion: rename of CURRENT.tmp failed for v$v")
+  }
+
   /** Persist the index for serving, in the three-table layout a real
-    * text engine keeps (a Lucene segment's shape, relational):
+    * text engine keeps (a Lucene segment's shape, relational), under
+    * a VERSIONED root (`$dir/v<N>/…` + the `CURRENT` pointer — see
+    * [[root]]):
     *
     *  - `postings/` `(term, doc_id, tf, dl)` PARTITIONED BY `tb`, a
     *    hash bucket of the term — a query's scan prunes to the
@@ -76,17 +131,27 @@ object Retrieval {
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, nBuckets: Int,
                  tok: Column => Column = TextAnalysis.tokens): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = versionDirs(fs, dir).lastOption.map(_ + 1).getOrElse(0L)
+    val vroot = s"$dir/v$next"
     val posts = postings(docs, idCol, textCol, tok)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
     posts.write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/postings")
+      .parquet(s"$vroot/postings")
     // df from the freshly-written postings (one scan of the new files,
     // not a second corpus explode)
-    docs.sparkSession.read.parquet(s"$dir/postings")
+    spark.read.parquet(s"$vroot/postings")
       .groupBy("tb", "term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$vroot/terms")
     exactStats(docs, textCol, tok)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$vroot/stats")
+    flipVersion(fs, dir, next)
+    // overwrite semantics: retire every older version (a fresh build
+    // owes nothing to in-flight readers of a replaced index)
+    versionDirs(fs, dir).filter(_ < next).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true))
   }
 
   /** `(n_docs, sum_tokens)` as exact longs — the mergeable form. */
@@ -100,7 +165,7 @@ object Retrieval {
     * (one exact integer division as DOUBLE). */
   def readStats(spark: org.apache.spark.sql.SparkSession,
                 dir: String): DataFrame =
-    spark.read.parquet(s"$dir/stats")
+    spark.read.parquet(s"${root(spark, dir)}/stats")
       .select(col("n_docs"),
         (col("sum_tokens").cast("double") / col("n_docs")).as("avgdl"))
 
@@ -118,25 +183,26 @@ object Retrieval {
                   dir: String, nBuckets: Int,
                   tok: Column => Column = TextAnalysis.tokens): Unit = {
     val spark = newDocs.sparkSession
+    val rt = root(spark, dir)   // append mutates the CURRENT version
     val newPosts = postings(newDocs, idCol, textCol, tok)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
     newPosts.write.mode("append").partitionBy("tb")
-      .parquet(s"$dir/postings")
-    spark.read.parquet(s"$dir/terms")
+      .parquet(s"$rt/postings")
+    spark.read.parquet(s"$rt/terms")
       .unionByName(
         newPosts.groupBy("tb", "term").agg(count(lit(1)).as("df")))
       .groupBy("tb", "term").agg(sum("df").cast("long").as("df"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$dir/terms_new")
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$rt/terms_new")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.delete(p(s"$dir/terms_retired"), true)
-    require(fs.rename(p(s"$dir/terms"), p(s"$dir/terms_retired")),
+    fs.delete(p(s"$rt/terms_retired"), true)
+    require(fs.rename(p(s"$rt/terms"), p(s"$rt/terms_retired")),
       "appendIndex: rename-out of the term dictionary failed")
-    require(fs.rename(p(s"$dir/terms_new"), p(s"$dir/terms")),
+    require(fs.rename(p(s"$rt/terms_new"), p(s"$rt/terms")),
       "appendIndex: rename-in of the merged term dictionary failed")
-    val old = spark.read.parquet(s"$dir/stats")
+    val old = spark.read.parquet(s"$rt/stats")
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()
     val add = exactStats(newDocs, textCol, tok)
@@ -147,7 +213,7 @@ object Retrieval {
     // is safe, nothing lazy still points at it
     Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
       .toDF("n_docs", "sum_tokens")
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$rt/stats")
   }
 
   /** Compact FRAGMENTED postings buckets — the text-index twin of
@@ -158,26 +224,52 @@ object Retrieval {
     * buckets holding more than `maxFilesPerBucket` part-files
     * (coalesced to one write per bucket), swapping each bucket dir
     * with rename-out/rename-in and restoring the original on a
-    * failed rename-in — a crashed compaction leaves every bucket
-    * either old or new, never absent, and re-running converges
-    * (idempotent: already-compacted buckets no longer qualify). Row
-    * content is untouched — the dictionary, stats and tombstones are
-    * not involved — so serving before and after is bit-identical.
+    * FAILED rename-in. Crash hardening: a process kill BETWEEN the
+    * two renames leaves the bucket only under its dot-prefixed
+    * `.tb=N.retired` name — which parquet reads and the `tb=` listing
+    * both skip — so every run FIRST restores any orphaned retired
+    * bucket whose live dir is missing (and deletes the stale copy
+    * when the live dir survived). With that sweep, a crash at any
+    * point leaves the index recoverable by re-running; the guarantee
+    * is restore-on-rerun, not never-absent — a reader racing the
+    * sub-millisecond rename pair (or arriving between a crash and the
+    * re-run) can still see the bucket absent. Row content is
+    * untouched — the dictionary, stats and tombstones are not
+    * involved — so serving before and after is bit-identical.
     * Returns the bucket ids rewritten. */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
                       dir: String, maxFilesPerBucket: Int = 1): Seq[Long] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(s"$dir/postings")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rt = root(spark, dir)
+    val postsRoot = new Path(s"$rt/postings")
+    val fs = postsRoot
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-recovery sweep (see scaladoc): an orphaned retired bucket
+    // whose live dir is gone holds the only copy of its postings
+    val retiredRe = "\\.tb=(\\d+)\\.retired".r
+    fs.listStatus(postsRoot).toSeq
+      .filter(st => st.isDirectory)
+      .foreach(st => st.getPath.getName match {
+        case retiredRe(tb) =>
+          val live = new Path(postsRoot, s"tb=$tb")
+          if (!fs.exists(live)) {
+            require(fs.rename(st.getPath, live),
+              s"compactPostings: restore of orphaned tb=$tb failed")
+            System.err.println(
+              s"[compactPostings] restored orphaned bucket tb=$tb " +
+                "from a crashed prior run")
+          } else fs.delete(st.getPath, true)
+        case _ => ()
+      })
     def partFiles(p: Path): Int =
       fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
-    val frag = fs.listStatus(root).toSeq
+    val frag = fs.listStatus(postsRoot).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
       .map(st => (st.getPath.getName.stripPrefix("tb=").toLong, st.getPath))
       .filter { case (_, p) => partFiles(p) > maxFilesPerBucket }
       .sortBy(_._1)
     if (frag.nonEmpty) {
-      val tmp = new Path(s"$dir/.postings_compacting")
+      val tmp = new Path(s"$rt/.postings_compacting")
       fs.delete(tmp, true)
       // explicit schema: partition-type inference would read tb as INT;
       // declaring LONG keeps the partition column native so the isin
@@ -185,13 +277,13 @@ object Retrieval {
       // are read, let alone rewritten)
       spark.read
         .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
-        .parquet(s"$dir/postings")
+        .parquet(s"$rt/postings")
         .filter(col("tb").isin(frag.map(_._1): _*))
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
       frag.foreach { case (tb, bucketPath) =>
         val fresh = new Path(tmp, s"tb=$tb")
-        val retired = new Path(root, s".tb=$tb.retired")
+        val retired = new Path(postsRoot, s".tb=$tb.retired")
         require(fs.rename(bucketPath, retired),
           s"compactPostings: rename-out failed for tb=$tb")
         if (!fs.rename(fresh, bucketPath)) {
@@ -228,7 +320,7 @@ object Retrieval {
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(nBuckets)).as("tb"))
       .distinct().as[Long].collect().toSeq
-    spark.read.parquet(s"$dir/$sub")
+    spark.read.parquet(s"${root(spark, dir)}/$sub")
       .filter(col("tb").isInCollection(buckets) &&
         col("term").isInCollection(terms))
       .drop("tb")
@@ -704,28 +796,69 @@ object Retrieval {
     * stats EXACTLY (a doc's token count equals the sum of its tf
     * values, so the removed postings carry everything needed), and
     * clear the tombstones — the segment-merge moment where Lucene's
-    * stale df snaps back to exact. Swap-in uses the two-rename
-    * discipline of [[appendIndex]], applied to postings then terms:
-    * this is a maintenance-window operation, NOT lock-free — between
-    * the two table swaps (or after a crash there) a racing reader can
-    * observe new postings with the old dictionary, a silent mix, not
-    * just a loud failure. A production deployment stages both tables
-    * under one versioned directory and flips a single version pointer
-    * (one atomic rename) instead; here the maintenance window is the
-    * documented contract.
+    * stale df snaps back to exact.
+    *
+    * Reader-atomic via the VERSION POINTER (round 11 — retires the
+    * round-10 two-rename race): the survivor postings, rebuilt
+    * dictionary AND decremented stats are staged COMPLETELY under the
+    * next `v<N+1>/` directory, then `CURRENT` flips in one rename —
+    * a racing reader resolves the pointer once ([[root]]) and sees
+    * either the whole old snapshot or the whole new one, never new
+    * postings with the old dictionary (or new tables with old stats).
+    * The previous version directory is retained until the NEXT
+    * compaction's GC pass, so in-flight readers that resolved before
+    * the flip finish against intact files. Tombstones are cleared
+    * after the flip; a reader that catches the new snapshot with the
+    * tombstones still present anti-joins ids that no longer have
+    * postings — a no-op, not a mix.
     *
     * Caveat (inherent to an index without a forward index): a doc
     * with ZERO tokens leaves no postings, so deleting one cannot
     * reclaim its n_docs contribution here; a production build keeps a
     * doc-count sidecar for that. */
   def compactDeletes(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, nBuckets: Int): Unit = {
+                     dir: String, nBuckets: Int): Unit =
+    stageCompactedVersion(spark, dir).foreach { next =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      flipVersion(fs, dir, next)
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+      ()
+    }
+
+  /** The staging half of [[compactDeletes]]: GC versions older than
+    * CURRENT (their in-flight-reader grace window ends at the next
+    * maintenance op), then build the complete survivor snapshot —
+    * postings, dictionary, stats — under `v<N+1>/` WITHOUT flipping
+    * the pointer. Returns the staged version number (None when there
+    * are no tombstones). Exposed `private[graft]` so the race spec
+    * can interleave a read between staging and the flip and assert it
+    * still serves the OLD snapshot in full. */
+  private[graft] def stageCompactedVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(conf)
-    if (!fs.exists(p(s"$dir/tombstones"))) return
+    if (!fs.exists(p(s"$dir/tombstones"))) return None
+    val rt = root(spark, dir)
+    // the LIVE version comes from the resolved root, never from the
+    // highest staged dir — a crashed prior staging may have left an
+    // orphaned v<N+1> that was never flipped to. Legacy flat layout
+    // (rt == dir) migrates by staging v1; the flat tables become the
+    // unreferenced old snapshot once CURRENT exists.
+    val cur: Long =
+      if (rt == dir) 0L
+      else rt.substring(rt.lastIndexOf("/v") + 2).toLong
+    // GC every version except the live one: old versions' in-flight-
+    // reader grace window ends here; orphaned staged versions restage
+    versionDirs(fs, dir).filter(_ != cur)
+      .foreach(v => fs.delete(p(s"$dir/v$v"), true))
+    val next = cur + 1
+    val vroot = s"$dir/v$next"
     val tombs = spark.read.parquet(s"$dir/tombstones").distinct()
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = spark.read.parquet(s"$rt/postings")
     // exact decrements from the REMOVED postings: Σ tf over a doc's
     // rows = its token count; distinct doc_id = removed doc count
     // (an unknown tombstoned id has no postings and decrements nothing)
@@ -736,29 +869,19 @@ object Retrieval {
     val (remDocs, remToks) = (removed.getLong(0), removed.getLong(1))
     posts.join(broadcast(tombs), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/postings_new")
-    spark.read.parquet(s"$dir/postings_new")
+      .parquet(s"$vroot/postings")
+    spark.read.parquet(s"$vroot/postings")
       .groupBy("tb", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/terms_new")
-    val old = spark.read.parquet(s"$dir/stats")
+      .parquet(s"$vroot/terms")
+    val old = spark.read.parquet(s"$rt/stats")
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()
-    def swap(name: String): Unit = {
-      fs.delete(p(s"$dir/${name}_retired"), true)
-      require(fs.rename(p(s"$dir/$name"), p(s"$dir/${name}_retired")),
-        s"compactDeletes: rename-out of $name failed")
-      require(fs.rename(p(s"$dir/${name}_new"), p(s"$dir/$name")),
-        s"compactDeletes: rename-in of $name failed")
-    }
-    swap("postings")
-    swap("terms")
     import spark.implicits._
     Seq((old.getLong(0) - remDocs, old.getLong(1) - remToks))
       .toDF("n_docs", "sum_tokens")
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    fs.delete(p(s"$dir/tombstones"), true)
-    ()
+      .write.mode("overwrite").parquet(s"$vroot/stats")
+    Some(next)
   }
 
   /** Conjunctive boolean retrieval: docs containing EVERY term of

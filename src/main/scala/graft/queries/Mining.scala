@@ -660,34 +660,23 @@ object Mining {
     Q("d99_edit_distance_pairs",
       "Character-level fuzzy near-dup via EDIT DISTANCE — the " +
         "classic fuzzy-match family next to the token-set ones (d09 " +
-        "Jaccard, d07 MinHash, d08 SimHash): pairwise Levenshtein " +
-        "over a keyed slice with the pigeonhole LENGTH prefilter " +
-        "(lev(a,b) >= |len(a) - len(b)|, so |Δlen| <= 40 prunes " +
-        "before any distance is computed — at corpus scale the " +
-        "length bucket IS the blocking key and the quadratic step " +
-        "runs per bucket, the d58 sorted-neighborhood discipline), " +
-        "normalized similarity 1 − lev/max(len), threshold 0.3. " +
-        "Spark's levenshtein and DuckDB's must agree exactly — the " +
-        "oracle is the same pipeline verbatim.",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-          .filter(col("doc_id") < 40)
-          .select(col("doc_id"), col("text"),
-            length(col("text")).as("n"))
-        val a = d.select(col("doc_id").as("doc_a"),
-          col("text").as("ta"), col("n").as("na"))
-        val b = d.select(col("doc_id").as("doc_b"),
-          col("text").as("tb"), col("n").as("nb"))
-        a.join(b, col("doc_a") < col("doc_b") &&
-            abs(col("na") - col("nb")) <= 40)
-          .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-            round(lit(1.0) -
-              levenshtein(col("ta"), col("tb")).cast("double") /
-                greatest(col("na"), col("nb")), 6).as("sim"))
-          .filter(col("sim") >= 0.3)
-          .orderBy("doc_a", "doc_b")
-      },
+        "Jaccard, d07 MinHash, d08 SimHash): Fuzzy.blockedLevPairs " +
+        "turns the pigeonhole LENGTH prefilter (lev(a,b) >= " +
+        "|len(a) - len(b)|) into an EQUI-JOIN on floor(len/40) " +
+        "length buckets with adjacent-bucket probing — a |Δlen| <= " +
+        "40 pair spans at most two adjacent buckets, so the " +
+        "quadratic distance step runs per bucket under a shuffled " +
+        "equi-join, never a corpus-wide nested loop; provably " +
+        "lossless (each qualifying pair matches exactly one join " +
+        "arm), Scale's fuzzy arm asserts zero lost pairs at " +
+        "1×/10×/30×. Normalized similarity 1 − lev/max(len), " +
+        "threshold 0.3. Spark's levenshtein and DuckDB's must agree " +
+        "exactly — the oracle is the unblocked theta-join pipeline.",
+      (s, dir) => graft.operators.Fuzzy
+        .blockedLevPairs(t(s, dir, "documents")
+          .filter(col("doc_id") < 40), "doc_id", "text",
+          maxDeltaLen = 40, minSim = 0.3)
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH d AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE doc_id < 40)
@@ -790,37 +779,50 @@ object Mining {
         "artifact a curation run reports: raw corpus → token-length " +
         "gate (20–500) → stopword-ratio quality gate (>= 0.02) → " +
         "exact dedup (md5 keep-min-doc_id) → 64/16 passage chunks, " +
-        "with per-stage survivor counts in ONE declarative plan (a " +
-        "union of stage aggregates over shared lineage — Catalyst " +
-        "reuses the scans; no driver-side stage loop). Composes the " +
-        "gated primitives (d02 token stats, d03 quality, d01 dedup, " +
-        "d96 chunking) into the shape every 100 TB curation job " +
-        "emits; the oracle replays all five stages.",
+        "all five survivor counts from ONE corpus scan: the gates " +
+        "are pure functions of text, so every row of an md5(text) " +
+        "window partition shares them and the unconditional " +
+        "row_number equals the post-filter dedup rank for surviving " +
+        "partitions — one pass computes flags + rank, one aggregate " +
+        "emits the five counts as conditional sums (no union of " +
+        "per-stage aggregates, which would re-scan the corpus per " +
+        "branch). Composes the gated primitives (d02 token stats, " +
+        "d03 quality, d01 dedup, d96 chunking); the oracle replays " +
+        "all five stages.",
       (s, dir) => {
         val TA2 = graft.operators.TextAnalysis
-        val base = t(s, dir, "documents")
+        val flagged = t(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             size(TA2.tokens(col("text"))).cast("long").as("n_tok"),
             TA2.stopwordCount(TA2.tokens(col("text"))).as("n_stop"))
-        val s1 = base.filter(col("n_tok").between(20, 500))
-        val s2 = s1.filter(
-          col("n_stop").cast("double") / col("n_tok") >= 0.02)
-        val s3 = s2.withColumn("rn", row_number().over(
+          .withColumn("len_ok", col("n_tok").between(20, 500))
+          .withColumn("qual_ok", col("len_ok") &&
+            col("n_stop").cast("double") / col("n_tok") >= 0.02)
+          .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-        def stage(i: Int, name: String,
-                  df: org.apache.spark.sql.DataFrame,
-                  agg: org.apache.spark.sql.Column) =
-          df.agg(agg.as("n"))
-            .select(lit(i).as("stage"), lit(name).as("name"), col("n"))
-        stage(1, "raw", base, count(lit(1)))
-          .unionByName(stage(2, "length", s1, count(lit(1))))
-          .unionByName(stage(3, "quality", s2, count(lit(1))))
-          .unionByName(stage(4, "exact_dedup", s3, count(lit(1))))
-          .unionByName(stage(5, "chunks", s3,
-            sum(size(TA2.chunkExprs(col("text"), 64, 16)))
-              .cast("long")))
+        val keep = col("qual_ok") && col("rn") === 1
+        flagged.agg(
+            count(lit(1)).as("n1"),
+            count(when(col("len_ok"), 1)).as("n2"),
+            count(when(col("qual_ok"), 1)).as("n3"),
+            count(when(keep, 1)).as("n4"),
+            coalesce(sum(when(keep,
+              size(TA2.chunkExprs(col("text"), 64, 16)).cast("long"))),
+              lit(0L)).as("n5"))
+          .select(explode(array(
+            struct(lit(1).as("stage"), lit("raw").as("name"),
+              col("n1").as("n")),
+            struct(lit(2).as("stage"), lit("length").as("name"),
+              col("n2").as("n")),
+            struct(lit(3).as("stage"), lit("quality").as("name"),
+              col("n3").as("n")),
+            struct(lit(4).as("stage"), lit("exact_dedup").as("name"),
+              col("n4").as("n")),
+            struct(lit(5).as("stage"), lit("chunks").as("name"),
+              col("n5").as("n")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.name").as("name"),
+            col("r.n").as("n"))
           .orderBy("stage")
       },
       Some(FunnelOracleSql)),
@@ -833,7 +835,10 @@ object Mining {
         "checkpoint, the w28 discipline: batch survivors anti-join " +
         "the store as read, only NEW hashes append back), and " +
         "accumulates the five stage counters as exact driver-side " +
-        "integer adds. Every stage count is BATCHING-INVARIANT: " +
+        "integer adds — all five observed on the ONE store-append " +
+        "action per batch via Dataset.observe (the w29/q85 " +
+        "discipline: a multi-action foreachBatch body re-scans its " +
+        "source per action). Every stage count is BATCHING-INVARIANT: " +
         "per-doc gates are additive, cross-batch dedup counts " +
         "distinct hashes regardless of which arrival won, and equal " +
         "texts chunk equally — so the oracle is d100's VERBATIM and " +
@@ -866,39 +871,50 @@ object Mining {
             .json(s"$tmp/in")
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                             _: Long) =>
+                             batchId: Long) =>
               if (!batch.isEmpty) {
-                val staged = batch
+                val gateObs = new org.apache.spark.sql.Observation(
+                  s"w33_gates_$batchId")
+                val freshObs = new org.apache.spark.sql.Observation(
+                  s"w33_fresh_$batchId")
+                val qualOk = col("n_tok").between(20, 500) &&
+                  col("n_stop").cast("double") / col("n_tok") >= 0.02
+                // one row per distinct hash among quality survivors
+                // (equal texts share n_tok, so min is a determinate
+                // pick), anti-joined against the store AS READ; the
+                // three per-doc gate counters and the two
+                // post-dedup counters all observe the SAME plan
+                val fresh = batch
                   .select(col("doc_id"), col("text"),
                     size(TA2.tokens(col("text"))).cast("long")
                       .as("n_tok"),
                     TA2.stopwordCount(TA2.tokens(col("text")))
                       .as("n_stop"))
-                  .persist()
-                try {
-                  nRaw.addAndGet(staged.count())
-                  val s1 = staged.filter(col("n_tok").between(20, 500))
-                  nLen.addAndGet(s1.count())
-                  val s2 = s1.filter(col("n_stop").cast("double") /
-                    col("n_tok") >= 0.02)
-                  nQual.addAndGet(s2.count())
-                  // one row per distinct hash in the batch (equal
-                  // texts share n_tok, so min is just a determinate
-                  // pick), anti-joined against the store AS READ
-                  val fresh = s2
-                    .groupBy(md5(col("text")).as("h"))
-                    .agg(min(col("n_tok")).as("n_tok"))
-                    .join(s.read.parquet(store), Seq("h"), "left_anti")
-                    .localCheckpoint()
-                  nDedup.addAndGet(fresh.count())
-                  val ch = fresh.agg(coalesce(sum(
+                  .observe(gateObs,
+                    count(lit(1)).as("raw"),
+                    count(when(col("n_tok").between(20, 500), 1))
+                      .as("len"),
+                    count(when(qualOk, 1)).as("qual"))
+                  .filter(qualOk)
+                  .groupBy(md5(col("text")).as("h"))
+                  .agg(min(col("n_tok")).as("n_tok"))
+                  .join(s.read.parquet(store), Seq("h"), "left_anti")
+                  .observe(freshObs,
+                    count(lit(1)).as("dedup"),
+                    coalesce(sum(
                       when(col("n_tok") <= 64, 1L).otherwise(
                         ceil((col("n_tok") - lit(16)).cast("double") /
-                          48.0).cast("long"))), lit(0L)))
-                    .head().getLong(0)
-                  nChunks.addAndGet(ch)
-                  fresh.select("h").write.mode("append").parquet(store)
-                } finally { staged.unpersist(); () }
+                          48.0).cast("long"))), lit(0L)).as("chunks"))
+                // the ONE action per batch: metrics ride the append
+                fresh.select("h").write.mode("append").parquet(store)
+                val g = gateObs.get
+                val f = freshObs.get
+                nRaw.addAndGet(g("raw").asInstanceOf[Long])
+                nLen.addAndGet(g("len").asInstanceOf[Long])
+                nQual.addAndGet(g("qual").asInstanceOf[Long])
+                nDedup.addAndGet(f("dedup").asInstanceOf[Long])
+                nChunks.addAndGet(f("chunks").asInstanceOf[Long])
+                ()
               }
             }
             .option("checkpointLocation", s"$tmp/ckpt")

@@ -239,7 +239,7 @@ object Search {
           // batch is one doc-at-a-time scan + the TopKAgg gather,
           // spec-proved bit-identical to the exhaustive indexed
           // scorer, so the oracle stays d67's verbatim.
-          val vocab = s.read.parquet(s"$tmp/terms")
+          val vocab = s.read.parquet(s"${Retrieval.root(s, tmp)}/terms")
             .select("term").as[String].collect().toSeq
           val hot = Retrieval.impactDocMap(
               Retrieval.readIndexSlice(s, tmp, vocab, nBuckets = 16),

@@ -270,7 +270,8 @@ object Scale {
     val needsSynth =
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
-      what != "textcompact" && what != "gather" && what != "lm"
+      what != "textcompact" && what != "gather" && what != "lm" &&
+      what != "fuzzy"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -297,7 +298,7 @@ object Scale {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
-           "spill" | "textcompact" | "gather" | "lm" =>
+           "spill" | "textcompact" | "gather" | "lm" | "fuzzy" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -591,8 +592,10 @@ object Scale {
     // model is 256 rows by construction; its per-tier growth is the
     // feature scan only.
     if (what == "lm") {
-      for ((tier, n) <- Seq(("1x", 20000L), (s"${factor}x",
-          20000L * factor))) {
+      // factor == 1 would duplicate the 1x tier — run it once
+      val lmTiers = Seq(("1x", 20000L)) ++
+        (if (factor > 1) Seq((s"${factor}x", 20000L * factor)) else Nil)
+      for ((tier, n) <- lmTiers) {
         val docs = zipfDocs(spark, n).localCheckpoint()
         Thread.sleep(800)
         metrics.read.set(0L); metrics.readRecords.set(0L)
@@ -620,6 +623,61 @@ object Scale {
           s""""dsir_shuffle_records":$dsRec}""")
       }
     }
+    // Fuzzy-blocking arm (round 11; d99's scale story made real):
+    // Fuzzy.blockedLevPairs' length-bucket equi-join with PLANTED
+    // ground truth. Corpus: n pseudo-random hex docs, lengths uniform
+    // over a FIXED span (40..280, ~31 width-8 buckets), so occupancy
+    // per bucket grows ×factor and the candidate count must grow
+    // ×factor² — the per-bucket quadratic term made visible (at corpus
+    // scale the length distribution bounds per-bucket occupancy, and
+    // total cost is Σ occ² over buckets, never the global n²).
+    // Planted twins: even ids get a 1/16-density hex substitution
+    // (Δlen 0, same bucket), odd ids a 5-char suffix truncation
+    // (crosses a bucket edge for lengths ≡ 0..4 mod 8). Losslessness:
+    // every planted twin must be recovered (require-gated); random
+    // hex pairs measure sim ≈ 0.3, far under the 0.6 threshold.
+    if (what == "fuzzy") {
+      val maxD = 8
+      val n = 600L * factor
+      val nPlant = 100L * factor
+      val base = spark.range(n).select(col("id"),
+        repeat(md5(col("id").cast("string")), 10).substr(lit(1),
+          (lit(40) + pmod(xxhash64(col("id")), lit(240))).cast("int"))
+          .as("text"))
+      val twins = base.filter(col("id") < nPlant).select(
+        (col("id") + n).as("id"),
+        when(col("id") % 2 === 0, translate(col("text"), "a", "z"))
+          .otherwise(col("text").substr(lit(1),
+            (length(col("text")) - 5).cast("int"))).as("text"))
+      val docs = base.unionByName(twins).localCheckpoint()
+      Thread.sleep(800)
+      metrics.read.set(0L); metrics.readRecords.set(0L)
+      var t0 = System.nanoTime()
+      val nCand = graft.operators.Fuzzy
+        .candidatePairs(docs, "id", "text", maxD).count()
+      val candSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      val candMb = metrics.read.getAndSet(0L) / 1e6
+      val candRec = metrics.readRecords.getAndSet(0L)
+      t0 = System.nanoTime()
+      val pairs = graft.operators.Fuzzy
+        .blockedLevPairs(docs, "id", "text", maxD, minSim = 0.6)
+        .localCheckpoint()
+      val verifySec = (System.nanoTime() - t0) / 1e9
+      val nPairs = pairs.count()
+      val found = pairs
+        .filter(col("doc_b") === col("doc_a") + n &&
+          col("doc_a") < nPlant).count()
+      println(s"""{"query":"fuzzy_blocked","n_docs":${n + nPlant},""" +
+        s""""max_delta":$maxD,"n_candidates":$nCand,""" +
+        s""""cand_sec":${fmt(candSec)},""" +
+        s""""cand_shuffle_mb":${fmt(candMb)},""" +
+        s""""cand_shuffle_records":$candRec,""" +
+        s""""verify_sec":${fmt(verifySec)},"n_pairs":$nPairs,""" +
+        s""""planted":$nPlant,"planted_found":$found}""")
+      require(found == nPlant,
+        s"fuzzy blocking lost planted pairs: $found of $nPlant")
+    }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
     // the same doc-at-a-time scored relation — (query, doc, score)
     // candidate rows for 500 two-term queries against a 200k-doc
@@ -638,7 +696,7 @@ object Scale {
       R.writeIndex(zipfDocs(spark, n), "doc_id", "text", tmp,
         nBuckets = 64)
       import spark.implicits._
-      val vocab = spark.read.parquet(s"$tmp/terms")
+      val vocab = spark.read.parquet(s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
         .select("term").as[String].collect().toSeq
       val docMap = R.impactDocMap(
           R.readIndexSlice(spark, tmp, vocab, nBuckets = 64),
@@ -720,7 +778,9 @@ object Scale {
       val fs = new Path(idx).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       def census(): (Int, Int) =
-        fs.listStatus(new Path(s"$idx/postings")).toSeq
+        fs.listStatus(new Path(
+            s"${graft.operators.Retrieval.root(spark, idx)}/postings"))
+          .toSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("tb="))
           .map(st => fs.listStatus(st.getPath)
@@ -1273,7 +1333,7 @@ object Scale {
         Thread.sleep(800)
         val rrd = metrics.read.getAndSet(0L) / 1e6
         metrics.write.getAndSet(0L)
-        val nTerms = spark.read.parquet(s"$idx/terms").count()
+        val nTerms = spark.read.parquet(s"${graft.operators.Retrieval.root(spark, idx)}/terms").count()
         println(s"""{"tier":"$tier","query":"d71_index_append",""" +
           s""""n_docs":$nDocs,"wave_docs":$wave,"n_terms":$nTerms,""" +
           s""""append_sec":${fmt(appendSec)},""" +

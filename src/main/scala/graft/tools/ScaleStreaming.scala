@@ -327,7 +327,8 @@ object ScaleStreaming {
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
       "doc_id", "text", tmp, nBuckets = 16)
     val stats = R.readStats(spark, tmp)
-    val vocab = spark.read.parquet(s"$tmp/terms")
+    val vocab = spark.read.parquet(
+      s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
       .select("term").as[String].collect().sorted.toSeq
     // static side = the cached forward index, w30's production shape
     val docMap = R.impactDocMap(
@@ -865,7 +866,8 @@ object ScaleStreaming {
     R.writeIndex(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
       "doc_id", "text", tmp, nBuckets = 16)
-    val vocab = spark.read.parquet(s"$tmp/terms")
+    val vocab = spark.read.parquet(
+      s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
       .select("term").as[String].collect().sorted.toSeq
     val stats = R.readStats(spark, tmp)
     val docMap = R.impactDocMap(
@@ -925,7 +927,8 @@ object ScaleStreaming {
     // Both arms serve from the SAME cached full slice (the
     // bm25ServeProbe/w30 caching design — a real deployment holds the
     // index hot); the contrast isolates the scorer, not I/O.
-    val vocab = spark.read.parquet(s"$tmp/terms")
+    val vocab = spark.read.parquet(
+      s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
       .select("term").as[String].collect().toSeq
     val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 64)
       .cache()

@@ -106,7 +106,7 @@ class RetrievalSpec extends AnyFunSpec {
           "doc_id", "text", half, nBuckets = 8)
         Retrieval.writeIndex(corpus, "doc_id", "text", full, nBuckets = 8)
         // dictionary df must match exactly after the merge-swap
-        def dict(d: String) = spark.read.parquet(s"$d/terms")
+        def dict(d: String) = spark.read.parquet(s"${Retrieval.root(spark, d)}/terms")
           .select("term", "df").as[(String, Long)].collect().toMap
         assert(dict(half) == dict(full))
         val q = Seq((1L, "joins"), (1L, "data")).toDF("query_id", "term")
@@ -133,7 +133,7 @@ class RetrievalSpec extends AnyFunSpec {
         Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
         Retrieval.deleteDocs(Seq(1L, 2L, 99L).toDF("doc_id"), tmp)
 
-        def dict(d: String) = spark.read.parquet(s"$d/terms")
+        def dict(d: String) = spark.read.parquet(s"${Retrieval.root(spark, d)}/terms")
           .select("term", "df").as[(String, Long)].collect().toMap
         val staleDict = dict(tmp)
 
@@ -155,7 +155,7 @@ class RetrievalSpec extends AnyFunSpec {
           "doc_id", "text", fresh, nBuckets = 8)
         // dictionary, stats and served scores all snap to exact
         assert(dict(tmp) == dict(fresh))
-        def stats(d: String) = spark.read.parquet(s"$d/stats")
+        def stats(d: String) = spark.read.parquet(s"${Retrieval.root(spark, d)}/stats")
           .as[(Long, Long)].collect().toSet
         assert(stats(tmp) == stats(fresh))
         assert(serve(tmp) == serve(fresh) && serve(fresh).nonEmpty)
@@ -344,13 +344,13 @@ class RetrievalSpec extends AnyFunSpec {
         }
         val before = spark.read
           .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
-          .parquet(s"$tmp/postings")
+          .parquet(s"${Retrieval.root(spark, tmp)}/postings")
           .as[(Long, String, Long, Long, Long)].collect().toSet
         import org.apache.hadoop.fs.Path
         val fs = new Path(tmp).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         def census(): Map[Long, Int] = fs
-          .listStatus(new Path(s"$tmp/postings")).toSeq
+          .listStatus(new Path(s"${Retrieval.root(spark, tmp)}/postings")).toSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("tb="))
           .map(st => st.getPath.getName.stripPrefix("tb=").toLong ->
@@ -370,12 +370,97 @@ class RetrievalSpec extends AnyFunSpec {
           case (tb, c) => after(tb) == c })
         val content = spark.read
           .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
-          .parquet(s"$tmp/postings")
+          .parquet(s"${Retrieval.root(spark, tmp)}/postings")
           .as[(Long, String, Long, Long, Long)].collect().toSet
         assert(content == before)
         assert(Retrieval.compactPostings(spark, tmp).isEmpty,
           "second compaction should find nothing fragmented")
       } finally graft.queries.Rm.rf(tmp)
+    }
+
+    it("restores an orphaned .retired bucket from a crashed run " +
+       "before compacting (the kill-between-renames window)") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rcomp-crash").toString
+      try {
+        val docs = zipf2(nDocs = 40, vocab = 12, seed = 7)
+        Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 4)
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(tmp).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val posts = s"${Retrieval.root(spark, tmp)}/postings"
+        val before = spark.read
+          .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+          .parquet(posts)
+          .as[(Long, String, Long, Long, Long)].collect().toSet
+        // simulate the crash: rename-out done, rename-in never ran —
+        // the bucket exists ONLY under its dot-prefixed retired name
+        val victim = fs.listStatus(new Path(posts)).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("tb=")).head.getPath
+        val tb = victim.getName
+        assert(fs.rename(victim, new Path(posts, s".$tb.retired")))
+        // parquet now silently misses that bucket's rows...
+        val torn = spark.read
+          .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+          .parquet(posts)
+          .as[(Long, String, Long, Long, Long)].collect().toSet
+        assert(torn.size < before.size)
+        // ...and the recovery sweep restores it on the next run
+        Retrieval.compactPostings(spark, tmp)
+        val after = spark.read
+          .schema("doc_id LONG, term STRING, tf LONG, dl LONG, tb LONG")
+          .parquet(posts)
+          .as[(Long, String, Long, Long, Long)].collect().toSet
+        assert(after == before)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+  }
+
+  describe("Retrieval version pointer (compaction reader atomicity)") {
+    it("a reader interleaved between staging and the flip serves the " +
+       "complete OLD snapshot; after the flip, the complete new one " +
+       "— never new postings with the old dictionary (the round-10 " +
+       "two-rename mix)") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-rflip").toString
+      val fresh = java.nio.file.Files
+        .createTempDirectory("graft-rflip-f").toString
+      try {
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        def dict(d: String) = spark.read
+          .parquet(s"${Retrieval.root(spark, d)}/terms")
+          .select("term", "df").as[(String, Long)].collect().toMap
+        def stats(d: String) = spark.read
+          .parquet(s"${Retrieval.root(spark, d)}/stats")
+          .as[(Long, Long)].collect().toSet
+        val dict0 = dict(tmp)
+        val stats0 = stats(tmp)
+        Retrieval.deleteDocs(Seq(1L, 2L).toDF("doc_id"), tmp)
+        // staging half done, flip NOT yet — the interleaved reader
+        val staged = Retrieval.stageCompactedVersion(spark, tmp)
+        assert(staged.contains(1L))
+        assert(new java.io.File(s"$tmp/v1/postings").isDirectory &&
+          new java.io.File(s"$tmp/v1/terms").isDirectory &&
+          new java.io.File(s"$tmp/v1/stats").isDirectory,
+          "the next version must be COMPLETELY staged before any flip")
+        // pointer still names v0: dictionary AND stats both still old
+        assert(Retrieval.root(spark, tmp).endsWith("/v0"))
+        assert(dict(tmp) == dict0)
+        assert(stats(tmp) == stats0)
+        // the flip: one pointer write — both tables change together
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(tmp).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        Retrieval.flipVersion(fs, tmp, 1L)
+        assert(Retrieval.root(spark, tmp).endsWith("/v1"))
+        Retrieval.writeIndex(corpus.filter(!$"doc_id".isin(1L, 2L)),
+          "doc_id", "text", fresh, nBuckets = 8)
+        assert(dict(tmp) == dict(fresh))
+        assert(stats(tmp) == stats(fresh))
+      } finally {
+        graft.queries.Rm.rf(tmp); graft.queries.Rm.rf(fresh)
+      }
     }
   }
 
@@ -388,7 +473,7 @@ class RetrievalSpec extends AnyFunSpec {
           .createTempDirectory("graft-docmap").toString
         try {
           Retrieval.writeIndex(docs, "doc_id", "text", tmp, nBuckets = 8)
-          val vocab = spark.read.parquet(s"$tmp/terms")
+          val vocab = spark.read.parquet(s"${Retrieval.root(spark, tmp)}/terms")
             .select("term").as[String].collect().toSeq
           val slice = Retrieval.readIndexSlice(spark, tmp, vocab, 8)
           val stats = Retrieval.readStats(spark, tmp)
