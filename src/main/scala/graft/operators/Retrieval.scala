@@ -756,6 +756,74 @@ object Retrieval {
         round(col("dsum").cast("double"), 6).as("score"))
   }
 
+  /** Candidate-PRUNED twin of [[docMapScores]] — the fix for the
+    * |docs| × |batch| wall the full forward-index scan pays
+    * (bm25_serve_r10's ~1k qps ceiling): for batches whose terms are
+    * rare, per-(query, doc) candidates come from the INVERTED slice
+    * first — `slice ⋈ broadcast(query terms)` emits exactly Σ df
+    * (query, doc) pairs — and only those docs' impact maps are probed,
+    * so the scoring row count is Σ df instead of |docs| × |batch|.
+    * Unlike the r09 term-major serve (same Σ df rows but a (query,
+    * doc) score shuffle + window gather), the gather here stays the
+    * doc-map discipline: the docMap side is probed by a BROADCAST
+    * hash join (it never shuffles) and the per-query reduction
+    * partial-aggregates map-side.
+    *
+    * Output is bit-identical to [[docMapScores]]: a doc scores for a
+    * query iff it holds ≥ 1 of the query's terms — exactly the
+    * candidate-pair condition — and the decimal fold, 6-dp round and
+    * tie semantics are shared verbatim.
+    *
+    * The caller picks scan-vs-prune PER BATCH from the dictionary df
+    * profile (the d75 plan-time-switch discipline): Σ df over the
+    * batch's terms vs |docs| × |batch| — broadcast-sized candidates
+    * are a precondition here, so the switch must fall back to the
+    * full scan when the profile is stopword-heavy. */
+  private[graft] def docMapScoresPruned(docMap: DataFrame,
+                                        slice: DataFrame,
+                                        queries: DataFrame): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
+    val cand = slice.select("term", "doc_id")
+      .join(broadcast(qterms), "term")
+      .select("query_id", "doc_id").distinct()
+    val d28_9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(d28_9)
+    docMap.join(broadcast(cand), "doc_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        aggregate(col("terms"), zero, (acc, t) =>
+          (acc + coalesce(element_at(col("impacts"), t), zero))
+            .cast(d28_9)).as("dsum"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("dsum").cast("double"), 6).as("score"))
+  }
+
+  /** [[bm25Top1DocMap]] through the candidate-pruned scan — identical
+    * output, Σ df scoring rows. See [[docMapScoresPruned]] for when
+    * to pick it. */
+  def bm25Top1DocMapPruned(docMap: DataFrame, slice: DataFrame,
+                           queries: DataFrame): DataFrame =
+    docMapScoresPruned(docMap, slice, queries)
+      .select(col("query_id"),
+        struct(col("score"), (-col("doc_id")).as("negdoc")).as("cand"))
+      .groupBy("query_id")
+      .agg(max(col("cand")).as("best"))
+      .select(col("query_id"), lit(1L).as("rk"),
+        (-col("best.negdoc")).as("doc_id"), col("best.score"))
+
+  /** [[bm25TopKDocMap]] through the candidate-pruned scan — identical
+    * output, Σ df scoring rows. */
+  def bm25TopKDocMapPruned(docMap: DataFrame, slice: DataFrame,
+                           queries: DataFrame, k: Int): DataFrame =
+    docMapScoresPruned(docMap, slice, queries)
+      .groupBy("query_id")
+      .agg(TopKAgg.topK(k)(col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+
   /** Mark documents deleted — the Lucene model: a delete writes only
     * TOMBSTONES (doc ids), never touches postings. Serving via
     * [[readServableSlice]] anti-joins them out immediately; df and

@@ -557,6 +557,37 @@ object Search {
           .orderBy("query_id", "rk")
           .localCheckpoint()
       },
+      Some(Bm25OracleSql)),
+
+    Q("d101_bm25_docmap_pruned",
+      "Candidate-PRUNED document-at-a-time serving — the round-11 fix " +
+        "for the |docs| × |batch| forward-index-scan wall " +
+        "(bm25_serve_r10's ~1k qps ceiling): per-(query, doc) " +
+        "candidates come from the INVERTED slice first (slice ⋈ " +
+        "broadcast query terms — exactly Σ df pairs), and only those " +
+        "docs' impact maps are probed, so scoring rows collapse from " +
+        "|docs| × |batch| to Σ df for rare-term batches while the " +
+        "gather keeps d94's TopKAgg partial-aggregating discipline " +
+        "(docMap probed by broadcast hash join, never shuffled). The " +
+        "serve picks scan-vs-prune per batch from the dictionary df " +
+        "profile (the d75 plan-time-switch discipline — measured in " +
+        "bm25_serve_r11); both paths are bit-identical, so the " +
+        "oracle is d67's VERBATIM at k=10, same as d94's.",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        val terms = QueryTerms.map(_._2).distinct
+        val slice = Retrieval.readIndexSlice(s, idx, terms,
+          nBuckets = 16)
+        val docMap = Retrieval.impactDocMap(slice,
+          Retrieval.readStats(s, idx))
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        Retrieval.bm25TopKDocMapPruned(docMap, slice, qArr, k = 10)
+          .orderBy("query_id", "rk")
+          .localCheckpoint()
+      },
       Some(Bm25OracleSql))
   )
 }

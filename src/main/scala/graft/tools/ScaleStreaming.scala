@@ -299,6 +299,10 @@ object ScaleStreaming {
     if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
     if (want("bm25_wand_ex"))
       bm25WandProbe(spark, rate, secs, pruned = false)
+    if (want("docmap_rare"))
+      bm25DocMapRareProbe(spark, rate, secs, pruned = true)
+    if (want("docmap_rare_full"))
+      bm25DocMapRareProbe(spark, rate, secs, pruned = false)
     if (want("restart_bm25")) restartBm25Probe(spark)
 
     spark.stop()
@@ -853,10 +857,35 @@ object ScaleStreaming {
     * query terms in codegen, and the only shuffle is the per-query
     * partial-agg'd max — scatter-gather, the plan a sharded text
     * engine runs. Output stays bit-identical to bm25TopKIndexed(k=1)
-    * (spec-proved). The remaining ceiling is the |docs| × |batch|
-    * nested-loop row volume of the forward-index scan plus the fixed
-    * ~100 ms foreachBatch job overhead — per-batch cost grows with
-    * corpus rows, not with Σ df per query. */
+    * (spec-proved).
+    *
+    * Round 11 (VERDICT r10 #4): the r10 ceiling (~1.05k qps) was the
+    * |docs| × |batch| row volume of the full forward-index scan per
+    * batch. The serve now picks scan-vs-prune PER BATCH from the
+    * dictionary df profile (the d75 plan-time-switch discipline,
+    * driver-side over the vocabulary-sized dfMap): when the batch's
+    * Σ df is well under |docs| × |batch|, Retrieval.bm25Top1DocMapPruned
+    * derives per-(query, doc) candidates from the cached INVERTED
+    * slice and probes only those docs' impact maps — Σ df scoring
+    * rows; stopword-heavy batches keep the full scan (candidates
+    * would approach the corpus and the broadcast would choke). Both
+    * paths are bit-identical (spec-proved), so the switch is
+    * invisible in results. The emitted line carries how many batches
+    * each path served. On THIS corpus the dictionary is 31 common
+    * words (df ≈ 4/5 · N each), so the profile correctly refuses the
+    * prune for every batch — the rare-term regime where it fires is
+    * measured separately by the bm25_wand arm's 500k-doc two-regime
+    * corpus.
+    *
+    * Second round-11 lever, and the one that moves THIS workload:
+    * per-batch DISTINCT-QUERY dedup (the result-cache discipline —
+    * real query logs are Zipfian, and a 31-term dictionary admits at
+    * most 31² distinct 2-term queries, so big batches are mostly
+    * repeats): score each distinct term-set once, then join every
+    * incoming query back to its set's answer. Scoring rows collapse
+    * from |docs| × |batch| to |docs| × |distinct sets| while every
+    * query still receives its (identical) answer — correctness
+    * unchanged by determinism of the scorer. */
   private def bm25ServeProbe(spark: SparkSession, qRate: Int,
                              secs: Int): Unit = {
     import spark.implicits._
@@ -866,14 +895,20 @@ object ScaleStreaming {
     R.writeIndex(
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
       "doc_id", "text", tmp, nBuckets = 16)
-    val vocab = spark.read.parquet(
+    val dfRows = spark.read.parquet(
       s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
-      .select("term").as[String].collect().sorted.toSeq
+      .select("term", "df").as[(String, Long)].collect()
+    val dfMap = dfRows.toMap                    // vocabulary-sized
+    val vocab = dfRows.map(_._1).sorted.toSeq
     val stats = R.readStats(spark, tmp)
-    val docMap = R.impactDocMap(
-        R.readIndexSlice(spark, tmp, vocab, nBuckets = 16), stats)
+    val nDocs = stats.select(col("n_docs").cast("long")).head().getLong(0)
+    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 16)
       .cache()
+    val docMap = R.impactDocMap(slice, stats).cache()
     docMap.count()
+    slice.count()
+    val prunedBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val scanBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val vlit = typedlit(vocab)
     val nv = lit(vocab.length.toLong)
     val qs = spark.readStream.format("rate")
@@ -888,17 +923,49 @@ object ScaleStreaming {
         .as("terms"))
     val q = qs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val queries = batch.select(col("qid").as("query_id"),
-            col("terms"))
-          R.bm25Top1DocMap(docMap, queries)
+        // one bounded collect per batch: the query set itself (it
+        // broadcasts anyway) — the df-profile decision needs the
+        // batch's terms on the driver, and rebuilding the queries
+        // frame locally spares the rate source a second scan
+        val local = batch.select(col("qid"), col("terms"))
+          .as[(Long, Seq[String])].collect()
+        if (local.nonEmpty) {
+          // distinct-query dedup: one scoring unit per distinct
+          // term-set (bounded by vocab², tiny on the driver)
+          val sets = local.map(_._2.toList).distinct
+          val sidOf = sets.iterator.zipWithIndex
+            .map { case (ts, i) => (ts, i.toLong) }.toMap
+          val setQueries = sets.zipWithIndex
+            .map { case (ts, i) => (i.toLong, ts) }.toSeq
+            .toDF("query_id", "terms")
+          val sumDf = sets.iterator.flatten.map(t =>
+            dfMap.getOrElse(t, 0L)).sum
+          // prune when candidates are provably far under the full
+          // scan AND broadcastable; else the full forward scan
+          val usePrune = sumDf * 4 < nDocs * sets.length &&
+            sumDf < 2000000L
+          val served =
+            if (usePrune) { prunedBatches.incrementAndGet()
+              R.bm25Top1DocMapPruned(docMap, slice, setQueries) }
+            else { scanBatches.incrementAndGet()
+              R.bm25Top1DocMap(docMap, setQueries) }
+          // fan the per-set answers back out to every incoming query
+          val back = local.map { case (q, ts) => (q, sidOf(ts.toList)) }
+            .toSeq.toDF("orig_qid", "query_id")
+          served.join(broadcast(back), "query_id")
+            .select(col("orig_qid").as("query_id"), col("rk"),
+              col("doc_id"), col("score"))
             .write.format("noop").mode("overwrite").save()
         }
       }
       .option("checkpointLocation", ckpt("bm25serve"))
       .start()
     report("bm25_serve", qRate, vocab.length.toLong, drive(q, secs))
+    println(s"""{"probe":"bm25_serve_paths",""" +
+      s""""pruned_batches":${prunedBatches.get},""" +
+      s""""scan_batches":${scanBatches.get}}""")
     docMap.unpersist()
+    slice.unpersist()
     graft.queries.Rm.rf(tmp)
   }
 
@@ -960,6 +1027,65 @@ object ScaleStreaming {
     report(if (pruned) "bm25_wand" else "bm25_wand_ex", qRate, n,
       drive(q, secs))
     slice.unpersist()
+    graft.queries.Rm.rf(tmp)
+  }
+
+  /** The regime the round-11 candidate prune exists for, measured:
+    * doc-at-a-time serving over a 500k-doc corpus where every query is
+    * two RARE terms drawn from a 50k-term pool — batches are almost
+    * entirely DISTINCT (the dedup lever does nothing) and Σ df per
+    * query is a handful of rows, so `pruned = true`
+    * (bm25Top1DocMapPruned: candidates from the inverted slice,
+    * broadcast-probed against the forward index) scores Σ df rows
+    * per batch while `false` (the full forward scan) pays
+    * |docs| × |distinct sets| — 500k rows PER QUERY. The qps contrast
+    * at the same offered rate is the prune's measured value; both
+    * paths are bit-identical (spec-proved). */
+  private def bm25DocMapRareProbe(spark: SparkSession, qRate: Int,
+                                  secs: Int, pruned: Boolean): Unit = {
+    import spark.implicits._
+    val R = graft.operators.Retrieval
+    val n = 500000L
+    val rarePool = n / 10
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-scale-docmaprare").toString
+    R.writeIndex(Scale.zipfDocs(spark, n), "doc_id", "text", tmp,
+      nBuckets = 64)
+    val vocab = spark.read.parquet(
+      s"${graft.operators.Retrieval.root(spark, tmp)}/terms")
+      .select("term").as[String].collect().toSeq
+    val stats = R.readStats(spark, tmp)
+    val slice = R.readIndexSlice(spark, tmp, vocab, nBuckets = 64)
+      .cache()
+    val docMap = R.impactDocMap(slice, stats).cache()
+    docMap.count(); slice.count()
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", qRate)
+      .option("numPartitions", 8)
+      .load()
+      .select(col("value").as("qid"), array(
+        concat(lit("r"), pmod(xxhash64(col("value"), lit(1)),
+          lit(rarePool))),
+        concat(lit("r"), pmod(xxhash64(col("value"), lit(2)),
+          lit(rarePool))))
+        .as("terms"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch.select(col("qid").as("query_id"),
+            col("terms"))
+          val served =
+            if (pruned) R.bm25Top1DocMapPruned(docMap, slice, queries)
+            else R.bm25Top1DocMap(docMap, queries)
+          served.write.format("noop").mode("overwrite").save()
+        }
+      }
+      .option("checkpointLocation",
+        ckpt(if (pruned) "docmaprare" else "docmaprarefull"))
+      .start()
+    report(if (pruned) "docmap_rare" else "docmap_rare_full",
+      qRate, n, drive(q, secs))
+    docMap.unpersist(); slice.unpersist()
     graft.queries.Rm.rf(tmp)
   }
 

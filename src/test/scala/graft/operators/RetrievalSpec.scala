@@ -494,6 +494,12 @@ class RetrievalSpec extends AnyFunSpec {
             .as[(Long, Long, Long, Double)].collect().toList.sorted
           assert(got == want && got.nonEmpty, s"seed $seed diverged")
           assert(!got.exists(_._1 == 91L))   // no-match query: no row
+          // the candidate-pruned scan (Σ df rows instead of
+          // |docs| × |batch|) must be bit-identical — the plan-time
+          // scan-vs-prune switch is invisible in results
+          val gotP = Retrieval.bm25Top1DocMapPruned(docMap, slice, arr)
+            .as[(Long, Long, Long, Double)].collect().toList.sorted
+          assert(gotP == want, s"seed $seed pruned top-1 diverged")
           // general-k gather through the TopKAgg partial aggregation
           for (k <- Seq(3, 7, 1000)) {
             val gotK = Retrieval.bm25TopKDocMap(docMap, arr, k)
@@ -503,6 +509,10 @@ class RetrievalSpec extends AnyFunSpec {
               .as[(Long, Long, Long, Double)].collect().toList.sorted
             assert(gotK == wantK && gotK.nonEmpty,
               s"seed $seed k=$k diverged")
+            val gotKP = Retrieval
+              .bm25TopKDocMapPruned(docMap, slice, arr, k)
+              .as[(Long, Long, Long, Double)].collect().toList.sorted
+            assert(gotKP == wantK, s"seed $seed k=$k pruned diverged")
           }
         } finally graft.queries.Rm.rf(tmp)
       }
