@@ -52,6 +52,11 @@ object Dsir {
       .select(col("doc_id"), col("tgt"),
         (conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long")
           % nBuckets).as("b"))
+      // consumed four times (raw, target, totals, final scoring
+      // join): checkpoint so the tokenize + bigram explode + md5 of
+      // the corpus runs ONCE — without it the "one feature explode"
+      // scale claim above is false by 4x
+      .localCheckpoint()
     val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = feats.filter(col("tgt"))
       .groupBy("b").agg(count(lit(1)).as("ct"))

@@ -263,6 +263,108 @@ object AudioFp {
   }
 }
 
+final case class WavDecoded(
+    doc_id: Long, n_samples: Long, sample_rate: Long,
+    sum_samples: Long, energy: Long, hi: Long, lo: Long)
+
+/** REAL audio codec round-trip — the audio twin of the image path's
+  * ImageIO discipline (m01/m09), closing round 10's gap where the
+  * audio ops ran on text-bytes-as-PCM stand-ins: [[withWavPayload]]
+  * builds a genuine RIFF/WAVE container (44-byte canonical header +
+  * 8-bit unsigned mono PCM) whose samples derive deterministically
+  * from the row id, and [[decodeFingerprint]] decodes it through an
+  * ACTUAL `javax.sound.sampled.AudioSystem.getAudioInputStream` —
+  * format, frame count and every sample value come from the codec,
+  * not from assuming the layout — then reports sample stats plus the
+  * Haitsma & Kalker 64-bit fingerprint of the DECODED samples (the
+  * m12 grid: 65 overlapping frameLen-sample frames every hop, bit k =
+  * E(k+1) > E(k), PHash (hi, lo) packing). The oracle reproduces all
+  * of it in closed form from the synthesis parameters, so a broken
+  * header write, a misparsed format, or a codec that drops samples
+  * fails the hash gate, not just a schema check. Synthesis and decode
+  * both run per partition; payloads never touch the driver. */
+object WavCodec {
+
+  /** Canonical 44-byte RIFF/WAVE header + 8-bit unsigned PCM data. */
+  private[operators] def wavBytes(samples: Array[Int],
+                                  sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                 // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate)   // byteRate = sr·1·1
+      .putShort(1).putShort(8)                 // blockAlign, bits
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    samples.foreach(s => bb.put((s & 0xff).toByte))
+    bb.array()
+  }
+
+  /** One WAV per row: `n = 280 + (id % 64)·4` samples (≥ the 272 the
+    * 65-frame fingerprint grid needs), `s_k = (37·id + k·(1 + id % 7))
+    * mod 256` — an arithmetic-progression tone the SQL oracle replays
+    * exactly. */
+  def withWavPayload(df: DataFrame, idCol: String,
+                     sampleRate: Int = 8000): Dataset[Blob] =
+    df.select(col(idCol).cast("long").as("value"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (280 + (id % 64) * 4).toInt
+          val a = (id * 37) % 256
+          val b = 1 + (id % 7)
+          val samples = Array.tabulate(n)(k => ((a + k * b) % 256).toInt)
+          Blob(id, wavBytes(samples, sampleRate))
+        }
+      }(Encoders.product[Blob])
+
+  /** Decode through the real codec and fingerprint the decoded
+    * samples. Every reported value — frame count, sample rate, sums,
+    * fingerprint — is derived from what `AudioSystem` actually
+    * decoded. */
+  def decodeFingerprint(blobs: Dataset[Blob], frameLen: Int = 16,
+                        hop: Int = 4): Dataset[WavDecoded] =
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b.payload))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 8,
+          s"unexpected decoded format for doc ${b.doc_id}: $fmt")
+        val nFrames = ais.getFrameLength.toInt
+        val raw = ais.readAllBytes()
+        ais.close()
+        require(raw.length == nFrames,
+          s"codec returned ${raw.length} of $nFrames frames " +
+            s"for doc ${b.doc_id}")
+        require(nFrames >= hop * 64 + frameLen,
+          s"payload too short to fingerprint: doc ${b.doc_id}")
+        val s = raw.map(_ & 0xff)
+        var sum = 0L
+        var energy = 0L
+        s.foreach { v => sum += v; energy += v.toLong * v }
+        val es = Array.tabulate(65) { i =>
+          var e = 0L
+          var j = 0
+          while (j < frameLen) {
+            val v = s(i * hop + j).toLong; e += v * v; j += 1
+          }
+          e
+        }
+        var hi = 0L
+        var lo = 0L
+        (1 to 32).foreach(k =>
+          hi = hi * 2 + (if (es(k) > es(k - 1)) 1L else 0L))
+        (33 to 64).foreach(k =>
+          lo = lo * 2 + (if (es(k) > es(k - 1)) 1L else 0L))
+        WavDecoded(b.doc_id, nFrames.toLong, fmt.getSampleRate.toLong,
+          sum, energy, hi, lo)
+      }
+    }(Encoders.product[WavDecoded])
+}
+
 final case class Frame(doc_id: Long, offset: Long, frame_md5: String)
 
 final case class AudioStats(

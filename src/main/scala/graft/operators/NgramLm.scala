@@ -40,6 +40,10 @@ object NgramLm {
       .select(col(idCol).as("doc_id"),
         posexplode(tok(col(textCol))).as(Seq("i", "w")))
       .filter(length(col("w")) > 0)
+      // consumed four times (unigrams, totals, both sides of the
+      // shifted self-join, final scoring): checkpoint so the corpus
+      // posexplode runs once (the Dsir discipline)
+      .localCheckpoint()
     val uni = pos.groupBy("w").agg(count(lit(1)).as("cu"))
     val total = pos.agg(count(lit(1)).cast("long").as("n_total"))
     // (doc, i, prev) for i >= 1: the shifted self-join — equi keys,

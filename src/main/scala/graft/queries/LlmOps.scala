@@ -1164,6 +1164,67 @@ object LlmOps {
         |    AS BIGINT) AS n_scenes
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("m13_wav_codec_roundtrip",
+      "REAL audio codec round-trip (WavCodec) — the audio twin of " +
+        "m01's ImageIO discipline, retiring the text-bytes-as-PCM " +
+        "stand-in: per row a genuine RIFF/WAVE container (44-byte " +
+        "canonical header + 8-bit unsigned mono PCM at 8 kHz) is " +
+        "synthesized with samples s_k = (37·id + k·(1 + id%7)) mod " +
+        "256, then decoded through an actual javax.sound.sampled." +
+        "AudioSystem.getAudioInputStream — the reported frame count, " +
+        "sample rate, sample sum, energy AND the Haitsma-Kalker " +
+        "64-bit fingerprint (m12's grid) are all computed from what " +
+        "the CODEC returned. The oracle replays everything in closed " +
+        "form from the synthesis parameters, so a broken header " +
+        "write, misparsed format, or sample-dropping decode fails " +
+        "the hash gate. Synthesis + decode run per partition; blobs " +
+        "never touch the driver.",
+      (s, dir) => graft.operators.WavCodec.decodeFingerprint(
+          graft.operators.WavCodec.withWavPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 100),
+            "doc_id"))
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH par AS (
+        |  SELECT doc_id,
+        |    280 + (doc_id % 64) * 4 AS n,
+        |    (doc_id * 37) % 256 AS a,
+        |    1 + (doc_id % 7) AS b
+        |  FROM documents WHERE doc_id < 100),
+        |smp AS (
+        |  SELECT doc_id, n,
+        |    list_transform(generate_series(0, CAST(n - 1 AS INT)),
+        |      k -> (a + k * b) % 256) AS s
+        |  FROM par),
+        |e AS (
+        |  SELECT doc_id, n, s,
+        |    list_transform(generate_series(0, 64), i ->
+        |      list_reduce(list_transform(generate_series(1, 16),
+        |        j -> s[CAST(i * 4 + j AS INT)] *
+        |             s[CAST(i * 4 + j AS INT)]),
+        |        (x, y) -> x + y)) AS es
+        |  FROM smp),
+        |bits AS (
+        |  SELECT doc_id, n, s, list_transform(generate_series(1, 64),
+        |    k -> CASE WHEN es[k + 1] > es[k] THEN 1 ELSE 0 END) AS b
+        |  FROM e)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(list_reduce(s, (x, y) -> x + y) AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(list_reduce(list_transform(s, v -> v * v),
+        |    (x, y) -> x + y) AS BIGINT) AS energy,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, 32),
+        |      k -> CAST(b[k] AS BIGINT))),
+        |    (acc, x) -> acc * 2 + x) AS hi,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(33, 64),
+        |      k -> CAST(b[k] AS BIGINT))),
+        |    (acc, x) -> acc * 2 + x) AS lo
+        |FROM bits ORDER BY doc_id""".stripMargin)),
+
     Q("d18_trigram_lang_id",
       "Trained language ID (graft.operators.LangId): per-language " +
         "character-trigram profiles from the labeled corpus, classified " +

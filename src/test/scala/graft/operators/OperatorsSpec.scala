@@ -290,6 +290,32 @@ class OperatorsSpec extends AnyFunSpec {
         .collect().head
       assert(big.out_w == big.width && big.out_h == big.height)
     }
+    it("WavCodec: a genuine AudioSystem decode recovers exactly the " +
+       "synthesized samples; a truncated container fails loudly") {
+      import spark.implicits._
+      val ids = Seq(0L, 1L, 63L, 70L).toDF("doc_id")
+      val out = WavCodec.decodeFingerprint(
+          WavCodec.withWavPayload(ids, "doc_id"))
+        .collect().map(d => d.doc_id -> d).toMap
+      for (id <- Seq(0L, 1L, 63L, 70L)) {
+        val n = (280 + (id % 64) * 4).toInt
+        val s = Array.tabulate(n)(k =>
+          ((id * 37 + k * (1 + id % 7)) % 256).toInt)
+        val d = out(id)
+        assert(d.n_samples == n && d.sample_rate == 8000L)
+        assert(d.sum_samples == s.map(_.toLong).sum)
+        assert(d.energy == s.map(v => v.toLong * v).sum)
+      }
+      // tamper: chop the data chunk — the codec must notice, not
+      // silently fingerprint garbage
+      val whole = WavCodec.withWavPayload(ids, "doc_id").collect()
+        .find(_.doc_id == 0L).get.payload
+      val torn = Seq(Blob(0L, whole.take(whole.length - 40))).toDS()
+      val err = intercept[org.apache.spark.SparkException] {
+        WavCodec.decodeFingerprint(torn).collect()
+      }
+      assert(err.getMessage != null)
+    }
   }
 
   describe("Multimodal.sampleFrames") {
