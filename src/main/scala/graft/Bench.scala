@@ -65,7 +65,12 @@ object Bench {
     // joins) and the five-stage curation funnel (union of stage
     // aggregates over shared lineage)
     "d94_bm25_docmap_topk", "d97_stupid_backoff_ppl",
-    "d100_pipeline_funnel")
+    "d100_pipeline_funnel",
+    // round 11: candidate-pruned doc-at-a-time serving (shares the
+    // memoized index; Σ df scoring rows instead of |docs| × |batch|)
+    // and the six-stage funnel (one corpus scan + the banded-LSH
+    // near-dup stage over the pinned survivor set)
+    "d101_bm25_docmap_pruned", "d102_funnel_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -172,6 +172,106 @@ object BpeTrain {
     merges.toSeq.toDF("step", "round", "pair", "n")
   }
 
+  /** INCREMENTAL batched BPE training — FastBPE's delta-update idea
+    * (VERDICT r10 #7) on top of [[trainBatched]]'s round structure:
+    * instead of re-running the vocabulary-sized pair explode + hash
+    * aggregation every round, the pair-count table is MAINTAINED.
+    * Only words whose symbol string contains an admitted pair's
+    * `' a  b '` pattern can change any count (an admitted replace
+    * no-ops everywhere else, and a round's admitted pairs are
+    * symbol-disjoint including results, so no replace can create or
+    * destroy another admitted pair's occurrences); each round
+    * subtracts the TOUCHED words' pre-merge pairs, adds their
+    * post-merge pairs, and folds the delta into the count table. The
+    * expensive per-round stage — the pair explode — therefore scales
+    * with touched words, not vocabulary (the full-vocab work left is
+    * a cheap `contains` filter scan and the window's TakeOrdered over
+    * the maintained counts). As training converges, merges become
+    * rare and rounds get CHEAPER — the property the `bpe` scale arm
+    * measures at 5k+ merges.
+    *
+    * Output is bit-identical to [[trainBatched]] (same window, same
+    * greedy admission, same replaces — spec-gated on randomized
+    * corpora), so d92's DuckDB oracle gates this path unchanged.
+    * `onRound` observes `(round, touchedWords, admittedPairs)` for
+    * the scale probe; default no-op. */
+  def trainIncremental(docs: DataFrame, textCol: String, nRounds: Int,
+                       batchSize: Int,
+                       onRound: (Int, Long, Int) => Unit = (_, _, _) => ())
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("cnt"), split(col("s"), "  ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("l")) - 1),
+        k => concat(element_at(col("l"), k), lit(" "),
+          element_at(col("l"), k + 1)))).as("p"))
+      .groupBy("p").agg(sum("cnt").as("n"))
+    var cur = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat_ws("  ",
+        array_remove(split(col("w"), ""), "")).as("s"), col("cnt"))
+      .localCheckpoint()
+    var pairCounts = pairsOf(cur).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long)]
+    var round = 1
+    var step = 1L
+    var exhausted = false
+    while (round <= nRounds && !exhausted) {
+      val window = pairCounts
+        .orderBy(col("n").desc, col("p").asc)
+        .limit(batchSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (window.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val admitted = window.filter { case (p, _) =>
+          val Array(a, b) = p.split(" ", 2)
+          val syms = Seq(a, b, a + b)
+          if (syms.exists(used)) false
+          else { used ++= syms; true }
+        }
+        admitted.foreach { case (p, n) =>
+          merges += ((step, round.toLong, p, n)); step += 1
+        }
+        val padded = concat(lit("  "), col("s"), lit("  "))
+        val touchedPred = admitted.map { case (p, _) =>
+          val Array(a, b) = p.split(" ", 2)
+          padded.contains(lit(" " + a + "  " + b + " "))
+        }.reduce(_ || _)
+        val touched = cur.filter(touchedPred).localCheckpoint()
+        val applied = admitted.foldLeft(
+            concat(lit("  "), col("s"), lit("  "))
+              : org.apache.spark.sql.Column) {
+          case (acc, (p, _)) =>
+            val Array(a, b) = p.split(" ", 2)
+            replace(acc, lit(" " + a + "  " + b + " "),
+              lit(" " + a + b + " "))
+        }
+        val replaced = touched.select(trim(applied).as("s"), col("cnt"))
+          .localCheckpoint()
+        onRound(round, touched.count(), admitted.length)
+        // fold the touched delta into the maintained count table
+        pairCounts = pairCounts
+          .unionByName(pairsOf(touched).select(col("p"),
+            (-col("n")).as("n")))
+          .unionByName(pairsOf(replaced))
+          .groupBy("p").agg(sum("n").as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
+        cur = cur.filter(!touchedPred).unionByName(replaced)
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("step", "round", "pair", "n")
+  }
+
   /** APPLY a learned merge table: segment every word type by
     * replaying the merges in training order (inference = the same
     * greedy replace as training — BPE's defining property), then

@@ -40,6 +40,69 @@ object Mining {
     |    FROM chunks
     |) ORDER BY stage""".stripMargin
 
+  /** The SIX-stage funnel oracle (round 11 — d102 batch + w34
+    * streamed): FunnelOracleSql's five stages plus a banded-LSH
+    * NEAR-dup stage between exact dedup and chunking, the
+    * CCNet/Gopher→MinHash order real curation runs. Stage-5
+    * semantics: among exact-dedup survivors, a doc is dropped iff it
+    * shares ANY (perm, signature) band bucket with a SMALLER-doc_id
+    * survivor (keep-best = min id, the d24 discipline; the pairs CTE
+    * is d07's verbatim, restricted to the survivors). Batch-split
+    * invariant under id-ordered ingest: the dedup stage counts
+    * distinct hashes, and the LSH drop set depends only on the
+    * survivor SET and their ids, which ordered arrival lets an online
+    * first-writer-wins bucket store reproduce exactly (w34). */
+  private val FunnelNearDupOracleSql = {
+    import graft.operators.Dedup
+    val perms = (0 until 4).map { j =>
+      val (a, b) = (Dedup.HashA(j), Dedup.HashB(j))
+      s"SELECT doc_id, $j AS j, list_aggregate(list_transform(hs, " +
+        s"h -> (h * $a + $b) % ${Dedup.HashP}), 'min') AS m FROM sh"
+    }.mkString("\n    |  UNION ALL ")
+    s"""WITH base AS (
+    |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+    |    len(list_filter(string_split(text, ' '),
+    |      t -> list_contains(['the','a','of','and','to','in','is',
+    |                          'it','for','on'], t))) AS n_stop
+    |  FROM documents),
+    |s1 AS (SELECT * FROM base WHERE n_tok BETWEEN 20 AND 500),
+    |s2 AS (SELECT * FROM s1
+    |       WHERE CAST(n_stop AS DOUBLE) / n_tok >= 0.02),
+    |s3 AS (SELECT * FROM s2 QUALIFY row_number()
+    |       OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    |sh AS (
+    |  SELECT doc_id,
+    |    list_transform(
+    |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+    |        i -> string_split(text, ' ')[i] || ' ' ||
+    |             string_split(text, ' ')[i+1] || ' ' ||
+    |             string_split(text, ' ')[i+2]),
+    |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT %
+    |        ${Dedup.HashP}) AS hs
+    |  FROM s3),
+    |sig AS (
+    |  $perms),
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM sig a JOIN sig b
+    |    ON a.j = b.j AND a.m = b.m AND a.doc_id < b.doc_id
+    |  WHERE a.m IS NOT NULL),
+    |s4 AS (SELECT * FROM s3
+    |       WHERE doc_id NOT IN (SELECT d2 FROM pairs)),
+    |chunks AS (SELECT CASE WHEN n_tok <= 64 THEN 1
+    |    ELSE CAST(ceil((n_tok - 16) / 48.0) AS BIGINT) END AS nc
+    |  FROM s4)
+    |SELECT * FROM (
+    |  SELECT 1 AS stage, 'raw' AS name, COUNT(*) AS n FROM base
+    |  UNION ALL SELECT 2, 'length', COUNT(*) FROM s1
+    |  UNION ALL SELECT 3, 'quality', COUNT(*) FROM s2
+    |  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s3
+    |  UNION ALL SELECT 5, 'near_dup', COUNT(*) FROM s4
+    |  UNION ALL SELECT 6, 'chunks', CAST(SUM(nc) AS BIGINT)
+    |    FROM chunks
+    |) ORDER BY stage""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d69_pmi_collocations",
@@ -461,13 +524,19 @@ object Mining {
         "replaces commute, and one chained pass applies them all). " +
         "Divergence from Sennrich's order is documented on the " +
         "operator (post-first pairs use pre-round counts; batchSize=1 " +
-        "degenerates to the exact trainer, spec-proved). The oracle " +
+        "degenerates to the exact trainer, spec-proved). Round 11: " +
+        "the gated path is trainIncremental — FastBPE's delta update, " +
+        "where the pair-count table is MAINTAINED (only words " +
+        "containing an admitted pair's pattern change any count, so " +
+        "each round explodes pairs over the TOUCHED words only; " +
+        "bit-identical to trainBatched, spec-proved, and measured at " +
+        "5k+ merges in the bpe scale arm). The oracle " +
         "replays all 4 rounds — window, the greedy admission as a " +
         "LINEAR RECURSIVE CTE carrying the admitted-symbol set, the " +
         "list_reduce'd replace chain — and must reproduce the merge " +
         "table bit-for-bit, admission pattern included.",
       (s, dir) => graft.operators.BpeTrain
-        .trainBatched(t(s, dir, "documents"), "text",
+        .trainIncremental(t(s, dir, "documents"), "text",
           nRounds = 4, batchSize = 8)
         .orderBy("step"),
       Some {
@@ -827,6 +896,71 @@ object Mining {
       },
       Some(FunnelOracleSql)),
 
+    Q("d102_funnel_neardup",
+      "SIX-stage curation funnel — d100 plus the banded-LSH NEAR-dup " +
+        "stage real curation runs after exact dedup (CCNet/Gopher → " +
+        "MinHash order): raw → length → quality → exact dedup → " +
+        "near-dup (d07's banded MinHash verbatim over the survivors; " +
+        "a doc drops iff it shares any band bucket with a smaller-id " +
+        "survivor — keep-best = min id, the d24 discipline) → 64/16 " +
+        "chunks. One corpus scan computes gate flags + the dedup " +
+        "rank, then the lineage is PINNED (localCheckpoint — the " +
+        "near-dup self-join would otherwise re-derive the scan+window " +
+        "on both sides, the d100-r10 lesson); stages 1–4 come from " +
+        "one conditional-sum aggregate, stages 5–6 from one aggregate " +
+        "over the survivor set. The oracle replays all six stages, " +
+        "LSH included.",
+      (s, dir) => {
+        val TA2 = graft.operators.TextAnalysis
+        val flagged = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(TA2.tokens(col("text"))).cast("long").as("n_tok"),
+            TA2.stopwordCount(TA2.tokens(col("text"))).as("n_stop"))
+          .withColumn("len_ok", col("n_tok").between(20, 500))
+          .withColumn("qual_ok", col("len_ok") &&
+            col("n_stop").cast("double") / col("n_tok") >= 0.02)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .localCheckpoint()
+        val keep = col("qual_ok") && col("rn") === 1
+        val s3 = flagged.filter(keep)
+          .select("doc_id", "text", "n_tok")
+        val dropped = graft.operators.Dedup.candidatePairs(
+            graft.operators.Dedup.minhashBands(s3, "doc_id", "text"),
+            "doc_id")
+          .select(col("d2").as("doc_id")).distinct()
+        val s4 = s3.join(dropped, Seq("doc_id"), "left_anti")
+        val head = flagged.agg(
+          count(lit(1)).as("n1"),
+          count(when(col("len_ok"), 1)).as("n2"),
+          count(when(col("qual_ok"), 1)).as("n3"),
+          count(when(keep, 1)).as("n4"))
+        val tail = s4.agg(
+          count(lit(1)).as("n5"),
+          coalesce(sum(when(col("n_tok") <= 64, 1L).otherwise(
+            ceil((col("n_tok") - lit(16)).cast("double") / 48.0)
+              .cast("long"))), lit(0L)).as("n6"))
+        head.crossJoin(tail)
+          .select(explode(array(
+            struct(lit(1).as("stage"), lit("raw").as("name"),
+              col("n1").as("n")),
+            struct(lit(2).as("stage"), lit("length").as("name"),
+              col("n2").as("n")),
+            struct(lit(3).as("stage"), lit("quality").as("name"),
+              col("n3").as("n")),
+            struct(lit(4).as("stage"), lit("exact_dedup").as("name"),
+              col("n4").as("n")),
+            struct(lit(5).as("stage"), lit("near_dup").as("name"),
+              col("n5").as("n")),
+            struct(lit(6).as("stage"), lit("chunks").as("name"),
+              col("n6").as("n")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.name").as("name"),
+            col("r.n").as("n"))
+          .orderBy("stage")
+      },
+      Some(FunnelNearDupOracleSql)),
+
     Q("w33_streaming_funnel",
       "The d100 curation funnel as a LIVE INGEST — documents arrive " +
         "in micro-batches (repartitioned NDJSON, maxFilesPerTrigger)" +
@@ -930,6 +1064,150 @@ object Mining {
             .orderBy("stage")
         } finally Rm.rf(tmp)
       },
-      Some(FunnelOracleSql))
+      Some(FunnelOracleSql)),
+
+    Q("w34_streaming_funnel_neardup",
+      "The d102 SIX-stage funnel as LIVE ingest with TWO persisted " +
+        "stores (parquet on disk — data, not checkpoint, the w28 " +
+        "discipline): a seen-hash store gates exact dedup and a " +
+        "band-bucket store gates near-dup, each batch anti-joining " +
+        "the stores AS READ and appending its new entries back. " +
+        "Ingest is ID-ORDERED (range-partitioned files with " +
+        "monotonic mtimes — the nightly-crawl shape where ids are " +
+        "assigned monotonically at ingest), so every doc's potential " +
+        "smaller-id bucket-sharers arrive in the same or an earlier " +
+        "micro-batch and the online first-writer-wins bucket gate " +
+        "decides EXACTLY the batch semantics (drop iff a smaller-id " +
+        "exact-dedup survivor shares a band bucket) — w26 covers the " +
+        "out-of-order regime where an online gate necessarily " +
+        "diverges. All six counters are batch-split invariant under " +
+        "that ordering, so the oracle is d102's VERBATIM.",
+      (s, dir) => {
+        import s.implicits._
+        val TA2 = graft.operators.TextAnalysis
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w34").toString
+        try {
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("text"))
+          val maxId = docs.agg(max("doc_id")).head().getLong(0)
+          val span = maxId / 12 + 1
+          new java.io.File(s"$tmp/in").mkdirs()
+          val t0 = System.currentTimeMillis() - 3600000L
+          (0 until 12).foreach { i =>
+            val pdir = s"$tmp/stage_$i"
+            docs.filter(col("doc_id") >= i * span &&
+                col("doc_id") < (i + 1) * span)
+              .select(to_json(struct(col("doc_id"), col("text")))
+                .as("value"))
+              .coalesce(1).write.mode("overwrite").text(pdir)
+            val src = new java.io.File(pdir).listFiles()
+              .find(_.getName.startsWith("part-")).get
+            val dst = new java.io.File(s"$tmp/in/" + f"$i%05d.json")
+            java.nio.file.Files.move(src.toPath, dst.toPath)
+            dst.setLastModified(t0 + i * 2000L)
+            Rm.rf(pdir)
+          }
+          val hstore = s"$tmp/hstore"
+          val bstore = s"$tmp/bstore"
+          s.range(0).select(md5(col("id").cast("string")).as("h"))
+            .write.mode("overwrite").parquet(hstore)
+          s.range(0).select(lit(0).cast("int").as("j"),
+              col("id").as("sig"))
+            .write.mode("overwrite").parquet(bstore)
+          val nRaw = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nLen = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nQual = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nDedup = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nNear = new java.util.concurrent.atomic.AtomicLong(0L)
+          val nChunks = new java.util.concurrent.atomic.AtomicLong(0L)
+          val q = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "3")
+            .json(s"$tmp/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val staged = batch
+                  .select(col("doc_id"), col("text"),
+                    size(TA2.tokens(col("text"))).cast("long")
+                      .as("n_tok"),
+                    TA2.stopwordCount(TA2.tokens(col("text")))
+                      .as("n_stop"))
+                  .persist()
+                try {
+                  nRaw.addAndGet(staged.count())
+                  val s1 = staged.filter(col("n_tok").between(20, 500))
+                  nLen.addAndGet(s1.count())
+                  val s2 = s1.filter(col("n_stop").cast("double") /
+                    col("n_tok") >= 0.02)
+                  nQual.addAndGet(s2.count())
+                  // exact-dedup gate: one row per NEW hash, its
+                  // min-id row carried whole (ordered ingest makes
+                  // the first arrival the global min)
+                  val fresh = s2
+                    .groupBy(md5(col("text")).as("h"))
+                    .agg(min(struct(col("doc_id"), col("text"),
+                      col("n_tok"))).as("m"))
+                    .join(s.read.parquet(hstore), Seq("h"),
+                      "left_anti")
+                    .select(col("h"), col("m.doc_id").as("doc_id"),
+                      col("m.text").as("text"),
+                      col("m.n_tok").as("n_tok"))
+                    .localCheckpoint()
+                  nDedup.addAndGet(fresh.count())
+                  // near-dup gate: dropped iff a band bucket is owned
+                  // by the store (an earlier batch's survivor —
+                  // smaller id by ordering) or by a smaller-id doc of
+                  // THIS batch
+                  val bands = graft.operators.Dedup.minhashBands(
+                      fresh.select("doc_id", "text"), "doc_id", "text")
+                    .localCheckpoint()
+                  val dropStore = bands
+                    .join(s.read.parquet(bstore), Seq("j", "sig"),
+                      "left_semi")
+                    .select("doc_id")
+                  val dropBatch = bands
+                    .join(bands.groupBy("j", "sig")
+                      .agg(min(col("doc_id")).as("mn")), Seq("j", "sig"))
+                    .filter(col("mn") < col("doc_id"))
+                    .select("doc_id")
+                  val kept = fresh
+                    .join(dropStore.unionByName(dropBatch).distinct(),
+                      Seq("doc_id"), "left_anti")
+                    .localCheckpoint()
+                  nNear.addAndGet(kept.count())
+                  nChunks.addAndGet(kept.agg(coalesce(sum(
+                      when(col("n_tok") <= 64, 1L).otherwise(
+                        ceil((col("n_tok") - lit(16)).cast("double") /
+                          48.0).cast("long"))), lit(0L)))
+                    .head().getLong(0))
+                  // store updates: EVERY exact-dedup survivor's hash
+                  // and band buckets register (a doc dropped at
+                  // stage 5 still owns its buckets — d102's pairs
+                  // CTE pairs against all s3 survivors)
+                  fresh.select("h").write.mode("append")
+                    .parquet(hstore)
+                  bands.select("j", "sig").distinct()
+                    .write.mode("append").parquet(bstore)
+                } finally { staged.unpersist(); () }
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .start()
+          q.awaitTermination()
+          Seq((1, "raw", nRaw.get()), (2, "length", nLen.get()),
+            (3, "quality", nQual.get()),
+            (4, "exact_dedup", nDedup.get()),
+            (5, "near_dup", nNear.get()),
+            (6, "chunks", nChunks.get()))
+            .toDF("stage", "name", "n")
+            .orderBy("stage")
+        } finally Rm.rf(tmp)
+      },
+      Some(FunnelNearDupOracleSql))
   )
 }

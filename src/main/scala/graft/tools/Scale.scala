@@ -1061,6 +1061,56 @@ object Scale {
           s""""exact_sec_extrapolated_same_merges":${fmt(
             exactSec / 64.0 * nMergesB)}}""")
       }
+      // Incremental-count economics at vocab scale (VERDICT r10 #7):
+      // 5k+ merges on a 60k-type letter corpus, trainBatched (full
+      // pair recount every round) vs trainIncremental (maintained
+      // counts — pair explode over TOUCHED words only). The row
+      // reports both wall-clocks plus the incremental run's per-round
+      // touched-word series quartiles: as training converges, touched
+      // words per round FALL, and round cost follows them instead of
+      // staying vocabulary-sized.
+      locally {
+        import graft.operators.BpeTrain
+        val nTypes = 60000L
+        val alpha = array(('a' to 'z').map(c => lit(c.toString)): _*)
+        val docs3 = spark.range(30000L).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            j => {
+              val wid = pmod(xxhash64(col("id"), j), lit(nTypes))
+              concat_ws("", transform(sequence(lit(1), lit(9)),
+                c => element_at(alpha,
+                  (pmod(xxhash64(wid, c), lit(26)) + 1).cast("int"))))
+            })).as("text"))
+          .localCheckpoint()
+        val rounds = 400
+        val batch = 256
+        var t0 = System.nanoTime()
+        val nB = BpeTrain.trainBatched(docs3, "text", rounds, batch)
+          .count()
+        val fullSec = (System.nanoTime() - t0) / 1e9
+        val touchedSeries = scala.collection.mutable.ArrayBuffer
+          .empty[Long]
+        t0 = System.nanoTime()
+        val incDf = BpeTrain.trainIncremental(docs3, "text", rounds,
+          batch, (_, t, _) => touchedSeries += t)
+        val nI = incDf.count()
+        val incSec = (System.nanoTime() - t0) / 1e9
+        val ts = touchedSeries.toSeq
+        def q(f: Double): Long =
+          if (ts.isEmpty) -1L else ts.sorted.apply(
+            math.min(ts.length - 1, (ts.length * f).toInt))
+        println(s"""{"query":"bpe_incremental","n_word_types":$nTypes,""" +
+          s""""rounds":$rounds,"batch":$batch,""" +
+          s""""merges_full":$nB,"merges_incremental":$nI,""" +
+          s""""full_recount_sec":${fmt(fullSec)},""" +
+          s""""incremental_sec":${fmt(incSec)},""" +
+          s""""touched_first":${ts.headOption.getOrElse(-1L)},""" +
+          s""""touched_p25":${q(0.25)},"touched_p50":${q(0.5)},""" +
+          s""""touched_p75":${q(0.75)},""" +
+          s""""touched_last":${ts.lastOption.getOrElse(-1L)}}""")
+        require(nB == nI,
+          s"incremental BPE diverged at scale: $nB vs $nI merges")
+      }
     }
     // Spill probe — the "size partitions so they fit in executor
     // memory" guideline, MEASURED instead of asserted: the same global

@@ -1166,6 +1166,31 @@ class OperatorsSpec extends AnyFunSpec {
       assert(got.nonEmpty && got.size > 1)
     }
 
+    it("trainIncremental (maintained pair counts) is bit-identical " +
+       "to trainBatched across randomized corpora — the FastBPE " +
+       "delta update changes cost, never the merge table") {
+      for (seed <- 1 to 3) {
+        val rnd = new scala.util.Random(seed * 71)
+        // random words over a small alphabet → dense pair collisions,
+        // self-pairs, and rounds where only some words are touched
+        val texts = Seq.fill(4)(
+          Seq.fill(60)(Seq.fill(2 + rnd.nextInt(7))(
+            ('a' + rnd.nextInt(5)).toChar).mkString).mkString(" "))
+        val batched = BpeTrain
+          .trainBatched(texts.toDF("text"), "text", nRounds = 6,
+            batchSize = 16)
+          .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+        var touchedTotal = 0L
+        val inc = BpeTrain
+          .trainIncremental(texts.toDF("text"), "text", nRounds = 6,
+            batchSize = 16, (_, t, _) => touchedTotal += t)
+          .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+        assert(inc == batched && batched.nonEmpty,
+          s"seed $seed: incremental diverged")
+        assert(touchedTotal > 0L)
+      }
+    }
+
     it("Dsir.logImportanceWeights matches a plain-Scala reference " +
        "and separates a planted target domain by sign") {
       def md5b(s: String, buckets: Int): Long = {
