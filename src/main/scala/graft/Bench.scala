@@ -70,7 +70,10 @@ object Bench {
     // memoized index; Σ df scoring rows instead of |docs| × |batch|)
     // and the six-stage funnel (one corpus scan + the banded-LSH
     // near-dup stage over the pinned survivor set)
-    "d101_bm25_docmap_pruned", "d102_funnel_neardup")
+    "d101_bm25_docmap_pruned", "d102_funnel_neardup",
+    // hybrid RRF: both arms (BM25 top-20 + batch cosine top-20) plus
+    // the rank-only fusion — the RAG first-stage serving shape
+    "d103_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -117,17 +117,37 @@ object BpeTrain {
     * remain); returns `(step, round, pair, n)` — global training
     * order, the round that admitted the pair, and the pair's
     * PRE-round corpus-weighted count. */
+  /** Tracked eager localCheckpoint: returns the pinned frame plus the
+    * storage-block RDD ids the checkpoint created, so a training loop
+    * can RELEASE superseded rounds' blocks. Without this, a long run
+    * (the 400-round scale arm) accumulates every round's checkpoint
+    * blocks until the driver heap fills and GC pauses kill the RPC
+    * layer — blocks are attributed by getPersistentRDDs delta, valid
+    * because the checkpoint is synchronous and the loop is
+    * single-threaded. */
+  private def ckptTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def release(s: org.apache.spark.sql.SparkSession,
+                      ids: Set[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   def trainBatched(docs: DataFrame, textCol: String, nRounds: Int,
                    batchSize: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    var cur = docs
+    var (cur, curIds) = ckptTracked(docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat_ws("  ",
-        array_remove(split(col("w"), ""), "")).as("s"), col("cnt"))
-      .localCheckpoint()
+        array_remove(split(col("w"), ""), "")).as("s"), col("cnt")))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)]
     var round = 1
@@ -164,8 +184,10 @@ object BpeTrain {
             replace(acc, lit(" " + a + "  " + b + " "),
               lit(" " + a + b + " "))
         }
-        cur = cur.select(trim(applied).as("s"), col("cnt"))
-          .localCheckpoint()
+        val (nc, ncIds) = ckptTracked(
+          cur.select(trim(applied).as("s"), col("cnt")))
+        release(s, curIds)
+        cur = nc; curIds = ncIds
         round += 1
       }
     }
@@ -209,14 +231,13 @@ object BpeTrain {
         k => concat(element_at(col("l"), k), lit(" "),
           element_at(col("l"), k + 1)))).as("p"))
       .groupBy("p").agg(sum("cnt").as("n"))
-    var cur = docs
+    var (cur, curIds) = ckptTracked(docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat_ws("  ",
-        array_remove(split(col("w"), ""), "")).as("s"), col("cnt"))
-      .localCheckpoint()
-    var pairCounts = pairsOf(cur).localCheckpoint()
+        array_remove(split(col("w"), ""), "")).as("s"), col("cnt")))
+    var (pairCounts, pcIds) = ckptTracked(pairsOf(cur))
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)]
     var round = 1
@@ -244,7 +265,7 @@ object BpeTrain {
           val Array(a, b) = p.split(" ", 2)
           padded.contains(lit(" " + a + "  " + b + " "))
         }.reduce(_ || _)
-        val touched = cur.filter(touchedPred).localCheckpoint()
+        val (touched, tIds) = ckptTracked(cur.filter(touchedPred))
         val applied = admitted.foldLeft(
             concat(lit("  "), col("s"), lit("  "))
               : org.apache.spark.sql.Column) {
@@ -253,19 +274,24 @@ object BpeTrain {
             replace(acc, lit(" " + a + "  " + b + " "),
               lit(" " + a + b + " "))
         }
-        val replaced = touched.select(trim(applied).as("s"), col("cnt"))
-          .localCheckpoint()
+        val (replaced, rIds) = ckptTracked(
+          touched.select(trim(applied).as("s"), col("cnt")))
         onRound(round, touched.count(), admitted.length)
         // fold the touched delta into the maintained count table
-        pairCounts = pairCounts
+        val (npc, npcIds) = ckptTracked(pairCounts
           .unionByName(pairsOf(touched).select(col("p"),
             (-col("n")).as("n")))
           .unionByName(pairsOf(replaced))
           .groupBy("p").agg(sum("n").as("n"))
-          .filter(col("n") > 0)
-          .localCheckpoint()
-        cur = cur.filter(!touchedPred).unionByName(replaced)
-          .localCheckpoint()
+          .filter(col("n") > 0))
+        val (nc, ncIds) = ckptTracked(
+          cur.filter(!touchedPred).unionByName(replaced))
+        // the new checkpoints are materialized — everything this
+        // round superseded (old cur/pairCounts, the round-local
+        // touched/replaced) releases now
+        release(s, curIds ++ pcIds ++ tIds ++ rIds)
+        cur = nc; curIds = ncIds
+        pairCounts = npc; pcIds = npcIds
         round += 1
       }
     }

@@ -328,4 +328,29 @@ object Similarity {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("step", "vec_id", "d2_sel")
   }
+
+  /** BATCH brute-force cosine top-k — [[cosineTopK]] for a query SET
+    * (the serving shape retrieval fusion needs): `queries` is
+    * `(query_id, qv: ARRAY<DOUBLE>)`, tiny by the serve-path
+    * assumption, so it BROADCASTS and the corpus scans once for the
+    * whole batch; per-query ranking is a bounded window (Spark ≥ 3.5
+    * WindowGroupLimit map-side-limits it before the exchange).
+    * Cosines round to 9 decimals BEFORE ranking so the rank — the
+    * only thing fusion consumes — is tie-broken identically on any
+    * engine (ties → smaller id first). Excludes the query's own
+    * vector when ids collide (`vec_id ≠ query_id` — the s01
+    * self-match convention). */
+  def cosineTopKBatch(emb: DataFrame, idCol: String, embCol: String,
+                      queries: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("doc_id"),
+      asDouble(col(embCol)).as("v"))
+    e.join(broadcast(queries), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(cosine(col("v"), col("qv")), 9).as("cosine"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("cosine"))
+  }
 }

@@ -588,6 +588,102 @@ object Search {
           .orderBy("query_id", "rk")
           .localCheckpoint()
       },
-      Some(Bm25OracleSql))
+      Some(Bm25OracleSql)),
+
+    Q("d103_hybrid_rrf",
+      "HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al., " +
+        "SIGIR'09) of the lexical and semantic arms, the standard " +
+        "first stage of a RAG serving stack: BM25 top-20 (d67's " +
+        "scorer verbatim) fuses with embedding-cosine top-20 " +
+        "(Similarity.cosineTopKBatch — broadcast query vectors, one " +
+        "corpus scan for the whole batch, WindowGroupLimit-bounded " +
+        "ranking; each query's vector is its doc's embedding, self " +
+        "excluded) via score = Σ 1/(60+rk). RRF is RANK-only, so the " +
+        "incomparable BM25/cosine scales never mix, and the fusion " +
+        "input is top-k lists — k·|queries| rows, never corpus-sized; " +
+        "the heavy lifting stays in the arms (Σ df candidates, " +
+        "pruned ANN buckets). Contributions round to 9 and sum as " +
+        "DECIMAL (order-proof), fused score rounds to 6, ties break " +
+        "on doc_id; the oracle replays both arms and the fusion.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val lex = Retrieval.bm25TopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          k = 20)
+        val emb = t(s, dir, "embeddings")
+        val qv = emb
+          .filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"),
+            graft.operators.Similarity.asDouble(col("embedding"))
+              .as("qv"))
+        val sem = graft.operators.Similarity.cosineTopKBatch(
+          emb, "vec_id", "embedding", qv, k = 20)
+        graft.operators.Fusion.rrf(Seq(lex, sem), k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice AS (SELECT p.* FROM posts p
+      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+      |sc AS (
+      |  SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+      |       stats),
+      |lexagg AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |lex AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM lexagg QUALIFY rk <= 20),
+      |emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |qv AS (SELECT vec_id AS query_id, v AS qv FROM emb
+      |       WHERE vec_id IN (1, 2, 3)),
+      |cosr AS (SELECT q.query_id, e.vec_id AS doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, len(v)),
+      |        i -> v[i] * qv[i]), (a,b) -> a + b) /
+      |      (sqrt(list_reduce(list_transform(v, x -> x * x),
+      |        (a,b) -> a + b)) *
+      |       sqrt(list_reduce(list_transform(qv, x -> x * x),
+      |        (a,b) -> a + b))), 9) AS cosine
+      |  FROM emb e, qv q WHERE e.vec_id <> q.query_id),
+      |sem AS (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, doc_id ASC) AS rk
+      |  FROM cosr QUALIFY rk <= 20),
+      |u AS (
+      |  SELECT query_id, doc_id, round(1.0 / (60 + rk), 9) AS contrib
+      |  FROM lex
+      |  UNION ALL
+      |  SELECT query_id, doc_id, round(1.0 / (60 + rk), 9) FROM sem),
+      |fused AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM u GROUP BY query_id, doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM fused QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
   )
 }

@@ -1082,34 +1082,51 @@ object Scale {
                   (pmod(xxhash64(wid, c), lit(26)) + 1).cast("int"))))
             })).as("text"))
           .localCheckpoint()
-        val rounds = 400
+        // Identity gate at a bounded depth: full recount vs
+        // incremental must produce the SAME merge table (count +
+        // content) before the long run is allowed to mean anything.
+        val idRounds = 60
         val batch = 256
         var t0 = System.nanoTime()
-        val nB = BpeTrain.trainBatched(docs3, "text", rounds, batch)
-          .count()
+        val tabB = BpeTrain.trainBatched(docs3, "text", idRounds, batch)
+          .orderBy("step").collect().map(_.toSeq).toSeq
         val fullSec = (System.nanoTime() - t0) / 1e9
-        val touchedSeries = scala.collection.mutable.ArrayBuffer
-          .empty[Long]
         t0 = System.nanoTime()
-        val incDf = BpeTrain.trainIncremental(docs3, "text", rounds,
-          batch, (_, t, _) => touchedSeries += t)
-        val nI = incDf.count()
+        val tabI = BpeTrain.trainIncremental(docs3, "text", idRounds,
+          batch).orderBy("step").collect().map(_.toSeq).toSeq
+        val incIdSec = (System.nanoTime() - t0) / 1e9
+        require(tabB == tabI, s"incremental BPE diverged at scale: " +
+          s"${tabB.length} vs ${tabI.length} merges")
+        // Long incremental run to vocab scale (>= 5k merges): record
+        // per-round (touched words, wall) — as training converges,
+        // touched words fall and round cost must follow them instead
+        // of staying vocabulary-sized. Reported as first/last-decile
+        // means of both series.
+        val rounds = 400
+        val perRound = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Double)]
+        var lastT = System.nanoTime()
+        t0 = System.nanoTime()
+        val nI = BpeTrain.trainIncremental(docs3, "text", rounds,
+          batch, (_, t, _) => {
+            val now = System.nanoTime()
+            perRound += ((t, (now - lastT) / 1e9)); lastT = now
+          }).count()
         val incSec = (System.nanoTime() - t0) / 1e9
-        val ts = touchedSeries.toSeq
-        def q(f: Double): Long =
-          if (ts.isEmpty) -1L else ts.sorted.apply(
-            math.min(ts.length - 1, (ts.length * f).toInt))
+        val ts = perRound.toSeq
+        val dec = math.max(1, ts.length / 10)
+        def mu(xs: Seq[Double]): Double =
+          if (xs.isEmpty) -1.0 else xs.sum / xs.length
         println(s"""{"query":"bpe_incremental","n_word_types":$nTypes,""" +
-          s""""rounds":$rounds,"batch":$batch,""" +
-          s""""merges_full":$nB,"merges_incremental":$nI,""" +
-          s""""full_recount_sec":${fmt(fullSec)},""" +
-          s""""incremental_sec":${fmt(incSec)},""" +
-          s""""touched_first":${ts.headOption.getOrElse(-1L)},""" +
-          s""""touched_p25":${q(0.25)},"touched_p50":${q(0.5)},""" +
-          s""""touched_p75":${q(0.75)},""" +
-          s""""touched_last":${ts.lastOption.getOrElse(-1L)}}""")
-        require(nB == nI,
-          s"incremental BPE diverged at scale: $nB vs $nI merges")
+          s""""batch":$batch,"identity_rounds":$idRounds,""" +
+          s""""full_recount_sec_${idRounds}r":${fmt(fullSec)},""" +
+          s""""incremental_sec_${idRounds}r":${fmt(incIdSec)},""" +
+          s""""long_rounds":${ts.length},"long_merges":$nI,""" +
+          s""""long_sec":${fmt(incSec)},""" +
+          s""""touched_first_decile":${fmt(mu(ts.take(dec).map(_._1.toDouble)))},""" +
+          s""""touched_last_decile":${fmt(mu(ts.takeRight(dec).map(_._1.toDouble)))},""" +
+          s""""round_sec_first_decile":${fmt(mu(ts.take(dec).map(_._2)))},""" +
+          s""""round_sec_last_decile":${fmt(mu(ts.takeRight(dec).map(_._2)))}}""")
       }
     }
     // Spill probe — the "size partitions so they fit in executor

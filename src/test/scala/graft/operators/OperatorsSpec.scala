@@ -114,6 +114,41 @@ class OperatorsSpec extends AnyFunSpec {
       assert(math.abs(top(1)._2 - 0.6) < 1e-6)  // 0.6f/0.8f are inexact in binary
       assert(top(2)._2 == 0.0)
     }
+    it("cosineTopKBatch agrees with per-query cosineTopK and Fusion.rrf " +
+       "matches a plain-Scala RRF reference") {
+      val rnd = new scala.util.Random(17)
+      val df = (0L to 19L).map(i =>
+        (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+      val qv = df.filter($"vec_id".isin(1L, 2L))
+        .select($"vec_id".as("query_id"),
+          Similarity.asDouble($"embedding").as("qv"))
+      val batch = Similarity.cosineTopKBatch(df, "vec_id", "embedding", qv, k = 5)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      val single = Seq(1L, 2L).flatMap { q =>
+        Similarity.cosineTopK(spark, df, "vec_id", "embedding", q, 5)
+          .as[(Long, Double)].collect().toSeq.zipWithIndex
+          .map { case ((d, c), i) =>
+            (q, i + 1L, d, BigDecimal(c).setScale(9,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }.sorted
+      assert(batch == single)
+      // RRF: two rank lists with overlap; reference computed by hand math
+      val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+        .toDF("query_id", "rk", "doc_id")
+      val sem = Seq((1L, 1L, 12L), (1L, 2L, 13L))
+        .toDF("query_id", "rk", "doc_id")
+      val fused = graft.operators.Fusion.rrf(Seq(lex, sem), k = 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+      def c(r: Long) = BigDecimal(1.0 / (60 + r)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)
+      val ref = Map(10L -> c(1), 11L -> c(2), 12L -> (c(3) + c(1)),
+          13L -> c(2))
+        .map { case (d, s) => (d, s.setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val want = ref.toSeq.sortBy { case (d, s) => (-s, d) }.zipWithIndex
+        .map { case ((d, s), i) => (1L, i + 1L, d, s) }
+      assert(fused == want)
+    }
     it("sign buckets prune to the query's bucket") {
       val df = Seq(
         (0L, Array.fill(8)(1.0f)),
