@@ -103,6 +103,48 @@ object Mining {
     |) ORDER BY stage""".stripMargin
   }
 
+  /** The d81 oracle's train-then-apply CTE chain as a reusable
+    * prefix: re-trains `k` exact BPE merges and re-applies them over
+    * word types, ending in a relation `tok(doc_id, n_tokens)` — the
+    * per-document LEARNED-tokenizer token count. d81 selects it
+    * directly; d104 feeds it into the batching replay. */
+  private def bpeTokenCountsCte(k: Int): String = {
+    def stage(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""pc$i AS MATERIALIZED (
+        |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |      k -> l[k] || ' ' || l[k+1])) AS p, cnt
+        |    FROM (SELECT string_split(s, '  ') AS l, cnt FROM $prev))
+        |  GROUP BY p),
+        |b$i AS MATERIALIZED (
+        |  SELECT p, n FROM pc$i ORDER BY n DESC, p ASC LIMIT 1),
+        |r$i AS MATERIALIZED (
+        |  SELECT w, trim(replace('  ' || s || '  ',
+        |    ' ' || split_part((SELECT p FROM b$i), ' ', 1) || '  ' ||
+        |      split_part((SELECT p FROM b$i), ' ', 2) || ' ',
+        |    ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '))
+        |    AS s, cnt
+        |  FROM $prev)""".stripMargin
+    }
+    s"""WITH r0 AS MATERIALIZED (
+      |  SELECT w, array_to_string(string_split(w, ''), '  ') AS s,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |${(1 to k).map(stage).mkString(",\n")},
+      |tok AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    CAST(SUM(len(string_split(r$k.s, '  '))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) d
+      |  JOIN r$k ON d.w = r$k.w
+      |  WHERE length(d.w) > 0
+      |  GROUP BY d.doc_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d69_pmi_collocations",
@@ -475,42 +517,8 @@ object Mining {
           .tokenCounts(docs, "doc_id", "text", merges)
           .orderBy("doc_id")
       },
-      Some {
-        def stage(i: Int): String = {
-          val prev = s"r${i - 1}"
-          s"""pc$i AS MATERIALIZED (
-            |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-            |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
-            |      k -> l[k] || ' ' || l[k+1])) AS p, cnt
-            |    FROM (SELECT string_split(s, '  ') AS l, cnt FROM $prev))
-            |  GROUP BY p),
-            |b$i AS MATERIALIZED (
-            |  SELECT p, n FROM pc$i ORDER BY n DESC, p ASC LIMIT 1),
-            |r$i AS MATERIALIZED (
-            |  SELECT w, trim(replace('  ' || s || '  ',
-            |    ' ' || split_part((SELECT p FROM b$i), ' ', 1) || '  ' ||
-            |      split_part((SELECT p FROM b$i), ' ', 2) || ' ',
-            |    ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '))
-            |    AS s, cnt
-            |  FROM $prev)""".stripMargin
-        }
-        val k = 8
-        s"""WITH r0 AS MATERIALIZED (
-          |  SELECT w, array_to_string(string_split(w, ''), '  ') AS s,
-          |         CAST(COUNT(*) AS BIGINT) AS cnt
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-          |        FROM documents)
-          |  WHERE length(w) > 0 GROUP BY w),
-          |${(1 to k).map(stage).mkString(",\n")}
-          |SELECT d.doc_id,
-          |  CAST(SUM(len(string_split(r$k.s, '  '))) AS BIGINT)
-          |    AS n_tokens
-          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          |      FROM documents) d
-          |JOIN r$k ON d.w = r$k.w
-          |WHERE length(d.w) > 0
-          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-      }),
+      Some(s"""${bpeTokenCountsCte(8)}
+        |SELECT doc_id, n_tokens FROM tok ORDER BY doc_id""".stripMargin)),
 
     Q("d92_bpe_train_batched",
       "BATCHED BPE training (BpeTrain.trainBatched — VERDICT r09 #6): " +
@@ -1208,6 +1216,50 @@ object Mining {
             .orderBy("stage")
         } finally Rm.rf(tmp)
       },
-      Some(FunnelNearDupOracleSql))
+      Some(FunnelNearDupOracleSql)),
+
+    Q("d104_bpe_token_batching",
+      "Tokenizer-AWARE dataloader batching — the end of the " +
+        "training-data prep line: train the BPE merge table (d80), " +
+        "tokenize every document with it (d81's apply), then pack " +
+        "docs into fixed batches of 8 sorted by (LEARNED token " +
+        "count, doc_id) with padding-waste accounting (d87's " +
+        "discipline, but over the tokenizer's true lengths instead " +
+        "of whitespace counts — the lengths the GPU actually pads " +
+        "to). Per batch: (n_docs, max_len, n_tokens, waste). At " +
+        "100 TB: train is vocabulary-bounded, tokenize is one " +
+        "type-join pass, the sort is one range exchange + zipIndex " +
+        "prefix sum (never a partitionless window). The oracle " +
+        "re-trains, re-applies, and replays the batching in one CTE " +
+        "chain — drift anywhere in the three stages fails the gate.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeTrain
+          .train(docs, "text", nMerges = 8)
+          .orderBy("step").select("pair")
+          .collect().map(_.getString(0)).toSeq
+        val tok = graft.operators.BpeTrain
+          .tokenCounts(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_tokens").as("len"))
+        graft.operators.SuffixArray
+          .zipIndex(tok.orderBy("len", "doc_id"), "idx")
+          .withColumn("batch", expr("idx div 8"))
+          .groupBy("batch").agg(
+            count(lit(1)).as("n_docs"),
+            max("len").as("max_len"),
+            sum("len").as("n_tokens"),
+            (max("len") * count(lit(1)) - sum("len")).as("waste"))
+          .orderBy("batch")
+      },
+      Some(s"""${bpeTokenCountsCte(8)},
+        |b AS (SELECT n_tokens AS len,
+        |  (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 8
+        |    AS batch
+        |  FROM tok)
+        |SELECT batch, COUNT(*) AS n_docs,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS waste
+        |FROM b GROUP BY batch ORDER BY batch""".stripMargin))
   )
 }
