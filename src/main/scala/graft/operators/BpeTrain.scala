@@ -216,10 +216,13 @@ object BpeTrain {
     * greedy admission, same replaces — spec-gated on randomized
     * corpora), so d92's DuckDB oracle gates this path unchanged.
     * `onRound` observes `(round, touchedWords, admittedPairs)` for
-    * the scale probe; default no-op. */
+    * the scale probe. It is an Option, not a defaulted no-op lambda:
+    * the touched-word count is an EXTRA Spark action per round, and
+    * the gated d92 path must not pay one job per round for a metric
+    * nobody reads. */
   def trainIncremental(docs: DataFrame, textCol: String, nRounds: Int,
                        batchSize: Int,
-                       onRound: (Int, Long, Int) => Unit = (_, _, _) => ())
+                       onRound: Option[(Int, Long, Int) => Unit] = None)
       : DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -276,7 +279,7 @@ object BpeTrain {
         }
         val (replaced, rIds) = ckptTracked(
           touched.select(trim(applied).as("s"), col("cnt")))
-        onRound(round, touched.count(), admitted.length)
+        onRound.foreach(f => f(round, touched.count(), admitted.length))
         // fold the touched delta into the maintained count table
         val (npc, npcIds) = ckptTracked(pairCounts
           .unionByName(pairsOf(touched).select(col("p"),

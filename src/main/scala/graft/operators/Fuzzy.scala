@@ -72,12 +72,19 @@ object Fuzzy {
   def blockedLevPairs(df: DataFrame, idCol: String, textCol: String,
       maxDeltaLen: Int, minSim: Double): DataFrame =
     candidatePairs(df, idCol, textCol, maxDeltaLen)
+      // the distance kernel runs ONCE per pair (a named column the
+      // sim projection references, not a second levenshtein call)
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-        round(lit(1.0) -
-          levenshtein(col("ta"), col("tb")).cast("double") /
-            greatest(col("na"), col("nb")), 6).as("sim"))
+        greatest(col("na"), col("nb")).as("mx"))
+      // two zero-length texts: lev=0 over max-len 0 — an identical
+      // pair, sim=1 by definition (the bare division yields null and
+      // silently dropped it)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        round(when(col("mx") === 0, lit(1.0)).otherwise(
+          lit(1.0) - col("lev").cast("double") / col("mx")), 6)
+          .as("sim"))
       .filter(col("sim") >= minSim)
 }

@@ -64,11 +64,15 @@ object Retrieval {
     * concurrent [[compactDeletes]] — which stages the next version
     * completely and then flips the pointer with a single rename — can
     * never show them new postings with the old dictionary (the mixed
-    * read the round-10 two-rename swap admitted). Fallbacks: no
-    * CURRENT but staged `v<N>` dirs → the highest one (the flip's
+    * read the round-10 two-rename swap admitted). Fallbacks, in
+    * order, when CURRENT is absent: an INTACT legacy flat layout
+    * (`$dir/stats` exists) wins — during a legacy-flat migration the
+    * pointer is absent for the whole staging duration, and the
+    * half-written `v<N>` must never shadow the complete flat
+    * snapshot; else the highest staged `v<N>` (the flip's
     * sub-millisecond delete+rename window — the highest version is
-    * fully staged by then); neither → `dir` itself (legacy flat
-    * layout). */
+    * fully staged by then, and once a flip has ever happened the
+    * flat tables are gone); else `dir` itself (empty/brand-new). */
   def root(spark: org.apache.spark.sql.SparkSession,
            dir: String): String = {
     import org.apache.hadoop.fs.Path
@@ -79,8 +83,40 @@ object Retrieval {
       val in = fs.open(cur)
       try s"$dir/${scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim}"
       finally in.close()
-    } else versionDirs(fs, dir).lastOption
+    } else if (fs.exists(new Path(s"$dir/stats"))) dir
+    else versionDirs(fs, dir).lastOption
       .map(v => s"$dir/v$v").getOrElse(dir)
+  }
+
+  /** The live version named by `$dir/CURRENT`, if the pointer exists
+    * (None on a legacy flat or brand-new dir). */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Option[Long] = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.stripPrefix("v").toLong)
+      finally in.close()
+    }
+  }
+
+  /** GC everything the live snapshot supersedes: version dirs other
+    * than `live` (replaced versions' in-flight-reader grace window
+    * ends HERE, at the next maintenance op — not at their flip), and,
+    * once a CURRENT pointer exists, the legacy flat
+    * postings/terms/stats tables (no reader can resolve them past the
+    * first flip, so they are pure garbage — previously leaked
+    * forever because the sweep only matched `v<N>`). */
+  private def gcStale(fs: org.apache.hadoop.fs.FileSystem,
+                      dir: String, live: Option[Long]): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    versionDirs(fs, dir).filter(v => !live.contains(v))
+      .foreach(v => fs.delete(p(s"$dir/v$v"), true))
+    if (live.isDefined)
+      Seq("postings", "terms", "stats")
+        .foreach(t => fs.delete(p(s"$dir/$t"), true))
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
@@ -96,8 +132,11 @@ object Retrieval {
 
   /** Point `$dir/CURRENT` at version `v`: write `CURRENT.tmp`, then
     * delete+rename — the one non-atomic instant is CURRENT being
-    * momentarily absent, which [[root]]'s highest-staged-version
-    * fallback resolves to the same (fully staged) target. */
+    * momentarily absent, which [[root]]'s fallbacks cover: the
+    * highest-staged-version rule resolves to the same (fully staged)
+    * target, except on the very first flip of a legacy-flat
+    * migration, where the still-intact flat snapshot wins — an old
+    * complete read, not a mix. */
   private[graft] def flipVersion(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: String, v: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -134,7 +173,14 @@ object Retrieval {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = versionDirs(fs, dir).lastOption.map(_ + 1).getOrElse(0L)
+    // GC FIRST (the compactDeletes discipline): replaced versions and
+    // post-flip flat garbage from prior ops go now — their in-flight-
+    // reader grace window ends at this, the next maintenance op. The
+    // live version is read from CURRENT, never inferred from the
+    // highest dir (a crashed prior staging leaves an orphan v<N+1>).
+    val live = currentVersion(fs, dir)
+    gcStale(fs, dir, live)
+    val next = live.map(_ + 1).getOrElse(0L)
     val vroot = s"$dir/v$next"
     val posts = postings(docs, idCol, textCol, tok)
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
@@ -148,10 +194,12 @@ object Retrieval {
     exactStats(docs, textCol, tok)
       .write.mode("overwrite").parquet(s"$vroot/stats")
     flipVersion(fs, dir, next)
-    // overwrite semantics: retire every older version (a fresh build
-    // owes nothing to in-flight readers of a replaced index)
-    versionDirs(fs, dir).filter(_ < next).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true))
+    // the REPLACED version (and, on a legacy-flat migration, the flat
+    // tables) are retained: in-flight readers of the old snapshot
+    // finish against intact files, and the next writeIndex /
+    // compaction's gcStale sweep collects them — the same grace
+    // discipline as compactDeletes, which round 10 shipped for
+    // compaction but not here.
   }
 
   /** `(n_docs, sum_tokens)` as exact longs — the mergeable form. */
@@ -914,16 +962,19 @@ object Retrieval {
     // the LIVE version comes from the resolved root, never from the
     // highest staged dir — a crashed prior staging may have left an
     // orphaned v<N+1> that was never flipped to. Legacy flat layout
-    // (rt == dir) migrates by staging v1; the flat tables become the
-    // unreferenced old snapshot once CURRENT exists.
-    val cur: Long =
-      if (rt == dir) 0L
-      else rt.substring(rt.lastIndexOf("/v") + 2).toLong
-    // GC every version except the live one: old versions' in-flight-
-    // reader grace window ends here; orphaned staged versions restage
-    versionDirs(fs, dir).filter(_ != cur)
-      .foreach(v => fs.delete(p(s"$dir/v$v"), true))
-    val next = cur + 1
+    // (rt == dir) migrates by staging v1; readers keep resolving the
+    // intact flat tables (root() prefers them while CURRENT is
+    // absent) until the flip, and the next maintenance op's gcStale
+    // sweep collects them.
+    val live: Option[Long] =
+      if (rt == dir) None
+      else Some(rt.substring(rt.lastIndexOf("/v") + 2).toLong)
+    // GC everything the live snapshot supersedes: replaced versions'
+    // (and post-migration flat tables') in-flight-reader grace window
+    // ends here; orphaned staged versions restage. When the live
+    // layout IS flat (live=None), only orphaned v<N> dirs go.
+    gcStale(fs, dir, live)
+    val next = live.getOrElse(0L) + 1
     val vroot = s"$dir/v$next"
     val tombs = spark.read.parquet(s"$dir/tombstones").distinct()
     val posts = spark.read.parquet(s"$rt/postings")

@@ -1108,10 +1108,10 @@ object Scale {
         var lastT = System.nanoTime()
         t0 = System.nanoTime()
         val nI = BpeTrain.trainIncremental(docs3, "text", rounds,
-          batch, (_, t, _) => {
+          batch, Some((_, t, _) => {
             val now = System.nanoTime()
             perRound += ((t, (now - lastT) / 1e9)); lastT = now
-          }).count()
+          })).count()
         val incSec = (System.nanoTime() - t0) / 1e9
         val ts = perRound.toSeq
         val dec = math.max(1, ts.length / 10)

@@ -76,6 +76,16 @@ class FuzzySpec extends AnyFunSpec {
       assert(pairs.contains((1L, 2L))) // Δ=1, same bucket (1)
     }
 
+    it("two empty texts score sim=1 (identical pair) instead of " +
+        "being dropped by a 0/0 null") {
+      val d = Seq((0L, ""), (1L, ""), (2L, "xyz"))
+        .toDF("doc_id", "text")
+      val got = Fuzzy.blockedLevPairs(d, "doc_id", "text",
+          maxDeltaLen = 5, minSim = 0.9)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == Set((0L, 1L, 0L, 1.0)))
+    }
+
     it("respects the similarity threshold") {
       val got = Fuzzy.blockedLevPairs(docs, "doc_id", "text",
           maxDeltaLen = 5, minSim = 0.6)

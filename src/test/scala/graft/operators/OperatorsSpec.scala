@@ -1218,7 +1218,7 @@ class OperatorsSpec extends AnyFunSpec {
         var touchedTotal = 0L
         val inc = BpeTrain
           .trainIncremental(texts.toDF("text"), "text", nRounds = 6,
-            batchSize = 16, (_, t, _) => touchedTotal += t)
+            batchSize = 16, Some((_, t, _) => touchedTotal += t))
           .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
         assert(inc == batched && batched.nonEmpty,
           s"seed $seed: incremental diverged")

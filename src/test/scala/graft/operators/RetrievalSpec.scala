@@ -464,6 +464,82 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval version lifecycle (grace windows, flat migration)") {
+    it("writeIndex retains the replaced version until the NEXT " +
+       "maintenance op's GC (the compactDeletes grace discipline) " +
+       "instead of failing in-flight readers at the flip") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-grace").toString
+      def vdirs = new java.io.File(tmp).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName).toSet
+      try {
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        assert(vdirs == Set("v0"))
+        Retrieval.writeIndex(corpus.filter($"doc_id" < 3),
+          "doc_id", "text", tmp, nBuckets = 8)
+        // the replaced v0 is RETAINED (its readers' grace window),
+        // the pointer serves v1
+        assert(vdirs == Set("v0", "v1"))
+        assert(Retrieval.root(spark, tmp).endsWith("/v1"))
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        // the next op's GC collected v0; v1 enters its grace window
+        assert(vdirs == Set("v1", "v2"))
+        assert(Retrieval.root(spark, tmp).endsWith("/v2"))
+        assert(spark.read
+          .parquet(s"${Retrieval.root(spark, tmp)}/stats")
+          .as[(Long, Long)].head()._1 == 4L)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+
+    it("legacy-flat migration: while v1 stages (CURRENT absent) " +
+       "readers resolve the INTACT flat layout — never the " +
+       "half-written version — and the flat tables are collected by " +
+       "the next maintenance op, not leaked forever") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-flatmig").toString
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(tmp).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      try {
+        // manufacture a legacy flat layout: build versioned, hoist
+        // v0's tables to the root, drop the pointer
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        Seq("postings", "terms", "stats").foreach(t =>
+          assert(fs.rename(new Path(s"$tmp/v0/$t"), new Path(s"$tmp/$t"))))
+        fs.delete(new Path(s"$tmp/CURRENT"), false)
+        fs.delete(new Path(s"$tmp/v0"), true)
+        assert(Retrieval.root(spark, tmp) == tmp)
+        def dict = spark.read
+          .parquet(s"${Retrieval.root(spark, tmp)}/terms")
+          .select("term", "df").as[(String, Long)].collect().toMap
+        val dict0 = dict
+        // stage the migration WITHOUT flipping: the whole staging
+        // duration has CURRENT absent and a growing v1 — a reader
+        // must keep resolving the complete flat snapshot
+        Retrieval.deleteDocs(Seq(0L).toDF("doc_id"), tmp)
+        val staged = Retrieval.stageCompactedVersion(spark, tmp)
+        assert(staged.contains(1L))
+        assert(new java.io.File(s"$tmp/v1/stats").isDirectory)
+        assert(Retrieval.root(spark, tmp) == tmp,
+          "mid-migration reader must see the flat layout, not v1")
+        assert(dict == dict0)
+        Retrieval.flipVersion(fs, tmp, 1L)
+        assert(Retrieval.root(spark, tmp).endsWith("/v1"))
+        assert(!dict.contains("spark")) // doc 0's exclusive terms gone
+        // flat tables still on disk (old readers' grace window)...
+        assert(new java.io.File(s"$tmp/stats").exists)
+        // ...until the next maintenance op sweeps them with the GC
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        assert(!new java.io.File(s"$tmp/stats").exists &&
+          !new java.io.File(s"$tmp/postings").exists &&
+          !new java.io.File(s"$tmp/terms").exists,
+          "post-migration flat tables must be GC'd, not leaked")
+        assert(Retrieval.root(spark, tmp).endsWith("/v2"))
+      } finally graft.queries.Rm.rf(tmp)
+    }
+  }
+
   describe("Retrieval.impactDocMap / bm25Top1DocMap") {
     it("the document-at-a-time cached serve is bit-identical to " +
        "bm25TopKIndexed(k=1) across random corpora and query mixes") {
