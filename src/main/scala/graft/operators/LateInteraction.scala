@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-vector "late interaction" retrieval (ColBERT, Khattab &
+  * Zaharia, SIGIR'20): a document is a BAG of per-token vectors, a
+  * query likewise, and the score is
+  * `MaxSim(q, d) = Σ_{t∈q} max_{u∈d} (v_t · v_u)` — every query token
+  * finds its best-matching document token and the per-token maxima
+  * add. Ranking quality sits between single-vector cosine (s01) and
+  * full cross-attention, at corpus-scan cost.
+  *
+  * Spark-first shape, exact path ([[maxSimTopK]]): token vectors are
+  * DERIVED (deterministic hash features, [[tokenVec]] — the repo has
+  * no learned token encoder, and the operator is agnostic to where
+  * the vectors come from), so the corpus side never materializes a
+  * `Array[Array[Float]]` column — one explode streams (doc, token)
+  * pairs, each computes its vector ONCE below a broadcast
+  * nested-loop join against the tiny query-token set, and ONE hash
+  * aggregation takes `max` per (doc, query-token) — the MaxSim inner
+  * max — with map-side partial aggregation collapsing repeated
+  * tokens before anything shuffles. Shuffled rows are
+  * `|docs| × |query tokens|`, never corpus-token-sized. A second agg
+  * sums the maxima per (query, doc) and a bounded window takes
+  * top-k (WindowGroupLimit keeps it map-side limited).
+  *
+  * Scale path ([[maxSimTopKPruned]]): PLAID's (Santhanam et al.,
+  * CIKM'22) centroid-pruning idea with the repo's deterministic
+  * sign-bucket family (Similarity.signBucketInt's hyperplanes)
+  * standing in for learned centroids: each token vector buckets on
+  * the signs of its first `bits` components, a query token probes
+  * its own bucket plus all Hamming-1 neighbors (the s05 multiprobe
+  * discipline), and only bucket-matched (query-token, doc-token)
+  * pairs are scored. The candidate phase is a broadcast EQUI-join on
+  * the bucket key — `(bits+1)·|query tokens|` probe rows against one
+  * streamed corpus pass — so the scored pairs collapse from
+  * `corpus-tokens × |query tokens|` to the bucket-collision fraction
+  * (~`(bits+1)/2^bits` per probe). Approximate: a query token whose
+  * true best match flips ≥ 2 probed sign bits scores against its
+  * best CANDIDATE instead (or contributes 0 if nothing collides) —
+  * the d105 oracle replays the pruning exactly, and the `maxsim`
+  * Scale arm measures the candidate-count cut and the recall\@k
+  * overlap vs the exact path.
+  *
+  * Reference scope note: the reference bundle (CreateHQL.scala) has
+  * no retrieval; this extends the mandated ANN/similarity surface
+  * (s01/s05's vector family, d67's ranked-serving output contract).
+  */
+object LateInteraction {
+
+  /** Deterministic pseudo token embedding, dim components in
+    * [-0.5, 0.5): component j is `hash60("j_" + term) % 1000 / 1000
+    * - 0.5` on [[Dedup.hash60]]'s engine-portable 60-bit md5 prefix
+    * — the SQL oracles replay it verbatim as
+    * `(('0x' || substr(md5(j || '_' || t), 1, 15))::BIGINT % 1000)
+    * / 1000.0 - 0.5`. */
+  def tokenVec(term: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), j =>
+      (Dedup.hash60(concat(j.cast("string"), lit("_"), term)) % 1000L)
+        .cast("double") / lit(1000.0) - 0.5)
+
+  /** Sign-bit bucket of a DOUBLE vector's first `bits` components
+    * (the [[Similarity.signBucketInt]] hyperplane family; that one
+    * compares floats). */
+  def vecSignBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Query-token table with vectors: `queries` is
+    * `(query_id, terms ARRAY<STRING>)`; duplicates within a query
+    * collapse (identical tokens contribute identical maxima — ColBERT
+    * scores distinct token columns, and dedup here keeps the
+    * broadcast side minimal). */
+  private def queryTokens(queries: DataFrame, dim: Int): DataFrame =
+    queries
+      .select(col("query_id"), explode(col("terms")).as("qterm"))
+      .distinct()
+      .withColumn("qv", tokenVec(col("qterm"), dim))
+
+  /** Corpus (doc, token, vector) stream — ONE explode, duplicates
+    * kept (the downstream max-aggregation collapses them map-side;
+    * a distinct here would just add a corpus-token shuffle). */
+  private def docTokens(docs: DataFrame, idCol: String,
+                        textCol: String, dim: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("dv", tokenVec(col("term"), dim))
+
+  /** Per-token dot, rounded to 9 decimals at the pair (the
+    * cross-engine convention: maxima compare rounded values, sums
+    * fold DECIMAL(28,9)). */
+  private def pairDot: Column =
+    round(Similarity.dot(col("qv"), col("dv")), 9)
+
+  /** max-per-(query-token, doc) → Σ-per-(query, doc) → top-k, shared
+    * by the exact and pruned paths (they differ only in which
+    * (query-token, doc-token) pairs reach the first agg). */
+  private def gather(pairs: DataFrame, k: Int): DataFrame = {
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    pairs
+      .groupBy("doc_id", "query_id", "qterm")
+      .agg(max(col("d")).as("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("mx").cast("decimal(28,9)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
+  /** Exact MaxSim top-k. Output `(query_id, rk, doc_id, score)` —
+    * the d67 ranked-serving contract. */
+  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, dim: Int, k: Int): DataFrame =
+    gather(
+      docTokens(docs, idCol, textCol, dim)
+        .crossJoin(broadcast(queryTokens(queries, dim)))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
+
+  /** Sign-bucket-pruned MaxSim top-k: each query token probes its
+    * bucket + all Hamming-1 neighbors; only collided pairs score. */
+  def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, dim: Int, k: Int,
+                       bits: Int = 6): DataFrame = {
+    val probes = queryTokens(queries, dim)
+      .withColumn("qb", vecSignBucket(col("qv"), bits))
+      .withColumn("bkt", explode(array(
+        col("qb") +: (0 until bits).map(i =>
+          col("qb").bitwiseXOR(lit(1L << i))): _*)))
+    val dtok = docTokens(docs, idCol, textCol, dim)
+      .withColumn("bkt", vecSignBucket(col("dv"), bits))
+    gather(
+      dtok.join(broadcast(probes), Seq("bkt"))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
+  }
+}

@@ -684,6 +684,129 @@ object Search {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
       |  doc_id, score
-      |FROM fused QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
+      |FROM fused QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d105_maxsim_topk",
+      "Multi-vector LATE-INTERACTION retrieval (ColBERT, Khattab & " +
+        "Zaharia SIGIR'20; graft.operators.LateInteraction): score = " +
+        "Σ per query token of MAX over doc tokens of the token-vector " +
+        "dot product. Token vectors are deterministic hash features " +
+        "(dim 8 on Dedup.hash60 — the operator is agnostic to where " +
+        "vectors come from), so the corpus side streams (doc, token) " +
+        "pairs from ONE explode, computes each vector once below the " +
+        "broadcast nested-loop join against the tiny query-token set, " +
+        "and the MaxSim inner max is a single hash aggregation whose " +
+        "map-side partials collapse repeated tokens BEFORE the " +
+        "shuffle — shuffled rows are |docs| × |query tokens|, never " +
+        "corpus-token-sized. Dots round to 9, the per-token maxima " +
+        "sum as DECIMAL(28,9), score rounds to 6, top-10 per query " +
+        "with doc_id tie-break (the d67 serving contract).",
+      (s, dir) => {
+        import s.implicits._
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        graft.operators.LateInteraction.maxSimTopK(
+          t(s, dir, "documents"), "doc_id", "text", qArr,
+          dim = 8, k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
+      |qv AS (SELECT query_id, qterm,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS qv
+      |  FROM qry),
+      |dt AS (SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE len(term) > 0),
+      |dv AS (SELECT doc_id, term,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS dv
+      |  FROM dt),
+      |pairs AS (SELECT q.query_id, q.qterm, d.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM dv d, qv q),
+      |mx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM mx GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d106_maxsim_pruned",
+      "Sign-bucket-PRUNED MaxSim — PLAID's (Santhanam et al., " +
+        "CIKM'22) centroid-pruning idea with the s05 multiprobe " +
+        "sign-bucket family standing in for learned centroids: every " +
+        "token vector buckets on the signs of its first 6 components, " +
+        "a query token probes its own bucket + all Hamming-1 " +
+        "neighbors (7 probe rows), and ONLY bucket-collided " +
+        "(query-token, doc-token) pairs are scored — a broadcast " +
+        "EQUI-join on the bucket key, so scored pairs collapse to the " +
+        "collision fraction (~7/64 per probe) of the exact path's " +
+        "corpus-tokens × |query tokens|. Approximate by design: a " +
+        "query token whose true best match differs in ≥ 2 probed " +
+        "sign bits scores its best CANDIDATE instead — the oracle " +
+        "replays the pruning exactly (bit_count(xor) <= 1 ⇔ the " +
+        "probe-set equi-join), and the maxsim Scale arm measures the " +
+        "candidate cut + recall overlap vs exact d104.",
+      (s, dir) => {
+        import s.implicits._
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        graft.operators.LateInteraction.maxSimTopKPruned(
+          t(s, dir, "documents"), "doc_id", "text", qArr,
+          dim = 8, k = 10, bits = 6)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
+      |qv0 AS (SELECT query_id, qterm,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS qv
+      |  FROM qry),
+      |qv AS (SELECT query_id, qterm, qv,
+      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+      |      CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1))
+      |           ELSE 0 END)) AS BIGINT) AS qb
+      |  FROM qv0),
+      |dt AS (SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE len(term) > 0),
+      |dv0 AS (SELECT doc_id, term,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS dv
+      |  FROM dt),
+      |dv AS (SELECT doc_id, term, dv,
+      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+      |      CASE WHEN dv[i] > 0 THEN (1::BIGINT << (i - 1))
+      |           ELSE 0 END)) AS BIGINT) AS db
+      |  FROM dv0),
+      |pairs AS (SELECT q.query_id, q.qterm, d.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM dv d, qv q WHERE bit_count(xor(d.db, q.qb)) <= 1),
+      |mx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM mx GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+/** MaxSim late interaction vs a driver-side brute-force replica of the
+  * exact contract (hash features, rounded dots, decimal sums) and of
+  * the sign-bucket pruning predicate. */
+class LateInteractionSpec extends AnyFunSpec {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 8
+
+  /** Driver twin of Dedup.hash60: first 15 md5 hex chars as a long. */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  private def vec(term: String): Array[Double] =
+    (1 to Dim).map(j =>
+      (hash60(s"${j}_$term") % 1000L).toDouble / 1000.0 - 0.5).toArray
+
+  private def dot9(a: Array[Double], b: Array[Double]): Double = {
+    val raw = a.zip(b).map { case (x, y) => x * y }
+      .foldLeft(0.0)(_ + _)
+    BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  private def bucket(v: Array[Double], bits: Int): Long =
+    (0 until bits).map(i => if (v(i) > 0.0) 1L << i else 0L).sum
+
+  /** Brute MaxSim over an optional pair filter (None = exact;
+    * Some(pred) = only (qv, dv) pairs passing pred are scored). */
+  private def brute(docs: Seq[(Long, String)],
+                    queries: Seq[(Long, Seq[String])], k: Int,
+                    keep: Option[(Array[Double], Array[Double]) => Boolean])
+      : Seq[(Long, Long, Long, Double)] =
+    queries.flatMap { case (qid, terms) =>
+      val qts = terms.distinct.map(t => t -> vec(t))
+      docs.flatMap { case (did, text) =>
+        val dts = text.split(" ").filter(_.nonEmpty).distinct.map(vec)
+        val maxima = qts.flatMap { case (_, qv) =>
+          val cand = dts.filter(dv =>
+            keep.forall(p => p(qv, dv))).map(dv => dot9(qv, dv))
+          if (cand.isEmpty) None else Some(cand.max)
+        }
+        if (maxima.isEmpty) None
+        else {
+          val s = maxima
+            .map(BigDecimal(_).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+            .sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((qid, did, s))
+        }
+      }.sortBy { case (_, did, s) => (-s, did) }
+        .take(k).zipWithIndex
+        .map { case ((q, d, s), i) => (q, (i + 1).toLong, d, s) }
+    }
+
+  private def corpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until 40L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, Seq.fill(n)(s"t${rnd.nextInt(25)}").mkString(" "))
+    }
+  }
+
+  private val queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("t1", "t7"), 2L -> Seq("t3", "t3", "t12", "t24"),
+    3L -> Seq("zzz_absent", "t5"))
+
+  describe("LateInteraction.maxSimTopK") {
+    it("matches the brute-force MaxSim (rounded dots, decimal sums, " +
+        "doc_id tie-break) on random corpora, duplicate query tokens " +
+        "and absent-term queries included") {
+      for (seed <- 1 to 3) {
+        val docs = corpus(seed)
+        val got = LateInteraction.maxSimTopK(
+            docs.toDF("doc_id", "text"), "doc_id", "text",
+            queries.toDF("query_id", "terms"), dim = Dim, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = brute(docs, queries, k = 5, keep = None)
+          .toList.sorted
+        assert(got == want && got.nonEmpty, s"seed $seed diverged")
+      }
+    }
+  }
+
+  describe("LateInteraction.maxSimTopKPruned") {
+    it("equals the brute-force replica of the Hamming<=1 sign-bucket " +
+        "pruning predicate (the probe-set equi-join loses and gains " +
+        "nothing vs the predicate form)") {
+      val bits = 4   // small bucket space → collisions AND misses both occur
+      for (seed <- 1 to 3) {
+        val docs = corpus(seed + 10)
+        val got = LateInteraction.maxSimTopKPruned(
+            docs.toDF("doc_id", "text"), "doc_id", "text",
+            queries.toDF("query_id", "terms"), dim = Dim, k = 5,
+            bits = bits)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = brute(docs, queries, k = 5,
+          keep = Some((qv, dv) => java.lang.Long.bitCount(
+            bucket(qv, bits) ^ bucket(dv, bits)) <= 1)).toList.sorted
+        assert(got == want && got.nonEmpty, s"seed $seed diverged")
+        // the pruning is non-trivial on this corpus: some pair was cut
+        val exact = brute(docs, queries, k = 5, keep = None)
+        assert(exact != want, s"seed $seed: pruning was a no-op")
+      }
+    }
+  }
+}
