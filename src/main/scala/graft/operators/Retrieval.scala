@@ -406,12 +406,80 @@ object Retrieval {
       .crossJoin(broadcast(stats)), k, k1, b)
   }
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft's SIGIR'01
+    * relevance model with the RM3 interpolation of the original
+    * query), set-at-a-time over the postings relation — the standard
+    * recall fix for vocabulary mismatch in eval-set mining:
+    *
+    *  1. FEEDBACK: BM25 top-`fbDocs` per query ([[bm25TopK]]
+    *     verbatim);
+    *  2. EXPANSION: relevance-model term weights from the feedback
+    *     docs' postings — `w(t|q) = Σ_d tf(t,d)/dl(d)` (each part
+    *     rounded to 9 and summed as DECIMAL so the weight is
+    *     aggregation-order-free) — top-`fbTerms` per query by
+    *     (weight desc, term asc), original query terms excluded;
+    *  3. RESCORE: one weighted BM25 pass over original terms at
+    *     weight 1.0 plus expansion terms at weight `beta` (keep beta
+    *     a power of two — 0.5 — so the weight multiply is IEEE-exact
+    *     and cross-engine stable).
+    *
+    * Everything stays declarative — no driver collect: the expansion
+    * term relation is a |queries|·fbTerms-row DataFrame that joins
+    * (broadcast) into the second scoring pass exactly like the
+    * original query set. Scale shape: stage 2 touches only the
+    * feedback docs' postings rows (a broadcast semi-join of fbDocs·|Q|
+    * doc ids against the index), and stage 3 is a d67-shaped serve
+    * over ≤ |orig| + fbTerms terms per query. */
+  def rm3TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
+              fbDocs: Int, fbTerms: Int, beta: Double, k: Int,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val orig = queries.select(col("query_id"), col("term")).distinct()
+    val fb = bm25TopK(posts, queries, stats, fbDocs, k1, b)
+      .select("query_id", "doc_id")
+    val expansion = posts
+      .join(broadcast(fb), "doc_id")
+      .select(col("query_id"), col("term"),
+        round(col("tf").cast("double") / col("dl"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9))
+          .as("wpart"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("wpart")).as("wsum"))
+      .join(orig, Seq("query_id", "term"), "left_anti")
+      .withColumn("erk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("wsum").desc, col("term").asc)))
+      .filter(col("erk") <= fbTerms)
+      .select(col("query_id"), col("term"), lit(beta).as("w"))
+    val weighted = orig.withColumn("w", lit(1.0)).unionByName(expansion)
+    val slice = posts
+      .join(broadcast(weighted.select("term").distinct()), "term")
+    val scored = slice
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(weighted), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("w") * col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+    gatherTopK(scored, k)
+  }
+
   /** Shared scoring tail: expects (query_id, doc_id, term, tf, dl, df,
     * n_docs, avgdl) rows; one (query, doc) aggregation + a bounded
     * per-query window. */
   private def rank(scoredInput: DataFrame, k: Int,
                    k1: Double, b: Double): DataFrame =
-    contrib(scoredInput, k1, b)
+    gatherTopK(contrib(scoredInput, k1, b), k)
+
+  /** The (query, doc) gather under the bounded per-query window,
+    * shared by every scorer that produces per-row DECIMAL `contrib`
+    * columns (plain BM25, the weighted RM3 second pass). */
+  private def gatherTopK(contribRows: DataFrame, k: Int): DataFrame =
+    contribRows
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("contrib")).cast("double"), 6).as("score"))
       .withColumn("rk", row_number().over(

@@ -807,6 +807,94 @@ object Search {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
       |  doc_id, score
-      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
+      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d107_rm3_expansion",
+      "RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 " +
+        "relevance model, RM3 interpolation; Retrieval.rm3TopK): " +
+        "BM25 top-5 feedback docs per query (d67's scorer verbatim) " +
+        "→ relevance-model expansion weights w(t|q) = Σ tf/dl over " +
+        "the feedback docs' postings (9-rounded parts, DECIMAL sum — " +
+        "order-free), top-3 new terms per query → ONE weighted " +
+        "rescoring pass with original terms at 1.0 and expansions at " +
+        "β=0.5 (a power of two, so the weight multiply is IEEE-exact " +
+        "cross-engine). Fully declarative — the expansion relation is " +
+        "a 9-row DataFrame joined broadcast into the second pass, no " +
+        "driver collect; stage 2 touches only fbDocs·|Q| docs' " +
+        "postings via broadcast semi-join. The oracle replays all " +
+        "three stages as chained CTEs.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Retrieval.rm3TopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice1 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |df1 AS (SELECT term, COUNT(*) AS df FROM slice1 GROUP BY term),
+      |sc1 AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice1 s JOIN qry q USING (term) JOIN df1 USING (term),
+      |       stats),
+      |agg1 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc1 GROUP BY query_id, doc_id),
+      |fb AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg1) WHERE rk <= 5),
+      |wts AS (SELECT f.query_id, p.term,
+      |    SUM(CAST(round(CAST(tf AS DOUBLE) / dl, 9)
+      |      AS DECIMAL(28,9))) AS wsum
+      |  FROM posts p JOIN fb f USING (doc_id)
+      |  GROUP BY f.query_id, p.term),
+      |expn AS (SELECT query_id, term, 0.5 AS w FROM (
+      |    SELECT w.query_id, w.term, row_number() OVER (
+      |        PARTITION BY w.query_id
+      |        ORDER BY wsum DESC, w.term ASC) AS erk
+      |    FROM wts w ANTI JOIN qry q
+      |      ON q.query_id = w.query_id AND q.term = w.term)
+      |  WHERE erk <= 3),
+      |wq AS (SELECT DISTINCT query_id, term, 1.0 AS w FROM qry
+      |       UNION ALL SELECT query_id, term, w FROM expn),
+      |slice2 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM wq)),
+      |df2 AS (SELECT term, COUNT(*) AS df FROM slice2 GROUP BY term),
+      |sc2 AS (SELECT q.query_id, s.doc_id,
+      |    round(q.w * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice2 s JOIN wq q USING (term) JOIN df2 USING (term),
+      |       stats),
+      |agg2 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc2 GROUP BY query_id, doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
   )
 }

@@ -40,6 +40,47 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.rm3TopK") {
+    it("with fbTerms=0 degenerates to plain BM25 exactly (the " +
+       "interpolation adds nothing when no expansion terms exist)") {
+      for (seed <- 1 to 2) {
+        val docs = zipf2(nDocs = 80, vocab = 20, seed = seed + 70)
+        val posts = Retrieval.postings(docs, "doc_id", "text")
+        val stats = Retrieval.corpusStats(docs, "text")
+        val q = Seq((1L, "w1"), (1L, "w5"), (2L, "w3"))
+          .toDF("query_id", "term")
+        val got = Retrieval.rm3TopK(posts, q, stats,
+            fbDocs = 5, fbTerms = 0, beta = 0.5, k = 10)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = Retrieval.bm25TopK(posts, q, stats, k = 10)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(got == want && got.nonEmpty, s"seed $seed diverged")
+      }
+    }
+
+    it("pulls in a synonym doc the literal query misses: feedback " +
+       "doc's co-occurring term expands the query and retrieves a " +
+       "doc sharing only that term") {
+      val docs = Seq((0L, "x y"), (1L, "y z"), (2L, "z z z"),
+        (3L, "w w")).toDF("doc_id", "text")
+      val posts = Retrieval.postings(docs, "doc_id", "text")
+      val stats = Retrieval.corpusStats(docs, "text")
+      val q = Seq((1L, "x")).toDF("query_id", "term")
+      // plain BM25 sees only doc 0 (the one doc containing x)
+      val plain = Retrieval.bm25TopK(posts, q, stats, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(plain.map(_._3) == List(0L))
+      // RM3: feedback doc 0 contributes expansion term y (x itself
+      // is excluded), and doc 1 — which shares only y — is retrieved
+      val rm3 = Retrieval.rm3TopK(posts, q, stats,
+          fbDocs = 1, fbTerms = 2, beta = 0.5, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(rm3.map(_._3) == List(0L, 1L),
+        s"expected expansion to retrieve doc 1: $rm3")
+      assert(rm3.head._4 > rm3(1)._4)
+    }
+  }
+
   describe("Retrieval.bm25TopK") {
     it("matches a hand-computed BM25 score and ranks exact-tf-2 first") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
