@@ -70,4 +70,48 @@ object Contamination {
       .select(col(idCol),
         coalesce(col("_c") === 1, lit(false)).as("contaminated"))
   }
+
+  /** NEAR-duplicate decontamination — the Dolma/FineWeb discipline
+    * layered on the exact n-gram check above: a training doc that is
+    * a light paraphrase/crop of an eval doc shares no exact 5-gram
+    * run yet still leaks the benchmark. Candidates come from a
+    * MinHash band-bucket EQUI-join ACROSS the two relations (the d07
+    * self-join family, two-sided): both sides band with
+    * [[Dedup.minhashBands]]'s integer signatures, the benchmark side
+    * broadcasts (eval suites are tiny next to a corpus), and only
+    * band-collided (corpus, bench) pairs pay the exact
+    * distinct-token Jaccard verify. Returns one row per flagged
+    * corpus doc: `(doc_id, n_bench_hits, max_jaccard)` over verified
+    * pairs with jaccard >= `minJaccard`. Never corpus × bench; the
+    * corpus side is one scan + one band shuffle-free broadcast join
+    * + one doc-keyed aggregation. Recall is the banded-LSH curve
+    * (≥ 1 of 4 single-row bands collides: 1-(1-j)^4 — 0.9999 at
+    * j = 0.9); the oracle replays the banding, so the gate checks
+    * the implementation, not the probability. */
+  def nearDupFlags(corpus: DataFrame, corpusId: String, textCol: String,
+                   bench: DataFrame, benchId: String, benchTextCol: String,
+                   minJaccard: Double): DataFrame = {
+    val cband = Dedup.minhashBands(corpus, corpusId, textCol)
+      .filter(col("sig").isNotNull)
+    val bband = Dedup.minhashBands(bench, benchId, benchTextCol)
+      .filter(col("sig").isNotNull)
+      .withColumnRenamed(benchId, "_bench_id")
+    val cand = cband
+      .join(broadcast(bband), Seq("j", "sig"))
+      .select(col(corpusId), col("_bench_id"))
+      .distinct()
+    val ctok = corpus.select(col(corpusId),
+      array_distinct(split(col(textCol), " ")).as("_cs"))
+    val btok = bench.select(col(benchId).as("_bench_id"),
+      array_distinct(split(col(benchTextCol), " ")).as("_bs"))
+    cand
+      .join(ctok, corpusId)
+      .join(broadcast(btok), "_bench_id")
+      .select(col(corpusId),
+        Dedup.jaccard(col("_cs"), col("_bs")).as("_j"))
+      .filter(col("_j") >= minJaccard)
+      .groupBy(corpusId)
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        max(col("_j")).as("max_jaccard"))
+  }
 }

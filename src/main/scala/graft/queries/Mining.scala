@@ -1260,6 +1260,74 @@ object Mining {
         |  CAST(MAX(len) AS BIGINT) AS max_len,
         |  CAST(SUM(len) AS BIGINT) AS n_tokens,
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS waste
-        |FROM b GROUP BY batch ORDER BY batch""".stripMargin))
+        |FROM b GROUP BY batch ORDER BY batch""".stripMargin)),
+
+    Q("d108_neardup_decontamination",
+      "CROSS-corpus near-dup decontamination (Contamination." +
+        "nearDupFlags — the Dolma/FineWeb discipline): training docs " +
+        "that are light paraphrases of an eval doc share no exact " +
+        "5-gram (d19's check misses them) but collide in MinHash " +
+        "band buckets. Both relations band with the d07 integer " +
+        "signatures, the BENCHMARK side broadcasts (eval suites ≪ " +
+        "corpus), candidates are the band-bucket equi-join across " +
+        "the two — never corpus × bench — and only collided pairs " +
+        "pay the exact distinct-token Jaccard verify (τ=0.9). " +
+        "Benchmark here is the deterministic doc_id%10=0 slice. The " +
+        "oracle replays the banding, the cross-join-on-buckets and " +
+        "the verify, so the gate checks the implementation, not the " +
+        "LSH recall curve.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Contamination.nearDupFlags(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text", minJaccard = 0.9)
+          .orderBy("doc_id")
+      },
+      Some {
+        def sigCtes(rel: String, idAs: String, pfx: String): String = {
+          val perms = (0 until 4).map { j =>
+            val (a, b) = (graft.operators.Dedup.HashA(j),
+              graft.operators.Dedup.HashB(j))
+            s"SELECT $idAs, $j AS j, list_aggregate(list_transform(" +
+              s"hs, h -> (h * $a + $b) % ${graft.operators.Dedup.HashP}" +
+              s"), 'min') AS m FROM ${pfx}s"
+          }.mkString("\n  UNION ALL ")
+          s"""${pfx}s AS (
+             |  SELECT $idAs,
+             |    list_transform(
+             |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+             |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${graft.operators.Dedup.HashP}) AS hs
+             |  FROM $rel),
+             |${pfx}sig AS (
+             |  $perms)""".stripMargin
+        }
+        s"""WITH corp AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 10 <> 0),
+        |bench AS (SELECT doc_id AS bench_id, text FROM documents
+        |          WHERE doc_id % 10 = 0),
+        |${sigCtes("corp", "doc_id", "c")},
+        |${sigCtes("bench", "bench_id", "b")},
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id, b.bench_id
+        |  FROM csig c JOIN bsig b ON c.j = b.j AND c.m = b.m
+        |  WHERE c.m IS NOT NULL),
+        |ctok AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS cs FROM corp),
+        |btok AS (SELECT bench_id,
+        |    list_distinct(string_split(text, ' ')) AS bs FROM bench),
+        |ver AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(cs, bs)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(cs, bs))) AS DOUBLE)
+        |      AS jc
+        |  FROM cand JOIN ctok USING (doc_id) JOIN btok USING (bench_id))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+        |  MAX(jc) AS max_jaccard
+        |FROM ver WHERE jc >= 0.9
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -293,6 +293,34 @@ class OperatorsSpec extends AnyFunSpec {
         .as[(Long, Boolean)].collect().toMap
       assert(flags.keySet == Set(0L, 1L, 2L, 3L) && !flags(3L))
     }
+    it("nearDupFlags catches a shingle-preserving paraphrase the " +
+       "exact n-gram check misses, and ignores unrelated docs") {
+      // corpus doc 1 = bench doc with ONE word swapped mid-way: long
+      // shared 3-gram runs (MinHash collision near-certain), high
+      // token Jaccard, but any exact 5-gram check across the swap
+      // point sees different text
+      val benchText = "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu"
+      val para = benchText.replace("eta theta", "eta thetaX")
+      val corpus = Seq(
+        (1L, para),
+        (2L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      val bench = Seq((100L, benchText)).toDF("bench_id", "text")
+      val flags = Contamination.nearDupFlags(
+          corpus, "doc_id", "text", bench, "bench_id", "text",
+          minJaccard = 0.8)
+        .as[(Long, Long, Double)].collect().toList
+      assert(flags.map(_._1) == List(1L), s"got $flags")
+      assert(flags.head._2 == 1L)
+      // exact Jaccard of the planted pair: 11 shared / 13 union
+      assert(math.abs(flags.head._3 - 11.0 / 13.0) < 1e-12)
+      // sub-threshold verify really cuts: at tau just above the
+      // planted similarity nothing survives the exact check
+      assert(Contamination.nearDupFlags(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        minJaccard = 0.9).count() == 0L)
+    }
   }
 
   describe("Multimodal") {
