@@ -114,33 +114,42 @@ object LateInteraction {
       .select("query_id", "rk", "doc_id", "score")
   }
 
-  /** Exact MaxSim top-k. Output `(query_id, rk, doc_id, score)` —
-    * the d67 ranked-serving contract. */
-  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
-                 queries: DataFrame, dim: Int, k: Int): DataFrame =
-    gather(
-      docTokens(docs, idCol, textCol, dim)
-        .crossJoin(broadcast(queryTokens(queries, dim)))
-        .select(col("doc_id"), col("query_id"), col("qterm"),
-          pairDot.as("d")),
-      k)
+  /** The exact path's scored-pair relation (every (doc token, query
+    * token) pair) — exposed for the `maxsim` Scale arm to count. */
+  private[graft] def exactPairs(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, dim: Int): DataFrame =
+    docTokens(docs, idCol, textCol, dim)
+      .crossJoin(broadcast(queryTokens(queries, dim)))
+      .select(col("doc_id"), col("query_id"), col("qterm"),
+        pairDot.as("d"))
 
-  /** Sign-bucket-pruned MaxSim top-k: each query token probes its
-    * bucket + all Hamming-1 neighbors; only collided pairs score. */
-  def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,
-                       queries: DataFrame, dim: Int, k: Int,
-                       bits: Int = 6): DataFrame = {
+  /** The pruned path's scored-pair relation (bucket-collided pairs
+    * only). */
+  private[graft] def prunedPairs(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, dim: Int,
+      bits: Int): DataFrame = {
     val probes = queryTokens(queries, dim)
       .withColumn("qb", vecSignBucket(col("qv"), bits))
       .withColumn("bkt", explode(array(
         col("qb") +: (0 until bits).map(i =>
           col("qb").bitwiseXOR(lit(1L << i))): _*)))
-    val dtok = docTokens(docs, idCol, textCol, dim)
+    docTokens(docs, idCol, textCol, dim)
       .withColumn("bkt", vecSignBucket(col("dv"), bits))
-    gather(
-      dtok.join(broadcast(probes), Seq("bkt"))
-        .select(col("doc_id"), col("query_id"), col("qterm"),
-          pairDot.as("d")),
-      k)
+      .join(broadcast(probes), Seq("bkt"))
+      .select(col("doc_id"), col("query_id"), col("qterm"),
+        pairDot.as("d"))
   }
+
+  /** Exact MaxSim top-k. Output `(query_id, rk, doc_id, score)` —
+    * the d67 ranked-serving contract. */
+  def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, dim: Int, k: Int): DataFrame =
+    gather(exactPairs(docs, idCol, textCol, queries, dim), k)
+
+  /** Sign-bucket-pruned MaxSim top-k: each query token probes its
+    * bucket + all Hamming-1 neighbors; only collided pairs score. */
+  def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, dim: Int, k: Int,
+                       bits: Int = 6): DataFrame =
+    gather(prunedPairs(docs, idCol, textCol, queries, dim, bits), k)
 }

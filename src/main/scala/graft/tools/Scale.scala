@@ -271,7 +271,7 @@ object Scale {
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
-      what != "fuzzy"
+      what != "fuzzy" && what != "maxsim"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -298,7 +298,8 @@ object Scale {
       case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
-           "spill" | "textcompact" | "gather" | "lm" | "fuzzy" =>
+           "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
+           "maxsim" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -677,6 +678,67 @@ object Scale {
         s""""planted":$nPlant,"planted_found":$found}""")
       require(found == nPlant,
         s"fuzzy blocking lost planted pairs: $found of $nPlant")
+    }
+    // MaxSim pruning arm (round 12; d105/d106's scale claim measured):
+    // the same 50-query × 3-token batch against a zipf corpus, scored
+    // exact (every (doc token, query token) pair) vs sign-bucket-
+    // pruned (bucket + Hamming-1 probes). Reports the scored-pair
+    // cut, wall/shuffle for the full top-10 serves, and recall@10 of
+    // the pruned ranking vs the exact one. The pair cut must be real
+    // (< 40% of exact — the 7/64-per-probe collision model predicts
+    // ~11% before skew) and recall must clear a loose sanity floor.
+    if (what == "maxsim") {
+      import graft.operators.LateInteraction
+      val n = 20000L * factor
+      val docs = zipfDocs(spark, n).localCheckpoint()
+      import spark.implicits._
+      val qArr = (0L until 50L).map { q =>
+        (q, Seq(s"r${(q * 131) % (n / 10)}", s"c${q % 50}",
+          s"c${(q + 7) % 50}"))
+      }.toDF("query_id", "terms")
+      val nExact = LateInteraction
+        .exactPairs(docs, "doc_id", "text", qArr, dim = 8).count()
+      val nPruned = LateInteraction
+        .prunedPairs(docs, "doc_id", "text", qArr, dim = 8, bits = 6)
+        .count()
+      Thread.sleep(800)
+      metrics.read.set(0L); metrics.readRecords.set(0L)
+      var t0 = System.nanoTime()
+      val exact = LateInteraction.maxSimTopK(docs, "doc_id", "text",
+        qArr, dim = 8, k = 10).localCheckpoint()
+      val nEx = exact.count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      val exMb = metrics.read.getAndSet(0L) / 1e6
+      val exRec = metrics.readRecords.getAndSet(0L)
+      t0 = System.nanoTime()
+      val pruned = LateInteraction.maxSimTopKPruned(docs, "doc_id",
+        "text", qArr, dim = 8, k = 10, bits = 6).localCheckpoint()
+      val nPr = pruned.count()
+      val prunedSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      val prMb = metrics.read.getAndSet(0L) / 1e6
+      val prRec = metrics.readRecords.getAndSet(0L)
+      val overlap = exact.select("query_id", "doc_id")
+        .join(pruned.select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"))
+        .count()
+      val recall = overlap.toDouble / nEx
+      println(s"""{"query":"maxsim_pruned","n_docs":$n,""" +
+        s""""n_exact_pairs":$nExact,"n_pruned_pairs":$nPruned,""" +
+        s""""pair_cut":${fmt(nPruned.toDouble / nExact)},""" +
+        s""""exact_sec":${fmt(exactSec)},""" +
+        s""""exact_shuffle_mb":${fmt(exMb)},""" +
+        s""""exact_shuffle_records":$exRec,""" +
+        s""""pruned_sec":${fmt(prunedSec)},""" +
+        s""""pruned_shuffle_mb":${fmt(prMb)},""" +
+        s""""pruned_shuffle_records":$prRec,""" +
+        s""""topk_rows":$nEx,"pruned_rows":$nPr,""" +
+        s""""recall_at_10":${fmt(recall)}}""")
+      require(nPruned < nExact * 2 / 5,
+        s"maxsim pruning cut too weak: $nPruned of $nExact pairs")
+      require(recall >= 0.3,
+        s"maxsim pruned recall collapsed: $recall")
     }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
     // the same doc-at-a-time scored relation — (query, doc, score)
