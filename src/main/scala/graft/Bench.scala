@@ -73,7 +73,13 @@ object Bench {
     "d101_bm25_docmap_pruned", "d102_funnel_neardup",
     // hybrid RRF: both arms (BM25 top-20 + batch cosine top-20) plus
     // the rank-only fusion — the RAG first-stage serving shape
-    "d103_hybrid_rrf")
+    "d103_hybrid_rrf",
+    // round 12: multi-vector late interaction (exact MaxSim + the
+    // sign-bucket-pruned PLAID-style cut), RM3 feedback expansion
+    // (three chained retrieval stages in one plan) and cross-corpus
+    // near-dup decontamination (band equi-join vs broadcast bench)
+    "d105_maxsim_topk", "d106_maxsim_pruned", "d107_rm3_expansion",
+    "d108_neardup_decontamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

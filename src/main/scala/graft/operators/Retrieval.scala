@@ -429,7 +429,14 @@ object Retrieval {
     * original query set. Scale shape: stage 2 touches only the
     * feedback docs' postings rows (a broadcast semi-join of fbDocs·|Q|
     * doc ids against the index), and stage 3 is a d67-shaped serve
-    * over ≤ |orig| + fbTerms terms per query. */
+    * over ≤ |orig| + fbTerms terms per query.
+    *
+    * Pass a MATERIALIZED postings relation (a persisted index read,
+    * or `.localCheckpoint()`ed lineage): the three stages filter
+    * `posts` three different ways, and raw explode lineage would
+    * re-run the corpus scan once per stage — Catalyst does not dedupe
+    * FileScans across differently-filtered branches (the d100
+    * lesson). */
   def rm3TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
               fbDocs: Int, fbTerms: Int, beta: Double, k: Int,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {

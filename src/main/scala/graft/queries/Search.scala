@@ -826,8 +826,13 @@ object Search {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
+        // postings are PINNED: the three RM3 stages filter them three
+        // ways (orig-term slice, feedback-doc probe, expanded slice),
+        // and raw lineage would re-run the corpus explode per stage
+        // (the d100 five-scan lesson — Catalyst does not dedupe scans
+        // across differently-filtered branches)
         Retrieval.rm3TopK(
-          Retrieval.postings(docs, "doc_id", "text"),
+          Retrieval.postings(docs, "doc_id", "text").localCheckpoint(),
           QueryTerms.toDF("query_id", "term"),
           Retrieval.corpusStats(docs, "text"),
           fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
