@@ -146,6 +146,32 @@ object LateInteraction {
                  queries: DataFrame, dim: Int, k: Int): DataFrame =
     gather(exactPairs(docs, idCol, textCol, queries, dim), k)
 
+  /** The cacheable STATIC side of a streamed MaxSim serve (the w25/
+    * w30 discipline): per-(doc, distinct token) vectors, computed
+    * once before the stream starts — `(doc_id, term, dv)`. Distinct
+    * tokens only: identical tokens share a vector, so instances add
+    * nothing to the inner max and the cache stays
+    * Σ|distinct tokens per doc|. */
+  def docTokenMap(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+      .withColumn("dv", tokenVec(col("term"), dim))
+
+  /** MaxSim top-k against a prebuilt [[docTokenMap]] — the per-batch
+    * serve body. Bit-identical to [[maxSimTopK]] over the same docs
+    * (spec-gated): the map is just the exact path's stream side with
+    * duplicate tokens pre-collapsed. */
+  def maxSimTopKFromMap(tokMap: DataFrame, queries: DataFrame,
+                        dim: Int, k: Int): DataFrame =
+    gather(
+      tokMap.crossJoin(broadcast(queryTokens(queries, dim)))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
+
   /** Sign-bucket-pruned MaxSim top-k: each query token probes its
     * bucket + all Hamming-1 neighbors; only collided pairs score. */
   def maxSimTopKPruned(docs: DataFrame, idCol: String, textCol: String,

@@ -75,6 +75,42 @@ object Search {
 
   private val Bm25OracleSql: String = bm25OracleSql("documents")
 
+  /** The exact-MaxSim top-10 oracle — shared VERBATIM by d105 (batch)
+    * and w35 (streamed serving from the cached doc-token map): the
+    * streamed doc-at-a-time serve must equal the batch scorer
+    * per-bit. */
+  private val MaxSimOracleSql: String =
+    s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
+    |qv AS (SELECT query_id, qterm,
+    |    list_transform(generate_series(1, 8), j ->
+    |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
+    |        % 1000) / 1000.0 - 0.5) AS qv
+    |  FROM qry),
+    |dt AS (SELECT DISTINCT doc_id, term FROM (
+    |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    |    FROM documents)
+    |  WHERE len(term) > 0),
+    |dv AS (SELECT doc_id, term,
+    |    list_transform(generate_series(1, 8), j ->
+    |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
+    |        % 1000) / 1000.0 - 0.5) AS dv
+    |  FROM dt),
+    |pairs AS (SELECT q.query_id, q.qterm, d.doc_id,
+    |    round(list_reduce(list_transform(generate_series(1, 8),
+    |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+    |  FROM dv d, qv q),
+    |mx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+    |  FROM pairs GROUP BY 1, 2, 3),
+    |sc AS (SELECT query_id, doc_id,
+    |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+    |      AS score
+    |  FROM mx GROUP BY 1, 2)
+    |SELECT CAST(query_id AS BIGINT) AS query_id,
+    |  CAST(row_number() OVER (PARTITION BY query_id
+    |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+    |  doc_id, score
+    |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** The persisted text index, memoized per (session, dir) — the
     * annIndexDir/s15 discipline: Bench's warm samples then measure
     * the SERVE path against the stored tables, the production shape.
@@ -711,36 +747,7 @@ object Search {
           dim = 8, k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
-      |qv AS (SELECT query_id, qterm,
-      |    list_transform(generate_series(1, 8), j ->
-      |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
-      |        % 1000) / 1000.0 - 0.5) AS qv
-      |  FROM qry),
-      |dt AS (SELECT DISTINCT doc_id, term FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |    FROM documents)
-      |  WHERE len(term) > 0),
-      |dv AS (SELECT doc_id, term,
-      |    list_transform(generate_series(1, 8), j ->
-      |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
-      |        % 1000) / 1000.0 - 0.5) AS dv
-      |  FROM dt),
-      |pairs AS (SELECT q.query_id, q.qterm, d.doc_id,
-      |    round(list_reduce(list_transform(generate_series(1, 8),
-      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
-      |  FROM dv d, qv q),
-      |mx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
-      |  FROM pairs GROUP BY 1, 2, 3),
-      |sc AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM mx GROUP BY 1, 2)
-      |SELECT CAST(query_id AS BIGINT) AS query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
-      |  doc_id, score
-      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(MaxSimOracleSql)),
 
     Q("d106_maxsim_pruned",
       "Sign-bucket-PRUNED MaxSim — PLAID's (Santhanam et al., " +
@@ -900,6 +907,66 @@ object Search {
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
       |  doc_id, score
-      |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin))
+      |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("w35_streaming_maxsim_serve",
+      "Streamed MaxSim late-interaction serving — d105 in w30's " +
+        "production shape: the STATIC side is the per-(doc, distinct " +
+        "token) vector map (LateInteraction.docTokenMap), cached ONCE " +
+        "before the stream starts (the w25/w30 static-side " +
+        "discipline); queries arrive one file per query " +
+        "(maxFilesPerTrigger=1 → one micro-batch each); foreachBatch " +
+        "scans the cached map once under the broadcast query tokens, " +
+        "runs the same max/Σ/top-10 gather, and writes each batch " +
+        "idempotently (overwrite per batch id). Oracle is d105's " +
+        "VERBATIM — the streamed doc-at-a-time serve must equal the " +
+        "batch scorer per-bit, duplicate-token pre-collapse included.",
+      (s, dir) => {
+        import s.implicits._
+        val L = graft.operators.LateInteraction
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w35").toString
+        var cached: Option[org.apache.spark.sql.DataFrame] = None
+        try {
+          val tokMap = L.docTokenMap(t(s, dir, "documents"),
+            "doc_id", "text", dim = 8).cache()
+          tokMap.count()                     // materialize pre-stream
+          cached = Some(tokMap)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/in"))
+          QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/in/q$qid.json"),
+              qts.map { case (q, t) =>
+                s"""{"query_id":$q,"term":"$t"}""" }
+                .mkString("\n").getBytes("UTF-8"))
+          }
+          val stream = s.readStream
+            .schema("query_id LONG, term STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val qArr = batch.groupBy("query_id")
+                  .agg(collect_list(col("term")).as("terms"))
+                L.maxSimTopKFromMap(tokMap, qArr, dim = 8, k = 10)
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally {
+          cached.foreach(_.unpersist())
+          Rm.rf(tmp)
+        }
+      },
+      Some(MaxSimOracleSql))
   )
 }

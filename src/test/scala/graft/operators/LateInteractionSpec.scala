@@ -92,6 +92,28 @@ class LateInteractionSpec extends AnyFunSpec {
     }
   }
 
+  describe("LateInteraction.maxSimTopKFromMap") {
+    it("serving from the cached doc-token map is bit-identical to " +
+        "the direct exact path (duplicate-token pre-collapse is " +
+        "invisible in results)") {
+      for (seed <- 1 to 2) {
+        val docs = corpus(seed + 20)
+        val df = docs.toDF("doc_id", "text")
+        val qs = queries.toDF("query_id", "terms")
+        val direct = LateInteraction
+          .maxSimTopK(df, "doc_id", "text", qs, dim = Dim, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val tokMap = LateInteraction
+          .docTokenMap(df, "doc_id", "text", dim = Dim)
+        val served = LateInteraction
+          .maxSimTopKFromMap(tokMap, qs, dim = Dim, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(served == direct && served.nonEmpty,
+          s"seed $seed diverged")
+      }
+    }
+  }
+
   describe("LateInteraction.maxSimTopKPruned") {
     it("equals the brute-force replica of the Hamming<=1 sign-bucket " +
         "pruning predicate (the probe-set equi-join loses and gains " +
