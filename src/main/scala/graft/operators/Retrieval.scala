@@ -475,6 +475,44 @@ object Retrieval {
     gatherTopK(scored, k)
   }
 
+  /** Passage-level "MaxP" long-document retrieval (Dai & Callan,
+    * SIGIR'19 — score passages, rank documents by their BEST
+    * passage): the fix for BM25's length normalization burying a
+    * long document whose relevant content is one tight span.
+    * `chunkPosts` is [[postings]] over the PASSAGE relation (each
+    * chunk a pseudo-doc, its id encoding the parent via `docIdOf`),
+    * `stats` the passage-level corpus constants; scoring is the d67
+    * plan verbatim at passage granularity, then one extra
+    * (query, doc) MAX collapses passages into documents before the
+    * bounded top-k window. Scale shape: identical to [[bm25TopK]]
+    * (broadcast query slice, window df) plus one more hash
+    * aggregation over the already per-(query, passage) rows —
+    * passage explosion multiplies the INDEX (≈ ×(1 + overlap/stride)
+    * tokens), never the serve-time row counts. */
+  def bm25MaxPTopK(chunkPosts: DataFrame, queries: DataFrame,
+                   stats: DataFrame, docIdOf: Column => Column,
+                   k: Int, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    val slice = chunkPosts
+      .join(broadcast(queries.select("term").distinct()), "term")
+    val scored = slice
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats))
+    contrib(scored, k1, b)
+      .groupBy("query_id", "doc_id")      // doc_id = passage id here
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("pscore"))
+      .select(col("query_id"),
+        docIdOf(col("doc_id")).as("doc_id"), col("pscore"))
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("pscore")).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
   /** Shared scoring tail: expects (query_id, doc_id, term, tf, dl, df,
     * n_docs, avgdl) rows; one (query, doc) aggregation + a bounded
     * per-query window. */

@@ -909,6 +909,88 @@ object Search {
       |  doc_id, score
       |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d109_maxp_passage_topk",
+      "Passage-level MaxP long-document retrieval (Dai & Callan " +
+        "SIGIR'19; Retrieval.bm25MaxPTopK): documents split into " +
+        "d96's 64-token/16-overlap windows, BM25 scores each PASSAGE " +
+        "as a unit (passage-level tf/dl/df/avgdl — the fix for " +
+        "length normalization burying a long doc whose relevant " +
+        "content is one tight span), and a document ranks by its " +
+        "BEST passage. The plan is d67's at passage granularity " +
+        "(broadcast query slice, window df, decimal contribution " +
+        "sums) plus ONE extra (query, doc) max before the bounded " +
+        "top-10 window; passage ids encode the parent doc " +
+        "(doc_id·100000 + chunk_id) so the collapse is integer " +
+        "division, no join. The chunk relation is pinned once — " +
+        "postings and stats both read it (the d107 discipline).",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            explode(graft.operators.TextAnalysis
+              .chunkExprs(col("text"), size = 64, overlap = 16))
+              .as("c"))
+          .select((col("doc_id") * 100000 + col("c.chunk_id"))
+            .cast("long").as("pid"), col("c.chunk").as("chunk"))
+          .localCheckpoint()
+        Retrieval.bm25MaxPTopK(
+          Retrieval.postings(chunks, "pid", "chunk"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(chunks, "chunk"),
+          docIdOf = c => call_function("div", c, lit(100000L)),
+          k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (
+      |  SELECT doc_id, toks, n, unnest(range(0,
+      |    CASE WHEN n <= 64 THEN 1
+      |         ELSE CAST(ceil((n - 16) / 48.0) AS BIGINT) END))
+      |    AS chunk_id
+      |  FROM d),
+      |ch AS (
+      |  SELECT doc_id * 100000 + chunk_id AS pid,
+      |    array_to_string(toks[chunk_id * 48 + 1 :
+      |                         least(chunk_id * 48 + 64, n)], ' ')
+      |      AS chunk
+      |  FROM c),
+      |posts AS (SELECT pid, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      |  FROM (SELECT pid, len(string_split(chunk, ' ')) AS dl,
+      |               unnest(string_split(chunk, ' ')) AS term
+      |        FROM ch)
+      |  GROUP BY pid, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(chunk, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM ch),
+      |slice AS (SELECT p.* FROM posts p
+      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+      |sc AS (SELECT q.query_id, s.pid,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+      |       stats),
+      |pagg AS (SELECT query_id, pid,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS pscore
+      |  FROM sc GROUP BY query_id, pid),
+      |dmax AS (SELECT query_id, pid // 100000 AS doc_id,
+      |    MAX(pscore) AS score
+      |  FROM pagg GROUP BY query_id, pid // 100000)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM dmax QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
         "production shape: the STATIC side is the per-(doc, distinct " +

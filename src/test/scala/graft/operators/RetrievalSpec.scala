@@ -81,6 +81,54 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.bm25MaxPTopK") {
+    /** Chunked passage relation with pid = doc_id·100000 + chunk_id
+      * (the d109 encoding). */
+    def chunked(docs: org.apache.spark.sql.DataFrame) = docs
+      .filter(length($"text") > 0)
+      .select($"doc_id", explode(TextAnalysis
+        .chunkExprs($"text", size = 64, overlap = 16)).as("c"))
+      .select(($"doc_id" * 100000 + $"c.chunk_id").cast("long")
+        .as("pid"), $"c.chunk".as("chunk"))
+
+    it("degenerates to plain BM25 when every doc fits one passage " +
+       "(same scores, not just same ranking)") {
+      val docs = zipf2(nDocs = 60, vocab = 15, seed = 81) // ≤ 45 toks
+      val q = Seq((1L, "w1"), (1L, "w4"), (2L, "w2"))
+        .toDF("query_id", "term")
+      val ch = chunked(docs)
+      val got = Retrieval.bm25MaxPTopK(
+          Retrieval.postings(ch, "pid", "chunk"), q,
+          Retrieval.corpusStats(ch, "chunk"),
+          docIdOf = c => call_function("div", c, lit(100000L)), k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      val want = Retrieval.bm25TopK(
+          Retrieval.postings(docs, "doc_id", "text"), q,
+          Retrieval.corpusStats(docs, "text"), k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(got == want && got.nonEmpty)
+    }
+
+    it("a match in the LAST partial chunk of a long doc still scores " +
+       "(tail window emitted once), and passages collapse to one row " +
+       "per doc") {
+      val noise = (1 to 150).map(i => s"n$i").mkString(" ")
+      val docs = Seq(
+        (0L, s"$noise needle"),          // needle only in tail chunk
+        (1L, "filler words only here"))
+        .toDF("doc_id", "text")
+      val q = Seq((1L, "needle")).toDF("query_id", "term")
+      val ch = chunked(docs)
+      val got = Retrieval.bm25MaxPTopK(
+          Retrieval.postings(ch, "pid", "chunk"), q,
+          Retrieval.corpusStats(ch, "chunk"),
+          docIdOf = c => call_function("div", c, lit(100000L)), k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got.map(_._3) == List(0L))   // found, once, doc-keyed
+      assert(got.head._4 > 0.0)
+    }
+  }
+
   describe("Retrieval.bm25TopK") {
     it("matches a hand-computed BM25 score and ranks exact-tf-2 first") {
       val posts = Retrieval.postings(corpus, "doc_id", "text")
