@@ -513,6 +513,90 @@ object Retrieval {
       .select("query_id", "rk", "doc_id", "score")
   }
 
+  /** POSITIONAL postings `(doc_id, term, pos)` — pos is the 1-based
+    * token index, the extra column a positional index stores so
+    * phrase and proximity queries exist at all (Lucene's positions
+    * stream, relational). One explode, rides the corpus scan; at
+    * scale this persists next to the frequency postings under the
+    * same term buckets. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("term"),
+        (col("pos0") + 1).cast("long").as("pos"))
+
+  /** Exact PHRASE occurrences by positional intersection: a phrase of
+    * n terms matches at start position s iff term i sits at s + i for
+    * every i — the classic positional-postings algorithm, set-at-a-
+    * time: each posting row anchors the start its term would imply
+    * (`pos − offset`), and a start with ALL n distinct offsets
+    * present is an occurrence (`countDistinct` handles repeated
+    * terms in the phrase — "a b a" needs offsets {0,1,2}, and one
+    * 'a' position can anchor two different starts). The phrase set
+    * broadcasts; the postings side never shuffles except the one
+    * (query, doc, start) aggregation. `phrases` is
+    * `(query_id, terms ARRAY<STRING>)`; output
+    * `(query_id, doc_id, n_occ)` for docs with ≥ 1 occurrence. */
+  def phraseOccurrences(posPosts: DataFrame,
+                        phrases: DataFrame): DataFrame = {
+    val qtok = phrases
+      .select(col("query_id"), size(col("terms")).as("plen"),
+        posexplode(col("terms")).as(Seq("off", "term")))
+    posPosts
+      .join(broadcast(qtok), "term")
+      .select(col("query_id"), col("doc_id"), col("plen"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy("query_id", "doc_id", "plen", "start")
+      .agg(countDistinct(col("off")).as("nm"))
+      .filter(col("nm") === col("plen"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+  }
+
+  /** Term-PROXIMITY re-ranking — the classic two-stage serve: BM25
+    * nominates `kCand` candidates per query (first-pass plan d67
+    * verbatim), then only those docs' query-term POSITIONS are
+    * fetched (broadcast semi-join against the candidate set — the
+    * positions never shuffle corpus-wide) and each candidate gets a
+    * bonus from its tightest pair of DISTINCT query terms:
+    * `score' = round(score + 1/(1 + min |pa − pb|), 6)`. Docs
+    * containing only one distinct query term keep their BM25 score
+    * (bonus 0). The within-(query, doc) position pair join is
+    * bounded by candidate-doc term occurrences, never corpus-sized. */
+  def proximityRerank(posts: DataFrame, posPosts: DataFrame,
+                      queries: DataFrame, stats: DataFrame,
+                      kCand: Int, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    val cand = bm25TopK(posts, queries, stats, kCand, k1, b)
+    val qp = posPosts
+      .join(broadcast(queries.select("query_id", "term").distinct()),
+        "term")
+      .join(broadcast(cand.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "left_semi")
+    val pa = qp.select(col("query_id"), col("doc_id"),
+      col("term").as("ta"), col("pos").as("pa"))
+    val pb = qp.select(col("query_id"), col("doc_id"),
+      col("term").as("tb"), col("pos").as("pb"))
+    val mind = pa.join(pb, Seq("query_id", "doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("query_id", "doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).as("mind"))
+    cand
+      .join(mind, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        round(col("score") +
+          coalesce(lit(1.0) / (lit(1.0) + col("mind")), lit(0.0)), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
   /** Shared scoring tail: expects (query_id, doc_id, term, tf, dl, df,
     * n_docs, avgdl) rows; one (query, doc) aggregation + a bounded
     * per-query window. */

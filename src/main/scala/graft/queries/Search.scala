@@ -991,6 +991,125 @@ object Search {
       |  doc_id, score
       |FROM dmax QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d110_phrase_search",
+      "Exact PHRASE search over positional postings " +
+        "(Retrieval.positionalPostings / phraseOccurrences — " +
+        "Lucene's positions stream, relational): a phrase matches at " +
+        "start s iff term i sits at s+i for every i, computed " +
+        "set-at-a-time — every posting row anchors the start its " +
+        "term implies (pos − offset) and a start covering ALL " +
+        "distinct offsets is an occurrence (countDistinct handles " +
+        "repeated phrase terms). The phrase set broadcasts; the only " +
+        "shuffle is the (query, doc, start) aggregation over the " +
+        "matched slice. Fixture phrases hit 40+ docs each, plus an " +
+        "absent phrase that must return nothing.",
+      (s, dir) => {
+        import s.implicits._
+        val phrases = Seq(
+          (1L, Seq("table", "hash")), (2L, Seq("merge", "group")),
+          (3L, Seq("customer", "join")), (4L, Seq("zz", "qq")))
+          .toDF("query_id", "terms")
+        Retrieval.phraseOccurrences(
+          Retrieval.positionalPostings(
+            t(s, dir, "documents"), "doc_id", "text"),
+          phrases)
+          .orderBy("query_id", "doc_id")
+      },
+      Some("""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pp AS (SELECT doc_id, unnest(t) AS term,
+      |       unnest(range(1, len(t) + 1)) AS pos FROM d),
+      |qry(query_id, off, term, plen) AS (VALUES
+      |  (1, 0, 'table', 2), (1, 1, 'hash', 2),
+      |  (2, 0, 'merge', 2), (2, 1, 'group', 2),
+      |  (3, 0, 'customer', 2), (3, 1, 'join', 2),
+      |  (4, 0, 'zz', 2), (4, 1, 'qq', 2)),
+      |m AS (SELECT query_id, doc_id, pos - off AS start, plen,
+      |    COUNT(DISTINCT off) AS nm
+      |  FROM pp JOIN qry USING (term)
+      |  GROUP BY query_id, doc_id, start, plen)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occ
+      |FROM m WHERE nm = plen
+      |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin)),
+
+    Q("d111_proximity_rerank",
+      "Term-proximity RE-RANKING (Retrieval.proximityRerank) — the " +
+        "classic two-stage serve: BM25 nominates top-20 candidates " +
+        "per query (d67's plan verbatim), then ONLY those docs' " +
+        "query-term positions are fetched (broadcast semi-join " +
+        "against the candidate set — positions never shuffle " +
+        "corpus-wide) and each candidate's score gains " +
+        "1/(1 + min |pa−pb|) over its tightest pair of distinct " +
+        "query terms; docs holding one distinct term keep their BM25 " +
+        "score. The within-candidate pair join is bounded by " +
+        "candidate term occurrences. Oracle replays both stages.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Retrieval.proximityRerank(
+          Retrieval.postings(docs, "doc_id", "text"),
+          Retrieval.positionalPostings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          kCand = 20, k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice AS (SELECT p.* FROM posts p
+      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+      |sc AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+      |       stats),
+      |agg AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |cand AS (SELECT query_id, doc_id, score FROM (
+      |    SELECT query_id, doc_id, score, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg) WHERE rk <= 20),
+      |d2 AS (SELECT doc_id, string_split(text, ' ') AS t
+      |       FROM documents),
+      |pp AS (SELECT doc_id, unnest(t) AS term,
+      |       unnest(range(1, len(t) + 1)) AS pos FROM d2),
+      |qp AS (SELECT q.query_id, p.doc_id, p.term, p.pos
+      |  FROM pp p JOIN qry q USING (term)
+      |  JOIN cand c ON c.query_id = q.query_id
+      |             AND c.doc_id = p.doc_id),
+      |mind AS (SELECT a.query_id, a.doc_id,
+      |    MIN(abs(a.pos - b.pos)) AS mind
+      |  FROM qp a JOIN qp b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      |   AND a.term < b.term
+      |  GROUP BY a.query_id, a.doc_id),
+      |resc AS (SELECT c.query_id, c.doc_id,
+      |    round(c.score + COALESCE(1.0 / (1.0 + mind), 0.0), 6)
+      |      AS score
+      |  FROM cand c LEFT JOIN mind m
+      |    ON m.query_id = c.query_id AND m.doc_id = c.doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM resc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
         "production shape: the STATIC side is the per-(doc, distinct " +

@@ -81,6 +81,51 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.phraseOccurrences / proximityRerank") {
+    it("counts phrase occurrences by positional intersection — " +
+       "repeated phrase terms and overlapping occurrences included") {
+      val docs = Seq(
+        (0L, "x a b a y"),    // "a b a" once at start 2
+        (1L, "a a a"),        // "a a" twice (starts 1, 2)
+        (2L, "b a x"))        // no "a b", no "a a"
+        .toDF("doc_id", "text")
+      val pp = Retrieval.positionalPostings(docs, "doc_id", "text")
+      val phrases = Seq(
+        (1L, Seq("a", "b", "a")), (2L, Seq("a", "a")),
+        (3L, Seq("x", "zz")))
+        .toDF("query_id", "terms")
+      val got = Retrieval.phraseOccurrences(pp, phrases)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 0L, 1L), (2L, 1L, 2L)))
+    }
+
+    it("proximity bonus promotes the adjacent-terms doc over an " +
+       "equal-BM25 doc whose terms sit apart") {
+      val docs = Seq(
+        (0L, "hash x x x join"),   // min pair distance 4
+        (1L, "hash join x x x"),   // min pair distance 1
+        (2L, "hash only here x x"))
+        .toDF("doc_id", "text")
+      val q = Seq((1L, "hash"), (1L, "join")).toDF("query_id", "term")
+      val posts = Retrieval.postings(docs, "doc_id", "text")
+      val stats = Retrieval.corpusStats(docs, "text")
+      // base BM25 ties docs 0 and 1 (same tf, same dl) → doc 0 wins
+      // the tie on id; the proximity stage must flip them
+      val base = Retrieval.bm25TopK(posts, q, stats, k = 3)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(base.map(_._3).take(2) == List(0L, 1L))
+      assert(base(0)._4 == base(1)._4)
+      val got = Retrieval.proximityRerank(posts,
+          Retrieval.positionalPostings(docs, "doc_id", "text"),
+          q, stats, kCand = 3, k = 3)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got.map(_._3) == List(1L, 0L, 2L), s"got $got")
+      // single-distinct-term doc 2 keeps its plain BM25 score
+      assert(got.find(_._3 == 2L).get._4 ==
+        base.find(_._3 == 2L).get._4)
+    }
+  }
+
   describe("Retrieval.bm25MaxPTopK") {
     /** Chunked passage relation with pid = doc_id·100000 + chunk_id
       * (the d109 encoding). */
