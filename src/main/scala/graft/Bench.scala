@@ -79,7 +79,12 @@ object Bench {
     // (three chained retrieval stages in one plan) and cross-corpus
     // near-dup decontamination (band equi-join vs broadcast bench)
     "d105_maxsim_topk", "d106_maxsim_pruned", "d107_rm3_expansion",
-    "d108_neardup_decontamination")
+    "d108_neardup_decontamination",
+    // passage-level MaxP (chunk explode + passage BM25 + doc max)
+    // and the positional family (phrase intersection, two-stage
+    // proximity re-rank)
+    "d109_maxp_passage_topk", "d110_phrase_search",
+    "d111_proximity_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
