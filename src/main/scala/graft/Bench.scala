@@ -84,7 +84,10 @@ object Bench {
     // and the positional family (phrase intersection, two-stage
     // proximity re-rank)
     "d109_maxp_passage_topk", "d110_phrase_search",
-    "d111_proximity_rerank")
+    "d111_proximity_rerank",
+    // binned range join: shipments into sampled 30-day order windows
+    // with no key equality — the bare BETWEEN would be an NLJ
+    "q88_binned_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1262,6 +1262,44 @@ object Extended {
         |  FROM customer GROUP BY 1)
         |SELECT c_nationkey, measure, value
         |FROM a UNPIVOT (value FOR measure IN (n_cust, sum_bal, min_bal))
-        |ORDER BY c_nationkey, measure""".stripMargin))
+        |ORDER BY c_nationkey, measure""".stripMargin)),
+
+    Q("q88_binned_range_join",
+      "BINNED point-in-interval range join (RangeJoin.pointInInterval " +
+        "— the public binned-range-join shape, hand-expressed because " +
+        "vanilla Spark plans a bare BETWEEN join as a broadcast " +
+        "nested loop over every (point, interval) pair): shipments " +
+        "counted into each sampled order's 30-day window with NO key " +
+        "equality — points bin by floor(day/31), intervals replicate " +
+        "to the ≤ 2 bins they touch, the equi-join runs per bin and " +
+        "the exact BETWEEN re-verifies (lossless by construction, " +
+        "spec-proved vs the theta join). The oracle is the bare " +
+        "theta join — the binning must be invisible in results.",
+      (s, dir) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val pts = t(s, dir, "lineitem").select(
+          datediff(to_date(col("l_shipdate")), epoch)
+            .cast("long").as("sd"))
+        val iv = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), epoch)
+              .cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 30)
+        graft.operators.RangeJoin
+          .pointInInterval(pts, "sd", iv, "lo", "hi", width = 31)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).cast("long").as("n_ship"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH iv AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |p AS (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |        AS sd
+        |      FROM lineitem)
+        |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ship
+        |FROM iv JOIN p ON p.sd BETWEEN iv.lo AND iv.lo + 30
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
   )
 }
