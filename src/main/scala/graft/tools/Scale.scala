@@ -271,7 +271,7 @@ object Scale {
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
-      what != "fuzzy" && what != "maxsim"
+      what != "fuzzy" && what != "maxsim" && what != "rangejoin"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -299,7 +299,7 @@ object Scale {
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
-           "maxsim" =>
+           "maxsim" | "rangejoin" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -739,6 +739,48 @@ object Scale {
         s"maxsim pruning cut too weak: $nPruned of $nExact pairs")
       require(recall >= 0.3,
         s"maxsim pruned recall collapsed: $recall")
+    }
+    // Binned-range-join arm (round 12; q88's scale claim measured):
+    // uniform points vs width-25 intervals, joined binned (width-31
+    // equi-join + BETWEEN verify) and — at 1× only, where it is
+    // feasible — as the bare theta join Spark plans as a broadcast
+    // nested loop. Identical output asserted; the binned plan must
+    // contain no nested loop.
+    if (what == "rangejoin") {
+      import graft.operators.RangeJoin
+      val nP = 200000L * factor
+      val nI = 2000L * factor
+      val pts = spark.range(nP).select(col("id").as("pid"),
+        pmod(xxhash64(col("id")), lit(nP)).as("v")).localCheckpoint()
+      val ivs = spark.range(nI).select(col("id").as("ik"),
+          pmod(xxhash64(col("id"), lit(7)), lit(nP)).as("lo"))
+        .withColumn("hi", col("lo") + 25).localCheckpoint()
+      Thread.sleep(800)
+      metrics.read.set(0L); metrics.readRecords.set(0L)
+      var t0 = System.nanoTime()
+      val binned = RangeJoin.pointInInterval(pts, "v", ivs,
+        "lo", "hi", width = 31)
+      val nB = binned.count()
+      val binnedSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
+      val bMb = metrics.read.getAndSet(0L) / 1e6
+      val plan = binned.queryExecution.executedPlan.toString
+      require(!plan.contains("NestedLoop"),
+        "binned range join degenerated to a nested loop")
+      val (nljSec, nN) =
+        if (factor <= 3) {
+          t0 = System.nanoTime()
+          val n = pts.join(ivs,
+            col("v").between(col("lo"), col("hi"))).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        } else (-1.0, nB)   // theta control infeasible at scale
+      require(nB == nN,
+        s"binned range join lost pairs: $nB vs theta $nN")
+      println(s"""{"query":"rangejoin_binned","n_points":$nP,""" +
+        s""""n_intervals":$nI,"n_pairs":$nB,""" +
+        s""""binned_sec":${fmt(binnedSec)},""" +
+        s""""binned_shuffle_mb":${fmt(bMb)},""" +
+        s""""theta_nlj_sec":${fmt(nljSec)}}""")
     }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
     // the same doc-at-a-time scored relation — (query, doc, score)
