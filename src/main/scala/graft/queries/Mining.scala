@@ -1262,6 +1262,60 @@ object Mining {
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS waste
         |FROM b GROUP BY batch ORDER BY batch""".stripMargin)),
 
+    Q("d112_tokenizer_eval",
+      "Tokenizer quality evaluation — the per-language FERTILITY " +
+        "(learned tokens per whitespace word) and COMPRESSION " +
+        "(characters per learned token) report every multilingual " +
+        "tokenizer ships with: train the BPE table (d80), tokenize " +
+        "every doc with it (d81's type-join apply), aggregate by " +
+        "language. High fertility on a language = the vocab " +
+        "under-serves it (the token-budget fairness metric from the " +
+        "NLLB/XLM-R line of work). One corpus pass for per-doc word/" +
+        "char counts, one type-join tokenize pass, one lang " +
+        "aggregation; ratios are ratios of EXACT long sums, rounded " +
+        "at the very end. Oracle replays train + apply + the report.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeTrain
+          .train(docs, "text", nMerges = 8)
+          .orderBy("step").select("pair")
+          .collect().map(_.getString(0)).toSeq
+        val tok = graft.operators.BpeTrain
+          .tokenCounts(docs, "doc_id", "text", merges)
+        docs.select(col("doc_id"), col("lang"),
+            size(filter(split(col("text"), " "),
+              w => length(w) > 0)).cast("long").as("n_words"),
+            length(regexp_replace(col("text"), " ", ""))
+              .cast("long").as("n_chars"))
+          .join(tok, "doc_id")
+          .groupBy("lang").agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum("n_words").cast("long").as("n_words"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            sum("n_chars").cast("long").as("n_chars"),
+            round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+              .as("fertility"),
+            round(sum("n_chars").cast("double") / sum("n_tokens"), 6)
+              .as("compression"))
+          .orderBy("lang")
+      },
+      Some(s"""${bpeTokenCountsCte(8)},
+        |per AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> len(w) > 0)) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE) /
+        |    CAST(SUM(n_words) AS BIGINT), 6) AS fertility,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) /
+        |    CAST(SUM(n_tokens) AS BIGINT), 6) AS compression
+        |FROM per JOIN tok USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("d108_neardup_decontamination",
       "CROSS-corpus near-dup decontamination (Contamination." +
         "nearDupFlags — the Dolma/FineWeb discipline): training docs " +

@@ -626,6 +626,34 @@ class RetrievalSpec extends AnyFunSpec {
       } finally graft.queries.Rm.rf(tmp)
     }
 
+    it("a crashed staging's orphan version (never flipped to) is " +
+       "GC'd and its number restaged by the next writeIndex — " +
+       "readers never resolve the orphan while CURRENT exists") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-orphan").toString
+      try {
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp, nBuckets = 8)
+        // simulate a crash mid-staging: a half-born v1, never flipped
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$tmp/v1/postings"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/v1/postings/garbage"),
+          "not parquet".getBytes("UTF-8"))
+        assert(Retrieval.root(spark, tmp).endsWith("/v0"),
+          "CURRENT must win over a higher orphan dir")
+        Retrieval.writeIndex(corpus.filter($"doc_id" < 3),
+          "doc_id", "text", tmp, nBuckets = 8)
+        // the orphan was swept and v1 restaged FRESH (its number
+        // reused), the replaced v0 retained for its grace window
+        assert(Retrieval.root(spark, tmp).endsWith("/v1"))
+        assert(!new java.io.File(s"$tmp/v1/postings/garbage").exists,
+          "orphan staging content must not survive into the restage")
+        assert(spark.read
+          .parquet(s"${Retrieval.root(spark, tmp)}/stats")
+          .as[(Long, Long)].head()._1 == 3L)
+      } finally graft.queries.Rm.rf(tmp)
+    }
+
     it("legacy-flat migration: while v1 stages (CURRENT absent) " +
        "readers resolve the INTACT flat layout — never the " +
        "half-written version — and the flat tables are collected by " +
