@@ -169,7 +169,8 @@ object Retrieval {
     *    combined without drift). */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, nBuckets: Int,
-                 tok: Column => Column = TextAnalysis.tokens): Unit = {
+                 tok: Column => Column = TextAnalysis.tokens,
+                 withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -191,6 +192,17 @@ object Retrieval {
     spark.read.parquet(s"$vroot/postings")
       .groupBy("tb", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$vroot/terms")
+    // optional POSITIONS sidecar (`(doc_id, term, pos)`, same tb
+    // partitioning — Lucene's positions stream): phrase/proximity
+    // serving reads only its terms' buckets. Positions always use
+    // whitespace-token indices (positionalPostings' semantics),
+    // independent of a custom `tok` — phrase adjacency is defined on
+    // the raw token stream.
+    if (withPositions)
+      positionalPostings(docs, idCol, textCol)
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$vroot/positions")
     exactStats(docs, textCol, tok)
       .write.mode("overwrite").parquet(s"$vroot/stats")
     flipVersion(fs, dir, next)
@@ -236,6 +248,16 @@ object Retrieval {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
     newPosts.write.mode("append").partitionBy("tb")
       .parquet(s"$rt/postings")
+    // positions sidecar (if this index carries one): an append is a
+    // pure file add, same as postings — positions are per-doc facts,
+    // so existing files never need rewriting
+    if (new org.apache.hadoop.fs.Path(s"$rt/positions")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$rt/positions")))
+      positionalPostings(newDocs, idCol, textCol)
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+        .write.mode("append").partitionBy("tb")
+        .parquet(s"$rt/positions")
     spark.read.parquet(s"$rt/terms")
       .unionByName(
         newPosts.groupBy("tb", "term").agg(count(lit(1)).as("df")))
@@ -356,6 +378,17 @@ object Retrieval {
     prunedRead(spark, dir, "postings", terms, nBuckets)
       .join(broadcast(prunedRead(spark, dir, "terms", terms, nBuckets)),
         "term")
+
+  /** Positions slice for a phrase/proximity serve from an index
+    * written with `withPositions = true`: only the phrase terms'
+    * buckets are read (file-level pruning — the [[prunedRead]]
+    * discipline), and [[phraseOccurrences]] consumes the slice
+    * directly (the positional intersection only ever touches phrase
+    * terms' rows, so the slice loses nothing). */
+  def readPositionsSlice(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, terms: Seq[String],
+                         nBuckets: Int): DataFrame =
+    prunedRead(spark, dir, "positions", terms, nBuckets)
 
   /** One stored table (`postings` or `terms`) filtered to `terms`,
     * with BOTH the static `tb` partition filter (file-level pruning)
@@ -1190,6 +1223,13 @@ object Retrieval {
       .groupBy("tb", "term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$vroot/terms")
+    // positions sidecar compacts with the same survivor anti-join —
+    // a version either carries a complete positions table or none
+    if (fs.exists(p(s"$rt/positions")))
+      spark.read.parquet(s"$rt/positions")
+        .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$vroot/positions")
     val old = spark.read.parquet(s"$rt/stats")
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()

@@ -111,6 +111,33 @@ object Search {
     |  doc_id, score
     |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** The shared phrase fixture (d110 batch, d113 indexed serve):
+    * three phrases that hit 40+ docs each, plus an absent one. */
+  private val PhraseSet: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("table", "hash")), (2L, Seq("merge", "group")),
+    (3L, Seq("customer", "join")), (4L, Seq("zz", "qq")))
+
+  /** The phrase-occurrence oracle — shared VERBATIM by d110 (batch
+    * positional postings) and d113 (persisted positional index):
+    * the indexed serve must equal the batch intersection per-bit. */
+  private val PhraseOracleSql: String = """WITH d AS (
+    |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    |pp AS (SELECT doc_id, unnest(t) AS term,
+    |       unnest(range(1, len(t) + 1)) AS pos FROM d),
+    |qry(query_id, off, term, plen) AS (VALUES
+    |  (1, 0, 'table', 2), (1, 1, 'hash', 2),
+    |  (2, 0, 'merge', 2), (2, 1, 'group', 2),
+    |  (3, 0, 'customer', 2), (3, 1, 'join', 2),
+    |  (4, 0, 'zz', 2), (4, 1, 'qq', 2)),
+    |m AS (SELECT query_id, doc_id, pos - off AS start, plen,
+    |    COUNT(DISTINCT off) AS nm
+    |  FROM pp JOIN qry USING (term)
+    |  GROUP BY query_id, doc_id, start, plen)
+    |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+    |  CAST(COUNT(*) AS BIGINT) AS n_occ
+    |FROM m WHERE nm = plen
+    |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin
+
   /** The persisted text index, memoized per (session, dir) — the
     * annIndexDir/s15 discipline: Bench's warm samples then measure
     * the SERVE path against the stored tables, the production shape.
@@ -1005,33 +1032,44 @@ object Search {
         "absent phrase that must return nothing.",
       (s, dir) => {
         import s.implicits._
-        val phrases = Seq(
-          (1L, Seq("table", "hash")), (2L, Seq("merge", "group")),
-          (3L, Seq("customer", "join")), (4L, Seq("zz", "qq")))
-          .toDF("query_id", "terms")
         Retrieval.phraseOccurrences(
           Retrieval.positionalPostings(
             t(s, dir, "documents"), "doc_id", "text"),
-          phrases)
+          PhraseSet.toDF("query_id", "terms"))
           .orderBy("query_id", "doc_id")
       },
-      Some("""WITH d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |pp AS (SELECT doc_id, unnest(t) AS term,
-      |       unnest(range(1, len(t) + 1)) AS pos FROM d),
-      |qry(query_id, off, term, plen) AS (VALUES
-      |  (1, 0, 'table', 2), (1, 1, 'hash', 2),
-      |  (2, 0, 'merge', 2), (2, 1, 'group', 2),
-      |  (3, 0, 'customer', 2), (3, 1, 'join', 2),
-      |  (4, 0, 'zz', 2), (4, 1, 'qq', 2)),
-      |m AS (SELECT query_id, doc_id, pos - off AS start, plen,
-      |    COUNT(DISTINCT off) AS nm
-      |  FROM pp JOIN qry USING (term)
-      |  GROUP BY query_id, doc_id, start, plen)
-      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_occ
-      |FROM m WHERE nm = plen
-      |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin)),
+      Some(PhraseOracleSql)),
+
+    Q("d113_phrase_indexed",
+      "Phrase search from the PERSISTED positional index — d110 in " +
+        "the d75 production shape: writeIndex(withPositions=true) " +
+        "stores the positions stream (doc_id, term, pos) under the " +
+        "same term-bucket partitioning as the postings, and serving " +
+        "reads ONLY the phrase terms' buckets (file-level partition " +
+        "pruning, the prunedRead discipline) — the corpus is never " +
+        "re-tokenized at query time. phraseOccurrences consumes the " +
+        "slice directly (the positional intersection only touches " +
+        "phrase-term rows, so the slice loses nothing — oracle is " +
+        "d110's VERBATIM). Positions ride the full index lifecycle: " +
+        "appendIndex file-adds them, compactDeletes rewrites " +
+        "survivors (spec-gated).",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d113").toString
+        try {
+          Retrieval.writeIndex(t(s, dir, "documents"),
+            "doc_id", "text", tmp, nBuckets = 16,
+            withPositions = true)
+          val terms = PhraseSet.flatMap(_._2).distinct
+          Retrieval.phraseOccurrences(
+            Retrieval.readPositionsSlice(s, tmp, terms, nBuckets = 16),
+            PhraseSet.toDF("query_id", "terms"))
+            .orderBy("query_id", "doc_id")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(PhraseOracleSql)),
 
     Q("d111_proximity_rerank",
       "Term-proximity RE-RANKING (Retrieval.proximityRerank) — the " +

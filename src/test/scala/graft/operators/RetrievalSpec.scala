@@ -626,6 +626,35 @@ class RetrievalSpec extends AnyFunSpec {
       } finally graft.queries.Rm.rf(tmp)
     }
 
+    it("positions ride the index lifecycle: writeIndex stores them, " +
+       "appendIndex file-adds them, the pruned slice serves the " +
+       "batch-identical phrase result, and compaction drops deleted " +
+       "docs' rows") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-positions").toString
+      try {
+        val phrases = Seq((1L, Seq("joins", "data")))
+          .toDF("query_id", "terms")
+        Retrieval.writeIndex(corpus.filter($"doc_id" < 2),
+          "doc_id", "text", tmp, nBuckets = 8, withPositions = true)
+        Retrieval.appendIndex(corpus.filter($"doc_id" >= 2),
+          "doc_id", "text", tmp, nBuckets = 8)
+        def served = Retrieval.phraseOccurrences(
+            Retrieval.readPositionsSlice(spark, tmp,
+              Seq("joins", "data"), nBuckets = 8), phrases)
+          .as[(Long, Long, Long)].collect().toSet
+        val batch = Retrieval.phraseOccurrences(
+            Retrieval.positionalPostings(corpus, "doc_id", "text"),
+            phrases)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(served == batch && batch == Set((1L, 0L, 1L)))
+        Retrieval.deleteDocs(Seq(0L).toDF("doc_id"), tmp)
+        Retrieval.compactDeletes(spark, tmp, nBuckets = 8)
+        assert(served.isEmpty,
+          "compacted positions must drop the deleted doc's rows")
+      } finally graft.queries.Rm.rf(tmp)
+    }
+
     it("a crashed staging's orphan version (never flipped to) is " +
        "GC'd and its number restaged by the next writeIndex — " +
        "readers never resolve the orphan while CURRENT exists") {
