@@ -602,9 +602,33 @@ object Retrieval {
   def proximityRerank(posts: DataFrame, posPosts: DataFrame,
                       queries: DataFrame, stats: DataFrame,
                       kCand: Int, k: Int, k1: Double = 1.2,
-                      b: Double = 0.75): DataFrame = {
-    val cand = bm25TopK(posts, queries, stats, kCand, k1, b)
-    val qp = posPosts
+                      b: Double = 0.75): DataFrame =
+    proximityRescore(bm25TopK(posts, queries, stats, kCand, k1, b),
+      posPosts, queries, k)
+
+  /** [[proximityRerank]] served from a PERSISTED positional index
+    * (an index written `withPositions = true`): the candidate pass
+    * is the stored-df scorer over the pruned postings slice (d75's
+    * serve shape), the positions come from the pruned positions
+    * slice — the corpus is never re-tokenized. Bit-identical to the
+    * batch path (the stored-df/window-df equality is spec-gated). */
+  def proximityRerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, nBuckets: Int,
+                             queries: DataFrame, terms: Seq[String],
+                             kCand: Int, k: Int): DataFrame = {
+    val cand = bm25TopKIndexed(
+      readIndexSlice(spark, dir, terms, nBuckets), queries,
+      readStats(spark, dir), kCand)
+    proximityRescore(cand,
+      readPositionsSlice(spark, dir, terms, nBuckets), queries, k)
+  }
+
+  /** The rescore half of the proximity serve: `cand` is
+    * `(query_id, doc_id, score)` (any first-pass scorer), `posSlice`
+    * the positions relation covering at least the query terms. */
+  private def proximityRescore(cand: DataFrame, posSlice: DataFrame,
+                               queries: DataFrame, k: Int): DataFrame = {
+    val qp = posSlice
       .join(broadcast(queries.select("query_id", "term").distinct()),
         "term")
       .join(broadcast(cand.select("query_id", "doc_id")),

@@ -138,6 +138,63 @@ object Search {
     |FROM m WHERE nm = plen
     |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin
 
+  /** The proximity-rerank oracle — shared VERBATIM by d111 (batch)
+    * and d114 (persisted positional index serve). */
+  private val ProximityOracleSql: String = s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice AS (SELECT p.* FROM posts p
+      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+      |sc AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+      |       stats),
+      |agg AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |cand AS (SELECT query_id, doc_id, score FROM (
+      |    SELECT query_id, doc_id, score, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg) WHERE rk <= 20),
+      |d2 AS (SELECT doc_id, string_split(text, ' ') AS t
+      |       FROM documents),
+      |pp AS (SELECT doc_id, unnest(t) AS term,
+      |       unnest(range(1, len(t) + 1)) AS pos FROM d2),
+      |qp AS (SELECT q.query_id, p.doc_id, p.term, p.pos
+      |  FROM pp p JOIN qry q USING (term)
+      |  JOIN cand c ON c.query_id = q.query_id
+      |             AND c.doc_id = p.doc_id),
+      |mind AS (SELECT a.query_id, a.doc_id,
+      |    MIN(abs(a.pos - b.pos)) AS mind
+      |  FROM qp a JOIN qp b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      |   AND a.term < b.term
+      |  GROUP BY a.query_id, a.doc_id),
+      |resc AS (SELECT c.query_id, c.doc_id,
+      |    round(c.score + COALESCE(1.0 / (1.0 + mind), 0.0), 6)
+      |      AS score
+      |  FROM cand c LEFT JOIN mind m
+      |    ON m.query_id = c.query_id AND m.doc_id = c.doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM resc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** The persisted text index, memoized per (session, dir) — the
     * annIndexDir/s15 discipline: Bench's warm samples then measure
     * the SERVE path against the stored tables, the production shape.
@@ -159,8 +216,11 @@ object Search {
     Option(textIndexMemo.get(key)).getOrElse {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-d75").toString
+      // positions included: d114's proximity serve shares this build
+      // (read-only, like d75/d101 — the sidecar costs one extra
+      // corpus pass at build time and nothing at BM25 serve time)
       Retrieval.writeIndex(t(s, dir, "documents"),
-        "doc_id", "text", tmp, nBuckets = 16)
+        "doc_id", "text", tmp, nBuckets = 16, withPositions = true)
       Option(textIndexMemo.putIfAbsent(key, tmp)) match {
         case Some(winner) => Rm.rf(tmp); winner
         case None => tmp
@@ -1071,6 +1131,28 @@ object Search {
       },
       Some(PhraseOracleSql)),
 
+    Q("d114_proximity_indexed",
+      "Proximity re-ranking from the PERSISTED positional index — " +
+        "d111 in the d75 production shape, sharing d75/d101's " +
+        "memoized index build (now written withPositions=true): the " +
+        "candidate pass is the stored-df scorer over the pruned " +
+        "postings slice, the positions pass reads only the query " +
+        "terms' buckets of the positions sidecar, and the rescore " +
+        "is the shared proximityRescore tail. The corpus is never " +
+        "re-tokenized at serve time; oracle is d111's VERBATIM (the " +
+        "stored-df/window-df equality is spec-gated, so the indexed " +
+        "two-stage serve must match the batch one per-bit).",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        Retrieval.proximityRerankIndexed(s, idx, nBuckets = 16,
+          QueryTerms.toDF("query_id", "term"),
+          QueryTerms.map(_._2).distinct, kCand = 20, k = 10)
+          .orderBy("query_id", "rk")
+          .localCheckpoint()
+      },
+      Some(ProximityOracleSql)),
+
     Q("d111_proximity_rerank",
       "Term-proximity RE-RANKING (Retrieval.proximityRerank) — the " +
         "classic two-stage serve: BM25 nominates top-20 candidates " +
@@ -1093,60 +1175,7 @@ object Search {
           kCand = 20, k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH posts AS (
-      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
-      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |           unnest(string_split(text, ' ')) AS term
-      |    FROM documents)
-      |  GROUP BY doc_id, term),
-      |qry(query_id, term) AS (VALUES $QuerySql),
-      |stats AS (SELECT COUNT(*) AS n_docs,
-      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
-      |      AS avgdl
-      |  FROM documents),
-      |slice AS (SELECT p.* FROM posts p
-      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
-      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
-      |sc AS (SELECT q.query_id, s.doc_id,
-      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      |      (tf * (1.2 + 1.0)) /
-      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
-      |      AS contrib
-      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
-      |       stats),
-      |agg AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM sc GROUP BY query_id, doc_id),
-      |cand AS (SELECT query_id, doc_id, score FROM (
-      |    SELECT query_id, doc_id, score, row_number() OVER (
-      |        PARTITION BY query_id
-      |        ORDER BY score DESC, doc_id ASC) AS rk
-      |    FROM agg) WHERE rk <= 20),
-      |d2 AS (SELECT doc_id, string_split(text, ' ') AS t
-      |       FROM documents),
-      |pp AS (SELECT doc_id, unnest(t) AS term,
-      |       unnest(range(1, len(t) + 1)) AS pos FROM d2),
-      |qp AS (SELECT q.query_id, p.doc_id, p.term, p.pos
-      |  FROM pp p JOIN qry q USING (term)
-      |  JOIN cand c ON c.query_id = q.query_id
-      |             AND c.doc_id = p.doc_id),
-      |mind AS (SELECT a.query_id, a.doc_id,
-      |    MIN(abs(a.pos - b.pos)) AS mind
-      |  FROM qp a JOIN qp b
-      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
-      |   AND a.term < b.term
-      |  GROUP BY a.query_id, a.doc_id),
-      |resc AS (SELECT c.query_id, c.doc_id,
-      |    round(c.score + COALESCE(1.0 / (1.0 + mind), 0.0), 6)
-      |      AS score
-      |  FROM cand c LEFT JOIN mind m
-      |    ON m.query_id = c.query_id AND m.doc_id = c.doc_id)
-      |SELECT CAST(query_id AS BIGINT) AS query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
-      |  doc_id, score
-      |FROM resc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(ProximityOracleSql)),
 
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
