@@ -87,7 +87,10 @@ object Bench {
     "d111_proximity_rerank",
     // binned range join: shipments into sampled 30-day order windows
     // with no key equality — the bare BETWEEN would be an NLJ
-    "q88_binned_range_join")
+    "q88_binned_range_join",
+    // persisted positional serves (share the memoized index build;
+    // warm samples measure the pruned-slice serve path)
+    "d113_phrase_indexed", "d114_proximity_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
