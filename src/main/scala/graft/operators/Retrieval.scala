@@ -625,14 +625,23 @@ object Retrieval {
 
   /** The rescore half of the proximity serve: `cand` is
     * `(query_id, doc_id, score)` (any first-pass scorer), `posSlice`
-    * the positions relation covering at least the query terms. */
-  private def proximityRescore(cand: DataFrame, posSlice: DataFrame,
+    * the positions relation covering at least the query terms.
+    *
+    * Both intermediates are PINNED (localCheckpoint): `cand` feeds
+    * the semi-join AND the final rescore, `qp` is both sides of the
+    * pair join — left as lineage each would re-derive its whole
+    * first-pass plan (corpus scans included) once per reference,
+    * the d100 multi-scan failure. Both are small by construction
+    * (kCand·|Q| rows; candidate-doc query-term positions). */
+  private def proximityRescore(cand0: DataFrame, posSlice: DataFrame,
                                queries: DataFrame, k: Int): DataFrame = {
+    val cand = cand0.localCheckpoint()
     val qp = posSlice
       .join(broadcast(queries.select("query_id", "term").distinct()),
         "term")
       .join(broadcast(cand.select("query_id", "doc_id")),
         Seq("query_id", "doc_id"), "left_semi")
+      .localCheckpoint()
     val pa = qp.select(col("query_id"), col("doc_id"),
       col("term").as("ta"), col("pos").as("pa"))
     val pb = qp.select(col("query_id"), col("doc_id"),
