@@ -145,6 +145,53 @@ object Mining {
       |  GROUP BY d.doc_id)""".stripMargin
   }
 
+  /** The cross-corpus decontamination CTE chain (corpus/bench split,
+    * d07's integer MinHash signatures for both sides, the (j, sig)
+    * candidate join, the exact Jaccard verify) — through `ver`,
+    * shared VERBATIM by d108 (batch flags) and w36 (streamed ingest
+    * gate: survivors = corp ANTI ver-over-threshold). */
+  private def decontamCtes: String = {
+    def sigCtes(rel: String, idAs: String, pfx: String): String = {
+      val perms = (0 until 4).map { j =>
+        val (a, b) = (graft.operators.Dedup.HashA(j),
+          graft.operators.Dedup.HashB(j))
+        s"SELECT $idAs, $j AS j, list_aggregate(list_transform(" +
+          s"hs, h -> (h * $a + $b) % ${graft.operators.Dedup.HashP}" +
+          s"), 'min') AS m FROM ${pfx}s"
+      }.mkString("\n  UNION ALL ")
+      s"""${pfx}s AS (
+         |  SELECT $idAs,
+         |    list_transform(
+         |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+         |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
+         |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${graft.operators.Dedup.HashP}) AS hs
+         |  FROM $rel),
+         |${pfx}sig AS (
+         |  $perms)""".stripMargin
+    }
+    s"""WITH corp AS (SELECT doc_id, text FROM documents
+    |            WHERE doc_id % 10 <> 0),
+    |bench AS (SELECT doc_id AS bench_id, text FROM documents
+    |          WHERE doc_id % 10 = 0),
+    |${sigCtes("corp", "doc_id", "c")},
+    |${sigCtes("bench", "bench_id", "b")},
+    |cand AS (
+    |  SELECT DISTINCT c.doc_id, b.bench_id
+    |  FROM csig c JOIN bsig b ON c.j = b.j AND c.m = b.m
+    |  WHERE c.m IS NOT NULL),
+    |ctok AS (SELECT doc_id,
+    |    list_distinct(string_split(text, ' ')) AS cs FROM corp),
+    |btok AS (SELECT bench_id,
+    |    list_distinct(string_split(text, ' ')) AS bs FROM bench),
+    |ver AS (
+    |  SELECT doc_id,
+    |    CAST(len(list_intersect(cs, bs)) AS DOUBLE) /
+    |      CAST(len(list_distinct(list_concat(cs, bs))) AS DOUBLE)
+    |      AS jc
+    |  FROM cand JOIN ctok USING (doc_id) JOIN btok USING (bench_id))"""
+      .stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d69_pmi_collocations",
@@ -1339,49 +1386,88 @@ object Mining {
           "bench_id", "text", minJaccard = 0.9)
           .orderBy("doc_id")
       },
-      Some {
-        def sigCtes(rel: String, idAs: String, pfx: String): String = {
-          val perms = (0 until 4).map { j =>
-            val (a, b) = (graft.operators.Dedup.HashA(j),
-              graft.operators.Dedup.HashB(j))
-            s"SELECT $idAs, $j AS j, list_aggregate(list_transform(" +
-              s"hs, h -> (h * $a + $b) % ${graft.operators.Dedup.HashP}" +
-              s"), 'min') AS m FROM ${pfx}s"
-          }.mkString("\n  UNION ALL ")
-          s"""${pfx}s AS (
-             |  SELECT $idAs,
-             |    list_transform(
-             |      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-             |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]),
-             |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${graft.operators.Dedup.HashP}) AS hs
-             |  FROM $rel),
-             |${pfx}sig AS (
-             |  $perms)""".stripMargin
-        }
-        s"""WITH corp AS (SELECT doc_id, text FROM documents
-        |            WHERE doc_id % 10 <> 0),
-        |bench AS (SELECT doc_id AS bench_id, text FROM documents
-        |          WHERE doc_id % 10 = 0),
-        |${sigCtes("corp", "doc_id", "c")},
-        |${sigCtes("bench", "bench_id", "b")},
-        |cand AS (
-        |  SELECT DISTINCT c.doc_id, b.bench_id
-        |  FROM csig c JOIN bsig b ON c.j = b.j AND c.m = b.m
-        |  WHERE c.m IS NOT NULL),
-        |ctok AS (SELECT doc_id,
-        |    list_distinct(string_split(text, ' ')) AS cs FROM corp),
-        |btok AS (SELECT bench_id,
-        |    list_distinct(string_split(text, ' ')) AS bs FROM bench),
-        |ver AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_intersect(cs, bs)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(cs, bs))) AS DOUBLE)
-        |      AS jc
-        |  FROM cand JOIN ctok USING (doc_id) JOIN btok USING (bench_id))
+      Some(s"""$decontamCtes
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
         |  MAX(jc) AS max_jaccard
         |FROM ver WHERE jc >= 0.9
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      })
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("w36_streaming_decontamination_gate",
+      "STREAMED near-dup decontamination ingest gate — d108 at the " +
+        "pipeline's front door: the benchmark is STATIC, so its band " +
+        "signatures AND token sets are cached ONCE before the stream " +
+        "starts (the w35 static-side discipline); training docs " +
+        "arrive in micro-batches (range files), and each batch " +
+        "bands itself, candidate-joins the broadcast cached bench " +
+        "bands, Jaccard-verifies only collisions, and emits the " +
+        "SURVIVORS (anti-join of verified leaks). The gate is " +
+        "stateless per-doc against a static reference → trivially " +
+        "batching-invariant; the oracle replays d108's chain and " +
+        "anti-joins it from the corpus slice.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w36").toString
+        val cached = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        try {
+          val docs = t(s, dir, "documents")
+          val bench = docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("bench_id"), col("text"))
+          val bb = graft.operators.Dedup
+            .minhashBands(bench, "bench_id", "text")
+            .filter(col("sig").isNotNull).cache()
+          val btok = bench.select(col("bench_id"),
+            array_distinct(split(col("text"), " ")).as("bs")).cache()
+          bb.count(); btok.count()       // materialize pre-stream
+          cached += bb; cached += btok
+          docs.filter(col("doc_id") % 10 =!= 0)
+            .select("doc_id", "text")
+            .repartitionByRange(3, col("doc_id"))
+            .write.parquet(s"$tmp/in")
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val b = batch.localCheckpoint()
+                val cand = graft.operators.Dedup
+                  .minhashBands(b, "doc_id", "text")
+                  .filter(col("sig").isNotNull)
+                  .join(broadcast(bb), Seq("j", "sig"))
+                  .select("doc_id", "bench_id").distinct()
+                val leaked = cand
+                  .join(b.select(col("doc_id"),
+                    array_distinct(split(col("text"), " ")).as("cs")),
+                    "doc_id")
+                  .join(broadcast(btok), "bench_id")
+                  .filter(graft.operators.Dedup
+                    .jaccard(col("cs"), col("bs")) >= 0.9)
+                  .select("doc_id").distinct()
+                b.select("doc_id")
+                  .join(leaked, Seq("doc_id"), "left_anti")
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally {
+          cached.foreach(_.unpersist())
+          Rm.rf(tmp)
+        }
+      },
+      Some(s"""$decontamCtes
+        |SELECT doc_id FROM corp
+        |ANTI JOIN (SELECT DISTINCT doc_id FROM ver WHERE jc >= 0.9) v
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 }
