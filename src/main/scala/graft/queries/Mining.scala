@@ -1468,6 +1468,44 @@ object Mining {
         |SELECT doc_id FROM corp
         |ANTI JOIN (SELECT DISTINCT doc_id FROM ver WHERE jc >= 0.9) v
         |  USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("d115_incremental_corpus_stats",
+      "Incrementally-maintained corpus statistics (StatsStore) — " +
+        "materialized-view maintenance for the per-language " +
+        "doc/token/char counters every curation dashboard reads: at " +
+        "100 TB a per-wave recompute is a full corpus scan, but the " +
+        "aggregates form a commutative GROUP, so each ingest wave " +
+        "merges only its own stats and each deletion wave retracts " +
+        "exactly with sign −1. The gate drives the full lifecycle — " +
+        "bootstrap, two add waves, one retraction wave — against the " +
+        "store AS READ FROM DISK each time (staged-rename swaps), " +
+        "and the oracle is a FULL RECOMPUTE over the surviving docs: " +
+        "incremental maintenance must be indistinguishable from " +
+        "recomputation.",
+      (s, dir) => {
+        import graft.operators.StatsStore
+        val docs = t(s, dir, "documents")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d115").toString
+        try {
+          StatsStore.init(docs.filter(col("doc_id") % 3 === 0),
+            "lang", "text", tmp)
+          StatsStore.applyWave(docs.filter(col("doc_id") % 3 === 1),
+            "lang", "text", tmp)
+          StatsStore.applyWave(docs.filter(col("doc_id") % 3 === 2),
+            "lang", "text", tmp)
+          StatsStore.applyWave(docs.filter(col("doc_id") % 5 === 0),
+            "lang", "text", tmp, retract = true)
+          StatsStore.read(s, tmp).orderBy("key").localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT)
+        |    AS n_chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY lang ORDER BY key""".stripMargin))
   )
 }

@@ -323,6 +323,52 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("StatsStore (incremental corpus statistics)") {
+    it("any sequence of add/retract waves equals a full recompute " +
+       "over the survivors, and a fully-retracted key leaves the " +
+       "store") {
+      for (seed <- 1 to 2) {
+        val rnd = new scala.util.Random(seed)
+        val docs = (0L until 90L).map { id =>
+          (id, s"l${rnd.nextInt(4)}",
+            Seq.fill(1 + rnd.nextInt(8))(s"w${rnd.nextInt(20)}")
+              .mkString(" "))
+        }
+        val df = docs.toDF("doc_id", "lang", "text")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-statsstore").toString
+        try {
+          StatsStore.init(df.filter($"doc_id" < 30), "lang", "text", tmp)
+          StatsStore.applyWave(
+            df.filter($"doc_id" >= 30 && $"doc_id" < 60),
+            "lang", "text", tmp)
+          StatsStore.applyWave(df.filter($"doc_id" >= 60),
+            "lang", "text", tmp)
+          StatsStore.applyWave(df.filter($"doc_id" % 4 === 0),
+            "lang", "text", tmp, retract = true)
+          val got = StatsStore.read(spark, tmp)
+            .as[(String, Long, Long, Long)].collect().toSet
+          val survivors = df.filter($"doc_id" % 4 =!= 0)
+          val want = survivors.groupBy($"lang".as("key")).agg(
+              count(lit(1)).cast("long"),
+              sum(size(split($"text", " "))).cast("long"),
+              sum(length(regexp_replace($"text", " ", "")))
+                .cast("long"))
+            .as[(String, Long, Long, Long)].collect().toSet
+          assert(got == want && got.nonEmpty, s"seed $seed diverged")
+          // retract EVERYTHING that remains of one lang → key gone
+          val l0 = survivors.filter($"lang" === "l0")
+          StatsStore.applyWave(l0, "lang", "text", tmp, retract = true)
+          val after = StatsStore.read(spark, tmp)
+            .as[(String, Long, Long, Long)].collect()
+          assert(!after.exists(_._1 == "l0"))
+          assert(after.toSet ==
+            want.filterNot(_._1 == "l0"), s"seed $seed post-retract")
+        } finally graft.queries.Rm.rf(tmp)
+      }
+    }
+  }
+
   describe("Multimodal") {
     it("renders real PNGs and ImageIO-decodes actual dims + pixel sum") {
       val out = Multimodal.decode(
