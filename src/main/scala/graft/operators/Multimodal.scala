@@ -414,3 +414,64 @@ object MultimodalResize {
       }
     }(Encoders.product[Resized])
 }
+
+/** VIDEO near-dup by KEYFRAME-SIGNATURE sets — the video member of
+  * the modality near-dup family (m09 image dHash, m12 audio
+  * fingerprint): a clip is reduced to the SET of its frame
+  * signatures, candidate pairs come from sharing ANY frame hash (a
+  * frame-hash bucket equi-join — never all-pairs; the d07 blocking
+  * shape at frame granularity), and the verify is exact set Jaccard
+  * computed RELATIONALLY (shared count from the bucket join itself,
+  * set sizes from a per-doc count — no array materialization). This
+  * is the classic keyframe-bag video copy-detection scheme: edits
+  * that drop/insert/reorder frames keep most signatures, so clipped
+  * or re-cut copies stay above the Jaccard bar while unrelated clips
+  * share nothing.
+  *
+  * The "video" payload here is the repo's deterministic byte
+  * stand-in (fixed-stride windows of the text bytes as frames — the
+  * container has no video codec; the image path m01/m09 carries the
+  * real-codec discipline), so the Spark-side plumbing — frame
+  * slicing, signature hashing, bucket-join blocking, relational
+  * Jaccard — is real and oracle-gated while the decode is a
+  * stand-in. */
+object VideoSig {
+  import org.apache.spark.sql.functions._
+
+  /** Distinct (doc_id, frame-hash) rows: up to `maxFrames` full
+    * `frameLen`-char windows, each hashed with the engine-portable
+    * [[Dedup.hash60]]. */
+  def frameHashes(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, frameLen: Int = 32,
+                  maxFrames: Int = 8): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(transform(
+          sequence(lit(0),
+            least(floor(length(col(textCol)) / frameLen),
+              lit(maxFrames)).cast("int") - 1),
+          i => Dedup.hash60(
+            col(textCol).substr(i * frameLen + 1, lit(frameLen)))))
+          .as("fh"))
+      .distinct()
+
+  /** Near-dup clip pairs with exact keyframe-set Jaccard >=
+    * `minJaccard`: output `(doc_a, doc_b, n_shared, jaccard)`. */
+  def nearDupPairs(frames: org.apache.spark.sql.DataFrame,
+                   minJaccard: Double): org.apache.spark.sql.DataFrame = {
+    val sz = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val a = frames.select(col("doc_id").as("doc_a"), col("fh"))
+    val b = frames.select(col("doc_id").as("doc_b"), col("fh"))
+    a.join(b, Seq("fh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

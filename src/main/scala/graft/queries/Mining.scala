@@ -1506,6 +1506,61 @@ object Mining {
         |  CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT)
         |    AS n_chars
         |FROM documents WHERE doc_id % 5 <> 0
-        |GROUP BY lang ORDER BY key""".stripMargin))
+        |GROUP BY lang ORDER BY key""".stripMargin)),
+
+    Q("m14_video_keyframe_neardup",
+      "VIDEO near-dup by keyframe-signature sets (Multimodal." +
+        "VideoSig) — the video member of the modality near-dup " +
+        "family (m09 image dHash, m12 audio fingerprint): clips " +
+        "reduce to the SET of their frame hashes (8 full 32-char " +
+        "windows, hash60 each), candidates share ANY frame hash (a " +
+        "frame-hash bucket equi-join, never all-pairs), and the " +
+        "verify is exact set Jaccard computed relationally — shared " +
+        "count from the bucket join, sizes from a per-doc count, no " +
+        "arrays. The planted 'clipped re-upload' (same clip minus " +
+        "its last frame) shares 7 of 8 keyframes → Jaccard 7/8 = " +
+        "0.875, above the 0.6 bar; unrelated clips share nothing. " +
+        "Frames are the repo's deterministic byte stand-in (no video " +
+        "codec in the container — the plumbing is real, the decode " +
+        "is a stand-in, m12's discipline).",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") < 150 && length(col("text")) >= 256)
+        val clipped = base.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          substring(col("text"), 1, 224).as("text"))
+        val frames = graft.operators.VideoSig.frameHashes(
+          base.select("doc_id", "text").unionByName(clipped),
+          "doc_id", "text", frameLen = 32, maxFrames = 8)
+        graft.operators.VideoSig.nearDupPairs(frames, minJaccard = 0.6)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150 AND length(text) >= 256),
+        |alld AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, 224) FROM base),
+        |fr0 AS (SELECT doc_id, text,
+        |    unnest(range(0, least(length(text) // 32, 8))) AS i
+        |  FROM alld),
+        |fr AS (SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(substr(text,
+        |      CAST(i * 32 + 1 AS INT), 32)), 1, 15))::BIGINT AS fh
+        |  FROM fr0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM fr GROUP BY doc_id),
+        |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS ns
+        |  FROM fr a JOIN fr b
+        |    ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT doc_a, doc_b, ns,
+        |    round(CAST(ns AS DOUBLE) / (x.n + y.n - ns), 6) AS jac
+        |  FROM sh JOIN sz x ON x.doc_id = doc_a
+        |          JOIN sz y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared,
+        |  jac AS jaccard
+        |FROM p WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

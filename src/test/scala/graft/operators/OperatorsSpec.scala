@@ -323,6 +323,25 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("VideoSig (keyframe-set near-dup)") {
+    it("finds the clipped copy (7 shared keyframes, Jaccard 7/8) " +
+       "and ignores unrelated clips") {
+      val full = (0 until 8).map(i => ("%02d".format(i)) * 16)
+        .mkString                                  // 8 distinct frames
+      val clipped = full.substring(0, 224)         // drops frame 8
+      val other = (0 until 8).map(i => ("%02d".format(50 + i)) * 16)
+        .mkString
+      val docs = Seq((0L, full), (1L, clipped), (2L, other))
+        .toDF("doc_id", "text")
+      val pairs = VideoSig.nearDupPairs(
+          VideoSig.frameHashes(docs, "doc_id", "text", 32, 8),
+          minJaccard = 0.6)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(pairs.map(p => (p._1, p._2, p._3)) == List((0L, 1L, 7L)))
+      assert(math.abs(pairs.head._4 - 7.0 / 8.0) < 1e-6)
+    }
+  }
+
   describe("StatsStore (incremental corpus statistics)") {
     it("any sequence of add/retract waves equals a full recompute " +
        "over the survivors, and a fully-retracted key leaves the " +
