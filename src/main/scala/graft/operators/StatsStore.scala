@@ -48,11 +48,17 @@ object StatsStore {
       .write.mode("overwrite").parquet(s"$dir/store")
 
   /** Merge one wave in: `retract = false` adds the wave's stats,
-    * `retract = true` subtracts them (the docs must have been added
-    * before). Fully-retracted keys (n_docs = 0) leave the store —
-    * identical to a recompute over survivors. The store is read from
-    * DISK and the merged table swaps in by staged rename, so the
-    * wave's own lineage never dangles into the store it replaces. */
+    * `retract = true` subtracts them (over the whole wave SEQUENCE
+    * the retractions must cover docs that were added — but order is
+    * free: the group is commutative, so a retraction may arrive
+    * before its adds and the intermediates simply hold negative
+    * counters until they cancel). Only the true identity element
+    * (ALL counters zero — a fully-retracted key) leaves the store;
+    * dropping on `n_docs = 0` alone would corrupt an out-of-order
+    * intermediate where doc counts cancel while token counts have
+    * not. The store is read from DISK and the merged table swaps in
+    * by staged rename, so the wave's own lineage never dangles into
+    * the store it replaces. */
   def applyWave(docs: DataFrame, keyCol: String, textCol: String,
                 dir: String, retract: Boolean = false): Unit = {
     val spark = docs.sparkSession
@@ -63,7 +69,8 @@ object StatsStore {
         sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
         sum("n_chars").cast("long").as("n_chars"))
-      .filter(col("n_docs") =!= 0)
+      .filter(col("n_docs") =!= 0 || col("n_tokens") =!= 0 ||
+        col("n_chars") =!= 0)
       .write.mode("overwrite").parquet(s"$dir/store_new")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

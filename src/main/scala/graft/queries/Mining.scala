@@ -1508,6 +1508,63 @@ object Mining {
         |FROM documents WHERE doc_id % 5 <> 0
         |GROUP BY lang ORDER BY key""".stripMargin)),
 
+    Q("w37_streaming_incremental_stats",
+      "STREAMED incremental corpus statistics — d115's store driven " +
+        "by a live ingest: add waves and a retraction wave arrive as " +
+        "separate range files (one micro-batch each, op = ±1), and " +
+        "every batch folds into the on-disk StatsStore with the " +
+        "matching sign — adds merge, retractions subtract — via the " +
+        "same staged-rename swap. The counters form a commutative " +
+        "group, so the final store is batching-invariant by algebra " +
+        "(any split of the waves commutes); the oracle is d115's " +
+        "full recompute over the surviving docs, VERBATIM.",
+      (s, dir) => {
+        import graft.operators.StatsStore
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w37").toString
+        try {
+          val docs = t(s, dir, "documents")
+            .select("doc_id", "lang", "text")
+          // three add waves + one retraction wave, one file each
+          (0 to 2).foreach(w =>
+            docs.filter(col("doc_id") % 3 === w)
+              .withColumn("op", lit(1))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+          docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("op", lit(-1))
+            .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+          StatsStore.init(docs.limit(0), "lang", "text", tmp)
+          val stream = s.readStream
+            .schema("doc_id LONG, lang STRING, text STRING, op INT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             _: Long) =>
+              val b = batch.localCheckpoint()
+              val adds = b.filter(col("op") === 1)
+              val dels = b.filter(col("op") === -1)
+              if (!adds.isEmpty)
+                StatsStore.applyWave(adds, "lang", "text", tmp)
+              if (!dels.isEmpty)
+                StatsStore.applyWave(dels, "lang", "text", tmp,
+                  retract = true)
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          StatsStore.read(s, tmp).orderBy("key").localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT)
+        |    AS n_chars
+        |FROM documents WHERE doc_id % 5 <> 0
+        |GROUP BY lang ORDER BY key""".stripMargin)),
+
     Q("m14_video_keyframe_neardup",
       "VIDEO near-dup by keyframe-signature sets (Multimodal." +
         "VideoSig) — the video member of the modality near-dup " +

@@ -375,6 +375,25 @@ class OperatorsSpec extends AnyFunSpec {
                 .cast("long"))
             .as[(String, Long, Long, Long)].collect().toSet
           assert(got == want && got.nonEmpty, s"seed $seed diverged")
+          // out-of-order: the SAME retraction applied before most of
+          // its adds must land on the same final state (commutative
+          // group — intermediates may hold negative counters)
+          val tmp2 = java.nio.file.Files
+            .createTempDirectory("graft-statsstore2").toString
+          try {
+            StatsStore.init(df.filter($"doc_id" < 30), "lang", "text",
+              tmp2)
+            StatsStore.applyWave(df.filter($"doc_id" % 4 === 0),
+              "lang", "text", tmp2, retract = true)
+            StatsStore.applyWave(
+              df.filter($"doc_id" >= 30 && $"doc_id" < 60),
+              "lang", "text", tmp2)
+            StatsStore.applyWave(df.filter($"doc_id" >= 60),
+              "lang", "text", tmp2)
+            val ooo = StatsStore.read(spark, tmp2)
+              .as[(String, Long, Long, Long)].collect().toSet
+            assert(ooo == want, s"seed $seed out-of-order diverged")
+          } finally graft.queries.Rm.rf(tmp2)
           // retract EVERYTHING that remains of one lang → key gone
           val l0 = survivors.filter($"lang" === "l0")
           StatsStore.applyWave(l0, "lang", "text", tmp, retract = true)
