@@ -30,21 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object StatsStore {
 
-  /** Per-key wave stats with the given sign: `(key, n_docs,
-    * n_tokens, n_chars)` — whitespace tokens, non-space chars. */
-  private def statsOf(docs: DataFrame, keyCol: String,
-                      textCol: String, sign: Int): DataFrame =
+  /** Per-key wave stats with a PER-ROW sign column (+1 add / −1
+    * retract): `(key, n_docs, n_tokens, n_chars)` — whitespace
+    * tokens, non-space chars. */
+  private def statsOfSigned(docs: DataFrame, keyCol: String,
+                            textCol: String,
+                            signCol: org.apache.spark.sql.Column)
+      : DataFrame =
     docs.groupBy(col(keyCol).as("key")).agg(
-      (count(lit(1)) * sign).cast("long").as("n_docs"),
-      (sum(size(filter(split(col(textCol), " "),
-        w => length(w) > 0))) * sign).cast("long").as("n_tokens"),
-      (sum(length(regexp_replace(col(textCol), " ", ""))) * sign)
+      sum(signCol).cast("long").as("n_docs"),
+      sum(signCol * size(filter(split(col(textCol), " "),
+        w => length(w) > 0))).cast("long").as("n_tokens"),
+      sum(signCol * length(regexp_replace(col(textCol), " ", "")))
         .cast("long").as("n_chars"))
 
   /** Bootstrap the store from the first wave. */
   def init(docs: DataFrame, keyCol: String, textCol: String,
            dir: String): Unit =
-    statsOf(docs, keyCol, textCol, 1)
+    statsOfSigned(docs, keyCol, textCol, lit(1))
       .write.mode("overwrite").parquet(s"$dir/store")
 
   /** Merge one wave in: `retract = false` adds the wave's stats,
@@ -60,11 +63,38 @@ object StatsStore {
     * by staged rename, so the wave's own lineage never dangles into
     * the store it replaces. */
   def applyWave(docs: DataFrame, keyCol: String, textCol: String,
-                dir: String, retract: Boolean = false): Unit = {
+                dir: String, retract: Boolean = false): Unit =
+    applyDelta(
+      docs.withColumn("_sign", lit(if (retract) -1 else 1)),
+      keyCol, textCol, "_sign", dir, None)
+
+  /** ONE signed fold per batch with an optional EXACTLY-ONCE commit
+    * tag — the streamed (w37) form. A micro-batch may mix adds and
+    * retractions (`signCol` = ±1 per row); folding it as a SINGLE
+    * merge means a single swap per batch, which is what makes the
+    * tag sound: the marker is an `_`-prefixed file WRITTEN INSIDE
+    * the staged store before the swap (parquet readers skip
+    * underscore files), so the one rename commits data and marker
+    * atomically — a replayed batch either sees its marker in the
+    * live store (fully applied — skip) or the store without it (the
+    * crash hit before the commit rename — re-merge is correct).
+    * There is no window where the merge is committed but the marker
+    * is not, and no second swap that could erase a same-batch
+    * marker. Only the latest tag is retained (each swap replaces
+    * the store dir) — exactly what an ordered batch stream needs:
+    * Structured Streaming replays at most the last uncommitted
+    * batch. */
+  def applyDelta(docs: DataFrame, keyCol: String, textCol: String,
+                 signCol: String, dir: String,
+                 tag: Option[String]): Unit = {
     val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (tag.exists(t => fs.exists(p(s"$dir/store/_applied_$t"))))
+      return    // replayed batch, already committed — exactly-once
     spark.read.parquet(s"$dir/store")
-      .unionByName(statsOf(docs, keyCol, textCol,
-        if (retract) -1 else 1))
+      .unionByName(statsOfSigned(docs, keyCol, textCol, col(signCol)))
       .groupBy("key").agg(
         sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
@@ -72,9 +102,8 @@ object StatsStore {
       .filter(col("n_docs") =!= 0 || col("n_tokens") =!= 0 ||
         col("n_chars") =!= 0)
       .write.mode("overwrite").parquet(s"$dir/store_new")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    tag.foreach(t => fs.create(p(s"$dir/store_new/_applied_$t"), true)
+      .close())
     fs.delete(p(s"$dir/store_retired"), true)
     require(fs.rename(p(s"$dir/store"), p(s"$dir/store_retired")),
       "StatsStore.applyWave: rename-out of the store failed")

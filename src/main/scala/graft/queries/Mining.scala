@@ -1540,15 +1540,15 @@ object Mining {
             .parquet(s"$tmp/in")
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-                             _: Long) =>
-              val b = batch.localCheckpoint()
-              val adds = b.filter(col("op") === 1)
-              val dels = b.filter(col("op") === -1)
-              if (!adds.isEmpty)
-                StatsStore.applyWave(adds, "lang", "text", tmp)
-              if (!dels.isEmpty)
-                StatsStore.applyWave(dels, "lang", "text", tmp,
-                  retract = true)
+                             batchId: Long) =>
+              // ONE signed fold per batch (op = ±1 per row) under an
+              // exactly-once commit tag: the marker rides inside the
+              // staged store, so the single swap commits data+marker
+              // atomically and a replayed batch is a no-op
+              // (spec-gated)
+              if (!batch.isEmpty)
+                StatsStore.applyDelta(batch.localCheckpoint(),
+                  "lang", "text", "op", tmp, Some(s"b$batchId"))
             }
             .option("checkpointLocation", s"$tmp/ckpt")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

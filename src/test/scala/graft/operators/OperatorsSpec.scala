@@ -394,6 +394,23 @@ class OperatorsSpec extends AnyFunSpec {
               .as[(String, Long, Long, Long)].collect().toSet
             assert(ooo == want, s"seed $seed out-of-order diverged")
           } finally graft.queries.Rm.rf(tmp2)
+          // a TAGGED delta replayed (failure → micro-batch rerun) is
+          // a no-op: the marker commits atomically with the swap
+          val delta = df.filter($"doc_id" < 5)
+            .withColumn("op", lit(1))
+          StatsStore.applyDelta(delta, "lang", "text", "op", tmp,
+            Some("replay_probe"))
+          val once = StatsStore.read(spark, tmp)
+            .as[(String, Long, Long, Long)].collect().toSet
+          StatsStore.applyDelta(delta, "lang", "text", "op", tmp,
+            Some("replay_probe"))
+          assert(StatsStore.read(spark, tmp)
+            .as[(String, Long, Long, Long)].collect().toSet == once,
+            s"seed $seed: tagged replay double-applied")
+          // undo the probe delta so the lang-retraction check below
+          // still sees exactly the survivors
+          StatsStore.applyWave(df.filter($"doc_id" < 5),
+            "lang", "text", tmp, retract = true)
           // retract EVERYTHING that remains of one lang → key gone
           val l0 = survivors.filter($"lang" === "l0")
           StatsStore.applyWave(l0, "lang", "text", tmp, retract = true)
