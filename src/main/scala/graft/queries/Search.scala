@@ -1115,19 +1115,16 @@ object Search {
         "survivors (spec-gated).",
       (s, dir) => {
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-d113").toString
-        try {
-          Retrieval.writeIndex(t(s, dir, "documents"),
-            "doc_id", "text", tmp, nBuckets = 16,
-            withPositions = true)
-          val terms = PhraseSet.flatMap(_._2).distinct
-          Retrieval.phraseOccurrences(
-            Retrieval.readPositionsSlice(s, tmp, terms, nBuckets = 16),
-            PhraseSet.toDF("query_id", "terms"))
-            .orderBy("query_id", "doc_id")
-            .localCheckpoint()
-        } finally Rm.rf(tmp)
+        // shares the memoized positional index (d75/d101/d114's
+        // build): the gated claim is the pruned SERVE; the positions
+        // lifecycle (append/compact) is spec-covered
+        val idx = textIndexDir(s, dir)
+        val terms = PhraseSet.flatMap(_._2).distinct
+        Retrieval.phraseOccurrences(
+          Retrieval.readPositionsSlice(s, idx, terms, nBuckets = 16),
+          PhraseSet.toDF("query_id", "terms"))
+          .orderBy("query_id", "doc_id")
+          .localCheckpoint()
       },
       Some(PhraseOracleSql)),
 

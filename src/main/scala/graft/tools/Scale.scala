@@ -271,7 +271,8 @@ object Scale {
       what != "skew" && what != "whale" && what != "maxscore" &&
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
-      what != "fuzzy" && what != "maxsim" && what != "rangejoin"
+      what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
+      what != "stats"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -299,7 +300,7 @@ object Scale {
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
-           "maxsim" | "rangejoin" =>
+           "maxsim" | "rangejoin" | "stats" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -739,6 +740,55 @@ object Scale {
         s"maxsim pruning cut too weak: $nPruned of $nExact pairs")
       require(recall >= 0.3,
         s"maxsim pruned recall collapsed: $recall")
+    }
+    // StatsStore IVM arm (round 12; d115's 100 TB claim measured):
+    // maintaining per-key counters for a corpus of N docs via a 1%%
+    // ingest wave must cost ~wave + store, while the recompute
+    // alternative scans all N — the gap should widen linearly with
+    // corpus size while the incremental wall stays flat.
+    if (what == "stats") {
+      import graft.operators.StatsStore
+      val n = 200000L * factor
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-statsprobe").toString
+      try {
+        // the corpus lives ON DISK (parquet), like a real lakehouse
+        // table — the recompute alternative must pay the scan the
+        // incremental path exists to avoid
+        spark.range(n).select(col("id").as("doc_id"),
+            concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+            concat_ws(" ", (0 until 20).map(j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(j)),
+                lit(5000)))): _*).as("text"))
+          .write.parquet(s"$tmp/corpus")
+        val corpus = spark.read.parquet(s"$tmp/corpus")
+        StatsStore.init(corpus.filter(col("doc_id") < n - n / 100),
+          "lang", "text", tmp)
+        val wave = corpus.filter(col("doc_id") >= n - n / 100)
+          .localCheckpoint()
+        Thread.sleep(400)
+        var t0 = System.nanoTime()
+        StatsStore.applyWave(wave, "lang", "text", tmp)
+        val incSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val full = corpus.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).as("n_tokens"))
+          .collect()
+        val fullSec = (System.nanoTime() - t0) / 1e9
+        // the maintained store equals the recompute (doc/token counts)
+        val got = StatsStore.read(spark, tmp)
+          .select("key", "n_docs", "n_tokens")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2))).toSet
+        val want = full.map(r => (s"${r.getString(0)}",
+          r.getLong(1), r.getLong(2))).toSet
+        require(got == want, s"IVM diverged from recompute")
+        println(s"""{"query":"stats_ivm","n_docs":$n,""" +
+          s""""wave_docs":${n / 100},""" +
+          s""""incremental_sec":${fmt(incSec)},""" +
+          s""""recompute_sec":${fmt(fullSec)}}""")
+      } finally graft.queries.Rm.rf(tmp)
     }
     // Binned-range-join arm (round 12; q88's scale claim measured):
     // uniform points vs width-25 intervals, joined binned (width-31
