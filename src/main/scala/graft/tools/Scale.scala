@@ -690,6 +690,9 @@ object Scale {
     // ~11% before skew) and recall must clear a loose sanity floor.
     if (what == "maxsim") {
       import graft.operators.LateInteraction
+      // SPARK_GRAFT_MAXSIM_BITS sweeps the recall/cost knob: fewer
+      // sign bits → more collisions → higher recall, weaker cut
+      val bits = sys.env.getOrElse("SPARK_GRAFT_MAXSIM_BITS", "6").toInt
       val n = 20000L * factor
       val docs = zipfDocs(spark, n).localCheckpoint()
       import spark.implicits._
@@ -700,7 +703,8 @@ object Scale {
       val nExact = LateInteraction
         .exactPairs(docs, "doc_id", "text", qArr, dim = 8).count()
       val nPruned = LateInteraction
-        .prunedPairs(docs, "doc_id", "text", qArr, dim = 8, bits = 6)
+        .prunedPairs(docs, "doc_id", "text", qArr, dim = 8,
+          bits = bits)
         .count()
       Thread.sleep(800)
       metrics.read.set(0L); metrics.readRecords.set(0L)
@@ -714,7 +718,7 @@ object Scale {
       val exRec = metrics.readRecords.getAndSet(0L)
       t0 = System.nanoTime()
       val pruned = LateInteraction.maxSimTopKPruned(docs, "doc_id",
-        "text", qArr, dim = 8, k = 10, bits = 6).localCheckpoint()
+        "text", qArr, dim = 8, k = 10, bits = bits).localCheckpoint()
       val nPr = pruned.count()
       val prunedSec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(800)
@@ -725,7 +729,7 @@ object Scale {
           Seq("query_id", "doc_id"))
         .count()
       val recall = overlap.toDouble / nEx
-      println(s"""{"query":"maxsim_pruned","n_docs":$n,""" +
+      println(s"""{"query":"maxsim_pruned","bits":$bits,"n_docs":$n,""" +
         s""""n_exact_pairs":$nExact,"n_pruned_pairs":$nPruned,""" +
         s""""pair_cut":${fmt(nPruned.toDouble / nExact)},""" +
         s""""exact_sec":${fmt(exactSec)},""" +
