@@ -1300,6 +1300,31 @@ object Extended {
         |      FROM lineitem)
         |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ship
         |FROM iv JOIN p ON p.sd BETWEEN iv.lo AND iv.lo + 30
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q89_exact_percentiles",
+      "EXACT per-group percentiles (p25/median/p90) via Spark's " +
+        "sort-based `percentile` — the exact complement to the q26 " +
+        "rank-selection and approx_percentile paths: both engines " +
+        "use the classic (n−1)·p linear interpolation on the sorted " +
+        "group, so the values hash-match bit-for-bit at 6 decimals " +
+        "(probed before gating). Exact percentiles buffer the group — " +
+        "fine for bounded group counts like this 3-flag split; an " +
+        "unbounded-cardinality profile belongs on the approx/sketch " +
+        "path (q25's discipline).",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag").agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
   )
 }
