@@ -295,6 +295,7 @@ object ScaleStreaming {
     if (want("restart_interval")) restartIntervalProbe(spark, rate)
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
     if (want("store_gate")) storeGateProbe(spark, rate, secs)
+    if (want("decontam_gate")) decontamGateProbe(spark, rate, secs)
     if (want("bm25_serve")) bm25ServeProbe(spark, rate, secs)
     if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
     if (want("bm25_wand_ex"))
@@ -436,6 +437,79 @@ object ScaleStreaming {
     * and the cross-batch gate genuinely rejects (a group size that
     * divides the batch size never straddles, and intra-batch dups are
     * by design not rejected — d62/w28 semantics). */
+  /** w36's shape at rate: a STATIC benchmark's band signatures are
+    * cached once (50k bench docs → 200k band rows — the "eval suite
+    * ≪ corpus" broadcast regime the query documents), and arriving
+    * docs are gated per batch by one broadcast join against it. 10%
+    * of arrivals are planted leaks (their band construction maps
+    * into the bench id space), so the rejected fraction certifies
+    * the gate actually fires while the sustained docs/sec and the
+    * per-batch gate latency measure its cost. Unlike store_gate the
+    * reference NEVER grows — the per-batch cost must be flat in
+    * stream length. */
+  private def decontamGateProbe(spark: SparkSession, rate: Int,
+                                secs: Int): Unit = {
+    import spark.implicits._
+    val benchDocs = 50000L
+    val bb = spark.range(benchDocs).select(
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            pmod(xxhash64(col("id"), lit(j)), lit(1L << 40))
+              .as("sig"))): _*)).as("b"))
+      .select(col("b.j").as("j"), col("b.sig").as("sig"))
+      .cache()
+    bb.count()
+    val gateMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val rejected = new java.util.concurrent.atomic.AtomicLong(0L)
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate)
+      .option("numPartitions", 8).load()
+    val q = src.select(col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt("decontamgate"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        // planted leaks: every 10th doc's bands derive from a bench
+        // id; the rest hash into a disjoint id space
+        val srcId = when(col("value") % 10 === 0,
+          pmod((col("value") / 10).cast("long"), lit(benchDocs)))
+          .otherwise(col("value") + 2000000000L)
+        val bands = b.select(col("value").as("doc_id"),
+            explode(array((0 until 4).map(j =>
+              struct(lit(j).as("j"),
+                pmod(xxhash64(srcId, lit(j)), lit(1L << 40))
+                  .as("sig"))): _*)).as("x"))
+          .select(col("doc_id"), col("x.j").as("j"),
+            col("x.sig").as("sig"))
+        val t0 = System.nanoTime()
+        val leaked = bands.join(broadcast(bb), Seq("j", "sig"))
+          .select("doc_id").distinct().count()
+        gateMs.add((System.nanoTime() - t0) / 1000000); ()
+        rejected.addAndGet(leaked)
+        processed.addAndGet(b.count())
+        ()
+      }
+      .start()
+    val samples = drive(q, secs)
+    import scala.jdk.CollectionConverters._
+    val gm = gateMs.asScala.toSeq.sorted
+    val rps = samples.map(_.procRps)
+    val rejFrac =
+      if (processed.get() == 0) -1.0
+      else rejected.get().toDouble / processed.get()
+    println(s"""{"probe":"decontam_gate","rate_rps":$rate,""" +
+      s""""bench_docs":$benchDocs,"batches":${samples.size},""" +
+      s""""avg_processed_rps":${fmt(if (rps.isEmpty) -1 else rps.sum / rps.size)},""" +
+      s""""rows_processed":${processed.get()},""" +
+      s""""rows_rejected":${rejected.get()},""" +
+      s""""rejected_frac":${fmt(rejFrac)},""" +
+      s""""p50_gate_ms":${if (gm.isEmpty) -1 else gm(gm.size / 2)},""" +
+      s""""max_gate_ms":${if (gm.isEmpty) -1 else gm.last}}""")
+    require(rejFrac < 0 || (rejFrac > 0.05 && rejFrac < 0.2),
+      s"decontam gate misfired: rejected fraction $rejFrac")
+  }
+
   private def storeGateProbe(spark: SparkSession, rate: Int,
                              secs: Int): Unit = {
     import spark.implicits._
