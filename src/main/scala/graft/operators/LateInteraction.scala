@@ -176,4 +176,24 @@ object LateInteraction {
                        queries: DataFrame, dim: Int, k: Int,
                        bits: Int = 6): DataFrame =
     gather(prunedPairs(docs, idCol, textCol, queries, dim, bits), k)
+
+  /** MaxSim over ARBITRARY multi-vector relations — the form a real
+    * per-token (or per-chunk) embedding table feeds, decoupled from
+    * [[tokenVec]]'s hash features: `docVecs` is
+    * `(doc_id, dv ARRAY<DOUBLE>)` (one row per document vector),
+    * `queryVecs` is `(query_id, qidx, qv ARRAY<DOUBLE>)` (qidx
+    * distinguishes the query's vectors — the "token column" slot).
+    * Same plan as the text path: broadcast query vectors under a
+    * nested-loop join, inner max as one hash agg with map-side
+    * partials, Σ-of-maxima, bounded top-k window. */
+  def maxSimTopKVectors(docVecs: DataFrame, queryVecs: DataFrame,
+                        k: Int): DataFrame =
+    gather(
+      docVecs.select(col("doc_id"), col("dv"))
+        .crossJoin(broadcast(queryVecs
+          .select(col("query_id"), col("qidx").as("qterm"),
+            col("qv"))))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
 }

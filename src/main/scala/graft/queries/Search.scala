@@ -1174,6 +1174,62 @@ object Search {
       },
       Some(ProximityOracleSql)),
 
+    Q("d116_maxsim_chunked_embeddings",
+      "MaxSim over REAL embeddings (LateInteraction." +
+        "maxSimTopKVectors) — the multi-vector scorer decoupled from " +
+        "the hash token features: each 64-dim embedding splits into " +
+        "8 contiguous 8-dim sub-vectors (the multi-vector form a " +
+        "per-chunk encoder would emit), queries are docs 1–3's " +
+        "chunk sets, and the score is Σ per query chunk of MAX over " +
+        "doc chunks of the dot product. Same plan as the text path: " +
+        "broadcast query vectors, inner max as ONE hash agg with " +
+        "map-side partials (shuffled rows ≤ |docs| × 8), decimal " +
+        "Σ-of-maxima, bounded top-10 window. Self-match ranks first " +
+        "by construction (a vector's chunks match themselves " +
+        "perfectly) — kept in both engines as the sanity row.",
+      (s, dir) => {
+        import s.implicits._
+        def chunked(e: org.apache.spark.sql.DataFrame) = e.select(
+            col("vec_id"),
+            posexplode(transform(sequence(lit(0), lit(7)), c =>
+              transform(slice(col("embedding"), c * 8 + 1, lit(8)),
+                x => x.cast("double")))).as(Seq("cidx", "cv")))
+        val emb = t(s, dir, "embeddings")
+        val docVecs = chunked(emb)
+          .select(col("vec_id").as("doc_id"), col("cv").as("dv"))
+        val qVecs = chunked(emb.filter(col("vec_id").isin(1L, 2L, 3L)))
+          .select(col("vec_id").as("query_id"),
+            col("cidx").as("qidx"), col("cv").as("qv"))
+        graft.operators.LateInteraction
+          .maxSimTopKVectors(docVecs, qVecs, k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH emb AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ch AS (SELECT vec_id, unnest(range(0, 8)) AS c, v FROM emb),
+      |dv AS (SELECT vec_id AS doc_id,
+      |    v[CAST(c * 8 + 1 AS INT) : CAST(c * 8 + 8 AS INT)] AS dv
+      |  FROM ch),
+      |qv AS (SELECT vec_id AS query_id, c AS qidx,
+      |    v[CAST(c * 8 + 1 AS INT) : CAST(c * 8 + 8 AS INT)] AS qv
+      |  FROM ch WHERE vec_id IN (1, 2, 3)),
+      |pairs AS (SELECT q.query_id, q.qidx, d.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM dv d, qv q),
+      |mx AS (SELECT query_id, qidx, doc_id, MAX(dot) AS mx
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM mx GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
         "production shape: the STATIC side is the per-(doc, distinct " +
