@@ -114,6 +114,25 @@ class LateInteractionSpec extends AnyFunSpec {
     }
   }
 
+  describe("LateInteraction.maxSimTopKVectors") {
+    it("scores arbitrary multi-vector relations by hand-checkable " +
+        "MaxSim (inner max per query vector, decimal sum, doc_id " +
+        "tie-break)") {
+      // doc 0: unit x + unit y; doc 1: unit x only; query 7: {x, y}
+      val docVecs = Seq(
+        (0L, Array(1.0, 0.0)), (0L, Array(0.0, 1.0)),
+        (1L, Array(1.0, 0.0)), (1L, Array(0.6, 0.0)))
+        .toDF("doc_id", "dv")
+      val qVecs = Seq(
+        (7L, 0, Array(1.0, 0.0)), (7L, 1, Array(0.0, 1.0)))
+        .toDF("query_id", "qidx", "qv")
+      val got = LateInteraction.maxSimTopKVectors(docVecs, qVecs, k = 5)
+        .as[(Long, Long, Long, Double)].collect().toList
+      // doc 0: max(x·x)=1 + max(y·y)=1 = 2; doc 1: 1 + 0 = 1
+      assert(got == List((7L, 1L, 0L, 2.0), (7L, 2L, 1L, 1.0)))
+    }
+  }
+
   describe("LateInteraction.maxSimTopKPruned") {
     it("equals the brute-force replica of the Hamming<=1 sign-bucket " +
         "pruning predicate (the probe-set equi-join loses and gains " +
