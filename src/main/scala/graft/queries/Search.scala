@@ -195,6 +195,74 @@ object Search {
       |  doc_id, score
       |FROM resc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** The RM3 three-stage oracle — shared VERBATIM by d107 (batch)
+    * and w38 (streamed serving): per-query results are
+    * batch-invariant, so the streamed serve must match the batch
+    * pipeline per-bit. */
+  private val Rm3OracleSql: String = s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice1 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |df1 AS (SELECT term, COUNT(*) AS df FROM slice1 GROUP BY term),
+      |sc1 AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice1 s JOIN qry q USING (term) JOIN df1 USING (term),
+      |       stats),
+      |agg1 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc1 GROUP BY query_id, doc_id),
+      |fb AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg1) WHERE rk <= 5),
+      |wts AS (SELECT f.query_id, p.term,
+      |    SUM(CAST(round(CAST(tf AS DOUBLE) / dl, 9)
+      |      AS DECIMAL(28,9))) AS wsum
+      |  FROM posts p JOIN fb f USING (doc_id)
+      |  GROUP BY f.query_id, p.term),
+      |expn AS (SELECT query_id, term, 0.5 AS w FROM (
+      |    SELECT w.query_id, w.term, row_number() OVER (
+      |        PARTITION BY w.query_id
+      |        ORDER BY wsum DESC, w.term ASC) AS erk
+      |    FROM wts w ANTI JOIN qry q
+      |      ON q.query_id = w.query_id AND q.term = w.term)
+      |  WHERE erk <= 3),
+      |wq AS (SELECT DISTINCT query_id, term, 1.0 AS w FROM qry
+      |       UNION ALL SELECT query_id, term, w FROM expn),
+      |slice2 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM wq)),
+      |df2 AS (SELECT term, COUNT(*) AS df FROM slice2 GROUP BY term),
+      |sc2 AS (SELECT q.query_id, s.doc_id,
+      |    round(q.w * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice2 s JOIN wq q USING (term) JOIN df2 USING (term),
+      |       stats),
+      |agg2 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc2 GROUP BY query_id, doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** The persisted text index, memoized per (session, dir) — the
     * annIndexDir/s15 discipline: Bench's warm samples then measure
     * the SERVE path against the stored tables, the production shape.
@@ -932,69 +1000,7 @@ object Search {
           fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH posts AS (
-      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
-      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |           unnest(string_split(text, ' ')) AS term
-      |    FROM documents)
-      |  GROUP BY doc_id, term),
-      |qry(query_id, term) AS (VALUES $QuerySql),
-      |stats AS (SELECT COUNT(*) AS n_docs,
-      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
-      |      AS avgdl
-      |  FROM documents),
-      |slice1 AS (SELECT p.* FROM posts p
-      |           WHERE term IN (SELECT DISTINCT term FROM qry)),
-      |df1 AS (SELECT term, COUNT(*) AS df FROM slice1 GROUP BY term),
-      |sc1 AS (SELECT q.query_id, s.doc_id,
-      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      |      (tf * (1.2 + 1.0)) /
-      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
-      |      AS contrib
-      |  FROM slice1 s JOIN qry q USING (term) JOIN df1 USING (term),
-      |       stats),
-      |agg1 AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM sc1 GROUP BY query_id, doc_id),
-      |fb AS (SELECT query_id, doc_id FROM (
-      |    SELECT query_id, doc_id, row_number() OVER (
-      |        PARTITION BY query_id
-      |        ORDER BY score DESC, doc_id ASC) AS rk
-      |    FROM agg1) WHERE rk <= 5),
-      |wts AS (SELECT f.query_id, p.term,
-      |    SUM(CAST(round(CAST(tf AS DOUBLE) / dl, 9)
-      |      AS DECIMAL(28,9))) AS wsum
-      |  FROM posts p JOIN fb f USING (doc_id)
-      |  GROUP BY f.query_id, p.term),
-      |expn AS (SELECT query_id, term, 0.5 AS w FROM (
-      |    SELECT w.query_id, w.term, row_number() OVER (
-      |        PARTITION BY w.query_id
-      |        ORDER BY wsum DESC, w.term ASC) AS erk
-      |    FROM wts w ANTI JOIN qry q
-      |      ON q.query_id = w.query_id AND q.term = w.term)
-      |  WHERE erk <= 3),
-      |wq AS (SELECT DISTINCT query_id, term, 1.0 AS w FROM qry
-      |       UNION ALL SELECT query_id, term, w FROM expn),
-      |slice2 AS (SELECT p.* FROM posts p
-      |           WHERE term IN (SELECT DISTINCT term FROM wq)),
-      |df2 AS (SELECT term, COUNT(*) AS df FROM slice2 GROUP BY term),
-      |sc2 AS (SELECT q.query_id, s.doc_id,
-      |    round(q.w * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      |      (tf * (1.2 + 1.0)) /
-      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
-      |      AS contrib
-      |  FROM slice2 s JOIN wq q USING (term) JOIN df2 USING (term),
-      |       stats),
-      |agg2 AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM sc2 GROUP BY query_id, doc_id)
-      |SELECT CAST(query_id AS BIGINT) AS query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
-      |  doc_id, score
-      |FROM agg2 QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(Rm3OracleSql)),
 
     Q("d109_maxp_passage_topk",
       "Passage-level MaxP long-document retrieval (Dai & Callan " +
@@ -1173,6 +1179,63 @@ object Search {
           .orderBy("query_id", "rk")
       },
       Some(ProximityOracleSql)),
+
+    Q("w38_streaming_rm3_serve",
+      "STREAMED RM3 serving — d107 behind a live query feed (the " +
+        "w30 discipline): the postings relation is pinned ONCE " +
+        "before the stream starts (localCheckpoint — the three RM3 " +
+        "stages re-filter it per batch, and raw lineage would " +
+        "re-explode the corpus per stage per batch), queries arrive " +
+        "one file each (maxFilesPerTrigger=1), and every micro-batch " +
+        "runs the full three-stage expansion pipeline — feedback, " +
+        "relevance-model weights, weighted rescore — writing " +
+        "idempotently per batch id. Per-query results are " +
+        "batch-invariant (each query's feedback set depends only on " +
+        "itself and the static corpus), so the oracle is d107's " +
+        "VERBATIM.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w38").toString
+        try {
+          val docs = t(s, dir, "documents")
+          val posts = Retrieval.postings(docs, "doc_id", "text")
+            .localCheckpoint()
+          val stats = Retrieval.corpusStats(docs, "text")
+            .localCheckpoint()
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/in"))
+          QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/in/q$qid.json"),
+              qts.map { case (q, t) =>
+                s"""{"query_id":$q,"term":"$t"}""" }
+                .mkString("\n").getBytes("UTF-8"))
+          }
+          val stream = s.readStream
+            .schema("query_id LONG, term STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                Retrieval.rm3TopK(posts,
+                  batch.localCheckpoint(), stats,
+                  fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(Rm3OracleSql)),
 
     Q("d116_maxsim_chunked_embeddings",
       "MaxSim over REAL embeddings (LateInteraction." +
