@@ -1293,6 +1293,101 @@ object Search {
       |  doc_id, score
       |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d117_ir_eval",
+      "Ranked-retrieval EVALUATION (IrEval.evaluate — the trec_eval " +
+        "triple, relational): nDCG@10 (graded (2^rel−1)/log2(rk+1) " +
+        "gains, ideal from the qrels' own grades best-first), MRR " +
+        "(1/first-relevant-rank), recall@10 — scored for d67's BM25 " +
+        "run against DETERMINISTIC graded qrels derived from the " +
+        "corpus itself: a doc is relevant iff it contains ≥ 2 " +
+        "distinct query terms, grade = min(n_terms − 1, 2), so the " +
+        "run retrieves a mix of relevant and non-relevant docs and " +
+        "all three metrics are informative. Everything after the " +
+        "broadcast run⋈qrels join is k·|queries|-sized — the corpus " +
+        "never appears in the eval. DCG terms round to 9 and sum as " +
+        "DECIMAL; metrics round to 6.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val posts = Retrieval.postings(docs, "doc_id", "text")
+          .localCheckpoint()   // run + qrels both read it
+        val q = QueryTerms.toDF("query_id", "term")
+        val stats = Retrieval.corpusStats(docs, "text")
+        val run = Retrieval.bm25TopK(posts, q, stats, k = 10)
+        val qrels = posts.join(broadcast(q), "term")
+          .groupBy("query_id", "doc_id")
+          .agg(countDistinct(col("term")).as("nt"))
+          .filter(col("nt") >= 2)
+          .select(col("query_id"), col("doc_id"),
+            least(col("nt") - 1, lit(2)).cast("int").as("rel"))
+        graft.operators.IrEval.evaluate(run, qrels, k = 10)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice AS (SELECT p.* FROM posts p
+      |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM slice GROUP BY term),
+      |sc AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice s JOIN qry q USING (term) JOIN dfq USING (term),
+      |       stats),
+      |agg AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |run AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg) WHERE rk <= 10),
+      |qr AS (SELECT query_id, doc_id,
+      |    LEAST(COUNT(DISTINCT term) - 1, 2) AS rel
+      |  FROM posts JOIN qry USING (term)
+      |  GROUP BY query_id, doc_id
+      |  HAVING COUNT(DISTINCT term) >= 2),
+      |hits AS (SELECT r.query_id, r.rk, q.rel
+      |  FROM run r LEFT JOIN qr q
+      |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
+      |dcg AS (SELECT query_id,
+      |    SUM(CAST(round((pow(2.0, COALESCE(rel, 0)) - 1.0) /
+      |      (ln(rk + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))) AS dcg,
+      |    MIN(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+      |    COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_hit
+      |  FROM hits GROUP BY query_id),
+      |ideal AS (SELECT query_id,
+      |    SUM(CASE WHEN irk <= 10 THEN
+      |      CAST(round((pow(2.0, rel) - 1.0) /
+      |        (ln(irk + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))
+      |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS idcg,
+      |    COUNT(*) AS n_rel
+      |  FROM (SELECT query_id, rel, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rel DESC, doc_id ASC)
+      |      AS irk FROM qr)
+      |  GROUP BY query_id)
+      |SELECT CAST(d.query_id AS BIGINT) AS query_id,
+      |  CASE WHEN CAST(idcg AS DOUBLE) > 0.0
+      |    THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+      |    ELSE 0.0 END AS ndcg,
+      |  COALESCE(round(1.0 / first_rel, 6), 0.0) AS mrr,
+      |  CASE WHEN n_rel > 0
+      |    THEN round(CAST(n_hit AS DOUBLE) / n_rel, 6)
+      |    ELSE 0.0 END AS recall
+      |FROM dcg d JOIN ideal USING (query_id)
+      |ORDER BY query_id""".stripMargin)),
+
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
         "production shape: the STATIC side is the per-(doc, distinct " +

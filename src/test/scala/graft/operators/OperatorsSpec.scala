@@ -323,6 +323,33 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("IrEval (nDCG / MRR / recall)") {
+    it("matches hand-computed metrics: graded gains, ideal ordering, " +
+       "first-relevant rank, unjudged-doc zero gain, and the " +
+       "no-relevant-docs query scoring zero") {
+      val run = Seq(
+        (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),   // q1: A,B,C
+        (2L, 1L, 40L))                                  // q2: one doc
+        .toDF("query_id", "rk", "doc_id")
+      val qrels = Seq(
+        (1L, 20L, 2), (1L, 99L, 1))  // B rel 2; D rel 1 (unretrieved)
+        .toDF("query_id", "doc_id", "rel")
+      val got = IrEval.evaluate(run, qrels, k = 3)
+        .as[(Long, Double, Double, Double)].collect()
+        .sortBy(_._1).toList
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dcg = r9(3.0 / (math.log(3.0) / math.log(2.0)))
+      val idcg = r9(3.0 / (math.log(2.0) / math.log(2.0))) +
+        r9(1.0 / (math.log(3.0) / math.log(2.0)))
+      assert(got.head == (1L, r6((dcg / idcg).toDouble), 0.5, 0.5))
+      // q2 has no relevant docs at all → zeros, not a dropped row
+      assert(got(1) == (2L, 0.0, 0.0, 0.0))
+    }
+  }
+
   describe("VideoSig (keyframe-set near-dup)") {
     it("finds the clipped copy (7 shared keyframes, Jaccard 7/8) " +
        "and ignores unrelated clips") {
