@@ -31,6 +31,42 @@ import org.apache.spark.sql.functions._
   */
 object IrEval {
 
+  /** Rank-Biased Overlap at depth `k` (Webber, Moffat & Zobel, TOIS
+    * 2010) between two ranked runs — the standard "how much did my
+    * ranking change" monitor, top-weighted by the persistence
+    * parameter `p` (a doc agreeing at rank 1 matters ~1/p× more than
+    * at rank 2): `RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · X_d / d`
+    * where `X_d` is the overlap of the two top-d prefixes.
+    *
+    * Relational form, no depth explosion: only the (query, doc)
+    * pairs PRESENT IN BOTH runs matter — a common doc with ranks
+    * (ra, rb) is inside both top-d prefixes exactly for
+    * d ≥ max(ra, rb), so its total contribution is the closed
+    * per-doc sum `Σ_{d=max(ra,rb)}^{k} p^{d−1}/d`, evaluated as a
+    * ≤ k-term HOF fold on the joined row. One k·|queries|-sized
+    * equi-join + one aggregation. The truncated sum is NORMALIZED by
+    * its own maximum `1 − p^k` (perfect agreement at every depth),
+    * so identical full runs score exactly 1 and disjoint ones 0 —
+    * the bounded-monitor form of RBO_min. Per-doc sums round to 9
+    * and aggregate as DECIMAL, the final score rounds to 6. */
+  def rbo(runA: DataFrame, runB: DataFrame, k: Int,
+          p: Double = 0.9): DataFrame = {
+    val a = runA.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").as("ra"))
+    val b = runB.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rb"))
+    a.join(b, Seq("query_id", "doc_id"))
+      .withColumn("contrib",
+        round(lit(1.0 - p) * aggregate(
+          sequence(greatest(col("ra"), col("rb")).cast("int"), lit(k)),
+          lit(0.0),
+          (acc, d) => acc + pow(lit(p), d - 1) / d), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+      .groupBy("query_id")
+      .agg(round(sum(col("contrib")).cast("double") /
+        (lit(1.0) - pow(lit(p), lit(k))), 6).as("rbo"))
+  }
+
   /** Per-query metrics: `(query_id, ndcg, mrr, recall)` for the
     * run's top-`k`. `qrels` rows with rel <= 0 are ignored as
     * non-relevant judgments. */

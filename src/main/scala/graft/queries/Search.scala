@@ -1388,6 +1388,117 @@ object Search {
       |FROM dcg d JOIN ideal USING (query_id)
       |ORDER BY query_id""".stripMargin)),
 
+    Q("d118_rank_rbo",
+      "Rank-Biased Overlap (Webber, Moffat & Zobel TOIS'10; " +
+        "IrEval.rbo) between the plain BM25 ranking and the RM3 " +
+        "expanded one — the top-weighted 'how much did my ranking " +
+        "change' monitor every serving rollout watches: RBO@10 with " +
+        "persistence p=0.9, computed relationally with NO depth " +
+        "explosion — a doc common to both runs at ranks (ra, rb) " +
+        "contributes the closed sum Σ_{d≥max(ra,rb)} p^(d−1)/d as " +
+        "one ≤10-term HOF fold on the joined row; one " +
+        "k·|queries|-sized equi-join + one aggregation total, " +
+        "normalized by the depth-k maximum 1−p^k so identical runs " +
+        "score exactly 1. The " +
+        "(1−p) factor is written as the SAME computed expression in " +
+        "both engines (1.0 − 0.9 is not the double 0.1 — the bm25 " +
+        "(1.2 + 1.0) discipline). Oracle replays both rankings (the " +
+        "RM3 chain's stage-1 scores ARE the BM25 run) and the fold.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val posts = Retrieval.postings(docs, "doc_id", "text")
+          .localCheckpoint()
+        val q = QueryTerms.toDF("query_id", "term")
+        val stats = Retrieval.corpusStats(docs, "text")
+          .localCheckpoint()
+        val runA = Retrieval.bm25TopK(posts, q, stats, k = 10)
+        val runB = Retrieval.rm3TopK(posts, q, stats,
+          fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
+        graft.operators.IrEval.rbo(runA, runB, k = 10, p = 0.9)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH posts AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |           unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |qry(query_id, term) AS (VALUES $QuerySql),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM documents),
+      |slice1 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM qry)),
+      |df1 AS (SELECT term, COUNT(*) AS df FROM slice1 GROUP BY term),
+      |sc1 AS (SELECT q.query_id, s.doc_id,
+      |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice1 s JOIN qry q USING (term) JOIN df1 USING (term),
+      |       stats),
+      |agg1 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc1 GROUP BY query_id, doc_id),
+      |run_a AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg1) WHERE rk <= 10),
+      |fb AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg1) WHERE rk <= 5),
+      |wts AS (SELECT f.query_id, p.term,
+      |    SUM(CAST(round(CAST(tf AS DOUBLE) / dl, 9)
+      |      AS DECIMAL(28,9))) AS wsum
+      |  FROM posts p JOIN fb f USING (doc_id)
+      |  GROUP BY f.query_id, p.term),
+      |expn AS (SELECT query_id, term, 0.5 AS w FROM (
+      |    SELECT w.query_id, w.term, row_number() OVER (
+      |        PARTITION BY w.query_id
+      |        ORDER BY wsum DESC, w.term ASC) AS erk
+      |    FROM wts w ANTI JOIN qry q
+      |      ON q.query_id = w.query_id AND q.term = w.term)
+      |  WHERE erk <= 3),
+      |wq AS (SELECT DISTINCT query_id, term, 1.0 AS w FROM qry
+      |       UNION ALL SELECT query_id, term, w FROM expn),
+      |slice2 AS (SELECT p.* FROM posts p
+      |           WHERE term IN (SELECT DISTINCT term FROM wq)),
+      |df2 AS (SELECT term, COUNT(*) AS df FROM slice2 GROUP BY term),
+      |sc2 AS (SELECT q.query_id, s.doc_id,
+      |    round(q.w * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 9)
+      |      AS contrib
+      |  FROM slice2 s JOIN wq q USING (term) JOIN df2 USING (term),
+      |       stats),
+      |agg2 AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM sc2 GROUP BY query_id, doc_id),
+      |run_b AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM agg2) WHERE rk <= 10),
+      |common AS (SELECT a.query_id,
+      |    round((1.0 - 0.9) * list_reduce(
+      |      list_transform(generate_series(
+      |        CAST(greatest(a.rk, b.rk) AS BIGINT), 10),
+      |        d -> pow(0.9, d - 1) / d),
+      |      (x, y) -> x + y), 9) AS contrib
+      |  FROM run_a a JOIN run_b b
+      |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE) /
+      |    (1.0 - pow(0.9, 10)), 6) AS rbo
+      |FROM common GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     Q("w35_streaming_maxsim_serve",
       "Streamed MaxSim late-interaction serving — d105 in w30's " +
         "production shape: the STATIC side is the per-(doc, distinct " +

@@ -350,6 +350,28 @@ class OperatorsSpec extends AnyFunSpec {
     }
   }
 
+  describe("IrEval.rbo (rank-biased overlap)") {
+    it("identical full runs score exactly 1, a tail swap stays " +
+       "close, a head swap costs more (top-weighting), disjoint " +
+       "runs contribute nothing") {
+      def run(docs: Seq[Long]) = docs.zipWithIndex
+        .map { case (d, i) => (1L, (i + 1).toLong, d) }
+        .toDF("query_id", "rk", "doc_id")
+      val base = run(Seq(10L, 20L, 30L, 40L, 50L))
+      def score(other: org.apache.spark.sql.DataFrame): Double =
+        IrEval.rbo(base, other, k = 5)
+          .as[(Long, Double)].collect().head._2
+      assert(score(run(Seq(10L, 20L, 30L, 40L, 50L))) == 1.0)
+      val tailSwap = score(run(Seq(10L, 20L, 30L, 50L, 40L)))
+      val headSwap = score(run(Seq(20L, 10L, 30L, 40L, 50L)))
+      assert(tailSwap < 1.0 && headSwap < 1.0)
+      assert(headSwap < tailSwap,
+        s"top-weighting violated: head $headSwap vs tail $tailSwap")
+      assert(IrEval.rbo(base,
+        run(Seq(91L, 92L, 93L, 94L, 95L)), k = 5).count() == 0L)
+    }
+  }
+
   describe("VideoSig (keyframe-set near-dup)") {
     it("finds the clipped copy (7 shared keyframes, Jaccard 7/8) " +
        "and ignores unrelated clips") {
