@@ -77,6 +77,57 @@ object RankOps {
   /** Exact `ntile(buckets)` over a total order, distributed as above.
     * Matches SQL NTILE semantics: bucket sizes differ by at most one,
     * the larger buckets first. */
+  /** `df` + column `out` = INCLUSIVE running sum of `valCol` (cast to
+    * LONG; nulls count as 0) over the total order `sortCols` — the
+    * distributed prefix sum, same two-phase skeleton as
+    * [[globalRowNumber]]: range-partition + local sort, an imperative
+    * per-partition accumulator (genuine sequential logic — the one
+    * place `mapPartitions` is the right tool), then a tiny
+    * per-partition-total aggregate broadcast back as start offsets.
+    * No global window, no second full shuffle: the totals aggregate
+    * is map-side-combined to ≤ numPartitions rows. The ranged input
+    * is localCheckpoint'ed so the totals branch and the output branch
+    * read the same materialization. */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+                       valCol: Column, out: String,
+                       numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("_v", coalesce(valCol.cast("long"), lit(0L)))
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val vIdx = ranged.schema.fieldIndex("_v")
+    val schema2 = StructType(ranged.schema.fields ++
+      Seq(StructField("_pid", IntegerType, nullable = false),
+        StructField("_lcs", LongType, nullable = false)))
+    val local = spark.createDataFrame(
+      ranged.rdd.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var acc = 0L
+        it.map { r =>
+          acc += r.getLong(vIdx)
+          // Seq[Any]: a bare Seq(pid, acc) would numerically widen
+          // the Int pid to Long and break the row encoder
+          Row.fromSeq(r.toSeq ++ Seq[Any](pid, acc))
+        }
+      }, schema2)
+    // Inclusive local running sum ⇒ a partition's total is its max
+    // _lcs; empty partitions simply contribute no offset row.
+    val totals = local.groupBy("_pid").agg(max("_lcs").as("_tot"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._tot")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, col("_off") + col("_lcs"))
+      .drop("_pid", "_v", "_lcs", "_off")
+  }
+
   def globalNtile(df: DataFrame, sortCols: Seq[Column], buckets: Int,
                   out: String, numPartitions: Int = 0): DataFrame = {
     val ranked = globalRowNumber(df, sortCols, "_grn", numPartitions)

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+import graft.queries.Tables.t
+
+/** Training-sequence assembly + embedding linear algebra — the last
+  * mile between a curated corpus and the dataloader/projector
+  * (operators in [[graft.operators.Packing]] and
+  * [[graft.operators.LinAlg]]). */
+object Assembly {
+
+  /** Whitespace token lengths of `documents` — the d112 convention,
+    * shared verbatim by every packing oracle. */
+  private val TokCte = """WITH tok AS (
+    |  SELECT doc_id,
+    |    CAST(len(list_filter(string_split(text, ' '),
+    |      w -> len(w) > 0)) AS BIGINT) AS len
+    |  FROM documents)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    Q("d119_seq_packing",
+      "Concat-and-chunk training-sequence packing (the GPT/T5 " +
+        "dataloader discipline): documents in doc_id order are " +
+        "concatenated into one token stream cut every 128 tokens — " +
+        "zero padding except the tail; cut-crossing docs split. Per " +
+        "sequence: contributing docs, occupied tokens, right-cut " +
+        "splits. The ONLY global structure is an exclusive prefix " +
+        "sum of lengths (RankOps.globalRunningSum — one range " +
+        "exchange + per-partition accumulate + broadcast offsets, " +
+        "never a single-partition window), then each doc explodes to " +
+        "its own bounded sequence range (≤ len/128 + 1 rows) and a " +
+        "hash aggregate rolls sequences up. The oracle replays the " +
+        "prefix sum as a window (DuckDB is single-node — there the " +
+        "window IS the right plan) and the same span arithmetic.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), Packing.tokenLen(col("text")).as("len"))
+        Packing.packedSequences(docs, "doc_id", "len", budget = 128L)
+      },
+      Some(s"""$TokCte,
+        |c AS (SELECT doc_id, len,
+        |    CAST(SUM(len) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok WHERE len > 0),
+        |ex AS (SELECT e - len AS s, e,
+        |    unnest(generate_series((e - len) // 128, (e - 1) // 128))
+        |      AS seq
+        |  FROM c)
+        |SELECT CAST(seq AS BIGINT) AS seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(LEAST(e, (seq + 1) * 128) -
+        |           GREATEST(s, seq * 128)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN e > (seq + 1) * 128 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_continued
+        |FROM ex GROUP BY seq ORDER BY seq""".stripMargin)),
+
+    Q("d120_pair_packing",
+      "Complementary-length pairing packer (the packed-BERT padding " +
+        "cut as an exact, replayable rule): rank docs by (len, " +
+        "doc_id); the r-th shortest pairs with the r-th longest " +
+        "(pack = least(r, n+1-r)) — long docs absorb short ones, the " +
+        "classic two-pointer first-fit. A pair fitting the " +
+        "112-token budget shares one padded sequence; one that does " +
+        "not keeps its members in their own (truncated) sequences. " +
+        "Global rank is RankOps.globalRowNumber (two-phase range " +
+        "rank, no single-partition window); the rollup is one hash " +
+        "aggregate on pack_id. Waste = padding tokens the GPU would " +
+        "burn; the d104 sorted-batch baseline for the same corpus " +
+        "pads every batch to its max — the PLANS entry records the " +
+        "measured reduction.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), Packing.tokenLen(col("text")).as("len"))
+        Packing.pairPack(docs, "doc_id", "len", budget = 112L)
+      },
+      Some(s"""$TokCte,
+        |rk AS (SELECT doc_id, len,
+        |    row_number() OVER (ORDER BY len, doc_id) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM tok),
+        |pk AS (SELECT LEAST(r, n + 1 - r) AS pack_id, len FROM rk),
+        |ag AS (SELECT pack_id, COUNT(*) AS n_docs, SUM(len) AS content,
+        |    MAX(len) AS max_len, SUM(LEAST(len, 112)) AS cap
+        |  FROM pk GROUP BY pack_id)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(content AS BIGINT) AS content,
+        |  CAST(max_len AS BIGINT) AS max_len,
+        |  content <= 112 AS fits,
+        |  CAST(CASE WHEN content <= 112 THEN 1 ELSE n_docs END
+        |    AS BIGINT) AS n_seqs,
+        |  CAST(CASE WHEN content <= 112 THEN 112 - content
+        |    ELSE n_docs * 112 - cap END AS BIGINT) AS waste
+        |FROM ag ORDER BY pack_id""".stripMargin))
+  )
+}
