@@ -64,10 +64,17 @@ object Packing {
     * `start div budget … (end−1) div budget` — at most
     * `len/budget + 1`, so the explode is bounded per row. */
   def packedSequences(docs: DataFrame, idCol: String, lenCol: String,
-                      budget: Long): DataFrame = {
-    require(budget > 0, s"packedSequences: budget must be positive, got $budget")
+                      budget: Long): DataFrame =
+    spansToSequences(docSpans(docs, idCol, lenCol), budget)
+
+  /** The per-sequence rollup over any `(start, end)` span relation —
+    * shared by the batch ([[packedSequences]]) and streamed
+    * ([[readSpans]] → w39) paths, so the streamed assembly is gated
+    * against the batch oracle through the identical arithmetic. */
+  def spansToSequences(spans: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"spansToSequences: budget must be positive, got $budget")
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
-    docSpans(docs, idCol, lenCol)
+    spans
       .withColumn("seq",
         explode(sequence(idiv(col("start"), lit(budget)),
           idiv(col("end") - 1, lit(budget)))))
@@ -109,4 +116,58 @@ object Packing {
       .drop("_cap")
       .orderBy("pack_id")
   }
+
+  // ---- streamed assembly (w39): per-batch spans + a persisted carry ----
+
+  /** Initialize a streamed-packing store: the carry (the concatenated
+    * stream's next free token offset) starts at 0. */
+  def initStream(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Unit =
+    spark.range(1).select(lit(0L).as("next_start"))
+      .write.mode("overwrite").parquet(s"$dir/carry")
+
+  private def readCarry(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Long =
+    spark.read.parquet(s"$dir/carry").head().getLong(0)
+
+  /** Fold one ORDERED micro-batch into the streamed assembly: the
+    * batch's docs get spans starting at the carried offset (local
+    * prefix sum via [[docSpans]] + the base), span rows land in
+    * `$dir/spans/<tag>` (a fixed per-batch path, `overwrite` — a
+    * replayed batch rewrites byte-identical content), and the NEW
+    * carry commits LAST by staged rename with the batch marker
+    * inside the staged dir (the StatsStore exactly-once discipline):
+    * a replayed batch either sees its marker in the live carry
+    * (fully committed — no-op) or recomputes from the old carry,
+    * whose spans rewrite deterministically. The post-batch carry is
+    * read back from the COMMITTED span files, never from the batch's
+    * own lineage. */
+  def applyStreamBatch(batch: DataFrame, idCol: String, lenCol: String,
+                       dir: String, tag: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (fs.exists(p(s"$dir/carry/_applied_$tag"))) return
+    val base = readCarry(spark, dir)
+    docSpans(batch, idCol, lenCol)
+      .withColumn("start", col("start") + base)
+      .withColumn("end", col("end") + base)
+      .write.mode("overwrite").parquet(s"$dir/spans/$tag")
+    val next = spark.read.parquet(s"$dir/spans/$tag")
+      .agg(coalesce(max("end"), lit(base))).head().getLong(0)
+    spark.range(1).select(lit(next).as("next_start"))
+      .write.mode("overwrite").parquet(s"$dir/carry_new")
+    fs.create(p(s"$dir/carry_new/_applied_$tag"), true).close()
+    fs.delete(p(s"$dir/carry_retired"), true)
+    require(fs.rename(p(s"$dir/carry"), p(s"$dir/carry_retired")),
+      "Packing.applyStreamBatch: rename-out of the carry failed")
+    require(fs.rename(p(s"$dir/carry_new"), p(s"$dir/carry")),
+      "Packing.applyStreamBatch: rename-in of the new carry failed")
+  }
+
+  /** Every span the streamed assembly has committed so far. */
+  def readSpans(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame =
+    spark.read.parquet(s"$dir/spans/*")
 }

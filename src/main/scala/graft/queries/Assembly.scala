@@ -19,6 +19,26 @@ object Assembly {
     |      w -> len(w) > 0)) AS BIGINT) AS len
     |  FROM documents)""".stripMargin
 
+  /** d119's concat-and-chunk rollup at budget 128 — shared VERBATIM
+    * by d119 (batch) and w39 (streamed with a persisted carry): the
+    * streamed assembly must reproduce the batch packing exactly
+    * under any micro-batch split of an ordered ingest. */
+  private val SeqPackOracleSql = s"""$TokCte,
+    |c AS (SELECT doc_id, len,
+    |    CAST(SUM(len) OVER (ORDER BY doc_id) AS BIGINT) AS e
+    |  FROM tok WHERE len > 0),
+    |ex AS (SELECT e - len AS s, e,
+    |    unnest(generate_series((e - len) // 128, (e - 1) // 128))
+    |      AS seq
+    |  FROM c)
+    |SELECT CAST(seq AS BIGINT) AS seq,
+    |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+    |  CAST(SUM(LEAST(e, (seq + 1) * 128) -
+    |           GREATEST(s, seq * 128)) AS BIGINT) AS n_tokens,
+    |  CAST(SUM(CASE WHEN e > (seq + 1) * 128 THEN 1 ELSE 0 END)
+    |    AS BIGINT) AS n_continued
+    |FROM ex GROUP BY seq ORDER BY seq""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("d119_seq_packing",
@@ -40,21 +60,56 @@ object Assembly {
           .select(col("doc_id"), Packing.tokenLen(col("text")).as("len"))
         Packing.packedSequences(docs, "doc_id", "len", budget = 128L)
       },
-      Some(s"""$TokCte,
-        |c AS (SELECT doc_id, len,
-        |    CAST(SUM(len) OVER (ORDER BY doc_id) AS BIGINT) AS e
-        |  FROM tok WHERE len > 0),
-        |ex AS (SELECT e - len AS s, e,
-        |    unnest(generate_series((e - len) // 128, (e - 1) // 128))
-        |      AS seq
-        |  FROM c)
-        |SELECT CAST(seq AS BIGINT) AS seq,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(LEAST(e, (seq + 1) * 128) -
-        |           GREATEST(s, seq * 128)) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(CASE WHEN e > (seq + 1) * 128 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_continued
-        |FROM ex GROUP BY seq ORDER BY seq""".stripMargin)),
+      Some(SeqPackOracleSql)),
+
+    Q("w39_streaming_seq_packing",
+      "STREAMED concat-and-chunk packing — d119 driven by a live " +
+        "ordered ingest: doc batches arrive as range files; each " +
+        "micro-batch prefix-sums its own lengths (the d119 " +
+        "distributed prefix sum, batch-local) and offsets them by a " +
+        "PERSISTED CARRY — the concatenated stream's next free token " +
+        "offset — committed per batch by staged rename with the " +
+        "batch marker inside the staged dir (StatsStore's " +
+        "exactly-once discipline: replay is a no-op after the " +
+        "commit, a deterministic rewrite before it; the new carry is " +
+        "read back from COMMITTED span files, never the batch's own " +
+        "lineage). The final rollup runs over the committed spans " +
+        "through the IDENTICAL spansToSequences arithmetic, and the " +
+        "oracle is d119's VERBATIM — ordered streamed assembly must " +
+        "equal batch assembly exactly, under any micro-batch split.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w39").toString
+        try {
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), Packing.tokenLen(col("text")).as("len"))
+          // three ordered waves, one range file each
+          val ids = Seq(0L, 170L, 340L, Long.MaxValue)
+          (0 to 2).foreach(w =>
+            docs.filter(col("doc_id") >= ids(w) &&
+                col("doc_id") < ids(w + 1))
+              .coalesce(1).write.mode("append").parquet(s"$tmp/in"))
+          Packing.initStream(s, tmp)
+          val stream = s.readStream
+            .schema("doc_id LONG, len LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty)
+                Packing.applyStreamBatch(batch.localCheckpoint(),
+                  "doc_id", "len", tmp, s"b$batchId")
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          Packing.spansToSequences(Packing.readSpans(s, tmp), 128L)
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(SeqPackOracleSql)),
 
     Q("d120_pair_packing",
       "Complementary-length pairing packer (the packed-BERT padding " +

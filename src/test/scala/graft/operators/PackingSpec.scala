@@ -59,6 +59,33 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 11L, true, 1L, 1L), (2L, 2L, 8L, true, 1L, 4L)))
   }
 
+  test("streamed assembly: carry chains batches; committed replay is a no-op; " +
+      "crashed partial write is overwritten") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packspec").toString
+    try {
+      val b0 = Seq((1L, 4L), (2L, 6L)).toDF("doc_id", "len")
+      val b1 = Seq((3L, 2L), (4L, 5L)).toDF("doc_id", "len")
+      Packing.initStream(spark, tmp)
+      Packing.applyStreamBatch(b0, "doc_id", "len", tmp, "b0")
+      // simulate a crash that left a partial (garbage) span write for
+      // b1 but never committed the carry: the replay must overwrite it
+      Seq((99L, 999L, 0L, 999L)).toDF("doc_id", "len", "start", "end")
+        .write.mode("overwrite").parquet(s"$tmp/spans/b1")
+      Packing.applyStreamBatch(b1, "doc_id", "len", tmp, "b1")
+      // committed replay: a second apply of b1 must change nothing
+      Packing.applyStreamBatch(b1, "doc_id", "len", tmp, "b1")
+      val got = Packing.readSpans(spark, tmp)
+        .orderBy("doc_id").select("doc_id", "start", "end")
+        .as[(Long, Long, Long)].collect().toSeq
+      val batch = Packing
+        .docSpans(b0.unionByName(b1), "doc_id", "len")
+        .orderBy("doc_id").select("doc_id", "start", "end")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == batch)
+      assert(got == Seq((1L, 0L, 4L), (2L, 4L, 10L), (3L, 10L, 12L), (4L, 12L, 17L)))
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
   test("pairPack: non-fitting pair separates with truncation; odd singleton") {
     // lens: 4,6,20 (budget 8) → pack1 = (4,20): 24 > 8 → two seqs,
     // waste = 2*8 - (4 + min(20,8)) = 16 - 12 = 4; pack2 = {6} fits,
