@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Packing
+import graft.operators.{LinAlg, Packing}
 import graft.queries.Tables.t
 
 /** Training-sequence assembly + embedding linear algebra — the last
@@ -38,6 +38,43 @@ object Assembly {
     |  CAST(SUM(CASE WHEN e > (seq + 1) * 128 THEN 1 ELSE 0 END)
     |    AS BIGINT) AS n_continued
     |FROM ex GROUP BY seq ORDER BY seq""".stripMargin
+
+  /** Quantized embeddings CTE — shared by the d121/d122 oracles;
+    * floor(x·10⁶) of a FLOAT is the same BIGINT in every engine. */
+  private val QuantCte = """WITH q AS (
+    |  SELECT vec_id,
+    |    list_transform(embedding,
+    |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    |  FROM embeddings),
+    |idx AS (SELECT unnest(generate_series(0, 63)) AS i)""".stripMargin
+
+  /** The d122 oracle: quantized Gram → trunc-div rescale → 8 UNROLLED
+    * power-iteration rounds (exact integer mat-vec + IEEE
+    * max-normalize + floor-requantize, each engine-identical) →
+    * exact integer projection → top-10 by |proj|. */
+  private val PcaOracleSql = {
+    val base = s"""$QuantCte,
+      |g AS (SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) // 1000000
+      |      AS gs
+      |  FROM q, idx a, idx b GROUP BY a.i, b.i),
+      |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM idx)""".stripMargin
+    val its = (1 to 8).map { k =>
+      s""",
+      |w$k AS (SELECT g.i AS i, CAST(SUM(g.gs * v.v) AS BIGINT) AS w
+      |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY g.i),
+      |m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+      |v$k AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) /
+      |    CAST(m AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM w$k, m$k)""".stripMargin
+    }.mkString
+    base + its + s""",
+      |pr AS (SELECT vec_id,
+      |    CAST(SUM(qv[v.i + 1] * v.v) AS BIGINT) AS proj_q
+      |  FROM q, v8 v GROUP BY vec_id)
+      |SELECT vec_id, proj_q FROM pr
+      |ORDER BY ABS(proj_q) DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -148,6 +185,56 @@ object Assembly {
         |    AS BIGINT) AS n_seqs,
         |  CAST(CASE WHEN content <= 112 THEN 112 - content
         |    ELSE n_docs * 112 - cap END AS BIGINT) AS waste
-        |FROM ag ORDER BY pack_id""".stripMargin))
+        |FROM ag ORDER BY pack_id""".stripMargin)),
+
+    Q("d121_gram_matrix",
+      "Single-pass Gram/covariance matrix over the embedding corpus " +
+        "(LinAlg.gramQ) — the reduction behind PCA, whitening, and " +
+        "linear-probe fitting: Σ v·vᵀ as EXACT integer sums over " +
+        "1e-6-quantized embeddings (floor(x·1e6) of a float is the " +
+        "same BIGINT in every engine; integer addition is order-free " +
+        "— zero cross-engine float drift by construction). " +
+        "Declarative: two chained posexplodes feed the d² per-row " +
+        "products straight into a partial hash aggregate, so the " +
+        "shuffle is ≤ d(d+1)/2 rows per map partition at ANY corpus " +
+        "size; gramQFast does the identical reduction as one " +
+        "treeAggregate of slot-packed LONG arrays (spec-gated " +
+        "equal). The oracle replays quantization and the " +
+        "upper-triangle sums.",
+      (s, dir) => {
+        LinAlg.gramQ(t(s, dir, "embeddings"), "embedding")
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"), col("g_q"))
+          .orderBy("i", "j")
+      },
+      Some(s"""$QuantCte
+        |SELECT a.i AS i, b.i AS j,
+        |  CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) AS g_q
+        |FROM q, idx a, idx b WHERE a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin)),
+
+    Q("d122_pca_projection",
+      "PCA by POWER ITERATION, exactly replayable end-to-end: the " +
+        "d121 Gram collapses the corpus to a bounded d² integer " +
+        "artifact; 8 driver-side iteration rounds (trunc-div " +
+        "rescale, exact integer mat-vec, IEEE max-normalize, floor " +
+        "requantize — every step engine-identical, LinAlg." +
+        "topEigenQ) yield the dominant eigenvector at 1e6 scale; " +
+        "one codegen'd map pass projects every embedding (exact " +
+        "integer dot) and take-ordered top-10 by |projection| " +
+        "surfaces the most-aligned vectors. The oracle UNROLLS all " +
+        "8 rounds as CTEs over the same integer arithmetic — a " +
+        "cross-engine-bit-exact PCA, which a double-valued " +
+        "implementation could never gate this hard.",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val upper = LinAlg.gramQ(emb, "embedding").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+        val v = LinAlg.topEigenQ(upper, dim = 64, iters = 8)
+        LinAlg.projectQ(emb, "vec_id", "embedding", v)
+          .orderBy(abs(col("proj_q")).desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(PcaOracleSql))
   )
 }
