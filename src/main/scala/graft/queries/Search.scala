@@ -40,6 +40,14 @@ object Search {
     * path must agree with the batch scorer exactly, per-bit. d76
     * instantiates it over the SURVIVING corpus after deletes. */
   private def bm25OracleSql(rel: String): String =
+    s"""${bm25Ctes(rel)}
+    |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
+    |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** The CTE chain of [[bm25OracleSql]] without the final projection —
+    * shared by consumers that post-process the ranked list (d123's
+    * hard-negative filter). */
+  private def bm25Ctes(rel: String): String =
     s"""WITH posts AS (
     |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
     |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
@@ -69,9 +77,7 @@ object Search {
     |rk AS (SELECT query_id, doc_id, score,
     |    CAST(row_number() OVER (PARTITION BY query_id
     |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-    |  FROM agg)
-    |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score
-    |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    |  FROM agg)""".stripMargin
 
   private val Bm25OracleSql: String = bm25OracleSql("documents")
 
@@ -1557,6 +1563,66 @@ object Search {
           Rm.rf(tmp)
         }
       },
-      Some(MaxSimOracleSql))
+      Some(MaxSimOracleSql)),
+
+    Q("d123_hard_negative_mining",
+      "HARD-NEGATIVE mining for embedding/reranker training (the " +
+        "DPR/SentenceTransformers BM25-negatives recipe): per query, " +
+        "the BM25 top-1 is the pseudo-positive, ranks 2..10 are " +
+        "candidate negatives, and candidates that are NEAR-DUPS of " +
+        "the positive (exact distinct-token Jaccard ≥ 0.5) are " +
+        "dropped — they are probable unlabeled positives, the " +
+        "classic false-negative trap. The ranked list is the d67 " +
+        "serve (localCheckpoint-pinned so the three consumers read " +
+        "ONE materialization — the d100 multi-scan lesson); token " +
+        "sets are fetched ONLY for top-k ids (a broadcast semi-join " +
+        "slice, candidate-sized, never a corpus-wide tokenization); " +
+        "positives and candidate slices broadcast into the verify. " +
+        "Oracle: the d67 CTE chain + the same Jaccard gate.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val top = Retrieval.bm25TopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"), k = 10)
+          .localCheckpoint()
+        val ids = top.select("doc_id").distinct()
+        val toks = docs.join(broadcast(ids), "doc_id")
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("ts"))
+          .localCheckpoint()
+        val pos = top.filter(col("rk") === 1)
+          .select(col("query_id"), col("doc_id").as("pos_id"))
+        top.filter(col("rk") > 1)
+          .join(broadcast(pos), "query_id")
+          .join(broadcast(toks.withColumnRenamed("ts", "cand_ts")),
+            "doc_id")
+          .join(broadcast(toks.select(col("doc_id").as("pos_id"),
+            col("ts").as("pos_ts"))), "pos_id")
+          .withColumn("jac_pos", round(graft.operators.Dedup
+            .jaccard(col("cand_ts"), col("pos_ts")), 6))
+          .filter(col("jac_pos") < 0.5)
+          .select("query_id", "rk", "doc_id", "score", "jac_pos")
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""${bm25Ctes("documents")},
+        |top AS (SELECT CAST(query_id AS BIGINT) AS query_id, rk,
+        |    doc_id, score FROM rk WHERE rk <= 10),
+        |toks AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS ts
+        |  FROM documents),
+        |pos AS (SELECT query_id, doc_id AS pos_id FROM top
+        |  WHERE rk = 1),
+        |neg AS (SELECT t.query_id, t.rk, t.doc_id, t.score,
+        |    round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ts, b.ts)))
+        |        AS DOUBLE), 6) AS jac_pos
+        |  FROM top t JOIN pos p USING (query_id)
+        |    JOIN toks a ON a.doc_id = t.doc_id
+        |    JOIN toks b ON b.doc_id = p.pos_id
+        |  WHERE t.rk > 1)
+        |SELECT query_id, rk, doc_id, score, jac_pos FROM neg
+        |WHERE jac_pos < 0.5 ORDER BY query_id, rk""".stripMargin))
   )
 }
