@@ -90,7 +90,14 @@ object Bench {
     "q88_binned_range_join",
     // persisted positional serves (share the memoized index build;
     // warm samples measure the pruned-slice serve path)
-    "d113_phrase_indexed", "d114_proximity_indexed")
+    "d113_phrase_indexed", "d114_proximity_indexed",
+    // round-12 second wave: sequence assembly (distributed prefix-sum
+    // concat-and-chunk; two-phase-ranked complementary pairing), the
+    // exact-integer Gram pass + power-iteration PCA projection, and
+    // BM25 hard-negative mining (pinned ranked list + candidate-sized
+    // Jaccard verify)
+    "d119_seq_packing", "d120_pair_packing", "d121_gram_matrix",
+    "d122_pca_projection", "d123_hard_negative_mining")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -272,7 +272,7 @@ object Scale {
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
-      what != "stats"
+      what != "stats" && what != "pack" && what != "gram"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -300,7 +300,7 @@ object Scale {
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
-           "maxsim" | "rangejoin" | "stats" =>
+           "maxsim" | "rangejoin" | "stats" | "pack" | "gram" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -793,6 +793,111 @@ object Scale {
           s""""incremental_sec":${fmt(incSec)},""" +
           s""""recompute_sec":${fmt(fullSec)}}""")
       } finally graft.queries.Rm.rf(tmp)
+    }
+    // Sequence-packing arm (round 12; d119/d120's scale claims
+    // measured): n synthetic (doc_id, len) rows. Concat-and-chunk's
+    // only global structure is the distributed prefix sum (one range
+    // exchange), so wall and shuffle should track n near-linearly;
+    // token conservation is asserted at every tier. pairPack's
+    // padding-waste is compared against the naive one-doc-per-sequence
+    // baseline — the measured "padding cut" the pairing exists for.
+    if (what == "pack") {
+      import graft.operators.Packing
+      val n = 500000L * factor
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(490)) + 10).as("len"))
+        .localCheckpoint()
+      val tot = docs.agg(sum("len")).head().getLong(0)
+      Thread.sleep(400)
+      metrics.read.set(0L)
+      var t0 = System.nanoTime()
+      val seqs = Packing.packedSequences(docs, "doc_id", "len", 1024L)
+        .localCheckpoint()
+      val nSeq = seqs.count()
+      val chunkSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      val cMb = metrics.read.getAndSet(0L) / 1e6
+      val occ = seqs.agg(sum("n_tokens")).head().getLong(0)
+      require(occ == tot,
+        s"concat-and-chunk lost tokens: occupied $occ vs total $tot")
+      t0 = System.nanoTime()
+      val packs = Packing.pairPack(docs, "doc_id", "len", 512L)
+        .localCheckpoint()
+      val wastePair = packs.agg(sum("waste")).head().getLong(0)
+      val pairSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      val pMb = metrics.read.getAndSet(0L) / 1e6
+      val wasteNaive = docs
+        .agg(sum(lit(512L) - least(col("len"), lit(512L))))
+        .head().getLong(0)
+      println(s"""{"query":"pack","n_docs":$n,"n_tokens":$tot,""" +
+        s""""n_seqs":$nSeq,"chunk_sec":${fmt(chunkSec)},""" +
+        s""""chunk_shuffle_mb":${fmt(cMb)},""" +
+        s""""pair_sec":${fmt(pairSec)},""" +
+        s""""pair_shuffle_mb":${fmt(pMb)},""" +
+        s""""waste_pair":$wastePair,"waste_naive":$wasteNaive,""" +
+        s""""waste_cut":${fmt(1.0 - wastePair.toDouble / wasteNaive)}}""")
+    }
+    // Gram/PCA arm (round 12; d121/d122's scale claims measured):
+    // n synthetic 64-dim embeddings. gramQFast is the production
+    // reduction (one treeAggregate of slot-packed LONG arrays — flop
+    // cost n·d², shuffle ~zero); the declarative explode path runs at
+    // 1x only and is asserted exactly equal (integer sums have one
+    // answer). Power iteration + projection ride the 1x tier too —
+    // at 10x the topEigenQ overflow guard fires by design (the
+    // rescale divisor must grow with the corpus; asserted here).
+    if (what == "gram") {
+      import graft.operators.LinAlg
+      val n = 50000L * factor
+      val dim = 64
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((pmod(xxhash64(col("id"), j), lit(2001)) - lit(1000))
+            .cast("double") / 1000.0).cast("float")).as("embedding"))
+        .localCheckpoint()
+      Thread.sleep(400)
+      metrics.read.set(0L)
+      var t0 = System.nanoTime()
+      val fast = LinAlg.gramQFast(emb, "embedding", dim)
+      val fastSec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400)
+      val fMb = metrics.read.getAndSet(0L) / 1e6
+      var slowSec = -1.0
+      var eigSec = -1.0
+      if (factor <= 1) {
+        t0 = System.nanoTime()
+        val slow = LinAlg.gramQ(emb, "embedding").collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        slowSec = (System.nanoTime() - t0) / 1e9
+        var k = 0
+        for (i <- 0 until dim; j <- i until dim) {
+          require(fast(k) == slow((i, j)),
+            s"gramQFast diverged from gramQ at ($i,$j)")
+          k += 1
+        }
+        val upper = slow.toSeq.map { case ((i, j), g) => (i, j, g) }
+        t0 = System.nanoTime()
+        val v = LinAlg.topEigenQ(upper, dim)
+        val topN = LinAlg.projectQ(emb, "vec_id", "embedding", v)
+          .orderBy(abs(col("proj_q")).desc, col("vec_id"))
+          .limit(10).count()
+        eigSec = (System.nanoTime() - t0) / 1e9
+        require(topN == 10L, "pca projection lost rows")
+      } else {
+        // the overflow guard must fire loudly at this tier
+        val upper = Seq((0, 0, fast.max), (0, 1, 0L), (1, 1, 1L))
+        val guarded =
+          try { LinAlg.topEigenQ(upper, dim); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("overflow") }
+        require(guarded,
+          "topEigenQ overflow guard silent at the scaled tier")
+      }
+      println(s"""{"query":"gram","n_vecs":$n,"dim":$dim,""" +
+        s""""fast_sec":${fmt(fastSec)},""" +
+        s""""fast_shuffle_mb":${fmt(fMb)},""" +
+        s""""explode_sec":${fmt(slowSec)},""" +
+        s""""eig_project_sec":${fmt(eigSec)}}""")
     }
     // Binned-range-join arm (round 12; q88's scale claim measured):
     // uniform points vs width-25 intervals, joined binned (width-31
