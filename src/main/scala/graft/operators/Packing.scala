@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * Both consume any `(id, len)` relation — whitespace counts
   * ([[tokenLen]], the d112 convention) or learned BPE lengths
   * (d104's `BpeTrain.tokenCounts`) plug in identically.
+  *
+  * Relation to [[Sampling.packSequences]] (d23): that operator packs
+  * within bounded id-buckets so sequences never span buckets — a
+  * deliberate approximation that loses up to one sequence of tokens
+  * per bucket boundary. Here the prefix sum is exact and GLOBAL
+  * (sequences cross every boundary), which is what the
+  * zero-padding-except-the-tail guarantee and the streamed carry
+  * (w39) require.
   */
 object Packing {
 

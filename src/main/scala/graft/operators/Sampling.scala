@@ -35,6 +35,33 @@ object Sampling {
       .drop("permille")
   }
 
+  /** Weighted sampling WITHOUT replacement by the Efraimidis–Spirakis
+    * exponential-keys method (IPL 2006) — the one-pass, coordination-
+    * free way to draw k docs with probability proportional to weight
+    * at any scale: each row gets key `u^(1/w)` for a uniform u, and
+    * the global top-k keys ARE the sample. Here u is the row's
+    * 60-bit content hash mapped to (0,1] — no RNG state, identical
+    * across runs/partitionings/engines — and the rank uses the
+    * order-equivalent `ln(u)/w` (monotone in u^(1/w); avoids
+    * underflow for large weights). The top-k is a TakeOrdered — a
+    * per-partition k-heap + driver merge, never a global sort.
+    * `es_key` rounds to 9 decimals BEFORE ranking so the cross-
+    * engine ordering is over identical values (ties break on id). */
+  def weightedTopK(df: DataFrame, idCol: String, w: Column,
+                   uSrc: Column, k: Int): DataFrame = {
+    val h = Dedup.hash60(uSrc) % Dedup.HashP
+    val u = (h + lit(1L)).cast("double") /
+      lit((Dedup.HashP + 1L).toDouble)
+    // weight gate BEFORE the key projection: ANSI division reports
+    // a zero divisor instead of yielding the -inf key that would
+    // harmlessly sort last
+    df.filter(w.cast("long") > 0)
+      .select(col(idCol), w.cast("long").as("w"),
+        round(log(u) / w.cast("double"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Greedy-by-position sequence packing: in id order, each document
     * starts at the running token offset and lands in sequence
     * `start div budget`. Documents are packed within `bucketSize`-id

@@ -235,6 +235,161 @@ object Assembly {
           .orderBy(abs(col("proj_q")).desc, col("vec_id"))
           .limit(10)
       },
-      Some(PcaOracleSql))
+      Some(PcaOracleSql)),
+
+    Q("d124_preference_winrate",
+      "Pairwise-preference aggregation with Wilson confidence bounds " +
+        "— the arena/RLHF-data report: consecutive-id doc pairs from " +
+        "different sources are 'matches' (winner = more content, tie " +
+        "→ lower id), aggregated per unordered source pair into " +
+        "games, wins, winrate, and the 95% Wilson LOWER bound (the " +
+        "ranking statistic that does not over-trust small samples). " +
+        "One equi-join on doc_id+1 (never all-pairs), one hash " +
+        "aggregate; the Wilson formula is written as the IDENTICAL " +
+        "expression in both engines (z² stays 1.96*1.96 — the " +
+        "(1.2 + 1.0) discipline; exact integer wins/games feed IEEE " +
+        "ops in the same order).",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val z2 = lit(1.96) * lit(1.96)
+        val n = col("n_games").cast("double")
+        val p = col("wins_a").cast("double") / n
+        d.as("a").join(d.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1)
+          .filter(col("a.source") =!= col("b.source"))
+          .select(
+            least(col("a.source"), col("b.source")).as("model_a"),
+            greatest(col("a.source"), col("b.source")).as("model_b"),
+            // a wins on more chars; tie → lower doc_id (= a). The
+            // win belongs to model_a iff the winner's source is the
+            // lexicographically smaller one.
+            when((col("a.n_chars") >= col("b.n_chars")) ===
+                (col("a.source") < col("b.source")), 1L)
+              .otherwise(0L).as("win_a"))
+          .groupBy("model_a", "model_b")
+          .agg(count(lit(1)).as("n_games"),
+            sum("win_a").as("wins_a"))
+          .withColumn("winrate", round(p, 6))
+          .withColumn("wilson_low", round(
+            (p + z2 / (lit(2.0) * n) - lit(1.96) *
+              sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+              (lit(1.0) + z2 / n), 6))
+          .orderBy("model_a", "model_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars
+        |  FROM documents),
+        |m AS (SELECT
+        |    LEAST(a.source, b.source) AS model_a,
+        |    GREATEST(a.source, b.source) AS model_b,
+        |    CASE WHEN (a.n_chars >= b.n_chars) =
+        |      (a.source < b.source) THEN 1 ELSE 0 END AS win_a
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.source <> b.source),
+        |ag AS (SELECT model_a, model_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_games,
+        |    CAST(SUM(win_a) AS BIGINT) AS wins_a
+        |  FROM m GROUP BY model_a, model_b)
+        |SELECT model_a, model_b, n_games, wins_a,
+        |  round(CAST(wins_a AS DOUBLE) / CAST(n_games AS DOUBLE), 6)
+        |    AS winrate,
+        |  round((CAST(wins_a AS DOUBLE) / CAST(n_games AS DOUBLE) +
+        |    (1.96 * 1.96) / (2.0 * CAST(n_games AS DOUBLE)) - 1.96 *
+        |    sqrt((CAST(wins_a AS DOUBLE) / CAST(n_games AS DOUBLE) *
+        |      (1.0 - CAST(wins_a AS DOUBLE) /
+        |        CAST(n_games AS DOUBLE)) +
+        |      (1.96 * 1.96) / (4.0 * CAST(n_games AS DOUBLE))) /
+        |      CAST(n_games AS DOUBLE))) /
+        |    (1.0 + (1.96 * 1.96) / CAST(n_games AS DOUBLE)), 6)
+        |    AS wilson_low
+        |FROM ag ORDER BY model_a, model_b""".stripMargin)),
+
+    Q("d125_weighted_sample",
+      "Weighted sampling without replacement (Efraimidis–Spirakis " +
+        "exponential keys, IPL 2006) — importance-weighted corpus " +
+        "selection as a one-pass top-k: key = ln(u)/w for a " +
+        "deterministic content-hash uniform u (no RNG state — " +
+        "identical across runs, partitionings, and engines), global " +
+        "top-20 by key. The top-k is TakeOrdered (per-partition " +
+        "k-heap + driver merge — no global sort); keys round to 9 " +
+        "decimals BEFORE ranking so both engines order identical " +
+        "values, ties on doc_id. Weight = n_chars: long docs are " +
+        "proportionally likelier, the standard token-budget draw.",
+      (s, dir) => {
+        graft.operators.Sampling.weightedTopK(
+          t(s, dir, "documents"), "doc_id",
+          col("n_chars"), col("text"), k = 20)
+      },
+      Some(s"""WITH k AS (SELECT doc_id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    round(ln(CAST((('0x' || substr(md5(text), 1, 15))::BIGINT
+        |        % ${graft.operators.Dedup.HashP} + 1) AS DOUBLE) /
+        |        ${graft.operators.Dedup.HashP + 1}.0) /
+        |      CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, es_key FROM k
+        |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("d126_psi_drift",
+      "Population Stability Index drift report between two corpus " +
+        "snapshots (the ingest-monitoring statistic model-risk teams " +
+        "run on every feature): docs split into reference " +
+        "(doc_id%2=0) and current (doc_id%2=1) snapshots, length " +
+        "bucketed into a FIXED 10-bin domain (empty bins " +
+        "materialized from a range frame — PSI needs the domain, " +
+        "not just observed buckets), Laplace+1 smoothing on exact " +
+        "counts, per-bin contribution (pa−pb)·ln(pa/pb). Two scans " +
+        "collapse to one: both snapshots' counts come from a SINGLE " +
+        "conditional-sum aggregate over one corpus pass (the d100 " +
+        "discipline). Totals broadcast as a 1-row cross join.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.select(
+            least(call_function("div", col("n_chars"), lit(100L)),
+              lit(9L)).as("bucket"),
+            (col("doc_id") % 2 === 0).as("is_ref"))
+          .groupBy("bucket").agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+        val domain = s.range(10).select(col("id").as("bucket"))
+        val full = domain.join(counts, Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        val tot = full.agg(sum("n_ref").as("t_ref"),
+          sum("n_cur").as("t_cur"))
+        val pa = (col("n_ref") + 1).cast("double") /
+          (col("t_ref") + 10).cast("double")
+        val pb = (col("n_cur") + 1).cast("double") /
+          (col("t_cur") + 10).cast("double")
+        full.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_ref"), col("n_cur"),
+            round((pa - pb) * log(pa / pb), 9).as("psi_term"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT
+        |    LEAST(n_chars // 100, 9) AS bucket,
+        |    doc_id % 2 = 0 AS is_ref
+        |  FROM documents),
+        |c AS (SELECT bucket,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY bucket),
+        |dom AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |f AS (SELECT dom.bucket,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |  FROM dom LEFT JOIN c ON c.bucket = dom.bucket),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM f)
+        |SELECT CAST(f.bucket AS BIGINT) AS bucket, n_ref, n_cur,
+        |  round((CAST(n_ref + 1 AS DOUBLE) /
+        |      CAST(t_ref + 10 AS DOUBLE) -
+        |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)) *
+        |    ln((CAST(n_ref + 1 AS DOUBLE) /
+        |      CAST(t_ref + 10 AS DOUBLE)) /
+        |      (CAST(n_cur + 1 AS DOUBLE) /
+        |        CAST(t_cur + 10 AS DOUBLE))), 9) AS psi_term
+        |FROM f, t ORDER BY bucket""".stripMargin))
   )
 }

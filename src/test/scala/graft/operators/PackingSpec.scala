@@ -49,6 +49,35 @@ class PackingSpec extends AnyFunSuite {
     assert(seqs.last.getAs[Long]("n_tokens") == (if (total % 64 == 0) 64L else total % 64))
   }
 
+  test("weightedTopK: ES keys rank by ln(u)/w, zero weights dropped, deterministic") {
+    val df = Seq((1L, 10L, "alpha"), (2L, 1000L, "beta"),
+      (3L, 0L, "gamma"), (4L, 10L, "delta"))
+      .toDF("doc_id", "w", "txt")
+    val got = Sampling
+      .weightedTopK(df, "doc_id", col("w"), col("txt"), k = 10)
+      .collect()
+    // zero-weight row never sampled
+    assert(!got.map(_.getLong(0)).contains(3L))
+    assert(got.length == 3)
+    // keys match the closed form ln((h%P+1)/(P+1))/w, rounded to 9
+    val expected = Seq(("alpha", 1L, 10L), ("beta", 2L, 1000L),
+      ("delta", 4L, 10L)).map { case (txt, id, w) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(txt.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(md5, 16) % Dedup.HashP
+      val u = (h + 1).toDouble / (Dedup.HashP + 1).toDouble
+      id -> BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.foreach { r =>
+      assert(r.getDouble(2) == expected(r.getLong(0)),
+        s"key mismatch for doc ${r.getLong(0)}")
+    }
+    // ranked by key desc
+    assert(got.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq.sorted.reverse)
+  }
+
   test("pairPack: shortest pairs with longest; waste accounting") {
     // lens sorted: 2,3,5,9 → packs: (2,9)=11 fits(b=12) waste 1;
     // (3,5)=8 fits waste 4
