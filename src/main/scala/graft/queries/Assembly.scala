@@ -76,6 +76,35 @@ object Assembly {
       |ORDER BY ABS(proj_q) DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** The d126 PSI report — shared VERBATIM by d126 (batch) and w40
+    * (streamed with a persisted counts store): bucket counts are
+    * additive, so the streamed monitor must equal the batch report
+    * exactly under any micro-batch split. */
+  private val PsiOracleSql = """WITH b AS (SELECT
+    |    LEAST(n_chars // 100, 9) AS bucket,
+    |    doc_id % 2 = 0 AS is_ref
+    |  FROM documents),
+    |c AS (SELECT bucket,
+    |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS n_ref,
+    |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+    |      AS n_cur
+    |  FROM b GROUP BY bucket),
+    |dom AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    |f AS (SELECT dom.bucket,
+    |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+    |  FROM dom LEFT JOIN c ON c.bucket = dom.bucket),
+    |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM f)
+    |SELECT CAST(f.bucket AS BIGINT) AS bucket, n_ref, n_cur,
+    |  round((CAST(n_ref + 1 AS DOUBLE) /
+    |      CAST(t_ref + 10 AS DOUBLE) -
+    |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)) *
+    |    ln((CAST(n_ref + 1 AS DOUBLE) /
+    |      CAST(t_ref + 10 AS DOUBLE)) /
+    |      (CAST(n_cur + 1 AS DOUBLE) /
+    |        CAST(t_cur + 10 AS DOUBLE))), 9) AS psi_term
+    |FROM f, t ORDER BY bucket""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("d119_seq_packing",
@@ -330,6 +359,87 @@ object Assembly {
         |SELECT doc_id, w, es_key FROM k
         |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin)),
 
+    Q("w40_streaming_psi_monitor",
+      "STREAMED drift monitoring — d126's PSI report maintained " +
+        "against a LIVE ingest: the reference histogram is static " +
+        "(cached once pre-stream, the w35/w36 static-side " +
+        "discipline); current-snapshot docs arrive in micro-batches " +
+        "and each batch folds its bucket counts into the persisted " +
+        "StatsStore (ONE signed fold per batch under the exactly-" +
+        "once commit tag — replay is a no-op). Counts are additive " +
+        "⇒ the final store is batching-invariant by algebra, and " +
+        "the post-stream PSI computation is d126's arithmetic " +
+        "verbatim — oracle shared, so streamed monitoring must " +
+        "equal the batch report exactly under any micro-batch " +
+        "split.",
+      (s, dir) => {
+        import graft.operators.StatsStore
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w40").toString
+        val cached = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        try {
+          val docs = t(s, dir, "documents")
+          val bucketed = docs.select(col("doc_id"),
+            least(call_function("div", col("n_chars"), lit(100L)),
+              lit(9L)).cast("string").as("bkt"))
+          val ref = bucketed.filter(col("doc_id") % 2 === 0)
+            .groupBy("bkt").agg(count(lit(1)).as("n_ref")).cache()
+          ref.count()                    // materialize pre-stream
+          cached += ref
+          bucketed.filter(col("doc_id") % 2 === 1)
+            .repartitionByRange(3, col("doc_id"))
+            .write.parquet(s"$tmp/in")
+          StatsStore.init(
+            bucketed.limit(0).withColumn("txt", lit("")),
+            "bkt", "txt", tmp)
+          val stream = s.readStream
+            .schema("doc_id LONG, bkt STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty)
+                StatsStore.applyDelta(
+                  batch.localCheckpoint()
+                    .withColumn("txt", lit(""))
+                    .withColumn("op", lit(1)),
+                  "bkt", "txt", "op", tmp, Some(s"b$batchId"))
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val cur = StatsStore.read(s, tmp)
+            .select(col("key").cast("long").as("bucket"),
+              col("n_docs").as("n_cur"))
+          val domain = s.range(10).select(col("id").as("bucket"))
+          val full = domain
+            .join(cur, Seq("bucket"), "left")
+            .join(ref.select(col("bkt").cast("long").as("bucket"),
+              col("n_ref")), Seq("bucket"), "left")
+            .select(col("bucket"),
+              coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          val tot = full.agg(sum("n_ref").as("t_ref"),
+            sum("n_cur").as("t_cur"))
+          val pa = (col("n_ref") + 1).cast("double") /
+            (col("t_ref") + 10).cast("double")
+          val pb = (col("n_cur") + 1).cast("double") /
+            (col("t_cur") + 10).cast("double")
+          full.crossJoin(broadcast(tot))
+            .select(col("bucket"), col("n_ref"), col("n_cur"),
+              round((pa - pb) * log(pa / pb), 9).as("psi_term"))
+            .orderBy("bucket")
+            .localCheckpoint()
+        } finally {
+          cached.foreach(_.unpersist())
+          Rm.rf(tmp)
+        }
+      },
+      Some(PsiOracleSql)),
+
     Q("d126_psi_drift",
       "Population Stability Index drift report between two corpus " +
         "snapshots (the ingest-monitoring statistic model-risk teams " +
@@ -367,29 +477,6 @@ object Assembly {
             round((pa - pb) * log(pa / pb), 9).as("psi_term"))
           .orderBy("bucket")
       },
-      Some("""WITH b AS (SELECT
-        |    LEAST(n_chars // 100, 9) AS bucket,
-        |    doc_id % 2 = 0 AS is_ref
-        |  FROM documents),
-        |c AS (SELECT bucket,
-        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_ref,
-        |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
-        |      AS n_cur
-        |  FROM b GROUP BY bucket),
-        |dom AS (SELECT unnest(generate_series(0, 9)) AS bucket),
-        |f AS (SELECT dom.bucket,
-        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-        |  FROM dom LEFT JOIN c ON c.bucket = dom.bucket),
-        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM f)
-        |SELECT CAST(f.bucket AS BIGINT) AS bucket, n_ref, n_cur,
-        |  round((CAST(n_ref + 1 AS DOUBLE) /
-        |      CAST(t_ref + 10 AS DOUBLE) -
-        |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)) *
-        |    ln((CAST(n_ref + 1 AS DOUBLE) /
-        |      CAST(t_ref + 10 AS DOUBLE)) /
-        |      (CAST(n_cur + 1 AS DOUBLE) /
-        |        CAST(t_cur + 10 AS DOUBLE))), 9) AS psi_term
-        |FROM f, t ORDER BY bucket""".stripMargin))
+      Some(PsiOracleSql))
   )
 }
