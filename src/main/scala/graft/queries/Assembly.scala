@@ -19,25 +19,32 @@ object Assembly {
     |      w -> len(w) > 0)) AS BIGINT) AS len
     |  FROM documents)""".stripMargin
 
+  /** The concat-and-chunk rollup over any prior CTE chain ending in
+    * `tok(doc_id, <lenCol>)` — the exact SQL mirror of
+    * `Packing.spansToSequences`: window prefix sum (DuckDB is
+    * single-node — there the window IS the right plan), span
+    * arithmetic, per-sequence aggregate. */
+  private def packRollupSql(budget: Int, lenCol: String): String = s""",
+    |c AS (SELECT doc_id, $lenCol AS len,
+    |    CAST(SUM($lenCol) OVER (ORDER BY doc_id) AS BIGINT) AS e
+    |  FROM tok WHERE $lenCol > 0),
+    |ex AS (SELECT e - len AS s, e,
+    |    unnest(generate_series((e - len) // $budget,
+    |      (e - 1) // $budget)) AS seq
+    |  FROM c)
+    |SELECT CAST(seq AS BIGINT) AS seq,
+    |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+    |  CAST(SUM(LEAST(e, (seq + 1) * $budget) -
+    |           GREATEST(s, seq * $budget)) AS BIGINT) AS n_tokens,
+    |  CAST(SUM(CASE WHEN e > (seq + 1) * $budget THEN 1 ELSE 0 END)
+    |    AS BIGINT) AS n_continued
+    |FROM ex GROUP BY seq ORDER BY seq""".stripMargin
+
   /** d119's concat-and-chunk rollup at budget 128 — shared VERBATIM
     * by d119 (batch) and w39 (streamed with a persisted carry): the
     * streamed assembly must reproduce the batch packing exactly
     * under any micro-batch split of an ordered ingest. */
-  private val SeqPackOracleSql = s"""$TokCte,
-    |c AS (SELECT doc_id, len,
-    |    CAST(SUM(len) OVER (ORDER BY doc_id) AS BIGINT) AS e
-    |  FROM tok WHERE len > 0),
-    |ex AS (SELECT e - len AS s, e,
-    |    unnest(generate_series((e - len) // 128, (e - 1) // 128))
-    |      AS seq
-    |  FROM c)
-    |SELECT CAST(seq AS BIGINT) AS seq,
-    |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-    |  CAST(SUM(LEAST(e, (seq + 1) * 128) -
-    |           GREATEST(s, seq * 128)) AS BIGINT) AS n_tokens,
-    |  CAST(SUM(CASE WHEN e > (seq + 1) * 128 THEN 1 ELSE 0 END)
-    |    AS BIGINT) AS n_continued
-    |FROM ex GROUP BY seq ORDER BY seq""".stripMargin
+  private val SeqPackOracleSql = TokCte + packRollupSql(128, "len")
 
   /** Quantized embeddings CTE — shared by the d121/d122 oracles;
     * floor(x·10⁶) of a FLOAT is the same BIGINT in every engine. */
@@ -265,6 +272,32 @@ object Assembly {
           .limit(10)
       },
       Some(PcaOracleSql)),
+
+    Q("d127_bpe_seq_packing",
+      "Tokenizer-aware sequence packing — the COMPLETE dataloader " +
+        "line in one gated query: train the BPE merge table (d80), " +
+        "tokenize every document with it (d81's type-join apply), " +
+        "then concat-and-chunk the LEARNED token stream into " +
+        "512-token training sequences (d119's distributed prefix " +
+        "sum over the true lengths the GPU will see — not " +
+        "whitespace proxies). Train is vocabulary-bounded with one " +
+        "corpus scan; tokenize is one type-join pass; packing adds " +
+        "one range exchange. The oracle replays all three stages in " +
+        "one CTE chain (d104's train+apply prefix feeding d119's " +
+        "rollup) — drift in any stage fails the gate.",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeTrain
+          .train(docs, "text", nMerges = 8)
+          .orderBy("step").select("pair")
+          .collect().map(_.getString(0)).toSeq
+        val tok = graft.operators.BpeTrain
+          .tokenCounts(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_tokens").as("len"))
+        Packing.packedSequences(tok, "doc_id", "len", budget = 512L)
+      },
+      Some(Mining.bpeTokenCountsCte(8) +
+        packRollupSql(512, "n_tokens"))),
 
     Q("d124_preference_winrate",
       "Pairwise-preference aggregation with Wilson confidence bounds " +

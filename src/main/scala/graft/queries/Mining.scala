@@ -108,7 +108,7 @@ object Mining {
     * word types, ending in a relation `tok(doc_id, n_tokens)` — the
     * per-document LEARNED-tokenizer token count. d81 selects it
     * directly; d104 feeds it into the batching replay. */
-  private def bpeTokenCountsCte(k: Int): String = {
+  private[queries] def bpeTokenCountsCte(k: Int): String = {
     def stage(i: Int): String = {
       val prev = s"r${i - 1}"
       s"""pc$i AS MATERIALIZED (
