@@ -83,6 +83,21 @@ object Assembly {
       |ORDER BY ABS(proj_q) DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** d125's Efraimidis–Spirakis top-20 — shared VERBATIM by d125
+    * (batch) and w41 (streamed reservoir merge): top-k of a union is
+    * the top-k of per-batch top-k's, and the keys are content-hash
+    * deterministic, so the streamed store must equal the batch draw
+    * exactly. */
+  private val EsSampleOracleSql = s"""WITH k AS (SELECT doc_id,
+    |    CAST(n_chars AS BIGINT) AS w,
+    |    round(ln(CAST((('0x' || substr(md5(text), 1, 15))::BIGINT
+    |        % ${graft.operators.Dedup.HashP} + 1) AS DOUBLE) /
+    |        ${graft.operators.Dedup.HashP + 1}.0) /
+    |      CAST(n_chars AS DOUBLE), 9) AS es_key
+    |  FROM documents WHERE n_chars > 0)
+    |SELECT doc_id, w, es_key FROM k
+    |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin
+
   /** The d126 PSI report — shared VERBATIM by d126 (batch) and w40
     * (streamed with a persisted counts store): bucket counts are
     * additive, so the streamed monitor must equal the batch report
@@ -382,15 +397,7 @@ object Assembly {
           t(s, dir, "documents"), "doc_id",
           col("n_chars"), col("text"), k = 20)
       },
-      Some(s"""WITH k AS (SELECT doc_id,
-        |    CAST(n_chars AS BIGINT) AS w,
-        |    round(ln(CAST((('0x' || substr(md5(text), 1, 15))::BIGINT
-        |        % ${graft.operators.Dedup.HashP} + 1) AS DOUBLE) /
-        |        ${graft.operators.Dedup.HashP + 1}.0) /
-        |      CAST(n_chars AS DOUBLE), 9) AS es_key
-        |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, w, es_key FROM k
-        |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin)),
+      Some(EsSampleOracleSql)),
 
     Q("w40_streaming_psi_monitor",
       "STREAMED drift monitoring — d126's PSI report maintained " +
@@ -472,6 +479,74 @@ object Assembly {
         }
       },
       Some(PsiOracleSql)),
+
+    Q("w41_streaming_weighted_sample",
+      "STREAMED weighted sampling — d125's Efraimidis–Spirakis draw " +
+        "maintained online, the textbook distributed-reservoir " +
+        "merge: because the global sample is exactly the top-k " +
+        "ES-keys and top-k is an associative, idempotent fold " +
+        "(top-k of union = top-k of top-k's), each micro-batch " +
+        "computes its own k-bounded candidate list and merges it " +
+        "into a persisted k-row store by staged rename under the " +
+        "exactly-once commit tag (replayed batch = no-op; a " +
+        "re-merge of the same candidates is idempotent by the " +
+        "fold's algebra even across the crash window). Keys are " +
+        "content-hash-deterministic, so the final store must equal " +
+        "the batch draw EXACTLY — oracle = d125 verbatim, under " +
+        "any micro-batch split.",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w41").toString
+        try {
+          val docs = t(s, dir, "documents")
+            .select("doc_id", "text", "n_chars")
+          docs.repartitionByRange(3, col("doc_id"))
+            .write.parquet(s"$tmp/in")
+          // empty k-row store bootstrap
+          docs.limit(0)
+            .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+              lit(0.0).as("es_key"))
+            .write.mode("overwrite").parquet(s"$tmp/store")
+          val fs = new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def p(x: String) = new org.apache.hadoop.fs.Path(x)
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING, n_chars LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty &&
+                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                val cand = Sampling.weightedTopK(
+                  batch.localCheckpoint(), "doc_id",
+                  col("n_chars"), col("text"), k = 20)
+                s.read.parquet(s"$tmp/store")
+                  .unionByName(cand)
+                  .orderBy(col("es_key").desc, col("doc_id"))
+                  .limit(20)
+                  .write.mode("overwrite").parquet(s"$tmp/store_new")
+                fs.create(p(s"$tmp/store_new/_applied_b$batchId"), true)
+                  .close()
+                fs.delete(p(s"$tmp/store_retired"), true)
+                require(fs.rename(p(s"$tmp/store"),
+                  p(s"$tmp/store_retired")), "w41: rename-out failed")
+                require(fs.rename(p(s"$tmp/store_new"),
+                  p(s"$tmp/store")), "w41: rename-in failed")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/store")
+            .orderBy(col("es_key").desc, col("doc_id"))
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(EsSampleOracleSql)),
 
     Q("d126_psi_drift",
       "Population Stability Index drift report between two corpus " +
