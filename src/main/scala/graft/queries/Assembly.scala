@@ -55,6 +55,16 @@ object Assembly {
     |  FROM embeddings),
     |idx AS (SELECT unnest(generate_series(0, 63)) AS i)""".stripMargin
 
+  /** d121's upper-triangle quantized Gram — shared VERBATIM by d121
+    * (batch) and w42 (streamed additive store): integer sums are
+    * batching- and order-invariant, so the maintained store must
+    * equal the one-pass Gram exactly. */
+  private val GramOracleSql = s"""$QuantCte
+    |SELECT a.i AS i, b.i AS j,
+    |  CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) AS g_q
+    |FROM q, idx a, idx b WHERE a.i <= b.i
+    |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin
+
   /** The d122 oracle: quantized Gram → trunc-div rescale → 8 UNROLLED
     * power-iteration rounds (exact integer mat-vec + IEEE
     * max-normalize + floor-requantize, each engine-identical) →
@@ -258,11 +268,66 @@ object Assembly {
             col("j").cast("long").as("j"), col("g_q"))
           .orderBy("i", "j")
       },
-      Some(s"""$QuantCte
-        |SELECT a.i AS i, b.i AS j,
-        |  CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) AS g_q
-        |FROM q, idx a, idx b WHERE a.i <= b.i
-        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin)),
+      Some(GramOracleSql)),
+
+    Q("w42_streaming_gram",
+      "STREAMED Gram maintenance — d121's covariance pass kept " +
+        "fresh under a live embedding ingest: the quantized Gram is " +
+        "an exact-integer SUM, so each micro-batch's d²-bounded " +
+        "partial Gram folds additively into a persisted 2 080-row " +
+        "store by staged rename under the exactly-once commit tag " +
+        "(the algebra makes it batching- and order-invariant; a " +
+        "replayed batch is a no-op). This is how a 100 TB pipeline " +
+        "keeps PCA/whitening statistics current without recomputing " +
+        "the corpus pass — the store is the bounded artifact, the " +
+        "per-batch cost is batch-sized. Oracle = d121 verbatim.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w42").toString
+        try {
+          val emb = t(s, dir, "embeddings")
+          emb.repartitionByRange(3, col("vec_id"))
+            .write.parquet(s"$tmp/in")
+          LinAlg.gramQ(emb.limit(0), "embedding")
+            .write.mode("overwrite").parquet(s"$tmp/store")
+          val fs = new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def p(x: String) = new org.apache.hadoop.fs.Path(x)
+          val stream = s.readStream
+            .schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty &&
+                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                s.read.parquet(s"$tmp/store")
+                  .unionByName(LinAlg.gramQ(
+                    batch.localCheckpoint(), "embedding"))
+                  .groupBy("i", "j").agg(sum("g_q").as("g_q"))
+                  .write.mode("overwrite").parquet(s"$tmp/store_new")
+                fs.create(p(s"$tmp/store_new/_applied_b$batchId"), true)
+                  .close()
+                fs.delete(p(s"$tmp/store_retired"), true)
+                require(fs.rename(p(s"$tmp/store"),
+                  p(s"$tmp/store_retired")), "w42: rename-out failed")
+                require(fs.rename(p(s"$tmp/store_new"),
+                  p(s"$tmp/store")), "w42: rename-in failed")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/store")
+            .select(col("i").cast("long").as("i"),
+              col("j").cast("long").as("j"), col("g_q"))
+            .orderBy("i", "j")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(GramOracleSql)),
 
     Q("d122_pca_projection",
       "PCA by POWER ITERATION, exactly replayable end-to-end: the " +
