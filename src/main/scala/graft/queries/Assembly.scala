@@ -69,7 +69,7 @@ object Assembly {
     * power-iteration rounds (exact integer mat-vec + IEEE
     * max-normalize + floor-requantize, each engine-identical) →
     * exact integer projection → top-10 by |proj|. */
-  private val PcaOracleSql = {
+  private val PcaChainSql = {
     val base = s"""$QuantCte,
       |g AS (SELECT a.i AS i, b.i AS j,
       |    CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) // 1000000
@@ -88,10 +88,12 @@ object Assembly {
     base + its + s""",
       |pr AS (SELECT vec_id,
       |    CAST(SUM(qv[v.i + 1] * v.v) AS BIGINT) AS proj_q
-      |  FROM q, v8 v GROUP BY vec_id)
-      |SELECT vec_id, proj_q FROM pr
-      |ORDER BY ABS(proj_q) DESC, vec_id LIMIT 10""".stripMargin
+      |  FROM q, v8 v GROUP BY vec_id)""".stripMargin
   }
+
+  private val PcaOracleSql = PcaChainSql + s"""
+    |SELECT vec_id, proj_q FROM pr
+    |ORDER BY ABS(proj_q) DESC, vec_id LIMIT 10""".stripMargin
 
   /** d125's Efraimidis–Spirakis top-20 — shared VERBATIM by d125
     * (batch) and w41 (streamed reservoir merge): top-k of a union is
@@ -352,6 +354,88 @@ object Assembly {
           .limit(10)
       },
       Some(PcaOracleSql)),
+
+    Q("s20_pca_prefilter_topk",
+      "PCA-projection-pruned cosine ANN — d122's dominant direction " +
+        "as a 1-D coarse quantizer (the spectral cousin of the IVF " +
+        "cell probe): every embedding carries its exact integer " +
+        "projection; a query's candidates are the 50 docs NEAREST " +
+        "in projection (|Δproj| — a scalar compare over a bounded " +
+        "WindowGroupLimit rank, not a 64-d distance), and only " +
+        "candidates pay the exact cosine. At rest the projection is " +
+        "a sorted/bucketed column, making the candidate step a " +
+        "range probe instead of a scan. The pruning is DETERMINISTIC " +
+        "integer arithmetic, so the oracle replays it exactly (the " +
+        "d106 discipline — the gate checks the implementation, not " +
+        "the recall curve; recall vs s01 is the audit below).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{LinAlg, Similarity}
+        val emb = t(s, dir, "embeddings")
+        val upper = LinAlg.gramQ(emb, "embedding").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+        val v = LinAlg.topEigenQ(upper, dim = 64, iters = 8)
+        val proj = LinAlg.projectQ(emb, "vec_id", "embedding", v)
+          .localCheckpoint()
+        val qp = proj.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"),
+            col("proj_q").as("qproj"))
+        val cand = proj
+          .join(broadcast(qp), col("vec_id") =!= col("query_id"))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(abs(col("proj_q") - col("qproj")).asc,
+                col("vec_id").asc)))
+          .filter(col("crk") <= 50)
+          .select("query_id", "vec_id")
+        val e = emb.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        val qv = e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        e.join(broadcast(cand), "vec_id")
+          .join(broadcast(qv), "query_id")
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            round(Similarity.cosine(col("v"), col("qv")), 9)
+              .as("cosine"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("cosine").desc, col("doc_id").asc)))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("cosine"))
+          .orderBy("query_id", "rk")
+      },
+      Some(PcaChainSql + s""",
+        |qp AS (SELECT vec_id AS query_id, proj_q AS qproj FROM pr
+        |  WHERE vec_id IN (1, 2, 3)),
+        |cand AS (SELECT query_id, vec_id FROM (
+        |    SELECT qp.query_id, p.vec_id,
+        |      row_number() OVER (PARTITION BY qp.query_id
+        |        ORDER BY ABS(p.proj_q - qp.qproj) ASC, p.vec_id ASC)
+        |        AS crk
+        |    FROM pr p JOIN qp ON p.vec_id <> qp.query_id)
+        |  WHERE crk <= 50),
+        |emb2 AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |qv2 AS (SELECT vec_id AS query_id, v AS qv FROM emb2
+        |  WHERE vec_id IN (1, 2, 3)),
+        |cosr AS (SELECT c.query_id, c.vec_id AS doc_id,
+        |    round(list_reduce(list_transform(generate_series(1, len(v)),
+        |        i -> v[i] * qv[i]), (a,b) -> a + b) /
+        |      (sqrt(list_reduce(list_transform(v, x -> x * x),
+        |        (a,b) -> a + b)) *
+        |       sqrt(list_reduce(list_transform(qv, x -> x * x),
+        |        (a,b) -> a + b))), 9) AS cosine
+        |  FROM cand c JOIN emb2 e ON e.vec_id = c.vec_id
+        |    JOIN qv2 ON qv2.query_id = c.query_id),
+        |rk2 AS (SELECT query_id, doc_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM cosr)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id,
+        |  cosine
+        |FROM rk2 WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     Q("d127_bpe_seq_packing",
       "Tokenizer-aware sequence packing — the COMPLETE dataloader " +
