@@ -97,7 +97,15 @@ object Bench {
     // BM25 hard-negative mining (pinned ranked list + candidate-sized
     // Jaccard verify)
     "d119_seq_packing", "d120_pair_packing", "d121_gram_matrix",
-    "d122_pca_projection", "d123_hard_negative_mining")
+    "d122_pca_projection", "d123_hard_negative_mining",
+    // selection + monitoring wave: tokenizer-aware packing (the full
+    // train → tokenize → pack dataloader chain), ES weighted
+    // sampling (TakeOrdered over a codegen'd key projection), PSI
+    // drift (both histograms as conditional sums of ONE corpus
+    // pass), and the PCA-pruned ANN serve (candidate step is a
+    // scalar |Δproj| rank — the 1-D spectral IVF probe)
+    "d127_bpe_seq_packing", "d125_weighted_sample", "d126_psi_drift",
+    "s20_pca_prefilter_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
