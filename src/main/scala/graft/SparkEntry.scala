@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Assembly, Behavior, Extended, LlmOps, Mining, Parity, Q, Relational, Search, StreamingQ}
+import graft.queries.{Assembly, Audit, Behavior, Extended, LlmOps, Mining, Parity, Q, Relational, Search, StreamingQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,7 @@ object SparkEntry {
   def catalog: Seq[Q] =
     Relational.all ++ Parity.all ++ Parity.extra ++ LlmOps.all ++
       Extended.all ++ Behavior.all ++ StreamingQ.all ++ Search.all ++
-      Mining.all ++ Assembly.all
+      Mining.all ++ Assembly.all ++ Audit.all
 
   /** Flagship: the reference's whole pipeline (validate + route + infer +
     * DDL) over events.props at sf0.001 — ONE scan, one parse per line via

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RowCheck, Validation}
+import graft.queries.Tables.t
+
+/** Data-quality governance: constraint-suite validation (the
+  * Deequ/Great-Expectations report as ONE Spark aggregate —
+  * [[graft.operators.Validation]]), keyed snapshot diff (the CDC
+  * acceptance report), and exact classifier evaluation (rank-exact
+  * AUC + confusion) — the audit surface a production ingest runs
+  * before data reaches training. */
+object Audit {
+
+  /** The lineitem constraint suite — shared VERBATIM by d128 (batch)
+    * and w43 (streamed monitor): every violation count is an exact
+    * additive integer, so the streamed store must equal the batch
+    * report under any range-disjoint micro-batch split. Violation
+    * columns reference the post-FK-join frame (`o_orderkey` is the
+    * left-joined reference key). */
+  private def liChecks = Seq(
+    RowCheck("qty_le_45", col("l_quantity") > 45),
+    RowCheck("disc_le_8pct", col("l_discount") > 0.08),
+    RowCheck("flag_accepted", !col("l_returnflag").isin("N", "R")),
+    RowCheck("ship_before_1998",
+      col("l_shipdate") >= lit("1998-01-01").cast("timestamp")),
+    RowCheck("ship_not_null", col("l_shipdate").isNull),
+    RowCheck("fk_orderkey", col("o_orderkey").isNull))
+
+  private val LiUnique =
+    Some(("pk_unique", Seq("l_orderkey", "l_linenumber")))
+
+  /** d128's oracle — the whole suite as one DuckDB aggregate over the
+    * FK-joined frame, reshaped to the LONG report. Shared verbatim by
+    * w43. `COUNT(DISTINCT (a, b))` is DuckDB's composite distinct;
+    * Spark's two-column `count_distinct` counts the same tuples
+    * (neither key column is nullable here). */
+  private val ValidationOracleSql = """WITH j AS (
+    |  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+    |    l.l_discount, l.l_returnflag, l.l_shipdate,
+    |    o.o_orderkey AS ok
+    |  FROM lineitem l LEFT JOIN orders o
+    |    ON l.l_orderkey = o.o_orderkey),
+    |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    |    CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS v_qty,
+    |    CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS v_disc,
+    |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('N', 'R')
+    |      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+    |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+    |      THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+    |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS v_null,
+    |    CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)
+    |      AS BIGINT) AS v_fk,
+    |    CAST(COUNT(*) -
+    |      COUNT(DISTINCT (l_orderkey, l_linenumber))
+    |      AS BIGINT) AS v_uniq
+    |  FROM j)
+    |SELECT check_name, n_rows, n_violations,
+    |  n_violations = 0 AS pass
+    |FROM (
+    |  SELECT 'qty_le_45' AS check_name, n_rows,
+    |    v_qty AS n_violations FROM a
+    |  UNION ALL SELECT 'disc_le_8pct', n_rows, v_disc FROM a
+    |  UNION ALL SELECT 'flag_accepted', n_rows, v_flag FROM a
+    |  UNION ALL SELECT 'ship_before_1998', n_rows, v_ship FROM a
+    |  UNION ALL SELECT 'ship_not_null', n_rows, v_null FROM a
+    |  UNION ALL SELECT 'fk_orderkey', n_rows, v_fk FROM a
+    |  UNION ALL SELECT 'pk_unique', n_rows, v_uniq FROM a)
+    |ORDER BY check_name""".stripMargin
+
+  /** The FK-joined lineitem frame both validation queries check. */
+  private def liJoined(s: org.apache.spark.sql.SparkSession,
+                       dir: String) =
+    t(s, dir, "lineitem").join(
+      t(s, dir, "orders").select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left")
+
+  val all: Seq[Q] = Seq(
+
+    Q("d128_constraint_validation",
+      "Constraint-suite data validation — the Deequ/Great-" +
+        "Expectations report as ONE Spark aggregate: six row-wise " +
+        "rules (range, set membership, date bound, NOT NULL, " +
+        "referential integrity via a left join on orders) plus a " +
+        "composite-key uniqueness rule all computed as conditional " +
+        "sums / count-distinct inside a single scan of lineitem — " +
+        "constraint count does not multiply corpus passes (the d100 " +
+        "one-scan discipline applied to data quality). Output: the " +
+        "pass/fail report with exact violation counts; pk_unique " +
+        "genuinely trips on this data (45,832 distinct of 60,000 at " +
+        "sf0.01), so the gate covers both verdicts. At rest, " +
+        "bucketing both tables by the FK key makes the join " +
+        "shuffle-free; everything else is map-side partials into a " +
+        "1-row aggregate.",
+      (s, dir) =>
+        Validation.report(liJoined(s, dir), liChecks, LiUnique),
+      Some(ValidationOracleSql)),
+
+    Q("w43_streaming_constraint_monitor",
+      "STREAMED constraint monitoring — d128's validation suite " +
+        "maintained against a live ingest: lineitem arrives in " +
+        "l_orderkey-RANGED micro-batches (range-disjoint ingest, the " +
+        "w34 discipline — what makes the per-batch count-distinct " +
+        "additive), the orders reference keys are cached once " +
+        "pre-stream (the w35/w40 static-side discipline), and each " +
+        "batch folds its one-pass violation counts into the " +
+        "persisted additive store by staged rename under the " +
+        "exactly-once commit tag (replay is a no-op). Exact integer " +
+        "counts make the store batching-invariant by algebra; the " +
+        "post-stream report is d128's verbatim — oracle shared, so " +
+        "streamed monitoring must equal batch validation exactly.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w43").toString
+        val cached = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        try {
+          val ok = t(s, dir, "orders").select("o_orderkey").cache()
+          ok.count() // materialize pre-stream
+          cached += ok
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+              "l_discount", "l_returnflag", "l_shipdate")
+            .repartitionByRange(3, col("l_orderkey"))
+            .write.parquet(s"$tmp/in")
+          val stream = s.readStream
+            .schema("l_orderkey LONG, l_linenumber INT, " +
+              "l_quantity DOUBLE, l_discount DOUBLE, " +
+              "l_returnflag STRING, l_shipdate TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty)
+                Validation.foldCounts(
+                  Validation.counts(
+                    batch.localCheckpoint().join(ok,
+                      col("l_orderkey") === col("o_orderkey"),
+                      "left"),
+                    liChecks, LiUnique),
+                  tmp, Some(s"b$batchId"))
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          Validation.fromCounts(Validation.readCounts(s, tmp))
+            .localCheckpoint()
+        } finally {
+          cached.foreach(_.unpersist())
+          Rm.rf(tmp)
+        }
+      },
+      Some(ValidationOracleSql)),
+
+    Q("d129_snapshot_diff",
+      "Keyed snapshot diff — the CDC acceptance report between two " +
+        "corpus snapshots: one FULL OUTER join on the document key " +
+        "classifies every doc as added / removed / changed / " +
+        "unchanged, with per-column change attribution (text vs " +
+        "lang) as conditional sums in the same aggregate. The " +
+        "snapshots derive deterministically from the corpus " +
+        "(membership by doc_id residues, planted text/lang edits) " +
+        "so both engines diff identical inputs. One shuffle per " +
+        "side for the key join; at rest, snapshots bucketed by key " +
+        "make the diff a zero-shuffle sort-merge — the plan shape " +
+        "nightly 100 TB snapshot reconciliation needs.",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select("doc_id", "text", "lang")
+        val a = d.filter(col("doc_id") % 7 =!= 0)
+        val b = d.filter(col("doc_id") % 11 =!= 0).select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"),
+          when(col("doc_id") % 13 === 0, lit("xx"))
+            .otherwise(col("lang")).as("lang"))
+        val both = col("a.doc_id").isNotNull &&
+          col("b.doc_id").isNotNull
+        a.as("a").join(b.as("b"),
+            col("a.doc_id") === col("b.doc_id"), "full_outer")
+          .select(
+            when(col("a.doc_id").isNull, "added")
+              .when(col("b.doc_id").isNull, "removed")
+              .when(col("a.text") =!= col("b.text") ||
+                col("a.lang") =!= col("b.lang"), "changed")
+              .otherwise("unchanged").as("change_class"),
+            when(both && col("a.text") =!= col("b.text"), 1L)
+              .otherwise(0L).as("td"),
+            when(both && col("a.lang") =!= col("b.lang"), 1L)
+              .otherwise(0L).as("ld"))
+          .groupBy("change_class")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("td").cast("long").as("n_text_changed"),
+            sum("ld").cast("long").as("n_lang_changed"))
+          .orderBy("change_class")
+      },
+      Some("""WITH a AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |      ELSE text END AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'xx'
+        |      ELSE lang END AS lang
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |f AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.text AS ta, b.text AS tb, a.lang AS la, b.lang AS lb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+        |c AS (SELECT
+        |    CASE WHEN ida IS NULL THEN 'added'
+        |      WHEN idb IS NULL THEN 'removed'
+        |      WHEN ta <> tb OR la <> lb THEN 'changed'
+        |      ELSE 'unchanged' END AS change_class,
+        |    CASE WHEN ida IS NOT NULL AND idb IS NOT NULL
+        |      AND ta <> tb THEN 1 ELSE 0 END AS td,
+        |    CASE WHEN ida IS NOT NULL AND idb IS NOT NULL
+        |      AND la <> lb THEN 1 ELSE 0 END AS ld
+        |  FROM f)
+        |SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(td) AS BIGINT) AS n_text_changed,
+        |  CAST(SUM(ld) AS BIGINT) AS n_lang_changed
+        |FROM c GROUP BY change_class
+        |ORDER BY change_class""".stripMargin)),
+
+    Q("d130_classifier_eval",
+      "Exact binary-classifier evaluation — rank-exact ROC-AUC " +
+        "(Mann-Whitney with tie correction) plus the thresholded " +
+        "confusion matrix, for the quality-classifier line (d27/" +
+        "d03): label = (lang = 'en'), score = the integer " +
+        "tokens-per-kilochar ratio (exact integer division — " +
+        "engine-identical). AUC numerator is computed ENTIRELY in " +
+        "integers (2·Σ pos·neg_below + Σ pos·neg_tied), divided " +
+        "once at the end — no per-pair float accumulation, no " +
+        "O(N²) pairs: the corpus collapses to per-score-level " +
+        "counts first (≤ 1001 levels by construction — the score " +
+        "is capped — so the ordering window runs over a BOUNDED " +
+        "frame at any corpus size, the 2080-row Gram discipline), " +
+        "and tp/fp/fn/tn are conditional sums over the same " +
+        "levels. One corpus scan total.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+            least(lit(1000L), expr(
+              "1000 * cast(size(filter(split(text, ' '), " +
+                "w -> length(w) > 0)) as bigint) div n_chars"))
+              .as("score"))
+        val g = base.groupBy("score").agg(
+          sum("pos").cast("long").as("n_pos"),
+          (count(lit(1)) - sum("pos")).cast("long").as("n_neg"))
+        // Bounded-domain window: score ∈ [0, 1000] ⇒ ≤ 1001 rows
+        // enter this partitionless frame at ANY corpus size.
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val lv = g.withColumn("cneg",
+          coalesce(sum("n_neg").over(w), lit(0L)))
+        val thr = 182L
+        val d = (c: String) => col(c).cast("double")
+        lv.agg(
+            sum("n_pos").cast("long").as("n_pos"),
+            sum("n_neg").cast("long").as("n_neg"),
+            sum(lit(2L) * col("n_pos") * col("cneg") +
+              col("n_pos") * col("n_neg")).cast("long")
+              .as("auc_num2"),
+            sum(when(col("score") >= thr, col("n_pos"))
+              .otherwise(0L)).cast("long").as("tp"),
+            sum(when(col("score") >= thr, col("n_neg"))
+              .otherwise(0L)).cast("long").as("fp"),
+            sum(when(col("score") < thr, col("n_pos"))
+              .otherwise(0L)).cast("long").as("fn"),
+            sum(when(col("score") < thr, col("n_neg"))
+              .otherwise(0L)).cast("long").as("tn"))
+          .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+            round(d("auc_num2") /
+              (lit(2.0) * d("n_pos") * d("n_neg")), 9).as("auc"),
+            col("tp"), col("fp"), col("fn"), col("tn"),
+            round((d("tp") + d("tn")) /
+              (d("n_pos") + d("n_neg")), 9).as("accuracy"),
+            round(d("tp") / (d("tp") + d("fp")), 9).as("prec"),
+            round(d("tp") / (d("tp") + d("fn")), 9).as("rec"),
+            round(lit(2.0) * d("tp") /
+              (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
+      },
+      Some("""WITH s AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    LEAST(CAST(1000 AS BIGINT),
+        |      1000 * CAST(len(list_filter(string_split(text, ' '),
+        |        w -> len(w) > 0)) AS BIGINT) // n_chars) AS score
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        |  FROM s GROUP BY score),
+        |lv AS (SELECT score, n_pos, n_neg,
+        |    COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cneg
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(2 * n_pos * cneg + n_pos * n_neg) AS BIGINT)
+        |      AS auc_num2,
+        |    CAST(SUM(CASE WHEN score >= 182 THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= 182 THEN n_neg ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < 182 THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score < 182 THEN n_neg ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM lv)
+        |SELECT n_pos, n_neg, auc_num2,
+        |  round(CAST(auc_num2 AS DOUBLE) /
+        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+        |    9) AS auc,
+        |  tp, fp, fn, tn,
+        |  round((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+        |    (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)), 9)
+        |    AS accuracy,
+        |  round(CAST(tp AS DOUBLE) /
+        |    (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 9) AS prec,
+        |  round(CAST(tp AS DOUBLE) /
+        |    (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 9) AS rec,
+        |  round(2.0 * CAST(tp AS DOUBLE) /
+        |    (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) +
+        |      CAST(fn AS DOUBLE)), 9) AS f1
+        |FROM t""".stripMargin)))
+}

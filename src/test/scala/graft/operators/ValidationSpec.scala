@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+class ValidationSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val checks = Seq(
+    RowCheck("v_pos", col("v") <= 0),
+    RowCheck("name_not_null", col("name").isNull))
+  private val uniq = Some(("pk_unique", Seq("k1", "k2")))
+
+  private def fixture = Seq(
+    (1L, 1, 5L, "a"),
+    (1L, 2, -3L, "b"),        // v_pos violation
+    (2L, 1, 0L, null),        // v_pos + name_not_null violations
+    (2L, 1, 7L, "c"))         // pk duplicate of the row above
+    .toDF("k1", "k2", "v", "name")
+
+  test("report: one row per check, exact counts, pass verdicts") {
+    val got = Validation.report(fixture, checks, uniq)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("name_not_null", 4L, 1L, false),
+      ("pk_unique", 4L, 1L, false),
+      ("v_pos", 4L, 2L, false)))
+  }
+
+  test("report: a clean frame passes every check") {
+    val clean = Seq((1L, 1, 5L, "a"), (1L, 2, 3L, "b"))
+      .toDF("k1", "k2", "v", "name")
+    val got = Validation.report(clean, checks, uniq).collect()
+    assert(got.forall(_.getAs[Boolean]("pass")))
+    assert(got.forall(_.getAs[Long]("n_violations") == 0L))
+  }
+
+  test("counts is ONE scan: single aggregate, no repeated FileScan") {
+    // The whole suite must cost one pass — the executed plan carries
+    // exactly one scan of the input even with 3 checks + uniqueness.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-valspec").toString
+    try {
+      fixture.write.mode("overwrite").parquet(s"$tmp/t")
+      val df = spark.read.parquet(s"$tmp/t")
+      val plan = Validation.counts(df, checks, uniq)
+        .queryExecution.executedPlan.toString
+      assert(plan.split("Scan parquet").length - 1 == 1, plan)
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("foldCounts: additive across range-disjoint splits + exactly-once replay") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-valfold").toString
+    try {
+      val whole = Validation.counts(fixture, checks, uniq)
+        .orderBy("check_name").collect().toSeq
+      // Split on k1 — range-disjoint, so pk_unique stays additive.
+      val b0 = Validation.counts(
+        fixture.filter(col("k1") === 1L), checks, uniq)
+      val b1 = Validation.counts(
+        fixture.filter(col("k1") === 2L), checks, uniq)
+      Validation.foldCounts(b0, tmp, Some("b0"))
+      Validation.foldCounts(b1, tmp, Some("b1"))
+      // Replay of an already-committed batch must be a no-op.
+      Validation.foldCounts(b1, tmp, Some("b1"))
+      val folded = Validation.readCounts(spark, tmp)
+        .orderBy("check_name").collect().toSeq
+      assert(folded == whole)
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("check names are validated") {
+    intercept[IllegalArgumentException] {
+      Validation.counts(fixture, Seq(RowCheck("bad name", lit(true))))
+    }
+    intercept[IllegalArgumentException] {
+      Validation.counts(fixture,
+        Seq(RowCheck("dup", lit(true)), RowCheck("dup", lit(false))))
+    }
+  }
+}
