@@ -272,7 +272,8 @@ object Scale {
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
-      what != "stats" && what != "pack" && what != "gram"
+      what != "stats" && what != "pack" && what != "gram" &&
+      what != "annpca"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -300,7 +301,8 @@ object Scale {
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
-           "maxsim" | "rangejoin" | "stats" | "pack" | "gram" =>
+           "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
+           "annpca" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -898,6 +900,114 @@ object Scale {
         s""""fast_shuffle_mb":${fmt(fMb)},""" +
         s""""explode_sec":${fmt(slowSec)},""" +
         s""""eig_project_sec":${fmt(eigSec)}}""")
+    }
+    // PCA-pruned ANN serving arm (round 12; s20's at-rest claim
+    // measured): the corpus projection is materialized SORTED by
+    // proj_q (repartitionByRange + sortWithinPartitions — the
+    // deployment layout), so a query's candidate step is a literal
+    // range predicate the parquet reader prunes by row-group min/max
+    // — the 1-D spectral IVF probe. The pruning is provably sound
+    // exactly in the HIGH-similarity regime: for unit vectors,
+    // cos(x, q) ≤ cos(∠x − ∠q) where ∠ is the angle to the probe
+    // direction, so a near-duplicate (cos ≈ 1) MUST land within a
+    // narrow |Δproj| window — this is the dedup/near-dup serve
+    // path, not generic diverse top-k (s19 measures the
+    // structureless generic case). The corpus is random unit-ish
+    // vectors plus 10 PLANTED near-dups of each query (cos ≈
+    // 0.9999 ≫ the ~0.58 random-pair ceiling at 50k docs), so
+    // brute top-10 = the planted set and recall@10 is the
+    // correctness witness; candidate fraction + walls the cost one.
+    if (what == "annpca") {
+      import graft.operators.{LinAlg, Similarity}
+      val nBase = 50000L * factor
+      val dim = 64
+      val qids = Seq(1L, 2L, 3L)
+      val base = spark.range(nBase).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          ((pmod(xxhash64(col("id"), j), lit(2001)) - lit(1000))
+            .cast("double") / 1000.0).cast("float")).as("embedding"))
+      // 10 near-dups of each query: x + 0.001·ε on the UNIT-scaled
+      // base vector (ids beyond the base range, k = 1..10)
+      val dups = spark.range(30).select(
+        (lit(nBase) + col("id")).as("vec_id"),
+        (col("id") % 3 + 1).as("src"), (col("id") / 3).as("k"))
+      val unit = (e: org.apache.spark.sql.Column) => {
+        val nrm = sqrt(aggregate(e, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+        transform(e, x => (x.cast("double") / nrm).cast("float"))
+      }
+      val dupEmb = dups.join(
+          base.filter(col("vec_id").isin(qids: _*))
+            .select(col("vec_id").as("src"),
+              unit(col("embedding")).as("ue")), "src")
+        .select(col("vec_id"), transform(col("ue"), (x, j) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), j, lit(13)), lit(2001)) -
+              lit(1000)).cast("double") / 1000.0 * 0.001)
+            .cast("float")).as("embedding"))
+      val emb = base.select(col("vec_id"),
+          unit(col("embedding")).as("embedding"))
+        .unionByName(dupEmb)
+        .localCheckpoint()
+      val upper = {
+        val g = LinAlg.gramQFast(emb, "embedding", dim)
+        var k = -1
+        for (i <- 0 until dim; j <- i until dim) yield {
+          k += 1; (i, j, g(k))
+        }
+      }
+      val v = LinAlg.topEigenQ(upper, dim)
+      val sortedDir = s"$synthDir/annpca_sorted"
+      LinAlg.projectQ(emb, "vec_id", "embedding", v)
+        .join(emb, "vec_id")
+        .repartitionByRange(32, col("proj_q"))
+        .sortWithinPartitions("proj_q")
+        .write.mode("overwrite").parquet(sortedDir)
+      val sorted = spark.read.parquet(sortedDir)
+      // bounded driver artifacts: 3 query vectors + 3 projections
+      val qrows = sorted.filter(col("vec_id").isin(qids: _*))
+        .select("vec_id", "proj_q", "embedding").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Float](2))).sortBy(_._1)
+      val span = sorted.agg(max("proj_q") - min("proj_q")).head()
+        .getLong(0)
+      // ±1% of the projection range: comfortably wider than the
+      // planted perturbation's provable |Δproj| bound (‖Δx‖ ≈
+      // 0.001·√(64/3) ≈ 0.005 of a ~1.0 span)
+      val delta = span / 100
+      def serve(pruned: Boolean): (Double, Map[Long, Seq[Long]], Long) = {
+        var nCand = 0L
+        val t0 = System.nanoTime()
+        val res = qrows.map { case (qid, qproj, qv) =>
+          val base0 =
+            if (pruned)
+              sorted.filter(col("proj_q") >= qproj - delta &&
+                col("proj_q") <= qproj + delta)
+            else sorted
+          val base = base0.filter(col("vec_id") =!= qid)
+          if (pruned) nCand += base.count()
+          val top = base.select(col("vec_id"),
+              Similarity.cosine(
+                Similarity.asDouble(col("embedding")),
+                typedlit(qv.map(_.toDouble))).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id"))
+            .limit(10).collect().map(_.getLong(0)).toSeq
+          qid -> top
+        }.toMap
+        ((System.nanoTime() - t0) / 1e9, res, nCand)
+      }
+      val (bruteSec, bruteTop, _) = serve(pruned = false)
+      val (prunedSec, prunedTop, nCand) = serve(pruned = true)
+      val recall = qids.map(q =>
+        prunedTop(q).toSet.intersect(bruteTop(q).toSet).size).sum /
+        (10.0 * qids.size)
+      println(s"""{"query":"annpca","n_vecs":${nBase + 30},""" +
+        s""""dim":$dim,""" +
+        s""""brute_sec":${fmt(bruteSec)},""" +
+        s""""pruned_sec":${fmt(prunedSec)},""" +
+        s""""n_candidates":$nCand,""" +
+        s""""cand_frac":${fmt(nCand.toDouble / (3.0 * (nBase + 30)))},""" +
+        s""""recall_at10":${fmt(recall)}}""")
     }
     // Binned-range-join arm (round 12; q88's scale claim measured):
     // uniform points vs width-25 intervals, joined binned (width-31
