@@ -333,5 +333,84 @@ object Audit {
         |  round(2.0 * CAST(tp AS DOUBLE) /
         |    (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) +
         |      CAST(fn AS DOUBLE)), 9) AS f1
-        |FROM t""".stripMargin)))
+        |FROM t""".stripMargin)),
+
+    Q("d131_dataset_fingerprint",
+      "Content-addressed dataset fingerprint — the reproducibility/" +
+        "provenance line of a data card: every doc hashes to a " +
+        "64-bit content id (md5 over id|text), and each shard's " +
+        "digest is the exact MULTISET hash Σ h64 (a DECIMAL sum — " +
+        "order-independent, so any partitioning computes the same " +
+        "digest, and an ADDITIVE group, so an ingest wave updates a " +
+        "stored fingerprint by adding its docs' sum and a retraction " +
+        "subtracts — the StatsStore maintenance algebra applied to " +
+        "dataset identity). Two equal corpora produce equal rows; " +
+        "any single changed/missing/extra doc flips its shard's " +
+        "digest. One scan, one 16-row aggregate — map-side partials " +
+        "do all the work at any corpus size.",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+            (col("doc_id") % 16).as("shard"),
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("|"), col("text")).cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h64"))
+          .groupBy("shard").agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            // exact DECIMAL multiset sum, carried as STRING so the
+            // cross-engine compare stays exact (a DOUBLE digest
+            // would defeat the point of a fingerprint)
+            sum(col("h64").cast("decimal(38,0)")).cast("string")
+              .as("digest"))
+          .orderBy("shard"),
+      Some("""WITH h AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+        |      AS BIGINT) AS h64
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(CAST(SUM(h64) AS DECIMAL(38, 0)) AS VARCHAR)
+        |    AS digest
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    Q("d132_l_diversity",
+      "l-diversity audit (Machanavajjhala 2007) — the gap " +
+        "k-anonymity (d56) leaves open: a group can be large yet " +
+        "reveal its sensitive attribute if every row shares one " +
+        "value. Rows group by the d56 quasi-identifier tuple " +
+        "(event_type × value decade); a group with fewer than l = 3 " +
+        "DISTINCT sensitive values (user_id) is a homogeneity-" +
+        "attack risk. Per event_type: group count, low-diversity " +
+        "groups, rows at risk, and the diversity floor actually " +
+        "achieved. Two aggregations (QI groups → rollup), both " +
+        "partial+final — the d56 shape plus one count-distinct.",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .select(col("event_type"),
+            floor(col("value") / 10).cast("long").as("vb"),
+            col("user_id"))
+          .groupBy("event_type", "vb")
+          .agg(count(lit(1)).as("sz"),
+            count_distinct(col("user_id")).as("ndist"))
+        g.groupBy("event_type").agg(
+            count(lit(1)).cast("long").as("n_groups"),
+            sum(when(col("ndist") < 3, 1L).otherwise(0L))
+              .cast("long").as("n_low_diversity"),
+            sum(when(col("ndist") < 3, col("sz")).otherwise(0L))
+              .cast("long").as("n_rows_at_risk"),
+            min("ndist").cast("long").as("min_diversity"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+        |  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS vb,
+        |    COUNT(*) AS sz, COUNT(DISTINCT user_id) AS ndist
+        |  FROM events GROUP BY event_type, vb)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity,
+        |  CAST(SUM(CASE WHEN ndist < 3 THEN sz ELSE 0 END)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(MIN(ndist) AS BIGINT) AS min_diversity
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }
