@@ -374,6 +374,86 @@ object Audit {
         |    AS digest
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    Q("w44_streaming_fingerprint",
+      "STREAMED dataset-fingerprint maintenance — d131's provenance " +
+        "digest kept current under a live ingest: the per-shard " +
+        "digest is an exact DECIMAL multiset SUM, so each micro-" +
+        "batch's shard-level (count, Σ h64) folds additively into a " +
+        "persisted ≤ 16-row store by staged rename under the " +
+        "exactly-once commit tag — the algebra makes the store " +
+        "batching- and order-invariant (and retraction-capable: a " +
+        "delete wave folds with sign −1), so a 100 TB pipeline " +
+        "always has the CURRENT dataset identity without a corpus " +
+        "pass. Oracle = d131 verbatim.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w44").toString
+        try {
+          def digests(df: org.apache.spark.sql.DataFrame) =
+            df.select((col("doc_id") % 16).as("shard"),
+                conv(substring(md5(concat(
+                  col("doc_id").cast("string"), lit("|"),
+                  col("text")).cast("binary")), 1, 15), 16, 10)
+                  .cast("long").as("h64"))
+              .groupBy("shard").agg(
+                count(lit(1)).cast("long").as("n_docs"),
+                sum(col("h64").cast("decimal(38,0)")).as("digest"))
+          val docs = t(s, dir, "documents").select("doc_id", "text")
+          docs.repartitionByRange(3, col("doc_id"))
+            .write.parquet(s"$tmp/in")
+          digests(docs.limit(0))
+            .write.mode("overwrite").parquet(s"$tmp/store")
+          val fs = new org.apache.hadoop.fs.Path(tmp)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          def p(x: String) = new org.apache.hadoop.fs.Path(x)
+          val stream = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty &&
+                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                s.read.parquet(s"$tmp/store")
+                  .unionByName(digests(batch.localCheckpoint()))
+                  .groupBy("shard").agg(
+                    sum("n_docs").cast("long").as("n_docs"),
+                    sum("digest").cast("decimal(38,0)").as("digest"))
+                  .write.mode("overwrite").parquet(s"$tmp/store_new")
+                fs.create(p(s"$tmp/store_new/_applied_b$batchId"),
+                  true).close()
+                fs.delete(p(s"$tmp/store_retired"), true)
+                require(fs.rename(p(s"$tmp/store"),
+                  p(s"$tmp/store_retired")), "w44: rename-out failed")
+                require(fs.rename(p(s"$tmp/store_new"),
+                  p(s"$tmp/store")), "w44: rename-in failed")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/store")
+            .select(col("shard"), col("n_docs"),
+              col("digest").cast("string").as("digest"))
+            .orderBy("shard")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id % 16 AS shard,
+        |    CAST(concat('0x', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+        |      AS BIGINT) AS h64
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(CAST(SUM(h64) AS DECIMAL(38, 0)) AS VARCHAR)
+        |    AS digest
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+
     Q("d132_l_diversity",
       "l-diversity audit (Machanavajjhala 2007) — the gap " +
         "k-anonymity (d56) leaves open: a group can be large yet " +
