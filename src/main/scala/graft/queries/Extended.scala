@@ -1325,6 +1325,57 @@ object Extended {
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q90_tpch_q5_local_supplier",
+      "TPC-H Q5 faithful — the 6-table CYCLIC join graph (customer ⋈ " +
+        "orders ⋈ lineitem ⋈ supplier with the local-supplier " +
+        "condition c_nationkey = s_nationkey closing the cycle, " +
+        "⋈ nation ⋈ region): the classic join-ordering stress. " +
+        "Declarative with broadcast hints on the dim chain " +
+        "(supplier/nation/region — at TPC-H proportions supplier is " +
+        "1% of customers, a legitimate broadcast at any SF); the " +
+        "date filter pushes to the orders scan, the region filter " +
+        "prunes nation before the fact side is touched. Revenue is " +
+        "the exact DECIMAL Σ price·(1−discount), cast once.",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+              lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <
+                lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region"))
+            .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(D2) - dec2(col("l_discount"))))
+          .cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) -
+        |     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin))
   )
 }
