@@ -105,7 +105,12 @@ object Bench {
     // pass), and the PCA-pruned ANN serve (candidate step is a
     // scalar |Δproj| rank — the 1-D spectral IVF probe)
     "d127_bpe_seq_packing", "d125_weighted_sample", "d126_psi_drift",
-    "s20_pca_prefilter_topk")
+    "s20_pca_prefilter_topk",
+    // third wave — the audit surface: the one-scan constraint-suite
+    // report, the multiset-hash dataset fingerprint, and the
+    // faithful 6-table TPC-H Q5 (cyclic join graph, broadcast dims)
+    "d128_constraint_validation", "d131_dataset_fingerprint",
+    "q90_tpch_q5_local_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

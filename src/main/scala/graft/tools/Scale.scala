@@ -273,7 +273,7 @@ object Scale {
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
       what != "stats" && what != "pack" && what != "gram" &&
-      what != "annpca"
+      what != "annpca" && what != "validate"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -302,7 +302,7 @@ object Scale {
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
            "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
-           "annpca" =>
+           "annpca" | "validate" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -900,6 +900,51 @@ object Scale {
         s""""fast_shuffle_mb":${fmt(fMb)},""" +
         s""""explode_sec":${fmt(slowSec)},""" +
         s""""eig_project_sec":${fmt(eigSec)}}""")
+    }
+    // Constraint-validation arm (round 12; d128's one-scan claim
+    // measured at tier): the same synthetic fact table validated
+    // with 2 rules vs 16 rules vs 16 rules + uniqueness. If the
+    // suite really is ONE aggregate, rule count is free (identical
+    // wall, identical shuffle) and the only paid step is the
+    // count-distinct's expand. 6M rows at 10×.
+    if (what == "validate") {
+      import graft.operators.{RowCheck, Validation}
+      val n = 600000L * factor
+      val fact = spark.range(n).select(
+        (col("id") / 4).cast("long").as("k1"),
+        (col("id") % 4).cast("int").as("k2"),
+        (pmod(xxhash64(col("id")), lit(50)) + 1).cast("double")
+          .as("qty"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(11)).cast("double") /
+          100.0).as("disc"),
+        concat(lit("F"), pmod(xxhash64(col("id"), lit(2)), lit(3)))
+          .as("flag"))
+        .localCheckpoint()
+      def rules(m: Int): Seq[RowCheck] = (0 until m).map(i =>
+        RowCheck(s"r$i", col("qty") > (20 + i) ||
+          col("disc") > (0.02 + i * 0.005)))
+      def run(m: Int, uniq: Boolean): (Double, Double, Long) = {
+        Thread.sleep(300)
+        metrics.read.set(0L)
+        val t0 = System.nanoTime()
+        val rep = Validation.report(fact, rules(m),
+          if (uniq) Some(("pk", Seq("k1", "k2"))) else None)
+          .collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (sec, metrics.read.getAndSet(0L) / 1e6,
+          rep.map(_.getAs[Long]("n_violations")).sum)
+      }
+      run(2, uniq = false) // warm
+      val (s2, mb2, v2) = run(2, uniq = false)
+      val (s16, mb16, v16) = run(16, uniq = false)
+      val (s16u, mb16u, _) = run(16, uniq = true)
+      require(v16 >= v2, "rule growth lost violations")
+      println(s"""{"query":"validate","n_rows":$n,""" +
+        s""""rules2_sec":${fmt(s2)},"rules2_mb":${fmt(mb2)},""" +
+        s""""rules16_sec":${fmt(s16)},"rules16_mb":${fmt(mb16)},""" +
+        s""""rules16_uniq_sec":${fmt(s16u)},""" +
+        s""""rules16_uniq_mb":${fmt(mb16u)}}""")
     }
     // PCA-pruned ANN serving arm (round 12; s20's at-rest claim
     // measured): the corpus projection is materialized SORTED by
