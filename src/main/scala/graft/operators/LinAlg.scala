@@ -122,4 +122,16 @@ object LinAlg {
       aggregate(zip_with(quantize(col(vecCol)), vlit, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).as("proj_q"))
   }
+
+  /** [[projectQ]] with the source columns RETAINED — the serving
+    * layout (s20): one pass computes the probe scalar NEXT TO the
+    * vector, so the candidate fetch and the exact rerank read the
+    * materialized projection table and never rescan the corpus. */
+  def withProjQ(df: DataFrame, vecCol: String, v: Array[Long],
+                out: String = "proj_q"): DataFrame = {
+    val vlit = array(v.map(lit(_)): _*)
+    df.withColumn(out,
+      aggregate(zip_with(quantize(col(vecCol)), vlit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+  }
 }

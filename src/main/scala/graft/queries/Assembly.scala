@@ -375,7 +375,10 @@ object Assembly {
         val upper = LinAlg.gramQ(emb, "embedding").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
         val v = LinAlg.topEigenQ(upper, dim = 64, iters = 8)
-        val proj = LinAlg.projectQ(emb, "vec_id", "embedding", v)
+        // the serving layout: probe scalar materialized NEXT TO the
+        // vector (one projection pass; candidate fetch and rerank
+        // both read this table — the corpus is never rescanned)
+        val proj = LinAlg.withProjQ(emb, "embedding", v)
           .localCheckpoint()
         val qp = proj.filter(col("vec_id").isin(1L, 2L, 3L))
           .select(col("vec_id").as("query_id"),
@@ -388,7 +391,7 @@ object Assembly {
                 col("vec_id").asc)))
           .filter(col("crk") <= 50)
           .select("query_id", "vec_id")
-        val e = emb.select(col("vec_id"),
+        val e = proj.select(col("vec_id"),
           Similarity.asDouble(col("embedding")).as("v"))
         val qv = e.filter(col("vec_id").isin(1L, 2L, 3L))
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
