@@ -454,6 +454,57 @@ object Audit {
         |    AS digest
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    Q("d133_epoch_shuffle",
+      "Deterministic seeded epoch shuffle + shard assignment — the " +
+        "dataloader-order primitive a multi-epoch training run " +
+        "needs: epoch order is the sort by md5(epoch:doc_id) (no " +
+        "RNG state — every worker, every engine, every retry " +
+        "derives the identical permutation), ranks come from the " +
+        "two-phase global rank (ONE range exchange + broadcast " +
+        "offsets — no single-partition window), and shards are " +
+        "rank div 16. Gate: per-(epoch, shard) doc count, id sum, " +
+        "and the first doc in shard order — rank-dependent " +
+        "aggregates that fail if the permutation or the sharding " +
+        "drifts anywhere. Epochs are a 2-row broadcast cross join; " +
+        "everything else is linear per epoch.",
+      (s, dir) => {
+        import graft.operators.RankOps
+        val docs = t(s, dir, "documents").select("doc_id")
+        val epochs = s.range(2).select(col("id").as("epoch"))
+        val n1 = docs.agg(count(lit(1)).as("n"))
+        val keyed = docs.crossJoin(broadcast(epochs))
+          .select(col("epoch"), col("doc_id"),
+            md5(concat(col("epoch").cast("string"), lit(":"),
+              col("doc_id").cast("string")).cast("binary")).as("k"))
+        RankOps.globalRowNumber(
+            keyed, Seq(col("epoch"), col("k")), "rn")
+          .crossJoin(broadcast(n1))
+          .select(col("epoch"), col("doc_id"), col("k"),
+            expr("(rn - 1 - epoch * n) div 16").as("shard"))
+          .groupBy("epoch", "shard")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("doc_id").cast("long").as("id_sum"),
+            min_by(col("doc_id"), col("k")).cast("long")
+              .as("first_doc"))
+          .orderBy("epoch", "shard")
+      },
+      Some("""WITH k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(CAST(e.epoch AS VARCHAR) || ':' ||
+        |      CAST(d.doc_id AS VARCHAR)) AS k
+        |  FROM documents d
+        |  CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+        |r AS (SELECT epoch, doc_id, k,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY k) AS rn
+        |  FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  CAST((rn - 1) // 16 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(min_by(doc_id, k) AS BIGINT) AS first_doc
+        |FROM r GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin)),
+
     Q("d132_l_diversity",
       "l-diversity audit (Machanavajjhala 2007) — the gap " +
         "k-anonymity (d56) leaves open: a group can be large yet " +
