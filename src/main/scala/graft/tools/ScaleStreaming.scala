@@ -295,6 +295,7 @@ object ScaleStreaming {
     if (want("restart_interval")) restartIntervalProbe(spark, rate)
     if (want("ann_serve")) annServeProbe(spark, rate, secs)
     if (want("store_gate")) storeGateProbe(spark, rate, secs)
+    if (want("validate_monitor")) validateMonitorProbe(spark, rate, secs)
     if (want("decontam_gate")) decontamGateProbe(spark, rate, secs)
     if (want("bm25_serve")) bm25ServeProbe(spark, rate, secs)
     if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
@@ -508,6 +509,77 @@ object ScaleStreaming {
       s""""max_gate_ms":${if (gm.isEmpty) -1 else gm.last}}""")
     require(rejFrac < 0 || (rejFrac > 0.05 && rejFrac < 0.2),
       s"decontam gate misfired: rejected fraction $rejFrac")
+  }
+
+  /** w43's shape at rate: per-batch constraint-suite counts
+    * (conditional sums + count-distinct over the batch) folded into
+    * the persisted additive store under the exactly-once tag. The
+    * claims under test: the store NEVER grows past the check count
+    * (it is the bounded artifact — asserted), the per-batch fold
+    * cost is flat in stream length (first-5 vs last-5 ms), and the
+    * accumulated report equals the rows actually processed. The
+    * rate source's strictly-increasing `value` makes batches
+    * key-range-disjoint, the property that keeps the per-batch
+    * count-distinct additive (the w34 discipline). */
+  private def validateMonitorProbe(spark: SparkSession, rate: Int,
+                                   secs: Int): Unit = {
+    import graft.operators.{RowCheck, Validation}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-valmon").toString
+    val checks = Seq(
+      RowCheck("qty_le_45", col("qty") > 45),
+      RowCheck("disc_le_8pct", col("disc") > 0.08),
+      RowCheck("flag_accepted", !col("flag").isin("F0", "F1")))
+    val uniq = Some(("pk_unique", Seq("k1", "k2")))
+    val foldMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).option("numPartitions", 8).load()
+    val q = src.select(col("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt("valmon"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fact = batch.select(
+            (col("value") / 4).cast("long").as("k1"),
+            (col("value") % 4).cast("int").as("k2"),
+            (pmod(xxhash64(col("value")), lit(50)) + 1).cast("double")
+              .as("qty"),
+            (pmod(xxhash64(col("value"), lit(1)), lit(11))
+              .cast("double") / 100.0).as("disc"),
+            concat(lit("F"), pmod(xxhash64(col("value"), lit(2)),
+              lit(3))).as("flag")).localCheckpoint()
+          val t0 = System.nanoTime()
+          Validation.foldCounts(
+            Validation.counts(fact, checks, uniq),
+            dir, Some(s"b$batchId"))
+          foldMs.add((System.nanoTime() - t0) / 1000000); ()
+          processed.addAndGet(fact.count()); ()
+        }
+        ()
+      }
+      .start()
+    val samples = drive(q, secs)
+    import scala.jdk.CollectionConverters._
+    val fm = foldMs.asScala.toSeq
+    def mean(xs: Seq[Long]): Double =
+      if (xs.isEmpty) -1.0 else xs.sum.toDouble / xs.size
+    val rep = Validation.fromCounts(Validation.readCounts(spark, dir))
+      .collect()
+    require(rep.length == checks.size + 1,
+      s"store grew past the check count: ${rep.length}")
+    val nRows = rep.head.getAs[Long]("n_rows")
+    require(nRows == processed.get(),
+      s"report rows $nRows != processed ${processed.get()}")
+    val rps = samples.map(_.procRps)
+    println(s"""{"probe":"validate_monitor","rate_rps":$rate,""" +
+      s""""batches":${samples.size},""" +
+      s""""avg_processed_rps":${fmt(if (rps.isEmpty) -1 else rps.sum / rps.size)},""" +
+      s""""rows_processed":${processed.get()},""" +
+      s""""store_rows_final":${rep.length},""" +
+      s""""report_rows":$nRows,""" +
+      s""""fold_ms_first5":${fmt(mean(fm.take(5)))},""" +
+      s""""fold_ms_last5":${fmt(mean(fm.takeRight(5)))}}""")
   }
 
   private def storeGateProbe(spark: SparkSession, rate: Int,
