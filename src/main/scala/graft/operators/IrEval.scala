@@ -115,4 +115,53 @@ object IrEval {
           round(col("n_hit").cast("double") / col("n_rel"), 6))
           .otherwise(lit(0.0)).as("recall"))
   }
+
+  /** Exact binary-classifier evaluation (d130): tie-corrected
+    * Mann-Whitney ROC-AUC with an ALL-INTEGER numerator, plus the
+    * confusion matrix at threshold `thr`. Input rows carry a 0/1
+    * `pos` and a bounded integer `score`; the corpus collapses to
+    * per-score-level (n_pos, n_neg) counts FIRST, so the ordering
+    * window runs over the score domain (bounded at any corpus
+    * size), never the rows. AUC = (2·Σ n_pos·neg_below +
+    * Σ n_pos·n_neg_tied) / (2·N⁺·N⁻) — one IEEE division at the
+    * end, engine-identical; derived rates round to 9. */
+  def binaryEval(df: DataFrame, pos: org.apache.spark.sql.Column,
+                 score: org.apache.spark.sql.Column,
+                 thr: Long): DataFrame = {
+    val base = df.select(pos.cast("long").as("pos"),
+      score.cast("long").as("score"))
+    val g = base.groupBy("score").agg(
+      sum("pos").cast("long").as("n_pos"),
+      (count(lit(1)) - sum("pos")).cast("long").as("n_neg"))
+    // Bounded-domain window: the caller's score domain caps the
+    // frame (d130: ≤ 1001 levels) regardless of corpus size.
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv = g.withColumn("cneg",
+      coalesce(sum("n_neg").over(w), lit(0L)))
+    val d = (c: String) => col(c).cast("double")
+    lv.agg(
+        sum("n_pos").cast("long").as("n_pos"),
+        sum("n_neg").cast("long").as("n_neg"),
+        sum(lit(2L) * col("n_pos") * col("cneg") +
+          col("n_pos") * col("n_neg")).cast("long").as("auc_num2"),
+        sum(when(col("score") >= thr, col("n_pos"))
+          .otherwise(0L)).cast("long").as("tp"),
+        sum(when(col("score") >= thr, col("n_neg"))
+          .otherwise(0L)).cast("long").as("fp"),
+        sum(when(col("score") < thr, col("n_pos"))
+          .otherwise(0L)).cast("long").as("fn"),
+        sum(when(col("score") < thr, col("n_neg"))
+          .otherwise(0L)).cast("long").as("tn"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        round(d("auc_num2") /
+          (lit(2.0) * d("n_pos") * d("n_neg")), 9).as("auc"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round((d("tp") + d("tn")) /
+          (d("n_pos") + d("n_neg")), 9).as("accuracy"),
+        round(d("tp") / (d("tp") + d("fp")), 9).as("prec"),
+        round(d("tp") / (d("tp") + d("fn")), 9).as("rec"),
+        round(lit(2.0) * d("tp") /
+          (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
+  }
 }

@@ -245,52 +245,16 @@ object Audit {
         "frame at any corpus size, the 2080-row Gram discipline), " +
         "and tp/fp/fn/tn are conditional sums over the same " +
         "levels. One corpus scan total.",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val base = t(s, dir, "documents")
-          .filter(col("n_chars") > 0)
-          .select(
-            when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
-            least(lit(1000L), expr(
-              "1000 * cast(size(filter(split(text, ' '), " +
-                "w -> length(w) > 0)) as bigint) div n_chars"))
-              .as("score"))
-        val g = base.groupBy("score").agg(
-          sum("pos").cast("long").as("n_pos"),
-          (count(lit(1)) - sum("pos")).cast("long").as("n_neg"))
-        // Bounded-domain window: score ∈ [0, 1000] ⇒ ≤ 1001 rows
-        // enter this partitionless frame at ANY corpus size.
-        val w = Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val lv = g.withColumn("cneg",
-          coalesce(sum("n_neg").over(w), lit(0L)))
-        val thr = 182L
-        val d = (c: String) => col(c).cast("double")
-        lv.agg(
-            sum("n_pos").cast("long").as("n_pos"),
-            sum("n_neg").cast("long").as("n_neg"),
-            sum(lit(2L) * col("n_pos") * col("cneg") +
-              col("n_pos") * col("n_neg")).cast("long")
-              .as("auc_num2"),
-            sum(when(col("score") >= thr, col("n_pos"))
-              .otherwise(0L)).cast("long").as("tp"),
-            sum(when(col("score") >= thr, col("n_neg"))
-              .otherwise(0L)).cast("long").as("fp"),
-            sum(when(col("score") < thr, col("n_pos"))
-              .otherwise(0L)).cast("long").as("fn"),
-            sum(when(col("score") < thr, col("n_neg"))
-              .otherwise(0L)).cast("long").as("tn"))
-          .select(col("n_pos"), col("n_neg"), col("auc_num2"),
-            round(d("auc_num2") /
-              (lit(2.0) * d("n_pos") * d("n_neg")), 9).as("auc"),
-            col("tp"), col("fp"), col("fn"), col("tn"),
-            round((d("tp") + d("tn")) /
-              (d("n_pos") + d("n_neg")), 9).as("accuracy"),
-            round(d("tp") / (d("tp") + d("fp")), 9).as("prec"),
-            round(d("tp") / (d("tp") + d("fn")), 9).as("rec"),
-            round(lit(2.0) * d("tp") /
-              (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
-      },
+      (s, dir) =>
+        graft.operators.IrEval.binaryEval(
+          t(s, dir, "documents").filter(col("n_chars") > 0),
+          pos = when(col("lang") === "en", 1L).otherwise(0L),
+          // score ∈ [0, 1000] by construction ⇒ the operator's
+          // ordering window is bounded at ANY corpus size
+          score = least(lit(1000L), expr(
+            "1000 * cast(size(filter(split(text, ' '), " +
+              "w -> length(w) > 0)) as bigint) div n_chars")),
+          thr = 182L),
       Some("""WITH s AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
         |    LEAST(CAST(1000 AS BIGINT),

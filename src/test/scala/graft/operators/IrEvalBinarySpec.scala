@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+/** [[IrEval.binaryEval]] against hand-computed ground truth —
+  * the AUC numerator is exact integer arithmetic, so the expected
+  * values are derivable on paper (and were). */
+class IrEvalBinarySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("binaryEval: tie-corrected AUC + confusion on a planted fixture") {
+    // pos scores {3, 2, 2}, neg scores {1, 2}:
+    //  pairs pos>neg: (3>1),(3>2),(2>1),(2>1) = 4; ties: 2 (both 2s
+    //  vs the neg 2) → num2 = 2·4 + 2 = 10; AUC = 10/(2·3·2) = 5/6.
+    //  thr=2: tp=3, fp=1, fn=0, tn=1.
+    val df = Seq((1L, 3L), (1L, 2L), (1L, 2L), (0L, 1L), (0L, 2L))
+      .toDF("y", "s")
+    val r = IrEval.binaryEval(df, col("y"), col("s"), thr = 2L)
+      .head()
+    assert(r.getAs[Long]("n_pos") == 3L)
+    assert(r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("auc_num2") == 10L)
+    assert(math.abs(r.getAs[Double]("auc") - 10.0 / 12.0) < 1e-8)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((3L, 1L, 0L, 1L)))
+    assert(math.abs(r.getAs[Double]("accuracy") - 0.8) < 1e-8)
+    assert(math.abs(r.getAs[Double]("prec") - 0.75) < 1e-8)
+    assert(math.abs(r.getAs[Double]("rec") - 1.0) < 1e-8)
+    assert(math.abs(r.getAs[Double]("f1") - 6.0 / 7.0) < 1e-8)
+  }
+
+  test("binaryEval: perfect and inverted separations bound AUC") {
+    val perfect = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L))
+      .toDF("y", "s")
+    assert(IrEval.binaryEval(perfect, col("y"), col("s"), 5L)
+      .head().getAs[Double]("auc") == 1.0)
+    val inverted = Seq((0L, 10L), (0L, 9L), (1L, 2L), (1L, 1L))
+      .toDF("y", "s")
+    assert(IrEval.binaryEval(inverted, col("y"), col("s"), 5L)
+      .head().getAs[Double]("auc") == 0.0)
+  }
+
+  test("binaryEval: partition-invariant (one answer under any layout)") {
+    val df = spark.range(200).select(
+      (col("id") % 3 === 0).cast("long").as("y"),
+      pmod(xxhash64(col("id")), lit(50)).as("s"))
+    val a = IrEval.binaryEval(df.repartition(1), col("y"), col("s"), 25L)
+      .head()
+    val b = IrEval.binaryEval(df.repartition(7, col("s")),
+      col("y"), col("s"), 25L).head()
+    assert(a == b)
+  }
+}
