@@ -164,4 +164,42 @@ object IrEval {
         round(lit(2.0) * d("tp") /
           (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
   }
+
+  /** Precision/recall curve at the given thresholds (d134): the
+    * corpus collapses to score levels once (the binaryEval shape),
+    * then a broadcast cross join against the |thrs|-row threshold
+    * frame feeds ONE conditional aggregate — per-threshold exact
+    * integer tp/fp/fn and the derived rates. Thresholds with an
+    * empty positive prediction set report precision 1.0 by the
+    * usual convention (0/0 → no false positives). */
+  def prCurve(df: DataFrame, pos: org.apache.spark.sql.Column,
+              score: org.apache.spark.sql.Column,
+              thrs: Seq[Long]): DataFrame = {
+    val base = df.select(pos.cast("long").as("pos"),
+      score.cast("long").as("score"))
+    val g = base.groupBy("score").agg(
+      sum("pos").cast("long").as("n_pos"),
+      (count(lit(1)) - sum("pos")).cast("long").as("n_neg"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    val tf = thrs.toDF("thr")
+    val d = (c: String) => col(c).cast("double")
+    g.crossJoin(broadcast(tf))
+      .groupBy("thr").agg(
+        sum(when(col("score") >= col("thr"), col("n_pos"))
+          .otherwise(0L)).cast("long").as("tp"),
+        sum(when(col("score") >= col("thr"), col("n_neg"))
+          .otherwise(0L)).cast("long").as("fp"),
+        sum(when(col("score") < col("thr"), col("n_pos"))
+          .otherwise(0L)).cast("long").as("fn"))
+      .select(col("thr").cast("long").as("thr"),
+        col("tp"), col("fp"), col("fn"),
+        round(when(col("tp") + col("fp") === 0L, 1.0)
+          .otherwise(d("tp") / (d("tp") + d("fp"))), 9).as("prec"),
+        round(d("tp") / (d("tp") + d("fn")), 9).as("rec"),
+        round(when(col("tp") === 0L, 0.0)
+          .otherwise(lit(2.0) * d("tp") /
+            (lit(2.0) * d("tp") + d("fp") + d("fn"))), 9).as("f1"))
+      .orderBy("thr")
+  }
 }

@@ -418,6 +418,57 @@ object Audit {
         |    AS digest
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    Q("d134_pr_curve",
+      "Precision/recall curve — the threshold-sweep report every " +
+        "quality-classifier deployment tunes against (d130 gives " +
+        "one operating point; this gives the curve): d130's label/" +
+        "score convention swept over 8 thresholds spanning the " +
+        "score's observed range. The corpus collapses to score " +
+        "levels ONCE, a broadcast cross join against the 8-row " +
+        "threshold frame feeds one conditional aggregate — exact " +
+        "integer tp/fp/fn per threshold, one IEEE division each " +
+        "for the rates. Cost is the same single corpus scan as " +
+        "d130 regardless of how many thresholds the sweep carries.",
+      (s, dir) =>
+        graft.operators.IrEval.prCurve(
+          t(s, dir, "documents").filter(col("n_chars") > 0),
+          pos = when(col("lang") === "en", 1L).otherwise(0L),
+          score = least(lit(1000L), expr(
+            "1000 * cast(size(filter(split(text, ' '), " +
+              "w -> length(w) > 0)) as bigint) div n_chars")),
+          thrs = Seq(160L, 170L, 175L, 180L, 185L, 190L, 200L, 215L)),
+      Some("""WITH s AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    LEAST(CAST(1000 AS BIGINT),
+        |      1000 * CAST(len(list_filter(string_split(text, ' '),
+        |        w -> len(w) > 0)) AS BIGINT) // n_chars) AS score
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        |  FROM s GROUP BY score),
+        |tf AS (SELECT unnest([160, 170, 175, 180, 185, 190, 200,
+        |    215]) AS thr),
+        |c AS (SELECT thr,
+        |    CAST(SUM(CASE WHEN score >= thr THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= thr THEN n_neg ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < thr THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS fn
+        |  FROM g CROSS JOIN tf GROUP BY thr)
+        |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+        |  round(CASE WHEN tp + fp = 0 THEN 1.0
+        |    ELSE CAST(tp AS DOUBLE) /
+        |      (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) END, 9)
+        |    AS prec,
+        |  round(CAST(tp AS DOUBLE) /
+        |    (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 9) AS rec,
+        |  round(CASE WHEN tp = 0 THEN 0.0
+        |    ELSE 2.0 * CAST(tp AS DOUBLE) /
+        |      (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) +
+        |       CAST(fn AS DOUBLE)) END, 9) AS f1
+        |FROM c ORDER BY thr""".stripMargin)),
+
     Q("d133_epoch_shuffle",
       "Deterministic seeded epoch shuffle + shard assignment — the " +
         "dataloader-order primitive a multi-epoch training run " +
