@@ -43,6 +43,7 @@ object Validation {
   def counts(df: DataFrame, checks: Seq[RowCheck],
              unique: Option[(String, Seq[String])] = None): DataFrame = {
     val names = (checks.map(_.name) ++ unique.map(_._1)).sorted
+    require(names.nonEmpty, "at least one check required")
     require(names.distinct.size == names.size, "duplicate check names")
     require(names.forall(_.matches("[A-Za-z0-9_]+")),
       "check names must be [A-Za-z0-9_]+")
