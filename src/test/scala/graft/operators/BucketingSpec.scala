@@ -43,6 +43,48 @@ class BucketingSpec extends AnyFunSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  it("snapshot diff over bucketed snapshots runs without a shuffle exchange") {
+    // d129's at-rest claim, proven: two corpus snapshots written
+    // bucketed+sorted by the key let the FULL OUTER diff plan as a
+    // zero-Exchange sort-merge join — nightly 100 TB reconciliation
+    // never reshuffles either snapshot.
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_snap_a")
+    spark.sql("DROP TABLE IF EXISTS b_snap_b")
+    val a = (1L to 90L).map(k => (k, s"t$k")).toDF("doc_id", "text")
+    val b = (11L to 100L)
+      .map(k => (k, if (k % 5 == 0) s"t$k rev2" else s"t$k"))
+      .toDF("doc_id", "text")
+    a.write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_snap_a")
+    b.write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("b_snap_b")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sa = spark.table("b_snap_a").as("a")
+      val sb = spark.table("b_snap_b").as("b")
+      val diff = sa.join(sb, col("a.doc_id") === col("b.doc_id"),
+          "full_outer")
+        .select(
+          when(col("a.doc_id").isNull, "added")
+            .when(col("b.doc_id").isNull, "removed")
+            .when(col("a.text") =!= col("b.text"), "changed")
+            .otherwise("unchanged").as("cls"))
+      val got = diff.groupBy("cls").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("added" -> 10L, "removed" -> 10L,
+        "changed" -> 16L, "unchanged" -> 64L))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed diff should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS b_snap_a")
+      spark.sql("DROP TABLE IF EXISTS b_snap_b")
+    }
+  }
+
   it("salted aggregation matches the plain aggregation exactly") {
     import spark.implicits._
     // Skewed data: key "hot" dominates.
