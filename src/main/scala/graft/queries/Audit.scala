@@ -520,6 +520,37 @@ object Audit {
         |FROM r GROUP BY epoch, shard
         |ORDER BY epoch, shard""".stripMargin)),
 
+    Q("d135_bpe_table_roundtrip",
+      "Tokenizer-artifact lifecycle — the merge table SHIPS: train " +
+        "d80's 8 merges, persist the ordered table to parquet (the " +
+        "artifact a training cluster actually loads), RELOAD it, and " +
+        "tokenize the corpus with the reloaded table. BPE inference " +
+        "is training replay in merge order, so a persistence layer " +
+        "that loses, reorders, or mangles one merge changes token " +
+        "counts somewhere — the gate is d81's oracle verbatim " +
+        "(re-trains and re-applies in CTEs), so the round-trip must " +
+        "be bit-faithful end to end.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d135").toString
+        try {
+          val docs = t(s, dir, "documents")
+          graft.operators.BpeTrain.train(docs, "text", nMerges = 8)
+            .select("step", "pair")
+            .write.mode("overwrite").parquet(s"$tmp/merges")
+          val reloaded = s.read.parquet(s"$tmp/merges")
+            .orderBy("step").select("pair")
+            .collect().map(_.getString(0)).toSeq
+          graft.operators.BpeTrain
+            .tokenCounts(docs, "doc_id", "text", reloaded)
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(s"""${Mining.bpeTokenCountsCte(8)}
+        |SELECT doc_id, n_tokens FROM tok
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("d132_l_diversity",
       "l-diversity audit (Machanavajjhala 2007) — the gap " +
         "k-anonymity (d56) leaves open: a group can be large yet " +
