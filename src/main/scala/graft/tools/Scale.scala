@@ -71,6 +71,10 @@ object Scale {
     // memory (deserialized) and what actually hit disk (compressed)
     val memSpilled = new AtomicLong
     val diskSpilled = new AtomicLong
+    // source-side bytes actually read (the file-skipping witness: a
+    // layout that prunes reads FEWER of them for the same predicate)
+    val input = new AtomicLong
+    val inputRecords = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -81,6 +85,8 @@ object Scale {
         maxTaskRead.updateAndGet(p => math.max(p, r))
         memSpilled.addAndGet(m.memoryBytesSpilled)
         diskSpilled.addAndGet(m.diskBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        inputRecords.addAndGet(m.inputMetrics.recordsRead)
         ()
       }
     }
@@ -273,7 +279,7 @@ object Scale {
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
       what != "stats" && what != "pack" && what != "gram" &&
-      what != "annpca" && what != "validate"
+      what != "annpca" && what != "validate" && what != "zorder"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -302,7 +308,7 @@ object Scale {
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
            "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
-           "annpca" | "validate" =>
+           "annpca" | "validate" | "zorder" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -900,6 +906,75 @@ object Scale {
         s""""fast_shuffle_mb":${fmt(fMb)},""" +
         s""""explode_sec":${fmt(slowSec)},""" +
         s""""eig_project_sec":${fmt(eigSec)}}""")
+    }
+    // Z-order layout arm (round 12; the q27/q38 layout claim
+    // MEASURED): the same 2M×factor-row fact written three ways —
+    // unsorted, linear-sorted by x, z-ordered (x, y) — then the same
+    // two selective filters (a tight x range; a tight y range) run
+    // against each layout with source input bytes captured per
+    // (layout, predicate). Expectation under parquet row-group
+    // min/max pruning: linear prunes x but reads ~everything for y;
+    // z-order prunes BOTH (the Morton curve keeps locality on every
+    // clustered column); unsorted prunes neither.
+    if (what == "zorder") {
+      import graft.operators.Compact
+      val n = 2000000L * factor
+      val fact = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(4096L)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(4096L)).as("y"),
+        xxhash64(col("id"), lit(2)).as("payload"))
+      val base = s"$synthDir/zorder"
+      fact.repartition(32)
+        .write.mode("overwrite").parquet(s"$base/unsorted")
+      fact.repartitionByRange(32, col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      fact.withColumn("z",
+          Compact.zValue(Seq(col("x"), col("y")), bits = 12))
+        .repartitionByRange(32, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      def probe(layout: String, c: String): (Double, Long, Long, Double) = {
+        Thread.sleep(500)
+        metrics.input.set(0L)
+        metrics.inputRecords.set(0L)
+        val t0 = System.nanoTime()
+        // summing the incompressible payload forces every SURVIVING
+        // row group to be materialized — bytes read now scale with
+        // what the layout failed to prune, not with a dictionary-
+        // encoded key column
+        val cnt = spark.read.parquet(s"$base/$layout")
+          .filter(col(c) >= 1000 && col(c) <= 1015)
+          .agg(count(lit(1)),
+            sum(pmod(col("payload"), lit(1000000L)))).head().getLong(0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        (metrics.input.getAndSet(0L), cnt,
+          metrics.inputRecords.getAndSet(0L), sec)
+      }
+      val (ux, cx, urx, usx) = probe("unsorted", "x")
+      val (uy, cy, ury, usy) = probe("unsorted", "y")
+      val (lx, cx2, lrx, lsx) = probe("linear", "x")
+      val (ly, cy2, lry, lsy) = probe("linear", "y")
+      val (zx, cx3, zrx, zsx) = probe("zorder", "x")
+      val (zy, cy3, zry, zsy) = probe("zorder", "y")
+      require(cx == cx2 && cx2 == cx3 && cy == cy2 && cy2 == cy3,
+        "layouts disagree on the filtered count")
+      println(s"""{"query":"zorder","n_rows":$n,""" +
+        s""""rows_x":$cx,"rows_y":$cy,""" +
+        s""""unsorted_x_mb":${fmt(ux / 1e6)},""" +
+        s""""unsorted_y_mb":${fmt(uy / 1e6)},""" +
+        s""""linear_x_mb":${fmt(lx / 1e6)},""" +
+        s""""linear_y_mb":${fmt(ly / 1e6)},""" +
+        s""""zorder_x_mb":${fmt(zx / 1e6)},""" +
+        s""""zorder_y_mb":${fmt(zy / 1e6)},""" +
+        s""""scan_rows":{"unsorted_x":$urx,"unsorted_y":$ury,""" +
+        s""""linear_x":$lrx,"linear_y":$lry,""" +
+        s""""zorder_x":$zrx,"zorder_y":$zry},""" +
+        s""""scan_sec":{"unsorted_x":${fmt(usx)},""" +
+        s""""unsorted_y":${fmt(usy)},"linear_x":${fmt(lsx)},""" +
+        s""""linear_y":${fmt(lsy)},"zorder_x":${fmt(zsx)},""" +
+        s""""zorder_y":${fmt(zsy)}}}""")
     }
     // Constraint-validation arm (round 12; d128's one-scan claim
     // measured at tier): the same synthetic fact table validated
