@@ -177,6 +177,31 @@ object Graph {
     labels
   }
 
+  /** Frontier BFS min-distance from a seed set over a symmetrized
+    * edge list — the TrustRank-style propagation primitive (distance
+    * to a trusted/curated set as a quality prior): each round joins
+    * ONLY the current frontier (nodes first reached last round)
+    * against the edges, unions the new candidates in, and re-takes
+    * the per-node MIN — so per-round cost is frontier-sized, not
+    * graph-sized, and `maxDepth` bounds the iteration the way d77's
+    * wave-sized CC maintenance bounds its. Lineage is cut per round
+    * (localCheckpoint) — an iterative plan must not stack joins.
+    * Returns `(id, d)` for every node within `maxDepth` of a seed. */
+  def bfsDistance(edges: DataFrame, seeds: DataFrame,
+                  maxDepth: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0L).as("d"))
+      .distinct().localCheckpoint()
+    for (i <- 1 to maxDepth) {
+      val frontier = dist.filter(col("d") === (i - 1))
+      val next = edges.join(frontier, col("src") === col("id"))
+        .select(col("dst").as("id"), lit(i.toLong).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-node triangle participation + local clustering coefficient
     * `2·tri / (deg·(deg−1))` over every node of the canonical edge
     * list (coefficient 0.0 for degree-1 nodes). Exact integer counts;

@@ -4245,6 +4245,44 @@ object LlmOps {
         |SELECT id AS doc_id, round(r, 6) AS pr FROM it3
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("d136_bfs_trust_distance",
+      "Seed-distance quality propagation (the TrustRank idea, " +
+        "Gyöngyi VLDB'04, applied to corpus curation): distance to a " +
+        "TRUSTED seed set over the shared-3-gram similarity graph as " +
+        "a quality prior — a doc two hops from curated content is a " +
+        "better bet than one unreachable from it. Frontier BFS " +
+        "(Graph.bfsDistance): each round joins only the nodes FIRST " +
+        "REACHED last round against the edges, so per-round cost is " +
+        "frontier-sized — the d77 wave-sized discipline for " +
+        "iteration; 3 rounds, per-node MIN re-taken each round. The " +
+        "oracle unrolls the 3 expansions as CTEs and takes the same " +
+        "MIN over the union — exact integer distances, one answer.",
+      (s, dir) => {
+        val edges = Graph.symmetrize(gramEdges(s, dir))
+        val seeds = t(s, dir, "documents")
+          .filter(col("doc_id") < 150 && col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("id"))
+        Graph.bfsDistance(edges, seeds, maxDepth = 3)
+          .select(col("id").as("doc_id"), col("d").as("dist"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $graphCtes,
+        |d0 AS (SELECT DISTINCT doc_id AS id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 50 = 0),
+        |n1 AS (SELECT DISTINCT e.dst AS id
+        |  FROM e JOIN d0 ON e.src = d0.id),
+        |n2 AS (SELECT DISTINCT e.dst AS id
+        |  FROM e JOIN n1 ON e.src = n1.id),
+        |n3 AS (SELECT DISTINCT e.dst AS id
+        |  FROM e JOIN n2 ON e.src = n2.id),
+        |u AS (SELECT id, 0 AS d FROM d0
+        |  UNION ALL SELECT id, 1 FROM n1
+        |  UNION ALL SELECT id, 2 FROM n2
+        |  UNION ALL SELECT id, 3 FROM n3)
+        |SELECT CAST(id AS BIGINT) AS doc_id,
+        |  CAST(MIN(d) AS BIGINT) AS dist
+        |FROM u GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     Q("d53_graph_clustering",
       "Triangle participation + local clustering coefficient per " +
         "document over the same shared-3-gram graph — the triangle-" +
