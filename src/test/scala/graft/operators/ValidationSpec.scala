@@ -72,6 +72,30 @@ class ValidationSpec extends AnyFunSuite {
     } finally graft.queries.Rm.rf(tmp)
   }
 
+  test("foldCounts: a crashed partial write (stale store_new) is invisible") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-valcrash").toString
+    try {
+      val b0 = Validation.counts(
+        fixture.filter(col("k1") === 1L), checks, uniq)
+      Validation.foldCounts(b0, tmp, Some("b0"))
+      // Simulate a crash mid-fold: a partial store_new with garbage
+      // and NO marker was left behind; the rename never happened.
+      val staleDir = new java.io.File(s"$tmp/store_new")
+      staleDir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/store_new/garbage.txt"), "x")
+      val b1 = Validation.counts(
+        fixture.filter(col("k1") === 2L), checks, uniq)
+      Validation.foldCounts(b1, tmp, Some("b1"))
+      val whole = Validation.counts(fixture, checks, uniq)
+        .orderBy("check_name").collect().toSeq
+      val folded = Validation.readCounts(spark, tmp)
+        .orderBy("check_name").collect().toSeq
+      assert(folded == whole)
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
   test("check names are validated") {
     intercept[IllegalArgumentException] {
       Validation.counts(fixture, Seq(RowCheck("bad name", lit(true))))
