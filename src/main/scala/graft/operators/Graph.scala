@@ -202,6 +202,34 @@ object Graph {
     dist
   }
 
+  /** Deterministic "random" walks — the DeepWalk/node2vec SAMPLING
+    * step with the engine's no-RNG discipline: at step `t` from node
+    * `u`, the walker moves to the neighbor minimizing
+    * md5("u:t:dst") — a content-hash choice every engine, worker,
+    * and retry reproduces (the d125/d133 discipline applied to graph
+    * traversal). One walk starts at every node in `starts`; a
+    * dead-end keeps the walker in place. Each step is one
+    * edges-join + one argmin aggregate over the walker set — walker-
+    * sized, not graph-sized. Returns (start, h1, …, h`len`). */
+  def hashWalks(edges: DataFrame, starts: DataFrame,
+                len: Int): DataFrame = {
+    var st = starts.select(col("id").as("start"))
+      .distinct().withColumn("h0", col("start"))
+    for (t <- 1 to len) {
+      val from = s"h${t - 1}"
+      val prior = st.columns.map(col)
+      st = st.join(edges, col(from) === col("src"), "left")
+        .groupBy(prior: _*)
+        .agg(min_by(col("dst"),
+          md5(concat_ws(":", col(from), lit(t.toString), col("dst"))
+            .cast("binary"))).as("_nx"))
+        .withColumn(s"h$t", coalesce(col("_nx"), col(from)))
+        .drop("_nx")
+        .localCheckpoint()
+    }
+    st.drop("h0")
+  }
+
   /** Per-node triangle participation + local clustering coefficient
     * `2·tri / (deg·(deg−1))` over every node of the canonical edge
     * list (coefficient 0.0 for degree-1 nodes). Exact integer counts;

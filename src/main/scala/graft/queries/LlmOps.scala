@@ -4283,6 +4283,46 @@ object LlmOps {
         |  CAST(MIN(d) AS BIGINT) AS dist
         |FROM u GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    Q("d137_graph_walks",
+      "Deterministic graph walks — the DeepWalk/node2vec sampling " +
+        "step (Perozzi KDD'14) that turns a similarity graph into " +
+        "training sequences, with the engine's no-RNG discipline: " +
+        "each step moves to the neighbor minimizing md5(node:step:" +
+        "neighbor), so every engine/worker/retry samples the " +
+        "IDENTICAL walk set (the d125/d133 content-hash rule applied " +
+        "to traversal). One 3-step walk per node over the shared-gram " +
+        "graph; dead-ends hold position. Each step is one edges join " +
+        "+ one argmin aggregate — walker-sized, not graph-sized. The " +
+        "oracle unrolls the 3 steps with the same min_by keys.",
+      (s, dir) => {
+        val edges = Graph.symmetrize(gramEdges(s, dir))
+        val starts = edges.select(col("src").as("id"))
+        Graph.hashWalks(edges, starts, len = 3)
+          .select(col("start"), col("h1"), col("h2"), col("h3"))
+          .orderBy("start")
+      },
+      Some(s"""WITH $graphCtes,
+        |w0 AS (SELECT DISTINCT src AS start FROM e),
+        |s1 AS (SELECT start,
+        |    COALESCE(min_by(e.dst, md5(CAST(start AS VARCHAR) ||
+        |      ':1:' || CAST(e.dst AS VARCHAR))), start) AS h1
+        |  FROM w0 LEFT JOIN e ON e.src = w0.start
+        |  GROUP BY start),
+        |s2 AS (SELECT start, h1,
+        |    COALESCE(min_by(e.dst, md5(CAST(h1 AS VARCHAR) ||
+        |      ':2:' || CAST(e.dst AS VARCHAR))), h1) AS h2
+        |  FROM s1 LEFT JOIN e ON e.src = s1.h1
+        |  GROUP BY start, h1),
+        |s3 AS (SELECT start, h1, h2,
+        |    COALESCE(min_by(e.dst, md5(CAST(h2 AS VARCHAR) ||
+        |      ':3:' || CAST(e.dst AS VARCHAR))), h2) AS h3
+        |  FROM s2 LEFT JOIN e ON e.src = s2.h2
+        |  GROUP BY start, h1, h2)
+        |SELECT CAST(start AS BIGINT) AS start,
+        |  CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+        |  CAST(h3 AS BIGINT) AS h3
+        |FROM s3 ORDER BY start""".stripMargin)),
+
     Q("d53_graph_clustering",
       "Triangle participation + local clustering coefficient per " +
         "document over the same shared-3-gram graph — the triangle-" +
