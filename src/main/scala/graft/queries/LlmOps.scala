@@ -864,6 +864,46 @@ object LlmOps {
         |  CAST(w * h * ((doc_id * 13) % 256) AS BIGINT) AS sum_red
         |FROM d ORDER BY doc_id LIMIT 200""".stripMargin))
     ,
+    Q("m15_png_header_parse",
+      "Image metadata WITHOUT decode — the LAION-style resolution " +
+        "filter at scan speed: PNG requires IHDR as the first chunk " +
+        "at a FIXED offset, so width/height/bit-depth/color-type " +
+        "come from pure binary column arithmetic (substring + hex + " +
+        "conv — whole-stage codegen, no ImageIO, no mapPartitions, " +
+        "no per-row codec). At 100 TB this is the difference between " +
+        "a resolution gate costing a columnar scan and costing a " +
+        "full decode of every blob. The blobs are REAL ImageIO PNGs " +
+        "(m01's synthesis); the oracle derives every field in closed " +
+        "form from the synthesis params, so a mis-parsed offset or " +
+        "endianness fails the hash gate.",
+      (s, dir) => {
+        val blobs = Multimodal
+          .withPngPayload(t(s, dir, "documents"), "doc_id", "text")
+          .toDF()
+        def be(off: Int, len: Int) =
+          conv(hex(expr(s"substring(payload, $off, $len)")), 16, 10)
+            .cast("long")
+        blobs.select(col("doc_id"),
+            be(17, 4).as("width"), be(21, 4).as("height"),
+            be(25, 1).as("bit_depth"), be(26, 1).as("color_type"))
+          .withColumn("n_pixels", col("width") * col("height"))
+          .withColumn("pass_minres",
+            col("width") >= 32 && col("height") >= 32)
+          .orderBy("doc_id").limit(200)
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    24 + octet_length(CAST(text AS BLOB)) % 53 AS w,
+        |    16 + octet_length(CAST(text AS BLOB)) % 43 AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(2 AS BIGINT) AS color_type,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  w >= 32 AND h >= 32 AS pass_minres
+        |FROM d ORDER BY doc_id LIMIT 200""".stripMargin)),
+
     Q("m03_resize_plan",
       "Multimodal resize, REAL pixel op: decode each synthesized PNG, " +
         "aspect-preserving downscale into a 64-box (never upscale; " +
