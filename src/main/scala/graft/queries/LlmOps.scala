@@ -904,6 +904,45 @@ object LlmOps {
         |  w >= 32 AND h >= 32 AS pass_minres
         |FROM d ORDER BY doc_id LIMIT 200""".stripMargin)),
 
+    Q("m16_wav_header_parse",
+      "Audio metadata WITHOUT decode — m15's discipline on the RIFF " +
+        "container: channels, sample rate, bit depth, and PCM data " +
+        "size parsed from the canonical 44-byte WAV header by pure " +
+        "binary column arithmetic (per-byte substring + hex + conv, " +
+        "little-endian recombined as b0 + 256·b1 + … — whole-stage " +
+        "codegen, zero AudioSystem calls), plus the exact duration " +
+        "in µs. The sample-rate/duration gate a speech-corpus " +
+        "curation pass runs costs a columnar scan, not a decode of " +
+        "every clip. Blobs are m13's REAL RIFF/PCM containers; the " +
+        "closed-form oracle fails on any wrong offset or endianness.",
+      (s, dir) => {
+        val blobs = graft.operators.WavCodec.withWavPayload(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id").toDF()
+        def byteAt(off: Int) =
+          conv(hex(expr(s"substring(payload, $off, 1)")), 16, 10)
+            .cast("long")
+        def le(off: Int, len: Int) =
+          (0 until len).map(i => byteAt(off + i) * (1L << (8 * i)))
+            .reduce(_ + _)
+        blobs.select(col("doc_id"),
+            le(23, 2).as("channels"),
+            le(25, 4).as("sample_rate"),
+            le(35, 2).as("bit_depth"),
+            le(41, 4).as("n_samples"))
+          .withColumn("duration_us", col("n_samples") * 125L)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(280 + (doc_id % 64) * 4 AS BIGINT) AS n_samples,
+        |  CAST((280 + (doc_id % 64) * 4) * 125 AS BIGINT)
+        |    AS duration_us
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("m03_resize_plan",
       "Multimodal resize, REAL pixel op: decode each synthesized PNG, " +
         "aspect-preserving downscale into a 64-box (never upscale; " +
