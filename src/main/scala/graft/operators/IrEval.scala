@@ -165,6 +165,51 @@ object IrEval {
           (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
   }
 
+  /** Per-slice [[binaryEval]] (d138) — the fairness-audit form:
+    * every metric computed independently per value of `slice`
+    * (language, source, …), in ONE pass: level counts group by
+    * (slice, score), the below-count window partitions by slice (so
+    * each frame stays bounded by the score domain), and the rollup
+    * groups by slice. Slices with one class report auc = null
+    * rather than a fabricated number. */
+  def binaryEvalBy(df: DataFrame, slice: org.apache.spark.sql.Column,
+                   pos: org.apache.spark.sql.Column,
+                   score: org.apache.spark.sql.Column,
+                   thr: Long): DataFrame = {
+    val base = df.select(slice.as("slice"),
+      pos.cast("long").as("pos"), score.cast("long").as("score"))
+    val g = base.groupBy("slice", "score").agg(
+      sum("pos").cast("long").as("n_pos"),
+      (count(lit(1)) - sum("pos")).cast("long").as("n_neg"))
+    val w = Window.partitionBy("slice").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv = g.withColumn("cneg",
+      coalesce(sum("n_neg").over(w), lit(0L)))
+    val d = (c: String) => col(c).cast("double")
+    lv.groupBy("slice").agg(
+        sum("n_pos").cast("long").as("n_pos"),
+        sum("n_neg").cast("long").as("n_neg"),
+        sum(lit(2L) * col("n_pos") * col("cneg") +
+          col("n_pos") * col("n_neg")).cast("long").as("auc_num2"),
+        sum(when(col("score") >= thr, col("n_pos"))
+          .otherwise(0L)).cast("long").as("tp"),
+        sum(when(col("score") >= thr, col("n_neg"))
+          .otherwise(0L)).cast("long").as("fp"),
+        sum(when(col("score") < thr, col("n_pos"))
+          .otherwise(0L)).cast("long").as("fn"),
+        sum(when(col("score") < thr, col("n_neg"))
+          .otherwise(0L)).cast("long").as("tn"))
+      .select(col("slice"), col("n_pos"), col("n_neg"),
+        col("auc_num2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(d("auc_num2") /
+            (lit(2.0) * d("n_pos") * d("n_neg")), 9)).as("auc"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round((d("tp") + d("tn")) /
+          (d("n_pos") + d("n_neg")), 9).as("accuracy"))
+      .orderBy("slice")
+  }
+
   /** Precision/recall curve at the given thresholds (d134): the
     * corpus collapses to score levels once (the binaryEval shape),
     * then a broadcast cross join against the |thrs|-row threshold

@@ -299,6 +299,67 @@ object Audit {
         |      CAST(fn AS DOUBLE)), 9) AS f1
         |FROM t""".stripMargin)),
 
+    Q("d138_sliced_eval",
+      "Per-slice classifier evaluation — the fairness/regression " +
+        "audit every quality gate needs BESIDE its global number " +
+        "(d130): a classifier can hold aggregate AUC while failing " +
+        "one source or language outright. IrEval.binaryEvalBy " +
+        "computes the full metric set independently per source in " +
+        "ONE pass — level counts keyed by (slice, score), the " +
+        "below-count window partitioned by slice (frames stay " +
+        "score-domain-bounded), rollup per slice; degenerate " +
+        "one-class slices report auc = NULL instead of a fabricated " +
+        "number. Same corpus-scan cost as the global eval.",
+      (s, dir) =>
+        graft.operators.IrEval.binaryEvalBy(
+          t(s, dir, "documents").filter(col("n_chars") > 0),
+          slice = col("source"),
+          pos = when(col("lang") === "en", 1L).otherwise(0L),
+          score = least(lit(1000L), expr(
+            "1000 * cast(size(filter(split(text, ' '), " +
+              "w -> length(w) > 0)) as bigint) div n_chars")),
+          thr = 182L),
+      Some("""WITH s AS (
+        |  SELECT source AS slice,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    LEAST(CAST(1000 AS BIGINT),
+        |      1000 * CAST(len(list_filter(string_split(text, ' '),
+        |        w -> len(w) > 0)) AS BIGINT) // n_chars) AS score
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (SELECT slice, score,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        |  FROM s GROUP BY slice, score),
+        |lv AS (SELECT slice, score, n_pos, n_neg,
+        |    COALESCE(SUM(n_neg) OVER (PARTITION BY slice
+        |      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cneg
+        |  FROM g),
+        |t AS (SELECT slice,
+        |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(2 * n_pos * cneg + n_pos * n_neg) AS BIGINT)
+        |      AS auc_num2,
+        |    CAST(SUM(CASE WHEN score >= 182 THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= 182 THEN n_neg ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < 182 THEN n_pos ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score < 182 THEN n_neg ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM lv GROUP BY slice)
+        |SELECT slice, n_pos, n_neg, auc_num2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE round(CAST(auc_num2 AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+        |      9) END AS auc,
+        |  tp, fp, fn, tn,
+        |  round((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+        |    (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)), 9)
+        |    AS accuracy
+        |FROM t ORDER BY slice""".stripMargin)),
+
     Q("d131_dataset_fingerprint",
       "Content-addressed dataset fingerprint — the reproducibility/" +
         "provenance line of a data card: every doc hashes to a " +

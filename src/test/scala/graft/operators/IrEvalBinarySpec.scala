@@ -43,6 +43,33 @@ class IrEvalBinarySpec extends AnyFunSuite {
       .head().getAs[Double]("auc") == 0.0)
   }
 
+  test("binaryEvalBy: each slice equals its own global binaryEval") {
+    val df = spark.range(300).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 5 === 0).cast("long").as("y"),
+      pmod(xxhash64(col("id")), lit(40)).as("s"))
+    val sliced = IrEval.binaryEvalBy(df, col("g"), col("y"),
+      col("s"), 20L).collect()
+    for (r <- sliced) {
+      val g = r.getString(0)
+      val solo = IrEval.binaryEval(df.filter(col("g") === g),
+        col("y"), col("s"), 20L).head()
+      assert(r.getAs[Long]("auc_num2") == solo.getAs[Long]("auc_num2"))
+      assert(r.getAs[Long]("tp") == solo.getAs[Long]("tp"))
+      assert(r.getAs[Double]("accuracy") ==
+        solo.getAs[Double]("accuracy"))
+    }
+  }
+
+  test("binaryEvalBy: one-class slice reports null AUC") {
+    val df = Seq(("a", 1L, 5L), ("a", 1L, 3L), ("b", 1L, 4L),
+      ("b", 0L, 2L)).toDF("g", "y", "s")
+    val rows = IrEval.binaryEvalBy(df, col("g"), col("y"), col("s"),
+      3L).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").isNullAt(rows("a").fieldIndex("auc")))
+    assert(rows("b").getAs[Double]("auc") == 1.0)
+  }
+
   test("binaryEval: partition-invariant (one answer under any layout)") {
     val df = spark.range(200).select(
       (col("id") % 3 === 0).cast("long").as("y"),
