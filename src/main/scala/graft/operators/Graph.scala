@@ -188,11 +188,19 @@ object Graph {
     * (localCheckpoint) — an iterative plan must not stack joins.
     * Returns `(id, d)` for every node within `maxDepth` of a seed. */
   def bfsDistance(edges: DataFrame, seeds: DataFrame,
-                  maxDepth: Int): DataFrame = {
+                  maxDepth: Int,
+                  broadcastFrontier: Boolean = true): DataFrame = {
     var dist = seeds.select(col("id"), lit(0L).as("d"))
       .distinct().localCheckpoint()
     for (i <- 1 to maxDepth) {
-      val frontier = dist.filter(col("d") === (i - 1))
+      // localCheckpoint erases plan statistics (LogicalRDD reports
+      // unknown size), so WITHOUT the hint Spark shuffle-joins the
+      // whole edge list every round — measured in the `graphwalk`
+      // arm: 139 MB vs sub-MB at 2M nodes. The frontier is bounded
+      // by the reached set; callers propagating from a small seed
+      // set keep the default, a whole-graph frontier sets false.
+      val f0 = dist.filter(col("d") === (i - 1))
+      val frontier = if (broadcastFrontier) broadcast(f0) else f0
       val next = edges.join(frontier, col("src") === col("id"))
         .select(col("dst").as("id"), lit(i.toLong).as("d"))
       dist = dist.unionByName(next)
@@ -212,17 +220,24 @@ object Graph {
     * edges-join + one argmin aggregate over the walker set — walker-
     * sized, not graph-sized. Returns (start, h1, …, h`len`). */
   def hashWalks(edges: DataFrame, starts: DataFrame,
-                len: Int): DataFrame = {
+                len: Int,
+                broadcastWalkers: Boolean = true): DataFrame = {
     var st = starts.select(col("id").as("start"))
       .distinct().withColumn("h0", col("start"))
     for (t <- 1 to len) {
       val from = s"h${t - 1}"
-      val prior = st.columns.map(col)
-      st = st.join(edges, col(from) === col("src"), "left")
-        .groupBy(prior: _*)
+      // same statistics-erasure story as bfsDistance, with a twist:
+      // a left-outer join cannot broadcast its preserved side, so
+      // the hop is an INNER join (broadcast-left is legal there —
+      // the walker state stays under the edge list) and dead-ends
+      // are patched back by a walker-sized left join + coalesce.
+      val lhs = if (broadcastWalkers) broadcast(st) else st
+      val moved = lhs.join(edges, col(from) === col("src"))
+        .groupBy(col("start"))
         .agg(min_by(col("dst"),
           md5(concat_ws(":", col(from), lit(t.toString), col("dst"))
             .cast("binary"))).as("_nx"))
+      st = st.join(moved, Seq("start"), "left")
         .withColumn(s"h$t", coalesce(col("_nx"), col(from)))
         .drop("_nx")
         .localCheckpoint()

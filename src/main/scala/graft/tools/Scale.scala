@@ -279,7 +279,8 @@ object Scale {
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
       what != "stats" && what != "pack" && what != "gram" &&
-      what != "annpca" && what != "validate" && what != "zorder"
+      what != "annpca" && what != "validate" && what != "zorder" &&
+      what != "graphwalk"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -308,7 +309,7 @@ object Scale {
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
            "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
-           "annpca" | "validate" | "zorder" =>
+           "annpca" | "validate" | "zorder" | "graphwalk" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -906,6 +907,51 @@ object Scale {
         s""""fast_shuffle_mb":${fmt(fMb)},""" +
         s""""explode_sec":${fmt(slowSec)},""" +
         s""""eig_project_sec":${fmt(eigSec)}}""")
+    }
+    // Graph-traversal arm (round 12; d136/d137's cost claims
+    // measured): a 4-regular hash graph of 200k×factor nodes;
+    // frontier BFS from n/100k seeds and min-md5 walks from n/100
+    // starts. The claim under test is that per-round cost is
+    // frontier/walker-sized — the walker side broadcasts and the
+    // shuffle stays orders of magnitude under the edge list at
+    // every tier.
+    if (what == "graphwalk") {
+      import graft.operators.Graph
+      val n = 200000L * factor
+      val edges = spark.range(n).select(col("id").as("src"),
+          explode(array((0 until 4).map(j =>
+            pmod(xxhash64(col("id"), lit(j)), lit(n))): _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      def run(tag: String)(f: => Long): (Double, Double, Long) = {
+        Thread.sleep(300)
+        metrics.read.set(0L)
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        (sec, metrics.read.getAndSet(0L) / 1e6, rows)
+      }
+      val seeds = spark.range(n).filter(col("id") % 100000 === 0)
+        .select(col("id"))
+      val (bfsSec, bfsMb, reached) = run("bfs") {
+        Graph.bfsDistance(
+          edges.select(col("src"), col("dst")), seeds, maxDepth = 3)
+          .count()
+      }
+      val starts = spark.range(n).filter(col("id") % 100 === 0)
+        .select(col("id"))
+      val (wSec, wMb, walkers) = run("walks") {
+        Graph.hashWalks(edges, starts, len = 3).count()
+      }
+      val edgeRows = edges.count()
+      println(s"""{"query":"graphwalk","n_nodes":$n,""" +
+        s""""n_edges":$edgeRows,""" +
+        s""""bfs_sec":${fmt(bfsSec)},"bfs_shuffle_mb":${fmt(bfsMb)},""" +
+        s""""bfs_reached":$reached,""" +
+        s""""walks_sec":${fmt(wSec)},""" +
+        s""""walks_shuffle_mb":${fmt(wMb)},""" +
+        s""""n_walkers":$walkers}""")
     }
     // Z-order layout arm (round 12; the q27/q38 layout claim
     // MEASURED): the same 2M×factor-row fact written three ways —
