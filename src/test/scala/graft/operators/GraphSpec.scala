@@ -113,4 +113,46 @@ class GraphSpec extends AnyFunSpec {
       assert(Graph.triangles(k4).count() == 4) // C(4,3)
     }
   }
+
+  describe("bfsDistance") {
+    it("computes exact min hop distances (shortcut beats the path)") {
+      import spark.implicits._
+      // path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop, 5 is 2
+      val e = Graph.symmetrize(edgesOf(
+        (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)))
+      val d = Graph.bfsDistance(e, Seq(1L).toDF("id"), maxDepth = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L,
+        5L -> 2L))
+    }
+    it("maxDepth bounds the reach") {
+      import spark.implicits._
+      val e = Graph.symmetrize(edgesOf((1L, 2L), (2L, 3L)))
+      val d = Graph.bfsDistance(e, Seq(1L).toDF("id"), maxDepth = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(d == Map(1L -> 0L, 2L -> 1L))
+    }
+  }
+
+  describe("hashWalks") {
+    it("follows the only edge and holds position at dead ends") {
+      import spark.implicits._
+      val e = Seq((2L, 3L)).toDF("src", "dst") // directed; 3, 7 dead
+      val w = Graph.hashWalks(e, Seq(2L, 7L).toDF("id"), len = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(w == Map(2L -> ((3L, 3L, 3L)), 7L -> ((7L, 7L, 7L))))
+    }
+    it("hop choice is the min-md5 neighbor (independently recomputed)") {
+      import spark.implicits._
+      val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+      def h(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expected1 = if (h("1:1:2") < h("1:1:3")) 2L else 3L
+      val got = Graph.hashWalks(e, Seq(1L).toDF("id"), len = 1)
+        .head().getLong(1)
+      assert(got == expected1)
+    }
+  }
 }
