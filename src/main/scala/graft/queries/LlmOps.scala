@@ -904,6 +904,65 @@ object LlmOps {
         |  w >= 32 AND h >= 32 AS pass_minres
         |FROM d ORDER BY doc_id LIMIT 200""".stripMargin)),
 
+    Q("w45_streaming_multimodal_gate",
+      "STREAMED multimodal ingest admission — the first stream × " +
+        "multimodal cell: image blobs arrive in micro-batches and " +
+        "the resolution gate runs m15's decode-free IHDR parse " +
+        "(pure codegen'd binary arithmetic — the gate costs a " +
+        "columnar scan per batch, never a codec call), admitting " +
+        "width ≥ 32 AND height ≥ 32. Each batch writes its admitted " +
+        "rows to its own b<batchId> dir with overwrite (the w30 " +
+        "idempotent-output discipline — a replayed batch rewrites " +
+        "identically). The oracle derives the admitted set in " +
+        "closed form from the synthesis params, so a mis-parse or " +
+        "a dropped/duplicated batch fails the gate.",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w45").toString
+        try {
+          Multimodal.withPngPayload(
+              t(s, dir, "documents").filter(col("doc_id") < 200),
+              "doc_id", "text")
+            .toDF()
+            .repartitionByRange(3, col("doc_id"))
+            .write.parquet(s"$tmp/in")
+          val stream = s.readStream
+            .schema("doc_id LONG, payload BINARY")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmp/in")
+          def be(off: Int, len: Int) =
+            conv(hex(expr(s"substring(payload, $off, $len)")), 16, 10)
+              .cast("long")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              batch.select(col("doc_id"),
+                  be(17, 4).as("width"), be(21, 4).as("height"))
+                .filter(col("width") >= 32 && col("height") >= 32)
+                .write.mode("overwrite")
+                .parquet(s"$tmp/out/b$batchId")
+              ()
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    24 + octet_length(CAST(text AS BLOB)) % 53 AS w,
+        |    16 + octet_length(CAST(text AS BLOB)) % 43 AS h
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        |FROM d WHERE w >= 32 AND h >= 32
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("m16_wav_header_parse",
       "Audio metadata WITHOUT decode — m15's discipline on the RIFF " +
         "container: channels, sample rate, bit depth, and PCM data " +
