@@ -260,8 +260,14 @@ object Bench {
         (mb0 - p).abs <= math.max(1.0, 0.2 * math.max(p, mb0)))
       val inflated = best0 >= 0 &&
         prevQ.get(name).exists(p => p > 0 && best0 > 1.5 * p)
+      // A query NEW this round has no prev-round reference for the
+      // inflation check — its armor is the loadavg: if every sample
+      // was taken while the host was visibly contended (this box
+      // idles at ~1.5-2), buy one more round of samples.
+      val newAndLoaded = best0 >= 0 && prevQ.get(name).isEmpty &&
+        ts.nonEmpty && ts.map(_._2).min > 4.0
       val (allTs, allBytes) =
-        if (inflated && shuffleFlat) {
+        if ((inflated && shuffleFlat) || newAndLoaded) {
           resampledNames += name
           val (ts2, bytes2) = runSamples(name, nSamples)
           (ts ++ ts2, shuffleBytes + bytes2)
