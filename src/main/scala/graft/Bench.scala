@@ -3,13 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver-run per round at sf0.1): times the headline
-  * queries and prints the result as JSON lines — a compact headline
-  * line (total + per-query best + shuffle bytes) first AND last, with
-  * the full per-sample arrays on the middle line, so a truncated
-  * stdout capture keeps every query's number whichever end survives.
-  * Results are forced through the `noop` sink so every projected
-  * column is actually computed — `.count()` would let Catalyst prune
-  * the expressions under test.
+  * queries and prints the result as JSON lines. The driver's artifact
+  * keeps only the LAST ~2,000 bytes of stdout, so the tail block is
+  * sized to survive the cut in full (VERDICT r12 #1): shuffle-MB
+  * chunks (sacrificial), `total_core`/`total_new` subtotals (the
+  * frozen r11 set vs growth — VERDICT r12 #2), a `total_min` line
+  * with the mean loadavg, then the per-query best map as ~400-byte
+  * chunk lines keyed by unique id prefix, slowest queries last. The
+  * full-name compact + per-sample lines still print first for a head
+  * capture. Results are forced through the `noop` sink so every
+  * projected column is actually computed — `.count()` would let
+  * Catalyst prune the expressions under test.
   */
 object Bench {
 
@@ -110,7 +114,38 @@ object Bench {
     // report, the multiset-hash dataset fingerprint, and the
     // faithful 6-table TPC-H Q5 (cyclic join graph, broadcast dims)
     "d128_constraint_validation", "d131_dataset_fingerprint",
-    "q90_tpch_q5_local_supplier")
+    "q90_tpch_q5_local_supplier",
+    // round 13: the PLAID-complete late-interaction serve (sign-bucket
+    // nomination + exact MaxSim rerank of the nominated docs only) and
+    // the four-path serving-quality regression matrix (exact cosine,
+    // PCA-pruned, pruned MaxSim, hybrid RRF judged against planted
+    // qrels in one plan)
+    "d139_maxsim_plaid", "d140_serving_quality_matrix")
+
+  /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
+    * made up BENCH_r11's sweep, pinned so `total_core` stays
+    * round-over-round comparable as the headline grows. Append-only
+    * discipline: this list never changes again — new headline queries
+    * land in `total_new`.
+    */
+  val core: Set[String] = Set(
+    "q01_pricing_summary", "q02_brand_revenue", "q03_region_order_stats",
+    "q06_top_order_per_cust", "q08_topk_orders", "q27_zorder_cluster",
+    "q28_grouping_sets", "w01_daily_events", "w03_session_window",
+    "q14_json_group", "p04_route_infer_single_pass", "d05_fingerprint",
+    "d07_neardup_pairs", "d08_simhash", "d16_repetition",
+    "d21_boilerplate_segments", "d27_quality_classifier",
+    "d29_tfidf_topterms", "d33_heavy_hitters", "d35_substring_dedup",
+    "d62_persisted_dedup_store", "q38_file_pruning", "s01_cosine_topk",
+    "s03_ivf_topk", "s04_pq_topk", "s06_nndescent_topk",
+    "s10_beam_search_topk", "s11_ivfpq_topk", "s15_persisted_index_topk",
+    "d61_ssjoin_full", "m01_multimodal_decode", "q52_regression_aggs",
+    "q54_hll_sketch_union", "d44_unimax_alloc", "d45_knn_label",
+    "d52_graph_pagerank", "q75_sessionize", "q80_assoc_rules",
+    "d67_bm25_topk", "d70_repeated_spans", "m09_phash_neardup",
+    "d75_maxscore_indexed", "d80_bpe_train", "d94_bm25_docmap_topk",
+    "d97_stupid_backoff_ppl", "d100_pipeline_funnel",
+    "d101_bm25_docmap_pruned", "d102_funnel_neardup", "d103_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,15 +272,23 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(
           files.maxBy(_._1)._2.toPath))
-        def lastMap(key: String): Map[String, Double] = {
+        // Short-id chunk keys (r13+ tails carry `q01`/`d105`-style
+        // prefixes) are expanded back to full headline names; the id
+        // prefix is unique across the catalog by construction.
+        val byPrefix = headline.map(n => n.takeWhile(_ != '_') -> n).toMap
+        def expand(k: String): String =
+          if (k.contains('_')) k else byPrefix.getOrElse(k, k)
+        def mergedMaps(key: String): Map[String, Double] = {
           val mapRe = ("""\\?"""" + key + """\\?":\{([^}]*)\}""").r
           val pairRe = """\\?"(\w+)\\?":(-?[0-9.]+)""".r
-          mapRe.findAllMatchIn(txt).toSeq.lastOption.map { m =>
+          // MERGE all occurrences (chunked tails split the map across
+          // lines); later occurrences win, matching print order.
+          mapRe.findAllMatchIn(txt).toSeq.flatMap { m =>
             pairRe.findAllMatchIn(m.group(1))
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-          }.getOrElse(Map.empty)
+              .map(g => expand(g.group(1)) -> g.group(2).toDouble)
+          }.toMap
         }
-        (lastMap("queries"), lastMap("shuffle_rw_mb"))
+        (mergedMaps("queries"), mergedMaps("shuffle_rw_mb"))
       }
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (prevQ, prevMb) = prevMaps()
@@ -261,11 +304,14 @@ object Bench {
       val inflated = best0 >= 0 &&
         prevQ.get(name).exists(p => p > 0 && best0 > 1.5 * p)
       // A query NEW this round has no prev-round reference for the
-      // inflation check — its armor is the loadavg: if every sample
-      // was taken while the host was visibly contended (this box
-      // idles at ~1.5-2), buy one more round of samples.
+      // inflation check — its armor is the loadavg: if the BEST sample
+      // itself started under visible contention (this box idles at
+      // ~1.5-2), buy one more round of samples. r12's min-across-all
+      // variant under-fired: it required every sample loaded, so 22
+      // new queries measured under a sustained loadavg-19 window were
+      // never re-bought (VERDICT r12 #1).
       val newAndLoaded = best0 >= 0 && prevQ.get(name).isEmpty &&
-        ts.nonEmpty && ts.map(_._2).min > 4.0
+        ts.exists(t => t._1 == best0 && t._2 > 4.0)
       val (allTs, allBytes) =
         if ((inflated && shuffleFlat) || newAndLoaded) {
           resampledNames += name
@@ -330,13 +376,68 @@ object Bench {
         s"""shuffle_rw_mb = read+write bytes over all samples / """ +
         s"""n_samples_run","sf":"$sfDir"}""")
     println(compact)
-    // Minimal total-only line LAST: the compact line outgrew the
-    // driver's bounded tail window at 43 queries (BENCH_r09 parsed:
-    // null), so the artifact of record lost the round total. This
-    // line is ~80 bytes and always survives the tail cut.
+    // ---- The truncation-proof tail block (VERDICT r12 #1/#2) ----
+    // The driver's artifact keeps only the LAST 2,000 bytes of stdout;
+    // at 71 queries the compact line alone is ~2.3 KB, so BENCH_r12
+    // lost every per-query wall to the cut. Everything below is sized
+    // to fit that window in full: two ~120-byte subtotal lines, a
+    // ~200-byte total_min line, then the per-query best map as small
+    // self-identifying CHUNK lines keyed by the unique id prefix
+    // (q01/d105/w03/... — the part before the first underscore, unique
+    // across the catalog), sorted ascending by time so the slowest —
+    // most diagnostic — queries sit in the LAST chunk nearest the
+    // surviving tail.
+    val (coreRes, newRes) = results.partition(r => core.contains(r._1))
+    def subtotal(tag: String, rs: Seq[(String, Double, Seq[(Double, Double)], Double)]): String =
+      s"""{"metric":"$tag","value":${fmt(rs.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""unit":"sec","n_queries":${rs.size}}"""
+    // Chunker: packs "key":value entries into ~400-byte groups in the
+    // given order and prints each as one self-identifying line. A
+    // consumer reassembles the full map by merging every chunk's
+    // `queries`; `i`/`of` make a partial capture self-describing.
+    def printChunks(metric: String, entries: Seq[String]): Unit = {
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = Vector.empty[String]
+      var curLen = 0
+      entries.foreach { e =>
+        if (curLen + e.length > 400 && cur.nonEmpty) {
+          chunks += cur; cur = Vector.empty; curLen = 0
+        }
+        cur :+= e; curLen += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(
+          s"""{"metric":"$metric","i":${i + 1},"of":${chunks.size},""" +
+            s""""queries":${c.mkString("{", ",", "}")}}""")
+      }
+    }
+    // Everything sorted ascending by wall so the slowest — most
+    // diagnostic — queries sit nearest the surviving tail end.
+    val asc = results.sortBy(_._2)
+    def short(k: String): String = k.takeWhile(_ != '_')
+    // Shuffle-MB chunks FIRST: they are the sacrificial block — if the
+    // window runs out, the fastest queries' shuffle bytes are cut, not
+    // any wall time and not the slowest queries' shuffle.
+    printChunks("chunk_mb",
+      asc.map { case (k, _, _, mb) => "\"" + short(k) + "\":" + fmt(mb) })
+    // total_core is the round-over-round 2x gate's stable basis: the
+    // frozen 49-query r11 set, comparable across headline growth.
+    println(subtotal("total_core", coreRes))
+    println(subtotal("total_new", newRes))
+    val allLoads = results.flatMap(_._3.map(_._2)).filter(_ >= 0)
+    val loadMean =
+      if (allLoads.nonEmpty) allLoads.sum / allLoads.size else -1.0
     println(
       s"""{"metric":"total_min","value":${fmt(total)},"unit":"sec",""" +
-        s""""n_queries":${results.size},"sf":"$sfDir"}""")
+        s""""n_queries":${results.size},"load_mean":${fmt(loadMean)},""" +
+        s""""core":${fmt(coreRes.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""new":${fmt(newRes.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""chunks":"per-query best (chunk) / shuffle MB (chunk_mb) """ +
+        s"""keyed by unique id prefix, ascending by wall, slowest """ +
+        s"""last","sf":"$sfDir"}""")
+    printChunks("chunk",
+      asc.map { case (k, v, _, _) => "\"" + short(k) + "\":" + fmt(v) })
     spark.stop()
   }
 }

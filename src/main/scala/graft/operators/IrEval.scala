@@ -154,15 +154,26 @@ object IrEval {
         sum(when(col("score") < thr, col("n_neg"))
           .otherwise(0L)).cast("long").as("tn"))
       .select(col("n_pos"), col("n_neg"), col("auc_num2"),
-        round(d("auc_num2") /
-          (lit(2.0) * d("n_pos") * d("n_neg")), 9).as("auc"),
+        // Degenerate-input guards (ADVICE r12): a one-class corpus
+        // must report auc NULL (binaryEvalBy's convention), never a
+        // 0/0 whose result differs cross-engine (Spark non-ANSI
+        // NULL vs DuckDB inf/NaN); prec/f1 take prCurve's 0/0
+        // conventions (no positive predictions → prec 1.0, tp = 0 →
+        // f1 0.0), rec is NULL when there are no positives at all.
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(d("auc_num2") /
+            (lit(2.0) * d("n_pos") * d("n_neg")), 9)).as("auc"),
         col("tp"), col("fp"), col("fn"), col("tn"),
         round((d("tp") + d("tn")) /
           (d("n_pos") + d("n_neg")), 9).as("accuracy"),
-        round(d("tp") / (d("tp") + d("fp")), 9).as("prec"),
-        round(d("tp") / (d("tp") + d("fn")), 9).as("rec"),
-        round(lit(2.0) * d("tp") /
-          (lit(2.0) * d("tp") + d("fp") + d("fn")), 9).as("f1"))
+        round(when(col("tp") + col("fp") === 0L, 1.0)
+          .otherwise(d("tp") / (d("tp") + d("fp"))), 9).as("prec"),
+        when(col("n_pos") === 0L, lit(null))
+          .otherwise(round(d("tp") / (d("tp") + d("fn")), 9))
+          .as("rec"),
+        round(when(col("tp") === 0L, 0.0)
+          .otherwise(lit(2.0) * d("tp") /
+            (lit(2.0) * d("tp") + d("fp") + d("fn"))), 9).as("f1"))
   }
 
   /** Per-slice [[binaryEval]] (d138) — the fairness-audit form:

@@ -128,16 +128,28 @@ object LateInteraction {
         pairDot.as("d"))
 
   /** The pruned path's scored-pair relation (bucket-collided pairs
-    * only). */
+    * only). `hamming` is the multiprobe radius: a query token probes
+    * every bucket within that Hamming distance of its own —
+    * `Σ_{r≤hamming} C(bits, r)` probe rows per token, still a tiny
+    * broadcast side (37 rows/token at bits=8, r=2). */
   private[graft] def prunedPairs(docs: DataFrame, idCol: String,
       textCol: String, queries: DataFrame, dim: Int,
-      bits: Int): DataFrame = {
+      bits: Int, hamming: Int = 1): DataFrame =
+    prunedPairsFromMap(docTokens(docs, idCol, textCol, dim), queries,
+      dim, bits, hamming)
+
+  /** [[prunedPairs]] over a prebuilt `(doc_id, term, dv)` token map —
+    * the serve-from-index form (vectors and buckets are per-token
+    * projections of the map, no corpus re-hash). */
+  private def prunedPairsFromMap(tokMap: DataFrame, queries: DataFrame,
+      dim: Int, bits: Int, hamming: Int): DataFrame = {
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= hamming)
     val probes = queryTokens(queries, dim)
       .withColumn("qb", vecSignBucket(col("qv"), bits))
       .withColumn("bkt", explode(array(
-        col("qb") +: (0 until bits).map(i =>
-          col("qb").bitwiseXOR(lit(1L << i))): _*)))
-    docTokens(docs, idCol, textCol, dim)
+        masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+    tokMap
       .withColumn("bkt", vecSignBucket(col("dv"), bits))
       .join(broadcast(probes), Seq("bkt"))
       .select(col("doc_id"), col("query_id"), col("qterm"),
@@ -176,6 +188,76 @@ object LateInteraction {
                        queries: DataFrame, dim: Int, k: Int,
                        bits: Int = 6): DataFrame =
     gather(prunedPairs(docs, idCol, textCol, queries, dim, bits), k)
+
+  /** PLAID-complete two-stage serve (VERDICT r12 #3 — the s09
+    * shortlist→rerank discipline applied to late interaction): the
+    * sign-bucket pruned pass only NOMINATES the top-`c` docs per
+    * query (scoring TRUE dots on the collided pairs — a pure
+    * centroid-score stage 1 was measured and rejected: recall\@10
+    * collapsed to 0.51 on the uniform hash-feature vectors, where
+    * PLAID's learned centroids assume clustered embeddings), then
+    * the EXACT MaxSim scorer re-scores the nominated docs alone and
+    * takes the final top-`k`. Recall lost to pruning comes back as
+    * long as the true top-k docs survive nomination — PLAID
+    * (Santhanam et al., CIKM'22) recovers recall with exactly this
+    * final exact re-score of candidates.
+    *
+    * Plan shape: the nomination list is bounded at `c·|queries|`
+    * rows, so BOTH rerank joins broadcast — the corpus streams once
+    * more through [[docTokens]], keeps only nominated docs' tokens
+    * (a broadcast semi-join BEFORE the vector hashing), and the
+    * rerank gather aggregates `≤ c·|queries|·|qterms|` rows. Only
+    * the nomination pass pays corpus-sized work, at the bucket
+    * collision fraction of the exact path's dot products. */
+  def maxSimTopKPlaid(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, dim: Int, k: Int,
+                      bits: Int = 6, c: Int = 100,
+                      hamming: Int = 1): DataFrame = {
+    val nominated =
+      gather(
+        prunedPairs(docs, idCol, textCol, queries, dim, bits, hamming),
+        c)
+        .select("query_id", "doc_id")
+    // The rerank restricts the CORPUS before the token explode and
+    // vector hashing — only nominated docs pay the md5 feature
+    // projection on this pass (a broadcast semi-join; the nomination
+    // list is c·|queries| rows).
+    val restricted = docs.join(
+      broadcast(nominated.select(col("doc_id").as("_nom_id")).distinct()),
+      docs(idCol).cast("long") === col("_nom_id"), "left_semi")
+    gather(
+      docTokens(restricted, idCol, textCol, dim)
+        .join(broadcast(nominated), Seq("doc_id"))
+        .join(broadcast(queryTokens(queries, dim)), Seq("query_id"))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
+  }
+
+  /** [[maxSimTopKPlaid]] over a prebuilt [[docTokenMap]] — the
+    * production serve shape (PLAID assigns centroids at INDEX time;
+    * here both the token vectors and their sign buckets are
+    * projections of the stored map, so a query batch pays only the
+    * bucket-set join against the broadcast score table and the
+    * candidate-sized exact rerank — never a corpus re-hash). Store
+    * the map BUCKETED by doc_id (`bucketBy(n, "doc_id")`): the
+    * doc-clustered scan keeps every gather aggregation exchange-free,
+    * same as the exact path. Bit-identical to [[maxSimTopKPlaid]]
+    * over the same docs (spec-gated). */
+  def maxSimTopKPlaidFromMap(tokMap: DataFrame, queries: DataFrame,
+                             dim: Int, k: Int, bits: Int = 6,
+                             c: Int = 100, hamming: Int = 1): DataFrame = {
+    val nominated =
+      gather(prunedPairsFromMap(tokMap, queries, dim, bits, hamming), c)
+        .select("query_id", "doc_id")
+    gather(
+      tokMap
+        .join(broadcast(nominated), Seq("doc_id"))
+        .join(broadcast(queryTokens(queries, dim)), Seq("query_id"))
+        .select(col("doc_id"), col("query_id"), col("qterm"),
+          pairDot.as("d")),
+      k)
+  }
 
   /** MaxSim over ARBITRARY multi-vector relations — the form a real
     * per-token (or per-chunk) embedding table feeds, decoupled from

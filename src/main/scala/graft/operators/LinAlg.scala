@@ -43,14 +43,32 @@ object LinAlg {
     * is the honest flop count of a Gram pass; [[gramQFast]] does the
     * same reduction at array speed (one treeAggregate) when the
     * explode overhead matters. */
-  def gramQ(df: DataFrame, vecCol: String): DataFrame =
+  def gramQ(df: DataFrame, vecCol: String): DataFrame = {
+    // Overflow guard (ADVICE r12): the LONG sum wraps silently once
+    // n·max|q|² ≥ 2⁶³ (≈ 6e8 unit-range rows at d = 64). The bound
+    // rides the same aggregate as two extra agg exprs (count + max)
+    // in DECIMAL(38,0) — if it holds, every partial sum was bounded
+    // by it too, so no intermediate overflow could have occurred.
+    val two63 = lit(BigDecimal(2).pow(63).toBigInt.toString)
+      .cast("decimal(38,0)")
     df.select(quantize(col(vecCol)).as("qv"))
       .select(posexplode(col("qv")).as(Seq("i", "qi")), col("qv"))
       .select(col("i"), col("qi"),
         posexplode(col("qv")).as(Seq("j", "qj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum(col("qi") * col("qj")).as("g_q"))
+      .agg(sum(col("qi") * col("qj")).as("g_q"),
+        count(lit(1)).cast("decimal(38,0)").as("_n"),
+        greatest(max(abs(col("qi"))), max(abs(col("qj"))))
+          .cast("decimal(38,0)").as("_m"))
+      .select(col("i"), col("j"),
+        when(col("_n") * col("_m") * col("_m") < two63, col("g_q"))
+          .otherwise(raise_error(concat(
+            lit("gramQ: int64 overflow risk — n·max|q|² = "),
+            (col("_n") * col("_m") * col("_m")).cast("string"),
+            lit(" ≥ 2^63; reduce the quantization scale"))))
+          .cast("long").as("g_q"))
+  }
 
   /** The same exact reduction as [[gramQ]] as ONE `treeAggregate`
     * pass over slot-packed upper-triangle LONG accumulators — the
@@ -61,9 +79,16 @@ object LinAlg {
     * answer. */
   def gramQFast(df: DataFrame, vecCol: String, dim: Int): Array[Long] = {
     val n = dim * (dim + 1) / 2
-    df.select(quantize(col(vecCol)).as("qv")).rdd
+    // Two witness slots ride the accumulator: slot n = max|q|
+    // component seen, slot n+1 = row count. The post-hoc bound
+    // count·max|q|² < 2⁶³ is checked in BigInt (the check itself
+    // can't wrap); if it holds, every partial sum was bounded by it
+    // too, so no intermediate overflow could have occurred
+    // (ADVICE r12 — the doc's "checked loudly, not assumed" now
+    // covers the Gram pass, not only topEigenQ).
+    val acc = df.select(quantize(col(vecCol)).as("qv")).rdd
       .map(_.getSeq[Long](0).toArray)
-      .treeAggregate(new Array[Long](n))(
+      .treeAggregate(new Array[Long](n + 2))(
         (acc, q) => {
           require(q.length == dim,
             s"gramQFast: expected dim $dim, got ${q.length}")
@@ -71,11 +96,23 @@ object LinAlg {
           while (i < dim) {
             val qi = q(i); var j = i
             while (j < dim) { acc(k) += qi * q(j); j += 1; k += 1 }
+            val a = math.abs(qi)
+            if (a > acc(n)) acc(n) = a
             i += 1
           }
+          acc(n + 1) += 1
           acc
         },
-        (a, b) => { var k = 0; while (k < n) { a(k) += b(k); k += 1 }; a })
+        (a, b) => {
+          var k = 0; while (k < n) { a(k) += b(k); k += 1 }
+          a(n) = math.max(a(n), b(n)); a(n + 1) += b(n + 1)
+          a
+        })
+    val bound = BigInt(acc(n + 1)) * BigInt(acc(n)) * BigInt(acc(n))
+    require(bound < BigInt(2).pow(63),
+      s"gramQFast: int64 overflow risk — n·max|q|² = $bound ≥ 2^63; " +
+        "reduce the quantization scale")
+    acc.take(n)
   }
 
   /** Dominant eigenvector by POWER ITERATION on the quantized Gram —

@@ -156,6 +156,16 @@ object Packing {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
+    // a crash between the two renames leaves no live carry but a
+    // fully-staged carry_new (its marker is inside) — complete the
+    // rename-in before reading; the marker check below then settles
+    // replay as usual.
+    if (!fs.exists(p(s"$dir/carry")) &&
+        fs.exists(p(s"$dir/carry_new"))) {
+      require(fs.rename(p(s"$dir/carry_new"), p(s"$dir/carry")),
+        "Packing.applyStreamBatch: self-heal rename-in failed")
+    }
     if (fs.exists(p(s"$dir/carry/_applied_$tag"))) return
     val base = readCarry(spark, dir)
     docSpans(batch, idCol, lenCol)

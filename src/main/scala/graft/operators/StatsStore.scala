@@ -91,6 +91,16 @@ object StatsStore {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
+    // no live store + a fully-staged store_new (marker inside) means
+    // the crash hit between the two renames — complete the rename-in
+    // before reading; the marker check below settles replay as usual.
+    if (!fs.exists(p(s"$dir/store")) && fs.exists(p(s"$dir/store_new"))
+        && Option(fs.globStatus(p(s"$dir/store_new/_applied_*")))
+          .exists(_.nonEmpty)) {
+      require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
+        "StatsStore.applyDelta: self-heal rename-in failed")
+    }
     if (tag.exists(t => fs.exists(p(s"$dir/store/_applied_$t"))))
       return    // replayed batch, already committed — exactly-once
     spark.read.parquet(s"$dir/store")

@@ -25,7 +25,9 @@ final case class RowCheck(name: String, violation: Column)
   * streamed monitor (w43) sound: per-batch counts fold into a
   * persisted store by integer addition (uniqueness stays additive
   * when batches partition the key space — range-disjoint ingest, the
-  * w34 discipline), and the post-stream report equals the batch
+  * w34 discipline — and [[foldCounts]] CHECKS that contract: each
+  * fold persists its key range and an overlapping fold fails loudly,
+  * VERDICT r12 #4), and the post-stream report equals the batch
   * report by algebra.
   *
   * Reference scope note: the reference bundle (CreateHQL.scala)
@@ -39,7 +41,16 @@ object Validation {
     * check, columns `(check_name, n_rows, n_violations)`. The single
     * aggregate computes every conditional sum (and the optional
     * `unique` count-distinct) in one scan of `df`; the LONG reshape
-    * is a `stack` over the 1-row result — zero extra exchanges. */
+    * is a `stack` over the 1-row result — zero extra exchanges.
+    *
+    * CONTRACT — the `unique` rule requires NON-NULLABLE key columns:
+    * Spark's multi-column `count_distinct` drops rows where ANY key
+    * column is NULL, while SQL engines counting `DISTINCT (a, b)`
+    * tuples (the documented DuckDB mirror) keep them — a nullable
+    * key silently diverges cross-engine AND undercounts duplicates.
+    * Pair every uniqueness rule with `RowCheck` NOT-NULL rules on
+    * its key columns (the d128 suite's shape), or coalesce the keys
+    * first. */
   def counts(df: DataFrame, checks: Seq[RowCheck],
              unique: Option[(String, Seq[String])] = None): DataFrame = {
     val names = (checks.map(_.name) ++ unique.map(_._1)).sorted
@@ -75,25 +86,89 @@ object Validation {
         col("n_violations"), (col("n_violations") === 0L).as("pass"))
       .orderBy("check_name")
 
+  /** Reserved check_name prefix for the per-fold key-range witness
+    * rows riding the store (`n_rows` = range min, `n_violations` =
+    * range max). The ':' keeps it un-collidable: [[counts]] requires
+    * user check names to match `[A-Za-z0-9_]+`. */
+  private val RangePrefix = "_range:"
+
   /** Fold one batch's counts into the persisted additive store —
     * the StatsStore staged-rename + exactly-once-marker discipline:
     * the `_applied_<tag>` marker is written INSIDE the staged dir
     * before the swap, so one rename commits data and marker
     * atomically; a replayed batch either finds its marker in the
     * live store (skip) or re-merges correctly. First call creates
-    * the store. */
+    * the store.
+    *
+    * `keyRange` is the RANGE-DISJOINT-INGEST contract check
+    * (VERDICT r12 #4): a suite carrying a uniqueness rule is
+    * additive only when batches partition the key space, so callers
+    * folding such a suite MUST pass the batch's (min, max) of a
+    * WITNESS column — a scalar whose range-disjointness implies
+    * key-space disjointness (the uniqueness key's leading column
+    * when ingest is ranged on it, as w43's l_orderkey; an
+    * ingest-ordering column that functionally determines the key,
+    * as the validate_monitor arm's rate `value`). Each fold
+    * persists its range as a witness row inside the same
+    * atomically-swapped store, and a new fold whose range overlaps
+    * any committed one fails LOUDLY instead of silently
+    * double-counting distinct keys. Suites with no uniqueness rule
+    * may pass None (plain conditional sums are additive
+    * unconditionally). */
   def foldCounts(delta: DataFrame, dir: String,
-                 tag: Option[String]): Unit = {
+                 tag: Option[String],
+                 keyRange: Option[(Long, Long)] = None): Unit = {
     val spark = delta.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    require(keyRange.isEmpty || tag.nonEmpty,
+      "Validation.foldCounts: keyRange requires a commit tag (the " +
+        "range witness row is keyed by it)")
+    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
+    // with no live store but a fully-staged store_new (marker
+    // inside), a plain entry would treat the store as EMPTY and
+    // silently reset the accumulated counts — complete the rename-in
+    // first; the marker check below then settles replay as usual.
+    if (!fs.exists(p(s"$dir/store")) && fs.exists(p(s"$dir/store_new"))
+        && Option(fs.globStatus(p(s"$dir/store_new/_applied_*")))
+          .exists(_.nonEmpty)) {
+      require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
+        "Validation.foldCounts: self-heal rename-in failed")
+    }
     if (tag.exists(t => fs.exists(p(s"$dir/store/_applied_$t"))))
       return // replayed batch, already committed — exactly-once
     val hasStore = fs.exists(p(s"$dir/store"))
     val base =
       if (hasStore) spark.read.parquet(s"$dir/store") else delta.limit(0)
-    base.unionByName(delta)
+    keyRange.foreach { case (lo, hi) =>
+      require(lo <= hi, s"Validation.foldCounts: bad keyRange ($lo, $hi)")
+      if (hasStore) {
+        // Committed ranges are one row per fold — wave-count-sized,
+        // a bounded driver read.
+        val committed = base
+          .filter(col("check_name").startsWith(RangePrefix))
+          .select("check_name", "n_rows", "n_violations")
+          .collect()
+        committed.foreach { r =>
+          val (cLo, cHi) = (r.getLong(1), r.getLong(2))
+          require(hi < cLo || lo > cHi,
+            s"Validation.foldCounts: batch key range [$lo, $hi] " +
+              s"overlaps committed ${r.getString(0)} [$cLo, $cHi] — " +
+              "range-disjoint ingest violated; the uniqueness count " +
+              "would silently double-count. Re-key the ingest or " +
+              "recompute the store from scratch.")
+        }
+      }
+    }
+    import spark.implicits._
+    val rangeRows = (keyRange, tag) match {
+      case (Some((lo, hi)), Some(t)) =>
+        Seq((s"$RangePrefix$t", lo, hi))
+          .toDF("check_name", "n_rows", "n_violations")
+      case _ => delta.limit(0)
+    }
+    base.unionByName(delta).unionByName(rangeRows)
       .groupBy("check_name").agg(
         sum("n_rows").cast("long").as("n_rows"),
         sum("n_violations").cast("long").as("n_violations"))
@@ -109,6 +184,8 @@ object Validation {
       "Validation.foldCounts: rename-in of the merged store failed")
   }
 
+  /** The accumulated counts, range-witness rows excluded. */
   def readCounts(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/store")
+      .filter(!col("check_name").startsWith(RangePrefix))
 }

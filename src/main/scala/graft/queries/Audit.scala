@@ -136,14 +136,22 @@ object Audit {
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                              batchId: Long) =>
-              if (!batch.isEmpty)
+              if (!batch.isEmpty) {
+                val b = batch.localCheckpoint()
+                // the batch's key range rides the fold — the
+                // range-disjoint contract the uniqueness count's
+                // additivity stands on is CHECKED, not assumed
+                val r = b.agg(min("l_orderkey"), max("l_orderkey"))
+                  .first()
                 Validation.foldCounts(
                   Validation.counts(
-                    batch.localCheckpoint().join(ok,
+                    b.join(ok,
                       col("l_orderkey") === col("o_orderkey"),
                       "left"),
                     liChecks, LiUnique),
-                  tmp, Some(s"b$batchId"))
+                  tmp, Some(s"b$batchId"),
+                  Some((r.getLong(0), r.getLong(1))))
+              }
             }
             .option("checkpointLocation", s"$tmp/ckpt")
             .trigger(

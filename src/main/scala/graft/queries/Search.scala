@@ -977,6 +977,91 @@ object Search {
       |  doc_id, score
       |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d139_maxsim_plaid",
+      "PLAID-COMPLETE late-interaction serve (VERDICT r12 #3 — " +
+        "Santhanam et al. CIKM'22's full shape, the s09 " +
+        "shortlist→rerank discipline): the sign-bucket pruned pass " +
+        "(d106's scorer verbatim) only NOMINATES the top-50 docs per " +
+        "query, then d105's EXACT MaxSim scorer re-scores the " +
+        "nominated docs alone and takes the final top-10 — recall " +
+        "lost to bucket pruning comes back whenever the true top-10 " +
+        "survives nomination (a pure centroid-score stage 1 was " +
+        "measured and rejected: recall collapsed to 0.51 on uniform " +
+        "hash-feature vectors). The nomination list is bounded at " +
+        "c·|queries| rows so BOTH rerank joins broadcast: the corpus " +
+        "streams once more, keeps only nominated docs' tokens via a " +
+        "broadcast semi-join BEFORE the vector hashing, and the " +
+        "rerank gather aggregates ≤ c·|queries|·|qterms| rows — " +
+        "never the exact path's corpus-tokens × query-tokens. The " +
+        "oracle replays nomination + rerank exactly as chained CTEs.",
+      (s, dir) => {
+        import s.implicits._
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        graft.operators.LateInteraction.maxSimTopKPlaid(
+          t(s, dir, "documents"), "doc_id", "text", qArr,
+          dim = 8, k = 10, bits = 6, c = 50)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
+      |qv0 AS (SELECT query_id, qterm,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS qv
+      |  FROM qry),
+      |qv AS (SELECT query_id, qterm, qv,
+      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+      |      CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1))
+      |           ELSE 0 END)) AS BIGINT) AS qb
+      |  FROM qv0),
+      |dt AS (SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE len(term) > 0),
+      |dv0 AS (SELECT doc_id, term,
+      |    list_transform(generate_series(1, 8), j ->
+      |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
+      |        % 1000) / 1000.0 - 0.5) AS dv
+      |  FROM dt),
+      |dv AS (SELECT doc_id, term, dv,
+      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+      |      CASE WHEN dv[i] > 0 THEN (1::BIGINT << (i - 1))
+      |           ELSE 0 END)) AS BIGINT) AS db
+      |  FROM dv0),
+      |ppairs AS (SELECT q.query_id, q.qterm, d.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM dv d, qv q WHERE bit_count(xor(d.db, q.qb)) <= 1),
+      |pmx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+      |  FROM ppairs GROUP BY 1, 2, 3),
+      |psc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM pmx GROUP BY 1, 2),
+      |nom AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM psc) WHERE rk <= 50),
+      |epairs AS (SELECT n.query_id, q.qterm, n.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM nom n
+      |  JOIN dv d ON d.doc_id = n.doc_id
+      |  JOIN qv q ON q.query_id = n.query_id),
+      |emx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+      |  FROM epairs GROUP BY 1, 2, 3),
+      |esc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM emx GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+      |  doc_id, score
+      |FROM esc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("d107_rm3_expansion",
       "RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 " +
         "relevance model, RM3 interpolation; Retrieval.rm3TopK): " +

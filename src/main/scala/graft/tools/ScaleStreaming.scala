@@ -549,10 +549,15 @@ object ScaleStreaming {
               .cast("double") / 100.0).as("disc"),
             concat(lit("F"), pmod(xxhash64(col("value"), lit(2)),
               lit(3))).as("flag")).localCheckpoint()
+          // the disjointness witness is `value` (it functionally
+          // determines the (k1, k2) key and batches never overlap on
+          // it); k1 alone can touch at batch boundaries
+          val vr = batch.agg(min("value"), max("value")).first()
           val t0 = System.nanoTime()
           Validation.foldCounts(
             Validation.counts(fact, checks, uniq),
-            dir, Some(s"b$batchId"))
+            dir, Some(s"b$batchId"),
+            Some((vr.getLong(0), vr.getLong(1))))
           foldMs.add((System.nanoTime() - t0) / 1000000); ()
           processed.addAndGet(fact.count()); ()
         }

@@ -132,6 +132,23 @@ class GraphSpec extends AnyFunSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(d == Map(1L -> 0L, 2L -> 1L))
     }
+    it("a whale frontier falls back to the shuffle join (adaptive " +
+        "switch) with identical results — the seed set that would " +
+        "have OOM'd an unconditional broadcast") {
+      import spark.implicits._
+      // a 2k-node star forest: seeding EVERY node makes round-1's
+      // frontier the whole graph; maxBroadcastRows = 0 forces the
+      // shuffle path that seed set needs at scale
+      val e = Graph.symmetrize(
+        (0L until 2000L).map(i => (i, 2000L + i % 7)).toDF("da", "db"))
+      val seeds = (0L until 2000L).toDF("id")
+      val shuffled = Graph
+        .bfsDistance(e, seeds, maxDepth = 2, maxBroadcastRows = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val auto = Graph.bfsDistance(e, seeds, maxDepth = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(shuffled == auto && shuffled.size == 2007)
+    }
   }
 
   describe("hashWalks") {
@@ -153,6 +170,21 @@ class GraphSpec extends AnyFunSpec {
       val got = Graph.hashWalks(e, Seq(1L).toDF("id"), len = 1)
         .head().getLong(1)
       assert(got == expected1)
+    }
+    it("a whale walker set falls back to the shuffle join with " +
+        "identical walks") {
+      import spark.implicits._
+      val e = (0L until 500L).map(i => (i, (i + 1) % 500L))
+        .toDF("src", "dst")
+      val starts = (0L until 500L).toDF("id")
+      val shuffled = Graph
+        .hashWalks(e, starts, len = 2, maxBroadcastRows = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val auto = Graph.hashWalks(e, starts, len = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(shuffled == auto && shuffled.size == 500)
     }
   }
 }

@@ -32,6 +32,27 @@ class IrEvalBinarySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("f1") - 6.0 / 7.0) < 1e-8)
   }
 
+  test("binaryEval: degenerate one-class input reports NULL auc/rec " +
+      "and convention prec/f1, never a 0/0 (ADVICE r12)") {
+    // all-negative corpus below the threshold: no positives, no
+    // positive predictions
+    val allNeg = Seq((0L, 1L), (0L, 2L)).toDF("y", "s")
+    val r = IrEval.binaryEval(allNeg, col("y"), col("s"), thr = 5L)
+      .head()
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    assert(r.isNullAt(r.fieldIndex("rec")))
+    assert(r.getAs[Double]("prec") == 1.0) // tp+fp = 0 -> prCurve's 0/0
+    assert(r.getAs[Double]("f1") == 0.0)   // tp = 0
+    assert(r.getAs[Double]("accuracy") == 1.0) // tn = all
+    // all-positive corpus: auc still NULL (no negative to rank)
+    val allPos = Seq((1L, 1L), (1L, 2L)).toDF("y", "s")
+    val p = IrEval.binaryEval(allPos, col("y"), col("s"), thr = 0L)
+      .head()
+    assert(p.isNullAt(p.fieldIndex("auc")))
+    assert(p.getAs[Double]("rec") == 1.0)
+    assert(p.getAs[Double]("prec") == 1.0)
+  }
+
   test("binaryEval: perfect and inverted separations bound AUC") {
     val perfect = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L))
       .toDF("y", "s")

@@ -155,4 +155,71 @@ class LateInteractionSpec extends AnyFunSpec {
       }
     }
   }
+
+  /** Brute replica of the PLAID two-stage serve: top-`c` docs per
+    * query by the Hamming-`h` pruned scorer NOMINATE, exact MaxSim
+    * re-scores the nominated docs only. */
+  private def brutePlaid(docs: Seq[(Long, String)],
+                         queries: Seq[(Long, Seq[String])], k: Int,
+                         bits: Int, c: Int, h: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val nominated = brute(docs, queries, k = c,
+      keep = Some((qv, dv) => java.lang.Long.bitCount(
+        bucket(qv, bits) ^ bucket(dv, bits)) <= h))
+      .map { case (q, _, d, _) => (q, d) }.toSet
+    queries.flatMap { case (qid, terms) =>
+      val kept = docs.filter(d => nominated.contains((qid, d._1)))
+      brute(kept, Seq(qid -> terms), k = k, keep = None)
+    }
+  }
+
+  describe("LateInteraction.maxSimTopKPlaid") {
+    it("equals the brute nomination→exact-rerank replica, and a " +
+        "full-depth nomination degrades to the exact ranking") {
+      val bits = 4
+      for (seed <- 1 to 3) {
+        val docs = corpus(seed + 30)
+        val df = docs.toDF("doc_id", "text")
+        val qs = queries.toDF("query_id", "terms")
+        val got = LateInteraction.maxSimTopKPlaid(
+            df, "doc_id", "text", qs, dim = Dim, k = 5,
+            bits = bits, c = 8, hamming = 1)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = brutePlaid(docs, queries, k = 5, bits = bits,
+          c = 8, h = 1).toList.sorted
+        assert(got == want && got.nonEmpty, s"seed $seed diverged")
+        // c >= |docs| nominates everything -> the rerank IS exact
+        val full = LateInteraction.maxSimTopKPlaid(
+            df, "doc_id", "text", qs, dim = Dim, k = 5,
+            bits = bits, c = docs.size, hamming = bits)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val exact = brute(docs, queries, k = 5, keep = None)
+          .toList.sorted
+        assert(full == exact, s"seed $seed: full-depth != exact")
+      }
+    }
+  }
+
+  describe("LateInteraction.maxSimTopKPlaidFromMap") {
+    it("serving from the cached doc-token map is bit-identical to " +
+        "the direct PLAID path") {
+      for (seed <- 1 to 2) {
+        val docs = corpus(seed + 40)
+        val df = docs.toDF("doc_id", "text")
+        val qs = queries.toDF("query_id", "terms")
+        val direct = LateInteraction.maxSimTopKPlaid(
+            df, "doc_id", "text", qs, dim = Dim, k = 5,
+            bits = 4, c = 8, hamming = 2)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val tokMap = LateInteraction
+          .docTokenMap(df, "doc_id", "text", dim = Dim)
+        val served = LateInteraction.maxSimTopKPlaidFromMap(
+            tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8,
+            hamming = 2)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(served == direct && served.nonEmpty,
+          s"seed $seed diverged")
+      }
+    }
+  }
 }

@@ -115,6 +115,33 @@ class PackingSpec extends AnyFunSuite {
     } finally graft.queries.Rm.rf(tmp)
   }
 
+  test("streamed assembly: the rename-out→rename-in crash window " +
+      "self-heals (carry missing, staged carry_new present)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-packheal").toString
+    try {
+      val b0 = Seq((1L, 4L), (2L, 6L)).toDF("doc_id", "len")
+      val b1 = Seq((3L, 2L), (4L, 5L)).toDF("doc_id", "len")
+      Packing.initStream(spark, tmp)
+      Packing.applyStreamBatch(b0, "doc_id", "len", tmp, "b0")
+      // simulate the crash BETWEEN the two renames: the live carry is
+      // gone, the fully-staged carry_new (marker inside) remains
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/carry"),
+        new org.apache.hadoop.fs.Path(s"$tmp/carry_new")))
+      // a replay of the committed batch heals, then no-ops
+      Packing.applyStreamBatch(b0, "doc_id", "len", tmp, "b0")
+      // and the next batch folds against the healed carry
+      Packing.applyStreamBatch(b1, "doc_id", "len", tmp, "b1")
+      val got = Packing.readSpans(spark, tmp)
+        .orderBy("doc_id").select("doc_id", "start", "end")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 0L, 4L), (2L, 4L, 10L), (3L, 10L, 12L),
+        (4L, 12L, 17L)))
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
   test("pairPack: non-fitting pair separates with truncation; odd singleton") {
     // lens: 4,6,20 (budget 8) → pack1 = (4,20): 24 > 8 → two seqs,
     // waste = 2*8 - (4 + min(20,8)) = 16 - 12 = 4; pack2 = {6} fits,

@@ -96,6 +96,65 @@ class ValidationSpec extends AnyFunSuite {
     } finally graft.queries.Rm.rf(tmp)
   }
 
+  test("foldCounts: an overlapping key range fails LOUDLY; disjoint " +
+      "ranges fold and the witness rows stay out of the report") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-valrange").toString
+    try {
+      val b0 = Validation.counts(
+        fixture.filter(col("k1") === 1L), checks, uniq)
+      val b1 = Validation.counts(
+        fixture.filter(col("k1") === 2L), checks, uniq)
+      Validation.foldCounts(b0, tmp, Some("b0"), Some((1L, 1L)))
+      // Overlap (touching bound counts): range-disjoint ingest
+      // violated -> the fold must refuse, not double-count.
+      val e = intercept[IllegalArgumentException] {
+        Validation.foldCounts(b1, tmp, Some("b1"), Some((1L, 2L)))
+      }
+      assert(e.getMessage.contains("range-disjoint ingest violated"))
+      // Replay of the refused tag with a CORRECT range commits fine.
+      Validation.foldCounts(b1, tmp, Some("b1"), Some((2L, 2L)))
+      val whole = Validation.counts(fixture, checks, uniq)
+        .orderBy("check_name").collect().toSeq
+      val folded = Validation.readCounts(spark, tmp)
+        .orderBy("check_name").collect().toSeq
+      assert(folded == whole) // no _range: rows leak into the report
+      // keyRange without a tag is a caller bug, refused up front
+      intercept[IllegalArgumentException] {
+        Validation.foldCounts(b0, tmp, None, Some((5L, 6L)))
+      }
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("foldCounts: the rename-out→rename-in crash window self-heals " +
+      "instead of silently resetting the store") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-valheal").toString
+    try {
+      val b0 = Validation.counts(
+        fixture.filter(col("k1") === 1L), checks, uniq)
+      val b1 = Validation.counts(
+        fixture.filter(col("k1") === 2L), checks, uniq)
+      Validation.foldCounts(b0, tmp, Some("b0"))
+      // simulate the crash BETWEEN the two renames of a b1 fold: the
+      // live store is gone, a fully-staged store_new (marker inside)
+      // remains — here staged = the b0 store itself, the state a
+      // crash right after rename-out of a replayed b0 would leave
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/store"),
+        new org.apache.hadoop.fs.Path(s"$tmp/store_new")))
+      // the next fold heals first, so it merges against b0's counts
+      // rather than an empty base
+      Validation.foldCounts(b1, tmp, Some("b1"))
+      val whole = Validation.counts(fixture, checks, uniq)
+        .orderBy("check_name").collect().toSeq
+      val folded = Validation.readCounts(spark, tmp)
+        .orderBy("check_name").collect().toSeq
+      assert(folded == whole)
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
   test("check names are validated") {
     intercept[IllegalArgumentException] {
       Validation.counts(fixture, Seq(RowCheck("bad name", lit(true))))
