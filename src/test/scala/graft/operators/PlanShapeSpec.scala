@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+/** Executed-plan shape assertions (VERDICT r12 #6) — the PLANS.md
+  * scale claims that were prose become specs: d121's one-scan /
+  * one-exchange Gram, d105's corpus-independent gather shuffle, s20's
+  * zero-parquet-scan serve, d123's broadcast-only join spine. A claim
+  * asserted here fails the build the day a refactor regresses the
+  * plan, which a results-only oracle can never catch. */
+class PlanShapeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  /** Shuffle exchanges only — "Exchange hashpartitioning/range…",
+    * NOT BroadcastExchange. */
+  private def shuffles(plan: String): Int =
+    count(plan, "- Exchange")
+
+  test("d121 claim: gramQ is ONE FileScan and ONE shuffle exchange " +
+      "(the d(d+1)/2-bounded partial-agg output) at any corpus size") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-planspec").toString
+    try {
+      spark.range(200).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(7)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(2001)) - lit(1000))
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+        .write.parquet(s"$tmp/emb")
+      val plan = planOf(
+        LinAlg.gramQ(spark.read.parquet(s"$tmp/emb"), "embedding"))
+      assert(count(plan, "Scan parquet") == 1, plan)
+      assert(shuffles(plan) == 1, plan)
+      assert(count(plan, "BroadcastExchange") == 0, plan)
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("d105 claim: on a doc-clustered corpus the MaxSim gather " +
+      "shuffle is corpus-independent — both aggregation levels run " +
+      "map-side, only the query-token distinct and the bounded " +
+      "per-query window exchange") {
+    def run(n: Long): (String, Long) = {
+      // spark.range is range-partitioned on id = doc_id, the layout
+      // an ingest-sorted or doc_id-bucketed corpus keeps; the
+      // localCheckpoint preserves the partitioning report
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(j)),
+              lit(300)))): _*).as("text"))
+        .localCheckpoint()
+      val q = Seq((1L, Seq("w3", "w17")), (2L, Seq("w42", "w7")))
+        .toDF("query_id", "terms")
+      val topk = LateInteraction
+        .maxSimTopK(docs, "doc_id", "text", q, dim = 4, k = 5)
+      val rec = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            rec.addAndGet(m.shuffleReadMetrics.recordsRead); ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        topk.write.format("noop").mode("overwrite").save()
+        Thread.sleep(400) // listener events drain asynchronously
+      } finally spark.sparkContext.removeSparkListener(l)
+      (planOf(topk), rec.get())
+    }
+    val (plan, recSmall) = run(500L)
+    // exactly 2 shuffle exchanges: the query-token distinct
+    // (query-sized) and the per-query top-k window (WindowGroupLimit-
+    // bounded) — NONE between the four stacked HashAggregates
+    assert(shuffles(plan) == 2, plan)
+    // the four spine aggregates are the ones keyed by doc_id (the
+    // query-token distinct prints its own aggs in the broadcast
+    // subtree below the join — not the spine)
+    val spine = plan.linesIterator.toSeq
+    val aggIdx = spine.zipWithIndex
+      .filter { case (l, _) =>
+        l.contains("HashAggregate") && l.contains("doc_id")
+      }.map(_._2)
+    assert(aggIdx.size == 4, plan)
+    assert(!spine.slice(aggIdx.min, aggIdx.max)
+      .exists(_.contains("- Exchange")), plan)
+    // and the records crossing the wire do NOT scale with the corpus
+    val (_, recBig) = run(4000L)
+    assert(recBig <= recSmall * 3 / 2,
+      s"gather shuffle grew with the corpus: $recSmall -> $recBig")
+  }
+
+  test("s20 claim: the PCA-pruned serve's final plan reads ONLY the " +
+      "materialized projection table — zero parquet scans") {
+    val df = graft.SparkEntry
+      .queries("s20_pca_prefilter_topk")(spark, "/root/testdata/sf0.001")
+    assert(count(planOf(df), "Scan parquet") == 0, planOf(df))
+  }
+
+  test("d123 claim: the hard-negative verify joins are broadcast-only " +
+      "— 3 BroadcastExchanges, no shuffle join, no corpus rescan") {
+    val df = graft.SparkEntry
+      .queries("d123_hard_negative_mining")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(count(plan, "BroadcastExchange") == 3, plan)
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "ShuffledHashJoin") == 0, plan)
+    assert(count(plan, "Scan parquet") == 0, plan)
+  }
+}
