@@ -116,11 +116,12 @@ object Bench {
     "d128_constraint_validation", "d131_dataset_fingerprint",
     "q90_tpch_q5_local_supplier",
     // round 13: the PLAID-complete late-interaction serve (sign-bucket
-    // nomination + exact MaxSim rerank of the nominated docs only) and
-    // the four-path serving-quality regression matrix (exact cosine,
-    // PCA-pruned, pruned MaxSim, hybrid RRF judged against planted
-    // qrels in one plan)
-    "d139_maxsim_plaid", "d140_serving_quality_matrix")
+    // nomination + exact MaxSim rerank of the nominated docs only).
+    // d140's quality matrix is deliberately NOT here: its four arms
+    // (s01/s20/d106/d103 shapes) are each timed individually above,
+    // and re-running all four per sample would add ~60 s of redundant
+    // wall to the sweep.
+    "d139_maxsim_plaid")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays

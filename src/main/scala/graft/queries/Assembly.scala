@@ -69,7 +69,7 @@ object Assembly {
     * power-iteration rounds (exact integer mat-vec + IEEE
     * max-normalize + floor-requantize, each engine-identical) →
     * exact integer projection → top-10 by |proj|. */
-  private val PcaChainSql = {
+  private[queries] val PcaChainSql = {
     val base = s"""$QuantCte,
       |g AS (SELECT a.i AS i, b.i AS j,
       |    CAST(SUM(qv[a.i + 1] * qv[b.i + 1]) AS BIGINT) // 1000000
