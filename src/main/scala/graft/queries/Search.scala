@@ -117,6 +117,68 @@ object Search {
     |  doc_id, score
     |FROM sc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** The PLAID nomination+rerank oracle — shared VERBATIM by d139
+    * (batch) and d141 (persisted bucketed-index serve): the stored-
+    * index path must equal the batch scorer per-bit. */
+  private val PlaidOracleSql: String =
+    s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
+    |qv0 AS (SELECT query_id, qterm,
+    |    list_transform(generate_series(1, 8), j ->
+    |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
+    |        % 1000) / 1000.0 - 0.5) AS qv
+    |  FROM qry),
+    |qv AS (SELECT query_id, qterm, qv,
+    |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+    |      CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1))
+    |           ELSE 0 END)) AS BIGINT) AS qb
+    |  FROM qv0),
+    |dt AS (SELECT DISTINCT doc_id, term FROM (
+    |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    |    FROM documents)
+    |  WHERE len(term) > 0),
+    |dv0 AS (SELECT doc_id, term,
+    |    list_transform(generate_series(1, 8), j ->
+    |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
+    |        % 1000) / 1000.0 - 0.5) AS dv
+    |  FROM dt),
+    |dv AS (SELECT doc_id, term, dv,
+    |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
+    |      CASE WHEN dv[i] > 0 THEN (1::BIGINT << (i - 1))
+    |           ELSE 0 END)) AS BIGINT) AS db
+    |  FROM dv0),
+    |ppairs AS (SELECT q.query_id, q.qterm, d.doc_id,
+    |    round(list_reduce(list_transform(generate_series(1, 8),
+    |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+    |  FROM dv d, qv q WHERE bit_count(xor(d.db, q.qb)) <= 1),
+    |pmx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+    |  FROM ppairs GROUP BY 1, 2, 3),
+    |psc AS (SELECT query_id, doc_id,
+    |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+    |      AS score
+    |  FROM pmx GROUP BY 1, 2),
+    |nom AS (SELECT query_id, doc_id FROM (
+    |    SELECT query_id, doc_id, row_number() OVER (
+    |        PARTITION BY query_id
+    |        ORDER BY score DESC, doc_id ASC) AS rk
+    |    FROM psc) WHERE rk <= 50),
+    |epairs AS (SELECT n.query_id, q.qterm, n.doc_id,
+    |    round(list_reduce(list_transform(generate_series(1, 8),
+    |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+    |  FROM nom n
+    |  JOIN dv d ON d.doc_id = n.doc_id
+    |  JOIN qv q ON q.query_id = n.query_id),
+    |emx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+    |  FROM epairs GROUP BY 1, 2, 3),
+    |esc AS (SELECT query_id, doc_id,
+    |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+    |      AS score
+    |  FROM emx GROUP BY 1, 2)
+    |SELECT CAST(query_id AS BIGINT) AS query_id,
+    |  CAST(row_number() OVER (PARTITION BY query_id
+    |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+    |  doc_id, score
+    |FROM esc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** The shared phrase fixture (d110 batch, d113 indexed serve):
     * three phrases that hit 40+ docs each, plus an absent one. */
   private val PhraseSet: Seq[(Long, Seq[String])] = Seq(
@@ -1004,63 +1066,7 @@ object Search {
           dim = 8, k = 10, bits = 6, c = 50)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH qry(query_id, qterm) AS (VALUES $QuerySql),
-      |qv0 AS (SELECT query_id, qterm,
-      |    list_transform(generate_series(1, 8), j ->
-      |      (('0x' || substr(md5(j || '_' || qterm), 1, 15))::BIGINT
-      |        % 1000) / 1000.0 - 0.5) AS qv
-      |  FROM qry),
-      |qv AS (SELECT query_id, qterm, qv,
-      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
-      |      CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1))
-      |           ELSE 0 END)) AS BIGINT) AS qb
-      |  FROM qv0),
-      |dt AS (SELECT DISTINCT doc_id, term FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |    FROM documents)
-      |  WHERE len(term) > 0),
-      |dv0 AS (SELECT doc_id, term,
-      |    list_transform(generate_series(1, 8), j ->
-      |      (('0x' || substr(md5(j || '_' || term), 1, 15))::BIGINT
-      |        % 1000) / 1000.0 - 0.5) AS dv
-      |  FROM dt),
-      |dv AS (SELECT doc_id, term, dv,
-      |    CAST(list_sum(list_transform(generate_series(1, 6), i ->
-      |      CASE WHEN dv[i] > 0 THEN (1::BIGINT << (i - 1))
-      |           ELSE 0 END)) AS BIGINT) AS db
-      |  FROM dv0),
-      |ppairs AS (SELECT q.query_id, q.qterm, d.doc_id,
-      |    round(list_reduce(list_transform(generate_series(1, 8),
-      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
-      |  FROM dv d, qv q WHERE bit_count(xor(d.db, q.qb)) <= 1),
-      |pmx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
-      |  FROM ppairs GROUP BY 1, 2, 3),
-      |psc AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM pmx GROUP BY 1, 2),
-      |nom AS (SELECT query_id, doc_id FROM (
-      |    SELECT query_id, doc_id, row_number() OVER (
-      |        PARTITION BY query_id
-      |        ORDER BY score DESC, doc_id ASC) AS rk
-      |    FROM psc) WHERE rk <= 50),
-      |epairs AS (SELECT n.query_id, q.qterm, n.doc_id,
-      |    round(list_reduce(list_transform(generate_series(1, 8),
-      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
-      |  FROM nom n
-      |  JOIN dv d ON d.doc_id = n.doc_id
-      |  JOIN qv q ON q.query_id = n.query_id),
-      |emx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
-      |  FROM epairs GROUP BY 1, 2, 3),
-      |esc AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM emx GROUP BY 1, 2)
-      |SELECT CAST(query_id AS BIGINT) AS query_id,
-      |  CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
-      |  doc_id, score
-      |FROM esc QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(PlaidOracleSql)),
 
     Q("d107_rm3_expansion",
       "RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 " +
@@ -1709,6 +1715,36 @@ object Search {
         |  WHERE t.rk > 1)
         |SELECT query_id, rk, doc_id, score, jac_pos FROM neg
         |WHERE jac_pos < 0.5 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d141_plaid_indexed",
+      "d139's PLAID serve from the PERSISTED token index — the " +
+        "production shape (the d75/d94 memoized-index discipline): " +
+        "the per-(doc, distinct token) vector map is stored as a " +
+        "doc_id-BUCKETED table, whose scan partitioning keeps every " +
+        "gather aggregation exchange-free on both the nomination and " +
+        "rerank stages (measured in the maxsim arm: 816k shuffle " +
+        "records CONSTANT from 20k to 200k docs; a localCheckpoint " +
+        "would drop the clustering — its partitioning dangles on " +
+        "stale attribute ids). Results must equal the batch path " +
+        "per-bit: the oracle is d139's VERBATIM.",
+      (s, dir) => {
+        import s.implicits._
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        s.sql("DROP TABLE IF EXISTS graft_d141_tokmap")
+        graft.operators.LateInteraction
+          .docTokenMap(t(s, dir, "documents"), "doc_id", "text",
+            dim = 8)
+          .write.bucketBy(16, "doc_id").format("parquet")
+          .mode("overwrite").saveAsTable("graft_d141_tokmap")
+        graft.operators.LateInteraction.maxSimTopKPlaidFromMap(
+          s.table("graft_d141_tokmap"), qArr,
+          dim = 8, k = 10, bits = 6, c = 50)
+          .orderBy("query_id", "rk")
+          .localCheckpoint()
+      },
+      Some(PlaidOracleSql)),
 
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +
