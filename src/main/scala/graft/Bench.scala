@@ -279,17 +279,25 @@ object Bench {
         val byPrefix = headline.map(n => n.takeWhile(_ != '_') -> n).toMap
         def expand(k: String): String =
           if (k.contains('_')) k else byPrefix.getOrElse(k, k)
-        def mergedMaps(key: String): Map[String, Double] = {
+        // The r13 artifact keyed chunk_mb payloads "queries" too;
+        // strip those records before the wall parse so MB values
+        // can never masquerade as wall times (ADVICE r13 — current
+        // output keys them "mb", the strip covers legacy tails).
+        val mbChunkRe =
+          ("""\{\\?"metric\\?":\\?"chunk_mb\\?"[^{]*\{[^}]*\}\}""").r
+        val wallTxt = mbChunkRe.replaceAllIn(txt, "")
+        def mergedMaps(key: String, src: String): Map[String, Double] = {
           val mapRe = ("""\\?"""" + key + """\\?":\{([^}]*)\}""").r
           val pairRe = """\\?"(\w+)\\?":(-?[0-9.]+)""".r
           // MERGE all occurrences (chunked tails split the map across
           // lines); later occurrences win, matching print order.
-          mapRe.findAllMatchIn(txt).toSeq.flatMap { m =>
+          mapRe.findAllMatchIn(src).toSeq.flatMap { m =>
             pairRe.findAllMatchIn(m.group(1))
               .map(g => expand(g.group(1)) -> g.group(2).toDouble)
           }.toMap
         }
-        (mergedMaps("queries"), mergedMaps("shuffle_rw_mb"))
+        (mergedMaps("queries", wallTxt),
+          mergedMaps("shuffle_rw_mb", txt) ++ mergedMaps("mb", txt))
       }
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (prevQ, prevMb) = prevMaps()
@@ -396,7 +404,8 @@ object Bench {
     // given order and prints each as one self-identifying line. A
     // consumer reassembles the full map by merging every chunk's
     // `queries`; `i`/`of` make a partial capture self-describing.
-    def printChunks(metric: String, entries: Seq[String]): Unit = {
+    def printChunks(metric: String, payloadKey: String,
+                    entries: Seq[String]): Unit = {
       val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
       var cur = Vector.empty[String]
       var curLen = 0
@@ -410,7 +419,7 @@ object Bench {
       chunks.zipWithIndex.foreach { case (c, i) =>
         println(
           s"""{"metric":"$metric","i":${i + 1},"of":${chunks.size},""" +
-            s""""queries":${c.mkString("{", ",", "}")}}""")
+            s""""$payloadKey":${c.mkString("{", ",", "}")}}""")
       }
     }
     // Everything sorted ascending by wall so the slowest — most
@@ -420,7 +429,11 @@ object Bench {
     // Shuffle-MB chunks FIRST: they are the sacrificial block — if the
     // window runs out, the fastest queries' shuffle bytes are cut, not
     // any wall time and not the slowest queries' shuffle.
-    printChunks("chunk_mb",
+    // Shuffle-MB payload keyed "mb", NOT "queries" (ADVICE r13): a
+    // run that dies after chunk_mb but before the wall chunks must
+    // not leave MB values where next round's resample armor reads
+    // previous-round WALL times.
+    printChunks("chunk_mb", "mb",
       asc.map { case (k, _, _, mb) => "\"" + short(k) + "\":" + fmt(mb) })
     // total_core is the round-over-round 2x gate's stable basis: the
     // frozen 49-query r11 set, comparable across headline growth.
@@ -437,7 +450,7 @@ object Bench {
         s""""chunks":"per-query best (chunk) / shuffle MB (chunk_mb) """ +
         s"""keyed by unique id prefix, ascending by wall, slowest """ +
         s"""last","sf":"$sfDir"}""")
-    printChunks("chunk",
+    printChunks("chunk", "queries",
       asc.map { case (k, v, _, _) => "\"" + short(k) + "\":" + fmt(v) })
     spark.stop()
   }

@@ -153,20 +153,12 @@ object Packing {
   def applyStreamBatch(batch: DataFrame, idCol: String, lenCol: String,
                        dir: String, tag: String): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
-    // a crash between the two renames leaves no live carry but a
-    // fully-staged carry_new (its marker is inside) — complete the
-    // rename-in before reading; the marker check below then settles
-    // replay as usual.
-    if (!fs.exists(p(s"$dir/carry")) &&
-        fs.exists(p(s"$dir/carry_new"))) {
-      require(fs.rename(p(s"$dir/carry_new"), p(s"$dir/carry")),
-        "Packing.applyStreamBatch: self-heal rename-in failed")
-    }
-    if (fs.exists(p(s"$dir/carry/_applied_$tag"))) return
+    // Shared staged-rename commit protocol (VERDICT r13 #2 — one
+    // helper for all six stores; the heal now also verifies the
+    // staged carry is COMPLETE via its marker/_SUCCESS witness,
+    // ADVICE r13, instead of promoting any carry_new blindly).
+    Staged.heal(spark, dir, live = "carry")
+    if (Staged.isApplied(spark, dir, tag, live = "carry")) return
     val base = readCarry(spark, dir)
     docSpans(batch, idCol, lenCol)
       .withColumn("start", col("start") + base)
@@ -175,13 +167,8 @@ object Packing {
     val next = spark.read.parquet(s"$dir/spans/$tag")
       .agg(coalesce(max("end"), lit(base))).head().getLong(0)
     spark.range(1).select(lit(next).as("next_start"))
-      .write.mode("overwrite").parquet(s"$dir/carry_new")
-    fs.create(p(s"$dir/carry_new/_applied_$tag"), true).close()
-    fs.delete(p(s"$dir/carry_retired"), true)
-    require(fs.rename(p(s"$dir/carry"), p(s"$dir/carry_retired")),
-      "Packing.applyStreamBatch: rename-out of the carry failed")
-    require(fs.rename(p(s"$dir/carry_new"), p(s"$dir/carry")),
-      "Packing.applyStreamBatch: rename-in of the new carry failed")
+      .write.mode("overwrite").parquet(Staged.staging(dir, "carry"))
+    Staged.commit(spark, dir, Some(tag), live = "carry")
   }
 
   /** Every span the streamed assembly has committed so far. */

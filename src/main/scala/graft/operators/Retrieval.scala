@@ -258,20 +258,18 @@ object Retrieval {
         .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
         .write.mode("append").partitionBy("tb")
         .parquet(s"$rt/positions")
+    // Term-dictionary swap through the shared staged-rename helper
+    // (VERDICT r13 #2); heal first so a crash between a prior
+    // append's two renames is repaired instead of failing the
+    // `$rt/terms` read.
+    Staged.heal(spark, rt, live = "terms")
     spark.read.parquet(s"$rt/terms")
       .unionByName(
         newPosts.groupBy("tb", "term").agg(count(lit(1)).as("df")))
       .groupBy("tb", "term").agg(sum("df").cast("long").as("df"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$rt/terms_new")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(conf)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.delete(p(s"$rt/terms_retired"), true)
-    require(fs.rename(p(s"$rt/terms"), p(s"$rt/terms_retired")),
-      "appendIndex: rename-out of the term dictionary failed")
-    require(fs.rename(p(s"$rt/terms_new"), p(s"$rt/terms")),
-      "appendIndex: rename-in of the merged term dictionary failed")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(Staged.staging(rt, "terms"))
+    Staged.commit(spark, rt, None, live = "terms")
     val old = spark.read.parquet(s"$rt/stats")
       .select(col("n_docs").cast("long"), col("sum_tokens").cast("long"))
       .head()

@@ -88,20 +88,9 @@ object StatsStore {
                  signCol: String, dir: String,
                  tag: Option[String]): Unit = {
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
-    // no live store + a fully-staged store_new (marker inside) means
-    // the crash hit between the two renames — complete the rename-in
-    // before reading; the marker check below settles replay as usual.
-    if (!fs.exists(p(s"$dir/store")) && fs.exists(p(s"$dir/store_new"))
-        && Option(fs.globStatus(p(s"$dir/store_new/_applied_*")))
-          .exists(_.nonEmpty)) {
-      require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
-        "StatsStore.applyDelta: self-heal rename-in failed")
-    }
-    if (tag.exists(t => fs.exists(p(s"$dir/store/_applied_$t"))))
+    // Shared staged-rename commit protocol (VERDICT r13 #2).
+    Staged.heal(spark, dir)
+    if (tag.exists(t => Staged.isApplied(spark, dir, t)))
       return    // replayed batch, already committed — exactly-once
     spark.read.parquet(s"$dir/store")
       .unionByName(statsOfSigned(docs, keyCol, textCol, col(signCol)))
@@ -111,14 +100,8 @@ object StatsStore {
         sum("n_chars").cast("long").as("n_chars"))
       .filter(col("n_docs") =!= 0 || col("n_tokens") =!= 0 ||
         col("n_chars") =!= 0)
-      .write.mode("overwrite").parquet(s"$dir/store_new")
-    tag.foreach(t => fs.create(p(s"$dir/store_new/_applied_$t"), true)
-      .close())
-    fs.delete(p(s"$dir/store_retired"), true)
-    require(fs.rename(p(s"$dir/store"), p(s"$dir/store_retired")),
-      "StatsStore.applyWave: rename-out of the store failed")
-    require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
-      "StatsStore.applyWave: rename-in of the merged store failed")
+      .write.mode("overwrite").parquet(Staged.staging(dir))
+    Staged.commit(spark, dir, tag)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession,

@@ -125,18 +125,14 @@ object Validation {
     require(keyRange.isEmpty || tag.nonEmpty,
       "Validation.foldCounts: keyRange requires a commit tag (the " +
         "range witness row is keyed by it)")
-    // Self-heal the rename-out→rename-in crash window (ADVICE r12):
-    // with no live store but a fully-staged store_new (marker
-    // inside), a plain entry would treat the store as EMPTY and
-    // silently reset the accumulated counts — complete the rename-in
-    // first; the marker check below then settles replay as usual.
-    if (!fs.exists(p(s"$dir/store")) && fs.exists(p(s"$dir/store_new"))
-        && Option(fs.globStatus(p(s"$dir/store_new/_applied_*")))
-          .exists(_.nonEmpty)) {
-      require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
-        "Validation.foldCounts: self-heal rename-in failed")
-    }
-    if (tag.exists(t => fs.exists(p(s"$dir/store/_applied_$t"))))
+    // Shared staged-rename commit protocol (VERDICT r13 #2). The
+    // shared heal also covers the UNTAGGED-fold crash window ADVICE
+    // r13 flagged here: with tag None no _applied_* marker exists,
+    // so it promotes on the staged dir's parquet _SUCCESS witness —
+    // a plain entry would otherwise treat the store as EMPTY and
+    // silently reset the accumulated counts.
+    Staged.heal(spark, dir)
+    if (tag.exists(t => Staged.isApplied(spark, dir, t)))
       return // replayed batch, already committed — exactly-once
     val hasStore = fs.exists(p(s"$dir/store"))
     val base =
@@ -172,16 +168,8 @@ object Validation {
       .groupBy("check_name").agg(
         sum("n_rows").cast("long").as("n_rows"),
         sum("n_violations").cast("long").as("n_violations"))
-      .write.mode("overwrite").parquet(s"$dir/store_new")
-    tag.foreach(t =>
-      fs.create(p(s"$dir/store_new/_applied_$t"), true).close())
-    if (hasStore) {
-      fs.delete(p(s"$dir/store_retired"), true)
-      require(fs.rename(p(s"$dir/store"), p(s"$dir/store_retired")),
-        "Validation.foldCounts: rename-out of the store failed")
-    }
-    require(fs.rename(p(s"$dir/store_new"), p(s"$dir/store")),
-      "Validation.foldCounts: rename-in of the merged store failed")
+      .write.mode("overwrite").parquet(Staged.staging(dir))
+    Staged.commit(spark, dir, tag)
   }
 
   /** The accumulated counts, range-witness rows excluded. */

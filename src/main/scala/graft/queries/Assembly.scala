@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LinAlg, Packing}
+import graft.operators.{LinAlg, Packing, Staged}
 import graft.queries.Tables.t
 
 /** Training-sequence assembly + embedding linear algebra — the last
@@ -292,30 +292,25 @@ object Assembly {
             .write.parquet(s"$tmp/in")
           LinAlg.gramQ(emb.limit(0), "embedding")
             .write.mode("overwrite").parquet(s"$tmp/store")
-          val fs = new org.apache.hadoop.fs.Path(tmp)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          def p(x: String) = new org.apache.hadoop.fs.Path(x)
           val stream = s.readStream
             .schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$tmp/in")
+          // Shared staged-rename commit + crash-window self-heal
+          // (graft.operators.Staged — VERDICT r13 #2 closed the
+          // inline copies too).
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                              batchId: Long) =>
+              Staged.heal(s, tmp)
               if (!batch.isEmpty &&
-                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                  !Staged.isApplied(s, tmp, s"b$batchId")) {
                 s.read.parquet(s"$tmp/store")
                   .unionByName(LinAlg.gramQ(
                     batch.localCheckpoint(), "embedding"))
                   .groupBy("i", "j").agg(sum("g_q").as("g_q"))
-                  .write.mode("overwrite").parquet(s"$tmp/store_new")
-                fs.create(p(s"$tmp/store_new/_applied_b$batchId"), true)
-                  .close()
-                fs.delete(p(s"$tmp/store_retired"), true)
-                require(fs.rename(p(s"$tmp/store"),
-                  p(s"$tmp/store_retired")), "w42: rename-out failed")
-                require(fs.rename(p(s"$tmp/store_new"),
-                  p(s"$tmp/store")), "w42: rename-in failed")
+                  .write.mode("overwrite").parquet(Staged.staging(tmp))
+                Staged.commit(s, tmp, Some(s"b$batchId"))
               }
             }
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -660,18 +655,18 @@ object Assembly {
             .select(col("doc_id"), col("n_chars").cast("long").as("w"),
               lit(0.0).as("es_key"))
             .write.mode("overwrite").parquet(s"$tmp/store")
-          val fs = new org.apache.hadoop.fs.Path(tmp)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          def p(x: String) = new org.apache.hadoop.fs.Path(x)
           val stream = s.readStream
             .schema("doc_id LONG, text STRING, n_chars LONG")
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$tmp/in")
+          // Shared staged-rename commit + crash-window self-heal
+          // (graft.operators.Staged — VERDICT r13 #2).
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                              batchId: Long) =>
+              Staged.heal(s, tmp)
               if (!batch.isEmpty &&
-                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                  !Staged.isApplied(s, tmp, s"b$batchId")) {
                 val cand = Sampling.weightedTopK(
                   batch.localCheckpoint(), "doc_id",
                   col("n_chars"), col("text"), k = 20)
@@ -679,14 +674,8 @@ object Assembly {
                   .unionByName(cand)
                   .orderBy(col("es_key").desc, col("doc_id"))
                   .limit(20)
-                  .write.mode("overwrite").parquet(s"$tmp/store_new")
-                fs.create(p(s"$tmp/store_new/_applied_b$batchId"), true)
-                  .close()
-                fs.delete(p(s"$tmp/store_retired"), true)
-                require(fs.rename(p(s"$tmp/store"),
-                  p(s"$tmp/store_retired")), "w41: rename-out failed")
-                require(fs.rename(p(s"$tmp/store_new"),
-                  p(s"$tmp/store")), "w41: rename-in failed")
+                  .write.mode("overwrite").parquet(Staged.staging(tmp))
+                Staged.commit(s, tmp, Some(s"b$batchId"))
               }
             }
             .option("checkpointLocation", s"$tmp/ckpt")

@@ -436,31 +436,27 @@ object Audit {
             .write.parquet(s"$tmp/in")
           digests(docs.limit(0))
             .write.mode("overwrite").parquet(s"$tmp/store")
-          val fs = new org.apache.hadoop.fs.Path(tmp)
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          def p(x: String) = new org.apache.hadoop.fs.Path(x)
           val stream = s.readStream
             .schema("doc_id LONG, text STRING")
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$tmp/in")
+          // Shared staged-rename commit + crash-window self-heal
+          // (graft.operators.Staged — VERDICT r13 #2).
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
                              batchId: Long) =>
+              graft.operators.Staged.heal(s, tmp)
               if (!batch.isEmpty &&
-                  !fs.exists(p(s"$tmp/store/_applied_b$batchId"))) {
+                  !graft.operators.Staged.isApplied(s, tmp,
+                    s"b$batchId")) {
                 s.read.parquet(s"$tmp/store")
                   .unionByName(digests(batch.localCheckpoint()))
                   .groupBy("shard").agg(
                     sum("n_docs").cast("long").as("n_docs"),
                     sum("digest").cast("decimal(38,0)").as("digest"))
-                  .write.mode("overwrite").parquet(s"$tmp/store_new")
-                fs.create(p(s"$tmp/store_new/_applied_b$batchId"),
-                  true).close()
-                fs.delete(p(s"$tmp/store_retired"), true)
-                require(fs.rename(p(s"$tmp/store"),
-                  p(s"$tmp/store_retired")), "w44: rename-out failed")
-                require(fs.rename(p(s"$tmp/store_new"),
-                  p(s"$tmp/store")), "w44: rename-in failed")
+                  .write.mode("overwrite")
+                  .parquet(graft.operators.Staged.staging(tmp))
+                graft.operators.Staged.commit(s, tmp, Some(s"b$batchId"))
               }
             }
             .option("checkpointLocation", s"$tmp/ckpt")

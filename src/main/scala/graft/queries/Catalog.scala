@@ -33,6 +33,26 @@ object Rm {
   }
 }
 
+/** Session-catalog hygiene for `bucketBy`/`saveAsTable` writers. */
+object Warehouse {
+
+  /** Make `table` freshly claimable: drop the catalog entry AND
+    * delete its warehouse directory. DROP alone is not enough — a
+    * previous SESSION's (or a crashed run's) warehouse dir outlives
+    * the in-memory catalog, and `saveAsTable` refuses to claim a
+    * location that already exists (ADVICE r13: the d141 gap; one
+    * helper instead of per-site copies). */
+  def reset(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.startsWith("file:"))
+        new java.io.File(new java.net.URI(wh)).getPath
+      else wh
+    Rm.rf(new java.io.File(whPath, table).getPath)
+  }
+}
+
 /** Table access for the driver-generated testdata (TESTDATA.md). */
 object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =

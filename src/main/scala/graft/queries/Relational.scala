@@ -648,19 +648,8 @@ object Relational {
         // A previous SESSION's warehouse directory outlives the
         // in-memory catalog, and saveAsTable refuses to claim a stale
         // location — drop the catalog entry AND the leftover directory.
-        def reset(table: String): Unit = {
-          s.sql(s"DROP TABLE IF EXISTS $table")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-          val whPath =
-            if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh)).getPath
-            else wh
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(whPath, table))
-        }
-        reset("q36_orders_b")
-        reset("q36_customer_b")
+        Warehouse.reset(s, "q36_orders_b")
+        Warehouse.reset(s, "q36_customer_b")
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice")
           .write.mode("overwrite")

@@ -1732,7 +1732,10 @@ object Search {
         val qArr = QueryTerms.groupBy(_._1).toSeq
           .map { case (q, ts) => (q, ts.map(_._2)) }
           .toDF("query_id", "terms")
-        s.sql("DROP TABLE IF EXISTS graft_d141_tokmap")
+        // drop + orphan-warehouse-dir sweep (ADVICE r13): a crashed
+        // prior run leaves the dir with no catalog entry, and
+        // saveAsTable refuses the location until it's gone
+        Warehouse.reset(s, "graft_d141_tokmap")
         graft.operators.LateInteraction
           .docTokenMap(t(s, dir, "documents"), "doc_id", "text",
             dim = 8)

@@ -472,7 +472,7 @@ object Scale {
         .localCheckpoint()
       val plainDir = s"$synthDir/d62_store_plain"
       oldBuckets.write.mode("overwrite").parquet(plainDir)
-      spark.sql("DROP TABLE IF EXISTS graft_d62_store")
+      graft.queries.Warehouse.reset(spark, "graft_d62_store")
       oldBuckets.write.mode("overwrite")
         .bucketBy(cpus.toInt, "j", "sig").sortBy("j", "sig")
         .saveAsTable("graft_d62_store")
@@ -777,18 +777,8 @@ object Scale {
       // doc-clustered bucketed scan keeps every gather aggregation
       // exchange-free; a localCheckpoint would drop the clustering —
       // its LogicalRDD partitioning dangles on stale attribute ids).
-      spark.sql("DROP TABLE IF EXISTS graft_maxsim_tokmap")
-      // DROP of a never-registered table leaves an orphan warehouse
-      // dir behind (e.g. after a crashed run) — saveAsTable refuses
-      // the location; sweep it explicitly.
-      val tokMapLoc = java.nio.file.Paths.get(
-        java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
-          .getPath, "graft_maxsim_tokmap")
-      if (java.nio.file.Files.exists(tokMapLoc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tokMapLoc).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.delete)
-      }
+      // drop + orphan-warehouse-dir sweep (shared helper, ADVICE r13)
+      graft.queries.Warehouse.reset(spark, "graft_maxsim_tokmap")
       LateInteraction.docTokenMap(docs, "doc_id", "text", dim = 8)
         .write.bucketBy(32, "doc_id").format("parquet")
         .mode("overwrite").saveAsTable("graft_maxsim_tokmap")
@@ -837,7 +827,8 @@ object Scale {
       require(factor < 10 || plaidSec <= 0.25 * exactMapSec,
         s"maxsim plaid wall not a real cut: $plaidSec vs $exactMapSec")
       require(plaidSec <= 0.6 * exactMapSec,
-        s"maxsim plaid slower than half of exact even at 1x: $plaidSec")
+        s"maxsim plaid wall above the 0.6x-of-exact 1x gate: " +
+          s"$plaidSec vs ${fmt(0.6 * exactMapSec)}")
     }
     // StatsStore IVM arm (round 12; d115's 100 TB claim measured):
     // maintaining per-key counters for a corpus of N docs via a 1%%
