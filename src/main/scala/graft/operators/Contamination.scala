@@ -45,22 +45,46 @@ object Contamination {
     * filter built over the benchmark n-grams (`fpp` false-positive
     * rate, zero false negatives — safe direction for decontamination:
     * you only ever over-drop). Constant executor memory regardless of
-    * benchmark size. The broadcast Bloom filter lives until the
-    * SparkContext ends — callers doing many sweeps in one long-lived
-    * session should reuse one flagged plan rather than calling this
-    * per sweep (each call ships and pins a fresh filter). */
+    * benchmark size.
+    *
+    * Both sides ride Spark's codegen'd runtime-filter expressions
+    * instead of a Scala UDF (ADVICE r13: a deserialized-row UDF
+    * boundary on the corpus-side scan is measurable at 100 TB):
+    * the filter is built by `BloomFilterAggregate` over
+    * `xxhash64(shingle)` and probed by `BloomFilterMightContain` on
+    * the same hash — the exact expression pair Catalyst's
+    * InjectRuntimeFilter plants, stages in whole-stage codegen, and
+    * ships as an ordinary binary literal (no broadcast pinned to the
+    * SparkContext). Neither expression has a public SQL/DataFrame
+    * name in Spark 4.1 (`might_contain` is unregistered), hence the
+    * GraftBridge wrapping. */
   def bloomFlag(corpus: DataFrame, idCol: String, textCol: String,
                 bench: DataFrame, benchTextCol: String,
                 n: Int = 5, expectedItems: Long = 1000000L,
                 fpp: Double = 0.01): DataFrame = {
-    val bf = shingleSet(bench, benchTextCol, n)
-      .stat.bloomFilter("shingle", expectedItems, fpp)
-    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
-    val hit = udf((s: String) => bcast.value.mightContainString(s))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("shingle"))),
+        GraftBridge.expression(lit(expectedItems)),
+        GraftBridge.expression(lit(numBits)))
+        .toAggregateExpression())
+    // one bounded driver value: the serialized filter (numBits/8 B)
+    val bfBin = shingleSet(bench, benchTextCol, n)
+      .agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val hit =
+      if (bfBin == null) lit(false)   // empty benchmark: nothing leaks
+      else GraftBridge.column(BloomFilterMightContain(
+        GraftBridge.expression(lit(bfBin)),
+        GraftBridge.expression(xxhash64(col("shingle")))))
     val flagged = corpus
       .select(col(idCol), ExplodeShingles(col(textCol), n).as("shingle"))
       .groupBy(col(idCol))
-      .agg(max(when(hit(col("shingle")), 1).otherwise(0)).as("_c"))
+      .agg(max(when(hit, 1).otherwise(0)).as("_c"))
     // Docs shorter than n tokens emit no shingles and would vanish from
     // the grouped result; left-join back to the id set so every corpus
     // doc gets a verdict (short doc => contaminated = false). distinct:

@@ -286,6 +286,15 @@ class OperatorsSpec extends AnyFunSpec {
         .as[(Long, Boolean)].collect().toMap
       assert(flags(0L) && flags(2L) && !flags(1L))
     }
+    it("bloom probe is codegen'd: no ScalaUDF in the corpus-side plan") {
+      // ADVICE r13: the corpus-side scan must stay inside whole-stage
+      // codegen — BloomFilterMightContain, not a deserializing UDF.
+      val plan = Contamination
+        .bloomFlag(train, "doc_id", "text", bench, "text", 5, 1000L, 0.001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan)
+      assert(plan.contains("might_contain"), plan)
+    }
     it("bloom variant reports short docs as clean instead of dropping them") {
       val withShort = train.union(Seq((3L, "too short")).toDF("doc_id", "text"))
       val flags = Contamination
