@@ -1751,10 +1751,12 @@ object Search {
 
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +
-        "end-to-end loop d117's machinery existed for): FOUR serving " +
+        "end-to-end loop d117's machinery existed for): FIVE serving " +
         "paths — exact cosine (s01's batch arm), PCA-pruned cosine " +
         "(s20's candidate→rerank chain), sign-bucket-pruned MaxSim " +
-        "(d106's scorer) and hybrid BM25+cosine RRF (d103's fusion) " +
+        "(d106's scorer), PLAID-complete nominate+rerank (d139's " +
+        "serve — VERDICT r13 #3) and hybrid BM25+cosine RRF (d103's " +
+        "fusion) " +
         "— run over the SAME three queries and are judged against " +
         "the same planted graded qrels (rel = distinct query terms " +
         "present in the doc, capped at 3 — deterministic, " +
@@ -1827,6 +1829,13 @@ object Search {
         // arm 3 — sign-bucket-pruned MaxSim (d106's scorer verbatim)
         val runMax = graft.operators.LateInteraction.maxSimTopKPruned(
           docs, "doc_id", "text", qArr, dim = 8, k = 10, bits = 6)
+        // arm 5 — PLAID-complete two-stage serve (d139 verbatim:
+        // pruned pass NOMINATES top-50, exact MaxSim reranks the
+        // nominees — VERDICT r13 #3: the round-13 serving change now
+        // runs under the same regression matrix it shipped beside)
+        val runPlaid = graft.operators.LateInteraction.maxSimTopKPlaid(
+          docs, "doc_id", "text", qArr, dim = 8, k = 10, bits = 6,
+          c = 50)
         // arm 4 — hybrid RRF (d103's fusion verbatim)
         val lex = Retrieval.bm25TopK(posts, q,
           Retrieval.corpusStats(docs, "text"), k = 20)
@@ -1834,7 +1843,8 @@ object Search {
           .cosineTopKBatch(emb, "vec_id", "embedding", qv, k = 20)
         val runRrf = Fusion.rrf(Seq(lex, sem), k = 10)
         Seq(("cosine", runCos), ("hybrid_rrf", runRrf),
-          ("maxsim_pruned", runMax), ("pca_pruned", runPca))
+          ("maxsim_plaid", runPlaid), ("maxsim_pruned", runMax),
+          ("pca_pruned", runPca))
           .map { case (p, r) =>
             IrEval.evaluate(r, qrels, k = 10)
               .select(lit(p).as("path"),
@@ -1930,6 +1940,28 @@ object Search {
       |        PARTITION BY query_id
       |        ORDER BY score DESC, doc_id ASC) AS rk
       |    FROM msc) WHERE rk <= 10),
+      |nomp AS (SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM msc) WHERE rk <= 50),
+      |eppairs AS (SELECT n.query_id, q.qterm, n.doc_id,
+      |    round(list_reduce(list_transform(generate_series(1, 8),
+      |        i -> qv[i] * dv[i]), (a, b) -> a + b), 9) AS dot
+      |  FROM nomp n
+      |  JOIN mdv d ON d.doc_id = n.doc_id
+      |  JOIN mqv q ON q.query_id = n.query_id),
+      |epmx AS (SELECT query_id, qterm, doc_id, MAX(dot) AS mx
+      |  FROM eppairs GROUP BY 1, 2, 3),
+      |epsc AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(mx AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM epmx GROUP BY 1, 2),
+      |run_plaid AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM epsc) WHERE rk <= 10),
       |stats AS (SELECT COUNT(*) AS n_docs,
       |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
       |      AS avgdl
@@ -1974,6 +2006,8 @@ object Search {
       |  SELECT 'cosine' AS path, query_id, doc_id, rk FROM run_cos
       |  UNION ALL
       |  SELECT 'hybrid_rrf', query_id, doc_id, rk FROM run_rrf
+      |  UNION ALL
+      |  SELECT 'maxsim_plaid', query_id, doc_id, rk FROM run_plaid
       |  UNION ALL
       |  SELECT 'maxsim_pruned', query_id, doc_id, rk FROM run_max
       |  UNION ALL
