@@ -31,16 +31,25 @@ import org.apache.spark.sql.SparkSession
   *
   * Crash-window self-heal: a crash BETWEEN the two renames leaves no
   * live dir but a fully-staged one. [[heal]] completes the rename-in
-  * when the staging dir carries an `_applied_*` marker OR a parquet
-  * `_SUCCESS` commit file (ADVICE r13: marker-only healing missed
-  * untagged folds — `_SUCCESS` is written by Spark's committer the
-  * moment the staged write is complete, tag or no tag). This is safe
-  * because rename-out runs strictly AFTER the staged write and
-  * marker creation complete: at any instant the live dir is missing,
-  * the staging dir is either complete (promote it) or absent. A
-  * staging dir with NEITHER witness is a partial write from a crash
-  * mid-write — the live dir still exists in that case, and heal
-  * leaves the partial dir for the caller's `overwrite` to replace.
+  * when the staging dir carries an `_applied_*` marker, OR when it
+  * carries a parquet `_SUCCESS` commit file AND the `<live>_retired`
+  * tombstone exists. The tombstone requirement matters (ADVICE r14):
+  * `_SUCCESS` is written by Spark's committer the moment the staged
+  * WRITE completes — strictly before [[commit]] runs — so on a
+  * lazily-bootstrapped store (no live dir yet) a crash after the
+  * staged write but before commit leaves a `_SUCCESS`-bearing staged
+  * dir whose batch was never marked applied. Promoting it would make
+  * the replay re-merge the same batch on top of the promoted data
+  * (silent double-count for tag-only folds). The tombstone is proof
+  * rename-out ran, i.e. the crash was between the two renames and the
+  * staged dir is the committed result; bootstrap commits (which never
+  * rename out) recover via the marker witness alone, since commit
+  * stamps the marker before rename-in. A staging dir with NO
+  * promotable witness is left in place: either the live dir still
+  * exists (mid-write crash; the caller's `overwrite` replaces it) or
+  * the store never bootstrapped (the caller re-runs the fold from
+  * scratch — the un-promoted partial is overwritten, nothing is
+  * double-counted).
   */
 object Staged {
 
@@ -52,20 +61,24 @@ object Staged {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def hasCommitWitness(fs: FileSystem, staged: Path): Boolean =
+  private def hasCommitWitness(fs: FileSystem, staged: Path,
+                               retired: Path): Boolean =
     Option(fs.globStatus(new Path(staged, "_applied_*")))
-      .exists(_.nonEmpty) || fs.exists(new Path(staged, "_SUCCESS"))
+      .exists(_.nonEmpty) ||
+      (fs.exists(new Path(staged, "_SUCCESS")) && fs.exists(retired))
 
   /** Complete a crash-interrupted swap: no live dir + a fully-staged
-    * one (marker or `_SUCCESS` inside) → rename it in. Idempotent;
-    * call on every entry before reading the live store. */
+    * one (marker inside, or `_SUCCESS` inside plus the retired
+    * tombstone) → rename it in. Idempotent; call on every entry
+    * before reading the live store. */
   def heal(spark: SparkSession, dir: String,
            live: String = "store"): Unit = {
     val fs = fsOf(spark, dir)
     val liveP = new Path(s"$dir/$live")
     val stagedP = new Path(staging(dir, live))
+    val retiredP = new Path(s"$dir/${live}_retired")
     if (!fs.exists(liveP) && fs.exists(stagedP) &&
-        hasCommitWitness(fs, stagedP)) {
+        hasCommitWitness(fs, stagedP, retiredP)) {
       require(fs.rename(stagedP, liveP),
         s"Staged.heal($dir/$live): self-heal rename-in failed")
     }

@@ -10,9 +10,12 @@ import graft.TestSpark.spark
   * carry, StatsStore, Validation counts, Retrieval term dictionary,
   * and the w41/w42/w44 inline foreachBatch stores). Each test
   * manufactures one crash state on disk and asserts the protocol's
-  * recovery, including the two gaps ADVICE r13 named: the untagged
-  * fold's heal (no _applied_* marker — _SUCCESS is the witness) and
-  * the partial-staged dir that must NOT be promoted. */
+  * recovery, including the two gaps ADVICE r13 named (the untagged
+  * fold's heal — _SUCCESS plus the retired tombstone is the witness —
+  * and the partial-staged dir that must NOT be promoted) and the one
+  * ADVICE r14 named: a lazily-bootstrapped store's crash AFTER the
+  * staged write but BEFORE commit leaves _SUCCESS with no marker and
+  * no tombstone, and promoting it would double-count the replay. */
 class StagedSpec extends AnyFunSuite {
   import spark.implicits._
 
@@ -90,6 +93,63 @@ class StagedSpec extends AnyFunSuite {
       Staged.heal(spark, tmp)
       assert(!fsOf(tmp).exists(p(s"$tmp/store")),
         "heal promoted a staged dir with no completeness witness")
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("heal: bootstrap crash BEFORE commit (_SUCCESS, no marker, no" +
+      " retired dir) is NOT promoted (ADVICE r14)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-staged").toString
+    try {
+      // Lazy-bootstrap store: no live dir ever existed. The fold wrote
+      // its first staged result (parquet stamps _SUCCESS) and crashed
+      // before Staged.commit ran — no _applied_* marker, no
+      // store_retired tombstone. Promoting would let the replayed
+      // batch re-merge on top of its own output (double-count).
+      Seq(7L).toDF("v").write.mode("overwrite")
+        .parquet(Staged.staging(tmp))
+      val fs = fsOf(tmp)
+      assert(fs.exists(p(s"${Staged.staging(tmp)}/_SUCCESS")))
+      Staged.heal(spark, tmp)
+      assert(!fs.exists(p(s"$tmp/store")),
+        "heal promoted a pre-commit bootstrap staged dir")
+      // the replayed fold overwrites the orphan and commits cleanly
+      Seq(7L).toDF("v").write.mode("overwrite")
+        .parquet(Staged.staging(tmp))
+      Staged.commit(spark, tmp, Some("b1"))
+      assert(readLive(tmp) == 7L)
+      assert(Staged.isApplied(spark, tmp, "b1"))
+    } finally graft.queries.Rm.rf(tmp)
+  }
+
+  test("bootstrap fold replay: staged-write crash does not double-count") {
+    // End-to-end version of the ADVICE r14 scenario against the fold
+    // shape the inline stores run: batch 1 bootstraps, crashes after
+    // the staged write (before commit); the replay must produce the
+    // sum once, not twice.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-staged").toString
+    try {
+      def fold(batchId: Long, add: Long,
+               crashBeforeCommit: Boolean = false): Unit = {
+        Staged.heal(spark, tmp)
+        if (!Staged.isApplied(spark, tmp, s"b$batchId")) {
+          val fs = fsOf(tmp)
+          val base =
+            if (fs.exists(p(s"$tmp/store"))) readLive(tmp) else 0L
+          Seq(base + add).toDF("v").write.mode("overwrite")
+            .parquet(Staged.staging(tmp))
+          if (!crashBeforeCommit)
+            Staged.commit(spark, tmp, Some(s"b$batchId"))
+          // crashBeforeCommit: _SUCCESS is on disk, nothing else ran
+        }
+      }
+      fold(1, 10, crashBeforeCommit = true)
+      assert(!fsOf(tmp).exists(p(s"$tmp/store")), "crash state intact")
+      fold(1, 10)             // stream replays the uncommitted batch
+      assert(readLive(tmp) == 10L, "bootstrap replay double-counted")
+      fold(2, 5)
+      assert(readLive(tmp) == 15L)
     } finally graft.queries.Rm.rf(tmp)
   }
 
