@@ -106,6 +106,65 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(planOf(df), "Scan parquet") == 0, planOf(df))
   }
 
+  test("d139 claim: the PLAID rerank semi-join broadcasts BEFORE the " +
+      "vector hashing — the corpus scan below the LeftSemi carries no " +
+      "token explode, and no join in the plan shuffles") {
+    val df = graft.SparkEntry
+      .queries("d139_maxsim_plaid")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+    assert(count(plan, "ShuffledHashJoin") == 0, plan)
+    val lines = plan.linesIterator.toSeq
+    val semiIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiIdx >= 0, plan)
+    // the streamed subtree of the semi-join: the lines between the
+    // join node and its build-side BroadcastExchange sibling — must
+    // be the bare corpus scan (no Generate = no token explode, which
+    // is where the md5 vector projection hangs), proving only
+    // NOMINATED docs pay the rerank's feature hashing
+    val buildIdx = lines.indexWhere(
+      _.contains("BroadcastExchange"), semiIdx + 1)
+    assert(buildIdx > semiIdx, plan)
+    val streamed = lines.slice(semiIdx + 1, buildIdx)
+    assert(streamed.exists(_.contains("Scan parquet")), plan)
+    assert(!streamed.exists(_.contains("Generate")), plan)
+  }
+
+  test("d141 claim: serving PLAID from the doc_id-bucketed token map " +
+      "keeps BOTH gather aggregations exchange-free — every shuffle " +
+      "in the plan is query-sized, none partitions on doc_id") {
+    spark.sql("DROP TABLE IF EXISTS planspec_tokmap")
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(j)),
+          lit(120)))): _*).as("text"))
+    try {
+      LateInteraction.docTokenMap(docs, "doc_id", "text", dim = 4)
+        .write.bucketBy(4, "doc_id").format("parquet")
+        .mode("overwrite").saveAsTable("planspec_tokmap")
+      val q = Seq((1L, Seq("w3", "w17")), (2L, Seq("w42", "w7")))
+        .toDF("query_id", "terms")
+      val topk = LateInteraction.maxSimTopKPlaidFromMap(
+        spark.table("planspec_tokmap"), q, dim = 4, k = 5,
+        bits = 4, c = 20)
+      val plan = planOf(topk)
+      val exchanges = plan.linesIterator
+        .filter(_.contains("- Exchange")).toSeq
+      assert(exchanges.nonEmpty, plan)
+      assert(!exchanges.exists(_.contains("doc_id")),
+        s"a shuffle partitions on doc_id — a gather aggregation " +
+          s"lost the bucketed clustering:\n$plan")
+      // both stages scan the bucketed table; no other source
+      assert(count(plan, "Scan parquet") == 2, plan)
+      // and the result is the same top-k the unbucketed path produces
+      val expected = LateInteraction.maxSimTopKPlaid(
+        docs, "doc_id", "text", q, dim = 4, k = 5, bits = 4, c = 20)
+      assert(topk.orderBy("query_id", "rk").collect().toSeq ==
+        expected.orderBy("query_id", "rk").collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS planspec_tokmap")
+  }
+
   test("d123 claim: the hard-negative verify joins are broadcast-only " +
       "— 3 BroadcastExchanges, no shuffle join, no corpus rescan") {
     val df = graft.SparkEntry
