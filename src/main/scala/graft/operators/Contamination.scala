@@ -57,7 +57,19 @@ object Contamination {
     * ships as an ordinary binary literal (no broadcast pinned to the
     * SparkContext). Neither expression has a public SQL/DataFrame
     * name in Spark 4.1 (`might_contain` is unregistered), hence the
-    * GraftBridge wrapping. */
+    * GraftBridge wrapping.
+    *
+    * Sizing cap (ADVICE r14): `BloomFilterAggregate` silently CLAMPS
+    * its arguments to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (default 4,000,000) and `.maxNumBits` (default
+    * 67,108,864) — unlike `df.stat.bloomFilter`, which sizes exactly.
+    * A clamped filter still has zero false negatives (the safe
+    * direction) but its realized false-positive rate silently exceeds
+    * the requested `fpp`, degrading without bound as the benchmark
+    * grows. This method therefore REQUIRES the requested size to fit
+    * under both session caps and fails loudly otherwise — for
+    * benchmarks past ~4M n-grams (or very small fpp), raise the two
+    * confs before calling. */
   def bloomFlag(corpus: DataFrame, idCol: String, textCol: String,
                 bench: DataFrame, benchTextCol: String,
                 n: Int = 5, expectedItems: Long = 1000000L,
@@ -67,6 +79,17 @@ object Contamination {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomFlag: expectedItems=$expectedItems/numBits=$numBits exceed " +
+        s"the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) " +
+        "— BloomFilterAggregate would silently clamp the filter and " +
+        "loosen the realized fpp; raise spark.sql.optimizer.runtime." +
+        "bloomFilter.{maxNumItems,maxNumBits} for this benchmark size")
     val bfAgg = GraftBridge.column(
       new BloomFilterAggregate(
         GraftBridge.expression(xxhash64(col("shingle"))),

@@ -1451,6 +1451,64 @@ object LlmOps {
         |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
         |FROM ds GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("d142_bloom_decontamination",
+      "The Bloom decontamination path under the oracle (VERDICT r14 " +
+        "#5 — bloomFlag was the engine's only spec-only operator): " +
+        "false-positive COUNTS aren't deterministic across engines, " +
+        "but the ZERO-FALSE-NEGATIVE contract is — every doc the " +
+        "exact n-gram check (d19's stats) finds contaminated must " +
+        "carry the Bloom flag, so per-language " +
+        "n_bloom_missed ≡ 0 and the oracle hard-codes it. A single " +
+        "false negative (a hash-family or serialization drift in the " +
+        "codegen'd BloomFilterAggregate/MightContain pair) breaks the " +
+        "hash match. Scale shape: the filter is one bounded binary " +
+        "literal, the corpus side is one codegen'd scan — the " +
+        "constant-memory variant d19 falls back to when the benchmark " +
+        "outgrows broadcast.",
+      (s, dir) => {
+        val C = graft.operators.Contamination
+        val d = t(s, dir, "documents")
+          .withColumn("split", TA.trainValTestSplit(col("text")))
+        val train = d.filter(col("split") === "train")
+        val benchDocs = d.filter(col("split") === "test")
+        val bench = C.shingleSet(benchDocs, "text", 5)
+        val exact = C.stats(train, Seq("doc_id", "lang"), "text",
+          bench, 5)
+        val flags = C.bloomFlag(train, "doc_id", "text",
+          benchDocs, "text", 5,
+          expectedItems = 100000L, fpp = 0.001)
+        exact.join(flags, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_exact_contaminated"),
+            sum(when(col("n_hits") > 0 && !col("contaminated"), 1L)
+              .otherwise(0L)).cast("long").as("n_bloom_missed"))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, text,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS b
+        |       FROM documents),
+        |bs AS (SELECT DISTINCT
+        |         unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 4),
+        |           i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS shingle
+        |       FROM s WHERE b >= 90),
+        |tg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 4),
+        |           i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS shingle
+        |       FROM s WHERE b < 80),
+        |ds AS (SELECT tg.doc_id, tg.lang,
+        |         COUNT(*) FILTER (WHERE bs.shingle IS NOT NULL) AS n_hits
+        |       FROM tg LEFT JOIN bs ON tg.shingle = bs.shingle
+        |       GROUP BY tg.doc_id, tg.lang)
+        |SELECT lang,
+        |  CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT)
+        |    AS n_exact_contaminated,
+        |  CAST(0 AS BIGINT) AS n_bloom_missed
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("d20_neardup_clusters",
       "Transitive near-dup clusters: banded-LSH candidate pairs → " +
         "large-star/small-star contraction (Dedup.connectedComponents; " +
