@@ -117,11 +117,16 @@ object Bench {
     "q90_tpch_q5_local_supplier",
     // round 13: the PLAID-complete late-interaction serve (sign-bucket
     // nomination + exact MaxSim rerank of the nominated docs only).
-    // d140's quality matrix is deliberately NOT here: its four arms
-    // (s01/s20/d106/d103 shapes) are each timed individually above,
-    // and re-running all four per sample would add ~60 s of redundant
-    // wall to the sweep.
-    "d139_maxsim_plaid")
+    // d140's quality matrix is deliberately NOT here: its five arms
+    // (s01/s20/d106/d103/d139 shapes) are each timed individually
+    // above, and re-running all five per sample would add ~60 s of
+    // redundant wall to the sweep.
+    "d139_maxsim_plaid",
+    // round 15: the persisted-index PLAID serve (VERDICT r14 #8) —
+    // the production online path, memoized per (session, dir) like
+    // s15/d75: the cold sample pays the bucketed token-map build,
+    // warm samples measure the serve from the stored table
+    "d141_plaid_indexed")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays
@@ -296,12 +301,31 @@ object Bench {
               .map(g => expand(g.group(1)) -> g.group(2).toDouble)
           }.toMap
         }
+        // Legacy r13 chunk_mb records keyed their payload "queries";
+        // recover their MB values from the stripped matches so an
+        // r13-era artifact still seeds prevMb across the key-format
+        // transition (ADVICE r14 — without this the first run over an
+        // old artifact lost every prior-round shuffle-MB baseline).
+        val legacyMbTxt = mbChunkRe.findAllIn(txt).mkString("\n")
         (mergedMaps("queries", wallTxt),
-          mergedMaps("shuffle_rw_mb", txt) ++ mergedMaps("mb", txt))
+          mergedMaps("shuffle_rw_mb", txt) ++ mergedMaps("mb", txt)
+            ++ mergedMaps("queries", legacyMbTxt))
       }
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (prevQ, prevMb) = prevMaps()
+    // Loadavg threshold for the best-sample armor: this box idles at
+    // ~1.5-2, the r14 noise-poisoned artifact ran at load ~3, and the
+    // judge's quiet re-run at 1.98 — 2.5 splits them. Overridable for
+    // hosts with a different idle floor.
+    val loadThresh = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.5").toDouble
+    // load of the sample that achieved the best wall (ties: quietest)
+    def bestLoad(ts: Seq[(Double, Double)], best: Double): Double = {
+      val ls = ts.filter(t => t._1 == best).map(_._2)
+      if (ls.isEmpty) -1.0 else ls.min
+    }
     val resampledNames = scala.collection.mutable.ArrayBuffer[String]()
+    val poisonedNames = scala.collection.mutable.ArrayBuffer[String]()
     val results = sweep.map { case (name, ts, shuffleBytes) =>
       val best0 = {
         val ok = ts.map(_._1).filter(_ >= 0)
@@ -312,17 +336,18 @@ object Bench {
         (mb0 - p).abs <= math.max(1.0, 0.2 * math.max(p, mb0)))
       val inflated = best0 >= 0 &&
         prevQ.get(name).exists(p => p > 0 && best0 > 1.5 * p)
-      // A query NEW this round has no prev-round reference for the
-      // inflation check — its armor is the loadavg: if the BEST sample
-      // itself started under visible contention (this box idles at
-      // ~1.5-2), buy one more round of samples. r12's min-across-all
-      // variant under-fired: it required every sample loaded, so 22
-      // new queries measured under a sustained loadavg-19 window were
-      // never re-bought (VERDICT r12 #1).
-      val newAndLoaded = best0 >= 0 && prevQ.get(name).isEmpty &&
-        ts.exists(t => t._1 == best0 && t._2 > 4.0)
+      // Best-sample load armor (VERDICT r14 #6, generalizing the r12
+      // new-query rule): if the BEST sample itself started under
+      // visible contention, buy one more round of samples — a
+      // UNIFORMLY loaded host inflates every sample's minimum, which
+      // the prev-round-minima check alone cannot see (three rounds
+      // running the committed artifact needed a judge re-run to
+      // de-noise). Queries whose best STAYS loaded after the re-buy
+      // are emitted in `load_poisoned` so the artifact names its own
+      // non-comparable rows.
+      val bestLoaded = best0 >= 0 && bestLoad(ts, best0) > loadThresh
       val (allTs, allBytes) =
-        if ((inflated && shuffleFlat) || newAndLoaded) {
+        if ((inflated && shuffleFlat) || bestLoaded) {
           resampledNames += name
           val (ts2, bytes2) = runSamples(name, nSamples)
           (ts ++ ts2, shuffleBytes + bytes2)
@@ -334,6 +359,8 @@ object Bench {
       val rwMb = allBytes / 1e6 / allTs.size
       val ok = allTs.map(_._1).filter(_ >= 0)
       val best = if (ok.nonEmpty) ok.min else -1.0
+      if (best >= 0 && bestLoad(allTs, best) > loadThresh)
+        poisonedNames += name
       (name, best, allTs, rwMb)
     }
     spark.sparkContext.removeSparkListener(listener)
@@ -355,6 +382,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val resampledField = resampledNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val poisonedField = poisonedNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyField = only.map(o =>
       s""""only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
@@ -369,6 +398,7 @@ object Bench {
         onlyField +
         s""""queries":$qs,"shuffle_rw_mb":$shuffle,""" +
         s""""resampled":$resampledField,""" +
+        s""""load_poisoned":$poisonedField,""" +
         s""""n_samples":$nSamples,"sf":"$sfDir"}"""
     println(compact)
     println(
@@ -378,9 +408,13 @@ object Bench {
         s""""loadavg1":$loads,""" +
         s""""shuffle_rw_mb":$shuffle,"n_samples":$nSamples,""" +
         s""""resampled":$resampledField,""" +
+        s""""load_poisoned":$poisonedField,""" +
         s""""warmup":"footer-read per table + one noop run of q01; """ +
         s"""per-query value = min of n_samples runs (plus n more if """ +
-        s"""resampled: best > 1.5x prev-round best at flat shuffle); """ +
+        s"""resampled: best > 1.5x prev-round best at flat shuffle, """ +
+        s"""or best sample started at loadavg > ${fmt(loadThresh)}; """ +
+        s"""load_poisoned = best STILL loaded after the re-buy, """ +
+        s"""treat those rows as non-comparable); """ +
         s"""loadavg1 = /proc/loadavg at each sample start; """ +
         s"""shuffle_rw_mb = read+write bytes over all samples / """ +
         s"""n_samples_run","sf":"$sfDir"}""")
@@ -442,9 +476,14 @@ object Bench {
     val allLoads = results.flatMap(_._3.map(_._2)).filter(_ >= 0)
     val loadMean =
       if (allLoads.nonEmpty) allLoads.sum / allLoads.size else -1.0
+    // the tail-surviving line carries the poisoned set as SHORT ids
+    // (bounded even when many rows are flagged on a loaded host)
+    val poisonedShort = poisonedNames.toSeq.sorted
+      .map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total_min","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"load_mean":${fmt(loadMean)},""" +
+        s""""load_poisoned":$poisonedShort,""" +
         s""""core":${fmt(coreRes.map(_._2).filter(_ >= 0).sum)},""" +
         s""""new":${fmt(newRes.map(_._2).filter(_ >= 0).sum)},""" +
         s""""chunks":"per-query best (chunk) / shuffle MB (chunk_mb) """ +

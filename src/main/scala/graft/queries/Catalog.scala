@@ -37,19 +37,35 @@ object Rm {
 object Warehouse {
 
   /** Make `table` freshly claimable: drop the catalog entry AND
-    * delete its warehouse directory. DROP alone is not enough — a
+    * delete its storage directory. DROP alone is not enough — a
     * previous SESSION's (or a crashed run's) warehouse dir outlives
     * the in-memory catalog, and `saveAsTable` refuses to claim a
     * location that already exists (ADVICE r13: the d141 gap; one
-    * helper instead of per-site copies). */
+    * helper instead of per-site copies). When a live catalog entry
+    * exists, its ACTUAL location is read first and removed too — a
+    * `HiveMode` session's warehouse root can differ from this
+    * session's `spark.sql.warehouse.dir`, and sweeping only the
+    * session warehouse would silently miss it (VERDICT r14
+    * advisory); the conf-derived path is still swept for the
+    * entry-less orphan-dir case. */
   def reset(s: SparkSession, table: String): Unit = {
+    def toLocal(p: String): String =
+      if (p.startsWith("file:"))
+        new java.io.File(new java.net.URI(p)).getPath
+      else p
+    val catalogLoc: Option[String] =
+      try {
+        if (s.catalog.tableExists(table))
+          s.sql(s"DESCRIBE FORMATTED $table")
+            .where("col_name = 'Location'")
+            .select("data_type").collect()
+            .headOption.map(r => toLocal(r.getString(0)))
+        else None
+      } catch { case _: Throwable => None }
     s.sql(s"DROP TABLE IF EXISTS $table")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val whPath =
-      if (wh.startsWith("file:"))
-        new java.io.File(new java.net.URI(wh)).getPath
-      else wh
-    Rm.rf(new java.io.File(whPath, table).getPath)
+    Rm.rf(new java.io.File(toLocal(wh), table).getPath)
+    catalogLoc.foreach(Rm.rf)
   }
 }
 

@@ -364,6 +364,32 @@ object Search {
     }
   }
 
+  /** d141's doc_id-bucketed token-map TABLE, memoized per (session,
+    * dir) — the textIndexDir/s15 discipline (VERDICT r14 #8): Bench's
+    * warm samples then measure the PLAID serve against the stored
+    * table, the production shape. The table name carries the dir
+    * hash so two dirs in one session never collide; the build starts
+    * with the shared `Warehouse.reset` orphan-dir sweep. */
+  private val plaidTokMapMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]()
+  private def plaidTokMapTable(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val key = (s, dir)
+    Option(plaidTokMapMemo.get(key)).getOrElse {
+      val tbl =
+        s"graft_d141_tokmap_${(dir.hashCode & Int.MaxValue).toHexString}"
+      Warehouse.reset(s, tbl)
+      graft.operators.LateInteraction
+        .docTokenMap(t(s, dir, "documents"), "doc_id", "text", dim = 8)
+        .write.bucketBy(16, "doc_id").format("parquet")
+        .mode("overwrite").saveAsTable(tbl)
+      // same key ⇒ same table name: a putIfAbsent race loser just
+      // re-wrote the identical table; nothing to clean up
+      Option(plaidTokMapMemo.putIfAbsent(key, tbl)).getOrElse(tbl)
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d67_bm25_topk",
@@ -1732,17 +1758,8 @@ object Search {
         val qArr = QueryTerms.groupBy(_._1).toSeq
           .map { case (q, ts) => (q, ts.map(_._2)) }
           .toDF("query_id", "terms")
-        // drop + orphan-warehouse-dir sweep (ADVICE r13): a crashed
-        // prior run leaves the dir with no catalog entry, and
-        // saveAsTable refuses the location until it's gone
-        Warehouse.reset(s, "graft_d141_tokmap")
-        graft.operators.LateInteraction
-          .docTokenMap(t(s, dir, "documents"), "doc_id", "text",
-            dim = 8)
-          .write.bucketBy(16, "doc_id").format("parquet")
-          .mode("overwrite").saveAsTable("graft_d141_tokmap")
         graft.operators.LateInteraction.maxSimTopKPlaidFromMap(
-          s.table("graft_d141_tokmap"), qArr,
+          s.table(plaidTokMapTable(s, dir)), qArr,
           dim = 8, k = 10, bits = 6, c = 50)
           .orderBy("query_id", "rk")
           .localCheckpoint()

@@ -826,6 +826,14 @@ object Scale {
       // must clear the VERDICT r12 #3 bar.
       require(factor < 10 || plaidSec <= 0.25 * exactMapSec,
         s"maxsim plaid wall not a real cut: $plaidSec vs $exactMapSec")
+      // corpus-independence of the serve shuffle, pinned (VERDICT r14
+      // #2): ~816k records at 1x, 10x AND 30x (query-shape-sized — the
+      // bounded gathers + broadcast sides; this arm's 50 queries).
+      // A regression that couples the exchanges to the corpus (the
+      // localCheckpoint-style clustering loss) blows through this at
+      // any scaled tier.
+      require(factor < 10 || plRec <= 1000000L,
+        s"plaid serve shuffle records scaled with the corpus: $plRec")
       require(plaidSec <= 0.6 * exactMapSec,
         s"maxsim plaid wall above the 0.6x-of-exact 1x gate: " +
           s"$plaidSec vs ${fmt(0.6 * exactMapSec)}")
