@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ExplodeShingles, JsonIsObject, JsonIsValid, MinHashSigs}
+import graft.functions.{DotProduct, ExplodeShingles, JsonIsObject, JsonIsValid, MinHashSigs}
 
 /** Session-extension packaging of graft's native functions, so a user
   * can enable the whole surface with
@@ -44,7 +44,10 @@ object GraftExtensions {
         case Some(Literal(v: Int, _)) => v
         case Some(other) => other.eval().asInstanceOf[Number].intValue()
         case None => 3
-      })))
+      })),
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - inner product of two ARRAY<DOUBLE> vectors (codegen'd left fold)"),
+      es => DotProduct(es.head, es(1))))
 
   /** Register the same functions on an already-running session. */
   def install(spark: SparkSession): Unit =

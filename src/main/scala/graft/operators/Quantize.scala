@@ -29,10 +29,14 @@ object Quantize {
   /** `m`-th (0-based) `d`-dim subvector of a 1-based array column. */
   def subvec(v: Column, m: Int, d: Int): Column = slice(v, m * d + 1, d)
 
-  /** Squared L2 distance as a sequential left fold (see class doc). */
+  /** Squared L2 distance as a sequential left fold (see class doc) —
+    * the native codegen'd [[graft.functions.SqDist]] since round 15
+    * (bit-identical math to the previous `aggregate(zip_with(...))`
+    * HOF form, which was CodegenFallback on the assignment kernel). */
   def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, t) => acc + t)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SqDist(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Codebook from the first `k` vectors: cb(m)(j) = subvector `m` of
     * vector `j`, widened to double (exact). One tiny collect — any PQ
@@ -162,12 +166,7 @@ object Quantize {
     val d = cb.head.head.size
     array(cb.indices.map { mi =>
       array(cb(mi).indices.map { code =>
-        aggregate(
-          zip_with(
-            slice(qv, mi * d + 1, d),
-            typedlit(cb(mi)(code)),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, t) => acc + t)
+        dist2(slice(qv, mi * d + 1, d), typedlit(cb(mi)(code)))
       }: _*)
     }: _*)
   }

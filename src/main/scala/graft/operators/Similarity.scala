@@ -22,11 +22,21 @@ object Similarity {
   /** Embedding column widened to DOUBLE (exact). */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Inner product — the native codegen'd [[graft.functions.DotProduct]]
+    * (round 15): bit-identical left-fold math to the previous
+    * `aggregate(zip_with(...))` form, but the HOFs are CodegenFallback
+    * (interpreted per element, intermediate product array per pair,
+    * whole-stage-codegen hole at every scoring site); the native loop
+    * stays inside the surrounding codegen stage. Requires
+    * ARRAY<DOUBLE> — widen with [[asDouble]] first. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.DotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** `sqrt(Σ x²)` — `dot(a, a)` folds identically to the previous
+    * `aggregate(a, 0.0, (acc, x) => acc + x * x)`. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -304,8 +314,7 @@ object Similarity {
     val s = emb.sparkSession
     import s.implicits._
     def d2(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t)
+      Quantize.dist2(v, typedLit(c))
     val ev = emb.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(embCol)).as("v"))
     val first = ev.orderBy("vec_id").limit(1).collect()(0)

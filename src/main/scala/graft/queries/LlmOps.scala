@@ -2626,8 +2626,7 @@ object LlmOps {
           .select(col("p").as("qp"))
         def d2(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, t) => acc + t)
+          graft.operators.Quantize.dist2(a, b)
         val short = pv.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(qp))
           .select(col("vec_id"), d2(col("p"), col("qp")).as("pd2"))
@@ -2703,8 +2702,7 @@ object LlmOps {
           Sim.asDouble(col("embedding")).as("v"))
         def d2(a: org.apache.spark.sql.Column,
                b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, t) => acc + t)
+          graft.operators.Quantize.dist2(a, b)
         val a = ev.join(pv, "vec_id")
           .select(col("vec_id").as("ia"), col("v").as("va"),
             col("p").as("pa"))

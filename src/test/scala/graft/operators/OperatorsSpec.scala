@@ -638,10 +638,12 @@ class OperatorsSpec extends AnyFunSpec {
       val r = spark.sql(
         """SELECT json_is_valid('{"a":1}') AS v, json_is_object('[1]') AS o,
           |       size(minhash_sigs('a b c d e', 4)) AS m,
-          |       size(minhash_sigs('a b c d e')) AS m_default
+          |       size(minhash_sigs('a b c d e')) AS m_default,
+          |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
           |""".stripMargin).collect()(0)
       assert(r.getBoolean(0) && !r.getBoolean(1))
       assert(r.getInt(2) == 4 && r.getInt(3) == 4)
+      assert(r.getDouble(4) == 11.0)
     }
     it("rejects out-of-range perms at analysis time") {
       graft.GraftExtensions.install(spark)
