@@ -165,6 +165,37 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS planspec_tokmap")
   }
 
+  test("plaid_serve claim: CACHING the bucketed token map preserves " +
+      "its hash partitioning — the per-batch gathers stay " +
+      "exchange-free off the InMemoryRelation (unlike localCheckpoint)") {
+    spark.sql("DROP TABLE IF EXISTS planspec_cachemap")
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(j)),
+          lit(90)))): _*).as("text"))
+    try {
+      LateInteraction.docTokenMap(docs, "doc_id", "text", dim = 4)
+        .write.bucketBy(4, "doc_id").format("parquet")
+        .mode("overwrite").saveAsTable("planspec_cachemap")
+      val cached = spark.table("planspec_cachemap").cache()
+      cached.count()
+      try {
+        val q = Seq((1L, Seq("w3", "w7"))).toDF("query_id", "terms")
+        val topk = LateInteraction.maxSimTopKPlaidFromMap(
+          cached, q, dim = 4, k = 5, bits = 4, c = 20)
+        val plan = planOf(topk)
+        // both stages read the cache (the InMemoryRelation node still
+        // PRINTS its cached FileScan child, so don't count those)
+        assert(count(plan, "InMemoryTableScan") == 2, plan)
+        val exchanges = plan.linesIterator
+          .filter(_.contains("- Exchange")).toSeq
+        assert(exchanges.nonEmpty, plan)
+        assert(!exchanges.exists(_.contains("doc_id")),
+          s"caching dropped the bucketed clustering:\n$plan")
+      } finally cached.unpersist()
+    } finally spark.sql("DROP TABLE IF EXISTS planspec_cachemap")
+  }
+
   test("d123 claim: the hard-negative verify joins are broadcast-only " +
       "— 3 BroadcastExchanges, no shuffle join, no corpus rescan") {
     val df = graft.SparkEntry
