@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, ExplodeShingles, JsonIsObject, JsonIsValid, MinHashSigs}
+import graft.functions.{DotProduct, ExplodeShingles, JsonIsObject, JsonIsValid, MinHashSigs, SqDist}
 
 /** Session-extension packaging of graft's native functions, so a user
   * can enable the whole surface with
@@ -47,7 +47,10 @@ object GraftExtensions {
       })),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - inner product of two ARRAY<DOUBLE> vectors (codegen'd left fold)"),
-      es => DotProduct(es.head, es(1))))
+      es => DotProduct(es.head, es(1))),
+    ("vec_dist2",
+      info("vec_dist2", "vec_dist2(a, b) - squared L2 distance of two ARRAY<DOUBLE> vectors (codegen'd left fold)"),
+      es => SqDist(es.head, es(1))))
 
   /** Register the same functions on an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -28,7 +28,10 @@ object Smoke {
     spark.sql(
       """SELECT minhash_sigs('the quick brown fox jumps', 4) AS sigs,
         |       minhash_sigs('x', 4) AS too_short,
-        |       json_is_valid('{"a":1}') AS jv""".stripMargin).show(false)
+        |       json_is_valid('{"a":1}') AS jv,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       vec_dist2(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d2
+        |""".stripMargin).show(false)
 
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     events.createOrReplaceTempView("events")
