@@ -144,7 +144,14 @@ object SSJoin {
       .join(needed.select(col("doc_id").as("a"), col("arr").as("arra")), "a")
       .join(needed.select(col("doc_id").as("b"), col("arr").as("arrb")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("arra"), col("arrb"))).cast("long").as("ov"),
+        // native distinct-overlap count (round 15): same value as
+        // size(array_intersect(arra, arrb)) — ScalaCheck'd — without
+        // materializing the intersection array per candidate pair
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.OverlapCount(
+            org.apache.spark.sql.GraftBridge.expression(col("arra")),
+            org.apache.spark.sql.GraftBridge.expression(col("arrb"))))
+          .as("ov"),
         col("sza"), col("szb"))
       .withColumn("jaccard",
         col("ov").cast("double") /

@@ -121,6 +121,33 @@ class VecExprSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("OverlapCount equals size(array_intersect) on random long " +
+      "arrays, duplicates included (the SSJoin verify kernel)") {
+    val arrays = for {
+      m <- Gen.choose(0, 40)
+      n <- Gen.choose(0, 40)
+      // small value domain so collisions and duplicates are common
+      a <- Gen.listOfN(m, Gen.choose(-20L, 20L))
+      b <- Gen.listOfN(n, Gen.choose(-20L, 20L))
+    } yield (a, b)
+    val prop = Prop.forAll(arrays) { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.OverlapCount(
+              org.apache.spark.sql.GraftBridge.expression(col("a")),
+              org.apache.spark.sql.GraftBridge.expression(col("b"))))
+            .as("nat"),
+          size(array_intersect(col("a"), col("b"))).cast("long")
+            .as("builtin"))
+        .head()
+      row.getLong(0) == row.getLong(1)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("the scoring site stays inside whole-stage codegen (no " +
       "CodegenFallback hole, no HOF in the plan)") {
     val df = spark.range(100).select(
