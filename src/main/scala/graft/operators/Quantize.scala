@@ -164,9 +164,26 @@ object Quantize {
     * plain codegen'd `element_at` sums. */
   def adcTableExpr(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val d = cb.head.head.size
+    // DELIBERATELY the HOF fold, not the native vec_dist2 (round 15,
+    // measured): this expression instantiates m·k (=128 at the probe's
+    // 8×16) distance kernels inside ONE projection — inlining 128
+    // native loops blew the generated method past HotSpot's
+    // huge-method JIT limit and the WHOLE fused stage (source,
+    // projections, join probe) dropped to interpreted bytecode,
+    // regressing the ann_serve probe ~10× (106 → ~58 rps at rate 100,
+    // 3 s → 34 s batches). The CodegenFallback HOF subtree keeps the
+    // generated method small, and this table is built once per QUERY
+    // row by design (the r08 fix) — per-query interpreted evaluation
+    // is noise next to the per-candidate adcLookupExpr path, which
+    // stays codegen'd.
     array(cb.indices.map { mi =>
       array(cb(mi).indices.map { code =>
-        dist2(slice(qv, mi * d + 1, d), typedlit(cb(mi)(code)))
+        aggregate(
+          zip_with(
+            slice(qv, mi * d + 1, d),
+            typedlit(cb(mi)(code)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
       }: _*)
     }: _*)
   }
