@@ -156,26 +156,32 @@ object Quantize {
     * serve path previously evaluated per CANDIDATE row
     * (`aggregate(zip_with(slice(qv), centroid, sq), 0.0, +)` — same
     * zip order, same left fold), so looked-up distances are
-    * bit-identical; what changes is WHERE the higher-order functions
-    * run. Spark's HOFs are CodegenFallback — interpreted — so paying
-    * them m·k times per query instead of m times per (query ×
-    * candidate) row is the serve-throughput fix VERDICT r08 #3 asked
-    * to diagnose: the per-candidate hot path becomes [[adcLookupExpr]],
-    * plain codegen'd `element_at` sums. */
-  def adcTableExpr(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+    * bit-identical; what changes is WHERE the segment distances are
+    * computed. Hoisting them per-QUERY was the serve-throughput fix
+    * VERDICT r08 #3 asked to diagnose (the per-candidate hot path
+    * becomes [[adcLookupExpr]], plain codegen'd `element_at` sums);
+    * since round 16 the table itself is ALSO compiled — one native
+    * [[graft.functions.AdcTable]] kernel (see below for the JIT-cliff
+    * history that forbids the m·k-separate-kernels alternative). */
+  def adcTableExpr(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    // Round 16: the native single-kernel [[graft.functions.AdcTable]] —
+    // ONE expression looping m·k·d internally in one small generated
+    // method. This is the resolution of the round-15 JIT cliff: m·k
+    // SEPARATE kernels (128 at the probe's 8×16) inlined into one
+    // projection blew HotSpot's huge-method limit and dropped the
+    // whole fused stage to interpreted bytecode (~10× on ann_serve),
+    // which forced a temporary revert to the CodegenFallback HOF fold
+    // (interpreted, but per-QUERY volume). The single kernel gets both:
+    // the stage stays in whole-stage codegen AND the table runs
+    // compiled. Bit-identical to the HOF form (AdcTableSpec).
+    graft.functions.AdcTable(qv, cb)
+
+  /** The HOF fold [[adcTableExpr]] replaced — kept VERBATIM as the
+    * bit-identity reference for AdcTableSpec (the same role VecExprSpec's
+    * inline HOFs play for vec_dot/vec_dist2). Not called from any
+    * shipped query path. */
+  private[graft] def adcTableExprHof(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val d = cb.head.head.size
-    // DELIBERATELY the HOF fold, not the native vec_dist2 (round 15,
-    // measured): this expression instantiates m·k (=128 at the probe's
-    // 8×16) distance kernels inside ONE projection — inlining 128
-    // native loops blew the generated method past HotSpot's
-    // huge-method JIT limit and the WHOLE fused stage (source,
-    // projections, join probe) dropped to interpreted bytecode,
-    // regressing the ann_serve probe ~10× (106 → ~58 rps at rate 100,
-    // 3 s → 34 s batches). The CodegenFallback HOF subtree keeps the
-    // generated method small, and this table is built once per QUERY
-    // row by design (the r08 fix) — per-query interpreted evaluation
-    // is noise next to the per-candidate adcLookupExpr path, which
-    // stays codegen'd.
     array(cb.indices.map { mi =>
       array(cb(mi).indices.map { code =>
         aggregate(
