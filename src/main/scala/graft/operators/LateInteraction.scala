@@ -173,14 +173,23 @@ object LateInteraction {
 
   /** MaxSim top-k against a prebuilt [[docTokenMap]] — the per-batch
     * serve body. Bit-identical to [[maxSimTopK]] over the same docs
-    * (spec-gated). */
+    * (spec-gated). Round 16: shares the per-(term, doc) inner maxima
+    * across queries exactly as [[maxSimTopKPlaidFromMap]] does — the
+    * cross join scores every (doc token, term) pair either way, so
+    * the fan-back reproduces every (query, doc, term) triple. */
   def maxSimTopKFromMap(tokMap: DataFrame, queries: DataFrame,
-                        dim: Int, k: Int): DataFrame =
-    gather(
-      tokMap.crossJoin(broadcast(queryTokens(queries, dim)))
-        .select(col("doc_id"), col("query_id"), col("qterm"),
-          pairDot.as("d")),
-      k)
+                        dim: Int, k: Int): DataFrame = {
+    val qpairs = queries
+      .select(col("query_id"), explode(col("terms")).as("qterm"))
+      .distinct()
+    val terms = qpairs.select("qterm").distinct()
+      .withColumn("qv", tokenVec(col("qterm"), dim))
+    val mx = tokMap.crossJoin(broadcast(terms))
+      .select(col("doc_id"), col("qterm"), pairDot.as("d"))
+      .groupBy("doc_id", "qterm")
+      .agg(max(col("d")).as("mx"))
+    gatherFromTermMaxima(mx, qpairs, Seq("qterm"), k)
+  }
 
   /** Sign-bucket-pruned MaxSim top-k: each query token probes its
     * bucket + all Hamming-1 neighbors; only collided pairs score. */
@@ -234,6 +243,28 @@ object LateInteraction {
       k)
   }
 
+  /** Σ-of-maxima → top-k from PER-TERM maxima `mx(doc_id, qterm)` —
+    * the shared-gather tail (see [[maxSimTopKPlaidFromMap]]): `fan`
+    * carries the (query_id, …, qterm) tuples that re-expand the
+    * term-level maxima to query-level scores (joined on `keys`).
+    * Identical arithmetic to [[gather]]'s tail: the inner max is a
+    * function of (doc, term) only — every query sharing a term reads
+    * the SAME max — and the DECIMAL(28,9) sum is order-free, so
+    * summing joined-back maxima is bit-identical to summing
+    * per-(query, term) maxima. */
+  private def gatherFromTermMaxima(mx: DataFrame, fan: DataFrame,
+                                   keys: Seq[String], k: Int): DataFrame = {
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    mx.join(broadcast(fan), keys)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("mx").cast("decimal(28,9)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
   /** [[maxSimTopKPlaid]] over a prebuilt [[docTokenMap]] — the
     * production serve shape (PLAID assigns centroids at INDEX time;
     * here both the token vectors and their sign buckets are
@@ -243,20 +274,91 @@ object LateInteraction {
     * the map BUCKETED by doc_id (`bucketBy(n, "doc_id")`): the
     * doc-clustered scan keeps every gather aggregation exchange-free,
     * same as the exact path. Bit-identical to [[maxSimTopKPlaid]]
-    * over the same docs (spec-gated). */
+    * over the same docs (spec-gated).
+    *
+    * Round 16 (VERDICT r15 #2 — the plaid_serve ceiling): both stages
+    * now compute their expensive inner maxima per DISTINCT TERM, not
+    * per (query, term). `max_{u∈d}(v_t · v_u)` depends only on the
+    * term and the document — the candidate set (stage 1: t's probed
+    * buckets; stage 2: all of d's tokens) is query-independent — so a
+    * batch where many queries share common tokens (every real query
+    * log; w30's distinct-query discipline applied at TERM granularity)
+    * pays the bucket join, the dot products, and the first aggregation
+    * ONCE per (term, doc) and fans the maxima back out with a
+    * broadcast join. Stage 2 re-expands through the nomination list
+    * (`needs` = nominated (query, doc) × the query's terms) so only
+    * nominated pairs are scored — exactly the pairs the unshared form
+    * scored. Exchange profile is unchanged (every aggregation keys on
+    * a doc_id superset, so the bucketed scan's clustering carries
+    * through both stages; only the per-query windows shuffle). */
   def maxSimTopKPlaidFromMap(tokMap: DataFrame, queries: DataFrame,
                              dim: Int, k: Int, bits: Int = 6,
                              c: Int = 100, hamming: Int = 1): DataFrame = {
-    val nominated =
-      gather(prunedPairsFromMap(tokMap, queries, dim, bits, hamming), c)
-        .select("query_id", "doc_id")
-    gather(
-      tokMap
-        .join(broadcast(nominated), Seq("doc_id"))
-        .join(broadcast(queryTokens(queries, dim)), Seq("query_id"))
-        .select(col("doc_id"), col("query_id"), col("qterm"),
-          pairDot.as("d")),
-      k)
+    val qpairs = queries
+      .select(col("query_id"), explode(col("terms")).as("qterm"))
+      .distinct()
+    val terms = qpairs.select("qterm").distinct()
+      .withColumn("qv", tokenVec(col("qterm"), dim))
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= hamming)
+    val probes = terms
+      .withColumn("qb", vecSignBucket(col("qv"), bits))
+      .withColumn("bkt", explode(array(
+        masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+    // stage 1: per-(term, doc) maxima over bucket-collided pairs
+    // (collision is query-independent), fanned back to (query, doc)
+    // sums — the same (query, doc, term) triples the per-query join
+    // produced, since a query-doc pair scores iff SOME query term
+    // collides, which sharing preserves.
+    val mx1 = tokMap
+      .withColumn("bkt", vecSignBucket(col("dv"), bits))
+      .join(broadcast(probes), Seq("bkt"))
+      .select(col("doc_id"), col("qterm"), pairDot.as("d"))
+      .groupBy("doc_id", "qterm")
+      .agg(max(col("d")).as("mx"))
+    val nominated = gatherFromTermMaxima(mx1, qpairs, Seq("qterm"), c)
+      .select("query_id", "doc_id")
+    // stage 2: exact rerank of nominated docs — maxima per distinct
+    // (doc, term) actually needed, re-expanded through the nomination
+    // list so no un-nominated (query, doc) pair leaks in via a shared
+    // term.
+    // Distinct (doc, term) pairs PACKED with the query ids that need
+    // them, so the nomination subtree is referenced exactly once (a
+    // second reference would re-plan — and re-scan — stage 1; the
+    // d141 two-scans claim is plan-asserted) and the fan-back is an
+    // explode of the rider list instead of a join. The two groupings
+    // shuffle on qterm alone — a plain .distinct() would be the one
+    // exchange in the serve mentioning doc_id (query-sized, but the
+    // exchange-free-gather claim is asserted literally); the second
+    // grouping's (qterm, doc_id) keys are a superset of the first
+    // shuffle's qterm clustering, so it runs exchange-free.
+    val needLists = nominated.join(qpairs, Seq("query_id"))
+      .groupBy("qterm")
+      .agg(collect_set(struct(col("doc_id"), col("query_id"))).as("_qd"))
+      .select(col("qterm"), explode(col("_qd")).as("_p"))
+      .select(col("qterm"), col("_p.doc_id").as("doc_id"),
+        col("_p.query_id").as("query_id"))
+      .groupBy("qterm", "doc_id")
+      .agg(collect_set(col("query_id")).as("qids"))
+      .withColumn("qv", tokenVec(col("qterm"), dim))
+    // stage-2 maxima per distinct (doc, term); every row of a
+    // (doc, term) group carries the SAME rider list, so first() is
+    // deterministic in value.
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tokMap
+      .join(broadcast(needLists), Seq("doc_id"))
+      .select(col("doc_id"), col("qterm"), col("qids"), pairDot.as("d"))
+      .groupBy("doc_id", "qterm")
+      .agg(max(col("d")).as("mx"), first(col("qids")).as("qids"))
+      .select(explode(col("qids")).as("query_id"), col("doc_id"),
+        col("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("mx").cast("decimal(28,9)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
   }
 
   /** MaxSim over ARBITRARY multi-vector relations — the form a real
