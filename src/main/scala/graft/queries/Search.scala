@@ -377,8 +377,14 @@ object Search {
                                dir: String): String = {
     val key = (s, dir)
     Option(plaidTokMapMemo.get(key)).getOrElse {
-      val tbl =
-        s"graft_d141_tokmap_${(dir.hashCode & Int.MaxValue).toHexString}"
+      // full MD5 hex, not Int hashCode (ADVICE r15): two dirs with
+      // colliding hashCodes in one session would share a table name,
+      // and the second build would silently overwrite the table the
+      // first dir's memo entry still serves
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val tbl = s"graft_d141_tokmap_$digest"
       Warehouse.reset(s, tbl)
       graft.operators.LateInteraction
         .docTokenMap(t(s, dir, "documents"), "doc_id", "text", dim = 8)
@@ -1763,6 +1769,71 @@ object Search {
           dim = 8, k = 10, bits = 6, c = 50)
           .orderBy("query_id", "rk")
           .localCheckpoint()
+      },
+      Some(PlaidOracleSql)),
+
+    Q("w46_streaming_plaid_serve",
+      "Streamed PLAID serving from the PERSISTED doc_id-bucketed " +
+        "token index — d141 in w35's production shape (VERDICT r15 " +
+        "#4: the plaid_serve probe measured qps but was the only " +
+        "serving path without a streamed CORRECTNESS twin): the " +
+        "static side is d141's bucketed token-map TABLE, cached ONCE " +
+        "before the stream starts (InMemoryRelation preserves the " +
+        "bucketed scan's hash partitioning, so both per-batch gather " +
+        "aggregations stay exchange-free — PlanShapeSpec's " +
+        "plaid_serve claim); queries arrive one file per query " +
+        "(maxFilesPerTrigger=1 → one micro-batch each); foreachBatch " +
+        "runs the full nominate→exact-rerank serve and writes each " +
+        "batch idempotently (overwrite per batch id). Nomination is " +
+        "per-query (the top-c window partitions by query_id), so " +
+        "batch composition cannot change any query's answer. Oracle " +
+        "is d141's VERBATIM (= d139's): the streamed indexed serve " +
+        "must equal the batch path per-bit.",
+      (s, dir) => {
+        import s.implicits._
+        val L = graft.operators.LateInteraction
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w46").toString
+        var cached: Option[org.apache.spark.sql.DataFrame] = None
+        try {
+          val tokMap = s.table(plaidTokMapTable(s, dir)).cache()
+          tokMap.count()                     // materialize pre-stream
+          cached = Some(tokMap)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/in"))
+          QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/in/q$qid.json"),
+              qts.map { case (q, t) =>
+                s"""{"query_id":$q,"term":"$t"}""" }
+                .mkString("\n").getBytes("UTF-8"))
+          }
+          val stream = s.readStream
+            .schema("query_id LONG, term STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val qArr = batch.groupBy("query_id")
+                  .agg(collect_list(col("term")).as("terms"))
+                L.maxSimTopKPlaidFromMap(tokMap, qArr,
+                  dim = 8, k = 10, bits = 6, c = 50)
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally {
+          cached.foreach(_.unpersist())
+          Rm.rf(tmp)
+        }
       },
       Some(PlaidOracleSql)),
 
