@@ -1474,17 +1474,43 @@ object LlmOps {
         val bench = C.shingleSet(benchDocs, "text", 5)
         val exact = C.stats(train, Seq("doc_id", "lang"), "text",
           bench, 5)
+        val fpp = 0.001
         val flags = C.bloomFlag(train, "doc_id", "text",
           benchDocs, "text", 5,
-          expectedItems = 100000L, fpp = 0.001)
-        exact.join(flags, Seq("doc_id"))
+          expectedItems = 100000L, fpp = fpp)
+        // ONE materialization (lang-count-sized) feeds both the
+        // oracled result and the fp-side error gate below.
+        val agg = exact.join(flags, Seq("doc_id"))
           .groupBy("lang")
           .agg(
             sum(when(col("n_hits") > 0, 1L).otherwise(0L)).cast("long")
               .as("n_exact_contaminated"),
             sum(when(col("n_hits") > 0 && !col("contaminated"), 1L)
-              .otherwise(0L)).cast("long").as("n_bloom_missed"))
+              .otherwise(0L)).cast("long").as("n_bloom_missed"),
+            sum(when(col("n_hits") === 0 && col("contaminated"), 1L)
+              .otherwise(0L)).cast("long").as("_fp_docs"),
+            sum(when(col("n_hits") === 0, col("n_shingles"))
+              .otherwise(0L)).cast("long").as("_neg_shingles"))
           .orderBy("lang")
+          .localCheckpoint()
+        // The fp SIDE of the sketch contract (VERDICT r15 #6 — the
+        // q25/q46/d42 discipline: every sketch gates its error bound,
+        // not just its safe direction): a clean doc is false-flagged
+        // iff ANY of its shingle probes false-positives, so
+        // E[fp docs] = Σ_clean (1−(1−fpp)^k_doc) ≤ fpp · Σ_clean k.
+        // 4× slack over the mean + a small-count floor keeps the gate
+        // variance-proof while still catching a silently-clamped (or
+        // mis-sized) filter, whose realized fpp degrades without
+        // bound.
+        val chk = agg.agg(sum(col("_fp_docs")), sum(col("_neg_shingles")))
+          .head()
+        val (fpDocs, negShingles) = (chk.getLong(0), chk.getLong(1))
+        require(fpDocs <= math.max(10.0, 4.0 * fpp * negShingles),
+          s"d142: realized Bloom false-positive count $fpDocs exceeds " +
+            s"the requested-fpp bound (fpp=$fpp over $negShingles " +
+            "clean-shingle probes) — the filter is under-sized or " +
+            "clamped")
+        agg.select("lang", "n_exact_contaminated", "n_bloom_missed")
       },
       Some("""WITH s AS (SELECT doc_id, lang, text,
         |         ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS b
