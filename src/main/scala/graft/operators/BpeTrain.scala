@@ -212,6 +212,20 @@ object BpeTrain {
     * rare and rounds get CHEAPER — the property the `bpe` scale arm
     * measures at 5k+ merges.
     *
+    * Round 16 (VERDICT r15 #5): the delta machinery only pays for
+    * itself past a DEPTH CROSSOVER — shallow hot rounds touch most of
+    * the vocabulary, so maintaining the table costs ~2.3× a plain
+    * recount (SCALE round-15: 52.3 vs 23.0 s over 60 rounds at 60k
+    * types) while converged rounds win decisively. Each round now
+    * AUTO-SWITCHES on a free signal (the admitted window's
+    * corpus-weighted mass over the constant word-instance mass — an
+    * upper bound on the touched fraction, already on the driver):
+    * above `recountThreshold` the round runs [[trainBatched]]'s full
+    * recount body, below it the delta body, materializing the
+    * maintained table once per recount→delta transition. Both arms
+    * produce identical windows and identical replaces, so the merge
+    * table stays bit-identical regardless of where the switch lands.
+    *
     * Output is bit-identical to [[trainBatched]] (same window, same
     * greedy admission, same replaces — spec-gated on randomized
     * corpora), so d92's DuckDB oracle gates this path unchanged.
@@ -219,11 +233,15 @@ object BpeTrain {
     * the scale probe. It is an Option, not a defaulted no-op lambda:
     * the touched-word count is an EXTRA Spark action per round, and
     * the gated d92 path must not pay one job per round for a metric
-    * nobody reads. */
+    * nobody reads (in recount-arm rounds the count exists ONLY for
+    * the observer). `onArm` observes `(round, usedDelta, signal)` —
+    * the switch's decision trace for the scale arm. */
   def trainIncremental(docs: DataFrame, textCol: String, nRounds: Int,
                        batchSize: Int,
                        onRound: Option[(Int, Long, Int) => Unit] = None,
-                       maxMerges: Int = Int.MaxValue)
+                       maxMerges: Int = Int.MaxValue,
+                       recountThreshold: Double = 0.05,
+                       onArm: Option[(Int, Boolean, Double) => Unit] = None)
       : DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -241,7 +259,26 @@ object BpeTrain {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(concat_ws("  ",
         array_remove(split(col("w"), ""), "")).as("s"), col("cnt")))
-    var (pairCounts, pcIds) = ckptTracked(pairsOf(cur))
+    // Word-instance mass is invariant under merges (replaces change
+    // spellings, never rows or cnt) — ONE extra action for the whole
+    // run, the denominator of the per-round arm signal below.
+    val totalMass = math.max(1L,
+      cur.agg(sum("cnt")).head().getLong(0)).toDouble
+    // The maintained pair-count table exists only while in DELTA mode
+    // (VERDICT r15 #5 — the depth-crossover switch): at shallow depth
+    // the delta machinery's fixed cost (4 checkpoints + two touched
+    // pair explodes + the fold) exceeds a plain full recount because
+    // hot early pairs touch most of the vocabulary (SCALE round-15:
+    // 52.3 s incremental vs 23.0 s recount over 60 shallow rounds at
+    // 60k types); past the crossover touched words collapse and the
+    // delta wins decisively. The signal is FREE: the admitted
+    // window's corpus-weighted mass (already on the driver) over the
+    // constant instance mass upper-bounds the touched fraction, so
+    // rounds with signal above `recountThreshold` run trainBatched's
+    // body (no table maintained) and rounds below it run the delta
+    // body (materializing the table once on each recount→delta
+    // transition).
+    var pairCountsOpt: Option[(DataFrame, Set[Int])] = None
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)]
     var round = 1
@@ -252,7 +289,10 @@ object BpeTrain {
     // per round varies with symbol diversity); the final round may
     // overshoot by at most one window's admissions.
     while (round <= nRounds && !exhausted && merges.length < maxMerges) {
-      val window = pairCounts
+      // window from the maintained table (delta mode) or a full
+      // recount (recount mode) — identical contents either way, the
+      // incremental-equals-recount invariant the spec gates.
+      val window = pairCountsOpt.map(_._1).getOrElse(pairsOf(cur))
         .orderBy(col("n").desc, col("p").asc)
         .limit(batchSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -273,7 +313,6 @@ object BpeTrain {
           val Array(a, b) = p.split(" ", 2)
           padded.contains(lit(" " + a + "  " + b + " "))
         }.reduce(_ || _)
-        val (touched, tIds) = ckptTracked(cur.filter(touchedPred))
         val applied = admitted.foldLeft(
             concat(lit("  "), col("s"), lit("  "))
               : org.apache.spark.sql.Column) {
@@ -282,32 +321,57 @@ object BpeTrain {
             replace(acc, lit(" " + a + "  " + b + " "),
               lit(" " + a + b + " "))
         }
-        val (replaced, rIds) = ckptTracked(
-          touched.select(trim(applied).as("s"), col("cnt")))
-        onRound.foreach(f => f(round, touched.count(), admitted.length))
-        // fold the touched delta into the maintained count table
-        val (npc, npcIds) = ckptTracked(pairCounts
-          .unionByName(pairsOf(touched).select(col("p"),
-            (-col("n")).as("n")))
-          .unionByName(pairsOf(replaced))
-          .groupBy("p").agg(sum("n").as("n"))
-          .filter(col("n") > 0))
-        // coalesce BEFORE the checkpoint: union adds the two sides'
-        // partition counts and localCheckpoint pins whatever it gets,
-        // so without the bound the vocab table's partitions DOUBLE
-        // per round — measured: 16 -> 1024 by round 8, 4096 by round
-        // 10, per-round wall 1.2 s -> 11 s on pure task-scheduling
-        // overhead (pairCounts is safe — its groupBy re-partitions to
-        // the shuffle setting every round)
-        val (nc, ncIds) = ckptTracked(
-          cur.filter(!touchedPred).unionByName(replaced)
-            .coalesce(s.sparkContext.defaultParallelism))
-        // the new checkpoints are materialized — everything this
-        // round superseded (old cur/pairCounts, the round-local
-        // touched/replaced) releases now
-        release(s, curIds ++ pcIds ++ tIds ++ rIds)
-        cur = nc; curIds = ncIds
-        pairCounts = npc; pcIds = npcIds
+        val signal = admitted.map(_._2).sum.toDouble / totalMass
+        val useDelta = signal <= recountThreshold
+        onArm.foreach(f => f(round, useDelta, signal))
+        if (!useDelta) {
+          // RECOUNT round — trainBatched's body verbatim: one full
+          // replace, no maintained table (dropped if one existed).
+          pairCountsOpt.foreach { case (_, ids) => release(s, ids) }
+          pairCountsOpt = None
+          // the observer pays the touched-count job only if watching
+          onRound.foreach(f =>
+            f(round, cur.filter(touchedPred).count(), admitted.length))
+          val (nc, ncIds) = ckptTracked(
+            cur.select(trim(applied).as("s"), col("cnt")))
+          release(s, curIds)
+          cur = nc; curIds = ncIds
+        } else {
+          // DELTA round — materialize the maintained table on the
+          // recount→delta transition (one full pair explode, paid
+          // once per transition, after which rounds scale with
+          // touched words).
+          if (pairCountsOpt.isEmpty)
+            pairCountsOpt = Some(ckptTracked(pairsOf(cur)))
+          val (pairCounts, pcIds) = pairCountsOpt.get
+          val (touched, tIds) = ckptTracked(cur.filter(touchedPred))
+          val (replaced, rIds) = ckptTracked(
+            touched.select(trim(applied).as("s"), col("cnt")))
+          onRound.foreach(f => f(round, touched.count(), admitted.length))
+          // fold the touched delta into the maintained count table
+          val (npc, npcIds) = ckptTracked(pairCounts
+            .unionByName(pairsOf(touched).select(col("p"),
+              (-col("n")).as("n")))
+            .unionByName(pairsOf(replaced))
+            .groupBy("p").agg(sum("n").as("n"))
+            .filter(col("n") > 0))
+          // coalesce BEFORE the checkpoint: union adds the two sides'
+          // partition counts and localCheckpoint pins whatever it gets,
+          // so without the bound the vocab table's partitions DOUBLE
+          // per round — measured: 16 -> 1024 by round 8, 4096 by round
+          // 10, per-round wall 1.2 s -> 11 s on pure task-scheduling
+          // overhead (pairCounts is safe — its groupBy re-partitions to
+          // the shuffle setting every round)
+          val (nc, ncIds) = ckptTracked(
+            cur.filter(!touchedPred).unionByName(replaced)
+              .coalesce(s.sparkContext.defaultParallelism))
+          // the new checkpoints are materialized — everything this
+          // round superseded (old cur/pairCounts, the round-local
+          // touched/replaced) releases now
+          release(s, curIds ++ pcIds ++ tIds ++ rIds)
+          cur = nc; curIds = ncIds
+          pairCountsOpt = Some((npc, npcIds))
+        }
         round += 1
       }
     }

@@ -1727,38 +1727,65 @@ object Scale {
         val tabB = BpeTrain.trainBatched(docs3, "text", idRounds, batch)
           .orderBy("step").collect().map(_.toSeq).toSeq
         val fullSec = (System.nanoTime() - t0) / 1e9
+        // AUTO (default threshold — VERDICT r15 #5's switch): must
+        // stay bit-identical wherever the switch lands, and should
+        // track the cheaper arm at this shallow depth
+        val idArms = scala.collection.mutable
+          .ArrayBuffer.empty[(Int, Boolean, Double)]
         t0 = System.nanoTime()
         val tabI = BpeTrain.trainIncremental(docs3, "text", idRounds,
-          batch).orderBy("step").collect().map(_.toSeq).toSeq
+          batch, onArm = Some((r, d, sg) => idArms += ((r, d, sg))))
+          .orderBy("step").collect().map(_.toSeq).toSeq
         val incIdSec = (System.nanoTime() - t0) / 1e9
         require(tabB == tabI, s"incremental BPE diverged at scale: " +
           s"${tabB.length} vs ${tabI.length} merges")
-        // Long incremental run to vocab scale (>= 5k merges): record
-        // per-round (touched words, wall) — as training converges,
-        // touched words fall and round cost must follow them instead
-        // of staying vocabulary-sized. Reported as first/last-decile
-        // means of both series.
+        // PURE delta at the same depth (threshold = ∞ forces the
+        // maintained table from round 1) — the r15 shallow-depth
+        // crossover cost the switch exists to remove
+        t0 = System.nanoTime()
+        val nPd = BpeTrain.trainIncremental(docs3, "text", idRounds,
+          batch, recountThreshold = Double.MaxValue).count()
+        val deltaIdSec = (System.nanoTime() - t0) / 1e9
+        require(nPd == tabB.length.toLong,
+          s"pure-delta arm diverged: $nPd vs ${tabB.length} merges")
+        // Long AUTO run to vocab scale (>= 5k merges): record
+        // per-round (touched words, wall) and the switch's decision
+        // trace — as training converges, touched words fall and the
+        // switch must move to (and stay on) the delta arm while
+        // round cost follows the touched series.
         val rounds = 400
         val perRound = scala.collection.mutable
           .ArrayBuffer.empty[(Long, Double)]
+        val longArms = scala.collection.mutable
+          .ArrayBuffer.empty[(Int, Boolean, Double)]
         var lastT = System.nanoTime()
         t0 = System.nanoTime()
         val nI = BpeTrain.trainIncremental(docs3, "text", rounds,
           batch, Some((_, t, _) => {
             val now = System.nanoTime()
             perRound += ((t, (now - lastT) / 1e9)); lastT = now
-          })).count()
+          }), onArm = Some((r, d, sg) => longArms += ((r, d, sg)))).count()
         val incSec = (System.nanoTime() - t0) / 1e9
         val ts = perRound.toSeq
         val dec = math.max(1, ts.length / 10)
         def mu(xs: Seq[Double]): Double =
           if (xs.isEmpty) -1.0 else xs.sum / xs.length
+        val la = longArms.toSeq
+        val firstDelta = la.find(_._2).map(_._1).getOrElse(-1)
         println(s"""{"query":"bpe_incremental","n_word_types":$nTypes,""" +
           s""""batch":$batch,"identity_rounds":$idRounds,""" +
           s""""full_recount_sec_${idRounds}r":${fmt(fullSec)},""" +
-          s""""incremental_sec_${idRounds}r":${fmt(incIdSec)},""" +
+          s""""auto_sec_${idRounds}r":${fmt(incIdSec)},""" +
+          s""""pure_delta_sec_${idRounds}r":${fmt(deltaIdSec)},""" +
+          s""""auto_recount_rounds_${idRounds}r":${idArms.count(!_._2)},""" +
+          s""""auto_delta_rounds_${idRounds}r":${idArms.count(_._2)},""" +
           s""""long_rounds":${ts.length},"long_merges":$nI,""" +
           s""""long_sec":${fmt(incSec)},""" +
+          s""""long_recount_rounds":${la.count(!_._2)},""" +
+          s""""long_delta_rounds":${la.count(_._2)},""" +
+          s""""long_first_delta_round":$firstDelta,""" +
+          s""""signal_first_round":${fmt(la.headOption.map(_._3).getOrElse(-1.0))},""" +
+          s""""signal_last_round":${fmt(la.lastOption.map(_._3).getOrElse(-1.0))},""" +
           s""""touched_first_decile":${fmt(mu(ts.take(dec).map(_._1.toDouble)))},""" +
           s""""touched_last_decile":${fmt(mu(ts.takeRight(dec).map(_._1.toDouble)))},""" +
           s""""round_sec_first_decile":${fmt(mu(ts.take(dec).map(_._2)))},""" +
