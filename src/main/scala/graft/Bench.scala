@@ -307,9 +307,13 @@ object Bench {
         // transition (ADVICE r14 — without this the first run over an
         // old artifact lost every prior-round shuffle-MB baseline).
         val legacyMbTxt = mbChunkRe.findAllIn(txt).mkString("\n")
+        // legacy map FIRST so current-format values take precedence
+        // (ADVICE r15: an artifact carrying both key formats must not
+        // let stale legacy MB values override "mb"-keyed ones and
+        // skew the shuffle-flat resample gate)
         (mergedMaps("queries", wallTxt),
-          mergedMaps("shuffle_rw_mb", txt) ++ mergedMaps("mb", txt)
-            ++ mergedMaps("queries", legacyMbTxt))
+          mergedMaps("queries", legacyMbTxt)
+            ++ mergedMaps("shuffle_rw_mb", txt) ++ mergedMaps("mb", txt))
       }
     } catch { case _: Throwable => (Map.empty, Map.empty) }
     val (prevQ, prevMb) = prevMaps()

@@ -47,10 +47,17 @@ object GraftExtensions {
       })),
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - inner product of two ARRAY<DOUBLE> vectors (codegen'd left fold)"),
-      es => DotProduct(es.head, es(1))),
+      es => { requireArity("vec_dot", es, 2); DotProduct(es.head, es(1)) }),
     ("vec_dist2",
       info("vec_dist2", "vec_dist2(a, b) - squared L2 distance of two ARRAY<DOUBLE> vectors (codegen'd left fold)"),
-      es => SqDist(es.head, es(1))))
+      es => { requireArity("vec_dist2", es, 2); SqDist(es.head, es(1)) }))
+
+  /** Clean analysis-time error instead of an IndexOutOfBoundsException
+    * when a SQL caller passes the wrong argument count (ADVICE r15). */
+  private def requireArity(name: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n arguments, got ${es.length}")
 
   /** Register the same functions on an already-running session. */
   def install(spark: SparkSession): Unit =

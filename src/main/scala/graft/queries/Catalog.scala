@@ -55,12 +55,27 @@ object Warehouse {
       else p
     val catalogLoc: Option[String] =
       try {
-        if (s.catalog.tableExists(table))
-          s.sql(s"DESCRIBE FORMATTED $table")
-            .where("col_name = 'Location'")
-            .select("data_type").collect()
-            .headOption.map(r => toLocal(r.getString(0)))
-        else None
+        if (s.catalog.tableExists(table)) {
+          val desc = s.sql(s"DESCRIBE FORMATTED $table")
+            .where("col_name IN ('Location', 'Type')")
+            .select("col_name", "data_type").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          // Only claim the location of a MANAGED table (ADVICE r15):
+          // if a non-graft EXTERNAL table ever shares the reset name,
+          // rm -rf'ing its reported Location would delete user-owned
+          // data outside any warehouse. External locations are left
+          // alone (logged), and the conf-derived warehouse path below
+          // still covers graft's own orphan dirs.
+          val managed = desc.get("Type").exists(_.trim
+            .equalsIgnoreCase("MANAGED"))
+          val loc = desc.get("Location").map(toLocal)
+          if (managed) loc
+          else {
+            loc.foreach(l => System.err.println(
+              s"Warehouse.reset: skipping EXTERNAL location of $table: $l"))
+            None
+          }
+        } else None
       } catch { case _: Throwable => None }
     s.sql(s"DROP TABLE IF EXISTS $table")
     val wh = s.conf.get("spark.sql.warehouse.dir")
