@@ -330,7 +330,7 @@ object Bench {
     }
     val resampledNames = scala.collection.mutable.ArrayBuffer[String]()
     val poisonedNames = scala.collection.mutable.ArrayBuffer[String]()
-    val results = sweep.map { case (name, ts, shuffleBytes) =>
+    val sweepResampled = sweep.map { case (name, ts, shuffleBytes) =>
       val best0 = {
         val ok = ts.map(_._1).filter(_ >= 0)
         if (ok.nonEmpty) ok.min else -1.0
@@ -356,6 +356,42 @@ object Bench {
           val (ts2, bytes2) = runSamples(name, nSamples)
           (ts ++ ts2, shuffleBytes + bytes2)
         } else (ts, shuffleBytes)
+      (name, allTs, allBytes)
+    }
+    // ---- End-of-run retry pass over still-poisoned rows (VERDICT
+    // r15 #3: 12/73 BENCH_r15 rows self-flagged load_poisoned — the
+    // inline re-buy fires immediately, under the same contention
+    // window that loaded the first samples). Rows whose best is
+    // STILL loaded get one final round AFTER the whole sweep, gated
+    // on the host actually quieting: wait (bounded by a global
+    // budget) for loadavg to drop below the threshold, then buy one
+    // more round of samples per row. Rows poisoned after this are
+    // genuinely non-comparable and the artifact says so, with the
+    // budget exhaustion visible ("retry_exhausted"). ----
+    val retryBudgetMs = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_S", "600").toLong * 1000L
+    val retryDeadline = System.currentTimeMillis() + retryBudgetMs
+    val retriedNames = scala.collection.mutable.ArrayBuffer[String]()
+    var retryExhausted = false
+    def stillPoisoned(ts: Seq[(Double, Double)]): Boolean = {
+      val ok = ts.map(_._1).filter(_ >= 0)
+      ok.nonEmpty && bestLoad(ts, ok.min) > loadThresh
+    }
+    val afterRetry = sweepResampled.map { case (name, ts, bytes) =>
+      if (!stillPoisoned(ts)) (name, ts, bytes)
+      else {
+        while (load1() > loadThresh &&
+               System.currentTimeMillis() < retryDeadline)
+          Thread.sleep(5000)
+        if (load1() > loadThresh) { retryExhausted = true; (name, ts, bytes) }
+        else {
+          retriedNames += name
+          val (ts2, bytes2) = runSamples(name, nSamples)
+          (name, ts ++ ts2, bytes + bytes2)
+        }
+      }
+    }
+    val results = afterRetry.map { case (name, allTs, allBytes) =>
       // Per-sample average, so the number is comparable across
       // n_samples settings (memoized-state queries shuffle more in the
       // cold sample; the average smears that build over the runs, same
@@ -388,6 +424,8 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val poisonedField = poisonedNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedField = retriedNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyField = only.map(o =>
       s""""only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
@@ -403,6 +441,8 @@ object Bench {
         s""""queries":$qs,"shuffle_rw_mb":$shuffle,""" +
         s""""resampled":$resampledField,""" +
         s""""load_poisoned":$poisonedField,""" +
+        s""""retried":$retriedField,""" +
+        s""""retry_exhausted":$retryExhausted,""" +
         s""""n_samples":$nSamples,"sf":"$sfDir"}"""
     println(compact)
     println(
@@ -413,11 +453,15 @@ object Bench {
         s""""shuffle_rw_mb":$shuffle,"n_samples":$nSamples,""" +
         s""""resampled":$resampledField,""" +
         s""""load_poisoned":$poisonedField,""" +
+        s""""retried":$retriedField,""" +
+        s""""retry_exhausted":$retryExhausted,""" +
         s""""warmup":"footer-read per table + one noop run of q01; """ +
         s"""per-query value = min of n_samples runs (plus n more if """ +
         s"""resampled: best > 1.5x prev-round best at flat shuffle, """ +
         s"""or best sample started at loadavg > ${fmt(loadThresh)}; """ +
-        s"""load_poisoned = best STILL loaded after the re-buy, """ +
+        s"""retried = rows re-bought once more at end-of-run after """ +
+        s"""waiting for loadavg < ${fmt(loadThresh)}; """ +
+        s"""load_poisoned = best STILL loaded after all re-buys, """ +
         s"""treat those rows as non-comparable); """ +
         s"""loadavg1 = /proc/loadavg at each sample start; """ +
         s"""shuffle_rw_mb = read+write bytes over all samples / """ +
