@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Prefix-filtered set-similarity self-join — the SSJoin primitive
   * (Chaudhuri et al., "A Primitive Operator for Similarity Joins in
-  * Data Cleaning", ICDE'06) with the PPJoin positional filter (Xiao et
-  * al., "Efficient Similarity Joins for Near Duplicate Detection",
-  * WWW'08): the published refinement VERDICT r07 #3 asked for.
+  * Data Cleaning", ICDE'06) with the PPJoin positional filter and the
+  * PPJoin+ suffix filter (Xiao et al., "Efficient Similarity Joins
+  * for Near Duplicate Detection", WWW'08): the published refinements
+  * VERDICT r07 #3 and r15 #8 asked for. Filter ladder, cheapest
+  * first: prefix share → length → positional (all inside the
+  * candidate join, array-free) → suffix partition bound (at verify,
+  * where the arrays are co-located — O(2^d·log) probes) → exact
+  * overlap merge.
   *
   * Scale design — the join never ships a token string:
   *
@@ -116,39 +121,74 @@ object SSJoin {
       .distinct()
   }
 
-  /** Full pipeline: pairs with Jaccard ≥ `t` over distinct-token sets,
-    * columns `(a, b, ov, jaccard)` — `ov` the exact intersection size,
-    * `jaccard` one IEEE division of exact integers (cross-engine
-    * bit-identical). */
-  def join(docs: DataFrame, idCol: String, textCol: String,
-           t: Double): DataFrame = {
-    val sorted = sortedTokenArrays(docs, idCol, textCol)
-    val cands = candidates(prefixRows(sorted, t), t).localCheckpoint()
-    // Verify-side cut (VERDICT r08 #8): only docs that appear in some
-    // surviving candidate pair need their array at verify time — in
-    // the filtered-join regime (candidates ≈ true near-dup pairs,
-    // measured exactly linear at 1×..100×) that is a tiny fraction of
-    // the corpus. The semi-join shrinks the array table BEFORE the two
-    // verify joins, so AQE broadcasts the shrunken side and the pair
-    // rows stop re-shuffling a 40-token array per candidate; in a
-    // dense-pair worst case it degrades to the previous two shuffle
-    // joins, never worse. cands is checkpointed: it now has two
-    // consumers (the id list and the verify join) and an
-    // unmaterialized subtree would re-run the prefix self-join per
-    // consumer (the d44 defect class).
+  /** Candidate pairs with both hash arrays attached (each re-sorted
+    * ASCENDING once per doc) and the PPJoin+ SUFFIX FILTER applied
+    * (Xiao et al. WWW'08 §4.2, via [[graft.functions.SuffixBound]]):
+    * a recursive binary-partition upper bound on the pair's distinct
+    * overlap, compared against the equivalent-overlap requirement
+    * α = t/(1+t)·(sza+szb). `bound < α` PROVES Jaccard < t, so the
+    * pair is pruned before the exact merge; the bound is never below
+    * the true overlap (spec property), so the filter is admit-only —
+    * like the length/positional filters, the −1e-7 slack means fp
+    * rounding can only admit a borderline pair, never drop a
+    * qualifying one.
+    *
+    * Verify-side cut (VERDICT r08 #8): only docs that appear in some
+    * surviving candidate pair need their array at verify time — in
+    * the filtered-join regime (candidates ≈ true near-dup pairs,
+    * measured exactly linear at 1×..100×) that is a tiny fraction of
+    * the corpus. The semi-join shrinks the array table BEFORE the two
+    * verify joins, so AQE broadcasts the shrunken side and the pair
+    * rows never re-shuffle a 40-token array per candidate; in a
+    * dense-pair worst case it degrades to two shuffle joins, never
+    * worse. The per-doc `sort_array` happens on that shrunken table —
+    * one sort per NEEDED doc, amortized over every pair the doc
+    * participates in, which is also what retires the old per-PAIR
+    * copy+sort inside the overlap kernel. `cands` must be
+    * materialized by the caller (two consumers: the id list and the
+    * verify join — the d44 defect class otherwise). */
+  def suffixFiltered(sorted: DataFrame, cands: DataFrame, t: Double,
+                     suffixDepth: Int = 3): DataFrame = {
     val needed = sorted.join(
       cands.select(col("a").as("doc_id"))
         .union(cands.select(col("b").as("doc_id"))).distinct(),
       Seq("doc_id"), "left_semi")
+      // ascending h-order for the sorted kernels; the df-rarest-first
+      // order only matters for prefix extraction, which is upstream
+      .select(col("doc_id"), sort_array(col("arr")).as("arrs"))
+    val alpha =
+      (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
     cands
-      .join(needed.select(col("doc_id").as("a"), col("arr").as("arra")), "a")
-      .join(needed.select(col("doc_id").as("b"), col("arr").as("arrb")), "b")
-      .select(col("a"), col("b"),
-        // native distinct-overlap count (round 15): same value as
-        // size(array_intersect(arra, arrb)) — ScalaCheck'd — without
-        // materializing the intersection array per candidate pair
+      .join(needed.select(col("doc_id").as("a"), col("arrs").as("arra")), "a")
+      .join(needed.select(col("doc_id").as("b"), col("arrs").as("arrb")), "b")
+      .filter(
         org.apache.spark.sql.GraftBridge.column(
-          graft.functions.OverlapCount(
+          graft.functions.SuffixBound(
+            org.apache.spark.sql.GraftBridge.expression(col("arra")),
+            org.apache.spark.sql.GraftBridge.expression(col("arrb")),
+            suffixDepth)).cast("double") >= alpha)
+  }
+
+  /** Full pipeline: pairs with Jaccard ≥ `t` over distinct-token sets,
+    * columns `(a, b, ov, jaccard)` — `ov` the exact intersection size,
+    * `jaccard` one IEEE division of exact integers (cross-engine
+    * bit-identical). `suffixDepth` bounds the suffix filter's
+    * recursion (0 degenerates to the already-applied length filter;
+    * the WW'08-recommended 2–3 is where prune-rate × probe-cost
+    * peaks — measured in SCALE.md's ssjoin arm). */
+  def join(docs: DataFrame, idCol: String, textCol: String,
+           t: Double, suffixDepth: Int = 3): DataFrame = {
+    val sorted = sortedTokenArrays(docs, idCol, textCol)
+    val cands = candidates(prefixRows(sorted, t), t).localCheckpoint()
+    suffixFiltered(sorted, cands, t, suffixDepth)
+      .select(col("a"), col("b"),
+        // native distinct-overlap count over the PRESORTED arrays
+        // (round 16): same value as size(array_intersect(arra, arrb))
+        // — ScalaCheck'd — with neither an intersection-array
+        // materialization nor the per-pair copy+sort the unsorted
+        // kernel paid
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SortedOverlapCount(
             org.apache.spark.sql.GraftBridge.expression(col("arra")),
             org.apache.spark.sql.GraftBridge.expression(col("arrb"))))
           .as("ov"),

@@ -692,14 +692,15 @@ object Behavior {
 
     Q("d61_prefix_filter_join",
       "Prefix-filtered set-similarity self-join (the SSJoin primitive, " +
-        "Chaudhuri et al. ICDE'06, + the PPJoin positional filter, " +
-        "Xiao et al. WWW'08) at Jaccard >= 0.9: tokens hashed to 64 " +
-        "bits and globally ordered rarest-first; candidates must share " +
-        "a token in their (sz - ceil(t*sz) + 1)-prefix AND pass the " +
-        "length and positional bounds; the exact array-intersect " +
-        "verify then joins the deduped candidates back to the hashed " +
-        "arrays, so arrays ship once per side, never once per prefix " +
-        "row (operators/SSJoin.scala). The third blocking family next " +
+        "Chaudhuri et al. ICDE'06, + the PPJoin positional and PPJoin+ " +
+        "suffix filters, Xiao et al. WWW'08) at Jaccard >= 0.9: tokens " +
+        "hashed to 64 bits and globally ordered rarest-first; " +
+        "candidates must share a token in their " +
+        "(sz - ceil(t*sz) + 1)-prefix AND pass the length and " +
+        "positional bounds; at verify the suffix partition bound " +
+        "(O(2^d log) probes over the presorted arrays) prunes before " +
+        "the exact overlap merge, and arrays ship once per side, " +
+        "never once per prefix row (operators/SSJoin.scala). The third blocking family next " +
         "to LSH (d07) and sorted neighborhood (d58). Correctness " +
         "slice doc_id < 100 (the d52 discipline); the ORACLE is the " +
         "brute-force all-shared-token join, so any unsound pruning " +

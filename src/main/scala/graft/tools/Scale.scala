@@ -150,7 +150,10 @@ object Scale {
     * projection, the raw prefix-share candidate count (the r06/r07
     * comparable), and the count surviving the length + positional
     * filters (the PPJoin cut — must stay ≥ the true pair count or the
-    * filter lost pairs). Returns a JSON fragment. */
+    * filter lost pairs), and the count surviving the PPJoin+ suffix
+    * partition bound (round 16 — must sit between the true pair count
+    * and the positional count, or the filter is either unsound or a
+    * no-op). Returns a JSON fragment. */
   def ssjoinEvidence(s: SparkSession, docs: DataFrame, t: Double): String = {
     import graft.operators.SSJoin
     val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
@@ -162,10 +165,12 @@ object Scale {
       .join(pr.toDF("b", "szb", "ib", "ptok2"),
         col("ptok") === col("ptok2") && col("a") < col("b"))
       .count()
-    val nCandPos = SSJoin.candidates(pr, t).count()
+    val cands = SSJoin.candidates(pr, t).localCheckpoint()
+    val nCandPos = cands.count()
+    val nCandSuffix = SSJoin.suffixFiltered(sorted, cands, t).count()
     s""""n_prefix_buckets":${b.getLong(0)},"max_bucket":${b.getLong(1)},""" +
       s""""cand_bound":${b.getLong(2)},"n_candidates":$nCandRaw,""" +
-      s""""n_candidates_pos":$nCandPos"""
+      s""""n_candidates_pos":$nCandPos,"n_candidates_suffix":$nCandSuffix"""
   }
 
   def synthesize(s: SparkSession, base: String, factor: Int,
@@ -278,6 +283,7 @@ object Scale {
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
+      what != "ssjoinreal" &&
       what != "stats" && what != "pack" && what != "gram" &&
       what != "annpca" && what != "validate" && what != "zorder" &&
       what != "graphwalk"
@@ -304,7 +310,7 @@ object Scale {
 
     val queries = SparkEntry.queries
     val probeNames = what match {
-      case "graph" | "ssjoin" | "cc" | "ann" | "skew" | "whale" |
+      case "graph" | "ssjoin" | "ssjoinreal" | "cc" | "ann" | "skew" | "whale" |
            "compact" | "store" | "kmeans" | "retrieval" | "phash" |
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
@@ -2424,6 +2430,31 @@ object Scale {
       }
       spark.conf.unset(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    }
+    // Suffix-filter evidence on the CLIQUE-HEAVY corpus (the sf
+    // documents table at t=0.9 — 5k docs, ~965k true pairs, the
+    // regime where candidates run 3.4× over true and the planted
+    // corpus's exact positional filter has nothing left to prune):
+    // the PPJoin+ partition bound must land strictly between the
+    // true-pair count and the positional candidate count here, or it
+    // is a no-op exactly where it was added to help (VERDICT r15 #8).
+    if (what == "ssjoinreal") {
+      import graft.operators.SSJoin
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val t = 0.9
+      for (depth <- Seq(1, 2, 3, 4)) {
+        val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
+        val cands = SSJoin.candidates(SSJoin.prefixRows(sorted, t), t)
+          .localCheckpoint()
+        val nPos = cands.count()
+        val t0 = System.nanoTime()
+        val nSuffix = SSJoin.suffixFiltered(sorted, cands, t, depth).count()
+        val filterSec = (System.nanoTime() - t0) / 1e9
+        val nTrue = SSJoin.join(docs, "doc_id", "text", t, depth).count()
+        println(s"""{"query":"d61_ssjoin_clique_suffix","depth":$depth,""" +
+          s""""n_candidates_pos":$nPos,"n_candidates_suffix":$nSuffix,""" +
+          s""""n_true":$nTrue,"filter_sec":${fmt(filterSec)}}""")
+      }
     }
     if (what == "all" || what == "chain" || what == "flat") {
       val extraBits = 32 - Integer.numberOfLeadingZeros(factor - 1)
