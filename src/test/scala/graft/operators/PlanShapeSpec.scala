@@ -206,4 +206,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(plan, "ShuffledHashJoin") == 0, plan)
     assert(count(plan, "Scan parquet") == 0, plan)
   }
+
+  test("d61 claim: the verify stage's filter ladder executes in cost " +
+      "order — the suffix partition bound prunes BELOW the exact " +
+      "merge projection, and the semi-filtered array table rides " +
+      "BROADCAST joins in the final adaptive plan (never reshuffling " +
+      "an array per candidate pair)") {
+    // near-dup-bearing corpus so the verify stage has real pairs
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val base = (0L until 40L).map { i =>
+      (i, rnd.shuffle(vocab).take(9 + rnd.nextInt(6)).mkString(" "))
+    }
+    val docs = (base ++ base.take(10).map { case (i, txt) =>
+      (i + 500L, txt + s" x$i")
+    }).toDF("doc_id", "text")
+    val df = SSJoin.join(docs, "doc_id", "text", t = 0.8)
+    // collect() executes THIS dataset's QueryExecution, so the
+    // AdaptiveSparkPlan below prints the FINAL runtime plan (count()
+    // or a noop write would plan a separate query execution)
+    assert(df.collect().length >= 10)
+    val plan = planOf(df)
+    assert(plan.contains("isFinalPlan=true"), plan)
+    // Catalyst pushes the suffix-bound predicate (and the jaccard
+    // test) INTO the second verify join's condition — pruned pairs
+    // never materialize a joined row at all. Assert both kernels are
+    // in the plan and that the suffix bound sits in a join condition
+    // at or below the merge projection (tree prints top-down).
+    val iMerge = plan.indexOf("sorted_overlap_count")
+    val iBound = plan.indexOf("suffix_bound")
+    assert(iMerge >= 0 && iBound >= 0, plan)
+    assert(iMerge <= iBound, plan)
+    // the verify attaches arrays via broadcast of the semi-filtered
+    // table on both sides; no sort-merge join anywhere in the final
+    // plan (the shuffles that remain are the agg/distinct exchanges)
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan)
+    assert(count(plan, "SortMergeJoin") == 0, plan)
+  }
 }
