@@ -2408,6 +2408,14 @@ object Scale {
           } catch { case e: Throwable =>
             System.err.println(s"[scale] $tier ssjoin failed: ${e.getMessage}")
             -1.0
+          } finally {
+            // free each sample's localCheckpoint blocks before the
+            // next one starts: at the 100x tier the retained
+            // sorted-array + candidate blocks from sample 1 OOM'd an
+            // 8g driver under load-stretched GC (observed r16) — the
+            // blocks are per-sample garbage by construction
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
           }
         }
         Thread.sleep(800)
