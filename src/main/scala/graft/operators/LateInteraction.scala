@@ -138,17 +138,28 @@ object LateInteraction {
     prunedPairsFromMap(docTokens(docs, idCol, textCol, dim), queries,
       dim, bits, hamming)
 
+  /** ONE definition of the multiprobe collision set (factored in r16
+    * — it was duplicated between the per-query and shared-term
+    * paths, which must agree on what "collides" means): each row of
+    * `withQv` (any frame carrying a `qv` vector) probes its own sign
+    * bucket plus every bucket within the Hamming radius, as an
+    * exploded `bkt` column. */
+  private def multiprobe(withQv: DataFrame, bits: Int,
+                         hamming: Int): DataFrame = {
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= hamming)
+    withQv
+      .withColumn("qb", vecSignBucket(col("qv"), bits))
+      .withColumn("bkt", explode(array(
+        masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+  }
+
   /** [[prunedPairs]] over a prebuilt `(doc_id, term, dv)` token map —
     * the serve-from-index form (vectors and buckets are per-token
     * projections of the map, no corpus re-hash). */
   private def prunedPairsFromMap(tokMap: DataFrame, queries: DataFrame,
       dim: Int, bits: Int, hamming: Int): DataFrame = {
-    val masks = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= hamming)
-    val probes = queryTokens(queries, dim)
-      .withColumn("qb", vecSignBucket(col("qv"), bits))
-      .withColumn("bkt", explode(array(
-        masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+    val probes = multiprobe(queryTokens(queries, dim), bits, hamming)
     tokMap
       .withColumn("bkt", vecSignBucket(col("dv"), bits))
       .join(broadcast(probes), Seq("bkt"))
@@ -299,12 +310,7 @@ object LateInteraction {
       .distinct()
     val terms = qpairs.select("qterm").distinct()
       .withColumn("qv", tokenVec(col("qterm"), dim))
-    val masks = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= hamming)
-    val probes = terms
-      .withColumn("qb", vecSignBucket(col("qv"), bits))
-      .withColumn("bkt", explode(array(
-        masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+    val probes = multiprobe(terms, bits, hamming)
     // stage 1: per-(term, doc) maxima over bucket-collided pairs
     // (collision is query-independent), fanned back to (query, doc)
     // sums — the same (query, doc, term) triples the per-query join

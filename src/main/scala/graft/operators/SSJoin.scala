@@ -103,14 +103,22 @@ object SSJoin {
       .select(col("doc_id"), col("sz"),
         (col("pos0") + 1).as("i"), col("ptok"))
 
+  /** The equivalent-overlap requirement α = t/(1+t)·(sza+szb) minus
+    * the admit-only 1e-7 slack — ONE definition shared by the
+    * positional filter (in [[candidates]]) and the suffix filter (in
+    * [[suffixFiltered]]), so the two filters can never silently
+    * enforce different thresholds. References the pair columns
+    * `sza`/`szb` of whatever frame it is applied to. */
+  private def alphaBound(t: Double): Column =
+    (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
+
   /** Deduped candidate pairs `(a, sza, b, szb)` from the prefix-token
     * self-join with the length + positional filters applied in the
     * join condition (pruned rows never leave the exchange). */
   def candidates(pr: DataFrame, t: Double): DataFrame = {
     val left = pr.toDF("a", "sza", "ia", "ptok")
     val right = pr.toDF("b", "szb", "ib", "ptok2")
-    val alpha =
-      (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
+    val alpha = alphaBound(t)
     left.join(right,
         col("ptok") === col("ptok2") && col("a") < col("b") &&
           least(col("sza"), col("szb")).cast("double") >=
@@ -156,8 +164,7 @@ object SSJoin {
       // ascending h-order for the sorted kernels; the df-rarest-first
       // order only matters for prefix extraction, which is upstream
       .select(col("doc_id"), sort_array(col("arr")).as("arrs"))
-    val alpha =
-      (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
+    val alpha = alphaBound(t)
     cands
       .join(needed.select(col("doc_id").as("a"), col("arrs").as("arra")), "a")
       .join(needed.select(col("doc_id").as("b"), col("arrs").as("arrb")), "b")

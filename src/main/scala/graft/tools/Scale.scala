@@ -154,6 +154,18 @@ object Scale {
     * partition bound (round 16 — must sit between the true pair count
     * and the positional count, or the filter is either unsound or a
     * no-op). Returns a JSON fragment. */
+  /** Unpersist only the storage blocks created AFTER `before` — the
+    * BpeTrain ckptTracked/release discipline for probe loops whose
+    * per-iteration localCheckpoints are garbage once counted. Never a
+    * blanket getPersistentRDDs sweep: memoized checkpointed frames
+    * from other arms have truncated lineage, so unpersisting them
+    * makes them unrecomputable, not just cold. */
+  def releaseNewBlocks(s: SparkSession, before: Set[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    (live.keySet.toSet -- before)
+      .foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
+  }
+
   def ssjoinEvidence(s: SparkSession, docs: DataFrame, t: Double): String = {
     import graft.operators.SSJoin
     val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
@@ -2400,6 +2412,17 @@ object Scale {
         val samples = (1 to 2).map { _ =>
           Thread.sleep(800)
           metrics.read.set(0L); metrics.write.set(0L)
+          // free each sample's localCheckpoint blocks before the next
+          // one starts: at the 100x tier the retained sorted-array +
+          // candidate blocks from sample 1 OOM'd an 8g driver under
+          // load-stretched GC (observed r16) — the blocks are
+          // per-sample garbage by construction. DELTA-scoped (the
+          // BpeTrain ckptTracked discipline), NOT a blanket
+          // getPersistentRDDs sweep: a blanket sweep would also kill
+          // memoized checkpointed frames other arms still serve
+          // (their lineage is truncated — unpersist makes them
+          // unrecomputable, not just cold).
+          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
           val t0 = System.nanoTime()
           try {
             nPairs = graft.operators.SSJoin
@@ -2409,13 +2432,7 @@ object Scale {
             System.err.println(s"[scale] $tier ssjoin failed: ${e.getMessage}")
             -1.0
           } finally {
-            // free each sample's localCheckpoint blocks before the
-            // next one starts: at the 100x tier the retained
-            // sorted-array + candidate blocks from sample 1 OOM'd an
-            // 8g driver under load-stretched GC (observed r16) — the
-            // blocks are per-sample garbage by construction
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = true))
+            releaseNewBlocks(spark, before)
           }
         }
         Thread.sleep(800)
@@ -2451,6 +2468,11 @@ object Scale {
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val t = 0.9
       for (depth <- Seq(1, 2, 3, 4)) {
+        // each depth pins ~4 checkpoint generations (evidence sorted +
+        // cands, SSJoin.join's internal pair) — release them before
+        // the next depth (the same retained-block class the planted
+        // arm's fix covers)
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
         val cands = SSJoin.candidates(SSJoin.prefixRows(sorted, t), t)
           .localCheckpoint()
@@ -2462,6 +2484,7 @@ object Scale {
         println(s"""{"query":"d61_ssjoin_clique_suffix","depth":$depth,""" +
           s""""n_candidates_pos":$nPos,"n_candidates_suffix":$nSuffix,""" +
           s""""n_true":$nTrue,"filter_sec":${fmt(filterSec)}}""")
+        releaseNewBlocks(spark, before)
       }
     }
     if (what == "all" || what == "chain" || what == "flat") {
