@@ -528,9 +528,17 @@ object Bench {
     // (bounded even when many rows are flagged on a loaded host)
     val poisonedShort = poisonedNames.toSeq.sorted
       .map(k => "\"" + short(k) + "\"").mkString("[", ",", "]")
+    // Short-form retry evidence on the truncation-proof line (VERDICT
+    // r16 #1): the driver keeps only the last 2,000 bytes of stdout,
+    // which discards the compact lines' retried/retry_exhausted — so
+    // the surviving artifact could not distinguish budget exhaustion
+    // from the retry pass never running. A count (not the name list)
+    // keeps the line bounded on a loaded host.
     println(
       s"""{"metric":"total_min","value":${fmt(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"load_mean":${fmt(loadMean)},""" +
+        s""""retried":${retriedNames.size},""" +
+        s""""retry_exhausted":$retryExhausted,""" +
         s""""load_poisoned":$poisonedShort,""" +
         s""""core":${fmt(coreRes.map(_._2).filter(_ >= 0).sum)},""" +
         s""""new":${fmt(newRes.map(_._2).filter(_ >= 0).sum)},""" +

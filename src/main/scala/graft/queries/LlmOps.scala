@@ -192,6 +192,13 @@ object LlmOps {
                              dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
     Option(bloomDecontMemo.get(key)).getOrElse {
+      // Snapshot live block ids so a putIfAbsent race loser can
+      // release its duplicate checkpointed agg (ADVICE r16): the
+      // Dataset has no handle back to its localCheckpoint RDD, so the
+      // delta-scoped getPersistentRDDs release (the BpeTrain/Scale
+      // discipline) is the only way to free the losing copy. Latent
+      // today (Verify/Bench are single-threaded).
+      val beforeIds = s.sparkContext.getPersistentRDDs.keySet.toSet
       val C = graft.operators.Contamination
       val d = t(s, dir, "documents")
         .withColumn("split", TA.trainValTestSplit(col("text")))
@@ -238,7 +245,14 @@ object LlmOps {
           s"the requested-fpp bound (fpp=$fpp over $negShingles " +
           "clean-shingle probes) — the filter is under-sized or " +
           "clamped")
-      Option(bloomDecontMemo.putIfAbsent(key, agg)).getOrElse(agg)
+      Option(bloomDecontMemo.putIfAbsent(key, agg)) match {
+        case Some(winner) =>
+          val live = s.sparkContext.getPersistentRDDs
+          (live.keySet.toSet -- beforeIds)
+            .foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+          winner
+        case None => agg
+      }
     }
   }
   private def neardupLabels(s: org.apache.spark.sql.SparkSession,

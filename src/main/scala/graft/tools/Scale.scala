@@ -168,21 +168,28 @@ object Scale {
 
   def ssjoinEvidence(s: SparkSession, docs: DataFrame, t: Double): String = {
     import graft.operators.SSJoin
-    val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
-    val pr = SSJoin.prefixRows(sorted, t).localCheckpoint()
-    val b = pr.groupBy("ptok").agg(count(lit(1)).as("b"))
-      .agg(count(lit(1)).as("nb"), max("b").as("maxb"),
-        sum(expr("b * (b - 1) DIV 2")).as("bound")).head()
-    val nCandRaw = pr.toDF("a", "sza", "ia", "ptok")
-      .join(pr.toDF("b", "szb", "ib", "ptok2"),
-        col("ptok") === col("ptok2") && col("a") < col("b"))
-      .count()
-    val cands = SSJoin.candidates(pr, t).localCheckpoint()
-    val nCandPos = cands.count()
-    val nCandSuffix = SSJoin.suffixFiltered(sorted, cands, t).count()
-    s""""n_prefix_buckets":${b.getLong(0)},"max_bucket":${b.getLong(1)},""" +
-      s""""cand_bound":${b.getLong(2)},"n_candidates":$nCandRaw,""" +
-      s""""n_candidates_pos":$nCandPos,"n_candidates_suffix":$nCandSuffix"""
+    // The per-tier localCheckpoints (pr, cands, and any inside
+    // sortedTokenArrays) are garbage once the counts land; release
+    // them under the same delta-scoped discipline as the sample loop
+    // (ADVICE r16) — up to 100x these retained blocks are real memory.
+    val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+    try {
+      val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
+      val pr = SSJoin.prefixRows(sorted, t).localCheckpoint()
+      val b = pr.groupBy("ptok").agg(count(lit(1)).as("b"))
+        .agg(count(lit(1)).as("nb"), max("b").as("maxb"),
+          sum(expr("b * (b - 1) DIV 2")).as("bound")).head()
+      val nCandRaw = pr.toDF("a", "sza", "ia", "ptok")
+        .join(pr.toDF("b", "szb", "ib", "ptok2"),
+          col("ptok") === col("ptok2") && col("a") < col("b"))
+        .count()
+      val cands = SSJoin.candidates(pr, t).localCheckpoint()
+      val nCandPos = cands.count()
+      val nCandSuffix = SSJoin.suffixFiltered(sorted, cands, t).count()
+      s""""n_prefix_buckets":${b.getLong(0)},"max_bucket":${b.getLong(1)},""" +
+        s""""cand_bound":${b.getLong(2)},"n_candidates":$nCandRaw,""" +
+        s""""n_candidates_pos":$nCandPos,"n_candidates_suffix":$nCandSuffix"""
+    } finally releaseNewBlocks(s, before)
   }
 
   def synthesize(s: SparkSession, base: String, factor: Int,

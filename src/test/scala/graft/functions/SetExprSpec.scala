@@ -108,7 +108,7 @@ class SetExprSpec extends AnyFunSuite {
       assert(rows.length == 3)
       assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
       assert(rows.forall(r => r.getLong(0) >= r.getLong(1)))
-    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("the SSJoin suffix filter is a real cut that loses nothing: " +
