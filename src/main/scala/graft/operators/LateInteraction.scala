@@ -367,6 +367,67 @@ object LateInteraction {
       .select("query_id", "rk", "doc_id", "score")
   }
 
+  /** Default serve-arm crossover, in TOKEN-MAP ROWS (VERDICT r16 #1).
+    * Derived from the round-16 maxsim scale arm's measured walls on
+    * the 50-query batch (SCALE_r16.jsonl): exact-from-map ≈
+    * 1.6 + 2.53·f sec, plaid ≈ 5.7 + 0.75·f sec over tiers f of 20k
+    * docs (exact pays one shared crossJoin that scales with the
+    * corpus; plaid pays two-stage orchestration that amortizes over
+    * it), crossing at f ≈ 2.3 ≈ 46k docs ≈ 2.0M map rows at that
+    * corpus's ~45 distinct terms/doc. Rows, not docs: the map's row
+    * count is the actual work driver of the exact arm's crossJoin
+    * and is readable from the relation itself at plan time. The r17
+    * SCALE maxsim_auto rows validate the pick at 1× and 30×. */
+  val DefaultServeCrossoverRows: Long = 2000000L
+
+  /** The token map's row count as a PLAN-TIME stat: the Catalyst
+    * estimate when the relation carries an exact one (CBO-analyzed
+    * table), else one count() job — metadata-cheap on a parquet map
+    * and paid once per serve-site build, never per query batch (the
+    * d141/d145 sites memoize the table). */
+  private def tokMapRows(tokMap: DataFrame): Long =
+    tokMap.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong)
+      .getOrElse(tokMap.count())
+
+  /** Plan-time serve-arm switch over a prebuilt [[docTokenMap]] — the
+    * measured PLAID/exact crossover wired into code (VERDICT r16 #1,
+    * the d75/maxScore plan-time-switch discipline): below
+    * `crossoverRows` the whole corpus is cheaper to score EXACTLY
+    * (one shared crossJoin; per-term maxima shared across the batch)
+    * than to run plaid's two-stage nominate→rerank orchestration, so
+    * a small-corpus caller gets the exact serve — and with it exact
+    * results; above it, plaid's corpus-scaling advantage dominates
+    * (30×: 28.2 vs 77.4 s measured) and the switch takes the
+    * nominate→rerank path at plaid's documented recall (≥ 0.95
+    * gated, 0.978 measured). Unlike the MaxScore switch this one is
+    * visible in results by design — the exact arm IS the better
+    * answer where it is also the faster one, so the switch only ever
+    * trades up. Returns the chosen tag ("exact" | "plaid") so specs
+    * and serve sites can assert the regime. */
+  def maxSimServeFromMapPlan(tokMap: DataFrame, queries: DataFrame,
+                             dim: Int, k: Int, bits: Int = 6,
+                             c: Int = 100, hamming: Int = 1,
+                             crossoverRows: Long =
+                               DefaultServeCrossoverRows)
+      : (String, DataFrame) =
+    if (tokMapRows(tokMap) <= crossoverRows)
+      ("exact", maxSimTopKFromMap(tokMap, queries, dim, k))
+    else
+      ("plaid",
+        maxSimTopKPlaidFromMap(tokMap, queries, dim, k, bits, c,
+          hamming))
+
+  /** [[maxSimServeFromMapPlan]]'s result alone — the serve-site entry
+    * point. */
+  def maxSimServeFromMap(tokMap: DataFrame, queries: DataFrame,
+                         dim: Int, k: Int, bits: Int = 6,
+                         c: Int = 100, hamming: Int = 1,
+                         crossoverRows: Long =
+                           DefaultServeCrossoverRows): DataFrame =
+    maxSimServeFromMapPlan(tokMap, queries, dim, k, bits, c, hamming,
+      crossoverRows)._2
+
   /** MaxSim over ARBITRARY multi-vector relations — the form a real
     * per-token (or per-chunk) embedding table feeds, decoupled from
     * [[tokenVec]]'s hash features: `docVecs` is

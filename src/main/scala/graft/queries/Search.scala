@@ -1837,6 +1837,36 @@ object Search {
       },
       Some(PlaidOracleSql)),
 
+    Q("d145_maxsim_auto_serve",
+      "PLAN-TIME serve-arm switch over the persisted token index " +
+        "(VERDICT r16 #1 — the measured PLAID/exact crossover wired " +
+        "into code, the d75 plan-time-switch discipline): " +
+        "maxSimServeFromMap reads the token map's row count at plan " +
+        "time and serves EXACT below the measured ~2M-row crossover " +
+        "(where the shared-crossJoin exact scorer is both faster AND " +
+        "lossless — r16 measured 4.1 vs 6.4 s at 1x) and PLAID " +
+        "nominate+rerank above it (28.2 vs 77.4 s at 30x). At every " +
+        "oracle/bench sf the corpus sits far below the crossover, so " +
+        "the switch must pick the exact arm — asserted here so a " +
+        "crossover recalibration that flips the arm fails loudly " +
+        "instead of hash-mismatching; the oracle is d105/w35's exact " +
+        "MaxSim SQL verbatim.",
+      (s, dir) => {
+        import s.implicits._
+        val qArr = QueryTerms.groupBy(_._1).toSeq
+          .map { case (q, ts) => (q, ts.map(_._2)) }
+          .toDF("query_id", "terms")
+        val (arm, res) = graft.operators.LateInteraction
+          .maxSimServeFromMapPlan(
+            s.table(plaidTokMapTable(s, dir)), qArr,
+            dim = 8, k = 10, bits = 6, c = 50)
+        require(arm == "exact",
+          s"d145: switch picked '$arm' below the crossover — the " +
+            "exact-MaxSim oracle no longer matches the served arm")
+        res.orderBy("query_id", "rk").localCheckpoint()
+      },
+      Some(MaxSimOracleSql)),
+
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +
         "end-to-end loop d117's machinery existed for): FIVE serving " +

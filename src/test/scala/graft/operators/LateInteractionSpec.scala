@@ -222,4 +222,38 @@ class LateInteractionSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("LateInteraction.maxSimServeFromMapPlan") {
+    it("picks the exact arm below the row crossover and the plaid " +
+        "arm above it, each bit-identical to the named arm (VERDICT " +
+        "r16 #1 — both regimes exercised via the crossover " +
+        "parameter, since spec corpora are all 'small')") {
+      val df = corpus(60).toDF("doc_id", "text")
+      val qs = queries.toDF("query_id", "terms")
+      val tokMap = LateInteraction
+        .docTokenMap(df, "doc_id", "text", dim = Dim)
+      val nRows = tokMap.count()
+      assert(nRows > 1)
+      // small-corpus regime: map fits under the crossover → exact
+      val (armLo, resLo) = LateInteraction.maxSimServeFromMapPlan(
+        tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+        crossoverRows = nRows)
+      assert(armLo == "exact")
+      val exact = LateInteraction
+        .maxSimTopKFromMap(tokMap, qs, dim = Dim, k = 5)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(resLo.as[(Long, Long, Long, Double)]
+        .collect().toList.sorted == exact && exact.nonEmpty)
+      // large-corpus regime: crossover below the map size → plaid
+      val (armHi, resHi) = LateInteraction.maxSimServeFromMapPlan(
+        tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+        crossoverRows = nRows - 1)
+      assert(armHi == "plaid")
+      val plaid = LateInteraction.maxSimTopKPlaidFromMap(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(resHi.as[(Long, Long, Long, Double)]
+        .collect().toList.sorted == plaid && plaid.nonEmpty)
+    }
+  }
 }
