@@ -367,6 +367,43 @@ object LateInteraction {
       .select("query_id", "rk", "doc_id", "score")
   }
 
+  /** [[maxSimTopKPlaidFromMap]] under a per-PLAN query cap (VERDICT
+    * r16 #4 — the plaid_serve giant-batch regime): when a backlogged
+    * trigger hands the serve thousands of queries in ONE batch, the
+    * term-sharing economics flatten on the rare-term slot (every
+    * query contributes a near-unique rare term, so the probe
+    * broadcast and the stage-2 rider lists grow with the batch while
+    * sharing only collapses the common-term slots) and per-batch
+    * latency grows superlinearly — r16 measured a single 16.6 s
+    * ~1.9k-query batch at rate 100. The cap is admission control at
+    * PLAN granularity (maxOffsetsPerTrigger-style, applied where the
+    * rate source offers no offset knob): queries hash-partition into
+    * `ceil(n/maxQueriesPerPlan)` chunks (expected chunk size ≤ cap;
+    * hashing avoids a global row_number shuffle) and each chunk runs
+    * the full two-stage serve independently — batch composition
+    * cannot change any query's answer (nomination windows partition
+    * by query_id), so the union is bit-identical to the uncapped
+    * serve. Costs one count() per batch to size the chunking; under
+    * the cap it delegates straight through. */
+  def maxSimTopKPlaidFromMapCapped(tokMap: DataFrame,
+      queries: DataFrame, dim: Int, k: Int, bits: Int = 6,
+      c: Int = 100, hamming: Int = 1,
+      maxQueriesPerPlan: Int = 512): DataFrame = {
+    val n = queries.count()
+    if (n <= maxQueriesPerPlan)
+      maxSimTopKPlaidFromMap(tokMap, queries, dim, k, bits, c, hamming)
+    else {
+      val nChunks = ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
+      (0 until nChunks)
+        .map(i => maxSimTopKPlaidFromMap(
+          tokMap,
+          queries.filter(
+            pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
+          dim, k, bits, c, hamming))
+        .reduce(_.unionByName(_))
+    }
+  }
+
   /** Default serve-arm crossover, in TOKEN-MAP ROWS (VERDICT r16 #1).
     * Derived from the round-16 maxsim scale arm's measured walls on
     * the 50-query batch (SCALE_r16.jsonl): exact-from-map ≈
@@ -417,6 +454,23 @@ object LateInteraction {
       ("plaid",
         maxSimTopKPlaidFromMap(tokMap, queries, dim, k, bits, c,
           hamming))
+
+  /** Stage-1 scored-pair count of [[maxSimTopKPlaidFromMap]] at the
+    * given probe config — the KERNEL-INDEPENDENT work proxy the scale
+    * gates compare against exact-from-map's |tokMap|·|distinct terms|
+    * (VERDICT r16 #5: wall ratios moved with every kernel landing;
+    * the collided-pair count only moves with the pruning geometry). */
+  private[graft] def nominationPairCount(tokMap: DataFrame,
+      queries: DataFrame, dim: Int, bits: Int,
+      hamming: Int): Long = {
+    val terms = queries
+      .select(explode(col("terms")).as("qterm")).distinct()
+      .withColumn("qv", tokenVec(col("qterm"), dim))
+    tokMap
+      .withColumn("bkt", vecSignBucket(col("dv"), bits))
+      .join(broadcast(multiprobe(terms, bits, hamming)), Seq("bkt"))
+      .count()
+  }
 
   /** [[maxSimServeFromMapPlan]]'s result alone — the serve-site entry
     * point. */

@@ -726,5 +726,40 @@ object Behavior {
         |FROM pairs
         |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
         |      >= CAST(0.9 AS DOUBLE)
+        |ORDER BY a, b""".stripMargin)),
+
+    Q("d143_ssjoin_clique",
+      "d61's SSJoin in a pruning-ACTIVE regime (VERDICT r16 #6): the " +
+        "FULL documents table at t=0.9 is clique-heavy — template-" +
+        "derived docs share large token sets, so the prefix join " +
+        "emits ~3.7x the true pair count and the PPJoin+ suffix " +
+        "bound prunes ~2/3 of the positional survivors before the " +
+        "exact merge (measured: 33,694 positional candidates -> " +
+        "11,300 suffix survivors over 9,020 true pairs at sf0.01; " +
+        "d61's doc_id<100 slice exercises the bound but barely " +
+        "prunes). The ORACLE is the same brute-force all-shared-" +
+        "token join, so pruning a qualifying pair would hash-" +
+        "mismatch; PlanShapeSpec asserts the suffix stage prunes > 0 " +
+        "candidates on this exact fixture.",
+      (s, dir) => graft.operators.SSJoin.join(
+          t(s, dir, "documents"), "doc_id", "text", t = 0.9)
+        .orderBy("a", "b"),
+      Some("""WITH tk0 AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS arr
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, len(arr) AS sz, unnest(arr) AS tok FROM tk0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ov,
+        |    MIN(x.sz) AS sza, MIN(y.sz) AS szb
+        |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(ov AS BIGINT) AS ov,
+        |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
+        |      >= CAST(0.9 AS DOUBLE)
         |ORDER BY a, b""".stripMargin)))
 }

@@ -1818,7 +1818,12 @@ object Search {
               if (!batch.isEmpty) {
                 val qArr = batch.groupBy("query_id")
                   .agg(collect_list(col("term")).as("terms"))
-                L.maxSimTopKPlaidFromMap(tokMap, qArr,
+                // capped serve (VERDICT r16 #4): a backlogged trigger
+                // cannot hand one plan a sharing-flattening giant
+                // batch; at this query's 1-query batches the cap
+                // delegates straight through, so the oracle row is
+                // untouched
+                L.maxSimTopKPlaidFromMapCapped(tokMap, qArr,
                   dim = 8, k = 10, bits = 6, c = 50)
                   .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
               }
@@ -1867,14 +1872,68 @@ object Search {
       },
       Some(MaxSimOracleSql)),
 
+    Q("d144_ql_dirichlet",
+      "Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty " +
+        "SIGIR'01 — VERDICT r16 #8): the classic probabilistic " +
+        "family next to BM25. One corpus-LM pass (|C| = total token " +
+        "count, collection frequencies for the broadcast query " +
+        "terms — the d30 shape), then per-(query, doc) smoothed " +
+        "log-likelihood ln((tf + mu*cf/|C|)/(dl + mu)) as a " +
+        "decimal-exact aggregate over the postings slice; docs " +
+        "matching >= 1 query term are ranked under the full QL " +
+        "order including their absent terms' smoothing mass. The " +
+        "oracle replays the smoothing arithmetic step for step.",
+      (s, dir) => {
+        import s.implicits._
+        val q = QueryTerms.toDF("query_id", "term")
+        graft.operators.Retrieval.qlDirichletTopK(
+          graft.operators.Retrieval
+            .postings(t(s, dir, "documents"), "doc_id", "text")
+            .localCheckpoint(),
+          q, k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH posts AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |qry(query_id, term) AS (VALUES $QuerySql),
+        |coll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
+        |slice AS (SELECT p.* FROM posts p
+        |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+        |cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
+        |  FROM slice GROUP BY term),
+        |cand AS (SELECT DISTINCT q.query_id, s.doc_id, s.dl
+        |  FROM slice s JOIN qry q USING (term)),
+        |rws AS (SELECT c.query_id, c.doc_id,
+        |    round(ln((COALESCE(s.tf, 0) + (300.0 * cf.cf) / coll.c_total) /
+        |      (c.dl + 300.0)), 9) AS contrib
+        |  FROM cand c
+        |  JOIN qry q ON q.query_id = c.query_id
+        |  JOIN cf ON cf.term = q.term
+        |  LEFT JOIN slice s ON s.doc_id = c.doc_id AND s.term = q.term
+        |  CROSS JOIN coll),
+        |agg AS (SELECT query_id, doc_id,
+        |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM rws GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+        |  doc_id, score
+        |FROM agg QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +
-        "end-to-end loop d117's machinery existed for): FIVE serving " +
+        "end-to-end loop d117's machinery existed for): SIX serving " +
         "paths — exact cosine (s01's batch arm), PCA-pruned cosine " +
         "(s20's candidate→rerank chain), sign-bucket-pruned MaxSim " +
         "(d106's scorer), PLAID-complete nominate+rerank (d139's " +
-        "serve — VERDICT r13 #3) and hybrid BM25+cosine RRF (d103's " +
-        "fusion) " +
+        "serve — VERDICT r13 #3), hybrid BM25+cosine RRF (d103's " +
+        "fusion) and Dirichlet query likelihood (d144's scorer — " +
+        "VERDICT r16 #8) " +
         "— run over the SAME three queries and are judged against " +
         "the same planted graded qrels (rel = distinct query terms " +
         "present in the doc, capped at 3 — deterministic, " +
@@ -1960,9 +2019,13 @@ object Search {
         val sem = Similarity
           .cosineTopKBatch(emb, "vec_id", "embedding", qv, k = 20)
         val runRrf = Fusion.rrf(Seq(lex, sem), k = 10)
+        // arm 6 — Dirichlet query likelihood (d144's scorer verbatim,
+        // over the same checkpointed postings — VERDICT r16 #8: the
+        // second probabilistic family joins the regression matrix)
+        val runQl = Retrieval.qlDirichletTopK(posts, q, k = 10)
         Seq(("cosine", runCos), ("hybrid_rrf", runRrf),
           ("maxsim_plaid", runPlaid), ("maxsim_pruned", runMax),
-          ("pca_pruned", runPca))
+          ("pca_pruned", runPca), ("ql_dirichlet", runQl))
           .map { case (p, r) =>
             IrEval.evaluate(r, qrels, k = 10)
               .select(lit(p).as("path"),
@@ -2120,6 +2183,28 @@ object Search {
       |        PARTITION BY query_id
       |        ORDER BY score DESC, doc_id ASC) AS rk
       |    FROM fused) WHERE rk <= 10),
+      |qlcoll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
+      |qlcf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
+      |  FROM slice GROUP BY term),
+      |qlcand AS (SELECT DISTINCT q.query_id, s.doc_id, s.dl
+      |  FROM slice s JOIN qry q USING (term)),
+      |qlrws AS (SELECT c.query_id, c.doc_id,
+      |    round(ln((COALESCE(s.tf, 0) + (300.0 * f.cf) / qlcoll.c_total) /
+      |      (c.dl + 300.0)), 9) AS contrib
+      |  FROM qlcand c
+      |  JOIN qry q ON q.query_id = c.query_id
+      |  JOIN qlcf f ON f.term = q.term
+      |  LEFT JOIN slice s ON s.doc_id = c.doc_id AND s.term = q.term
+      |  CROSS JOIN qlcoll),
+      |qlagg AS (SELECT query_id, doc_id,
+      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |      AS score
+      |  FROM qlrws GROUP BY 1, 2),
+      |run_ql AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM qlagg) WHERE rk <= 10),
       |runs AS (
       |  SELECT 'cosine' AS path, query_id, doc_id, rk FROM run_cos
       |  UNION ALL
@@ -2129,7 +2214,9 @@ object Search {
       |  UNION ALL
       |  SELECT 'maxsim_pruned', query_id, doc_id, rk FROM run_max
       |  UNION ALL
-      |  SELECT 'pca_pruned', query_id, doc_id, rk FROM run_pca),
+      |  SELECT 'pca_pruned', query_id, doc_id, rk FROM run_pca
+      |  UNION ALL
+      |  SELECT 'ql_dirichlet', query_id, doc_id, rk FROM run_ql),
       |hits AS (SELECT r.path, r.query_id, r.rk, q.rel
       |  FROM runs r LEFT JOIN qr q
       |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id),

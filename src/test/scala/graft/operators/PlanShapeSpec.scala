@@ -243,4 +243,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(plan, "BroadcastHashJoin") >= 2, plan)
     assert(count(plan, "SortMergeJoin") == 0, plan)
   }
+
+  test("d143 claim: on its exact fixture (the FULL documents table " +
+      "at t=0.9) the suffix stage PRUNES — positional candidates > " +
+      "suffix survivors >= true pairs (VERDICT r16 #6: the oracled " +
+      "regime where the PPJoin+ filter actually works, not just " +
+      "holds)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.9
+    val sorted = SSJoin.sortedTokenArrays(docs, "doc_id", "text")
+    val cands = SSJoin.candidates(SSJoin.prefixRows(sorted, t), t)
+      .localCheckpoint()
+    val nPos = cands.count()
+    val nSuffix = SSJoin.suffixFiltered(sorted, cands, t).count()
+    val nTrue = SSJoin.join(docs, "doc_id", "text", t).count()
+    assert(nSuffix < nPos,
+      s"suffix filter was a no-op on the d143 fixture: $nSuffix of $nPos")
+    assert(nSuffix >= nTrue && nTrue > 0,
+      s"suffix filter unsound or fixture empty: $nSuffix vs $nTrue")
+  }
 }
