@@ -160,6 +160,31 @@ object Scale {
     * blanket getPersistentRDDs sweep: memoized checkpointed frames
     * from other arms have truncated lineage, so unpersisting them
     * makes them unrecomputable, not just cold. */
+  /** 1-minute loadavg — the bench's sample-poison witness
+    * (Bench.scala), shared by scale arms whose tier records are
+    * wall-clock claims. */
+  def load1(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+  } catch { case _: Throwable => -1.0 }
+
+  /** Wait (bounded) for the host's noisy-neighbor wave to pass before
+    * a timed sample starts (VERDICT r16 #7 — five gated 100x re-runs
+    * all landed inside external loadavg 16–28 windows; counts were
+    * byte-identical but the tier's WALL record could not be
+    * re-established). Returns the loadavg at release, so the row can
+    * carry the evidence either way: a sample that still started loud
+    * names its own poison. */
+  def waitQuiet(thresh: Double = 2.5, budgetMs: Long = 600000L): Double = {
+    val deadline = System.currentTimeMillis() + budgetMs
+    var l = load1()
+    while (l > thresh && System.currentTimeMillis() < deadline) {
+      Thread.sleep(5000)
+      l = load1()
+    }
+    l
+  }
+
   def releaseNewBlocks(s: SparkSession, before: Set[Int]): Unit = {
     val live = s.sparkContext.getPersistentRDDs
     (live.keySet.toSet -- before)
@@ -844,48 +869,65 @@ object Scale {
         s""""recall_at_10":${fmt(recallPl)}}""")
       require(recallPl >= 0.95,
         s"maxsim plaid rerank recall below gate: $recallPl")
-      // The wall gate binds where the asymptotics are visible: at the
-      // 1x tier (20k docs) per-job orchestration constants dominate
-      // both sides; from 10x up the ratio must show a real cut
-      // (VERDICT r12 #3). Threshold history: 0.25 under the HOF dot
-      // kernel (measured 0.229 at 10x, 0.248 at 30x); round 15's
-      // native vec_dot sped the PURE-dot exact path up more than the
-      // nomination-overhead-carrying plaid path (30x: exact-map
-      // 212 -> 98.6 s, plaid 52.5 -> 32.3 s, ratio 0.327) -> 0.35;
-      // round 16's per-term maxima sharing repeated the dynamic even
-      // harder on the exact side (every (term, doc) pair collapses
-      // across the 50-query batch; plaid's stage 1 was already
-      // bucketed) - 30x: exact-map 77.4 s, plaid 28.2 s, ratio
-      // 0.364 - so the bar is 0.5 post-sharing: still a >=2x wall
-      // cut, while the KERNEL-INDEPENDENT witnesses stay the real
-      // gates - the pair-count cut (require above), the
-      // corpus-independent shuffle records (require below), and
-      // recall >= 0.95 don't move with either side's speed.
-      require(factor < 10 || plaidSec <= 0.5 * exactMapSec,
-        s"maxsim plaid wall not a real cut: $plaidSec vs $exactMapSec")
-      // corpus-independence of the serve shuffle, pinned (VERDICT r14
-      // #2): ~816k records at 1x, 10x AND 30x (query-shape-sized — the
-      // bounded gathers + broadcast sides; this arm's 50 queries).
-      // A regression that couples the exchanges to the corpus (the
-      // localCheckpoint-style clustering loss) blows through this at
-      // any scaled tier.
+      // Round 17 (VERDICT r16 #5): the wall-ratio gates here were
+      // recalibrated twice in two rounds (0.25 -> 0.35 -> 0.5, and a
+      // 1x "sanity factor") because every kernel landing moved one
+      // arm's speed — a gate that moves per kernel is not a gate.
+      // Both are now WORK-PROXY gates, invariant to either side's
+      // per-row speed, with the wall ratio demoted to an advisory
+      // line:
+      //  - stage-1 scored pairs at the NOMINATION config must stay
+      //    <= half of exact-from-map's |tokMap|·|distinct terms| at
+      //    every tier (the >=2x flop cut, by pruning geometry — the
+      //    measured collision fraction at bits=8/hamming<=2 is ~0.2);
+      //  - stage 2 stays candidate-sized via the shuffle-records
+      //    require below (~816k records, corpus-INDEPENDENT 1x..30x —
+      //    VERDICT r14 #2; the localCheckpoint-style clustering loss
+      //    blows through it at any scaled tier);
+      //  - recall >= 0.95 (above) carries quality.
+      val tokRows = tokMap.count()
+      val nTermsB = qArr
+        .select(explode(col("terms")).as("t")).distinct().count()
+      val exactWorkPairs = tokRows * nTermsB
+      val nomPairs = LateInteraction.nominationPairCount(
+        tokMap, qArr, dim = 8, bits = nomBits, hamming = 2)
+      println(s"""{"advisory":"maxsim_wall_ratio","n_docs":$n,""" +
+        s""""plaid_sec":${fmt(plaidSec)},""" +
+        s""""exact_map_sec":${fmt(exactMapSec)},""" +
+        s""""wall_ratio":${fmt(plaidSec / exactMapSec)},""" +
+        s""""nom_pairs":$nomPairs,"exact_work_pairs":$exactWorkPairs,""" +
+        s""""pair_work_ratio":${fmt(
+          nomPairs.toDouble / exactWorkPairs)}}""")
+      require(nomPairs * 2 <= exactWorkPairs,
+        s"plaid stage-1 scored pairs are not a real cut of the exact " +
+          s"work: $nomPairs vs $exactWorkPairs")
       require(factor < 10 || plRec <= 1000000L,
         s"plaid serve shuffle records scaled with the corpus: $plRec")
-      // Round 16: the per-term maxima sharing FLIPPED the 1x-tier
-      // economics — serving the 50-query batch exact-from-map over
-      // 20k docs is now ONE shared crossJoin (~4.6 s) while plaid
-      // still pays two-stage nomination + rerank orchestration
-      // (~7.0 s, ratio 1.51; pre-sharing the same tier sat under the
-      // old 0.6 bar). That is the textbook ANN crossover, not a
-      // regression: below the crossover corpus size the right serve
-      // IS exact (the d140 matrix's exact arm exists for it), and
-      // plaid's case is the scaled tiers — gated at 0.5 from 10x up
-      // above. At 1x the wall assert is a bounded-overhead sanity
-      // factor only; the scale-invariant witnesses (constant shuffle
-      // records, recall >= 0.95) carry the tier.
-      require(factor >= 10 || plaidSec <= 3.0 * exactMapSec,
-        s"maxsim plaid 1x overhead beyond the crossover sanity bound: " +
-          s"$plaidSec vs ${fmt(3.0 * exactMapSec)}")
+      // Round 17 auto-switch arm (VERDICT r16 #1): the plan-time
+      // switch must pick the tier's measured-cheaper arm — exact
+      // below the ~2M-row crossover (1x: ~0.9M map rows), plaid
+      // above it (10x+: >=9M) — and its wall must track the picked
+      // arm (the decision costs one count()). The ARM pick is the
+      // gate (kernel-independent); the walls land in the row so the
+      // SCALE record shows auto ~= min(arms).
+      Thread.sleep(800)
+      t0 = System.nanoTime()
+      val (autoArm, autoDf) = LateInteraction.maxSimServeFromMapPlan(
+        tokMap, qArr, dim = 8, k = 10, bits = nomBits, c = nomC,
+        hamming = 2)
+      autoDf.write.format("noop").mode("overwrite").save()
+      val autoSec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"query":"maxsim_auto","n_docs":$n,""" +
+        s""""n_tokmap_rows":$tokRows,"arm":"$autoArm",""" +
+        s""""auto_sec":${fmt(autoSec)},""" +
+        s""""exact_map_sec":${fmt(exactMapSec)},""" +
+        s""""plaid_sec":${fmt(plaidSec)}}""")
+      require(factor > 2 || autoArm == "exact",
+        s"auto serve picked '$autoArm' at the 1x tier where exact " +
+          "is measured cheaper")
+      require(factor < 10 || autoArm == "plaid",
+        s"auto serve picked '$autoArm' at ${factor}x where plaid " +
+          "is measured cheaper")
     }
     // StatsStore IVM arm (round 12; d115's 100 TB claim measured):
     // maintaining per-key counters for a corpus of N docs via a 1%%
@@ -2433,7 +2475,14 @@ object Scale {
         // spikes put +40% on single samples; both raw samples are
         // emitted so a swing stays attributable from the artifact)
         var nPairs = -1L
+        // each sample start is LOAD-GATED (VERDICT r16 #7): wait
+        // (bounded) for the host's external load wave to pass, then
+        // record the release loadavg in the row — a tier wall record
+        // is only a record from a quiet window, and a sample that
+        // still started loud names its own poison in the artifact
+        val startLoads = scala.collection.mutable.ArrayBuffer[Double]()
         val samples = (1 to 2).map { _ =>
+          startLoads += waitQuiet()
           Thread.sleep(800)
           metrics.read.set(0L); metrics.write.set(0L)
           // free each sample's localCheckpoint blocks before the next
@@ -2473,6 +2522,7 @@ object Scale {
         println(s"""{"tier":"$tier","query":"d61_ssjoin_planted",""" +
           s""""n_docs":$n,""" +
           s""""samples":[${samples.map(fmt).mkString(",")}],""" +
+          s""""start_loadavg":[${startLoads.map(fmt).mkString(",")}],""" +
           s""""sec":${fmt(samples.filter(_ >= 0).minOption.getOrElse(-1.0))},""" +
           s""""n_pairs":$nPairs,$evidence,""" +
           s""""shuffle_read_mb":${fmt(rd)},"shuffle_write_mb":${fmt(wr)}}""")
