@@ -126,7 +126,13 @@ object Bench {
     // the production online path, memoized per (session, dir) like
     // s15/d75: the cold sample pays the bucketed token-map build,
     // warm samples measure the serve from the stored table
-    "d141_plaid_indexed")
+    "d141_plaid_indexed",
+    // round 17: Dirichlet query likelihood (the second probabilistic
+    // ranking family) and the plan-time PLAID/exact serve switch over
+    // the shared persisted token map. d143_ssjoin_clique is
+    // deliberately NOT here: d61_ssjoin_full above already times the
+    // identical full-corpus join body.
+    "d144_ql_dirichlet", "d145_maxsim_auto_serve")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays

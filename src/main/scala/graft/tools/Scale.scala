@@ -327,7 +327,7 @@ object Scale {
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
-      what != "ssjoinreal" &&
+      what != "ssjoinreal" && what != "ssjoin" &&
       what != "stats" && what != "pack" && what != "gram" &&
       what != "annpca" && what != "validate" && what != "zorder" &&
       what != "graphwalk"
