@@ -222,9 +222,21 @@ object BpeTrain {
     * upper bound on the touched fraction, already on the driver):
     * above `recountThreshold` the round runs [[trainBatched]]'s full
     * recount body, below it the delta body, materializing the
-    * maintained table once per recount→delta transition. Both arms
+    * maintained table once per recount→delta transition.
+    *
+    * Round 17 (VERDICT r16 #2): the signal is the PROBE trigger, not
+    * the commitment — the r17 calibration run showed the static
+    * threshold picking the losing arm for 32 of 60 rounds (auto
+    * 41.0 s vs recount 20.7 s), because the crossover also depends
+    * on the corpus-size-dependent ratio of the delta arm's fixed
+    * per-round floor to the vocab-sized recount, which no touched
+    * fraction can see. Each delta streak is therefore judged by its
+    * measured steady per-round wall against the recount rounds' EMA
+    * and abandoned (threshold ÷ 8, geometric so probes are bounded)
+    * if it is not winning. Both arms
     * produce identical windows and identical replaces, so the merge
-    * table stays bit-identical regardless of where the switch lands.
+    * table stays bit-identical regardless of where the switch or the
+    * wall feedback lands.
     *
     * Output is bit-identical to [[trainBatched]] (same window, same
     * greedy admission, same replaces — spec-gated on randomized
@@ -279,6 +291,29 @@ object BpeTrain {
     // body (materializing the table once on each recount→delta
     // transition).
     var pairCountsOpt: Option[(DataFrame, Set[Int])] = None
+    // Round 17 (VERDICT r16 #2 — the calibration run): the touched-
+    // fraction signal alone CANNOT place the crossover, because the
+    // delta arm's per-round FLOOR (4 checkpoints + two touched
+    // explodes + the fold, ~1 s here) competes with a recount whose
+    // cost is VOCAB-sized, not corpus-sized — at 60k types a full
+    // recount round costs ~0.35 s, so the floor loses at every
+    // depth (measured r17: over the 60-round identity window,
+    // recount 20.7 s vs pure delta 53.1 s vs signal-only auto at
+    // 0.05 = 41.0 s — the static threshold picked the losing arm for
+    // 32 rounds). The threshold is therefore only the PROBE trigger;
+    // the commitment is WALL-FEEDBACK: on each delta streak, compare
+    // the streak's steady per-round wall (transition round excluded —
+    // its table build amortizes) against the recount rounds' EMA,
+    // and if delta is not winning after `DeltaProbeRounds`, fall
+    // back to recount and divide the effective threshold by 8 so the
+    // next probe happens only materially deeper. Probes are bounded
+    // (geometric threshold decay) and arms are output-identical, so
+    // the feedback changes cost, never the merge table.
+    val DeltaProbeRounds = 3
+    var effThresh = recountThreshold
+    var recountEma = -1.0
+    var deltaEma = -1.0
+    var deltaStreak = 0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)]
     var round = 1
@@ -322,26 +357,33 @@ object BpeTrain {
               lit(" " + a + b + " "))
         }
         val signal = admitted.map(_._2).sum.toDouble / totalMass
-        val useDelta = signal <= recountThreshold
+        val useDelta = signal <= effThresh
         onArm.foreach(f => f(round, useDelta, signal))
+        val roundT0 = System.nanoTime()
         if (!useDelta) {
           // RECOUNT round — trainBatched's body verbatim: one full
           // replace, no maintained table (dropped if one existed).
           pairCountsOpt.foreach { case (_, ids) => release(s, ids) }
           pairCountsOpt = None
+          deltaStreak = 0; deltaEma = -1.0
           // the observer pays the touched-count job only if watching
           onRound.foreach(f =>
             f(round, cur.filter(touchedPred).count(), admitted.length))
+          // ckptTracked's localCheckpoint is EAGER, so the round's
+          // work lands inside this timed window
           val (nc, ncIds) = ckptTracked(
             cur.select(trim(applied).as("s"), col("cnt")))
           release(s, curIds)
           cur = nc; curIds = ncIds
+          val w = (System.nanoTime() - roundT0) / 1e9
+          recountEma = if (recountEma < 0) w else 0.5 * recountEma + 0.5 * w
         } else {
           // DELTA round — materialize the maintained table on the
           // recount→delta transition (one full pair explode, paid
           // once per transition, after which rounds scale with
           // touched words).
-          if (pairCountsOpt.isEmpty)
+          val isTransition = pairCountsOpt.isEmpty
+          if (isTransition)
             pairCountsOpt = Some(ckptTracked(pairsOf(cur)))
           val (pairCounts, pcIds) = pairCountsOpt.get
           val (touched, tIds) = ckptTracked(cur.filter(touchedPred))
@@ -371,6 +413,22 @@ object BpeTrain {
           release(s, curIds ++ pcIds ++ tIds ++ rIds)
           cur = nc; curIds = ncIds
           pairCountsOpt = Some((npc, npcIds))
+          // wall feedback: steady delta rounds only (the transition
+          // round carries the amortized table build)
+          if (!isTransition) {
+            val w = (System.nanoTime() - roundT0) / 1e9
+            deltaEma = if (deltaEma < 0) w else 0.5 * deltaEma + 0.5 * w
+            deltaStreak += 1
+            if (deltaStreak >= DeltaProbeRounds && recountEma > 0 &&
+                deltaEma > recountEma) {
+              // the probe lost: this corpus's recount is cheaper than
+              // the delta floor at the current depth — fall back (the
+              // next recount round drops the table) and defer the
+              // next probe to a materially deeper signal
+              effThresh = effThresh / 8.0
+              deltaStreak = 0; deltaEma = -1.0
+            }
+          }
         }
         round += 1
       }
