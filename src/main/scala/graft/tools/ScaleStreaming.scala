@@ -138,6 +138,12 @@ object ScaleStreaming {
       s""""state_rows_max":${if (rows.isEmpty) -1L else rows.max},""" +
       s""""state_rows_last":${rows.lastOption.getOrElse(-1L)},""" +
       s""""state_mb_last":${fmt(samples.lastOption.map(_.stateMb).getOrElse(-1.0))},""" +
+      // raw per-batch series (bounded: probes see at most dozens of
+      // batches) so aggregate claims reconcile from the artifact —
+      // r17's capped plaid probe had an avg_processed_rps no reader
+      // could square with p50_batch_ms without these
+      s""""batch_rows_series":[${samples.map(_.inRows).mkString(",")}],""" +
+      s""""batch_ms_series":[${samples.map(_.batchMs).mkString(",")}],""" +
       s""""state_rows_series":[${rows.mkString(",")}]}""")
   }
 
@@ -303,6 +309,8 @@ object ScaleStreaming {
     if (want("decontam_gate")) decontamGateProbe(spark, rate, secs)
     if (want("bm25_serve")) bm25ServeProbe(spark, rate, secs)
     if (want("plaid_serve")) plaidServeProbe(spark, rate, secs)
+    if (want("plaid_serve_capped"))
+      plaidServeProbe(spark, rate, secs, capped = true)
     if (want("bm25_wand")) bm25WandProbe(spark, rate, secs, pruned = true)
     if (want("bm25_wand_ex"))
       bm25WandProbe(spark, rate, secs, pruned = false)
@@ -1141,7 +1149,7 @@ object ScaleStreaming {
     * served/sec — run the probe above capacity so the report names
     * the ceiling. */
   private def plaidServeProbe(spark: SparkSession, qRate: Int,
-                              secs: Int): Unit = {
+                              secs: Int, capped: Boolean = false): Unit = {
     val LI = graft.operators.LateInteraction
     val n = 100000L
     val rarePool = n / 10
@@ -1151,10 +1159,27 @@ object ScaleStreaming {
       .mode("overwrite").saveAsTable("graft_scaleplaid_tokmap")
     val tokMap = spark.table("graft_scaleplaid_tokmap").cache()
     tokMap.count()
-    val qs = spark.readStream.format("rate")
-      .option("rowsPerSecond", qRate)
-      .option("numPartitions", 8)
-      .load()
+    // `capped`: ADMISSION-bounded regime (VERDICT r16 #4). The plain
+    // rate source has no maxOffsetsPerTrigger knob, so under overload
+    // each trigger swallows the whole backlog and latency concentrates
+    // into ever-bigger batches (r17 measured: one 179.6 s ~27k-query
+    // batch at rate 100 — throughput fine at 150 rps, steady state
+    // unmeasurable). rate-micro-batch hands each trigger EXACTLY
+    // rowsPerBatch rows — the production admission cap a queue-fed
+    // serve would run — so the probe measures a ≥3-batch steady state
+    // whose qps is rowsPerBatch over batch time.
+    val src0 =
+      if (capped)
+        spark.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", 1024)
+          .option("numPartitions", 8)
+          .load()
+      else
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", qRate)
+          .option("numPartitions", 8)
+          .load()
+    val qs = src0
       .select(col("value").as("query_id"), array(
         concat(lit("r"),
           pmod(xxhash64(col("value"), lit(1)), lit(rarePool))),
@@ -1176,7 +1201,8 @@ object ScaleStreaming {
       }
       .option("checkpointLocation", ckpt("plaidserve"))
       .start()
-    report("plaid_serve", qRate, n, drive(q, secs))
+    report(if (capped) "plaid_serve_capped" else "plaid_serve",
+      qRate, n, drive(q, secs))
     tokMap.unpersist()
     graft.queries.Warehouse.reset(spark, "graft_scaleplaid_tokmap")
   }
