@@ -327,6 +327,14 @@ object BpeTrain {
       // window from the maintained table (delta mode) or a full
       // recount (recount mode) — identical contents either way, the
       // incremental-equals-recount invariant the spec gates.
+      // The round timer starts BEFORE the window read: in recount
+      // mode the window IS the full pairsOf explode — the recount
+      // arm's defining cost — so starting the clock after it would
+      // understate recountEma and make the wall feedback abandon a
+      // genuinely-winning delta arm on corpora where the explode
+      // dominates (r17 review). The observer's touched-count job
+      // lands inside both arms' windows symmetrically.
+      val roundT0 = System.nanoTime()
       val window = pairCountsOpt.map(_._1).getOrElse(pairsOf(cur))
         .orderBy(col("n").desc, col("p").asc)
         .limit(batchSize)
@@ -359,7 +367,6 @@ object BpeTrain {
         val signal = admitted.map(_._2).sum.toDouble / totalMass
         val useDelta = signal <= effThresh
         onArm.foreach(f => f(round, useDelta, signal))
-        val roundT0 = System.nanoTime()
         if (!useDelta) {
           // RECOUNT round — trainBatched's body verbatim: one full
           // replace, no maintained table (dropped if one existed).
@@ -422,10 +429,14 @@ object BpeTrain {
             if (deltaStreak >= DeltaProbeRounds && recountEma > 0 &&
                 deltaEma > recountEma) {
               // the probe lost: this corpus's recount is cheaper than
-              // the delta floor at the current depth — fall back (the
-              // next recount round drops the table) and defer the
-              // next probe to a materially deeper signal
-              effThresh = effThresh / 8.0
+              // the delta floor at the current depth — force the fall
+              // back by dropping the threshold BELOW the current
+              // signal (÷8 of the threshold alone could still sit
+              // above a deeply-converged signal and strand the run on
+              // the losing arm — r17 review), so the next round runs
+              // recount (dropping the table) and the next probe fires
+              // only once the signal falls another 8× from here
+              effThresh = math.min(effThresh, signal) / 8.0
               deltaStreak = 0; deltaEma = -1.0
             }
           }

@@ -144,6 +144,19 @@ object LateInteraction {
     * `withQv` (any frame carrying a `qv` vector) probes its own sign
     * bucket plus every bucket within the Hamming radius, as an
     * exploded `bkt` column. */
+  /** The stage-1 collision relation — the bucketed token map joined
+    * against the broadcast multiprobe set of `terms` (which must
+    * carry `qterm` and `qv`). ONE definition shared by
+    * [[maxSimTopKPlaidFromMap]]'s nomination pass and the scale
+    * gates' [[nominationPairCount]] work proxy, so the proxy counts
+    * exactly the pairs the serve scores (r17 review: a drifted copy
+    * would certify work the serve no longer does). */
+  private def termCollisions(tokMap: DataFrame, terms: DataFrame,
+                             bits: Int, hamming: Int): DataFrame =
+    tokMap
+      .withColumn("bkt", vecSignBucket(col("dv"), bits))
+      .join(broadcast(multiprobe(terms, bits, hamming)), Seq("bkt"))
+
   private def multiprobe(withQv: DataFrame, bits: Int,
                          hamming: Int): DataFrame = {
     val masks = (0L until (1L << bits))
@@ -310,15 +323,12 @@ object LateInteraction {
       .distinct()
     val terms = qpairs.select("qterm").distinct()
       .withColumn("qv", tokenVec(col("qterm"), dim))
-    val probes = multiprobe(terms, bits, hamming)
     // stage 1: per-(term, doc) maxima over bucket-collided pairs
     // (collision is query-independent), fanned back to (query, doc)
     // sums — the same (query, doc, term) triples the per-query join
     // produced, since a query-doc pair scores iff SOME query term
     // collides, which sharing preserves.
-    val mx1 = tokMap
-      .withColumn("bkt", vecSignBucket(col("dv"), bits))
-      .join(broadcast(probes), Seq("bkt"))
+    val mx1 = termCollisions(tokMap, terms, bits, hamming)
       .select(col("doc_id"), col("qterm"), pairDot.as("d"))
       .groupBy("doc_id", "qterm")
       .agg(max(col("d")).as("mx"))
@@ -393,11 +403,19 @@ object LateInteraction {
     if (n <= maxQueriesPerPlan)
       maxSimTopKPlaidFromMap(tokMap, queries, dim, k, bits, c, hamming)
     else {
+      // materialize the (batch-sized) query frame ONCE before
+      // chunking: each chunk filter would otherwise re-plan and
+      // re-execute the caller's upstream lineage — e.g. the
+      // foreachBatch groupBy — once per chunk, exactly when batches
+      // are biggest (r17 review). The checkpoint blocks are
+      // batch-sized and reclaimed by the ContextCleaner once the
+      // frame is unreachable.
+      val q2 = queries.localCheckpoint()
       val nChunks = ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
       (0 until nChunks)
         .map(i => maxSimTopKPlaidFromMap(
           tokMap,
-          queries.filter(
+          q2.filter(
             pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
           dim, k, bits, c, hamming))
         .reduce(_.unionByName(_))
@@ -459,28 +477,17 @@ object LateInteraction {
     * given probe config — the KERNEL-INDEPENDENT work proxy the scale
     * gates compare against exact-from-map's |tokMap|·|distinct terms|
     * (VERDICT r16 #5: wall ratios moved with every kernel landing;
-    * the collided-pair count only moves with the pruning geometry). */
+    * the collided-pair count only moves with the pruning geometry).
+    * Counts over [[termCollisions]] — the SAME relation stage 1
+    * scores — so the proxy cannot drift from the serve's geometry. */
   private[graft] def nominationPairCount(tokMap: DataFrame,
       queries: DataFrame, dim: Int, bits: Int,
       hamming: Int): Long = {
     val terms = queries
       .select(explode(col("terms")).as("qterm")).distinct()
       .withColumn("qv", tokenVec(col("qterm"), dim))
-    tokMap
-      .withColumn("bkt", vecSignBucket(col("dv"), bits))
-      .join(broadcast(multiprobe(terms, bits, hamming)), Seq("bkt"))
-      .count()
+    termCollisions(tokMap, terms, bits, hamming).count()
   }
-
-  /** [[maxSimServeFromMapPlan]]'s result alone — the serve-site entry
-    * point. */
-  def maxSimServeFromMap(tokMap: DataFrame, queries: DataFrame,
-                         dim: Int, k: Int, bits: Int = 6,
-                         c: Int = 100, hamming: Int = 1,
-                         crossoverRows: Long =
-                           DefaultServeCrossoverRows): DataFrame =
-    maxSimServeFromMapPlan(tokMap, queries, dim, k, bits, c, hamming,
-      crossoverRows)._2
 
   /** MaxSim over ARBITRARY multi-vector relations — the form a real
     * per-token (or per-chunk) embedding table feeds, decoupled from

@@ -56,6 +56,32 @@ object Behavior {
     }
   }
 
+  /** The SSJoin brute-force oracle — ONE template shared by d61
+    * (doc_id < 100 slice) and d143 (full table, the pruning-active
+    * clique regime): the all-shared-token join whose hash would
+    * mismatch on any unsound pruning. `where` restricts the corpus
+    * ("" = whole table); tokenization mirrors SSJoin.tokenize
+    * verbatim. */
+  private def ssjoinBruteOracle(where: String): String =
+    s"""WITH tk0 AS (
+    |  SELECT doc_id, list_distinct(list_filter(
+    |    string_split_regex(lower(text), '[^a-z0-9]+'),
+    |    x -> x <> '')) AS arr
+    |  FROM documents$where),
+    |tk AS (
+    |  SELECT doc_id, len(arr) AS sz, unnest(arr) AS tok FROM tk0),
+    |pairs AS (
+    |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ov,
+    |    MIN(x.sz) AS sza, MIN(y.sz) AS szb
+    |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT a, b, CAST(ov AS BIGINT) AS ov,
+    |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
+    |FROM pairs
+    |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
+    |      >= CAST(0.9 AS DOUBLE)
+    |ORDER BY a, b""".stripMargin
+
   private val GapUs = 1800000000L  // 30-minute session gap
   private val HourUs = 3600000000L
 
@@ -709,24 +735,7 @@ object Behavior {
           t(s, dir, "documents").filter(col("doc_id") < 100),
           "doc_id", "text", t = 0.9)
         .orderBy("a", "b"),
-      Some("""WITH tk0 AS (
-        |  SELECT doc_id, list_distinct(list_filter(
-        |    string_split_regex(lower(text), '[^a-z0-9]+'),
-        |    x -> x <> '')) AS arr
-        |  FROM documents WHERE doc_id < 100),
-        |tk AS (
-        |  SELECT doc_id, len(arr) AS sz, unnest(arr) AS tok FROM tk0),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ov,
-        |    MIN(x.sz) AS sza, MIN(y.sz) AS szb
-        |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, CAST(ov AS BIGINT) AS ov,
-        |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
-        |FROM pairs
-        |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
-        |      >= CAST(0.9 AS DOUBLE)
-        |ORDER BY a, b""".stripMargin)),
+      Some(ssjoinBruteOracle(" WHERE doc_id < 100"))),
 
     Q("d143_ssjoin_clique",
       "d61's SSJoin in a pruning-ACTIVE regime (VERDICT r16 #6): the " +
@@ -744,22 +753,5 @@ object Behavior {
       (s, dir) => graft.operators.SSJoin.join(
           t(s, dir, "documents"), "doc_id", "text", t = 0.9)
         .orderBy("a", "b"),
-      Some("""WITH tk0 AS (
-        |  SELECT doc_id, list_distinct(list_filter(
-        |    string_split_regex(lower(text), '[^a-z0-9]+'),
-        |    x -> x <> '')) AS arr
-        |  FROM documents),
-        |tk AS (
-        |  SELECT doc_id, len(arr) AS sz, unnest(arr) AS tok FROM tk0),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ov,
-        |    MIN(x.sz) AS sza, MIN(y.sz) AS szb
-        |  FROM tk x JOIN tk y ON x.tok = y.tok AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, CAST(ov AS BIGINT) AS ov,
-        |  CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE) AS jaccard
-        |FROM pairs
-        |WHERE CAST(ov AS DOUBLE) / CAST(sza + szb - ov AS DOUBLE)
-        |      >= CAST(0.9 AS DOUBLE)
-        |ORDER BY a, b""".stripMargin)))
+      Some(ssjoinBruteOracle(""))))
 }

@@ -184,6 +184,7 @@ object LlmOps {
     * discipline (a fresh localCheckpoint per invocation pinned a new
     * copy of the blocks every bench sample — the r16 review's leak
     * finding) and gated on the fp-side error contract at build time. */
+  private val bloomDecontLock = new Object
   private val bloomDecontMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
@@ -191,14 +192,19 @@ object LlmOps {
   private def bloomDecontAgg(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
-    Option(bloomDecontMemo.get(key)).getOrElse {
-      // Snapshot live block ids so a putIfAbsent race loser can
-      // release its duplicate checkpointed agg (ADVICE r16): the
-      // Dataset has no handle back to its localCheckpoint RDD, so the
-      // delta-scoped getPersistentRDDs release (the BpeTrain/Scale
-      // discipline) is the only way to free the losing copy. Latent
-      // today (Verify/Bench are single-threaded).
-      val beforeIds = s.sparkContext.getPersistentRDDs.keySet.toSet
+    // Double-checked locking on a PRIVATE lock, not get+putIfAbsent:
+    // a race loser's checkpointed agg cannot be released safely (a
+    // delta-scoped getPersistentRDDs sweep would catch the WINNER's
+    // blocks created inside the loser's window and truncate the
+    // memoized frame's lineage — r17 review), so the only sound
+    // concurrent shape is to never build a loser. The private lock
+    // serializes d142 builders only (the documented objection to
+    // computeIfAbsent was holding the MAP's bin lock across a Spark
+    // job, which blocks unrelated keys; this blocks exactly the
+    // callers who would otherwise duplicate the build). Latent
+    // today — Verify/Bench are single-threaded.
+    Option(bloomDecontMemo.get(key)).getOrElse(bloomDecontLock.synchronized {
+      Option(bloomDecontMemo.get(key)).getOrElse {
       val C = graft.operators.Contamination
       val d = t(s, dir, "documents")
         .withColumn("split", TA.trainValTestSplit(col("text")))
@@ -245,15 +251,10 @@ object LlmOps {
           s"the requested-fpp bound (fpp=$fpp over $negShingles " +
           "clean-shingle probes) — the filter is under-sized or " +
           "clamped")
-      Option(bloomDecontMemo.putIfAbsent(key, agg)) match {
-        case Some(winner) =>
-          val live = s.sparkContext.getPersistentRDDs
-          (live.keySet.toSet -- beforeIds)
-            .foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-          winner
-        case None => agg
+      bloomDecontMemo.put(key, agg)
+      agg
       }
-    }
+    })
   }
   private def neardupLabels(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {

@@ -370,6 +370,52 @@ object Search {
     * table, the production shape. The table name carries the dir
     * hash so two dirs in one session never collide; the build starts
     * with the shared `Warehouse.reset` orphan-dir sweep. */
+  /** The Dirichlet query-likelihood oracle CTE chain — ONE template
+    * shared by d144 and the d140 matrix's ql arm (r17 review: a
+    * drifted twin of the smoothing arithmetic would break exactly
+    * one catalog entry). Expects `posts`, `slice` (query-term
+    * postings) and `qry(query_id, term)` CTEs in scope; emits
+    * `${p}agg(query_id, doc_id, score)`. */
+  private def qlOracleCtes(p: String): String =
+    s"""${p}coll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
+    |${p}cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
+    |  FROM slice GROUP BY term),
+    |${p}cand AS (SELECT DISTINCT q.query_id, s.doc_id, s.dl
+    |  FROM slice s JOIN qry q USING (term)),
+    |${p}rws AS (SELECT c.query_id, c.doc_id,
+    |    round(ln((COALESCE(s.tf, 0) + (300.0 * f.cf) / ${p}coll.c_total) /
+    |      (c.dl + 300.0)), 9) AS contrib
+    |  FROM ${p}cand c
+    |  JOIN qry q ON q.query_id = c.query_id
+    |  JOIN ${p}cf f ON f.term = q.term
+    |  LEFT JOIN slice s ON s.doc_id = c.doc_id AND s.term = q.term
+    |  CROSS JOIN ${p}coll),
+    |${p}agg AS (SELECT query_id, doc_id,
+    |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
+    |      AS score
+    |  FROM ${p}rws GROUP BY 1, 2)""".stripMargin
+
+  /** The documents postings relation, localCheckpoint'ed ONCE per
+    * (session, dir) with the get + putIfAbsent discipline — shared by
+    * d144 (benched headline) and d140. A fresh checkpoint per
+    * invocation would pin a new corpus-postings copy every bench
+    * sample for the JVM's life (the r16/r17 review's named leak
+    * class). */
+  private val postsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def postings(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val key = (s, dir)
+    Option(postsMemo.get(key)).getOrElse {
+      val p = graft.operators.Retrieval
+        .postings(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint()
+      Option(postsMemo.putIfAbsent(key, p)).getOrElse(p)
+    }
+  }
+
   private val plaidTokMapMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
@@ -1887,10 +1933,7 @@ object Search {
         import s.implicits._
         val q = QueryTerms.toDF("query_id", "term")
         graft.operators.Retrieval.qlDirichletTopK(
-          graft.operators.Retrieval
-            .postings(t(s, dir, "documents"), "doc_id", "text")
-            .localCheckpoint(),
-          q, k = 10)
+          postings(s, dir), q, k = 10)
           .orderBy("query_id", "rk")
       },
       Some(s"""WITH posts AS (
@@ -1900,25 +1943,9 @@ object Search {
         |    FROM documents)
         |  GROUP BY doc_id, term),
         |qry(query_id, term) AS (VALUES $QuerySql),
-        |coll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
         |slice AS (SELECT p.* FROM posts p
         |          WHERE term IN (SELECT DISTINCT term FROM qry)),
-        |cf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
-        |  FROM slice GROUP BY term),
-        |cand AS (SELECT DISTINCT q.query_id, s.doc_id, s.dl
-        |  FROM slice s JOIN qry q USING (term)),
-        |rws AS (SELECT c.query_id, c.doc_id,
-        |    round(ln((COALESCE(s.tf, 0) + (300.0 * cf.cf) / coll.c_total) /
-        |      (c.dl + 300.0)), 9) AS contrib
-        |  FROM cand c
-        |  JOIN qry q ON q.query_id = c.query_id
-        |  JOIN cf ON cf.term = q.term
-        |  LEFT JOIN slice s ON s.doc_id = c.doc_id AND s.term = q.term
-        |  CROSS JOIN coll),
-        |agg AS (SELECT query_id, doc_id,
-        |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-        |      AS score
-        |  FROM rws GROUP BY 1, 2)
+        |${qlOracleCtes("")}
         |SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
@@ -1958,8 +1985,10 @@ object Search {
         val qArr = QueryTerms.groupBy(_._1).toSeq
           .map { case (qq, ts) => (qq, ts.map(_._2)) }
           .toDF("query_id", "terms")
-        val posts = Retrieval.postings(docs, "doc_id", "text")
-          .localCheckpoint()   // lex run + qrels read one scan
+        // memoized checkpoint (shared with d144): lex run + qrels +
+        // the ql arm read one scan, and repeat invocations don't pin
+        // fresh corpus-postings copies
+        val posts = postings(s, dir)
         val qrels = posts.join(broadcast(q), "term")
           .groupBy("query_id", "doc_id")
           .agg(countDistinct(col("term")).as("nt"))
@@ -2183,23 +2212,7 @@ object Search {
       |        PARTITION BY query_id
       |        ORDER BY score DESC, doc_id ASC) AS rk
       |    FROM fused) WHERE rk <= 10),
-      |qlcoll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
-      |qlcf AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
-      |  FROM slice GROUP BY term),
-      |qlcand AS (SELECT DISTINCT q.query_id, s.doc_id, s.dl
-      |  FROM slice s JOIN qry q USING (term)),
-      |qlrws AS (SELECT c.query_id, c.doc_id,
-      |    round(ln((COALESCE(s.tf, 0) + (300.0 * f.cf) / qlcoll.c_total) /
-      |      (c.dl + 300.0)), 9) AS contrib
-      |  FROM qlcand c
-      |  JOIN qry q ON q.query_id = c.query_id
-      |  JOIN qlcf f ON f.term = q.term
-      |  LEFT JOIN slice s ON s.doc_id = c.doc_id AND s.term = q.term
-      |  CROSS JOIN qlcoll),
-      |qlagg AS (SELECT query_id, doc_id,
-      |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
-      |      AS score
-      |  FROM qlrws GROUP BY 1, 2),
+      |${qlOracleCtes("ql")},
       |run_ql AS (SELECT query_id, doc_id, rk FROM (
       |    SELECT query_id, doc_id, row_number() OVER (
       |        PARTITION BY query_id

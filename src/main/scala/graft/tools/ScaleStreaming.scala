@@ -1201,8 +1201,12 @@ object ScaleStreaming {
       }
       .option("checkpointLocation", ckpt("plaidserve"))
       .start()
+    // capped mode has no offered rate — the source hands a fixed
+    // rowsPerBatch per trigger regardless of the CLI rate arg, so
+    // recording qRate would claim an offer that was never made
+    // (r17 review); batch_rows_series carries the real admission
     report(if (capped) "plaid_serve_capped" else "plaid_serve",
-      qRate, n, drive(q, secs))
+      if (capped) -1 else qRate, n, drive(q, secs))
     tokMap.unpersist()
     graft.queries.Warehouse.reset(spark, "graft_scaleplaid_tokmap")
   }
