@@ -132,7 +132,11 @@ object Bench {
     // the shared persisted token map. d143_ssjoin_clique is
     // deliberately NOT here: d61_ssjoin_full above already times the
     // identical full-corpus join body.
-    "d144_ql_dirichlet", "d145_maxsim_auto_serve")
+    "d144_ql_dirichlet", "d145_maxsim_auto_serve",
+    // the persisted-index QL serve (shares d75/d101's memoized index:
+    // the cold sample pays nothing extra, warm samples measure the
+    // pruned-slice serve with |C| read from the stored stats)
+    "d146_ql_dirichlet_indexed")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays

@@ -469,7 +469,40 @@ object Retrieval {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val qdistinct = qterms.select("term").distinct()
     val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
-    val slice = posts.join(broadcast(qdistinct), "term")
+    qlGather(posts.join(broadcast(qdistinct), "term"), qterms, coll,
+      mu, k)
+  }
+
+  /** [[qlDirichletTopK]] from the PERSISTED index — the d67/d75
+    * production shape: the collection constant |C| comes EXACTLY
+    * from the stored stats (`sum_tokens` IS Σ tf, kept as an exact
+    * long and decremented exactly on compaction), so the one
+    * corpus-LM pass the batch scorer pays disappears entirely; the
+    * slice is a term-pruned bucketed read, and cf over the slice IS
+    * the collection frequency (the slice holds every posting of the
+    * query's terms). Bit-identical to the batch scorer over the same
+    * corpus — d146's oracle is d144's verbatim. */
+  def qlDirichletIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, queries: DataFrame, k: Int,
+                             mu: Double = 300.0,
+                             nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val termList = qterms.select("term").distinct()
+      .as[String].collect().toSeq            // bounded: the query set
+    val coll = spark.read.parquet(s"${root(spark, dir)}/stats")
+      .select(col("sum_tokens").cast("double").as("c_total"))
+    qlGather(readServableSlice(spark, dir, termList, nBuckets),
+      qterms, coll, mu, k)
+  }
+
+  /** The Dirichlet-QL scoring tail shared by the batch and indexed
+    * serves: candidates from the query-term `slice`, absent-term
+    * smoothing via the left join, contrib rounded to 9 as DECIMAL —
+    * ONE definition so the two serve shapes cannot drift. */
+  private def qlGather(slice: DataFrame, qterms: DataFrame,
+                       coll: DataFrame, mu: Double,
+                       k: Int): DataFrame = {
     val cf = slice.groupBy("term")
       .agg(sum(col("tf")).cast("double").as("cf"))
     val cand = slice.join(broadcast(qterms), "term")

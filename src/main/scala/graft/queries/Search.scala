@@ -395,6 +395,26 @@ object Search {
     |      AS score
     |  FROM ${p}rws GROUP BY 1, 2)""".stripMargin
 
+  /** The Dirichlet-QL top-10 oracle — shared VERBATIM by d144
+    * (batch) and d146 (persisted-index serve): the indexed path must
+    * equal the batch scorer per-bit, the d67/d75 discipline. */
+  private val QlOracleSql: String =
+    s"""WITH posts AS (
+    |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+    |           unnest(string_split(text, ' ')) AS term
+    |    FROM documents)
+    |  GROUP BY doc_id, term),
+    |qry(query_id, term) AS (VALUES $QuerySql),
+    |slice AS (SELECT p.* FROM posts p
+    |          WHERE term IN (SELECT DISTINCT term FROM qry)),
+    |${qlOracleCtes("")}
+    |SELECT CAST(query_id AS BIGINT) AS query_id,
+    |  CAST(row_number() OVER (PARTITION BY query_id
+    |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+    |  doc_id, score
+    |FROM agg QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   /** The documents postings relation, localCheckpoint'ed ONCE per
     * (session, dir) with the get + putIfAbsent discipline — shared by
     * d144 (benched headline) and d140. A fresh checkpoint per
@@ -1936,21 +1956,27 @@ object Search {
           postings(s, dir), q, k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH posts AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
-        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |           unnest(string_split(text, ' ')) AS term
-        |    FROM documents)
-        |  GROUP BY doc_id, term),
-        |qry(query_id, term) AS (VALUES $QuerySql),
-        |slice AS (SELECT p.* FROM posts p
-        |          WHERE term IN (SELECT DISTINCT term FROM qry)),
-        |${qlOracleCtes("")}
-        |SELECT CAST(query_id AS BIGINT) AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
-        |  doc_id, score
-        |FROM agg QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(QlOracleSql)),
+
+    Q("d146_ql_dirichlet_indexed",
+      "d144's Dirichlet query-likelihood serve from the PERSISTED " +
+        "inverted index (the d67/d75 production shape, sharing " +
+        "d75/d101's memoized read-only index): the collection " +
+        "constant |C| comes EXACTLY from the stored stats " +
+        "(sum_tokens IS the Sigma-tf long the batch scorer " +
+        "aggregates, decremented exactly on compaction), so the one " +
+        "corpus-LM pass disappears; the slice is a term-pruned " +
+        "bucketed read and cf over it IS the collection frequency. " +
+        "Results must equal the batch path per-bit: the oracle is " +
+        "d144's VERBATIM.",
+      (s, dir) => {
+        import s.implicits._
+        val q = QueryTerms.toDF("query_id", "term")
+        graft.operators.Retrieval.qlDirichletIndexedTopK(
+          s, textIndexDir(s, dir), q, k = 10, nBuckets = 16)
+          .orderBy("query_id", "rk")
+      },
+      Some(QlOracleSql)),
 
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +

@@ -223,6 +223,31 @@ class LateInteractionSpec extends AnyFunSpec {
     }
   }
 
+  describe("LateInteraction.maxSimTopKPlaidFromMapCapped") {
+    it("chunked serving above the per-plan cap is bit-identical to " +
+        "the uncapped serve (batch composition cannot change any " +
+        "query's answer) and delegates through at or under the cap") {
+      val df = corpus(80).toDF("doc_id", "text")
+      val qs = queries.toDF("query_id", "terms")
+      val tokMap = LateInteraction
+        .docTokenMap(df, "doc_id", "text", dim = Dim)
+      val uncapped = LateInteraction.maxSimTopKPlaidFromMap(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      // cap of 1 forces ceil(n/1) = n chunks — the maximal split
+      val capped = LateInteraction.maxSimTopKPlaidFromMapCapped(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+          maxQueriesPerPlan = 1)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(capped == uncapped && uncapped.nonEmpty)
+      val passthrough = LateInteraction.maxSimTopKPlaidFromMapCapped(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+          maxQueriesPerPlan = Int.MaxValue)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(passthrough == uncapped)
+    }
+  }
+
   describe("LateInteraction.maxSimServeFromMapPlan") {
     it("picks the exact arm below the row crossover and the plaid " +
         "arm above it, each bit-identical to the named arm (VERDICT " +
