@@ -399,18 +399,21 @@ object LateInteraction {
       queries: DataFrame, dim: Int, k: Int, bits: Int = 6,
       c: Int = 100, hamming: Int = 1,
       maxQueriesPerPlan: Int = 512): DataFrame = {
-    val n = queries.count()
+    // Checkpoint FIRST, then count the checkpointed frame (r17
+    // review): counting the raw frame and checkpointing it after
+    // executed the caller's upstream lineage twice — precisely on
+    // the giant backlogged batches the cap exists for (e.g. a
+    // foreachBatch groupBy ran twice on a ~27k-query batch). The
+    // pinned blocks on the common under-cap path are batch-sized
+    // and reclaimed by the ContextCleaner once the frame is
+    // unreachable — cheaper than one extra lineage execution on
+    // the over-cap path by construction (the cap targets batches
+    // whose lineage is the expensive part).
+    val q2 = queries.localCheckpoint()
+    val n = q2.count()
     if (n <= maxQueriesPerPlan)
-      maxSimTopKPlaidFromMap(tokMap, queries, dim, k, bits, c, hamming)
+      maxSimTopKPlaidFromMap(tokMap, q2, dim, k, bits, c, hamming)
     else {
-      // materialize the (batch-sized) query frame ONCE before
-      // chunking: each chunk filter would otherwise re-plan and
-      // re-execute the caller's upstream lineage — e.g. the
-      // foreachBatch groupBy — once per chunk, exactly when batches
-      // are biggest (r17 review). The checkpoint blocks are
-      // batch-sized and reclaimed by the ContextCleaner once the
-      // frame is unreachable.
-      val q2 = queries.localCheckpoint()
       val nChunks = ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
       (0 until nChunks)
         .map(i => maxSimTopKPlaidFromMap(
@@ -439,7 +442,21 @@ object LateInteraction {
     * estimate when the relation carries an exact one (CBO-analyzed
     * table), else one count() job — metadata-cheap on a parquet map
     * and paid once per serve-site build, never per query batch (the
-    * d141/d145 sites memoize the table). */
+    * d141/d145 sites memoize the table).
+    *
+    * Stale-ANALYZE caveat (r17 review): catalog stats are a snapshot
+    * from ANALYZE time, so a table mutated since carries a stale
+    * rowCount here. Stale-LOW (appends since ANALYZE) holds the
+    * switch on the exact arm past the real crossover — a latency
+    * miss only, the exact arm is lossless. Stale-HIGH (deletes or an
+    * overwrite-smaller since ANALYZE) is worse: it can flip the
+    * serve to the PLAID arm below the real crossover, which is
+    * RESULT-visible (plaid serves at its documented ~0.978 recall
+    * where exact was both faster and exact). A caller that mutates
+    * its token map must re-ANALYZE after the mutation — or drop the
+    * table's stats entirely, which routes this method to the always-
+    * fresh count(). The d141/d145 memo sites write-once and never
+    * mutate, so their stats cannot go stale. */
   private def tokMapRows(tokMap: DataFrame): Long =
     tokMap.queryExecution.optimizedPlan.stats.rowCount
       .map(_.toLong)

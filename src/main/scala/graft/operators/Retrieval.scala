@@ -481,7 +481,21 @@ object Retrieval {
     * slice is a term-pruned bucketed read, and cf over the slice IS
     * the collection frequency (the slice holds every posting of the
     * query's terms). Bit-identical to the batch scorer over the same
-    * corpus — d146's oracle is d144's verbatim. */
+    * corpus — d146's oracle is d144's verbatim.
+    *
+    * Tombstone staleness window (the bm25IndexedTopK discipline, r17
+    * review): between [[deleteDocs]] and [[compactDeletes]] the two
+    * collection-LM inputs are STALE-INCONSISTENT — cf is FRESH
+    * ([[readServableSlice]] anti-joins tombstoned docs out of the
+    * slice before the cf sum) while |C| is the STORED `sum_tokens`,
+    * decremented only at compaction. Scores in that window match
+    * neither the pre- nor the post-delete corpus exactly; the
+    * bit-identical-to-batch claim above holds for a tombstone-free
+    * index (d146's regime) and snaps back after compaction, exactly
+    * like BM25's documented stale-df window. The ranking stays sane
+    * throughout (|C| stale-high only deflates every p(t|C) by the
+    * same factor), but callers needing exact QL mid-window should
+    * compact first. */
   def qlDirichletIndexedTopK(spark: org.apache.spark.sql.SparkSession,
                              dir: String, queries: DataFrame, k: Int,
                              mu: Double = 300.0,

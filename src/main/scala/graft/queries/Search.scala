@@ -425,15 +425,26 @@ object Search {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
+  private val postsLock = new Object
   private def postings(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
-    Option(postsMemo.get(key)).getOrElse {
-      val p = graft.operators.Retrieval
-        .postings(t(s, dir, "documents"), "doc_id", "text")
-        .localCheckpoint()
-      Option(postsMemo.putIfAbsent(key, p)).getOrElse(p)
-    }
+    // Double-checked locking on a private lock, NOT get+putIfAbsent
+    // (r17 review): a putIfAbsent race loser's localCheckpoint would
+    // pin a corpus-sized postings copy for the JVM's life with no
+    // safe way to release it — the bloomDecontAgg discipline, applied
+    // here so a losing builder is never created. Latent today
+    // (Verify/Bench are single-threaded) but the memo family should
+    // share ONE concurrency story.
+    Option(postsMemo.get(key)).getOrElse(postsLock.synchronized {
+      Option(postsMemo.get(key)).getOrElse {
+        val p = graft.operators.Retrieval
+          .postings(t(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint()
+        postsMemo.put(key, p)
+        p
+      }
+    })
   }
 
   private val plaidTokMapMemo =
