@@ -262,9 +262,35 @@ object Bench {
       // attribution remains heuristic — the sleep bounds the error).
       (ts, shuffleRead.getAndSet(0L) + shuffleWrite.getAndSet(0L))
     }
+    // Evict-on-retire for the catalog memos (VERDICT r17 #7): each
+    // memoized build registers its pinned checkpoint blocks with
+    // MemoRegistry; once a memo's LAST headline consumer has been
+    // sampled, the blocks are dead weight in the storage pool for the
+    // rest of the sweep — release them here, with the storage-tab
+    // before/after emitted as evidence. A later re-buy/retry of the
+    // consumer simply rebuilds (the documented cold-sample shape).
+    // Tags the sweep never built release as no-ops.
+    val memoRetire: Map[String, Seq[String]] = Map(
+      "s10_beam_search_topk" -> Seq("s10_beam_graph"),
+      "d52_graph_pagerank" -> Seq("d52_gram_edges", "cc_labels"),
+      "q54_hll_sketch_union" -> Seq("q54_pairs"),
+      "q80_assoc_rules" -> Seq("q80_baskets"),
+      "d144_ql_dirichlet" -> Seq("postings"))
+    def retireAfter(name: String): Unit =
+      memoRetire.get(name).foreach(_.foreach { tag =>
+        val before = graft.queries.MemoRegistry.storagePinnedMb(spark)
+        val (nRdds, mb) = graft.queries.MemoRegistry.release(tag)
+        if (nRdds > 0)
+          println(s"""{"metric":"memo_release","tag":"$tag",""" +
+            s""""after":"$name","rdds":$nRdds,"mb":${f"$mb%.1f"},""" +
+            s""""pinned_before_mb":${f"$before%.1f"},""" +
+            s""""pinned_after_mb":${
+              f"${graft.queries.MemoRegistry.storagePinnedMb(spark)}%.1f"}}""")
+      })
     val sweep = headline.filter(queries.contains)
       .filter(n => only.forall(_.contains(n))).map { name =>
       val (ts, shuffleBytes) = runSamples(name, nSamples)
+      retireAfter(name)
       (name, ts, shuffleBytes)
     }
     // Outlier pass (VERDICT r10 #3): re-sample any query whose best

@@ -27,11 +27,21 @@ object Extended {
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
+    // registry-tracked (VERDICT r17 #7): Bench retires these blocks
+    // after q54's samples; a release clears the entry so a later
+    // caller rebuilds (the documented cold-sample shape). The
+    // registry's global build lock also supersedes the putIfAbsent
+    // race story — a loser is never built.
     Option(pairsMemo.get(key)).getOrElse {
-      val pairs = t(s, dir, "lineitem")
-        .select("l_returnflag", "l_partkey").distinct()
-        .localCheckpoint()
-      Option(pairsMemo.putIfAbsent(key, pairs)).getOrElse(pairs)
+      MemoRegistry.tracked("q54_pairs", s) {
+        Option(pairsMemo.get(key)).getOrElse {
+          val pairs = t(s, dir, "lineitem")
+            .select("l_returnflag", "l_partkey").distinct()
+            .localCheckpoint()
+          pairsMemo.put(key, pairs)
+          pairs
+        }
+      }(() => { pairsMemo.remove(key); () })
     }
   }
 

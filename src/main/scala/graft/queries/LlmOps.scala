@@ -205,6 +205,7 @@ object LlmOps {
     // today — Verify/Bench are single-threaded.
     Option(bloomDecontMemo.get(key)).getOrElse(bloomDecontLock.synchronized {
       Option(bloomDecontMemo.get(key)).getOrElse {
+      MemoRegistry.tracked("bloom_decont", s) {
       val C = graft.operators.Contamination
       val d = t(s, dir, "documents")
         .withColumn("split", TA.trainValTestSplit(col("text")))
@@ -253,6 +254,7 @@ object LlmOps {
           "clamped")
       bloomDecontMemo.put(key, agg)
       agg
+      }(() => { bloomDecontMemo.remove(key); () })
       }
     })
   }
@@ -265,11 +267,16 @@ object LlmOps {
     // (session, dir) pairs a gate run touches.
     val key = (s, dir)
     Option(ccMemo.get(key)).getOrElse {
-      val pairs = Dedup.candidatePairs(
-        Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text"),
-        "doc_id")
-      val labels = Dedup.connectedComponents(pairs)
-      Option(ccMemo.putIfAbsent(key, labels)).getOrElse(labels)
+      MemoRegistry.tracked("cc_labels", s) {
+        Option(ccMemo.get(key)).getOrElse {
+          val pairs = Dedup.candidatePairs(
+            Dedup.minhashBands(t(s, dir, "documents"), "doc_id", "text"),
+            "doc_id")
+          val labels = Dedup.connectedComponents(pairs)
+          ccMemo.put(key, labels)
+          labels
+        }
+      }(() => { ccMemo.remove(key); () })
     }
   }
 
@@ -288,10 +295,15 @@ object LlmOps {
                         dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
     Option(gramEdgeMemo.get(key)).getOrElse {
-      val edges = Graph.sharedGramEdges(
-        t(s, dir, "documents").filter(col("doc_id") < 150),
-        "doc_id", "text").localCheckpoint()
-      Option(gramEdgeMemo.putIfAbsent(key, edges)).getOrElse(edges)
+      MemoRegistry.tracked("d52_gram_edges", s) {
+        Option(gramEdgeMemo.get(key)).getOrElse {
+          val edges = Graph.sharedGramEdges(
+            t(s, dir, "documents").filter(col("doc_id") < 150),
+            "doc_id", "text").localCheckpoint()
+          gramEdgeMemo.put(key, edges)
+          edges
+        }
+      }(() => { gramEdgeMemo.remove(key); () })
     }
   }
 
@@ -329,9 +341,14 @@ object LlmOps {
                         dir: String): org.apache.spark.sql.DataFrame = {
     val key = (s, dir)
     Option(beamGraphMemo.get(key)).getOrElse {
-      val g = Similarity.seedGraphFor(
-        t(s, dir, "embeddings"), "vec_id", "embedding")
-      Option(beamGraphMemo.putIfAbsent(key, g)).getOrElse(g)
+      MemoRegistry.tracked("s10_beam_graph", s) {
+        Option(beamGraphMemo.get(key)).getOrElse {
+          val g = Similarity.seedGraphFor(
+            t(s, dir, "embeddings"), "vec_id", "embedding")
+          beamGraphMemo.put(key, g)
+          g
+        }
+      }(() => { beamGraphMemo.remove(key); () })
     }
   }
 

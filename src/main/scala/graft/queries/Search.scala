@@ -438,9 +438,15 @@ object Search {
     // share ONE concurrency story.
     Option(postsMemo.get(key)).getOrElse(postsLock.synchronized {
       Option(postsMemo.get(key)).getOrElse {
-        val p = graft.operators.Retrieval
-          .postings(t(s, dir, "documents"), "doc_id", "text")
-          .localCheckpoint()
+        // built through the registry so Bench can retire the pinned
+        // postings blocks once their last headline consumer ran
+        // (VERDICT r17 #7); a release clears this memo entry, so a
+        // later caller rebuilds — the documented cold-sample shape.
+        val p = MemoRegistry.tracked("postings", s) {
+          graft.operators.Retrieval
+            .postings(t(s, dir, "documents"), "doc_id", "text")
+            .localCheckpoint()
+        }(() => { postsMemo.remove(key); () })
         postsMemo.put(key, p)
         p
       }
