@@ -535,6 +535,128 @@ object Retrieval {
     gatherTopK(rows, k)
   }
 
+  /** Sequential Dependence Model ranking (Metzler & Croft, SIGIR'05
+    * — VERDICT r17 #8): the standard combination of THREE Dirichlet-
+    * smoothed feature families over a query's term SEQUENCE,
+    * `score(q,d) = λ_T Σ_t f_T + λ_O Σ_(a,b) f_O + λ_U Σ_(a,b) f_U`
+    * with each `f = ln((tf_X(d) + μ·cf_X/|C|) / (dl + μ))`, where X
+    * ranges over (T) the query's unigrams, (O) each ADJACENT query
+    * bigram matched as an exact ordered window (`pos_b = pos_a + 1`,
+    * Indri's `#1`), and (U) the same bigram matched UNORDERED within
+    * a `window`-token span (`0 < |pos_b − pos_a| < window`, Indri's
+    * `#uw8` at the default 8) — the canonical (0.85, 0.1, 0.05)
+    * weighting. The unigram family is d144's QL arm verbatim;
+    * windows come from the d110 positional postings.
+    *
+    * Candidates are docs matching ≥ 1 query unigram (the
+    * postings-driven serve shape); within a candidate every feature
+    * still scores its ABSENT windows (tf_X = 0 via the left joins),
+    * so the ranking among candidates is the full SDM order. Features
+    * whose collection frequency is zero drop out of the sum — the
+    * d144 OOV discipline, applied per family (a bigram never seen
+    * ordered-adjacent in the corpus contributes to no doc; its
+    * UNORDERED twin can still fire).
+    *
+    * Scale shape: one corpus aggregate for |C| (a 1-row broadcast);
+    * postings and positions are touched only on their query-term
+    * slices (term-pruned bucketed reads when served from the d113
+    * positional index); the window joins key on (doc, term) within
+    * the slice — bounded by the query terms' position lists, never
+    * corpus-pairwise. Cross-engine determinism: per-feature contribs
+    * round to 9 decimals and sum as DECIMAL per family, the three
+    * family sums combine under IEEE doubles in one fixed expression
+    * order, final score rounds to 6 — the BM25/QL discipline.
+    *
+    * `queries` is `(query_id, qpos, term)` — qpos the 0-based
+    * position in the query's term sequence (SDM is defined on the
+    * sequence, not the set). Pass MATERIALIZED `posts`/`posPosts`
+    * (multiple differently-filtered consumers — the d100
+    * FileScan-dedup lesson). */
+  def sdmTopK(posts: DataFrame, posPosts: DataFrame, queries: DataFrame,
+              k: Int, mu: Double = 300.0, window: Int = 8,
+              lamT: Double = 0.85, lamO: Double = 0.1,
+              lamU: Double = 0.05): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(28, 9)
+    val qt = queries.select(col("query_id"),
+      col("qpos").cast("long").as("qpos"), col("term"))
+    val uni = qt.select("query_id", "term").distinct()
+    val qdistinct = uni.select("term").distinct()
+    val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
+    val slice = posts.join(broadcast(qdistinct), "term")
+    val cfT = slice.groupBy("term")
+      .agg(sum(col("tf")).cast("double").as("cf"))
+    val cand = slice.join(broadcast(uni), "term")
+      .select("query_id", "doc_id", "dl").distinct()
+    def smoothed(tfCol: Column, cfCol: Column): Column =
+      round(log((coalesce(tfCol, lit(0L)).cast("double") +
+          lit(mu) * cfCol / col("c_total")) /
+        (col("dl").cast("double") + lit(mu))), 9).cast(D)
+    // ---- T: unigram QL (d144's arm, kept as a per-(query,doc) sum)
+    val sumT = cand
+      .join(broadcast(uni), Seq("query_id"))
+      .join(broadcast(cfT), Seq("term"))
+      .join(slice.select(col("doc_id"), col("term"), col("tf")),
+        Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(coll))
+      .withColumn("contrib", smoothed(col("tf"), col("cf")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("sT"))
+    // ---- adjacent query bigrams; window counts per DISTINCT bigram
+    // (shared across queries — the d141 term-sharing discipline)
+    val bg = qt.as("x").join(qt.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("y.qpos") === col("x.qpos") + 1)
+      .select(col("x.query_id").as("query_id"),
+        col("x.term").as("ta"), col("y.term").as("tb"))
+      .distinct()
+    val bgd = bg.select("ta", "tb").distinct()
+    val ps = posPosts.join(broadcast(qdistinct), "term")
+    val pA = ps.select(col("doc_id"), col("term").as("ta"),
+      col("pos").as("pa"))
+    val pB = ps.select(col("doc_id").as("doc_b"),
+      col("term").as("tb2"), col("pos").as("pb"))
+    val fan = pA.join(broadcast(bgd), Seq("ta"))
+    def windowCounts(cond: Column, name: String): DataFrame =
+      fan.join(pB,
+          col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
+            cond)
+        .groupBy(col("doc_id"), col("ta"), col("tb"))
+        .agg(count(lit(1)).cast("long").as(name))
+    val ordDoc = windowCounts(col("pb") === col("pa") + 1, "tfo")
+    val unoDoc = windowCounts(
+      abs(col("pb") - col("pa")) < lit(window) &&
+        col("pb") =!= col("pa"), "tfu")
+    def familySum(doc: DataFrame, cfName: String, tfName: String,
+                  outName: String): DataFrame = {
+      val cf = doc.groupBy("ta", "tb")
+        .agg(sum(col(tfName)).cast("double").as(cfName))
+      cand.join(broadcast(bg), Seq("query_id"))
+        .join(broadcast(cf), Seq("ta", "tb"))
+        .join(doc, Seq("doc_id", "ta", "tb"), "left")
+        .crossJoin(broadcast(coll))
+        .withColumn("contrib", smoothed(col(tfName), col(cfName)))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as(outName))
+    }
+    val sumO = familySum(ordDoc, "cfo", "tfo", "sO")
+    val sumU = familySum(unoDoc, "cfu", "tfu", "sU")
+    // ---- assembly: every candidate has a T row (candidates match
+    // ≥ 1 surviving unigram); O/U families may be empty for a query
+    // (all its bigrams collection-absent) → contribute 0
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sumT
+      .join(sumO, Seq("query_id", "doc_id"), "left")
+      .join(sumU, Seq("query_id", "doc_id"), "left")
+      .withColumn("score",
+        round(lit(lamT) * col("sT").cast("double") +
+          lit(lamO) * coalesce(col("sO").cast("double"), lit(0.0)) +
+          lit(lamU) * coalesce(col("sU").cast("double"), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(byScore).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+  }
+
   /** RM3-style pseudo-relevance feedback (Lavrenko & Croft's SIGIR'01
     * relevance model with the RM3 interpolation of the original
     * query), set-at-a-time over the postings relation — the standard

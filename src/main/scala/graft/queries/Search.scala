@@ -22,6 +22,19 @@ object Search {
   private[queries] val QuerySql =
     QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  /** [[QueryTerms]] with each term's 0-based position in its query's
+    * SEQUENCE — the SDM fixture (d147): sequential dependence is
+    * defined on the term order, which the set-shaped fixture drops. */
+  private val SdmQueryTerms: Seq[(Long, Long, String)] = {
+    val next = scala.collection.mutable.Map.empty[Long, Long]
+    QueryTerms.map { case (q, t) =>
+      val p = next.getOrElse(q, 0L); next(q) = p + 1; (q, p, t)
+    }
+  }
+  private val SdmQuerySql =
+    SdmQueryTerms.map { case (q, p, t) => s"($q, $p, '$t')" }
+      .mkString(", ")
+
   /** d93's deterministic non-Latin fixture map: vowels → Greek, the
     * space separator → U+00B7 middle dot (shared verbatim with the
     * DuckDB `translate` in the oracle). */
@@ -394,6 +407,119 @@ object Search {
     |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6)
     |      AS score
     |  FROM ${p}rws GROUP BY 1, 2)""".stripMargin
+
+  /** The SDM oracle CTE chain — ONE template shared by d147 and the
+    * d140 matrix's sdm arm (the qlOracleCtes discipline: a drifted
+    * twin of the three-family arithmetic would break exactly one
+    * catalog entry). Expects a `posts` CTE and the `documents` table
+    * in scope; emits `${p}agg(query_id, doc_id, score)`. Replays all
+    * three feature families step for step: Dirichlet-smoothed
+    * unigrams, exact-adjacency ordered windows (pos_b = pos_a + 1),
+    * and unordered windows (|pos_b − pos_a| < 8), each family's
+    * contribs rounded to 9 as DECIMAL, the (0.85, 0.1, 0.05) combine
+    * in one fixed double expression, final round to 6. Positions are
+    * 1-based indices in the RAW split (empties keep their slot, then
+    * drop) — positionalPostings' exact semantics. */
+  private def sdmOracleCtes(p: String): String =
+    s"""${p}qseq(query_id, qpos, term) AS (VALUES $SdmQuerySql),
+    |${p}uni AS (SELECT DISTINCT query_id, term FROM ${p}qseq),
+    |${p}qts AS (SELECT DISTINCT term FROM ${p}qseq),
+    |${p}coll AS (SELECT CAST(SUM(tf) AS DOUBLE) AS c_total FROM posts),
+    |${p}slice AS (SELECT q.* FROM posts q
+    |  WHERE term IN (SELECT term FROM ${p}qts)),
+    |${p}cft AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cf
+    |  FROM ${p}slice GROUP BY term),
+    |${p}cand AS (SELECT DISTINCT u.query_id, s.doc_id, s.dl
+    |  FROM ${p}slice s JOIN ${p}uni u USING (term)),
+    |${p}rt AS (SELECT c.query_id, c.doc_id,
+    |    round(ln((COALESCE(s.tf, 0) +
+    |        (300.0 * f.cf) / ${p}coll.c_total) /
+    |      (c.dl + 300.0)), 9) AS contrib
+    |  FROM ${p}cand c
+    |  JOIN ${p}uni u ON u.query_id = c.query_id
+    |  JOIN ${p}cft f ON f.term = u.term
+    |  LEFT JOIN ${p}slice s ON s.doc_id = c.doc_id AND s.term = u.term
+    |  CROSS JOIN ${p}coll),
+    |${p}st AS (SELECT query_id, doc_id,
+    |    SUM(CAST(contrib AS DECIMAL(28,9))) AS s
+    |  FROM ${p}rt GROUP BY 1, 2),
+    |${p}bg AS (SELECT DISTINCT a.query_id, a.term AS ta, b.term AS tb
+    |  FROM ${p}qseq a JOIN ${p}qseq b
+    |    ON a.query_id = b.query_id AND b.qpos = a.qpos + 1),
+    |${p}bgd AS (SELECT DISTINCT ta, tb FROM ${p}bg),
+    |${p}pp0 AS (SELECT doc_id,
+    |    unnest(string_split(text, ' ')) AS term,
+    |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    |  FROM documents),
+    |${p}ps AS (SELECT * FROM ${p}pp0
+    |  WHERE len(term) > 0 AND term IN (SELECT term FROM ${p}qts)),
+    |${p}ordd AS (SELECT x.doc_id, g.ta, g.tb, COUNT(*) AS tfo
+    |  FROM ${p}bgd g
+    |  JOIN ${p}ps x ON x.term = g.ta
+    |  JOIN ${p}ps y ON y.doc_id = x.doc_id AND y.term = g.tb
+    |    AND y.pos = x.pos + 1
+    |  GROUP BY 1, 2, 3),
+    |${p}cfo AS (SELECT ta, tb, CAST(SUM(tfo) AS DOUBLE) AS cfo
+    |  FROM ${p}ordd GROUP BY 1, 2),
+    |${p}unod AS (SELECT x.doc_id, g.ta, g.tb, COUNT(*) AS tfu
+    |  FROM ${p}bgd g
+    |  JOIN ${p}ps x ON x.term = g.ta
+    |  JOIN ${p}ps y ON y.doc_id = x.doc_id AND y.term = g.tb
+    |    AND abs(y.pos - x.pos) < 8 AND y.pos <> x.pos
+    |  GROUP BY 1, 2, 3),
+    |${p}cfu AS (SELECT ta, tb, CAST(SUM(tfu) AS DOUBLE) AS cfu
+    |  FROM ${p}unod GROUP BY 1, 2),
+    |${p}ro AS (SELECT c.query_id, c.doc_id,
+    |    round(ln((COALESCE(o.tfo, 0) +
+    |        (300.0 * f.cfo) / ${p}coll.c_total) /
+    |      (c.dl + 300.0)), 9) AS contrib
+    |  FROM ${p}cand c
+    |  JOIN ${p}bg g ON g.query_id = c.query_id
+    |  JOIN ${p}cfo f ON f.ta = g.ta AND f.tb = g.tb
+    |  LEFT JOIN ${p}ordd o ON o.doc_id = c.doc_id
+    |    AND o.ta = g.ta AND o.tb = g.tb
+    |  CROSS JOIN ${p}coll),
+    |${p}so AS (SELECT query_id, doc_id,
+    |    SUM(CAST(contrib AS DECIMAL(28,9))) AS s
+    |  FROM ${p}ro GROUP BY 1, 2),
+    |${p}ru AS (SELECT c.query_id, c.doc_id,
+    |    round(ln((COALESCE(o.tfu, 0) +
+    |        (300.0 * f.cfu) / ${p}coll.c_total) /
+    |      (c.dl + 300.0)), 9) AS contrib
+    |  FROM ${p}cand c
+    |  JOIN ${p}bg g ON g.query_id = c.query_id
+    |  JOIN ${p}cfu f ON f.ta = g.ta AND f.tb = g.tb
+    |  LEFT JOIN ${p}unod o ON o.doc_id = c.doc_id
+    |    AND o.ta = g.ta AND o.tb = g.tb
+    |  CROSS JOIN ${p}coll),
+    |${p}su AS (SELECT query_id, doc_id,
+    |    SUM(CAST(contrib AS DECIMAL(28,9))) AS s
+    |  FROM ${p}ru GROUP BY 1, 2),
+    |${p}agg AS (SELECT t.query_id, t.doc_id,
+    |    round(CAST(0.85 AS DOUBLE) * CAST(t.s AS DOUBLE) +
+    |      CAST(0.1 AS DOUBLE) * COALESCE(CAST(o.s AS DOUBLE), 0.0) +
+    |      CAST(0.05 AS DOUBLE) * COALESCE(CAST(u.s AS DOUBLE), 0.0),
+    |      6) AS score
+    |  FROM ${p}st t
+    |  LEFT JOIN ${p}so o ON o.query_id = t.query_id
+    |    AND o.doc_id = t.doc_id
+    |  LEFT JOIN ${p}su u ON u.query_id = t.query_id
+    |    AND u.doc_id = t.doc_id)""".stripMargin
+
+  /** The SDM top-10 oracle (d147). */
+  private val SdmOracleSql: String =
+    s"""WITH posts AS (
+    |  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+    |           unnest(string_split(text, ' ')) AS term
+    |    FROM documents)
+    |  GROUP BY doc_id, term),
+    |${sdmOracleCtes("")}
+    |SELECT CAST(query_id AS BIGINT) AS query_id,
+    |  CAST(row_number() OVER (PARTITION BY query_id
+    |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk,
+    |  doc_id, score
+    |FROM agg QUALIFY rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** The Dirichlet-QL top-10 oracle — shared VERBATIM by d144
     * (batch) and d146 (persisted-index serve): the indexed path must
@@ -1995,15 +2121,103 @@ object Search {
       },
       Some(QlOracleSql)),
 
+    Q("w47_streaming_ql_serve",
+      "Streamed Dirichlet-QL serving from the PERSISTED index " +
+        "(VERDICT r17 #4) — the QL twin of w30's streamed BM25 " +
+        "serve, sharing d75/d101/d146's memoized read-only index: " +
+        "queries arrive one ndjson file per query " +
+        "(maxFilesPerTrigger=1, so each query is served in its own " +
+        "micro-batch); every batch runs qlDirichletIndexedTopK " +
+        "against the stored tables — a term-pruned bucketed postings " +
+        "slice for exactly the batch's terms, the collection " +
+        "constant |C| read from the stored stats (sum_tokens IS the " +
+        "exact Sigma-tf long, so the serve pays ZERO corpus passes), " +
+        "and the SAME qlGather decimal scoring tail as the batch " +
+        "scorer — so the streamed serve is bit-identical per query " +
+        "to d144. Batches write idempotently (overwrite per batch " +
+        "id); the oracle is d144's VERBATIM.",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-w47").toString
+        try {
+          // one ndjson file PER QUERY: a query's terms must co-arrive
+          // (the w30 discipline — a query split across micro-batches
+          // would score partial term sets)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$tmp/in"))
+          QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/in/q$qid.json"),
+              qts.map { case (q, t) =>
+                s"""{"query_id":$q,"term":"$t"}""" }
+                .mkString("\n").getBytes("UTF-8"))
+          }
+          val stream = s.readStream
+            .schema("query_id LONG, term STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(s"$tmp/in")
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                graft.operators.Retrieval.qlDirichletIndexedTopK(
+                    s, idx, batch, k = 10, nBuckets = 16)
+                  .write.mode("overwrite").parquet(s"$tmp/out/b$batchId")
+              }
+            }
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.read.parquet(s"$tmp/out/b*")
+            .orderBy("query_id", "rk")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(QlOracleSql)),
+
+    Q("d147_sdm_topk",
+      "Sequential Dependence Model ranking (Metzler & Croft, " +
+        "SIGIR'05 — VERDICT r17 #8): the standard three-family " +
+        "combination the positional machinery stopped one step short " +
+        "of — lambda-weighted (0.85/0.1/0.05) Dirichlet-smoothed " +
+        "unigram QL (d144's arm VERBATIM, same smoothing " +
+        "arithmetic), exact-adjacency ORDERED windows (Indri #1: " +
+        "pos_b = pos_a + 1) and UNORDERED 8-token windows (Indri " +
+        "#uw8: |pos_b - pos_a| < 8) over each adjacent query bigram, " +
+        "window counts computed per DISTINCT bigram and shared " +
+        "across queries. Postings come from d144's memoized " +
+        "checkpoint; positions from the PERSISTED positional index " +
+        "(d113's term-pruned bucketed read — the corpus is never " +
+        "re-tokenized at query time). Collection-absent features " +
+        "drop per family (the d144 OOV discipline); candidates are " +
+        "unigram-matched docs ranked under the FULL SDM order " +
+        "including absent-window smoothing mass. The oracle replays " +
+        "all three families step for step.",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        val terms = SdmQueryTerms.map(_._3).distinct
+        Retrieval.sdmTopK(
+          postings(s, dir),
+          Retrieval.readPositionsSlice(s, idx, terms, nBuckets = 16),
+          SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(SdmOracleSql)),
+
     Q("d140_serving_quality_matrix",
       "SERVING-QUALITY regression matrix (VERDICT r12 #8 — the " +
-        "end-to-end loop d117's machinery existed for): SIX serving " +
+        "end-to-end loop d117's machinery existed for): SEVEN serving " +
         "paths — exact cosine (s01's batch arm), PCA-pruned cosine " +
         "(s20's candidate→rerank chain), sign-bucket-pruned MaxSim " +
         "(d106's scorer), PLAID-complete nominate+rerank (d139's " +
         "serve — VERDICT r13 #3), hybrid BM25+cosine RRF (d103's " +
-        "fusion) and Dirichlet query likelihood (d144's scorer — " +
-        "VERDICT r16 #8) " +
+        "fusion), Dirichlet query likelihood (d144's scorer — " +
+        "VERDICT r16 #8) and the sequential dependence model " +
+        "(d147's scorer — VERDICT r17 #8) " +
         "— run over the SAME three queries and are judged against " +
         "the same planted graded qrels (rel = distinct query terms " +
         "present in the doc, capped at 3 — deterministic, " +
@@ -2095,9 +2309,16 @@ object Search {
         // over the same checkpointed postings — VERDICT r16 #8: the
         // second probabilistic family joins the regression matrix)
         val runQl = Retrieval.qlDirichletTopK(posts, q, k = 10)
+        // arm 7 — SDM (d147's scorer verbatim, over the same
+        // checkpointed postings — VERDICT r17 #8: the proximity
+        // family joins the regression matrix)
+        val runSdm = Retrieval.sdmTopK(posts,
+          Retrieval.positionalPostings(docs, "doc_id", "text"),
+          SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10)
         Seq(("cosine", runCos), ("hybrid_rrf", runRrf),
           ("maxsim_plaid", runPlaid), ("maxsim_pruned", runMax),
-          ("pca_pruned", runPca), ("ql_dirichlet", runQl))
+          ("pca_pruned", runPca), ("ql_dirichlet", runQl),
+          ("sdm", runSdm))
           .map { case (p, r) =>
             IrEval.evaluate(r, qrels, k = 10)
               .select(lit(p).as("path"),
@@ -2261,6 +2482,12 @@ object Search {
       |        PARTITION BY query_id
       |        ORDER BY score DESC, doc_id ASC) AS rk
       |    FROM qlagg) WHERE rk <= 10),
+      |${sdmOracleCtes("sd")},
+      |run_sdm AS (SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rk
+      |    FROM sdagg) WHERE rk <= 10),
       |runs AS (
       |  SELECT 'cosine' AS path, query_id, doc_id, rk FROM run_cos
       |  UNION ALL
@@ -2272,7 +2499,9 @@ object Search {
       |  UNION ALL
       |  SELECT 'pca_pruned', query_id, doc_id, rk FROM run_pca
       |  UNION ALL
-      |  SELECT 'ql_dirichlet', query_id, doc_id, rk FROM run_ql),
+      |  SELECT 'ql_dirichlet', query_id, doc_id, rk FROM run_ql
+      |  UNION ALL
+      |  SELECT 'sdm', query_id, doc_id, rk FROM run_sdm),
       |hits AS (SELECT r.path, r.query_id, r.rk, q.rel
       |  FROM runs r LEFT JOIN qr q
       |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
