@@ -136,7 +136,11 @@ object Bench {
     // the persisted-index QL serve (shares d75/d101's memoized index:
     // the cold sample pays nothing extra, warm samples measure the
     // pruned-slice serve with |C| read from the stored stats)
-    "d146_ql_dirichlet_indexed")
+    "d146_ql_dirichlet_indexed",
+    // round 18: the sequential dependence model (unigram QL + ordered
+    // + unordered windows over the positional index's pruned slices;
+    // shares d144's postings memo and d75's index build)
+    "d147_sdm_topk")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays
@@ -242,7 +246,26 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     // One measured pass over a query: n (time, loadavg-at-start)
     // samples plus the shuffle byte SUM those samples produced.
+    // Afterwards, TRANSIENT pinned blocks the samples created are
+    // swept (VERDICT r17 #7/#1): operators localCheckpoint internal
+    // stages (e.g. SSJoin's sorted arrays + candidates — measured
+    // ~110 MB per d61 sample) and per-query caches that nothing
+    // releases, so without the sweep every later headline query runs
+    // under the accumulated storage of every earlier one (measured
+    // 329 MB pinned by position 33 of 76). Blocks owned by a LIVE
+    // registered memo are spared — those are deliberate cross-query
+    // state with their own retirement point; everything else created
+    // during this query's samples is dead once the samples return.
     def runSamples(name: String, n: Int): (Seq[(Double, Double)], Long) = {
+      val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = runSamplesRaw(name, n)
+      val live = spark.sparkContext.getPersistentRDDs
+      val spare = graft.queries.MemoRegistry.liveIds
+      (live.keySet.toSet -- beforeIds -- spare).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+      out
+    }
+    def runSamplesRaw(name: String, n: Int): (Seq[(Double, Double)], Long) = {
       val ts = (1 to n).map { _ =>
         val ld = load1()
         val t0 = System.nanoTime()
@@ -275,7 +298,7 @@ object Bench {
       "d52_graph_pagerank" -> Seq("d52_gram_edges", "cc_labels"),
       "q54_hll_sketch_union" -> Seq("q54_pairs"),
       "q80_assoc_rules" -> Seq("q80_baskets"),
-      "d144_ql_dirichlet" -> Seq("postings"))
+      "d147_sdm_topk" -> Seq("postings"))
     def retireAfter(name: String): Unit =
       memoRetire.get(name).foreach(_.foreach { tag =>
         val before = graft.queries.MemoRegistry.storagePinnedMb(spark)
@@ -427,6 +450,19 @@ object Bench {
         }
       }
     }
+    // End-of-sweep storage witness (r17 #7). Re-buy/retry passes can
+    // REBUILD a memo after its retirement point (the rebuilt entry
+    // re-registers and nothing retires it again), so first retire
+    // every still-registered tag, then report the residue: anything
+    // left is a leak class the registry does not cover.
+    val preReleaseMb = graft.queries.MemoRegistry.storagePinnedMb(spark)
+    val lateTags = graft.queries.MemoRegistry.registered
+    lateTags.foreach(graft.queries.MemoRegistry.release(_))
+    println(s"""{"metric":"storage_pinned_end","mb":${
+      f"${graft.queries.MemoRegistry.storagePinnedMb(spark)}%.1f"},""" +
+      s""""pre_final_release_mb":${f"$preReleaseMb%.1f"},""" +
+      s""""late_rebuilt_tags":${
+        lateTags.map(t => "\"" + t + "\"").mkString("[", ",", "]")}}""")
     val results = afterRetry.map { case (name, allTs, allBytes) =>
       // Per-sample average, so the number is comparable across
       // n_samples settings (memoized-state queries shuffle more in the

@@ -83,6 +83,18 @@ object MemoRegistry {
     entries.keySet.asScala.toSeq.sorted
   }
 
+  /** Every persistent-RDD id currently owned by a LIVE memo — the
+    * spare-list for Bench's per-query transient sweep: blocks a query
+    * pinned that are NOT a registered memo's (e.g. an operator's
+    * internal localCheckpoints, dead once the query's samples
+    * finished) are safe to release; a live memo's blocks are NOT
+    * (localCheckpoint truncates lineage — an unpersisted memo frame
+    * cannot recompute). */
+  def liveIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.flatMap(_.flatMap(_._2)).toSet
+  }
+
   /** Total MB pinned by CACHED persistent RDDs right now (the
     * storage-tab number) — the before/after witness Bench emits
     * around each release. */
