@@ -1168,10 +1168,17 @@ object ScaleStreaming {
     // rowsPerBatch rows — the production admission cap a queue-fed
     // serve would run — so the probe measures a ≥3-batch steady state
     // whose qps is rowsPerBatch over batch time.
+    // SPARK_GRAFT_PLAID_CAP sweeps the admission cap (VERDICT r17
+    // #3): rowsPerBatch IS the rows/plan a queue-fed serve would
+    // admit per trigger — bigger caps amortize plan overhead and
+    // widen term sharing (higher qps) but concentrate latency
+    // (higher p50 batch). The sweep records qps + p50 per cap so the
+    // default sits at the knee.
+    val cap = sys.env.getOrElse("SPARK_GRAFT_PLAID_CAP", "7176").toInt
     val src0 =
       if (capped)
         spark.readStream.format("rate-micro-batch")
-          .option("rowsPerBatch", 1024)
+          .option("rowsPerBatch", cap)
           .option("numPartitions", 8)
           .load()
       else
