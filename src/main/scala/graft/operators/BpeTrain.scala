@@ -241,7 +241,11 @@ object BpeTrain {
     * steady delta wall observed this run (the arm's fixed floor)
     * exceeds the recount EMA, since even delta's best round then
     * loses by construction. The gate self-releases when recount cost
-    * rises (bigger corpus / deeper symbols) above the floor. Both
+    * rises (bigger corpus / deeper symbols) above the floor. A probe
+    * is also never STARTED with fewer than ~16 rounds left: the
+    * transition's table build costs 3-10 recount rounds and a
+    * winning arm repays at most ~one recount round per round, so a
+    * late probe is unrepayable by construction. Both
     * arms produce identical windows and identical replaces, so the
     * merge table stays bit-identical regardless of where the switch
     * or the wall feedback lands.
@@ -331,6 +335,16 @@ object BpeTrain {
     // self-releases where delta can genuinely win — recount cost
     // grows with corpus/symbol scale, so recountEma rises above the
     // floor exactly in the regime the delta machinery exists for.
+    // A probe is an INVESTMENT: its transition round pays a full
+    // pair-table build (measured 3-10x a recount round at shallow
+    // depth) and a winning delta arm repays at most ~recountEma per
+    // round (it cannot win more than the recount costs). With fewer
+    // than this many rounds left, even a FREE delta arm cannot repay
+    // the build — starting a probe there is pure loss (the r18
+    // identity-depth run measured one late probe costing 5.3 s over
+    // recount with 3 rounds left to amortize it). Continuing an
+    // already-running streak is not a probe start and stays ungated.
+    val ProbeMinRemainingRounds = 16
     val DeltaProbeRounds = 1
     var effThresh = recountThreshold
     var recountEma = -1.0
@@ -362,6 +376,12 @@ object BpeTrain {
         .orderBy(col("n").desc, col("p").asc)
         .limit(batchSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+      // arm-work clock: starts AFTER the window read. The shadow
+      // floor below must estimate a STEADY delta round, whose window
+      // comes from the cheap maintained table — a shadow round's own
+      // window was the full explode (it runs tableless), and charging
+      // that to the floor would fail every shadow by construction.
+      val armT0 = System.nanoTime()
       if (window.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -392,7 +412,12 @@ object BpeTrain {
         // steady round already loses to the average recount round
         val floorBlocks = deltaFloorEst > 0 && recountEma > 0 &&
           deltaFloorEst >= recountEma
-        val useDelta = signal <= effThresh && !floorBlocks
+        // investment gate (r18): don't START a probe the remaining
+        // rounds cannot repay; a running streak continues ungated
+        val tooLateToProbe = pairCountsOpt.isEmpty &&
+          (nRounds - round) < ProbeMinRemainingRounds
+        val useDelta = signal <= effThresh && !floorBlocks &&
+          !tooLateToProbe
         onArm.foreach(f => f(round, useDelta, signal))
         if (!useDelta) {
           // RECOUNT round — trainBatched's body verbatim: one full
@@ -412,25 +437,25 @@ object BpeTrain {
           val w = (System.nanoTime() - roundT0) / 1e9
           recountEma = if (recountEma < 0) w else 0.5 * recountEma + 0.5 * w
         } else {
-          // DELTA round — materialize the maintained table on the
-          // recount→delta transition (one full pair explode, paid
-          // once per transition, after which rounds scale with
-          // touched words).
+          // DELTA round. On what would be the transition, run the
+          // SHADOW-FLOOR probe first (r18 — "the signal-estimated
+          // delta floor", realized by measurement): the touched
+          // filter, replace, and reassembly checkpoints are a
+          // measured LOWER BOUND on a steady delta round (the real
+          // round adds the vocab-pair table fold + its checkpoint) —
+          // and their outputs ARE a valid round result (assembled
+          // delta ≡ the recount's full replace, the maintained-table
+          // invariant the identity spec gates). So the floor is
+          // measured BEFORE committing to the table build: a
+          // hopeless shadow costs ~two extra checkpoints ONCE
+          // (vs the old transition's full pair explode + table
+          // checkpoint, 3-10 recount rounds at shallow depth); a
+          // promising one converts in place into the transition.
           val isTransition = pairCountsOpt.isEmpty
-          if (isTransition)
-            pairCountsOpt = Some(ckptTracked(pairsOf(cur)))
-          val (pairCounts, pcIds) = pairCountsOpt.get
           val (touched, tIds) = ckptTracked(cur.filter(touchedPred))
           val (replaced, rIds) = ckptTracked(
             touched.select(trim(applied).as("s"), col("cnt")))
           onRound.foreach(f => f(round, touched.count(), admitted.length))
-          // fold the touched delta into the maintained count table
-          val (npc, npcIds) = ckptTracked(pairCounts
-            .unionByName(pairsOf(touched).select(col("p"),
-              (-col("n")).as("n")))
-            .unionByName(pairsOf(replaced))
-            .groupBy("p").agg(sum("n").as("n"))
-            .filter(col("n") > 0))
           // coalesce BEFORE the checkpoint: union adds the two sides'
           // partition counts and localCheckpoint pins whatever it gets,
           // so without the bound the vocab table's partitions DOUBLE
@@ -441,15 +466,45 @@ object BpeTrain {
           val (nc, ncIds) = ckptTracked(
             cur.filter(!touchedPred).unionByName(replaced)
               .coalesce(s.sparkContext.defaultParallelism))
-          // the new checkpoints are materialized — everything this
-          // round superseded (old cur/pairCounts, the round-local
-          // touched/replaced) releases now
-          release(s, curIds ++ pcIds ++ tIds ++ rIds)
-          cur = nc; curIds = ncIds
-          pairCountsOpt = Some((npc, npcIds))
-          // wall feedback: steady delta rounds only (the transition
-          // round carries the amortized table build)
-          if (!isTransition) {
+          if (isTransition) {
+            val shadowFloor = (System.nanoTime() - armT0) / 1e9
+            if (recountEma > 0 && shadowFloor >= recountEma) {
+              // hopeless: even the tableless lower bound loses to an
+              // average recount round — keep this round's (identical)
+              // output, skip the table build entirely, and decay the
+              // threshold below the current signal so the next shadow
+              // fires only materially deeper (the failed-probe
+              // discipline, at a fraction of its cost)
+              release(s, curIds ++ tIds ++ rIds)
+              cur = nc; curIds = ncIds
+              effThresh = math.min(effThresh, signal) / 8.0
+            } else {
+              // promising: build the maintained table FROM THE NEW
+              // STATE (pairsOf(new) ≡ fold(pairsOf(old), delta) — the
+              // maintained invariant) and enter the streak; this
+              // round is the transition, excluded from the feedback
+              val (npc, npcIds) = ckptTracked(pairsOf(nc))
+              release(s, curIds ++ tIds ++ rIds)
+              cur = nc; curIds = ncIds
+              pairCountsOpt = Some((npc, npcIds))
+              deltaStreak = 0; deltaEma = -1.0
+            }
+          } else {
+            val (pairCounts, pcIds) = pairCountsOpt.get
+            // fold the touched delta into the maintained count table
+            val (npc, npcIds) = ckptTracked(pairCounts
+              .unionByName(pairsOf(touched).select(col("p"),
+                (-col("n")).as("n")))
+              .unionByName(pairsOf(replaced))
+              .groupBy("p").agg(sum("n").as("n"))
+              .filter(col("n") > 0))
+            // the new checkpoints are materialized — everything this
+            // round superseded (old cur/pairCounts, the round-local
+            // touched/replaced) releases now
+            release(s, curIds ++ pcIds ++ tIds ++ rIds)
+            cur = nc; curIds = ncIds
+            pairCountsOpt = Some((npc, npcIds))
+            // wall feedback: steady delta rounds only
             val w = (System.nanoTime() - roundT0) / 1e9
             deltaEma = if (deltaEma < 0) w else 0.5 * deltaEma + 0.5 * w
             // the floor estimate: min steady delta wall this run — a

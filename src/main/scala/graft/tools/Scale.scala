@@ -1838,6 +1838,15 @@ object Scale {
         // switch must move to (and stay on) the delta arm while
         // round cost follows the touched series.
         val rounds = 400
+        // the long depth's MIN denominator (VERDICT r17 #2: "auto <=
+        // 1.1x min at BOTH gated depths" needs a measured arm to
+        // divide by): recount-only at the same depth — at this corpus
+        // scale recount is the cheaper arm throughout (the r17
+        // calibration finding), so trainBatched IS min(arms) here
+        val tR0 = System.nanoTime()
+        val nRec400 = BpeTrain.trainBatched(docs3, "text", rounds,
+          batch).count()
+        val recount400Sec = (System.nanoTime() - tR0) / 1e9
         val perRound = scala.collection.mutable
           .ArrayBuffer.empty[(Long, Double)]
         val longArms = scala.collection.mutable
@@ -1865,6 +1874,8 @@ object Scale {
           s""""auto_delta_rounds_${idRounds}r":${idArms.count(_._2)},""" +
           s""""long_rounds":${ts.length},"long_merges":$nI,""" +
           s""""long_sec":${fmt(incSec)},""" +
+          s""""long_recount_sec":${fmt(recount400Sec)},""" +
+          s""""long_recount_merges":$nRec400,""" +
           s""""long_recount_rounds":${la.count(!_._2)},""" +
           s""""long_delta_rounds":${la.count(_._2)},""" +
           s""""long_first_delta_round":$firstDelta,""" +
