@@ -1807,28 +1807,49 @@ object Scale {
         // content) before the long run is allowed to mean anything.
         val idRounds = 60
         val batch = 256
+        // SPARK_GRAFT_BPE_ONLY=long skips the identity-depth arms so
+        // a retry of the LONG pair (each arm 2.5-4 min) can fit this
+        // host's short quiet windows without burning one on the
+        // already-measured shallow arms.
+        val longOnly =
+          sys.env.get("SPARK_GRAFT_BPE_ONLY").contains("long")
+        // each arm's start is LOAD-GATED (the d61 discipline — this
+        // host's ~10-min external waves poison whichever arm they
+        // overlap, and the r18 gate is a RATIO of arms, so both
+        // sides must measure under comparable load); the release
+        // loads land in the row as arm_start_loadavg
+        val armLoads = scala.collection.mutable.ArrayBuffer[Double]()
+        if (!longOnly) armLoads += waitQuiet()
         var t0 = System.nanoTime()
-        val tabB = BpeTrain.trainBatched(docs3, "text", idRounds, batch)
-          .orderBy("step").collect().map(_.toSeq).toSeq
+        val tabB =
+          if (longOnly) Seq.empty
+          else BpeTrain.trainBatched(docs3, "text", idRounds, batch)
+            .orderBy("step").collect().map(_.toSeq).toSeq
         val fullSec = (System.nanoTime() - t0) / 1e9
         // AUTO (default threshold — VERDICT r15 #5's switch): must
         // stay bit-identical wherever the switch lands, and should
         // track the cheaper arm at this shallow depth
         val idArms = scala.collection.mutable
           .ArrayBuffer.empty[(Int, Boolean, Double)]
+        if (!longOnly) armLoads += waitQuiet()
         t0 = System.nanoTime()
-        val tabI = BpeTrain.trainIncremental(docs3, "text", idRounds,
-          batch, onArm = Some((r, d, sg) => idArms += ((r, d, sg))))
-          .orderBy("step").collect().map(_.toSeq).toSeq
+        val tabI =
+          if (longOnly) Seq.empty
+          else BpeTrain.trainIncremental(docs3, "text", idRounds,
+            batch, onArm = Some((r, d, sg) => idArms += ((r, d, sg))))
+            .orderBy("step").collect().map(_.toSeq).toSeq
         val incIdSec = (System.nanoTime() - t0) / 1e9
         require(tabB == tabI, s"incremental BPE diverged at scale: " +
           s"${tabB.length} vs ${tabI.length} merges")
         // PURE delta at the same depth (threshold = ∞ forces the
         // maintained table from round 1) — the r15 shallow-depth
         // crossover cost the switch exists to remove
+        if (!longOnly) armLoads += waitQuiet()
         t0 = System.nanoTime()
-        val nPd = BpeTrain.trainIncremental(docs3, "text", idRounds,
-          batch, recountThreshold = Double.MaxValue).count()
+        val nPd =
+          if (longOnly) 0L
+          else BpeTrain.trainIncremental(docs3, "text", idRounds,
+            batch, recountThreshold = Double.MaxValue).count()
         val deltaIdSec = (System.nanoTime() - t0) / 1e9
         require(nPd == tabB.length.toLong,
           s"pure-delta arm diverged: $nPd vs ${tabB.length} merges")
@@ -1843,22 +1864,43 @@ object Scale {
         // divide by): recount-only at the same depth — at this corpus
         // scale recount is the cheaper arm throughout (the r17
         // calibration finding), so trainBatched IS min(arms) here
-        val tR0 = System.nanoTime()
-        val nRec400 = BpeTrain.trainBatched(docs3, "text", rounds,
-          batch).count()
-        val recount400Sec = (System.nanoTime() - tR0) / 1e9
+        // SPARK_GRAFT_BPE_ORDER=auto_first swaps the pair so the
+        // AUTO arm gets the fresh quiet window (on this host's
+        // quiet-2-5-min / loud-10-min cycle the SECOND gated arm
+        // tends to start at the wave's tail — alternating order
+        // across retry attempts gives each arm a quiet-window best,
+        // the d61 retry-trail discipline).
+        val autoFirst =
+          sys.env.get("SPARK_GRAFT_BPE_ORDER").contains("auto_first")
         val perRound = scala.collection.mutable
           .ArrayBuffer.empty[(Long, Double)]
         val longArms = scala.collection.mutable
           .ArrayBuffer.empty[(Int, Boolean, Double)]
-        var lastT = System.nanoTime()
-        t0 = System.nanoTime()
-        val nI = BpeTrain.trainIncremental(docs3, "text", rounds,
-          batch, Some((_, t, _) => {
-            val now = System.nanoTime()
-            perRound += ((t, (now - lastT) / 1e9)); lastT = now
-          }), onArm = Some((r, d, sg) => longArms += ((r, d, sg)))).count()
-        val incSec = (System.nanoTime() - t0) / 1e9
+        var nRec400 = 0L
+        var recount400Sec = 0.0
+        var nI = 0L
+        var incSec = 0.0
+        def runRecountArm(): Unit = {
+          armLoads += waitQuiet()
+          val tR0 = System.nanoTime()
+          nRec400 = BpeTrain.trainBatched(docs3, "text", rounds,
+            batch).count()
+          recount400Sec = (System.nanoTime() - tR0) / 1e9
+        }
+        def runAutoArm(): Unit = {
+          armLoads += waitQuiet()
+          var lastT = System.nanoTime()
+          val tA0 = System.nanoTime()
+          nI = BpeTrain.trainIncremental(docs3, "text", rounds,
+            batch, Some((_, t, _) => {
+              val now = System.nanoTime()
+              perRound += ((t, (now - lastT) / 1e9)); lastT = now
+            }), onArm = Some((r, d, sg) => longArms += ((r, d, sg))))
+            .count()
+          incSec = (System.nanoTime() - tA0) / 1e9
+        }
+        if (autoFirst) { runAutoArm(); runRecountArm() }
+        else { runRecountArm(); runAutoArm() }
         val ts = perRound.toSeq
         val dec = math.max(1, ts.length / 10)
         def mu(xs: Seq[Double]): Double =
@@ -1866,6 +1908,7 @@ object Scale {
         val la = longArms.toSeq
         val firstDelta = la.find(_._2).map(_._1).getOrElse(-1)
         println(s"""{"query":"bpe_incremental","n_word_types":$nTypes,""" +
+          s""""arm_start_loadavg":[${armLoads.map(fmt).mkString(",")}],""" +
           s""""batch":$batch,"identity_rounds":$idRounds,""" +
           s""""full_recount_sec_${idRounds}r":${fmt(fullSec)},""" +
           s""""auto_sec_${idRounds}r":${fmt(incIdSec)},""" +
