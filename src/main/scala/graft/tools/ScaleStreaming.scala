@@ -1172,48 +1172,66 @@ object ScaleStreaming {
     // #3): rowsPerBatch IS the rows/plan a queue-fed serve would
     // admit per trigger — bigger caps amortize plan overhead and
     // widen term sharing (higher qps) but concentrate latency
-    // (higher p50 batch). The sweep records qps + p50 per cap so the
-    // default sits at the knee.
-    val cap = sys.env.getOrElse("SPARK_GRAFT_PLAID_CAP", "7176").toInt
-    val src0 =
-      if (capped)
-        spark.readStream.format("rate-micro-batch")
-          .option("rowsPerBatch", cap)
-          .option("numPartitions", 8)
-          .load()
-      else
-        spark.readStream.format("rate")
-          .option("rowsPerSecond", qRate)
-          .option("numPartitions", 8)
-          .load()
-    val qs = src0
-      .select(col("value").as("query_id"), array(
-        concat(lit("r"),
-          pmod(xxhash64(col("value"), lit(1)), lit(rarePool))),
-        concat(lit("c"), pmod(xxhash64(col("value"), lit(2)), lit(50))),
-        concat(lit("c"), pmod(xxhash64(col("value"), lit(3)), lit(50))))
-        .as("terms"))
-    val q = qs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // capped serve (VERDICT r16 #4): bounds the per-PLAN batch
-          // at 512 queries so a backlogged trigger can't flatten the
-          // term sharing on the rare-term slot — the r16 finding of
-          // one 16.6 s ~1.9k-query batch at rate 100
-          LI.maxSimTopKPlaidFromMapCapped(tokMap,
-            batch.select(col("query_id"), col("terms")),
-            dim = 8, k = 10, bits = 8, c = 50, hamming = 2)
-            .write.format("noop").mode("overwrite").save()
+    // (higher p50 batch). A comma-separated list sweeps several caps
+    // in ONE invocation over the SAME built+cached token map (the
+    // per-cap stream restarts; conditions stay comparable and the
+    // build is paid once), each cap load-gated so a sweep spanning
+    // this host's waves still gives every cap a quiet start.
+    val caps = sys.env.getOrElse("SPARK_GRAFT_PLAID_CAP", "7176")
+      .split(",").map(_.trim.toInt).toSeq
+    def runOnce(cap: Int, driveSecs: Int): Unit = {
+      // gate BEFORE the stream starts — processing begins at start()
+      val startLoad = if (capped) Scale.waitQuiet() else -1.0
+      val src0 =
+        if (capped)
+          spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", cap)
+            .option("numPartitions", 8)
+            .load()
+        else
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", qRate)
+            .option("numPartitions", 8)
+            .load()
+      val qs = src0
+        .select(col("value").as("query_id"), array(
+          concat(lit("r"),
+            pmod(xxhash64(col("value"), lit(1)), lit(rarePool))),
+          concat(lit("c"), pmod(xxhash64(col("value"), lit(2)), lit(50))),
+          concat(lit("c"), pmod(xxhash64(col("value"), lit(3)), lit(50))))
+          .as("terms"))
+      val q = qs.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // capped serve (VERDICT r16 #4): bounds the per-PLAN batch
+            // at 512 queries so a backlogged trigger can't flatten the
+            // term sharing on the rare-term slot — the r16 finding of
+            // one 16.6 s ~1.9k-query batch at rate 100
+            LI.maxSimTopKPlaidFromMapCapped(tokMap,
+              batch.select(col("query_id"), col("terms")),
+              dim = 8, k = 10, bits = 8, c = 50, hamming = 2)
+              .write.format("noop").mode("overwrite").save()
+          }
         }
-      }
-      .option("checkpointLocation", ckpt("plaidserve"))
-      .start()
-    // capped mode has no offered rate — the source hands a fixed
-    // rowsPerBatch per trigger regardless of the CLI rate arg, so
-    // recording qRate would claim an offer that was never made
-    // (r17 review); batch_rows_series carries the real admission
-    report(if (capped) "plaid_serve_capped" else "plaid_serve",
-      if (capped) -1 else qRate, n, drive(q, secs))
+        .option("checkpointLocation",
+          ckpt(s"plaidserve_$cap"))
+        .start()
+      // capped mode has no offered rate — the source hands a fixed
+      // rowsPerBatch per trigger regardless of the CLI rate arg, so
+      // recording qRate would claim an offer that was never made
+      // (r17 review); batch_rows_series carries the real admission.
+      // The cap and its gated start load print alongside the row.
+      if (capped)
+        println(s"""{"probe":"plaid_serve_capped_cfg","cap":$cap,""" +
+          s""""start_loadavg":${fmt(startLoad)}}""")
+      report(if (capped) "plaid_serve_capped" else "plaid_serve",
+        if (capped) -1 else qRate, n, drive(q, driveSecs))
+    }
+    if (capped)
+      // drive scales with the cap: a steady state needs >= 3 batches
+      // and batch wall grows with admission size
+      caps.foreach(c => runOnce(c, math.max(secs, 3 * (60 * c / 7176 + 30))))
+    else runOnce(caps.head, secs)
     tokMap.unpersist()
     graft.queries.Warehouse.reset(spark, "graft_scaleplaid_tokmap")
   }
