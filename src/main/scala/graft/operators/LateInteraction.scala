@@ -403,26 +403,43 @@ object LateInteraction {
     // review): counting the raw frame and checkpointing it after
     // executed the caller's upstream lineage twice — precisely on
     // the giant backlogged batches the cap exists for (e.g. a
-    // foreachBatch groupBy ran twice on a ~27k-query batch). The
-    // pinned blocks on the common under-cap path are batch-sized
-    // and reclaimed by the ContextCleaner once the frame is
-    // unreachable — cheaper than one extra lineage execution on
-    // the over-cap path by construction (the cap targets batches
-    // whose lineage is the expensive part).
+    // foreachBatch groupBy ran twice on a ~27k-query batch).
+    // Deterministic release (r18 review): a long-running serve with
+    // frequent small batches used to accumulate each batch's pinned
+    // query blocks until the ContextCleaner's next GC-driven pass;
+    // now the serve materializes its (k·|batch|-row) RESULT, then
+    // unpersists the query frame's blocks explicitly before
+    // returning. The only GC-timed residue left per batch is the
+    // tiny result checkpoint. The released RDD is taken from the
+    // checkpointed frame's OWN LogicalRDD (not a getPersistentRDDs
+    // delta — concurrent streams could pin blocks inside a delta
+    // window; the plan handle is race-free by construction). A
+    // non-LogicalRDD analyzed plan (a future Spark reshaping) just
+    // skips the release and falls back to the old cleaner-timed
+    // behavior.
     val q2 = queries.localCheckpoint()
-    val n = q2.count()
-    if (n <= maxQueriesPerPlan)
-      maxSimTopKPlaidFromMap(tokMap, q2, dim, k, bits, c, hamming)
-    else {
-      val nChunks = ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
-      (0 until nChunks)
-        .map(i => maxSimTopKPlaidFromMap(
-          tokMap,
-          q2.filter(
-            pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
-          dim, k, bits, c, hamming))
-        .reduce(_.unionByName(_))
+    val qRdd = q2.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
     }
+    val n = q2.count()
+    val served =
+      if (n <= maxQueriesPerPlan)
+        maxSimTopKPlaidFromMap(tokMap, q2, dim, k, bits, c, hamming)
+      else {
+        val nChunks =
+          ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
+        (0 until nChunks)
+          .map(i => maxSimTopKPlaidFromMap(
+            tokMap,
+            q2.filter(
+              pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
+            dim, k, bits, c, hamming))
+          .reduce(_.unionByName(_))
+      }
+    val out = served.localCheckpoint()
+    qRdd.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Default serve-arm crossover, in TOKEN-MAP ROWS (VERDICT r16 #1).

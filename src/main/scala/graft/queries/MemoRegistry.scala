@@ -28,9 +28,21 @@ import org.apache.spark.sql.SparkSession
   * lineage); the global lock removes interleaving by construction.
   * Builds happen a handful of times per session, so the lock is never
   * contended in practice — Verify and Bench are single-threaded — and
-  * the lock is reentrant (a tracked build that faults in another memo
-  * nests safely; the inner delta is then a subset of the outer one,
-  * and release is idempotent per id).
+  * the lock is reentrant, so a tracked build that faults in another
+  * memo does not self-deadlock on `buildLock`. Nesting makes the
+  * OUTER tag's delta a superset of the inner memo's ids; [[release]]
+  * therefore skips any id still owned by another registered tag
+  * (computed after the released tag is removed), so releasing the
+  * outer tag first cannot truncate the inner memo's still-served
+  * frame (r18 review). Two cautions remain documented rather than
+  * solved: (a) memo sites take their private site lock BEFORE
+  * `buildLock`; a tracked build must never call INTO a different
+  * memo site under concurrency (site-A → buildLock → site-B is a
+  * lock-order inversion against a thread entering site-B directly) —
+  * no such nesting exists in the catalog today; (b) the shared-id
+  * guard keys on registration state at release time, so release
+  * order between overlapping tags is safe but both tags must go
+  * through this registry.
   */
 object MemoRegistry {
 
@@ -62,15 +74,24 @@ object MemoRegistry {
     * the unpersist. Unknown tags return (0, 0). */
   def release(tag: String): (Int, Double) = {
     val regs = Option(entries.remove(tag)).getOrElse(Nil)
+    // ids still owned by a DIFFERENT registered tag survive this
+    // release (r18 review): a nested tracked build captures the inner
+    // memo's ids inside the outer tag's delta, so unpersisting the
+    // outer tag blindly would truncate the inner memo's
+    // localCheckpointed lineage while its map entry still serves the
+    // frame. `entries.remove` ran above, so [[liveIds]] here is
+    // exactly the other tags' ownership set.
+    val ownedByOthers = liveIds
     var n = 0
     var mb = 0.0
     regs.foreach { case (s, ids, onRelease) =>
       onRelease()
+      val mine = ids -- ownedByOthers
       val info = s.sparkContext.getRDDStorageInfo
-        .filter(i => ids.contains(i.id))
+        .filter(i => mine.contains(i.id))
       mb += info.map(i => i.memSize + i.diskSize).sum / 1e6
       val live = s.sparkContext.getPersistentRDDs
-      ids.foreach { id =>
+      mine.foreach { id =>
         live.get(id).foreach { r => r.unpersist(blocking = true); n += 1 }
       }
     }

@@ -2311,9 +2311,14 @@ object Search {
         val runQl = Retrieval.qlDirichletTopK(posts, q, k = 10)
         // arm 7 — SDM (d147's scorer verbatim, over the same
         // checkpointed postings — VERDICT r17 #8: the proximity
-        // family joins the regression matrix)
+        // family joins the regression matrix). Positions are
+        // MATERIALIZED per sdmTopK's own contract (r18 review): the
+        // frame feeds the pA/pB self-join plus both window families,
+        // so raw lineage would re-tokenize the corpus several times
+        // in one plan — the d100 FileScan-dedup lesson.
         val runSdm = Retrieval.sdmTopK(posts,
-          Retrieval.positionalPostings(docs, "doc_id", "text"),
+          Retrieval.positionalPostings(docs, "doc_id", "text")
+            .localCheckpoint(),
           SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10)
         Seq(("cosine", runCos), ("hybrid_rrf", runRrf),
           ("maxsim_plaid", runPlaid), ("maxsim_pruned", runMax),

@@ -1839,8 +1839,12 @@ object Scale {
             batch, onArm = Some((r, d, sg) => idArms += ((r, d, sg))))
             .orderBy("step").collect().map(_.toSeq).toSeq
         val incIdSec = (System.nanoTime() - t0) / 1e9
-        require(tabB == tabI, s"incremental BPE diverged at scale: " +
-          s"${tabB.length} vs ${tabI.length} merges")
+        // identity gates are vacuous on the skipped (empty) arms —
+        // guard them so a long-only retry cannot "pass" an unmeasured
+        // invariant (r18 review)
+        if (!longOnly)
+          require(tabB == tabI, s"incremental BPE diverged at scale: " +
+            s"${tabB.length} vs ${tabI.length} merges")
         // PURE delta at the same depth (threshold = ∞ forces the
         // maintained table from round 1) — the r15 shallow-depth
         // crossover cost the switch exists to remove
@@ -1851,8 +1855,9 @@ object Scale {
           else BpeTrain.trainIncremental(docs3, "text", idRounds,
             batch, recountThreshold = Double.MaxValue).count()
         val deltaIdSec = (System.nanoTime() - t0) / 1e9
-        require(nPd == tabB.length.toLong,
-          s"pure-delta arm diverged: $nPd vs ${tabB.length} merges")
+        if (!longOnly)
+          require(nPd == tabB.length.toLong,
+            s"pure-delta arm diverged: $nPd vs ${tabB.length} merges")
         // Long AUTO run to vocab scale (>= 5k merges): record
         // per-round (touched words, wall) and the switch's decision
         // trace — as training converges, touched words fall and the
@@ -1910,11 +1915,20 @@ object Scale {
         println(s"""{"query":"bpe_incremental","n_word_types":$nTypes,""" +
           s""""arm_start_loadavg":[${armLoads.map(fmt).mkString(",")}],""" +
           s""""batch":$batch,"identity_rounds":$idRounds,""" +
-          s""""full_recount_sec_${idRounds}r":${fmt(fullSec)},""" +
-          s""""auto_sec_${idRounds}r":${fmt(incIdSec)},""" +
-          s""""pure_delta_sec_${idRounds}r":${fmt(deltaIdSec)},""" +
-          s""""auto_recount_rounds_${idRounds}r":${idArms.count(!_._2)},""" +
-          s""""auto_delta_rounds_${idRounds}r":${idArms.count(_._2)},""" +
+          // unmeasured (long-only) identity arms emit the established
+          // -1 poisoned/absent sentinel, never a plausible ~0.0 wall
+          // (r18 review); identity_arms_skipped makes the skip legible
+          s""""identity_arms_skipped":$longOnly,""" +
+          s""""full_recount_sec_${idRounds}r":${fmt(
+            if (longOnly) -1.0 else fullSec)},""" +
+          s""""auto_sec_${idRounds}r":${fmt(
+            if (longOnly) -1.0 else incIdSec)},""" +
+          s""""pure_delta_sec_${idRounds}r":${fmt(
+            if (longOnly) -1.0 else deltaIdSec)},""" +
+          s""""auto_recount_rounds_${idRounds}r":${
+            if (longOnly) -1 else idArms.count(!_._2)},""" +
+          s""""auto_delta_rounds_${idRounds}r":${
+            if (longOnly) -1 else idArms.count(_._2)},""" +
           s""""long_rounds":${ts.length},"long_merges":$nI,""" +
           s""""long_sec":${fmt(incSec)},""" +
           s""""long_recount_sec":${fmt(recount400Sec)},""" +
