@@ -382,11 +382,33 @@ object Retrieval {
     * buckets are read (file-level pruning — the [[prunedRead]]
     * discipline), and [[phraseOccurrences]] consumes the slice
     * directly (the positional intersection only ever touches phrase
-    * terms' rows, so the slice loses nothing). */
+    * terms' rows, so the slice loses nothing). Tombstone-aware
+    * (r18 verdict #1): deleted docs vanish from positional serves
+    * immediately, exactly as [[readServableSlice]] guarantees for
+    * postings — without this, a phrase serve between [[deleteDocs]]
+    * and [[compactDeletes]] would resurface deleted docs (d148 pins
+    * the lifecycle). */
   def readPositionsSlice(spark: org.apache.spark.sql.SparkSession,
                          dir: String, terms: Seq[String],
                          nBuckets: Int): DataFrame =
-    prunedRead(spark, dir, "positions", terms, nBuckets)
+    minusTombstones(spark, dir,
+      prunedRead(spark, dir, "positions", terms, nBuckets))
+
+  /** `df` minus tombstoned doc ids, when `$dir/tombstones` exists —
+    * the shared delete-visibility gate of [[readServableSlice]] and
+    * [[readPositionsSlice]]. Tombstones are vastly smaller than any
+    * slice and broadcast. */
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, df: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+      df
+    else
+      df.join(
+        broadcast(spark.read.parquet(s"$dir/tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+  }
 
   /** One stored table (`postings` or `terms`) filtered to `terms`,
     * with BOTH the static `tb` partition filter (file-level pruning)
@@ -560,9 +582,15 @@ object Retrieval {
     * Scale shape: one corpus aggregate for |C| (a 1-row broadcast);
     * postings and positions are touched only on their query-term
     * slices (term-pruned bucketed reads when served from the d113
-    * positional index); the window joins key on (doc, term) within
-    * the slice — bounded by the query terms' position lists, never
-    * corpus-pairwise. Cross-engine determinism: per-feature contribs
+    * positional index); BOTH window families come from ONE position
+    * join (the ordered condition is a strict subset of the unordered,
+    * so conditional aggregation yields tfo and tfu together), binned
+    * by the window width (q88's range-join discipline) so the
+    * equi-join keys on (doc, term, pos-bucket) — per-(doc, bigram)
+    * cost is per-bucket products, not the full tf_a·tf_b pair
+    * product, and never corpus-pairwise. The (doc, bigram) count
+    * table is materialized once and feeds both families' cf
+    * aggregations and doc-joins. Cross-engine determinism: per-feature contribs
     * round to 9 decimals and sum as DECIMAL per family, the three
     * family sums combine under IEEE doubles in one fixed expression
     * order, final score rounds to 6 — the BM25/QL discipline.
@@ -613,19 +641,52 @@ object Retrieval {
     val ps = posPosts.join(broadcast(qdistinct), "term")
     val pA = ps.select(col("doc_id"), col("term").as("ta"),
       col("pos").as("pa"))
+    // Exact integer bucketing (positions are nonnegative longs): the
+    // numerator is an exact multiple of `window`, so the double
+    // division is exact for any window — no boundary mis-binning.
+    def posBin(c: Column): Column =
+      ((c - pmod(c, lit(window))) / lit(window)).cast("long")
     val pB = ps.select(col("doc_id").as("doc_b"),
       col("term").as("tb2"), col("pos").as("pb"))
+      .withColumn("bb", posBin(col("pb")))
+    // ONE window join for BOTH families (r18 verdict #2): the ordered
+    // condition (pb = pa + 1) is a strict subset of the unordered
+    // (|pb − pa| < window ∧ pb ≠ pa), so a single join on the
+    // unordered predicate plus conditional aggregation yields tfo
+    // and tfu together. The band is BINNED (q88's range-join
+    // discipline, r18 verdict #3): pos is bucketed by the window
+    // width, the pa side fans to its 3 adjacent buckets, and the
+    // join is a pure equi-join on (doc, tb, bucket) — any pb with
+    // |pb − pa| < window lands in exactly ONE of pa's 3 buckets, so
+    // no pair duplicates and no pair escapes. Per-(doc, bigram) cost
+    // falls from tf_a·tf_b to Σ_bucket tf_a·tf_b — on stopword
+    // bigrams at 100× this is the difference between a per-doc
+    // quadratic blowup and near-linear work.
     val fan = pA.join(broadcast(bgd), Seq("ta"))
-    def windowCounts(cond: Column, name: String): DataFrame =
-      fan.join(pB,
-          col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
-            cond)
-        .groupBy(col("doc_id"), col("ta"), col("tb"))
-        .agg(count(lit(1)).cast("long").as(name))
-    val ordDoc = windowCounts(col("pb") === col("pa") + 1, "tfo")
-    val unoDoc = windowCounts(
-      abs(col("pb") - col("pa")) < lit(window) &&
-        col("pb") =!= col("pa"), "tfu")
+      .withColumn("bb", explode(array(
+        posBin(col("pa")) - 1, posBin(col("pa")),
+        posBin(col("pa")) + 1)))
+    // Materialized: BOTH families' cf aggregations and doc-joins read
+    // it (4 consumers) — left as lineage the position join re-runs
+    // per consumer (the d100 FileScan-dedup lesson, applied to the
+    // plan's own heaviest join). Bounded: one row per (doc, bigram).
+    val winDoc = fan.join(pB,
+        col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
+          pB("bb") === fan("bb") &&
+          abs(col("pb") - col("pa")) < lit(window) &&
+          col("pb") =!= col("pa"))
+      .groupBy(col("doc_id"), col("ta"), col("tb"))
+      .agg(count(when(col("pb") === col("pa") + 1, 1)).cast("long")
+          .as("tfo"),
+        count(lit(1)).cast("long").as("tfu"))
+      .localCheckpoint()
+    // tfo = 0 rows must NOT reach the ordered family: the old ordered
+    // join produced no row there, and a cf_o row for a bigram never
+    // seen ordered-adjacent would put ln(0) = −∞ into the sum (the
+    // collection-absent drop). filter BEFORE the cf aggregation.
+    val ordDoc = winDoc.filter(col("tfo") > 0)
+      .select(col("doc_id"), col("ta"), col("tb"), col("tfo"))
+    val unoDoc = winDoc.select("doc_id", "ta", "tb", "tfu")
     def familySum(doc: DataFrame, cfName: String, tfName: String,
                   outName: String): DataFrame = {
       val cf = doc.groupBy("ta", "tb")
@@ -834,8 +895,11 @@ object Retrieval {
                              dir: String, nBuckets: Int,
                              queries: DataFrame, terms: Seq[String],
                              kCand: Int, k: Int): DataFrame = {
+    // candidates via the SERVABLE slice (r18 verdict #1): a deleted
+    // doc must not be nominated between deleteDocs and compaction —
+    // identical to readIndexSlice when no tombstones exist.
     val cand = bm25TopKIndexed(
-      readIndexSlice(spark, dir, terms, nBuckets), queries,
+      readServableSlice(spark, dir, terms, nBuckets), queries,
       readStats(spark, dir), kCand)
     proximityRescore(cand,
       readPositionsSlice(spark, dir, terms, nBuckets), queries, k)
@@ -1376,17 +1440,9 @@ object Retrieval {
     * staleness). */
   def readServableSlice(spark: org.apache.spark.sql.SparkSession,
                         dir: String, terms: Seq[String],
-                        nBuckets: Int): DataFrame = {
-    val slice = readIndexSlice(spark, dir, terms, nBuckets)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
-      slice
-    else
-      slice.join(
-        broadcast(spark.read.parquet(s"$dir/tombstones").distinct()),
-        Seq("doc_id"), "left_anti")
-  }
+                        nBuckets: Int): DataFrame =
+    minusTombstones(spark, dir,
+      readIndexSlice(spark, dir, terms, nBuckets))
 
   /** Apply the tombstones: rewrite postings without the deleted docs,
     * rebuild the term dictionary from the survivors, decrement the

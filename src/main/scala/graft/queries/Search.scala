@@ -200,9 +200,11 @@ object Search {
 
   /** The phrase-occurrence oracle — shared VERBATIM by d110 (batch
     * positional postings) and d113 (persisted positional index):
-    * the indexed serve must equal the batch intersection per-bit. */
-  private val PhraseOracleSql: String = """WITH d AS (
-    |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    * the indexed serve must equal the batch intersection per-bit.
+    * Parameterized over the corpus for d148 (post-delete serve =
+    * the same intersection over the SURVIVING corpus). */
+  private def phraseOracleSql(corpus: String): String = s"""WITH d AS (
+    |  SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
     |pp AS (SELECT doc_id, unnest(t) AS term,
     |       unnest(range(1, len(t) + 1)) AS pos FROM d),
     |qry(query_id, off, term, plen) AS (VALUES
@@ -218,6 +220,8 @@ object Search {
     |  CAST(COUNT(*) AS BIGINT) AS n_occ
     |FROM m WHERE nm = plen
     |GROUP BY query_id, doc_id ORDER BY query_id, doc_id""".stripMargin
+
+  private val PhraseOracleSql: String = phraseOracleSql("documents")
 
   /** The proximity-rerank oracle — shared VERBATIM by d111 (batch)
     * and d114 (persisted positional index serve). */
@@ -1471,6 +1475,42 @@ object Search {
           .localCheckpoint()
       },
       Some(PhraseOracleSql)),
+
+    Q("d148_phrase_post_delete",
+      "Phrase serving of a post-delete, PRE-compaction positional " +
+        "index — the r18 verdict #1 window closed: deleteDocs " +
+        "writes only tombstones, and readPositionsSlice (like " +
+        "readServableSlice — they now share the minusTombstones " +
+        "gate) anti-joins them out immediately, so a phrase serve " +
+        "between delete and compaction behaves as if the deleted " +
+        "docs were never indexed. Phrase matching uses no df or " +
+        "corpus stats, so unlike d90's BM25 there is NO stale-stats " +
+        "subtlety: the oracle is d110's intersection CTE over the " +
+        "SURVIVING corpus verbatim — the d76 discipline applied to " +
+        "positions.",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-d148").toString
+        try {
+          val docs = t(s, dir, "documents")
+          Retrieval.writeIndex(docs, "doc_id", "text", tmp,
+            nBuckets = 16, withPositions = true)
+          Retrieval.deleteDocs(
+            docs.filter(col("doc_id") % 3 === 0).select("doc_id"), tmp)
+          // NO compactDeletes — the serve happens inside the
+          // tombstones-pending window, where the positional path
+          // used to resurface deleted docs
+          val terms = PhraseSet.flatMap(_._2).distinct
+          Retrieval.phraseOccurrences(
+            Retrieval.readPositionsSlice(s, tmp, terms, nBuckets = 16),
+            PhraseSet.toDF("query_id", "terms"))
+            .orderBy("query_id", "doc_id")
+            .localCheckpoint()
+        } finally Rm.rf(tmp)
+      },
+      Some(phraseOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)"))),
 
     Q("d114_proximity_indexed",
       "Proximity re-ranking from the PERSISTED positional index — " +

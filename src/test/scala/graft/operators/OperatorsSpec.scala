@@ -1415,6 +1415,41 @@ class OperatorsSpec extends AnyFunSpec {
       }
     }
 
+    it("the shadow-floor/delta path is output-identical to " +
+       "trainBatched when probes are FORCED (threshold 1.0, enough " +
+       "rounds to clear the investment gate) — the arm switch " +
+       "changes cost, never the merge table (r18 infrastructure " +
+       "gate: the shadow round's assembled output IS the round " +
+       "result whichever way the floor decides)") {
+      val rnd = new scala.util.Random(83)
+      // deep corpus: enough distinct merges for 20+ rounds so the
+      // probe-start gate (>= 16 rounds remaining) is open at round 1
+      val texts = Seq.fill(4)(
+        Seq.fill(120)(Seq.fill(3 + rnd.nextInt(8))(
+          ('a' + rnd.nextInt(6)).toChar).mkString).mkString(" "))
+      val batched = BpeTrain
+        .trainBatched(texts.toDF("text"), "text", nRounds = 20,
+          batchSize = 8)
+        .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+      val arms = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Boolean, Double)]
+      val inc = BpeTrain
+        .trainIncremental(texts.toDF("text"), "text", nRounds = 20,
+          batchSize = 8, recountThreshold = 1.0,
+          onArm = Some((r, d, sig) => arms += ((r, d, sig))))
+        .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(inc == batched && batched.nonEmpty,
+        "forced-probe incremental diverged from trainBatched")
+      // with threshold 1.0 every eligible round takes the delta arm:
+      // round 1 is the shadow/transition round, later rounds are
+      // steady delta — BOTH shapes must have run for this identity
+      // to cover the shadow assembly
+      assert(arms.count(_._2) >= 2,
+        s"expected a shadow transition plus steady delta rounds, " +
+          s"got arms=${arms.toList}")
+      assert(arms.forall { case (_, _, sig) => sig <= 1.0 })
+    }
+
     it("Dsir.logImportanceWeights matches a plain-Scala reference " +
        "and separates a planted target domain by sign") {
       def md5b(s: String, buckets: Int): Long = {

@@ -462,6 +462,84 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.sdmTopK") {
+    it("matches a hand-computed three-family fixture (the d130 " +
+       "discipline): Dirichlet unigrams + ordered (#1) + unordered " +
+       "(#uw8) windows, the collection-absent drop per family, and " +
+       "the exact round/sum/combine arithmetic") {
+      val docsM: Map[Long, Vector[String]] = Map(
+        0L -> Vector("a", "b", "a", "b"),
+        1L -> Vector("b", "a", "x", "a"),
+        2L -> Vector("x", "y", "x", "y"))
+      val corpus2 = docsM.toSeq.sortBy(_._1)
+        .map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // query 1 = [a, b]: its bigram occurs ordered-adjacent (doc 0,
+      // twice) AND unordered; query 2 = [b, x]: its bigram NEVER
+      // occurs ordered-adjacent (cfo = 0 → the ordered family must
+      // contribute to NO doc — the collection-absent drop) but does
+      // occur unordered (doc 1)
+      val queries = Seq((1L, 0L, "a"), (1L, 1L, "b"),
+        (2L, 0L, "b"), (2L, 1L, "x"))
+      val got = Retrieval.sdmTopK(
+        Retrieval.postings(corpus2, "doc_id", "text").localCheckpoint(),
+        Retrieval.positionalPostings(corpus2, "doc_id", "text")
+          .localCheckpoint(),
+        queries.toDF("query_id", "qpos", "term"), k = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+
+      // ---- the hand model: same math, computed from first
+      // principles over the in-memory corpus (no Spark)
+      val mu = 300.0
+      val cTotal = docsM.values.map(_.size).sum.toDouble
+      def tf(d: Long, t: String) = docsM(d).count(_ == t).toLong
+      def cf(t: String) = docsM.keys.toSeq.map(tf(_, t)).sum.toDouble
+      def dl(d: Long) = docsM(d).size.toLong
+      def tfo(d: Long, ta: String, tb: String) = docsM(d).sliding(2)
+        .count(w => w.size == 2 && w(0) == ta && w(1) == tb).toLong
+      def tfu(d: Long, ta: String, tb: String) = (for {
+        (wa, ia) <- docsM(d).zipWithIndex if wa == ta
+        (wb, ib) <- docsM(d).zipWithIndex if wb == tb
+        if ib != ia && math.abs(ib - ia) < 8
+      } yield 1).size.toLong
+      def cfo(ta: String, tb: String) =
+        docsM.keys.toSeq.map(tfo(_, ta, tb)).sum.toDouble
+      def cfu(ta: String, tb: String) =
+        docsM.keys.toSeq.map(tfu(_, ta, tb)).sum.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def feat(tfv: Long, cfv: Double, dlv: Long): BigDecimal =
+        BigDecimal(math.log((tfv + mu * cfv / cTotal) / (dlv + mu)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val bySeq = queries.groupBy(_._1).map { case (q, ts) =>
+        q -> ts.sortBy(_._2).map(_._3) }
+      val expected = bySeq.flatMap { case (q, seq) =>
+        val uni = seq.distinct
+        val cands = docsM.keys.filter(d => uni.exists(t => tf(d, t) > 0)).toSeq
+        val bigrams = seq.zip(seq.tail).distinct
+        val scored = cands.map { d =>
+          val sT = uni.map(t => feat(tf(d, t), cf(t), dl(d))).sum.toDouble
+          val sO = bigrams.filter { case (a, b) => cfo(a, b) > 0 }
+            .map { case (a, b) => feat(tfo(d, a, b), cfo(a, b), dl(d)) }
+            .sum.toDouble
+          val sU = bigrams.filter { case (a, b) => cfu(a, b) > 0 }
+            .map { case (a, b) => feat(tfu(d, a, b), cfu(a, b), dl(d)) }
+            .sum.toDouble
+          (d, r6(0.85 * sT + 0.1 * sO + 0.05 * sU))
+        }
+        scored.sortBy { case (d, sc) => (-sc, d) }.zipWithIndex.map {
+          case ((d, sc), i) => (q, (i + 1).toLong, d, sc) }
+      }.toSet
+      // sanity on the fixture itself: q1 candidates exclude doc 2
+      // (neither a nor b), q2 spans all three docs, and q2's ordered
+      // family is collection-absent
+      assert(expected.count(_._1 == 1L) == 2)
+      assert(expected.count(_._1 == 2L) == 3)
+      assert(cfo("b", "x") == 0.0 && cfu("b", "x") == 1.0)
+      assert(got == expected)
+    }
+  }
+
   describe("Retrieval.compactPostings") {
     it("selectively rewrites only fragmented buckets, preserves " +
        "content bit-for-bit, and is idempotent") {
@@ -652,6 +730,42 @@ class RetrievalSpec extends AnyFunSpec {
         Retrieval.compactDeletes(spark, tmp, nBuckets = 8)
         assert(served.isEmpty,
           "compacted positions must drop the deleted doc's rows")
+      } finally graft.queries.Rm.rf(tmp)
+    }
+
+    it("a tombstoned doc vanishes from the positional serve " +
+       "IMMEDIATELY — pre-compaction (r18 verdict #1): " +
+       "readPositionsSlice shares readServableSlice's " +
+       "minusTombstones gate, so the delete-visibility contract " +
+       "holds for phrase AND proximity serves inside the " +
+       "tombstones-pending window") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-postomb").toString
+      try {
+        val phrases = Seq((1L, Seq("joins", "data")))
+          .toDF("query_id", "terms")
+        Retrieval.writeIndex(corpus, "doc_id", "text", tmp,
+          nBuckets = 8, withPositions = true)
+        def served = Retrieval.phraseOccurrences(
+            Retrieval.readPositionsSlice(spark, tmp,
+              Seq("joins", "data"), nBuckets = 8), phrases)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(served == Set((1L, 0L, 1L)),
+          "pre-delete the phrase must hit doc 0")
+        Retrieval.deleteDocs(Seq(0L).toDF("doc_id"), tmp)
+        // NO compactDeletes — this is the window where the positional
+        // path used to resurface deleted docs
+        assert(served.isEmpty,
+          "a tombstoned doc must not appear in a positional serve")
+        // the proximity serve's candidate pass is also servable-gated:
+        // doc 0 must not be nominated
+        val q = Seq((1L, "joins"), (1L, "data")).toDF("query_id", "term")
+        val prox = Retrieval.proximityRerankIndexed(spark, tmp,
+            nBuckets = 8, q, Seq("joins", "data"), kCand = 4, k = 4)
+          .select("doc_id").as[Long].collect().toSet
+        assert(prox.nonEmpty && !prox.contains(0L),
+          "a tombstoned doc must not be nominated by the indexed " +
+            "proximity serve")
       } finally graft.queries.Rm.rf(tmp)
     }
 
