@@ -140,7 +140,12 @@ object Bench {
     // round 18: the sequential dependence model (unigram QL + ordered
     // + unordered windows over the positional index's pruned slices;
     // shares d144's postings memo and d75's index build)
-    "d147_sdm_topk")
+    "d147_sdm_topk",
+    // round 19: WAND (pivot-refined MaxScore nomination, batch
+    // postings like d74) and the fully-indexed SDM serve (|C| from
+    // stored stats, servable postings + pruned positions slices —
+    // zero corpus passes; shares d75's memoized index build)
+    "d149_wand_topk", "d150_sdm_indexed")
 
   /** FROZEN round-11 headline set (VERDICT r12 #2): the 49 queries that
     * made up BENCH_r11's sweep, pinned so `total_core` stays

@@ -604,13 +604,57 @@ object Retrieval {
               k: Int, mu: Double = 300.0, window: Int = 8,
               lamT: Double = 0.85, lamO: Double = 0.1,
               lamU: Double = 0.05): DataFrame = {
+    val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
+    val slice = posts.join(broadcast(
+      queries.select("term").distinct()), "term")
+    sdmGather(slice, coll, posPosts, queries, k, mu, window,
+      lamT, lamO, lamU)
+  }
+
+  /** [[sdmTopK]] from the PERSISTED positional index — the
+    * d146-for-d144 move applied to the SDM scorer (r18 verdict #8):
+    * the collection constant |C| comes EXACTLY from the stored
+    * `sum_tokens` (the qlDirichletIndexedTopK discipline), the
+    * unigram slice is the term-pruned servable postings read, and
+    * both window families score from the term-pruned positions
+    * slice — ZERO corpus passes at serve time. Bit-identical to the
+    * batch scorer over the same corpus (d150's oracle is d147's
+    * verbatim); the QL tombstone-staleness caveat applies unchanged
+    * (cf fresh via the servable anti-join, |C| stored-stale until
+    * compaction). */
+  def sdmIndexedTopK(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int,
+                     mu: Double = 300.0, window: Int = 8,
+                     lamT: Double = 0.85, lamO: Double = 0.1,
+                     lamU: Double = 0.05,
+                     nBuckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    val termList = queries.select("term").distinct()
+      .as[String].collect().toSeq            // bounded: the query set
+    val coll = spark.read.parquet(s"${root(spark, dir)}/stats")
+      .select(col("sum_tokens").cast("double").as("c_total"))
+    sdmGather(
+      readServableSlice(spark, dir, termList, nBuckets),
+      coll,
+      readPositionsSlice(spark, dir, termList, nBuckets),
+      queries, k, mu, window, lamT, lamO, lamU)
+  }
+
+  /** The SDM scoring core shared by the batch and indexed serves:
+    * `slice` is the query-term postings relation (every posting of
+    * every query term — cf over it IS the collection frequency),
+    * `coll` the 1-row `c_total` frame, `posPosts` a positions
+    * relation covering at least the query terms. */
+  private def sdmGather(slice: DataFrame, coll: DataFrame,
+                        posPosts: DataFrame, queries: DataFrame,
+                        k: Int, mu: Double, window: Int,
+                        lamT: Double, lamO: Double,
+                        lamU: Double): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(28, 9)
     val qt = queries.select(col("query_id"),
       col("qpos").cast("long").as("qpos"), col("term"))
     val uni = qt.select("query_id", "term").distinct()
     val qdistinct = uni.select("term").distinct()
-    val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
-    val slice = posts.join(broadcast(qdistinct), "term")
     val cfT = slice.groupBy("term")
       .agg(sum(col("tf")).cast("double").as("cf"))
     val cand = slice.join(broadcast(uni), "term")
@@ -639,47 +683,11 @@ object Retrieval {
       .distinct()
     val bgd = bg.select("ta", "tb").distinct()
     val ps = posPosts.join(broadcast(qdistinct), "term")
-    val pA = ps.select(col("doc_id"), col("term").as("ta"),
-      col("pos").as("pa"))
-    // Exact integer bucketing (positions are nonnegative longs): the
-    // numerator is an exact multiple of `window`, so the double
-    // division is exact for any window — no boundary mis-binning.
-    def posBin(c: Column): Column =
-      ((c - pmod(c, lit(window))) / lit(window)).cast("long")
-    val pB = ps.select(col("doc_id").as("doc_b"),
-      col("term").as("tb2"), col("pos").as("pb"))
-      .withColumn("bb", posBin(col("pb")))
-    // ONE window join for BOTH families (r18 verdict #2): the ordered
-    // condition (pb = pa + 1) is a strict subset of the unordered
-    // (|pb − pa| < window ∧ pb ≠ pa), so a single join on the
-    // unordered predicate plus conditional aggregation yields tfo
-    // and tfu together. The band is BINNED (q88's range-join
-    // discipline, r18 verdict #3): pos is bucketed by the window
-    // width, the pa side fans to its 3 adjacent buckets, and the
-    // join is a pure equi-join on (doc, tb, bucket) — any pb with
-    // |pb − pa| < window lands in exactly ONE of pa's 3 buckets, so
-    // no pair duplicates and no pair escapes. Per-(doc, bigram) cost
-    // falls from tf_a·tf_b to Σ_bucket tf_a·tf_b — on stopword
-    // bigrams at 100× this is the difference between a per-doc
-    // quadratic blowup and near-linear work.
-    val fan = pA.join(broadcast(bgd), Seq("ta"))
-      .withColumn("bb", explode(array(
-        posBin(col("pa")) - 1, posBin(col("pa")),
-        posBin(col("pa")) + 1)))
     // Materialized: BOTH families' cf aggregations and doc-joins read
     // it (4 consumers) — left as lineage the position join re-runs
     // per consumer (the d100 FileScan-dedup lesson, applied to the
     // plan's own heaviest join). Bounded: one row per (doc, bigram).
-    val winDoc = fan.join(pB,
-        col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
-          pB("bb") === fan("bb") &&
-          abs(col("pb") - col("pa")) < lit(window) &&
-          col("pb") =!= col("pa"))
-      .groupBy(col("doc_id"), col("ta"), col("tb"))
-      .agg(count(when(col("pb") === col("pa") + 1, 1)).cast("long")
-          .as("tfo"),
-        count(lit(1)).cast("long").as("tfu"))
-      .localCheckpoint()
+    val winDoc = sdmWindowCounts(ps, bgd, window).localCheckpoint()
     // tfo = 0 rows must NOT reach the ordered family: the old ordered
     // join produced no row there, and a cf_o row for a bigram never
     // seen ordered-adjacent would put ln(0) = −∞ into the sum (the
@@ -716,6 +724,54 @@ object Retrieval {
       .withColumn("rk", row_number().over(byScore).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score")
+  }
+
+  /** ONE window join for BOTH SDM families (r18 verdict #2): the
+    * ordered condition (`pb = pa + 1`) is a strict subset of the
+    * unordered (`|pb − pa| < window ∧ pb ≠ pa`), so a single join
+    * on the unordered predicate plus conditional aggregation yields
+    * `tfo` and `tfu` together — `(doc_id, ta, tb, tfo, tfu)`, one
+    * row per (doc, bigram) with ≥ 1 unordered co-occurrence.
+    *
+    * The band is BINNED (q88's range-join discipline, r18 verdict
+    * #3): positions bucket by the window width (exact integer
+    * arithmetic — the numerator is an exact multiple of `window`,
+    * so the double division never mis-bins a boundary), the pa side
+    * fans to its 3 adjacent buckets, and the join is a pure
+    * equi-join on (doc, tb, bucket) — any pb with |pb − pa| <
+    * window lands in exactly ONE of pa's 3 buckets, so no pair
+    * duplicates and no pair escapes. Per-(doc, bigram) cost falls
+    * from tf_a·tf_b to Σ_bucket (per-bucket products) — on stopword
+    * bigrams at 100× this is the difference between a per-doc
+    * quadratic blowup and near-linear work (the `sdmwin` Scale arm
+    * measures exactly this fragment against the unbinned shape).
+    *
+    * `ps` is a positions relation already restricted to the bigram
+    * terms (or a superset); `bgd` the distinct `(ta, tb)` bigram
+    * set (broadcast). Exposed `private[graft]` so the Scale probe
+    * shares the operator's lineage. */
+  private[graft] def sdmWindowCounts(ps: DataFrame, bgd: DataFrame,
+                                     window: Int): DataFrame = {
+    def posBin(c: Column): Column =
+      ((c - pmod(c, lit(window))) / lit(window)).cast("long")
+    val pA = ps.select(col("doc_id"), col("term").as("ta"),
+      col("pos").as("pa"))
+    val pB = ps.select(col("doc_id").as("doc_b"),
+      col("term").as("tb2"), col("pos").as("pb"))
+      .withColumn("bb", posBin(col("pb")))
+    val fan = pA.join(broadcast(bgd), Seq("ta"))
+      .withColumn("bb", explode(array(
+        posBin(col("pa")) - 1, posBin(col("pa")),
+        posBin(col("pa")) + 1)))
+    fan.join(pB,
+        col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
+          pB("bb") === fan("bb") &&
+          abs(col("pb") - col("pa")) < lit(window) &&
+          col("pb") =!= col("pa"))
+      .groupBy(col("doc_id"), col("ta"), col("tb"))
+      .agg(count(when(col("pb") === col("pa") + 1, 1)).cast("long")
+          .as("tfo"),
+        count(lit(1)).cast("long").as("tfu"))
   }
 
   /** RM3-style pseudo-relevance feedback (Lavrenko & Croft's SIGIR'01
@@ -1190,17 +1246,28 @@ object Retrieval {
     (qslice.count(), scored.count())
   }
 
-  /** Shared MaxScore planning lineage: returns (the exhaustive
-    * query-joined slice, the candidate-pruned subset the scorer
-    * aggregates). See [[maxScoreTopK]] for the bound proofs. */
-  private def maxScorePlan(slice: DataFrame, queries: DataFrame,
-                           stats: DataFrame, k: Int, k1: Double,
-                           b: Double): (DataFrame, DataFrame) = {
-    val qslice = slice.join(broadcast(queries), "term")
-      .crossJoin(broadcast(stats))
-    // (query, term) planning rows from the vocab-sized (term, df)
-    // projection — partial aggregation collapses it map-side, so the
-    // planning never shuffles or re-joins the posting rows themselves.
+  /** The planning state the MaxScore/WAND family shares, computed
+    * once per serve over a stored-df slice: per-(query,term) upper
+    * bounds, the per-query threshold θ, and the essential term set.
+    * All three are query-set-sized → broadcast everywhere they are
+    * consumed. See [[maxScoreTopK]] for the bound proofs.
+    *
+    *  - `termBounds` — `(query_id, term, ub)`, ub = idf·(k1+1)+1e-9
+    *    from the vocab-sized (term, df) projection (partial
+    *    aggregation collapses it map-side; the planning never
+    *    shuffles or re-joins the posting rows themselves);
+    *  - `theta` — `(query_id, theta)`, the k-th best SINGLE-term
+    *    6-dp score on each query's highest-ub (driver) term — a
+    *    provable lower bound on the k-th best final score; queries
+    *    with fewer than k docs on the driver list emit no row
+    *    (nothing prunes);
+    *  - `essential` — `(query_id, term)`: terms whose ub-ascending
+    *    running total reaches θ − 1e-6 (the full last-digit ulp of
+    *    the 6-decimal final rounding). */
+  private def pruningPlanning(slice: DataFrame, queries: DataFrame,
+                              stats: DataFrame, k: Int, k1: Double,
+                              b: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     val termBounds = slice.select(col("term"), col("df")).distinct()
       .join(broadcast(queries), "term")
       .crossJoin(broadcast(stats.select("n_docs")))
@@ -1208,8 +1275,7 @@ object Retrieval {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * lit(k1 + 1.0) + lit(1e-9))
       .select("query_id", "term", "ub")
-    // θ: k-th best single-term score on each query's highest-ub term.
-    // The driver/essential joins attach query_id by joining the
+    // θ: the driver/essential joins attach query_id by joining the
     // PLANNING pairs on `term` against the raw slice — never against
     // the full query-joined slice, whose evaluation is the very cost
     // the prune removes.
@@ -1227,7 +1293,6 @@ object Retrieval {
         .orderBy(col("partial").desc, col("doc_id").asc)))
       .filter(col("r") === k)
       .select(col("query_id"), col("partial").as("theta"))
-    // Essential iff the ub-ascending running total reaches θ − ulp.
     val essential = termBounds
       .join(broadcast(theta), Seq("query_id"), "left")
       .withColumn("cum", sum("ub").over(Window.partitionBy("query_id")
@@ -1236,6 +1301,118 @@ object Retrieval {
       .filter(col("theta").isNull ||
         col("cum") >= col("theta") - lit(1e-6))
       .select("query_id", "term")
+    (termBounds, theta, essential)
+  }
+
+  /** WAND-pruned BM25 (Broder, Carmel, Herscovici, Soffer & Zien,
+    * CIKM'03 — the pivot test MaxScore's essential-list nomination
+    * descends toward), reformulated set-at-a-time. LOSSLESS: returns
+    * bit-identical output to [[bm25TopK]], oracle-gated against
+    * d67's SQL verbatim.
+    *
+    * Where MaxScore admits ANY doc an essential list nominates, WAND
+    * applies its pivot criterion PER DOC: a document can enter the
+    * top-k only if the sum of the upper bounds of the query terms it
+    * actually MATCHES reaches the threshold —
+    * `Σ_{t ∈ q, d ∈ postings(t)} ub(t) ≥ θ` (document-at-a-time
+    * WAND evaluates exactly this sum at its pivot before fully
+    * scoring a doc). Set-at-a-time that becomes a two-stage refine:
+    *
+    *  1. NOMINATE — MaxScore's essential lists ([[pruningPlanning]]):
+    *     a doc matching no essential term has matched-ub sum below
+    *     θ − ulp by the essential-set construction (its matched set
+    *     is a subset of the non-essential terms, whose TOTAL ub sum
+    *     stays below θ − ulp), so WAND's own test would prune it —
+    *     nominating from the essential lists alone loses nothing and
+    *     keeps the giant non-essential lists out of the nomination;
+    *  2. PIVOT TEST — for nominees only, sum the matched terms'
+    *     bounds (one candidate-bounded aggregation over the slice)
+    *     and keep docs with `ubsum ≥ θ − 1e-6`. A pruned doc's true
+    *     6-dp score is strictly below θ (each 9-dp contribution is
+    *     < its padded ub; the 1e-6 margin is the full final-rounding
+    *     ulp and dominates the double-sum error by orders of
+    *     magnitude), so it cannot displace a top-k doc even on the
+    *     doc_id tiebreak;
+    *  3. exact scores for the survivors over ALL their rows — the
+    *     maxScorePlan candidate-side assembly verbatim.
+    *
+    * Strictly finer than MaxScore on multi-essential queries: a doc
+    * matching ONE mid-bound essential term whose ub alone misses θ
+    * is nominated by MaxScore but pruned here (the spec pins a
+    * fixture where that happens); survivors ⊆ nominees always. The
+    * extra cost is one (query,doc)-keyed sum over the nominees'
+    * slice rows — candidate-bounded, never corpus-shaped. */
+  def wandTopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val slice = posts
+      .join(broadcast(queries.select("term").distinct()), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    wandFromSlice(slice, queries, stats, k, k1, b)
+  }
+
+  /** [[wandTopK]] over a slice that already carries `df` (the stored
+    * dictionary layout of [[readIndexSlice]] / [[readServableSlice]]
+    * — the persisted-index serve path). */
+  def wandFromSlice(slice: DataFrame, queries: DataFrame,
+                    stats: DataFrame, k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame =
+    rank(wandPlan(slice, queries, stats, k, k1, b)._3, k, k1, b)
+
+  /** The pruning-activity witness: (docs MaxScore would score — the
+    * essential-list nominees, docs WAND actually scores — pivot-test
+    * survivors). Shares [[wandPlan]]'s lineage with the real
+    * operator so the witness can't drift from what the query runs. */
+  def wandDocCounts(posts: DataFrame, queries: DataFrame,
+                    stats: DataFrame, k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): (Long, Long) = {
+    val slice = posts
+      .join(broadcast(queries.select("term").distinct()), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val (nominees, survivors, _) =
+      wandPlan(slice, queries, stats, k, k1, b)
+    (nominees.count(), survivors.count())
+  }
+
+  /** (nominees, pivot-test survivors, scoring input) — see
+    * [[wandTopK]]. */
+  private def wandPlan(slice: DataFrame, queries: DataFrame,
+                       stats: DataFrame, k: Int, k1: Double, b: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (termBounds, theta, essential) =
+      pruningPlanning(slice, queries, stats, k, k1, b)
+    val nominees = slice
+      .join(broadcast(essential), "term")
+      .select("query_id", "doc_id").distinct()
+    // the pivot test: matched-term ub sum per nominated (query, doc).
+    // The slice is touched by ONE broadcast hash probe on doc_id
+    // (the maxScorePlan assembly discipline); the termBounds join
+    // keeps exactly the query's matched terms.
+    val survivors = slice
+      .join(broadcast(nominees), "doc_id")
+      .join(broadcast(termBounds), Seq("query_id", "term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("ub")).as("ubsum"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull ||
+        col("ubsum") >= col("theta") - lit(1e-6))
+      .select("query_id", "doc_id")
+    (nominees, survivors,
+      slice
+        .join(broadcast(survivors), "doc_id")
+        .join(broadcast(queries), Seq("query_id", "term"))
+        .crossJoin(broadcast(stats)))
+  }
+
+  /** Shared MaxScore planning lineage: returns (the exhaustive
+    * query-joined slice, the candidate-pruned subset the scorer
+    * aggregates). See [[maxScoreTopK]] for the bound proofs. */
+  private def maxScorePlan(slice: DataFrame, queries: DataFrame,
+                           stats: DataFrame, k: Int, k1: Double,
+                           b: Double): (DataFrame, DataFrame) = {
+    val qslice = slice.join(broadcast(queries), "term")
+      .crossJoin(broadcast(stats))
+    val (_, _, essential) =
+      pruningPlanning(slice, queries, stats, k, k1, b)
     val candidates = slice
       .join(broadcast(essential), "term")
       .select("query_id", "doc_id").distinct()

@@ -661,6 +661,33 @@ object Search {
       },
       Some(Bm25OracleSql)),
 
+    Q("d149_wand_topk",
+      "WAND-pruned BM25 (Broder et al., CIKM'03 — VERDICT r18 #7): " +
+        "the pivot test applied set-at-a-time on top of MaxScore's " +
+        "essential-list nomination. Where d74 scores EVERY doc an " +
+        "essential list nominates, WAND's per-doc criterion — the " +
+        "sum of the upper bounds of the terms the doc actually " +
+        "matches must reach θ — prunes nominees matching only " +
+        "mid-bound terms whose combined ub misses the threshold, so " +
+        "strictly fewer docs are fully scored (the spec pins a " +
+        "fixture where the pivot drops a MaxScore nominee; " +
+        "wandDocCounts is the pruning-activity witness). The refine " +
+        "pass is one candidate-bounded (query,doc) ub-sum over the " +
+        "nominees' slice rows — never corpus-shaped. LOSSLESS by the " +
+        "same bound/ulp proofs as d74 — the oracle is d67's " +
+        "VERBATIM: identical top-10, identical scores.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        Retrieval.wandTopK(
+          Retrieval.postings(docs, "doc_id", "text"),
+          QueryTerms.toDF("query_id", "term"),
+          Retrieval.corpusStats(docs, "text"),
+          k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(Bm25OracleSql)),
+
     Q("d75_maxscore_indexed",
       "MaxScore serving from the PERSISTED index — d74's pruning in " +
         "w30's production shape: planning runs on the term DICTIONARY " +
@@ -2245,6 +2272,29 @@ object Search {
           Retrieval.readPositionsSlice(s, idx, terms, nBuckets = 16),
           SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10)
           .orderBy("query_id", "rk")
+      },
+      Some(SdmOracleSql)),
+
+    Q("d150_sdm_indexed",
+      "SDM serving from the PERSISTED positional index (VERDICT r18 " +
+        "#8 — the d146-for-d144 move applied to d147): the " +
+        "collection constant |C| comes EXACTLY from the stored " +
+        "sum_tokens, the unigram slice is the term-pruned SERVABLE " +
+        "postings read (tombstone-aware), and both window families " +
+        "score from the term-pruned positions slice — ZERO corpus " +
+        "passes at serve time, every read file-pruned to the query " +
+        "terms' buckets. Bit-identity to the batch scorer is " +
+        "spec-gated; the oracle is d147's VERBATIM — the indexed " +
+        "serve must equal the batch three-family scorer per-bit " +
+        "(the d67/d75 discipline).",
+      (s, dir) => {
+        import s.implicits._
+        val idx = textIndexDir(s, dir)
+        Retrieval.sdmIndexedTopK(s, idx,
+          SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10,
+          nBuckets = 16)
+          .orderBy("query_id", "rk")
+          .localCheckpoint()
       },
       Some(SdmOracleSql)),
 

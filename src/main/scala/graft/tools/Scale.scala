@@ -327,7 +327,7 @@ object Scale {
       what != "incc" && what != "sa" && what != "bpe" && what != "spill" &&
       what != "textcompact" && what != "gather" && what != "lm" &&
       what != "fuzzy" && what != "maxsim" && what != "rangejoin" &&
-      what != "ssjoinreal" && what != "ssjoin" &&
+      what != "ssjoinreal" && what != "ssjoin" && what != "sdmwin" &&
       what != "stats" && what != "pack" && what != "gram" &&
       what != "annpca" && what != "validate" && what != "zorder" &&
       what != "graphwalk"
@@ -359,7 +359,7 @@ object Scale {
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
            "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
-           "annpca" | "validate" | "zorder" | "graphwalk" =>
+           "annpca" | "validate" | "zorder" | "graphwalk" | "sdmwin" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -1397,6 +1397,82 @@ object Scale {
         s""""binned_sec":${fmt(binnedSec)},""" +
         s""""binned_shuffle_mb":${fmt(bMb)},""" +
         s""""theta_nlj_sec":${fmt(nljSec)}}""")
+    }
+    // SDM window-join arm (r18 verdict #3): the stopword-bigram
+    // regime where the per-(doc, bigram) pair product is the 100×
+    // cost risk. Docs are R repetitions of an 8-token block holding
+    // one "the" and one "of" each, so per-doc tf grows with R at
+    // FIXED pair density: the r18 unbinned (doc, term)-keyed join
+    // evaluates tf² candidate pairs per doc, the binned equi-join
+    // (sdmWindowCounts — d147's production fragment) ~3·tf (one
+    // partner bucket triple per pa). The tokenize is staged OUT of
+    // the timed region (the d61 discipline: the quadratic-risk
+    // region is what's measured); tfo/tfu sums must agree
+    // bit-for-bit between shapes — binning changes cost, never
+    // counts. Expected: unbinned grows ~R² across the tiers while
+    // binned stays near-linear in R.
+    if (what == "sdmwin") {
+      import graft.operators.Retrieval
+      import spark.implicits._
+      val nDocs = 1000L * factor / 10
+      val bgd = Seq(("the", "of")).toDF("ta", "tb").localCheckpoint()
+      def posOf(r: Int) = {
+        val text = Seq.fill(r)("the of f1 f2 f3 f4 f5 f6")
+          .mkString(" ")
+        Retrieval.positionalPostings(
+          spark.range(nDocs).select(col("id").as("doc_id"),
+            lit(text).as("text")),
+          "doc_id", "text")
+          .filter(col("term").isin("the", "of"))
+          .localCheckpoint()
+      }
+      // untimed warm-up (JIT + codegen) on a tiny tier
+      locally {
+        val w = posOf(2)
+        Retrieval.sdmWindowCounts(w, bgd, window = 8).count()
+        w.unpersist()
+      }
+      for (r <- Seq(25, 250, 2500)) {
+        val ps = posOf(r)
+        Thread.sleep(400)
+        var t0 = System.nanoTime()
+        val b = Retrieval.sdmWindowCounts(ps, bgd, window = 8)
+          .agg(sum(col("tfo")).as("so"), sum(col("tfu")).as("su"),
+            count(lit(1)).as("n")).head()
+        val binnedSec = (System.nanoTime() - t0) / 1e9
+        // the r18 shape: equi-join on (doc, term) with the band as a
+        // post-filter inside the hash join — tf_a·tf_b pairs per doc
+        val pA = ps.select(col("doc_id"), col("term").as("ta"),
+          col("pos").as("pa"))
+        val pB = ps.select(col("doc_id").as("doc_b"),
+          col("term").as("tb2"), col("pos").as("pb"))
+        t0 = System.nanoTime()
+        val u = pA.join(broadcast(bgd), Seq("ta"))
+          .join(pB,
+            col("doc_b") === col("doc_id") && col("tb2") === col("tb") &&
+              abs(col("pb") - col("pa")) < lit(8) &&
+              col("pb") =!= col("pa"))
+          .groupBy(col("doc_id"), col("ta"), col("tb"))
+          .agg(count(when(col("pb") === col("pa") + 1, 1)).as("tfo"),
+            count(lit(1)).as("tfu"))
+          .agg(sum(col("tfo")).as("so"), sum(col("tfu")).as("su"),
+            count(lit(1)).as("n")).head()
+        val unbinnedSec = (System.nanoTime() - t0) / 1e9
+        require(b.getLong(0) == u.getLong(0) &&
+          b.getLong(1) == u.getLong(1) && b.getLong(2) == u.getLong(2),
+          s"binned/unbinned window counts diverged: $b vs $u")
+        // the planted geometry: tfo = R, tfu = 2R−1 per doc
+        require(b.getLong(0) == nDocs * r &&
+          b.getLong(1) == nDocs * (2L * r - 1),
+          s"fixture geometry broke: $b (r=$r, docs=$nDocs)")
+        println(s"""{"query":"sdm_window_binned","n_docs":$nDocs,""" +
+          s""""tf_per_doc":$r,"pairs_tfu":${b.getLong(1)},""" +
+          s""""cand_binned_per_doc":${3 * r},""" +
+          s""""cand_unbinned_per_doc":${r.toLong * r},""" +
+          s""""binned_sec":${fmt(binnedSec)},""" +
+          s""""unbinned_sec":${fmt(unbinnedSec)}}""")
+        ps.unpersist()
+      }
     }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):
     // the same doc-at-a-time scored relation — (query, doc, score)

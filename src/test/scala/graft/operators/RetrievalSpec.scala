@@ -388,6 +388,73 @@ class RetrievalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Retrieval.wandTopK") {
+    it("is bit-identical to the exhaustive scorer on a randomized " +
+       "sweep of rare/common query mixes (lossless pruning)") {
+      for (seed <- 1 to 3) {
+        val docs = zipf2(nDocs = 120, vocab = 25, seed = seed + 40)
+        val posts = Retrieval.postings(docs, "doc_id", "text")
+        val stats = Retrieval.corpusStats(docs, "text")
+        val q = Seq((1L, "w1"), (1L, "w2"), (1L, "w15"), (1L, "w22"),
+          (2L, "w3"), (2L, "w18"), (3L, "w1"), (3L, "w25"))
+          .toDF("query_id", "term")
+        val got = Retrieval.wandTopK(posts, q, stats, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = Retrieval.bm25TopK(posts, q, stats, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(got == want && got.nonEmpty, s"seed $seed diverged")
+      }
+    }
+
+    it("the pivot test prunes a doc MaxScore nominates — one " +
+       "mid-bound essential match whose ub alone misses θ — and " +
+       "stays lossless (the d149 pruning-activity witness)") {
+      // Engineered bound structure at k=1 (N=12, avgdl=52/12):
+      //   qa: df=1 → ub≈4.75; θ = contrib_qa(doc0: tf=4, dl=4)≈3.70
+      //   qb, qc: df=2 → ub≈3.63 each; ub-ascending cum: qb 3.63 (<θ,
+      //   non-essential), qc 7.25 (essential), qa (essential)
+      // Nominees (essential-list match): doc0 (qa), doc1 (qc),
+      //   doc2 (qb+qc). WAND pivot sums: doc0 4.75 ✓, doc2 7.25 ✓,
+      //   doc1 3.63 < θ−1e-6 → PRUNED — MaxScore scores it, WAND
+      //   does not. doc3 (qb only, non-essential) nominated by
+      //   neither.
+      val docs = (Seq(
+        (0L, "qa qa qa qa"),
+        (1L, "qc f f f f f f f"),
+        (2L, "qb qc f f"),
+        (3L, "qb f f f")) ++
+        (4L to 11L).map(i => (i, "f f f f")))
+        .toDF("doc_id", "text")
+      val posts = Retrieval.postings(docs, "doc_id", "text")
+      val stats = Retrieval.corpusStats(docs, "text")
+      val q = Seq((1L, "qa"), (1L, "qb"), (1L, "qc"))
+        .toDF("query_id", "term")
+      val (nominees, survivors) =
+        Retrieval.wandDocCounts(posts, q, stats, k = 1)
+      assert(nominees == 3L && survivors == 2L,
+        s"expected the pivot test to drop exactly doc 1 " +
+          s"(got nominees=$nominees survivors=$survivors)")
+      val got = Retrieval.wandTopK(posts, q, stats, k = 1)
+        .as[(Long, Long, Long, Double)].collect().toList
+      val want = Retrieval.bm25TopK(posts, q, stats, k = 1)
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got == want && got.map(_._3) == List(0L))
+    }
+
+    it("handles fewer-than-k corpora (no threshold, nothing pruned)") {
+      val docs = Seq((0L, "alpha beta"), (1L, "beta gamma"))
+        .toDF("doc_id", "text")
+      val posts = Retrieval.postings(docs, "doc_id", "text")
+      val stats = Retrieval.corpusStats(docs, "text")
+      val q = Seq((1L, "beta"), (1L, "alpha")).toDF("query_id", "term")
+      val got = Retrieval.wandTopK(posts, q, stats, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      val want = Retrieval.bm25TopK(posts, q, stats, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(got == want && got.size == 2)
+    }
+  }
+
   describe("Retrieval.maxScoreIndexedTopK — degenerate-regime fallback") {
     it("an all-essential / over-threshold query profile takes the " +
        "exhaustive path, with identical output") {
@@ -537,6 +604,32 @@ class RetrievalSpec extends AnyFunSpec {
       assert(expected.count(_._1 == 2L) == 3)
       assert(cfo("b", "x") == 0.0 && cfu("b", "x") == 1.0)
       assert(got == expected)
+    }
+
+    it("the persisted-index serve (sdmIndexedTopK: |C| from stored " +
+       "sum_tokens, servable postings slice, pruned positions slice) " +
+       "is bit-identical to the batch scorer — the d67/d75 " +
+       "discipline applied to the three-family scorer") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sdmidx").toString
+      try {
+        val docs = zipf2(nDocs = 60, vocab = 12, seed = 93)
+        Retrieval.writeIndex(docs, "doc_id", "text", tmp,
+          nBuckets = 8, withPositions = true)
+        val q = Seq((1L, 0L, "w1"), (1L, 1L, "w2"), (1L, 2L, "w7"),
+          (2L, 0L, "w3"), (2L, 1L, "w9"))
+          .toDF("query_id", "qpos", "term")
+        val got = Retrieval.sdmIndexedTopK(spark, tmp, q, k = 8,
+            nBuckets = 8)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        val want = Retrieval.sdmTopK(
+            Retrieval.postings(docs, "doc_id", "text").localCheckpoint(),
+            Retrieval.positionalPostings(docs, "doc_id", "text")
+              .localCheckpoint(),
+            q, k = 8)
+          .as[(Long, Long, Long, Double)].collect().toList.sorted
+        assert(got == want && got.nonEmpty)
+      } finally graft.queries.Rm.rf(tmp)
     }
   }
 
