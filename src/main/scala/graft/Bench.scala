@@ -307,7 +307,9 @@ object Bench {
       "d52_graph_pagerank" -> Seq("d52_gram_edges"),
       "q54_hll_sketch_union" -> Seq("q54_pairs"),
       "q80_assoc_rules" -> Seq("q80_baskets"),
-      "d147_sdm_topk" -> Seq("postings"))
+      // d149 (WAND over the memoized postings) runs after d147 in the
+      // headline, so it is now the postings memo's last consumer
+      "d149_wand_topk" -> Seq("postings"))
     def retireAfter(name: String): Unit =
       memoRetire.get(name).foreach(_.foreach { tag =>
         val before = graft.queries.MemoRegistry.storagePinnedMb(spark)

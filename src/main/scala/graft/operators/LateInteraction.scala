@@ -398,7 +398,8 @@ object LateInteraction {
   def maxSimTopKPlaidFromMapCapped(tokMap: DataFrame,
       queries: DataFrame, dim: Int, k: Int, bits: Int = 6,
       c: Int = 100, hamming: Int = 1,
-      maxQueriesPerPlan: Int = 512): DataFrame = {
+      maxQueriesPerPlan: Int = 512,
+      chunkParallelism: Int = 1): DataFrame = {
     // Checkpoint FIRST, then count the checkpointed frame (r17
     // review): counting the raw frame and checkpointing it after
     // executed the caller's upstream lineage twice — precisely on
@@ -423,22 +424,60 @@ object LateInteraction {
       case _ => None
     }
     val n = q2.count()
+    // Per-chunk checkpoint handles (pipelined mode) — released after
+    // the final result materializes, same discipline as qRdd.
+    var chunkRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    def chunk(i: Int, nChunks: Int): DataFrame =
+      maxSimTopKPlaidFromMap(
+        tokMap,
+        q2.filter(
+          pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
+        dim, k, bits, c, hamming)
     val served =
       if (n <= maxQueriesPerPlan)
         maxSimTopKPlaidFromMap(tokMap, q2, dim, k, bits, c, hamming)
       else {
         val nChunks =
           ((n + maxQueriesPerPlan - 1) / maxQueriesPerPlan).toInt
-        (0 until nChunks)
-          .map(i => maxSimTopKPlaidFromMap(
-            tokMap,
-            q2.filter(
-              pmod(xxhash64(col("query_id")), lit(nChunks)) === i),
-            dim, k, bits, c, hamming))
-          .reduce(_.unionByName(_))
+        if (chunkParallelism <= 1)
+          (0 until nChunks).map(chunk(_, nChunks))
+            .reduce(_.unionByName(_))
+        else {
+          // PIPELINED chunk submission (r18 verdict #4): the lazy
+          // union serializes on the driver — each branch's broadcast
+          // builds, window sorts and AQE stage materializations run
+          // one after another, the measured ~4 s/chunk orchestration
+          // floor. Here each chunk materializes EAGERLY
+          // (localCheckpoint) on its own driver thread from a
+          // bounded pool, so the per-chunk small jobs overlap on the
+          // executor pool; the final union reads the pinned results.
+          // Chunk composition is hash-determined, each chunk's serve
+          // is the full two-stage plan, and the union of checkpointed
+          // results is row-identical to the sequential shape — the
+          // pool changes job OVERLAP, never content (spec-gated).
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(chunkParallelism, nChunks))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val futs = (0 until nChunks).map { i =>
+              scala.concurrent.Future(chunk(i, nChunks).localCheckpoint())
+            }
+            val parts = scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(futs),
+              scala.concurrent.duration.Duration.Inf)
+            chunkRdds = parts.flatMap(_.queryExecution.analyzed match {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                Some(lr.rdd)
+              case _ => None
+            })
+            parts.reduce(_.unionByName(_))
+          } finally pool.shutdown()
+        }
       }
     val out = served.localCheckpoint()
     qRdd.foreach(_.unpersist(blocking = false))
+    chunkRdds.foreach(_.unpersist(blocking = false))
     out
   }
 

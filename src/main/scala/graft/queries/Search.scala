@@ -678,11 +678,14 @@ object Search {
         "VERBATIM: identical top-10, identical scores.",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents")
+        // memoized postings checkpoint (d144/d147's memo): wandPlan
+        // consumes the slice FIVE times (bounds, θ, nomination,
+        // pivot sum, scoring) — raw lineage would re-tokenize the
+        // corpus per consumer (the d100 FileScan-dedup lesson)
         Retrieval.wandTopK(
-          Retrieval.postings(docs, "doc_id", "text"),
+          postings(s, dir),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          Retrieval.corpusStats(t(s, dir, "documents"), "text"),
           k = 10)
           .orderBy("query_id", "rk")
       },

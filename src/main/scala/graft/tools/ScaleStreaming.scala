@@ -1179,6 +1179,16 @@ object ScaleStreaming {
     // this host's waves still gives every cap a quiet start.
     val caps = sys.env.getOrElse("SPARK_GRAFT_PLAID_CAP", "7176")
       .split(",").map(_.trim.toInt).toSeq
+    // r18 verdict #4 — the plan-width/pipelining levers the cap
+    // sweep exposed: p50 tracks CHUNK COUNT (~4 s/chunk quiet), so
+    // the latency levers are wider plans (fewer chunks) and/or
+    // pipelined chunk submission (overlapped chunk jobs). Swept as
+    // (maxQueriesPerPlan, chunkParallelism) pairs over the same
+    // admission cap.
+    val planQ = sys.env.getOrElse("SPARK_GRAFT_PLAID_PLANQ", "512")
+      .trim.toInt
+    val chunkPar = sys.env.getOrElse("SPARK_GRAFT_PLAID_PAR", "1")
+      .trim.toInt
     def runOnce(cap: Int, driveSecs: Int): Unit = {
       // gate BEFORE the stream starts — processing begins at start()
       val startLoad = if (capped) Scale.waitQuiet() else -1.0
@@ -1209,7 +1219,8 @@ object ScaleStreaming {
             // one 16.6 s ~1.9k-query batch at rate 100
             LI.maxSimTopKPlaidFromMapCapped(tokMap,
               batch.select(col("query_id"), col("terms")),
-              dim = 8, k = 10, bits = 8, c = 50, hamming = 2)
+              dim = 8, k = 10, bits = 8, c = 50, hamming = 2,
+              maxQueriesPerPlan = planQ, chunkParallelism = chunkPar)
               .write.format("noop").mode("overwrite").save()
           }
         }
@@ -1223,6 +1234,7 @@ object ScaleStreaming {
       // The cap and its gated start load print alongside the row.
       if (capped)
         println(s"""{"probe":"plaid_serve_capped_cfg","cap":$cap,""" +
+          s""""plan_q":$planQ,"chunk_par":$chunkPar,""" +
           s""""start_loadavg":${fmt(startLoad)}}""")
       report(if (capped) "plaid_serve_capped" else "plaid_serve",
         if (capped) -1 else qRate, n, drive(q, driveSecs))

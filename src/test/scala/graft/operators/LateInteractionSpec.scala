@@ -246,6 +246,24 @@ class LateInteractionSpec extends AnyFunSpec {
         .as[(Long, Long, Long, Double)].collect().toList.sorted
       assert(passthrough == uncapped)
     }
+
+    it("PIPELINED chunk submission (chunkParallelism > 1) is " +
+       "bit-identical to the sequential chunked serve — the pool " +
+       "changes job overlap, never content (r18 verdict #4)") {
+      val df = corpus(80).toDF("doc_id", "text")
+      val qs = queries.toDF("query_id", "terms")
+      val tokMap = LateInteraction
+        .docTokenMap(df, "doc_id", "text", dim = Dim)
+      val sequential = LateInteraction.maxSimTopKPlaidFromMapCapped(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+          maxQueriesPerPlan = 1)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      val pipelined = LateInteraction.maxSimTopKPlaidFromMapCapped(
+          tokMap, qs, dim = Dim, k = 5, bits = 4, c = 8, hamming = 2,
+          maxQueriesPerPlan = 1, chunkParallelism = 3)
+        .as[(Long, Long, Long, Double)].collect().toList.sorted
+      assert(pipelined == sequential && sequential.nonEmpty)
+    }
   }
 
   describe("LateInteraction.maxSimServeFromMapPlan") {
