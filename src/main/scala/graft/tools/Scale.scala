@@ -1968,15 +1968,31 @@ object Scale {
             batch).count()
           recount400Sec = (System.nanoTime() - tR0) / 1e9
         }
+        // SPARK_GRAFT_BPE_NOOBS=1 drops the per-round OBSERVER from
+        // the auto arm (round-19 finding: the onRound touched-count
+        // callback runs one extra `cur.filter(touchedPred).count()`
+        // JOB per round — ~400 extra corpus-filter counts the recount
+        // arm never pays, measured ~70 s over the 400-round run, i.e.
+        // the whole 1.5-1.6× "gap" of the two r19 gated attempts that
+        // survived their weather. The wall GATE must compare
+        // uninstrumented arm against uninstrumented arm; the touched/
+        // wall decile series already exists from the instrumented
+        // runs and doesn't need re-measuring per attempt). The cheap
+        // driver-side onArm decision trace stays either way.
+        val noObs = sys.env.get("SPARK_GRAFT_BPE_NOOBS").contains("1")
         def runAutoArm(): Unit = {
           armLoads += waitQuiet()
           var lastT = System.nanoTime()
           val tA0 = System.nanoTime()
-          nI = BpeTrain.trainIncremental(docs3, "text", rounds,
-            batch, Some((_, t, _) => {
+          val obs: Option[(Int, Long, Int) => Unit] =
+            if (noObs) None
+            else Some((_, t, _) => {
               val now = System.nanoTime()
               perRound += ((t, (now - lastT) / 1e9)); lastT = now
-            }), onArm = Some((r, d, sg) => longArms += ((r, d, sg))))
+            })
+          nI = BpeTrain.trainIncremental(docs3, "text", rounds,
+            batch, obs,
+            onArm = Some((r, d, sg) => longArms += ((r, d, sg))))
             .count()
           incSec = (System.nanoTime() - tA0) / 1e9
         }
@@ -2006,6 +2022,7 @@ object Scale {
           s""""auto_delta_rounds_${idRounds}r":${
             if (longOnly) -1 else idArms.count(_._2)},""" +
           s""""long_rounds":${ts.length},"long_merges":$nI,""" +
+          s""""observer_skipped":$noObs,""" +
           s""""long_sec":${fmt(incSec)},""" +
           s""""long_recount_sec":${fmt(recount400Sec)},""" +
           s""""long_recount_merges":$nRec400,""" +
