@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * which is exactly why it needs no discount estimation pass and
   * scales to web counts.
   *
-  * Scale shape: ONE corpus pass builds positions; unigrams and
-  * bigrams are hash aggregations over it; scoring joins positions
-  * against the two count tables on their natural keys (broadcast
-  * when the vocabulary is small, shuffle joins on (prev, w) at web
-  * scale — declarative either way) and folds per doc. Cross-engine
+  * Scale shape: ONE corpus pass builds positions WITH their one-left
+  * context attached by a doc-keyed window (round 19 — the old
+  * shifted self-join shuffled the token stream twice to look one
+  * position left); unigrams and bigrams are hash aggregations over
+  * it; scoring joins positions against the two count tables on their
+  * natural keys (broadcast when the vocabulary is small, shuffle
+  * joins on (prev, w) at web scale — declarative either way) and
+  * folds per doc. Cross-engine
   * determinism: per-token ln rounds to 9 decimals and sums as
   * DECIMAL (the BM25 discipline), mean rounds to 6.
   */
@@ -36,24 +39,31 @@ object NgramLm {
   def docScores(docs: DataFrame, idCol: String, textCol: String,
                 alpha: Double = 0.4,
                 tok: Column => Column = TextAnalysis.tokens): DataFrame = {
+    // Context attach via LAG over (doc, i) instead of the shifted
+    // (doc, i)-keyed self-join (round 19, guide §2.4): the join
+    // shuffled the token stream TWICE (once per side) just to look
+    // one position left; one window pays a single doc-keyed exchange
+    // + sort. The lag(i) guard keeps the join's exact semantics when
+    // the tokenizer leaves position gaps (a filtered empty token at
+    // i−1 must yield NO context, not the last surviving token).
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
     val pos = docs
       .select(col(idCol).as("doc_id"),
         posexplode(tok(col(textCol))).as(Seq("i", "w")))
       .filter(length(col("w")) > 0)
-      // consumed four times (unigrams, totals, both sides of the
-      // shifted self-join, final scoring): checkpoint so the corpus
-      // posexplode runs once (the Dsir discipline)
+      .withColumn("prev",
+        when(lag(col("i"), 1).over(byPos) === col("i") - 1,
+          lag(col("w"), 1).over(byPos)))
+      // consumed four times (unigrams, totals, bigram counts, final
+      // scoring): checkpoint so the corpus posexplode + context
+      // window run once (the Dsir discipline)
       .localCheckpoint()
     val uni = pos.groupBy("w").agg(count(lit(1)).as("cu"))
     val total = pos.agg(count(lit(1)).cast("long").as("n_total"))
-    // (doc, i, prev) for i >= 1: the shifted self-join — equi keys,
-    // both sides derived from the same scan
-    val prevs = pos.select(col("doc_id"), (col("i") + 1).as("i"),
-      col("w").as("prev"))
-    val bigrams = prevs.join(pos, Seq("doc_id", "i"))
+    val bigrams = pos.filter(col("prev").isNotNull)
       .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
     val scored = pos
-      .join(prevs, Seq("doc_id", "i"), "left")
       .join(uni, Seq("w"))
       .join(uni.select(col("w").as("prev"), col("cu").as("cu_prev")),
         Seq("prev"), "left")

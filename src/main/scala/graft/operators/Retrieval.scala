@@ -436,6 +436,27 @@ object Retrieval {
     rank(slice.join(broadcast(queries), "term")
       .crossJoin(broadcast(stats)), k, k1, b)
 
+  /** Query-term slice of a postings (or positions) relation via a
+    * LITERAL In predicate rather than a broadcast join (round 19,
+    * guide §2.3 — filter before the exchange): a literal filter on
+    * the grouping key pushes BELOW the postings `groupBy(doc, term)`
+    * and its exchange, so raw-lineage batch callers aggregate — and
+    * shuffle — only query-term token rows instead of every corpus
+    * token; a broadcast JOIN can never push through the aggregation,
+    * which left the full corpus-token exchange in every batch
+    * scorer's plan. On a memoized checkpoint or a pruned index read
+    * the filter is also strictly cheaper: it drops the per-consumer
+    * BroadcastExchange build the join paid. The collect is bounded
+    * by the query term set (the w25/w30 discipline). Row-set
+    * identical to the join: `termsOf` is distinct, and an In filter
+    * keeps exactly the rows an inner join against a distinct key set
+    * keeps. */
+  private def termsOf(queries: DataFrame): Seq[String] =
+    queries.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+  private def termSlice(posts: DataFrame, terms: Seq[String]): DataFrame =
+    posts.filter(col("term").isInCollection(terms))
+
   /** Okapi BM25 (Robertson & Spärck Jones; the Lucene `+1` idf variant
     * that keeps weights positive):
     * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
@@ -444,9 +465,10 @@ object Retrieval {
     * the top-`k` docs per query as `(query_id, rk, doc_id, score)`. */
   def bm25TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // Serve-path slice: broadcast the distinct query terms; only
+    // Serve-path slice: literal In filter on the query terms — pushes
+    // below the postings aggregation (see [[termSlice]]); only
     // postings rows for query terms survive (no shuffle of the index).
-    val slice = posts.join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
     // df per query term as a WINDOW over the slice — the slice is
     // distinct per (doc, term), so a count partitioned by term IS the
     // corpus df, and the window re-uses the slice instead of
@@ -489,9 +511,11 @@ object Retrieval {
   def qlDirichletTopK(posts: DataFrame, queries: DataFrame, k: Int,
                       mu: Double = 300.0): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
-    val qdistinct = qterms.select("term").distinct()
+    // |C| must stay a FULL-postings aggregate; only the slice narrows
+    // to query terms (literal filter — pushes below the postings
+    // aggregation on raw lineage, see [[termSlice]]).
     val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
-    qlGather(posts.join(broadcast(qdistinct), "term"), qterms, coll,
+    qlGather(termSlice(posts, termsOf(qterms)), qterms, coll,
       mu, k)
   }
 
@@ -605,8 +629,7 @@ object Retrieval {
               lamT: Double = 0.85, lamO: Double = 0.1,
               lamU: Double = 0.05): DataFrame = {
     val coll = posts.agg(sum(col("tf")).cast("double").as("c_total"))
-    val slice = posts.join(broadcast(
-      queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
     sdmGather(slice, coll, posPosts, queries, k, mu, window,
       lamT, lamO, lamU)
   }
@@ -633,6 +656,15 @@ object Retrieval {
       .as[String].collect().toSeq            // bounded: the query set
     val coll = spark.read.parquet(s"${root(spark, dir)}/stats")
       .select(col("sum_tokens").cast("double").as("c_total"))
+    // Slices deliberately NOT materialized (round-19 measurement):
+    // each extra consumer re-reads a term-PRUNED parquet slice — a
+    // cheap, file-pruned subtree — and an eager localCheckpoint of
+    // the slices was measured SLOWER at sf0.1 (d150 2.28 → 3.02 s:
+    // the serialize-and-pin job costs more than the repeated pruned
+    // reads it saves, and AQE's runtime exchange reuse already
+    // dedupes the identical tombstone anti-join broadcasts). The
+    // d100 materialization lesson applies to re-TOKENIZING corpus
+    // lineage, not to pruned index reads.
     sdmGather(
       readServableSlice(spark, dir, termList, nBuckets),
       coll,
@@ -654,7 +686,7 @@ object Retrieval {
     val qt = queries.select(col("query_id"),
       col("qpos").cast("long").as("qpos"), col("term"))
     val uni = qt.select("query_id", "term").distinct()
-    val qdistinct = uni.select("term").distinct()
+    val qtermList = termsOf(qt)
     val cfT = slice.groupBy("term")
       .agg(sum(col("tf")).cast("double").as("cf"))
     val cand = slice.join(broadcast(uni), "term")
@@ -682,7 +714,7 @@ object Retrieval {
         col("x.term").as("ta"), col("y.term").as("tb"))
       .distinct()
     val bgd = bg.select("ta", "tb").distinct()
-    val ps = posPosts.join(broadcast(qdistinct), "term")
+    val ps = termSlice(posPosts, qtermList)
     // Materialized: BOTH families' cf aggregations and doc-joins read
     // it (4 consumers) — left as lineage the position join re-runs
     // per consumer (the d100 FileScan-dedup lesson, applied to the
@@ -791,27 +823,49 @@ object Retrieval {
     *     a power of two — 0.5 — so the weight multiply is IEEE-exact
     *     and cross-engine stable).
     *
-    * Everything stays declarative — no driver collect: the expansion
-    * term relation is a |queries|·fbTerms-row DataFrame that joins
-    * (broadcast) into the second scoring pass exactly like the
-    * original query set. Scale shape: stage 2 touches only the
-    * feedback docs' postings rows (a broadcast semi-join of fbDocs·|Q|
-    * doc ids against the index), and stage 3 is a d67-shaped serve
-    * over ≤ |orig| + fbTerms terms per query.
+    * The expansion term relation is a |queries|·fbTerms-row DataFrame
+    * that joins (broadcast) into the second scoring pass exactly like
+    * the original query set; the only driver crossings are BOUNDED
+    * collects of the weighted term set (round 19 — the w25/w30
+    * discipline, needed so stage 3's slice is a literal In filter
+    * that pushes below a raw postings aggregation). Scale shape:
+    * stage 2 touches only the feedback docs' postings rows (a
+    * broadcast semi-join of fbDocs·|Q| doc ids against the index),
+    * and stage 3 is a d67-shaped serve over ≤ |orig| + fbTerms terms
+    * per query.
     *
-    * Pass a MATERIALIZED postings relation (a persisted index read,
-    * or `.localCheckpoint()`ed lineage): the three stages filter
-    * `posts` three different ways, and raw explode lineage would
-    * re-run the corpus scan once per stage — Catalyst does not dedupe
-    * FileScans across differently-filtered branches (the d100
-    * lesson). */
+    * `posts` may be a persisted index read, a memoized checkpoint,
+    * or RAW postings lineage. Raw lineage re-runs the corpus SCAN
+    * once per stage (Catalyst does not dedupe FileScans across
+    * differently-filtered branches — the d100 lesson), but since
+    * round 19 each stage pushes its own literal pruning filter below
+    * the postings aggregation (orig terms / feedback doc ids /
+    * weighted terms), so none of the three passes pays a corpus-wide
+    * aggregation or shuffle — three cheap pruned scans beat one full
+    * unfiltered materialization plus its corpus-sized pin. A
+    * PRE-MATERIALIZED posts stays right when many calls amortize one
+    * pin (the w38 per-stream shape). */
   def rm3TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
               fbDocs: Int, fbTerms: Int, beta: Double, k: Int,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val orig = queries.select(col("query_id"), col("term")).distinct()
+    // Feedback set pinned: consumed twice below (the literal doc
+    // filter's collect and the query_id-attach join) — fbDocs·|Q|
+    // rows, tiny.
     val fb = bm25TopK(posts, queries, stats, fbDocs, k1, b)
-      .select("query_id", "doc_id")
+      .select("query_id", "doc_id").localCheckpoint()
+    // Literal doc_id filter BEFORE the attach join (round 19, the
+    // termSlice discipline on the doc axis): on raw postings lineage
+    // it pushes below the (doc, term) aggregation all the way into
+    // the corpus scan (PushedFilters: doc_id IN …), so stage 2 reads
+    // only the feedback docs instead of aggregating every corpus
+    // token to keep fbDocs·|Q| of them. Bounded collect; the join
+    // stays (it attaches query_id and handles a doc feeding several
+    // queries' feedback sets).
+    val fbIds = fb.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val expansion = posts
+      .filter(col("doc_id").isInCollection(fbIds))
       .join(broadcast(fb), "doc_id")
       .select(col("query_id"), col("term"),
         round(col("tf").cast("double") / col("dl"), 9)
@@ -825,9 +879,14 @@ object Retrieval {
           .orderBy(col("wsum").desc, col("term").asc)))
       .filter(col("erk") <= fbTerms)
       .select(col("query_id"), col("term"), lit(beta).as("w"))
+    // Pinned (round 19): stage 3's slice terms are COLLECTED below
+    // (the literal-filter slice), and an unpinned `weighted` would
+    // re-run the entire feedback + expansion pipeline twice — once
+    // for the collect, once inside the scoring plan's weight join.
+    // The frame is |Q|·(|orig terms| + fbTerms) rows — tiny.
     val weighted = orig.withColumn("w", lit(1.0)).unionByName(expansion)
-    val slice = posts
-      .join(broadcast(weighted.select("term").distinct()), "term")
+      .localCheckpoint()
+    val slice = termSlice(posts, termsOf(weighted))
     val scored = slice
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(weighted), "term")
@@ -861,8 +920,7 @@ object Retrieval {
                    stats: DataFrame, docIdOf: Column => Column,
                    k: Int, k1: Double = 1.2,
                    b: Double = 0.75): DataFrame = {
-    val slice = chunkPosts
-      .join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(chunkPosts, termsOf(queries))
     val scored = slice
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(queries), "term")
@@ -1079,8 +1137,7 @@ object Retrieval {
     * essential-list scoring and the candidate semi-join. */
   def maxScoreTopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val slice = posts
-      .join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     maxScoreFromSlice(slice, queries, stats, k, k1, b)
   }
@@ -1103,8 +1160,7 @@ object Retrieval {
   def maxScoreRowCounts(posts: DataFrame, queries: DataFrame,
                         stats: DataFrame, k: Int, k1: Double = 1.2,
                         b: Double = 0.75): (Long, Long) = {
-    val slice = posts
-      .join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     maxScoreRowCountsFromSlice(slice, queries, stats, k, k1, b)
   }
@@ -1344,8 +1400,7 @@ object Retrieval {
     * slice rows — candidate-bounded, never corpus-shaped. */
   def wandTopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val slice = posts
-      .join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     wandFromSlice(slice, queries, stats, k, k1, b)
   }
@@ -1365,8 +1420,7 @@ object Retrieval {
   def wandDocCounts(posts: DataFrame, queries: DataFrame,
                     stats: DataFrame, k: Int, k1: Double = 1.2,
                     b: Double = 0.75): (Long, Long) = {
-    val slice = posts
-      .join(broadcast(queries.select("term").distinct()), "term")
+    val slice = termSlice(posts, termsOf(queries))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val (nominees, survivors, _) =
       wandPlan(slice, queries, stats, k, k1, b)

@@ -943,11 +943,22 @@ object LlmOps {
         "sum. The oracle derives every output in closed form from the " +
         "synthesis parameters, so a broken codec round-trip fails the " +
         "hash gate — not a stub.",
+      // Limit pushed BELOW the codec (round 19, guide §4: project/
+      // limit before an opaque operator — Catalyst cannot move a
+      // TakeOrdered through mapPartitions): the declared result is
+      // the 200 smallest doc_ids' decode rows, and doc_id ordering is
+      // codec-independent, so selecting those 200 docs FIRST and then
+      // synthesizing + decoding only them computes the identical
+      // output while paying the per-row codec for 200 rows, not the
+      // corpus. At 100 TB this is the difference between decoding a
+      // bounded sample and decoding every blob to throw 99% away.
       (s, dir) => Multimodal.decode(
-        Multimodal.withPngPayload(t(s, dir, "documents"), "doc_id", "text"))
+        Multimodal.withPngPayload(
+          t(s, dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").limit(200),
+          "doc_id", "text"))
         .toDF()
-        .orderBy("doc_id")
-        .limit(200),
+        .orderBy("doc_id"),
       Some("""WITH d AS (
         |  SELECT doc_id,
         |    24 + octet_length(CAST(text AS BLOB)) % 53 AS w,
@@ -972,8 +983,16 @@ object LlmOps {
         "form from the synthesis params, so a mis-parsed offset or " +
         "endianness fails the hash gate.",
       (s, dir) => {
+        // Limit pushed below the SYNTHESIS (round 19, the m01 move):
+        // the parse itself is codegen'd column arithmetic, but the
+        // fixture blobs still cost one ImageIO ENCODE per row, and
+        // the declared result is the 200 smallest doc_ids' rows —
+        // synthesize only those.
         val blobs = Multimodal
-          .withPngPayload(t(s, dir, "documents"), "doc_id", "text")
+          .withPngPayload(
+            t(s, dir, "documents").select("doc_id", "text")
+              .orderBy("doc_id").limit(200),
+            "doc_id", "text")
           .toDF()
         def be(off: Int, len: Int) =
           conv(hex(expr(s"substring(payload, $off, $len)")), 16, 10)
@@ -984,7 +1003,7 @@ object LlmOps {
           .withColumn("n_pixels", col("width") * col("height"))
           .withColumn("pass_minres",
             col("width") >= 32 && col("height") >= 32)
-          .orderBy("doc_id").limit(200)
+          .orderBy("doc_id")
       },
       Some("""WITH d AS (
         |  SELECT doc_id,
@@ -1104,12 +1123,16 @@ object LlmOps {
         "into an exactly-sized RGB buffer — the reported out dims are " +
         "the RESIZED image's decoded dimensions; out_bytes is its RGB " +
         "buffer size.",
+      // limit below the codec — the m01 move (round 19): identical
+      // 200-row output, codec work bounded by the output size.
       (s, dir) => graft.operators.MultimodalResize.resize(
-        Multimodal.withPngPayload(t(s, dir, "documents"), "doc_id", "text"),
+        Multimodal.withPngPayload(
+          t(s, dir, "documents").select("doc_id", "text")
+            .orderBy("doc_id").limit(200),
+          "doc_id", "text"),
         maxDim = 64)
         .toDF()
-        .orderBy("doc_id")
-        .limit(200),
+        .orderBy("doc_id"),
       Some("""WITH d AS (
         |  SELECT doc_id,
         |    24 + octet_length(CAST(text AS BLOB)) % 53 AS width,

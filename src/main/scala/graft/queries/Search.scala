@@ -681,7 +681,7 @@ object Search {
         // memoized postings checkpoint (d144/d147's memo): wandPlan
         // consumes the slice FIVE times (bounds, θ, nomination,
         // pivot sum, scoring) — raw lineage would re-tokenize the
-        // corpus per consumer (the d100 FileScan-dedup lesson)
+        // corpus per consumer (the d100 FileScan-dedup lesson).
         Retrieval.wandTopK(
           postings(s, dir),
           QueryTerms.toDF("query_id", "term"),
@@ -1360,13 +1360,15 @@ object Search {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        // postings are PINNED: the three RM3 stages filter them three
-        // ways (orig-term slice, feedback-doc probe, expanded slice),
-        // and raw lineage would re-run the corpus explode per stage
-        // (the d100 five-scan lesson — Catalyst does not dedupe scans
-        // across differently-filtered branches)
+        // postings deliberately RAW (round 19 — reverses the r12 pin):
+        // every RM3 stage now pushes a literal pruning filter below
+        // the postings aggregation (orig terms / feedback doc ids /
+        // weighted terms), so the three passes are cheap pruned
+        // scans, while the old checkpoint paid the one pass the
+        // operator never needs — the full unfiltered corpus
+        // aggregation — plus a corpus-sized pin.
         Retrieval.rm3TopK(
-          Retrieval.postings(docs, "doc_id", "text").localCheckpoint(),
+          Retrieval.postings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
           Retrieval.corpusStats(docs, "text"),
           fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
@@ -2270,6 +2272,12 @@ object Search {
         import s.implicits._
         val idx = textIndexDir(s, dir)
         val terms = SdmQueryTerms.map(_._3).distinct
+        // The positions slice stays RAW lineage (round-19
+        // measurement): it is a term-pruned read — the cheap subtree
+        // class — and pinning it cost more than the window join's
+        // second read saves (d147 1.89 → 2.50 s with the pin).
+        // sdmTopK's MATERIALIZED-input contract is about corpus
+        // tokenize lineage, which this is not.
         Retrieval.sdmTopK(
           postings(s, dir),
           Retrieval.readPositionsSlice(s, idx, terms, nBuckets = 16),
@@ -2408,9 +2416,15 @@ object Search {
         // MATERIALIZED per sdmTopK's own contract (r18 review): the
         // frame feeds the pA/pB self-join plus both window families,
         // so raw lineage would re-tokenize the corpus several times
-        // in one plan — the d100 FileScan-dedup lesson.
+        // in one plan — the d100 FileScan-dedup lesson. The pin is
+        // pre-filtered to the SDM query terms (round 19): sdmGather
+        // keeps only query-term positions anyway, so filtering
+        // before the checkpoint pins query-term rows instead of the
+        // whole corpus positions stream — same one tokenize pass.
         val runSdm = Retrieval.sdmTopK(posts,
           Retrieval.positionalPostings(docs, "doc_id", "text")
+            .filter(col("term")
+              .isInCollection(SdmQueryTerms.map(_._3).distinct))
             .localCheckpoint(),
           SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10)
         Seq(("cosine", runCos), ("hybrid_rrf", runRrf),
