@@ -836,9 +836,17 @@ object Mining {
           (col("doc_id") + 100000).as("doc_id"),
           translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
             "bcdefghijklmnopqrstuvwxyza").as("text"))
+        // Pinned (round 19): the fingerprint is a ~2000-node
+        // higher-order expression (65 frames × 16 substr+ascii each)
+        // that HOF evaluation runs INTERPRETED, and nearDupPairs
+        // consumes the hash relation from several join sides — raw
+        // lineage re-evaluated the giant expression once per consumer
+        // (Verify wall at sf0.01: 48.8 s → 7.1 s with the pin, and
+        // that residue includes the run's JVM warmup; the frame is
+        // one (hi, lo) row per doc, tiny).
         val hashes = graft.operators.AudioFp.fingerprint(
           base.select("doc_id", "text").unionByName(shifted),
-          "doc_id", "text")
+          "doc_id", "text").localCheckpoint()
         graft.operators.PHash.nearDupPairs(hashes, maxDist = 3)
           .orderBy("doc_a", "doc_b")
       },
