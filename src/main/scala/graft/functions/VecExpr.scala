@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -175,4 +175,89 @@ case class SqDist(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDist =
     copy(left = newLeft, right = newRight)
+}
+
+/** `token_vec(term, dim)` — the deterministic pseudo token embedding
+  * of the late-interaction family (component j of dim is
+  * `hash60(j + "_" + term) % 1000 / 1000.0 - 0.5`), as a NATIVE
+  * codegen'd expression.
+  *
+  * Replaces the higher-order-function form
+  * `transform(sequence(1, dim), j => (conv(substring(md5(concat(j,
+  * "_", term)), 1, 15), 16, 10) % 1000) / 1000.0 - 0.5)` on the
+  * MaxSim family's vector-projection path (round 20, the m12/r15
+  * interpreted-HOF lesson): Catalyst `transform` is CodegenFallback —
+  * every doc token paid dim interpreted expression-tree walks, each
+  * building a hex STRING from md5 and re-parsing it via `conv` —
+  * where this kernel folds the digest's first 15 nibbles directly
+  * (the [[MinHashSigs.compute]] technique, one ThreadLocal digest per
+  * task thread) inside the surrounding whole-stage-codegen span.
+  *
+  * BIT-IDENTICAL to the HOF form (the DuckDB oracles replay it as
+  * `(('0x' || substr(md5(j || '_' || t), 1, 15))::BIGINT % 1000) /
+  * 1000.0 - 0.5`): Spark's `md5` hex-encodes the UTF-8 bytes, so the
+  * first 15 hex chars ARE the digest's first 15 nibbles; the value is
+  * 60-bit non-negative, so `% 1000` matches Java's `%`; the division
+  * and subtraction are the same two IEEE ops. Null term → NULL array
+  * (the shipped call sites never feed one: both token streams explode
+  * non-null splits). */
+case class TokenVec(child: Expression, dim: Int)
+    extends UnaryExpression with RequiresStringInput {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "token_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (dim >= 1) base
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: dim must be >= 1, got $dim")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenVec.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TokenVec.compute($c, $dim);
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenVec = copy(child = newChild)
+}
+
+object TokenVec {
+  def apply(c: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TokenVec(org.apache.spark.sql.GraftBridge.expression(c), dim))
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Shared eval/codegen kernel. Component j (1-based) is the first
+    * 60 bits of md5(j + "_" + term) mod 1000, mapped to
+    * [-0.5, 0.5) — the [[MinHashSigs.compute]] nibble fold. */
+  def compute(term: org.apache.spark.unsafe.types.UTF8String,
+              dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val t = term.toString
+    val digest = md5.get()
+    val out = new Array[Double](dim)
+    var j = 1
+    while (j <= dim) {
+      val d = digest.digest((j + "_" + t).getBytes("UTF-8"))
+      digest.reset()
+      // first 15 hex digits = the top 7.5 bytes of the digest
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      out(j - 1) = (h % 1000L).toDouble / 1000.0 - 0.5
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -55,8 +55,20 @@ object LateInteraction {
     * - 0.5` on [[Dedup.hash60]]'s engine-portable 60-bit md5 prefix
     * — the SQL oracles replay it verbatim as
     * `(('0x' || substr(md5(j || '_' || t), 1, 15))::BIGINT % 1000)
-    * / 1000.0 - 0.5`. */
+    * / 1000.0 - 0.5`. NATIVE codegen'd expression since round 20
+    * ([[graft.functions.TokenVec]] — the DotProduct/MinHashSigs
+    * treatment): the HOF form ([[tokenVecHof]], kept as the spec
+    * reference) is CodegenFallback and paid dim interpreted md5 →
+    * hex-string → conv walks per doc token on every MaxSim scoring
+    * path. Bit-identity is spec-gated. */
   def tokenVec(term: Column, dim: Int): Column =
+    graft.functions.TokenVec(term, dim)
+
+  /** The pre-round-20 HOF form of [[tokenVec]] — retained ONLY as the
+    * bit-identity reference for the native expression's spec (the
+    * DotProduct discipline: the declarative form IS the documented
+    * semantics the DuckDB oracles replay). */
+  private[graft] def tokenVecHof(term: Column, dim: Int): Column =
     transform(sequence(lit(1), lit(dim)), j =>
       (Dedup.hash60(concat(j.cast("string"), lit("_"), term)) % 1000L)
         .cast("double") / lit(1000.0) - 0.5)
@@ -181,10 +193,20 @@ object LateInteraction {
   }
 
   /** Exact MaxSim top-k. Output `(query_id, rk, doc_id, score)` —
-    * the d67 ranked-serving contract. */
+    * the d67 ranked-serving contract. Round 20: routes through the
+    * shared-maxima gather ([[maxSimTopKFromMap]]'s shape, which was
+    * already spec-gated bit-identical): the inner max is computed
+    * per (doc, DISTINCT query term) and fanned back to queries, so
+    * a term shared by several queries is dotted against the corpus
+    * once instead of once per query — the d141 term-sharing
+    * discipline applied to the batch exact path. The batch-vs-brute
+    * spec and the d105 oracle gate the rewrite; [[exactPairs]] (the
+    * per-(query, token) pair relation) remains the Scale arm's work
+    * proxy for the unshared shape. */
   def maxSimTopK(docs: DataFrame, idCol: String, textCol: String,
                  queries: DataFrame, dim: Int, k: Int): DataFrame =
-    gather(exactPairs(docs, idCol, textCol, queries, dim), k)
+    maxSimTopKFromMap(docTokens(docs, idCol, textCol, dim),
+      queries, dim, k)
 
   /** The cacheable STATIC side of a streamed MaxSim serve (the w25/
     * w30 discipline): per-(doc, distinct token) vectors, computed

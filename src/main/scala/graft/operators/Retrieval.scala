@@ -695,16 +695,23 @@ object Retrieval {
       round(log((coalesce(tfCol, lit(0L)).cast("double") +
           lit(mu) * cfCol / col("c_total")) /
         (col("dl").cast("double") + lit(mu))), 9).cast(D)
-    // ---- T: unigram QL (d144's arm, kept as a per-(query,doc) sum)
-    val sumT = cand
+    // ---- T: unigram QL (d144's arm) as tagged contribution rows —
+    // all three families union into ONE (query, doc) aggregation
+    // below (round 20, guide §2.4): the r19 shape aggregated each
+    // family separately (three Exchanges on the same key) and then
+    // re-joined the three sums (two more joins); conditional sums
+    // over the tagged union move the same bytes through ONE exchange
+    // and keep each family's DECIMAL sum bit-identical (a family's
+    // `when` selects exactly its own rows; DECIMAL addition is exact
+    // and order-free, and sum ignores the other families' NULLs).
+    val rowsT = cand
       .join(broadcast(uni), Seq("query_id"))
       .join(broadcast(cfT), Seq("term"))
       .join(slice.select(col("doc_id"), col("term"), col("tf")),
         Seq("doc_id", "term"), "left")
       .crossJoin(broadcast(coll))
-      .withColumn("contrib", smoothed(col("tf"), col("cf")))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("contrib")).as("sT"))
+      .select(col("query_id"), col("doc_id"), lit("T").as("fam"),
+        smoothed(col("tf"), col("cf")).as("contrib"))
     // ---- adjacent query bigrams; window counts per DISTINCT bigram
     // (shared across queries — the d141 term-sharing discipline)
     val bg = qt.as("x").join(qt.as("y"),
@@ -727,28 +734,31 @@ object Retrieval {
     val ordDoc = winDoc.filter(col("tfo") > 0)
       .select(col("doc_id"), col("ta"), col("tb"), col("tfo"))
     val unoDoc = winDoc.select("doc_id", "ta", "tb", "tfu")
-    def familySum(doc: DataFrame, cfName: String, tfName: String,
-                  outName: String): DataFrame = {
+    def familyRows(doc: DataFrame, tfName: String,
+                   tag: String): DataFrame = {
       val cf = doc.groupBy("ta", "tb")
-        .agg(sum(col(tfName)).cast("double").as(cfName))
+        .agg(sum(col(tfName)).cast("double").as("cf"))
       cand.join(broadcast(bg), Seq("query_id"))
         .join(broadcast(cf), Seq("ta", "tb"))
         .join(doc, Seq("doc_id", "ta", "tb"), "left")
         .crossJoin(broadcast(coll))
-        .withColumn("contrib", smoothed(col(tfName), col(cfName)))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("contrib")).as(outName))
+        .select(col("query_id"), col("doc_id"), lit(tag).as("fam"),
+          smoothed(col(tfName), col("cf")).as("contrib"))
     }
-    val sumO = familySum(ordDoc, "cfo", "tfo", "sO")
-    val sumU = familySum(unoDoc, "cfu", "tfu", "sU")
     // ---- assembly: every candidate has a T row (candidates match
-    // ≥ 1 surviving unigram); O/U families may be empty for a query
-    // (all its bigrams collection-absent) → contribute 0
+    // ≥ 1 surviving unigram), so the union's group keys are exactly
+    // the T keys; O/U families may be empty for a query (all its
+    // bigrams collection-absent) → their conditional sum is NULL,
+    // coalesced to 0 — identical to the old left joins' misses.
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    sumT
-      .join(sumO, Seq("query_id", "doc_id"), "left")
-      .join(sumU, Seq("query_id", "doc_id"), "left")
+    rowsT
+      .unionByName(familyRows(ordDoc, "tfo", "O"))
+      .unionByName(familyRows(unoDoc, "tfu", "U"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(when(col("fam") === "T", col("contrib"))).as("sT"),
+        sum(when(col("fam") === "O", col("contrib"))).as("sO"),
+        sum(when(col("fam") === "U", col("contrib"))).as("sU"))
       .withColumn("score",
         round(lit(lamT) * col("sT").cast("double") +
           lit(lamO) * coalesce(col("sO").cast("double"), lit(0.0)) +
@@ -848,22 +858,28 @@ object Retrieval {
   def rm3TopK(posts: DataFrame, queries: DataFrame, stats: DataFrame,
               fbDocs: Int, fbTerms: Int, beta: Double, k: Int,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = posts.sparkSession
     val orig = queries.select(col("query_id"), col("term")).distinct()
-    // Feedback set pinned: consumed twice below (the literal doc
-    // filter's collect and the query_id-attach join) — fbDocs·|Q|
-    // rows, tiny.
-    val fb = bm25TopK(posts, queries, stats, fbDocs, k1, b)
-      .select("query_id", "doc_id").localCheckpoint()
+    // Feedback set collected ONCE (round 20, verdict r19 #5 — it was
+    // a localCheckpoint job + a separate doc-id collect, two
+    // serialized driver barriers): the fbDocs·|Q| rows are tiny, so
+    // one collect feeds BOTH the literal doc filter and — as a
+    // LocalRelation — the query_id-attach join (broadcast builds
+    // from driver data, no extra job).
+    val fbDf = bm25TopK(posts, queries, stats, fbDocs, k1, b)
+      .select("query_id", "doc_id")
+    val fbRows = fbDf.collect()
+    val fb = spark.createDataFrame(
+      java.util.Arrays.asList(fbRows: _*), fbDf.schema)
     // Literal doc_id filter BEFORE the attach join (round 19, the
     // termSlice discipline on the doc axis): on raw postings lineage
     // it pushes below the (doc, term) aggregation all the way into
     // the corpus scan (PushedFilters: doc_id IN …), so stage 2 reads
     // only the feedback docs instead of aggregating every corpus
-    // token to keep fbDocs·|Q| of them. Bounded collect; the join
-    // stays (it attaches query_id and handles a doc feeding several
-    // queries' feedback sets).
-    val fbIds = fb.select("doc_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // token to keep fbDocs·|Q| of them. The join stays (it attaches
+    // query_id and handles a doc feeding several queries' feedback
+    // sets).
+    val fbIds = fbRows.map(_.getLong(1)).distinct.toSeq
     val expansion = posts
       .filter(col("doc_id").isInCollection(fbIds))
       .join(broadcast(fb), "doc_id")
@@ -879,14 +895,20 @@ object Retrieval {
           .orderBy(col("wsum").desc, col("term").asc)))
       .filter(col("erk") <= fbTerms)
       .select(col("query_id"), col("term"), lit(beta).as("w"))
-    // Pinned (round 19): stage 3's slice terms are COLLECTED below
-    // (the literal-filter slice), and an unpinned `weighted` would
-    // re-run the entire feedback + expansion pipeline twice — once
-    // for the collect, once inside the scoring plan's weight join.
-    // The frame is |Q|·(|orig terms| + fbTerms) rows — tiny.
-    val weighted = orig.withColumn("w", lit(1.0)).unionByName(expansion)
-      .localCheckpoint()
-    val slice = termSlice(posts, termsOf(weighted))
+    // Collected ONCE (round 20, fusing round 19's pin + term
+    // collect): stage 3 needs the weighted terms as a literal slice
+    // filter AND the (term, w) rows in the scoring join — one
+    // collect of the |Q|·(|orig terms| + fbTerms)-row frame yields
+    // both (the term list locally, the join side as a
+    // LocalRelation), where the r19 shape paid a localCheckpoint job
+    // for the pipeline plus a second collect job for the terms.
+    val weightedDf = orig.withColumn("w", lit(1.0)).unionByName(expansion)
+    val wRows = weightedDf.collect()
+    val weighted = spark.createDataFrame(
+      java.util.Arrays.asList(wRows: _*), weightedDf.schema)
+    val termIdx = weightedDf.schema.fieldIndex("term")
+    val slice = termSlice(posts,
+      wRows.map(_.getString(termIdx)).distinct.toSeq)
     val scored = slice
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(weighted), "term")
@@ -990,8 +1012,10 @@ object Retrieval {
     * bonus from its tightest pair of DISTINCT query terms:
     * `score' = round(score + 1/(1 + min |pa − pb|), 6)`. Docs
     * containing only one distinct query term keep their BM25 score
-    * (bonus 0). The within-(query, doc) position pair join is
-    * bounded by candidate-doc term occurrences, never corpus-sized. */
+    * (bonus 0). The min distance comes from one sorted-adjacent
+    * `lag` window over the candidate docs' positions (see
+    * [[minCrossTermGap]]) — linear in candidate-doc term
+    * occurrences, never pairwise and never corpus-sized. */
   def proximityRerank(posts: DataFrame, posPosts: DataFrame,
                       queries: DataFrame, stats: DataFrame,
                       kCand: Int, k: Int, k1: Double = 1.2,
@@ -1023,12 +1047,13 @@ object Retrieval {
     * `(query_id, doc_id, score)` (any first-pass scorer), `posSlice`
     * the positions relation covering at least the query terms.
     *
-    * Both intermediates are PINNED (localCheckpoint): `cand` feeds
-    * the semi-join AND the final rescore, `qp` is both sides of the
-    * pair join — left as lineage each would re-derive its whole
-    * first-pass plan (corpus scans included) once per reference,
-    * the d100 multi-scan failure. Both are small by construction
-    * (kCand·|Q| rows; candidate-doc query-term positions). */
+    * `cand` is PINNED (localCheckpoint): it feeds the semi-join AND
+    * the final rescore — left as lineage each would re-derive the
+    * whole first-pass plan (corpus scans included) once per
+    * reference, the d100 multi-scan failure. It is small by
+    * construction (kCand·|Q| rows). `qp` has exactly ONE consumer
+    * since the round-20 lag-window rewrite (it was both sides of the
+    * old pair join), so it stays lineage — no pin job. */
   private def proximityRescore(cand0: DataFrame, posSlice: DataFrame,
                                queries: DataFrame, k: Int): DataFrame = {
     val cand = cand0.localCheckpoint()
@@ -1037,15 +1062,7 @@ object Retrieval {
         "term")
       .join(broadcast(cand.select("query_id", "doc_id")),
         Seq("query_id", "doc_id"), "left_semi")
-      .localCheckpoint()
-    val pa = qp.select(col("query_id"), col("doc_id"),
-      col("term").as("ta"), col("pos").as("pa"))
-    val pb = qp.select(col("query_id"), col("doc_id"),
-      col("term").as("tb"), col("pos").as("pb"))
-    val mind = pa.join(pb, Seq("query_id", "doc_id"))
-      .filter(col("ta") < col("tb"))
-      .groupBy("query_id", "doc_id")
-      .agg(min(abs(col("pa") - col("pb"))).as("mind"))
+    val mind = minCrossTermGap(qp)
     cand
       .join(mind, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"),
@@ -1057,6 +1074,34 @@ object Retrieval {
           .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "score")
+  }
+
+  /** min |pa − pb| over pairs of DISTINCT-term positions within each
+    * (query, doc), via ONE sorted-adjacent `lag` window instead of
+    * the pa×pb position pair join (round 20 — the d147-before
+    * pathology: the pair join built tf_a·tf_b rows per candidate doc
+    * before aggregating, quadratic in per-doc term frequency; a hot
+    * doc at tf≈2500/term paid ~6M pairs). EXACT, not approximate:
+    * walking the position-sorted chain between any distinct-term
+    * pair, some adjacent step changes term, and that step's gap is
+    * ≤ the pair's total gap — so the minimum over adjacent
+    * different-term steps equals the minimum over ALL distinct-term
+    * pairs (adjacent steps are themselves eligible pairs). Docs with
+    * one distinct query term yield no different-term step → no row,
+    * matching the old join's empty pair set. Cost: one sort per
+    * (query, doc) group — linear in positions, never pairwise.
+    * Exposed `private[graft]` so the Scale `proxwin` probe measures
+    * the operator's own lineage (the sdmWindowCounts discipline). */
+  private[graft] def minCrossTermGap(qp: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("pos").asc, col("term").asc)
+    qp
+      .select(col("query_id"), col("doc_id"), col("term"), col("pos"))
+      .withColumn("ptm", lag(col("term"), 1).over(byPos))
+      .withColumn("ppos", lag(col("pos"), 1).over(byPos))
+      .filter(col("ptm") =!= col("term"))   // null ptm (first row) drops
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("pos") - col("ppos")).as("mind"))
   }
 
   /** Shared scoring tail: expects (query_id, doc_id, term, tf, dl, df,

@@ -1352,11 +1352,13 @@ object Search {
         "order-free), top-3 new terms per query → ONE weighted " +
         "rescoring pass with original terms at 1.0 and expansions at " +
         "β=0.5 (a power of two, so the weight multiply is IEEE-exact " +
-        "cross-engine). Fully declarative — the expansion relation is " +
-        "a 9-row DataFrame joined broadcast into the second pass, no " +
-        "driver collect; stage 2 touches only fbDocs·|Q| docs' " +
-        "postings via broadcast semi-join. The oracle replays all " +
-        "three stages as chained CTEs.",
+        "cross-engine). The feedback and weighted-term relations are " +
+        "BOUNDED driver collects (fbDocs·|Q| and |Q|·(orig+fbTerms) " +
+        "rows) that re-enter the plan as broadcast local relations " +
+        "and as literal pruning filters pushed below each stage's " +
+        "postings aggregation; stage 2 reads only the feedback docs' " +
+        "postings. The oracle replays all three stages as chained " +
+        "CTEs.",
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")

@@ -330,7 +330,7 @@ object Scale {
       what != "ssjoinreal" && what != "ssjoin" && what != "sdmwin" &&
       what != "stats" && what != "pack" && what != "gram" &&
       what != "annpca" && what != "validate" && what != "zorder" &&
-      what != "graphwalk"
+      what != "graphwalk" && what != "proxwin"
     if (needsSynth && !java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$synthDir/documents.parquet"))) {
       System.err.println(s"[scale] synthesizing ${factor}x corpus -> $synthDir")
@@ -359,7 +359,8 @@ object Scale {
            "append" | "winnow" | "maxscore" | "incc" | "sa" | "bpe" |
            "spill" | "textcompact" | "gather" | "lm" | "fuzzy" |
            "maxsim" | "rangejoin" | "stats" | "pack" | "gram" |
-           "annpca" | "validate" | "zorder" | "graphwalk" | "sdmwin" =>
+           "annpca" | "validate" | "zorder" | "graphwalk" | "sdmwin" |
+           "proxwin" | "cores" =>
         Seq.empty[String]
       case "chain" => chain
       case "behavior" => behavior
@@ -1472,6 +1473,122 @@ object Scale {
           s""""binned_sec":${fmt(binnedSec)},""" +
           s""""unbinned_sec":${fmt(unbinnedSec)}}""")
         ps.unpersist()
+      }
+    }
+    // Proximity min-distance probe (round 20, verdict r19 #1 — the
+    // sdmwin witness pattern applied to proximityRescore's rewrite):
+    // a planted high-tf fixture where each candidate doc holds r
+    // occurrences of BOTH query terms, so the old pa×pb pair join
+    // builds r² different-term pairs per doc while the lag-window
+    // form sorts 2r+filler positions once. Both forms must agree on
+    // every (query, doc) minimum (asserted); the row records the two
+    // walls so the near-linear-vs-quadratic law is a measured curve.
+    if (what == "proxwin") {
+      import graft.operators.Retrieval
+      import spark.implicits._
+      val nDocs = 1000L * factor / 10
+      def qpOf(r: Int): DataFrame = {
+        val text = Seq.fill(r)("qa f1 f2 f3 qb f4 f5 f6").mkString(" ")
+        Retrieval.positionalPostings(
+          spark.range(nDocs).select(col("id").as("doc_id"),
+            lit(text).as("text")),
+          "doc_id", "text")
+          .filter(col("term").isin("qa", "qb"))
+          .select(lit(1L).as("query_id"), col("doc_id"),
+            col("term"), col("pos"))
+          .localCheckpoint()
+      }
+      def pairJoinMin(qp: DataFrame): DataFrame = {
+        // the r19 shape, verbatim: all distinct-term position pairs
+        val pa = qp.select(col("query_id"), col("doc_id"),
+          col("term").as("ta"), col("pos").as("pa"))
+        val pb = qp.select(col("query_id"), col("doc_id"),
+          col("term").as("tb"), col("pos").as("pb"))
+        pa.join(pb, Seq("query_id", "doc_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("query_id", "doc_id")
+          .agg(min(abs(col("pa") - col("pb"))).as("mind"))
+      }
+      locally { // untimed warm-up (JIT + codegen)
+        val w = qpOf(2)
+        Retrieval.minCrossTermGap(w).count(); pairJoinMin(w).count()
+        w.unpersist()
+      }
+      for (r <- Seq(25, 250, 2500)) {
+        val qp = qpOf(r)
+        Thread.sleep(400)
+        var t0 = System.nanoTime()
+        val lw = Retrieval.minCrossTermGap(qp)
+          .agg(sum(col("mind")).as("s"), count(lit(1)).as("n")).head()
+        val lagSec = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val pj = pairJoinMin(qp)
+          .agg(sum(col("mind")).as("s"), count(lit(1)).as("n")).head()
+        val pairSec = (System.nanoTime() - t0) / 1e9
+        require(lw.getLong(0) == pj.getLong(0) &&
+          lw.getLong(1) == pj.getLong(1),
+          s"lag-window/pair-join minima diverged: $lw vs $pj")
+        // planted geometry: qa at 8k, qb at 8k+4 → every cross-term
+        // gap is exactly 4 (qb−qa within a repeat, qa−qb across),
+        // so min = 4 per doc, sum = 4·nDocs, one row per doc
+        require(lw.getLong(0) == 4L * nDocs && lw.getLong(1) == nDocs,
+          s"fixture geometry broke: $lw (r=$r, docs=$nDocs)")
+        println(s"""{"query":"prox_mindist_lag","n_docs":$nDocs,""" +
+          s""""tf_per_doc":$r,""" +
+          s""""pairs_per_doc_old":${r.toLong * r},""" +
+          s""""positions_per_doc_new":${2L * r},""" +
+          s""""lag_sec":${fmt(lagSec)},""" +
+          s""""pairjoin_sec":${fmt(pairSec)}}""")
+        qp.unpersist()
+      }
+    }
+    // Core-count scaling witness (round 20, verdict r19 #2: PERF_r19's
+    // `suspect_cpus_ignored` flag — at sf0.1 every bench query is
+    // fixed-overhead-bound, so NOTHING demonstrated parallel scaling).
+    // Runs three shuffle-heavy bodies at the `factor`x tier under
+    // whatever SPARK_GRAFT_CPUS this JVM was launched with and emits
+    // one row per query carrying "cpus"; the harness is launched once
+    // at 32 and once at 8 cores and the two rows' ratio is the
+    // witness. Bodies: d35's substring dedup (gram-stream shuffle,
+    // linear in corpus), d107's RM3 (three chained pruned-scan
+    // stages) — both catalog functions verbatim over the synthesized
+    // corpus — and d61's SSJoin over the PLANTED near-dup corpus (the
+    // r17 scale-law fixture; the synth copy-corpus would be
+    // quadratic in copy count by construction).
+    if (what == "cores") {
+      val nDocsPlanted = 5000L * factor
+      val planted = plantedDocs(spark, nDocsPlanted).localCheckpoint()
+      val bodies: Seq[(String, () => Unit)] = Seq(
+        ("d35_substring_dedup", () =>
+          queries("d35_substring_dedup")(spark, synthDir)
+            .write.format("noop").mode("overwrite").save()),
+        ("d107_rm3_expansion", () =>
+          queries("d107_rm3_expansion")(spark, synthDir)
+            .write.format("noop").mode("overwrite").save()),
+        ("d61_ssjoin_planted", () =>
+          graft.operators.SSJoin.joinSorted(
+            graft.operators.SSJoin.sortedTokenArrays(
+              planted, "doc_id", "text"), t = 0.9)
+            .write.format("noop").mode("overwrite").save()))
+      bodies.foreach { case (name, run) =>
+        try {
+          run() // untimed warm-up (JIT + codegen + parquet footers)
+          val secs = (1 to 2).map { _ =>
+            Thread.sleep(300)
+            metrics.read.set(0); metrics.write.set(0)
+            val t0 = System.nanoTime()
+            run()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Thread.sleep(300)
+          val mb = (metrics.read.get + metrics.write.get) / 1e6
+          println(s"""{"query":"cores_$name","factor":$factor,""" +
+            s""""cpus":$cpus,"sec":${fmt(secs.min)},""" +
+            s""""samples":[${secs.map(fmt).mkString(",")}],""" +
+            s""""shuffle_rw_mb":${fmt(mb)}}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] cores/$name failed: ${e.getMessage}")
+        }
       }
     }
     // Gather-strategy probe (round 10; d94's TopKAgg claim measured):

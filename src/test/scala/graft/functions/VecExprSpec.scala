@@ -148,6 +148,53 @@ class VecExprSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("TokenVec is bit-identical to its HOF form on random terms " +
+      "(the MaxSim vector-projection kernel, round 20)") {
+    // ASCII, unicode (multi-byte UTF-8), empty, and whitespace terms:
+    // the kernel hashes the raw UTF-8 bytes, so multi-byte code
+    // points are where a byte-handling bug would surface.
+    val term = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.listOfN(4, Gen.oneOf("é", "ß", "中", "🙂", "a", " "))
+        .map(_.mkString),
+      Gen.const(""))
+    val cases = for {
+      t <- term
+      d <- Gen.choose(1, 16)
+    } yield (t, d)
+    val prop = Prop.forAll(cases) { case (t, d) =>
+      val row = Seq(Tuple1(t)).toDF("t")
+        .select(
+          graft.operators.LateInteraction.tokenVec(col("t"), d).as("nat"),
+          graft.operators.LateInteraction.tokenVecHof(col("t"), d)
+            .as("hof"))
+        .head()
+      val nat = row.getSeq[Double](0)
+      val hof = row.getSeq[Double](1)
+      nat.size == hof.size && nat.zip(hof).forall { case (n, h) =>
+        java.lang.Double.doubleToLongBits(n) ==
+          java.lang.Double.doubleToLongBits(h)
+      }
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(r.passed, r.status.toString)
+    // NULL term -> NULL array (null-intolerant unary expression)
+    val nullRow = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(graft.operators.LateInteraction.tokenVec(col("t"), 4))
+      .head()
+    assert(nullRow.isNullAt(0))
+    // and the projection site must stay inside whole-stage codegen
+    val df = spark.range(50).select(
+      graft.operators.LateInteraction
+        .tokenVec(concat(lit("w"), col("id")), 8).as("v"))
+      .select(element_at(col("v"), 1).as("x"))
+      .filter(col("x") > -1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("transform("), plan)
+    assert(df.count() == 50)
+  }
+
   test("the scoring site stays inside whole-stage codegen (no " +
       "CodegenFallback hole, no HOF in the plan)") {
     val df = spark.range(100).select(
