@@ -417,14 +417,29 @@ object Retrieval {
   def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
                  sub: String, terms: Seq[String],
                  nBuckets: Int): DataFrame = {
-    import spark.implicits._
-    val buckets = terms.toDS()
-      .select(pmod(xxhash64(col("value")), lit(nBuckets)).as("tb"))
-      .distinct().as[Long].collect().toSeq
+    // Bucket ids computed ON THE DRIVER (round 20): the old
+    // `terms.toDS().select(pmod(xxhash64(…))).distinct().collect()`
+    // launched a real shuffle job (LocalRelation → 32-partition
+    // distinct) per pruned read — two per indexed serve, pure
+    // scheduling overhead for ≤ |query terms| rows. XxHash64Function
+    // with seed 42 IS functions.xxhash64 (spec-gated), so the
+    // literals are byte-identical to what writeIndex assigned.
+    val buckets = terms.map(bucketOf(_, nBuckets)).distinct
     spark.read.parquet(s"${root(spark, dir)}/$sub")
       .filter(col("tb").isInCollection(buckets) &&
         col("term").isInCollection(terms))
       .drop("tb")
+  }
+
+  /** `pmod(xxhash64(term), nBuckets)` evaluated on the driver —
+    * byte-identical to the column form [[writeIndex]] partitions by
+    * (same XXH64 kernel, same default seed 42, same positive mod);
+    * the equality is spec-gated over random unicode terms. */
+  private[graft] def bucketOf(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType, 42L)
+    ((h % nBuckets) + nBuckets) % nBuckets
   }
 
   /** BM25 over an index slice that already carries `df` (the stored
@@ -552,7 +567,9 @@ object Retrieval {
       .as[String].collect().toSeq            // bounded: the query set
     val coll = spark.read.parquet(s"${root(spark, dir)}/stats")
       .select(col("sum_tokens").cast("double").as("c_total"))
-    qlGather(readServableSlice(spark, dir, termList, nBuckets),
+    // readServablePostings, not readServableSlice (round 20): QL
+    // never reads df — see sdmIndexedTopK.
+    qlGather(readServablePostings(spark, dir, termList, nBuckets),
       qterms, coll, mu, k)
   }
 
@@ -665,8 +682,12 @@ object Retrieval {
     // dedupes the identical tombstone anti-join broadcasts). The
     // d100 materialization lesson applies to re-TOKENIZING corpus
     // lineage, not to pruned index reads.
+    // readServablePostings, not readServableSlice (round 20): SDM
+    // never reads df, and the slice has THREE consumers in the plan —
+    // the dictionary join cost three pruned terms reads + broadcast
+    // builds per serve.
     sdmGather(
-      readServableSlice(spark, dir, termList, nBuckets),
+      readServablePostings(spark, dir, termList, nBuckets),
       coll,
       readPositionsSlice(spark, dir, termList, nBuckets),
       queries, k, mu, window, lamT, lamO, lamU)
@@ -695,23 +716,25 @@ object Retrieval {
       round(log((coalesce(tfCol, lit(0L)).cast("double") +
           lit(mu) * cfCol / col("c_total")) /
         (col("dl").cast("double") + lit(mu))), 9).cast(D)
-    // ---- T: unigram QL (d144's arm) as tagged contribution rows —
-    // all three families union into ONE (query, doc) aggregation
-    // below (round 20, guide §2.4): the r19 shape aggregated each
-    // family separately (three Exchanges on the same key) and then
-    // re-joined the three sums (two more joins); conditional sums
-    // over the tagged union move the same bytes through ONE exchange
-    // and keep each family's DECIMAL sum bit-identical (a family's
-    // `when` selects exactly its own rows; DECIMAL addition is exact
-    // and order-free, and sum ignores the other families' NULLs).
-    val rowsT = cand
+    // ---- T: unigram QL (d144's arm, kept as a per-(query,doc) sum).
+    // Round-20 negative result, measured and reverted: tagging the
+    // three families' contribution rows and folding them through ONE
+    // union + conditional-sum aggregation (3 same-key Exchanges +
+    // 2 assembly joins → 1 Exchange) was bit-identical but SLOWER at
+    // sf0.1 under a controlled N=5 A/B (d147 2.10 → 2.31 s, d150
+    // 2.19 → 2.67 s): the per-family aggregations collapse their rows
+    // map-side to ≤|cand| before their exchanges and the assembly
+    // joins ride broadcast/co-partitioning, so the union bought no
+    // byte reduction — only a wider final aggregate.
+    val sumT = cand
       .join(broadcast(uni), Seq("query_id"))
       .join(broadcast(cfT), Seq("term"))
       .join(slice.select(col("doc_id"), col("term"), col("tf")),
         Seq("doc_id", "term"), "left")
       .crossJoin(broadcast(coll))
-      .select(col("query_id"), col("doc_id"), lit("T").as("fam"),
-        smoothed(col("tf"), col("cf")).as("contrib"))
+      .withColumn("contrib", smoothed(col("tf"), col("cf")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("sT"))
     // ---- adjacent query bigrams; window counts per DISTINCT bigram
     // (shared across queries — the d141 term-sharing discipline)
     val bg = qt.as("x").join(qt.as("y"),
@@ -734,31 +757,28 @@ object Retrieval {
     val ordDoc = winDoc.filter(col("tfo") > 0)
       .select(col("doc_id"), col("ta"), col("tb"), col("tfo"))
     val unoDoc = winDoc.select("doc_id", "ta", "tb", "tfu")
-    def familyRows(doc: DataFrame, tfName: String,
-                   tag: String): DataFrame = {
+    def familySum(doc: DataFrame, tfName: String,
+                  outName: String): DataFrame = {
       val cf = doc.groupBy("ta", "tb")
         .agg(sum(col(tfName)).cast("double").as("cf"))
       cand.join(broadcast(bg), Seq("query_id"))
         .join(broadcast(cf), Seq("ta", "tb"))
         .join(doc, Seq("doc_id", "ta", "tb"), "left")
         .crossJoin(broadcast(coll))
-        .select(col("query_id"), col("doc_id"), lit(tag).as("fam"),
-          smoothed(col(tfName), col("cf")).as("contrib"))
+        .withColumn("contrib", smoothed(col(tfName), col("cf")))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("contrib")).as(outName))
     }
     // ---- assembly: every candidate has a T row (candidates match
-    // ≥ 1 surviving unigram), so the union's group keys are exactly
-    // the T keys; O/U families may be empty for a query (all its
-    // bigrams collection-absent) → their conditional sum is NULL,
-    // coalesced to 0 — identical to the old left joins' misses.
+    // ≥ 1 surviving unigram); O/U families may be empty for a query
+    // (all its bigrams collection-absent) → contribute 0
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    rowsT
-      .unionByName(familyRows(ordDoc, "tfo", "O"))
-      .unionByName(familyRows(unoDoc, "tfu", "U"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(when(col("fam") === "T", col("contrib"))).as("sT"),
-        sum(when(col("fam") === "O", col("contrib"))).as("sO"),
-        sum(when(col("fam") === "U", col("contrib"))).as("sU"))
+    sumT
+      .join(familySum(ordDoc, "tfo", "sO"),
+        Seq("query_id", "doc_id"), "left")
+      .join(familySum(unoDoc, "tfu", "sU"),
+        Seq("query_id", "doc_id"), "left")
       .withColumn("score",
         round(lit(lamT) * col("sT").cast("double") +
           lit(lamO) * coalesce(col("sO").cast("double"), lit(0.0)) +
@@ -1719,6 +1739,23 @@ object Retrieval {
                         nBuckets: Int): DataFrame =
     minusTombstones(spark, dir,
       readIndexSlice(spark, dir, terms, nBuckets))
+
+  /** Tombstone-aware postings slice WITHOUT the term-dictionary join
+    * (round 20): [[readServableSlice]] attaches `df` via an inner
+    * join against the pruned `terms` table, but the QL/SDM scorers
+    * never read `df` — their per-term statistic is cf = Σ tf over
+    * the slice itself — so every slice consumer in those plans paid
+    * a dictionary read + broadcast build for a row-preserving join
+    * (every posting's term is in the dictionary by [[writeIndex]] /
+    * [[appendIndex]] construction; the only state where that could
+    * differ is a crash BETWEEN an append's postings write and its
+    * dictionary swap, which no serve contract covers). Same rows,
+    * minus the `df` column. */
+  def readServablePostings(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, terms: Seq[String],
+                           nBuckets: Int): DataFrame =
+    minusTombstones(spark, dir,
+      prunedRead(spark, dir, "postings", terms, nBuckets))
 
   /** Apply the tombstones: rewrite postings without the deleted docs,
     * rebuild the term dictionary from the survivors, decrement the

@@ -1506,7 +1506,6 @@ object Search {
           Retrieval.readPositionsSlice(s, idx, terms, nBuckets = 16),
           PhraseSet.toDF("query_id", "terms"))
           .orderBy("query_id", "doc_id")
-          .localCheckpoint()
       },
       Some(PhraseOracleSql)),
 
@@ -1564,7 +1563,6 @@ object Search {
           QueryTerms.toDF("query_id", "term"),
           QueryTerms.map(_._2).distinct, kCand = 20, k = 10)
           .orderBy("query_id", "rk")
-          .localCheckpoint()
       },
       Some(ProximityOracleSql)),
 
@@ -2307,7 +2305,6 @@ object Search {
           SdmQueryTerms.toDF("query_id", "qpos", "term"), k = 10,
           nBuckets = 16)
           .orderBy("query_id", "rk")
-          .localCheckpoint()
       },
       Some(SdmOracleSql)),
 

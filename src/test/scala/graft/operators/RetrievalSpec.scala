@@ -1033,4 +1033,22 @@ class RetrievalSpec extends AnyFunSpec {
       assert(got == Map(0L -> 3L, 1L -> 2L))
     }
   }
+
+  describe("Retrieval.bucketOf") {
+    it("equals the pmod(xxhash64(term), n) column form writeIndex " +
+        "partitions by, over ascii/unicode/empty terms and several " +
+        "bucket counts (round 20: the driver-side bucket literal " +
+        "must read exactly the buckets the index writer assigned)") {
+      val terms = Seq("hash", "join", "the", "", "é", "中文", "🙂x",
+        "a b", "w123456789", "ZZZ") ++
+        (0 until 30).map(i => s"t$i")
+      for (n <- Seq(4, 16, 64)) {
+        val want = terms.toDF("t")
+          .select(col("t"), pmod(xxhash64(col("t")), lit(n)).as("b"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val got = terms.map(t => t -> Retrieval.bucketOf(t, n)).toMap
+        assert(got == want, s"nBuckets=$n diverged")
+      }
+    }
+  }
 }
