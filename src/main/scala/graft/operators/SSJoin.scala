@@ -112,9 +112,17 @@ object SSJoin {
   private def alphaBound(t: Double): Column =
     (col("sza") + col("szb")).cast("double") * lit(t / (1 + t)) - lit(1e-7)
 
-  /** Deduped candidate pairs `(a, sza, b, szb)` from the prefix-token
+  /** Deduped candidate pairs `(a, b)` from the prefix-token
     * self-join with the length + positional filters applied in the
-    * join condition (pruned rows never leave the exchange). */
+    * join condition (pruned rows never leave the exchange).
+    *
+    * Round 20 (verdict r19 #4 — the d61 shuffle decomposition
+    * measured this stage at 55.7 of the arm's 59.5 MB): the dedup
+    * no longer carries `sza`/`szb` through its exchange — the sizes
+    * are per-DOC facts the verify step re-attaches from the same
+    * `needed` join that already ships each doc's array, so pair rows
+    * shrink from four longs to two. The filters still read the sizes
+    * INSIDE the join condition, before the exchange. */
   def candidates(pr: DataFrame, t: Double): DataFrame = {
     val left = pr.toDF("a", "sza", "ia", "ptok")
     val right = pr.toDF("b", "szb", "ib", "ptok2")
@@ -125,7 +133,7 @@ object SSJoin {
             greatest(col("sza"), col("szb")).cast("double") * lit(t) - lit(1e-7) &&
           (lit(1L) + least(col("sza") - col("ia"), col("szb") - col("ib")))
             .cast("double") >= alpha)
-      .select(col("a"), col("sza"), col("b"), col("szb"))
+      .select(col("a"), col("b"))
       .distinct()
   }
 
@@ -162,12 +170,18 @@ object SSJoin {
         .union(cands.select(col("b").as("doc_id"))).distinct(),
       Seq("doc_id"), "left_semi")
       // ascending h-order for the sorted kernels; the df-rarest-first
-      // order only matters for prefix extraction, which is upstream
-      .select(col("doc_id"), sort_array(col("arr")).as("arrs"))
+      // order only matters for prefix extraction, which is upstream.
+      // `sz` rides along (round 20): the candidate dedup stopped
+      // carrying sizes, so the verify join re-attaches them here —
+      // same rows of the same `sorted` table, so the filters compare
+      // identical values.
+      .select(col("doc_id"), col("sz"), sort_array(col("arr")).as("arrs"))
     val alpha = alphaBound(t)
     cands
-      .join(needed.select(col("doc_id").as("a"), col("arrs").as("arra")), "a")
-      .join(needed.select(col("doc_id").as("b"), col("arrs").as("arrb")), "b")
+      .join(needed.select(col("doc_id").as("a"), col("sz").as("sza"),
+        col("arrs").as("arra")), "a")
+      .join(needed.select(col("doc_id").as("b"), col("sz").as("szb"),
+        col("arrs").as("arrb")), "b")
       .filter(
         org.apache.spark.sql.GraftBridge.column(
           graft.functions.SuffixBound(

@@ -78,10 +78,13 @@ class PlanShapeSpec extends AnyFunSuite {
       (planOf(topk), rec.get())
     }
     val (plan, recSmall) = run(500L)
-    // exactly 2 shuffle exchanges: the query-token distinct
-    // (query-sized) and the per-query top-k window (WindowGroupLimit-
-    // bounded) — NONE between the four stacked HashAggregates
-    assert(shuffles(plan) == 2, plan)
+    // exactly 3 shuffle exchanges, ALL query-sized: the distinct
+    // query-TERM set and the distinct (query, term) fan-back pairs
+    // (round 20 — the shared-maxima gather dots each distinct term
+    // against the corpus once and fans maxima back per query) plus
+    // the per-query top-k window (WindowGroupLimit-bounded) — NONE
+    // between the four stacked HashAggregates
+    assert(shuffles(plan) == 3, plan)
     // the four spine aggregates are the ones keyed by doc_id (the
     // query-token distinct prints its own aggs in the broadcast
     // subtree below the join — not the spine)
