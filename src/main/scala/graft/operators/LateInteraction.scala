@@ -220,20 +220,55 @@ object LateInteraction {
   /** MaxSim top-k against a prebuilt [[docTokenMap]] — the per-batch
     * serve body. Bit-identical to [[maxSimTopK]] over the same docs
     * (spec-gated). Round 16: shares the per-(term, doc) inner maxima
-    * across queries exactly as [[maxSimTopKPlaidFromMap]] does — the
-    * cross join scores every (doc token, term) pair either way, so
-    * the fan-back reproduces every (query, doc, term) triple. */
+    * across queries exactly as [[maxSimTopKPlaidFromMap]] does.
+    *
+    * Round 20 — the inner max no longer materializes the
+    * (doc token × query term) pair RELATION at all: the query-term
+    * set is a bounded collect (the w25/w30 discipline — every caller
+    * passes a per-batch query frame), each term's vector is computed
+    * ON THE DRIVER by the same [[graft.functions.TokenVec]] kernel
+    * the column form runs (spec-gated bit-identical), and the
+    * per-(doc, term) maxima come from ONE aggregation over the token
+    * map whose aggregate expressions each compute their term's
+    * rounded dot inline — `max(round(vec_dot(dv, <qv literal>), 9))`
+    * per term. The old shape pushed |doc tokens| × |terms| joined
+    * ROWS through a BroadcastNestedLoopJoin into a hash aggregate;
+    * this one streams |doc tokens| rows once and never copies a
+    * pair. Same dots, same rounding, same max — the maxima table is
+    * value-identical, and the fan-back/gather tail is unchanged. */
   def maxSimTopKFromMap(tokMap: DataFrame, queries: DataFrame,
                         dim: Int, k: Int): DataFrame = {
-    val qpairs = queries
+    val spark = tokMap.sparkSession
+    val qpairsDf = queries
       .select(col("query_id"), explode(col("terms")).as("qterm"))
       .distinct()
-    val terms = qpairs.select("qterm").distinct()
-      .withColumn("qv", tokenVec(col("qterm"), dim))
-    val mx = tokMap.crossJoin(broadcast(terms))
-      .select(col("doc_id"), col("qterm"), pairDot.as("d"))
-      .groupBy("doc_id", "qterm")
-      .agg(max(col("d")).as("mx"))
+    val qpRows = qpairsDf.collect()
+    val qpairs = spark.createDataFrame(
+      java.util.Arrays.asList(qpRows: _*), qpairsDf.schema)
+    val qtIdx = qpairsDf.schema.fieldIndex("qterm")
+    val qts = qpRows.map(_.getString(qtIdx)).distinct.sorted
+    val mx =
+      if (qts.isEmpty)
+        // no query terms: the old cross join produced an empty maxima
+        // relation; keep the same (empty) shape
+        tokMap.select(col("doc_id"), lit("").as("qterm"),
+          lit(0.0).as("mx")).limit(0)
+      else {
+        val maxCols = qts.zipWithIndex.map { case (t, j) =>
+          val qv = typedlit(graft.functions.TokenVec.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), dim)
+            .toDoubleArray().toSeq)
+          max(round(Similarity.dot(col("dv"), qv), 9)).as(s"_mx$j")
+        }
+        tokMap.groupBy(col("doc_id"))
+          .agg(maxCols.head, maxCols.tail: _*)
+          .select(col("doc_id"), explode(array(
+            qts.zipWithIndex.map { case (t, j) =>
+              struct(lit(t).as("qterm"), col(s"_mx$j").as("mx"))
+            }: _*)).as("e"))
+          .select(col("doc_id"), col("e.qterm").as("qterm"),
+            col("e.mx").as("mx"))
+      }
     gatherFromTermMaxima(mx, qpairs, Seq("qterm"), k)
   }
 

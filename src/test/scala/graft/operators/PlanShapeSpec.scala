@@ -78,13 +78,15 @@ class PlanShapeSpec extends AnyFunSuite {
       (planOf(topk), rec.get())
     }
     val (plan, recSmall) = run(500L)
-    // exactly 3 shuffle exchanges, ALL query-sized: the distinct
-    // query-TERM set and the distinct (query, term) fan-back pairs
-    // (round 20 — the shared-maxima gather dots each distinct term
-    // against the corpus once and fans maxima back per query) plus
-    // the per-query top-k window (WindowGroupLimit-bounded) — NONE
-    // between the four stacked HashAggregates
-    assert(shuffles(plan) == 3, plan)
+    // exactly 1 shuffle exchange: the per-query top-k window
+    // (WindowGroupLimit-bounded). Round 20 — the inner max computes
+    // each distinct query term's dot INLINE as an aggregate
+    // expression over the token stream (query vectors are
+    // driver-computed literals, the fan-back pairs a LocalTableScan
+    // broadcast), so no pair relation and no query-side distinct
+    // exchange exists at all; NONE between the stacked
+    // HashAggregates either
+    assert(shuffles(plan) == 1, plan)
     // the four spine aggregates are the ones keyed by doc_id (the
     // query-token distinct prints its own aggs in the broadcast
     // subtree below the join — not the spine)
