@@ -1389,22 +1389,40 @@ object Retrieval {
                               stats: DataFrame, k: Int, k1: Double,
                               b: Double)
       : (DataFrame, DataFrame, DataFrame) = {
-    val termBounds = slice.select(col("term"), col("df")).distinct()
+    val spark = slice.sparkSession
+    def local(rows: Array[org.apache.spark.sql.Row],
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // All three planning relations are query-set-sized, so they cross
+    // the driver as BOUNDED collects and re-enter every consumer as
+    // LocalRelations (round 20 — the maxScoreIndexedPlan discipline
+    // applied to the batch path): left declarative, each of the
+    // nominate / pivot / scoring consumers re-embedded the ENTIRE
+    // planning lineage (θ contains termBounds, essential contains
+    // both), so one wandTopK plan re-evaluated the slice — its
+    // term-window Exchange included — once per replica. ub values are
+    // still computed by the same Spark expression, then collected;
+    // the driver-side argmax/cumsum below reproduce the old windows'
+    // (ub desc, term asc) pick and (ub asc, term asc) left-to-right
+    // double accumulation order for bit-identical planning state.
+    val tbDf = slice.select(col("term"), col("df")).distinct()
       .join(broadcast(queries), "term")
       .crossJoin(broadcast(stats.select("n_docs")))
       .withColumn("ub",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * lit(k1 + 1.0) + lit(1e-9))
       .select("query_id", "term", "ub")
-    // θ: the driver/essential joins attach query_id by joining the
-    // PLANNING pairs on `term` against the raw slice — never against
-    // the full query-joined slice, whose evaluation is the very cost
-    // the prune removes.
-    val driverTerm = termBounds
-      .withColumn("r", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("ub").desc, col("term").asc)))
-      .filter(col("r") === 1).select("query_id", "term")
-    val theta = contrib(
+    val tbRows = tbDf.collect()                // bounded: query terms
+    val termBounds = local(tbRows, tbDf.schema)
+    val byQ = tbRows.groupBy(_.get(0))         // query_id, any id type
+    // θ: per query, the k-th best single-term 6-dp score on the
+    // highest-ub (driver) term's list — the one posting-sized
+    // planning job, collected to one row per query.
+    val driverRows = byQ.values.map(rs =>
+      rs.minBy(r => (-r.getDouble(2), r.getString(1)))).toArray
+    val driverTerm = local(driverRows, tbDf.schema)
+      .select("query_id", "term")
+    val thetaDf = contrib(
         slice.join(broadcast(driverTerm), "term")
           .crossJoin(broadcast(stats)),
         k1, b)
@@ -1414,13 +1432,25 @@ object Retrieval {
         .orderBy(col("partial").desc, col("doc_id").asc)))
       .filter(col("r") === k)
       .select(col("query_id"), col("partial").as("theta"))
-    val essential = termBounds
-      .join(broadcast(theta), Seq("query_id"), "left")
-      .withColumn("cum", sum("ub").over(Window.partitionBy("query_id")
-        .orderBy(col("ub").asc, col("term").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("theta").isNull ||
-        col("cum") >= col("theta") - lit(1e-6))
+    val thRows = thetaDf.collect()             // bounded: ≤ 1 row/query
+    val theta = local(thRows, thetaDf.schema)
+    val thMap = thRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+    // essential: ub-ascending running total reaches θ − 1e-6; the
+    // fold runs in the exact (ub asc, term asc) order of the old
+    // running-sum window, so the cumulative doubles are identical.
+    val essRows = byQ.toSeq.flatMap { case (q, rs) =>
+      val ordered = rs.sortBy(r => (r.getDouble(2), r.getString(1)))
+      thMap.get(q) match {
+        case None => ordered
+        case Some(th) =>
+          var cum = 0.0
+          ordered.flatMap { r =>
+            cum += r.getDouble(2)
+            if (cum >= th - 1e-6) Some(r) else None
+          }
+      }
+    }.toArray
+    val essential = local(essRows, tbDf.schema)
       .select("query_id", "term")
     (termBounds, theta, essential)
   }
