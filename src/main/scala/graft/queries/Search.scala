@@ -583,6 +583,34 @@ object Search {
     })
   }
 
+  /** Corpus constants (n_docs, avgdl) over the documents table,
+    * collected ONCE per (session, dir) and memoized as a 1-row
+    * LocalRelation (round 20 — the statsLocal discipline lifted to
+    * the session, the postings-memo amortization applied to the
+    * OTHER per-call corpus pass every batch scorer pays). Computed
+    * by `Retrieval.corpusStats` over the documents table verbatim —
+    * same rows, same arithmetic, merely collected once — so the
+    * semantics (n_docs counts EVERY document, tokenized or not) are
+    * untouched. No RDD is pinned (driver rows only), so there is
+    * nothing to register or retire; the cold build's corpus scan
+    * lands visibly in the first consumer's timed sample, the
+    * documented cold-sample shape. A putIfAbsent race loser built a
+    * throwaway local row set — no leak class here, unlike postsMemo. */
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+  private def corpusStatsLocal(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val key = (s, dir)
+    Option(statsMemo.get(key)).getOrElse {
+      val st = Retrieval.corpusStats(t(s, dir, "documents"), "text")
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(st.collect(): _*), st.schema)
+      Option(statsMemo.putIfAbsent(key, local)).getOrElse(local)
+    }
+  }
+
   private val plaidTokMapMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]()
@@ -628,7 +656,7 @@ object Search {
         Retrieval.bm25TopK(
           Retrieval.postings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          corpusStatsLocal(s, dir),
           k = 10)
           .orderBy("query_id", "rk")
       },
@@ -655,7 +683,7 @@ object Search {
         Retrieval.maxScoreTopK(
           Retrieval.postings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          corpusStatsLocal(s, dir),
           k = 10)
           .orderBy("query_id", "rk")
       },
@@ -685,7 +713,7 @@ object Search {
         Retrieval.wandTopK(
           postings(s, dir),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(t(s, dir, "documents"), "text"),
+          corpusStatsLocal(s, dir),
           k = 10)
           .orderBy("query_id", "rk")
       },
@@ -1145,7 +1173,7 @@ object Search {
         val lex = Retrieval.bm25TopK(
           Retrieval.postings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          corpusStatsLocal(s, dir),
           k = 20)
         val emb = t(s, dir, "embeddings")
         val qv = emb
@@ -1375,7 +1403,7 @@ object Search {
         Retrieval.rm3TopK(
           postings(s, dir),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          corpusStatsLocal(s, dir),
           fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
           .orderBy("query_id", "rk")
       },
@@ -1587,7 +1615,7 @@ object Search {
           Retrieval.postings(docs, "doc_id", "text"),
           Retrieval.positionalPostings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"),
+          corpusStatsLocal(s, dir),
           kCand = 20, k = 10)
           .orderBy("query_id", "rk")
       },
@@ -1614,8 +1642,9 @@ object Search {
           val docs = t(s, dir, "documents")
           val posts = Retrieval.postings(docs, "doc_id", "text")
             .localCheckpoint()
-          val stats = Retrieval.corpusStats(docs, "text")
-            .localCheckpoint()
+          // collected memo (round 20): same 1-row stats, no per-call
+          // checkpoint pin job
+          val stats = corpusStatsLocal(s, dir)
           java.nio.file.Files.createDirectories(
             java.nio.file.Paths.get(s"$tmp/in"))
           QueryTerms.groupBy(_._1).foreach { case (qid, qts) =>
@@ -1725,7 +1754,7 @@ object Search {
         val posts = Retrieval.postings(docs, "doc_id", "text")
           .localCheckpoint()   // run + qrels both read it
         val q = QueryTerms.toDF("query_id", "term")
-        val stats = Retrieval.corpusStats(docs, "text")
+        val stats = corpusStatsLocal(s, dir)
         val run = Retrieval.bm25TopK(posts, q, stats, k = 10)
         val qrels = posts.join(broadcast(q), "term")
           .groupBy("query_id", "doc_id")
@@ -1823,8 +1852,9 @@ object Search {
         val posts = Retrieval.postings(docs, "doc_id", "text")
           .localCheckpoint()
         val q = QueryTerms.toDF("query_id", "term")
-        val stats = Retrieval.corpusStats(docs, "text")
-          .localCheckpoint()
+        // collected memo, not a per-call localCheckpoint: the 1-row
+        // LocalRelation serves both runs with zero pinned blocks
+        val stats = corpusStatsLocal(s, dir)
         val runA = Retrieval.bm25TopK(posts, q, stats, k = 10)
         val runB = Retrieval.rm3TopK(posts, q, stats,
           fbDocs = 5, fbTerms = 3, beta = 0.5, k = 10)
@@ -1992,7 +2022,7 @@ object Search {
         val top = Retrieval.bm25TopK(
           Retrieval.postings(docs, "doc_id", "text"),
           QueryTerms.toDF("query_id", "term"),
-          Retrieval.corpusStats(docs, "text"), k = 10)
+          corpusStatsLocal(s, dir), k = 10)
           .localCheckpoint()
         val ids = top.select("doc_id").distinct()
         val toks = docs.join(broadcast(ids), "doc_id")
@@ -2404,7 +2434,7 @@ object Search {
           c = 50)
         // arm 4 — hybrid RRF (d103's fusion verbatim)
         val lex = Retrieval.bm25TopK(posts, q,
-          Retrieval.corpusStats(docs, "text"), k = 20)
+          corpusStatsLocal(s, dir), k = 20)
         val sem = Similarity
           .cosineTopKBatch(emb, "vec_id", "embedding", qv, k = 20)
         val runRrf = Fusion.rrf(Seq(lex, sem), k = 10)
